@@ -1,0 +1,65 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collect-to-count via ``df.write`` style
+noop: we use ``count()`` on the result after a deterministic action)
+so the measured time covers scan -> shuffle -> agg, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from severless_data_pipeline_aws_spark import registry
+from severless_data_pipeline_aws_spark.session import get_spark
+
+#: headline set — exercised per-round by the driver; keep it representative
+#: (scan-heavy agg, join, window, top-k, dedup, similarity) but bounded.
+HEADLINE = [
+    "flagship_revenue_by_status_year",
+    "filter_project_lineitem",
+    "order_by_limit",
+    "recent_n_events",
+    "distinct_sorted_keys",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    specs = registry.load_all()
+    names = [n for n in HEADLINE if n in specs]
+    # warm the JVM + parquet footers once with the cheapest query
+    specs[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Table loading over the driver's parquet test tables + generic sources.
+
+The reference's storage layer was DynamoDB scanned into pandas
+(``iot_dashboard.py:46-86``); here the landed layer is columnar parquet
+read by Spark with predicate pushdown and column pruning — the scan cap
+(``Limit``) becomes ``df.limit(n)`` planned as CollectLimit/LocalLimit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimensions small enough to broadcast at ANY scale factor (bounded cardinality)
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong; convert to
+    # TimestampType via integer division (float div would lose precision on
+    # ~1.7e18 epoch-nanos). Data is generated at micro precision => lossless.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint" and name == "events":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+class Tables:
+    """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` etc.
+
+    Each attribute is a fresh DataFrame over the parquet file; Catalyst
+    dedups identical scans, so repeated access is free.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return load_table(self.spark, self.sf_dir, name)
+        raise AttributeError(name)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

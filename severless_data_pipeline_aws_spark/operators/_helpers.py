@@ -1,0 +1,48 @@
+"""Cross-engine exactness helpers.
+
+The driver compares Spark results against DuckDB with an exact
+value-hash, so floating-point discipline matters:
+
+* Per-row double arithmetic (`+ - * /` of the same inputs) is IEEE-754
+  deterministic — bit-identical across engines. Safe to emit raw.
+* ``SUM``/``AVG`` over doubles depend on accumulation order — NOT
+  stable across engines (or even across Spark partitionings). Sum in
+  DECIMAL instead: exact, associative, identical everywhere.
+* ``ROUND(double)`` is a trap: Spark rounds the shortest decimal
+  representation (via ``BigDecimal.valueOf``), DuckDB rounds the binary
+  value — they disagree on half-way doubles. Never round doubles that
+  feed the oracle hash.
+
+The source doubles here carry <=4 true decimal digits, so
+``DECIMAL(38, 8)`` casts are unambiguous on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "DECIMAL(38,8)"
+
+
+def dsum(expr_sql: str) -> Column:
+    """Order-independent exact sum of a double expression (Spark side)."""
+    return F.sum(F.expr(f"CAST(({expr_sql}) AS {DEC})"))
+
+
+def dsum_sql(expr_sql: str) -> str:
+    """Oracle-side twin of :func:`dsum`."""
+    return f"SUM(CAST(({expr_sql}) AS {DEC}))"
+
+
+def davg(expr_sql: str) -> Column:
+    """Exact-sum-based average: decimal sum -> double, / count.
+
+    Both engines cast the identical decimal to the nearest double and
+    divide by the identical count -> bit-identical result.
+    """
+    return F.expr(f"CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS DOUBLE) / COUNT({expr_sql})")
+
+
+def davg_sql(expr_sql: str) -> str:
+    return f"CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS DOUBLE) / COUNT({expr_sql})"

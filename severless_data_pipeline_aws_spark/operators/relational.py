@@ -1,0 +1,151 @@
+"""Relational core: scans, projections, filters, derived columns,
+sorts/limits/top-k — the dashboard's query surface (SURVEY §2.2/§2.6)
+generalized over the driver's star schema.
+
+Reference parity notes (file:line cite the reference):
+  P3 equality filter      iot_dashboard.py:147-150
+  P4 null-drop            iot_dashboard.py:157,166,176,185
+  P7 derived columns      iot_dashboard.py:111,125-130
+  O1 sort by timestamp    iot_dashboard.py:112
+  O3 limit / scan cap     iot_dashboard.py:58-66,94
+  O5 most-recent-N top-k  iot_dashboard.py:46,94,134 [inferred]
+
+Everything is declarative DataFrame API: Catalyst pushes the filters
+and projections into the parquet scan (PushedFilters / ReadSchema),
+and O5 plans as TakeOrderedAndProject (true top-k — no global sort),
+which is what makes these safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+from ._helpers import dsum
+
+
+@register(
+    "flagship_revenue_by_status_year",
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,8))) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY o.o_orderstatus, CAST(year(o.o_orderdate) AS INT)
+        ORDER BY o_orderstatus, o_year
+    """,
+    doc="Flagship: scan+join+filter+derived col+agg+sort in one query.",
+    tags=("flagship", "join", "agg"),
+)
+def flagship_revenue_by_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("o_orderstatus", "o_year")
+    )
+
+
+@register(
+    "filter_project_lineitem",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               l_extendedprice * (1 - l_discount) AS net_price
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity > 40
+    """,
+    doc="P2/P3/P7: pushed-down predicate + pruned projection + derived column.",
+    tags=("filter", "project"),
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "null_drop_and_filter",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE value IS NOT NULL AND event_type = 'click'
+    """,
+    doc="P4: na.drop before analysis (iot_dashboard.py:157).",
+    tags=("filter",),
+)
+def null_drop_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.na.drop(subset=["value"])
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "order_by_limit",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="O5: top-k — plans as TakeOrderedAndProject, not a global sort.",
+    tags=("sort", "limit", "topk"),
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "recent_n_events",
+    oracle="""
+        SELECT event_id, ts, event_type
+        FROM events
+        ORDER BY ts DESC, event_id
+        LIMIT 500
+    """,
+    doc="O5/S7: dashboard 'most recent N' working set (iot_dashboard.py:46,94).",
+    tags=("sort", "limit", "topk"),
+)
+def recent_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "ts", "event_type")
+        .limit(500)
+    )
+
+
+@register(
+    "distinct_sorted_keys",
+    oracle="""
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    doc="A2: distinct key list for the device selector (iot_dashboard.py:144).",
+    tags=("distinct", "sort"),
+)
+def distinct_sorted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.select("event_type").distinct().orderBy("event_type")

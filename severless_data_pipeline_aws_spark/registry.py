@@ -1,0 +1,80 @@
+"""Named-query registry.
+
+Every operator implemented from SURVEY.md §2 registers here as a
+``QuerySpec``: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus,
+when SQL-expressible, the equivalent ANSI SQL string for the DuckDB
+oracle. ``__spark_entry__.py`` exposes the registry to the driver;
+``tests/test_correctness.py`` replays the same oracle comparison
+locally at sf0.001.
+
+Contract (see __spark_entry__.py): every computed column must be
+aliased identically in the Spark plan and the oracle SQL — the driver
+sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+#: modules that register queries on import (order = SURVEY §7 build plan)
+_QUERY_MODULES = (
+    "severless_data_pipeline_aws_spark.operators.relational",
+    "severless_data_pipeline_aws_spark.operators.joins",
+    "severless_data_pipeline_aws_spark.operators.aggregates",
+    "severless_data_pipeline_aws_spark.operators.windows",
+    "severless_data_pipeline_aws_spark.operators.setops",
+    "severless_data_pipeline_aws_spark.functions.scalar",
+    "severless_data_pipeline_aws_spark.operators.dashboard",
+    "severless_data_pipeline_aws_spark.operators.dedup",
+    "severless_data_pipeline_aws_spark.operators.similarity",
+    "severless_data_pipeline_aws_spark.operators.text",
+    "severless_data_pipeline_aws_spark.operators.sketches",
+)
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), tuple(tags))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass  # module not built yet (incremental rounds)
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v.fn for k, v in load_all().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v.oracle for k, v in load_all().items() if v.oracle is not None}

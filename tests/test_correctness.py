@@ -1,0 +1,35 @@
+"""Replay the driver's oracle gate locally: every registered query with
+an oracle must match DuckDB at the test scale factor."""
+
+from __future__ import annotations
+
+import pytest
+
+from severless_data_pipeline_aws_spark import registry
+
+from .oracle import compare, duckdb_connect
+
+SPECS = registry.load_all()
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connect(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(name, spark, sf_dir, con):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    errs = compare(df, con, spec.oracle)
+    assert not errs, f"{name}: " + "; ".join(errs[:10])
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = SPECS[name].fn(spark, sf_dir)
+    assert df.count() >= 0
