@@ -1,0 +1,242 @@
+"""Aggregations (SURVEY §2.4): group-by-count (A1, iot_dashboard.py:196-197),
+distinct keys (A2, :144), count (A3, :134), per-key rollups (A4, :157-189),
+plus the full Spark agg surface: multi-agg, distinct aggs, rollup/cube/
+grouping sets, pivot, having.
+
+All partial+final hash aggregation with map-side combine — one shuffle
+per group-by, which is the 100 TB-safe shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+from ._helpers import davg, dsum
+
+
+@register(
+    "groupby_count_status",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="A1: value_counts — status distribution bar chart (iot_dashboard.py:196-197).",
+    tags=("agg",),
+)
+def groupby_count_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS sum_qty,
+               SUM(CAST((l_extendedprice) AS DECIMAL(38,8))) AS sum_base_price,
+               SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,8))) AS sum_disc_price,
+               SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,8))) AS sum_charge,
+               CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST((l_discount) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: multi-agg scan-heavy summary (8 aggregates, 1 shuffle).",
+    tags=("agg", "headline"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_minmax_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Distinct aggregates + min/max (expand + two-phase agg in Spark).",
+    tags=("agg", "distinct"),
+)
+def agg_minmax_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (returnflag -> linestatus -> grand total).",
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all grouping-set combinations.",
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT n_name, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+    """,
+    doc="GROUPING SETS over a dimension join.",
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_gs_orders")
+    t.customer.createOrReplaceTempView("_gs_customer")
+    t.nation.createOrReplaceTempView("_gs_nation")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus, COUNT(*) AS n
+        FROM _gs_orders
+        JOIN _gs_customer ON o_custkey = c_custkey
+        JOIN _gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS spend
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    doc="HAVING: post-aggregation predicate.",
+    tags=("agg", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS qty_O,
+               SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot linestatus into columns (conditional aggregation).",
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(38,8))")))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+        SELECT o_orderkey, metric, val FROM (
+            SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+        ) u
+        WHERE o_orderkey <= 100
+    """,
+    doc="Unpivot (stack) wide columns into (metric, val) rows.",
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 100)
+        .selectExpr(
+            "o_orderkey",
+            "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, val)",
+        )
+    )
+
+
+@register(
+    "timeseries_rollup_per_key",
+    oracle="""
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST((value) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(value) AS avg_value,
+               COUNT(*) AS n
+        FROM events
+        WHERE user_id <= 20
+        GROUP BY user_id, date_trunc('day', ts)
+    """,
+    doc="A4: per-device time-series rollup (iot_dashboard.py:157-189) as day buckets.",
+    tags=("agg", "timeseries"),
+)
+def timeseries_rollup_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(davg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )

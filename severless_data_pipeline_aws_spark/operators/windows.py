@@ -1,0 +1,283 @@
+"""Window functions (SURVEY §2.5) + time-window aggregations (W6).
+
+The reference's one implicitly-windowed computation is the generator's
+per-device running drift (iot-data-stream.py:166,173) — a keyed
+cumulative sum, expressed here as a frame-spec window. Ranking /
+lag-lead / tumbling / sliding / session windows complete the family.
+
+Time windows are verified in batch form (the driver oracle is batch
+DuckDB); the same expressions run under Structured Streaming with a
+watermark (streaming/windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+from ._helpers import davg, dsum
+
+
+@register(
+    "window_rank_topn_per_group",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM ranked WHERE rn <= 3
+    """,
+    doc="Top-N per group via row_number (the scalable top-k-per-key pattern).",
+    tags=("window", "topk"),
+)
+def window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+               dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+               ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer
+    """,
+    doc="rank/dense_rank/ntile battery.",
+    tags=("window", "rank"),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+               CAST(date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT)
+                 AS secs_since_prev
+        FROM events WHERE user_id <= 10
+    """,
+    doc="lag/lead analytics + inter-arrival gap per key.",
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.filter(F.col("user_id") <= 10).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "window_running_cumsum",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               SUM(CAST(value AS DECIMAL(38,8)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+        FROM events WHERE user_id <= 10
+    """,
+    doc="W4-in-batch: keyed running cumulative sum (generator drift replay).",
+    tags=("window", "frame"),
+)
+def window_running_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return t.events.filter(F.col("user_id") <= 10).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).over(w).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "window_sliding_frame_avg",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(38,8)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+        FROM events WHERE user_id <= 10
+    """,
+    doc="Moving average over a 3-row frame (decimal-sum/count for exactness).",
+    tags=("window", "frame"),
+)
+def window_sliding_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return t.events.filter(F.col("user_id") <= 10).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mov_avg"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type,
+               first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+               last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+        FROM events WHERE user_id <= 10
+    """,
+    doc="first_value/last_value with explicit full-partition frame.",
+    tags=("window",),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t.events.filter(F.col("user_id") <= 10).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(38,8))) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="W6: tumbling 1-hour window agg (batch-verified; streaming twin in streaming/windows.py).",
+    tags=("window", "time"),
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+        WITH offsets AS (SELECT 0 AS off UNION ALL SELECT 30),
+        slid AS (
+            SELECT date_trunc('hour', ts - to_minutes(off)) + to_minutes(off) AS window_start,
+                   value
+            FROM events CROSS JOIN offsets
+        )
+        SELECT window_start, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(38,8))) AS total_value
+        FROM slid GROUP BY window_start
+    """,
+    doc="W6: sliding window (1h length, 30min slide) — each row lands in 2 windows.",
+    tags=("window", "time"),
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WHERE user_id <= 20
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, MIN(ts) AS session_start,
+               MAX(ts) AS session_end, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Sessionization (30-min gap): lag + cumsum flag — the batch twin of "
+        "F.session_window. Both sides computed with the same algorithm so "
+        "session ids align."
+    ),
+    tags=("window", "session"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 20)
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_order))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
