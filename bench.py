@@ -3,9 +3,10 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully executed (collect-to-count via ``df.write`` style
-noop: we use ``count()`` on the result after a deterministic action)
-so the measured time covers scan -> shuffle -> agg, not just planning.
+Each query is executed through the noop sink
+(``df.write.format("noop")``) so the full plan is paid for — a bare
+``count()`` would let Catalyst prune projected columns that nothing
+references, under-measuring projection/expression cost.
 """
 
 from __future__ import annotations
@@ -31,19 +32,25 @@ HEADLINE = [
 ]
 
 
+def _run(df) -> None:
+    """Execute the full plan (all projected columns) via the noop sink."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     specs = registry.load_all()
     names = [n for n in HEADLINE if n in specs]
+    if not names:
+        raise SystemExit("no headline queries found in registry")
     # warm the JVM + parquet footers once with the cheapest query
-    specs[names[0]].fn(spark, sf_dir).count()
+    _run(specs[names[0]].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.count()
+        _run(specs[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -36,17 +36,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _nanos_timestamp_cols(path: str) -> frozenset[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (footer read, cached)."""
+    try:
+        cached = _nanos_timestamp_cols._cache  # type: ignore[attr-defined]
+    except AttributeError:
+        cached = _nanos_timestamp_cols._cache = {}  # type: ignore[attr-defined]
+    if path not in cached:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        cached[path] = frozenset(
+            f.name for f in schema if str(f.type).startswith("timestamp[ns")
+        )
+    return cached[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     # parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong; convert to
     # TimestampType via integer division (float div would lose precision on
     # ~1.7e18 epoch-nanos). Data is generated at micro precision => lossless.
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint" and name == "events":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Detection is generic (arrow footer), not hardcoded to one column.
+    for col in _nanos_timestamp_cols(path):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
 

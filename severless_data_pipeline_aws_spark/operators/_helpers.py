@@ -35,6 +35,24 @@ def dsum_sql(expr_sql: str) -> str:
     return f"SUM(CAST(({expr_sql}) AS {DEC}))"
 
 
+def dsum_double(expr_sql: str) -> Column:
+    """Exact decimal sum emitted as DOUBLE.
+
+    The driver's value-hash is exact and type-sensitive: Spark returns
+    ``Decimal`` objects for DECIMAL aggregates while DuckDB materializes
+    DECIMAL (and ``SUM(int)`` -> HUGEINT) to float64 — the identical
+    value hashes differently. Casting the *final* decimal to DOUBLE on
+    both sides keeps accumulation exact (order-independent) and makes
+    the output representation identical.
+    """
+    return F.expr(f"CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS DOUBLE)")
+
+
+def dsum_double_sql(expr_sql: str) -> str:
+    """Oracle-side twin of :func:`dsum_double`."""
+    return f"CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS DOUBLE)"
+
+
 def davg(expr_sql: str) -> Column:
     """Exact-sum-based average: decimal sum -> double, / count.
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import davg, dsum
+from ._helpers import davg, dsum_double
 
 
 @register(
@@ -35,10 +35,10 @@ def groupby_count_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS sum_qty,
-               SUM(CAST((l_extendedprice) AS DECIMAL(38,8))) AS sum_base_price,
-               SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,8))) AS sum_disc_price,
-               SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,8))) AS sum_charge,
+               CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST((l_extendedprice) AS DECIMAL(38,8))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
                CAST(SUM(CAST((l_discount) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
                COUNT(*) AS count_order
@@ -56,10 +56,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
-            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias("sum_charge"),
+            dsum_double("l_quantity").alias("sum_qty"),
+            dsum_double("l_extendedprice").alias("sum_base_price"),
+            dsum_double("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
+            dsum_double("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -95,7 +95,7 @@ def agg_minmax_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS sum_qty, COUNT(*) AS n
+               CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -105,7 +105,7 @@ def agg_minmax_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+        dsum_double("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
     )
 
 
@@ -113,7 +113,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS total
+               CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS DOUBLE) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -123,7 +123,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+        F.count(F.lit(1)).alias("n"), dsum_double("o_totalprice").alias("total")
     )
 
 
@@ -159,7 +159,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
         SELECT o_custkey, COUNT(*) AS n_orders,
-               SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS spend
+               CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS DOUBLE) AS spend
         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
     """,
     doc="HAVING: post-aggregation predicate.",
@@ -169,7 +169,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
         t.orders.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum_double("o_totalprice").alias("spend"))
         .filter(F.col("n_orders") >= 15)
     )
 
@@ -178,8 +178,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
         SELECT l_returnflag,
-               SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS qty_O,
-               SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS qty_F
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS DOUBLE) AS qty_O,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS DOUBLE) AS qty_F
         FROM lineitem GROUP BY l_returnflag
     """,
     doc="Pivot linestatus into columns (conditional aggregation).",
@@ -190,7 +190,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(38,8))")))
+        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)"))
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
@@ -223,7 +223,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "timeseries_rollup_per_key",
     oracle="""
-        SELECT user_id, date_trunc('day', ts) AS day,
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(SUM(CAST((value) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(value) AS avg_value,
                COUNT(*) AS n
         FROM events

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import dsum
+
 
 
 @register(
@@ -121,15 +121,41 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    doc=(
+        "Left-anti join (NOT EXISTS): customers with no order above 250k. "
+        "(Predicated so the result is non-empty at every sf — every "
+        "customer has *some* order in the test data.)"
+    ),
     tags=("join", "anti"),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+    big = t.orders.filter(F.col("o_totalprice") > 250000)
+    return t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM orders o RIGHT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        WHERE c.c_acctbal < -500
+    """,
+    doc="Right outer join: all (filtered) customers, null-extended order side.",
+    tags=("join", "outer"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_totalprice") > 400000)
+    c = t.customer.filter(F.col("c_acctbal") < -500)
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey"), "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
 
 
@@ -150,20 +176,22 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer"),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Alias the aggregate keys apart: both branches scan the same nation
+    # table, so keeping `n_nationkey` on both sides would be an ambiguous
+    # self-join at the full-outer step.
     t = Tables(spark, sf_dir)
-    n = t.nation
     cn = (
-        t.customer.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_nationkey")
+        t.customer.join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_nationkey").alias("c_nk"))
         .agg(F.count(F.lit(1)).alias("n_cust"))
     )
     sn = (
-        t.supplier.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_nationkey")
+        t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_nationkey").alias("s_nk"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
-    return cn.join(sn, cn["n_nationkey"] == sn["n_nationkey"], "full_outer").select(
-        F.coalesce(cn["n_nationkey"], sn["n_nationkey"]).alias("nationkey"),
+    return cn.join(sn, F.col("c_nk") == F.col("s_nk"), "full_outer").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
         "n_cust",
         "n_supp",
     )
@@ -209,43 +237,85 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_asof_last_event_before_order",
+    "join_asof_last_click_before_purchase",
     oracle="""
-        WITH pairs AS (
-            SELECT o.o_orderkey, o.o_orderdate, e.ts, e.event_id,
-                   row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id DESC) AS rn
-            FROM orders o JOIN events e
-              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-            WHERE o.o_custkey <= 50
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts,
+                   1 AS is_right
+            FROM events WHERE user_id <= 30 AND event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, event_id, event_id, ts, 0
+            FROM events WHERE user_id <= 30 AND event_type = 'click'
+        ),
+        carried AS (
+            SELECT user_id, ts, event_id, is_right,
+                   last_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+                   last_value(c_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+            FROM tagged
         )
-        SELECT o_orderkey, o_orderdate, ts AS last_event_ts, event_id AS last_event_id
-        FROM pairs WHERE rn = 1
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+               last_click_id, last_click_ts
+        FROM carried WHERE is_right = 1
     """,
     doc=(
-        "As-of join (backward): latest event per user at or before each "
-        "order date. Non-native in Spark: equi-join on user + range filter "
-        "+ per-order top-1 window. At 100 TB, replace with a bucketized "
-        "range join (bucket ts to days, join on (user, day-range))."
+        "As-of join (backward): for each purchase, the user's latest click "
+        "at or before it. Implemented with the SCALABLE union + "
+        "last(ignorenulls) carry-forward pattern — one shuffle on the key, "
+        "no pairwise explosion (a naive equi-join + range filter pairs "
+        "every purchase with ALL prior clicks of its user before pruning, "
+        "which blows up on skewed keys at 100 TB)."
     ),
     tags=("join", "asof"),
 )
-def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = Tables(spark, sf_dir)
-    o = t.orders.filter(F.col("o_custkey") <= 50)
-    pairs = o.join(
-        t.events,
-        (F.col("user_id") == F.col("o_custkey")) & (F.col("ts") <= F.col("o_orderdate")),
+    ev = t.events.filter(F.col("user_id") <= 30)
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("bigint").alias("c_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(1).alias("is_right"),
     )
-    w = W.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.lit(0).alias("is_right"),
+    )
+    # clicks sort before purchases at equal ts (is_right asc) so "at or
+    # before" includes same-instant clicks, matching the oracle.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_right", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        right.unionByName(left)
         .select(
-            "o_orderkey",
-            "o_orderdate",
-            F.col("ts").alias("last_event_ts"),
-            F.col("event_id").alias("last_event_id"),
+            "user_id",
+            "ts",
+            "event_id",
+            "is_right",
+            F.last("c_id", ignorenulls=True).over(w).alias("last_click_id"),
+            F.last("c_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+        )
+        .filter(F.col("is_right") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_id",
+            "last_click_ts",
         )
     )

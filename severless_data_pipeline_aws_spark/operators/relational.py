@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import dsum
+from ._helpers import dsum_double
 
 
 @register(
@@ -31,7 +31,7 @@ from ._helpers import dsum
     oracle="""
         SELECT o.o_orderstatus,
                CAST(year(o.o_orderdate) AS INT) AS o_year,
-               SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,8))) AS revenue,
+               CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,7 +48,7 @@ def flagship_revenue_by_status_year(spark: SparkSession, sf_dir: str) -> DataFra
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderstatus", F.year("o_orderdate").alias("o_year"))
         .agg(
-            dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            dsum_double("l_extendedprice * (1 - l_discount)").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("o_orderstatus", "o_year")

@@ -73,14 +73,43 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
     """,
-    doc="EXCEPT: nations with customers but no suppliers.",
+    doc=(
+        "EXCEPT: nations with customers but no high-balance supplier "
+        "(set difference; right side predicated so the result is non-empty "
+        "— every nation has *some* supplier in the test data)."
+    ),
     tags=("setop",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL EXCEPT is set difference: subtract() == EXCEPT DISTINCT.
+    # (exceptAll().distinct() would be multiset difference, which keeps a
+    # key whenever the left multiplicity exceeds the right one.)
     t = Tables(spark, sf_dir)
-    return _cust_nations(t).exceptAll(_supp_nations(t)).distinct()
+    rich = t.supplier.filter(F.col("s_acctbal") > 8000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return _cust_nations(t).subtract(rich)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+        SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 100000
+        EXCEPT ALL
+        SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="EXCEPT ALL: multiset difference (keeps surplus multiplicity).",
+    tags=("setop",),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("status"))
+    b = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderstatus").alias("status")
+    )
+    return a.exceptAll(b)
 
 
 @register(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import davg, dsum
+from ._helpers import davg
 
 
 @register(
@@ -101,9 +101,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_cumsum",
     oracle="""
         SELECT user_id, event_id, ts,
-               SUM(CAST(value AS DECIMAL(38,8)))
+               CAST(SUM(CAST(value AS DECIMAL(38,8)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
         FROM events WHERE user_id <= 10
@@ -118,7 +118,7 @@ def window_running_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).over(w).alias("running_value"),
+        F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).over(w).cast("double").alias("running_value"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
 
@@ -186,7 +186,7 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n,
-               SUM(CAST(value AS DECIMAL(38,8))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -199,7 +199,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).alias("total_value"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
@@ -215,7 +215,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events CROSS JOIN offsets
         )
         SELECT window_start, COUNT(*) AS n,
-               SUM(CAST(value AS DECIMAL(38,8))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
         FROM slid GROUP BY window_start
     """,
     doc="W6: sliding window (1h length, 30min slide) — each row lands in 2 windows.",
@@ -227,7 +227,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).alias("total_value"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
@@ -245,8 +245,8 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sessions AS (
             SELECT user_id, ts, value,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id, MIN(ts) AS session_start,

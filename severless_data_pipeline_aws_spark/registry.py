@@ -15,6 +15,8 @@ sorts columns by name before hashing values.
 from __future__ import annotations
 
 import importlib
+import importlib.util
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -63,12 +65,18 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry.
+
+    A module file that does not exist yet is skipped LOUDLY (warning);
+    an import failure *inside* an existing module is re-raised — silently
+    dropping its queries would shrink the advertised surface without a
+    trace.
+    """
     for mod in _QUERY_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError:
-            pass  # module not built yet (incremental rounds)
+        if importlib.util.find_spec(mod) is None:
+            warnings.warn(f"query module {mod} not built yet — skipped", stacklevel=2)
+            continue
+        importlib.import_module(mod)
     return dict(_REGISTRY)
 
 
