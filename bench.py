@@ -29,6 +29,10 @@ HEADLINE = [
     "order_by_limit",
     "recent_n_events",
     "distinct_sorted_keys",
+    "pricing_summary",
+    "dedup_exact_keep_first",
+    "similarity_topk_cosine_exact",
+    "text_wordcount_topk",
 ]
 
 

@@ -1,0 +1,403 @@
+"""Scalar-function battery (SURVEY §2.7, F1–F14) + the promised
+date / string / array / map / JSON query set.
+
+Reference anchors (file:line cite the reference):
+  F1  timestamp parse       iot_dashboard.py:32-36,111
+  F2  timestamp format      iot-data-stream.py:146
+  F3  round to precision    iot-data-stream.py:172
+  F4  clamp min/max         iot-data-stream.py:169
+  F5  abs + negate          iot-data-stream.py:161-163
+  F7  weighted choice       iot-data-stream.py:110-111,182
+  F8  bernoulli gates       iot-data-stream.py:185,188,254
+  F9  string interpolation  iot-data-stream.py:227,338-339
+  F10 id suffix             iot-data-stream.py:227
+  F11 JSON ser/deser        iot-data-stream.py:279,379
+  F12 numeric normalize     iot_dashboard.py:27-31
+  F14 math battery          iot-data-stream.py:169,163
+
+Everything is a built-in JVM-side column expression — no Python UDFs —
+so each query stays inside whole-stage codegen. Randomness in the
+reference (F6–F8) is made deterministic here by keying off stable ids
+(``event_id % N`` thresholds) so the DuckDB oracle can reproduce it —
+the *stochastic* twins live in operators/generator.py where the driver
+verifies distributional invariants instead of exact values.
+
+Cross-engine gotchas encoded below (verified against DuckDB):
+* DuckDB ``dayofweek`` is 0-based (Sunday=0); Spark is 1-based -> +1.
+* DuckDB ``CAST(double AS INT)`` rounds; Spark truncates -> use FLOOR.
+* DuckDB ``map_extract`` returns a LIST -> index ``[1]``.
+* ``ROUND(double)`` disagrees on halfway doubles -> round DECIMAL, then
+  cast to DOUBLE (see operators/_helpers.py).
+* never ln/exp/pow in hashed output (libm-dependent); sqrt is IEEE
+  correctly-rounded and safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+
+
+@register(
+    "scalar_timestamp_parse_format",
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_reparsed,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_secs
+        FROM events WHERE user_id <= 5
+    """,
+    doc="F1/F2: timestamp <-> string round-trip + epoch seconds (iot_dashboard.py:32-36).",
+    tags=("scalar", "date"),
+)
+def scalar_timestamp_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return t.events.filter(F.col("user_id") <= 5).select(
+        "event_id",
+        F.date_format("ts", fmt).alias("ts_str"),
+        F.to_timestamp(F.date_format("ts", fmt), fmt).alias("ts_reparsed"),
+        F.unix_timestamp("ts").alias("unix_secs"),
+    )
+
+
+@register(
+    "scalar_date_parts",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mth,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        FROM orders WHERE o_orderkey <= 200
+    """,
+    doc="Date-part extraction battery (DuckDB dayofweek is 0-based; Spark 1-based).",
+    tags=("scalar", "date"),
+)
+def scalar_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+        SELECT o_orderkey, o_orderdate,
+               o_orderdate + INTERVAL 30 DAY AS due_date,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS INT) AS days_to_cutoff
+        FROM orders WHERE o_orderkey <= 200
+    """,
+    doc="Date arithmetic: interval add + day difference to a cutoff.",
+    tags=("scalar", "date"),
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_cutoff"
+        ),
+    )
+
+
+@register(
+    "scalar_round_clamp",
+    oracle="""
+        SELECT event_id, value,
+               CAST(ROUND(CAST(value AS DECIMAL(18,4)), 1) AS DOUBLE) AS value_rounded,
+               LEAST(GREATEST(value, 2.0), 8.0) AS value_clamped
+        FROM events WHERE value IS NOT NULL AND user_id <= 10
+    """,
+    doc=(
+        "F3/F4: round-to-precision (iot-data-stream.py:172) + clamp to "
+        "[min,max] (iot-data-stream.py:169). Rounds the DECIMAL, not the "
+        "double — engines disagree on halfway doubles."
+    ),
+    tags=("scalar", "math"),
+)
+def scalar_round_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("value").isNotNull() & (F.col("user_id") <= 10)).select(
+        "event_id",
+        "value",
+        F.round(F.col("value").cast("decimal(18,4)"), 1).cast("double").alias("value_rounded"),
+        F.least(F.greatest("value", F.lit(2.0)), F.lit(8.0)).alias("value_clamped"),
+    )
+
+
+@register(
+    "scalar_math_battery",
+    oracle="""
+        SELECT event_id,
+               ABS(-value) AS abs_val,
+               -ABS(value) AS neg_abs_val,
+               CAST(FLOOR(value) AS BIGINT) AS floor_val,
+               CAST(CEIL(value) AS BIGINT) AS ceil_val,
+               CAST(SIGN(value - 5.0) AS DOUBLE) AS sign_centered,
+               SQRT(ABS(value)) AS sqrt_val,
+               GREATEST(value, CAST(user_id AS DOUBLE)) AS hi,
+               LEAST(value, CAST(user_id AS DOUBLE)) AS lo
+        FROM events WHERE value IS NOT NULL AND user_id <= 10
+    """,
+    doc="F5/F14: abs/negate (battery decay, iot-data-stream.py:161-163) + floor/ceil/sign/sqrt/greatest/least.",
+    tags=("scalar", "math"),
+)
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v, u = F.col("value"), F.col("user_id").cast("double")
+    return t.events.filter(F.col("value").isNotNull() & (F.col("user_id") <= 10)).select(
+        "event_id",
+        F.abs(-v).alias("abs_val"),
+        (-F.abs(v)).alias("neg_abs_val"),
+        F.floor(v).alias("floor_val"),
+        F.ceil(v).alias("ceil_val"),
+        F.signum(v - 5.0).alias("sign_centered"),
+        F.sqrt(F.abs(v)).alias("sqrt_val"),
+        F.greatest(v, u).alias("hi"),
+        F.least(v, u).alias("lo"),
+    )
+
+
+@register(
+    "scalar_string_ops",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS seg_lower,
+               substring(c_name, 1, 9) AS name_prefix,
+               CAST(length(c_name) AS INT) AS name_len,
+               concat_ws('/', c_mktsegment, c_name) AS seg_name,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               replace(c_name, '#', '-') AS name_dashed,
+               trim('  ' || c_name || ' ') AS name_trimmed
+        FROM customer WHERE c_name LIKE '%5'
+    """,
+    doc="F9: string interpolation/concat battery + LIKE predicate.",
+    tags=("scalar", "string"),
+)
+def scalar_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.filter(F.col("c_name").like("%5")).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("seg_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+    )
+
+
+@register(
+    "scalar_string_id_hash",
+    oracle="""
+        SELECT event_id,
+               'device_' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS device_id,
+               md5(event_type) AS type_md5,
+               sha256(event_type) AS type_sha256
+        FROM events WHERE user_id <= 5
+    """,
+    doc=(
+        "F10: reference's uuid-suffix device id (iot-data-stream.py:227) made "
+        "deterministic via md5 of the stable id; md5/sha256 agree across engines."
+    ),
+    tags=("scalar", "string", "hash"),
+)
+def scalar_string_id_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("user_id") <= 5).select(
+        "event_id",
+        F.concat(
+            F.lit("device_"), F.substring(F.md5(F.col("event_id").cast("string")), 1, 8)
+        ).alias("device_id"),
+        F.md5("event_type").alias("type_md5"),
+        F.sha2("event_type", 256).alias("type_sha256"),
+    )
+
+
+@register(
+    "scalar_regexp",
+    oracle="""
+        SELECT event_id, props,
+               regexp_extract(props, '(\\d+)', 1) AS first_number,
+               regexp_replace(props, '\\d+', 'N') AS numbers_masked
+        FROM events
+        WHERE user_id <= 10 AND regexp_matches(props, '\\d\\d+')
+    """,
+    doc="Regex battery: extract / replace / match-filter over the JSON props string.",
+    tags=("scalar", "string", "regex"),
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter((F.col("user_id") <= 10) & F.col("props").rlike(r"\d\d+"))
+        .select(
+            "event_id",
+            "props",
+            F.regexp_extract("props", r"(\d+)", 1).alias("first_number"),
+            F.regexp_replace("props", r"\d+", "N").alias("numbers_masked"),
+        )
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               to_json(struct_pack(event_id := event_id, event_type := event_type)) AS as_json
+        FROM events WHERE user_id <= 10
+    """,
+    doc=(
+        "F11: JSON decode (get_json_object over events.props — the reference "
+        "Lambda's json.loads, iot-data-stream.py:279) + encode "
+        "(to_json(struct), the Kinesis wire format)."
+    ),
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("user_id") <= 10).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.to_json(F.struct("event_id", "event_type")).alias("as_json"),
+    )
+
+
+@register(
+    "scalar_array_ops",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               string_split(text, ' ')[1] AS first_word,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS top3_sorted
+        FROM documents WHERE doc_id <= 100
+    """,
+    doc="Array battery: split/size/element_at/contains/sort/slice/join over documents.text.",
+    tags=("scalar", "array"),
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return t.documents.filter(F.col("doc_id") <= 100).select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.sort_array(words), 1, 3), ",").alias("top3_sorted"),
+    )
+
+
+@register(
+    "scalar_map_ops",
+    oracle="""
+        SELECT event_id,
+               map_extract(MAP {'type': event_type, 'kind': 'event'}, 'type')[1] AS type_back,
+               CAST(len(map_keys(MAP {'type': event_type, 'kind': 'event'})) AS INT) AS n_keys,
+               array_to_string(map_keys(MAP {'type': event_type, 'kind': 'event'}), ',') AS keys_csv
+        FROM events WHERE user_id <= 5
+    """,
+    doc=(
+        "Map battery: construct / element_at / map_keys — the reference's "
+        "readings map surface (iot-data-stream.py:205). DuckDB map_extract "
+        "returns a LIST, hence the [1]."
+    ),
+    tags=("scalar", "map"),
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("kind"), F.lit("event"))
+    return t.events.filter(F.col("user_id") <= 5).select(
+        "event_id",
+        F.element_at(m, "type").alias("type_back"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+@register(
+    "scalar_conditional_choice",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_id % 1000 < 950 THEN 'operational'
+                    WHEN event_id % 1000 < 980 THEN 'maintenance'
+                    WHEN event_id % 1000 < 995 THEN 'warning'
+                    ELSE 'error' END AS status,
+               event_id % 100 < 1 AS is_anomaly,
+               CASE WHEN event_id % 100 < 1
+                    THEN (CASE WHEN event_id % 2 = 0 THEN 'spike' ELSE 'drop' END)
+               END AS anomaly_kind
+        FROM events WHERE user_id <= 10
+    """,
+    doc=(
+        "F7/F8: the reference's weighted status choice (.95/.03/.015/.005, "
+        "iot-data-stream.py:110-111) and 1% anomaly gate with 50/50 "
+        "spike-vs-drop (:185-188), keyed deterministically off event_id so "
+        "the oracle reproduces it (stochastic twin: operators/generator.py)."
+    ),
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = F.col("event_id") % 1000
+    return t.events.filter(F.col("user_id") <= 10).select(
+        "event_id",
+        F.when(m < 950, "operational")
+        .when(m < 980, "maintenance")
+        .when(m < 995, "warning")
+        .otherwise("error")
+        .alias("status"),
+        (F.col("event_id") % 100 < 1).alias("is_anomaly"),
+        F.when(
+            F.col("event_id") % 100 < 1,
+            F.when(F.col("event_id") % 2 == 0, "spike").otherwise("drop"),
+        ).alias("anomaly_kind"),
+    )
+
+
+@register(
+    "scalar_cast_normalize",
+    oracle="""
+        SELECT event_id,
+               CAST(FLOOR(value) AS BIGINT) AS value_int,
+               CAST(event_id AS VARCHAR) AS id_str,
+               CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DOUBLE) AS k_double,
+               CAST(value > 5.0 AS INT) AS above_mid
+        FROM events WHERE value IS NOT NULL AND user_id <= 10
+    """,
+    doc=(
+        "F12: type normalization (the dashboard's Decimal->int/float coerce, "
+        "iot_dashboard.py:27-31). double->int goes through FLOOR: DuckDB's "
+        "CAST rounds while Spark's truncates."
+    ),
+    tags=("scalar", "cast"),
+)
+def scalar_cast_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("value").isNotNull() & (F.col("user_id") <= 10)).select(
+        "event_id",
+        F.floor("value").alias("value_int"),
+        F.col("event_id").cast("string").alias("id_str"),
+        F.get_json_object("props", "$.k").cast("int").cast("double").alias("k_double"),
+        (F.col("value") > 5.0).cast("int").alias("above_mid"),
+    )

@@ -1,0 +1,318 @@
+"""Deduplication operators (SURVEY §2.9 X1/X2) over the ``documents``
+table — the LLM-training-pipeline extension mandated by the north star.
+
+Four tiers, each the 100 TB-safe shape:
+
+* **exact** — sha2(text) + per-hash ``row_number`` (one shuffle on the
+  hash; never a driver-side collect; dropDuplicates would be the same
+  plan with less control over the survivor).
+* **n-gram Jaccard** — shingle-level set similarity; candidates come
+  from an equi-join on shared shingles (inverted index), NOT an
+  all-pairs cross join.
+* **MinHash + LSH** — the sub-quadratic near-dup path: shingles →
+  k minhashes → banded signatures → bucket join → exact-Jaccard
+  verification of candidates only.
+* **SimHash** — 63-bit fingerprints computed per-row with higher-order
+  array functions (zero shuffles until the band join), banded for
+  Hamming-distance candidate pairs.
+
+Reference parity: the reference has no dedup (it is an IoT pipeline);
+these operators come from BASELINE.json's north-star scope. All
+expressions are built-in JVM-side column functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+
+#: documents subset used by the quadratic-adjacent verification queries —
+#: candidate joins stay bounded while still covering many near-dup pairs.
+_PAIR_SUBSET = 150
+
+
+def _shingles(col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles of a text column (JVM-side exprs)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split({col}, ' ')) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', slice(split({col}, ' '), i, {n})))"
+        )
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "X1: exact dedup at scale — sha2(text,256) + keep-first window. "
+        "One shuffle on the 256-bit hash; survivor choice is deterministic "
+        "(lowest doc_id), unlike dropDuplicates."
+    ),
+    tags=("dedup", "llm"),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        t.documents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "dedup_exact_clusters",
+    oracle="""
+        SELECT sha256(text) AS text_hash, COUNT(*) AS n_copies,
+               MIN(doc_id) AS first_doc_id
+        FROM documents
+        GROUP BY sha256(text)
+        HAVING COUNT(*) > 1
+    """,
+    doc="X1: duplicate-cluster inventory (hash, multiplicity, surviving id).",
+    tags=("dedup", "llm"),
+)
+def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingle
+            FROM documents WHERE doc_id <= {_PAIR_SUBSET}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
+    """,
+    doc=(
+        "X2 (exact tier): word-3-gram Jaccard near-dup pairs via an "
+        "inverted shingle index — candidates share >=1 shingle, so no "
+        "all-pairs blowup. Jaccard = |A∩B| / (|A|+|B|-|A∩B|), one exact "
+        "int division per pair."
+    ),
+    tags=("dedup", "llm", "jaccard"),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+#: MinHash parameters: 32 hashes in 8 bands of 4 rows — catches pairs with
+#: Jaccard >= ~0.5 with high probability (1-(1-s^4)^8).
+_MINHASH_K = 32
+_LSH_BANDS = 8
+_LSH_ROWS = 4
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``mh_0..mh_{k-1}`` minhash columns (k independent hash fns).
+
+    Each hash family member is ``xxhash64(seed_tag, shingle)``; the
+    signature element is the min over the doc's shingle set — computed
+    per-row with higher-order functions (no explode, no shuffle).
+    """
+    out = df.withColumn("_shingles", _shingles(text_col))
+    for s in range(_MINHASH_K):
+        out = out.withColumn(
+            f"mh_{s}",
+            F.array_min(
+                F.expr(f"transform(_shingles, sh -> xxhash64('s{s}', sh))")
+            ),
+        )
+    return out.drop("_shingles")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 has no DuckDB twin; verified by pytest vs exact Jaccard
+    doc=(
+        "X2 (scale tier): MinHash-LSH near-dup pairs. shingle → 32 "
+        "minhashes → 8 banded signatures → bucket equi-join for candidates "
+        "→ exact-Jaccard verification of candidates only. Sub-quadratic: "
+        "the only joins are equi-joins on band hashes and shingles of "
+        "candidate pairs. Verified in pytest against the exact "
+        "dedup_ngram_jaccard_pairs result (recall on the same subset)."
+    ),
+    tags=("dedup", "llm", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    sig = minhash_signature(docs).select("doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)])
+
+    # band hash = xxhash64 of the band's signature slice
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * _LSH_ROWS + r}") for r in range(_LSH_ROWS)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # exact-Jaccard verification of the candidate pairs only
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b.withColumnRenamed("shingle", "shingle_b"), "doc_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_BITS = 63  # bits 0..62: keep the long positive, avoid 1<<63 overflow
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a 63-bit ``simhash`` column, computed per-row (no shuffle).
+
+    Classic bit-vote construction over distinct word hashes: bit b of the
+    fingerprint is 1 iff more than half the word hashes have bit b set.
+    """
+    hashes = F.expr(f"transform(array_distinct(split({text_col}, ' ')), w -> xxhash64(w))")
+    out = df.withColumn("_wh", hashes).withColumn("_nw", F.size("_wh"))
+    bit_terms = [
+        F.when(
+            F.size(F.expr(f"filter(_wh, h -> (h >> {b}) & 1 = 1)")) * 2 > F.col("_nw"),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(_SIMHASH_BITS)
+    ]
+    return out.withColumn("simhash", reduce(lambda x, y: x + y, bit_terms)).drop("_wh", "_nw")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64-based fingerprint; verified by pytest invariants
+    doc=(
+        "X2 (fingerprint tier): SimHash near-dup pairs. 63-bit bit-vote "
+        "fingerprint per doc (higher-order array exprs, zero shuffle), "
+        "then 3×21-bit bands: any pair within Hamming distance 2 shares "
+        "at least one clean band (pigeonhole), so the candidate join is an "
+        "equi-join on band values; final filter bit_count(xor) <= 6."
+    ),
+    tags=("dedup", "llm", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    fp = simhash(docs).select("doc_id", "simhash")
+
+    band_width = 21
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(3)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )

