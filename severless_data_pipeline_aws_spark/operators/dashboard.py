@@ -1,0 +1,224 @@
+"""Dashboard-layer operators (SURVEY §2.2) + nested-data parity P1/P2.
+
+The reference's defining data model is the nested reading —
+``coordinates`` struct and ``readings`` map<sensor, struct<value,unit>>
+(iot-data-stream.py:196-207) — flattened to a wide frame for CSV
+(iot-data-stream.py:322-341) and extracted field-by-field in the
+dashboard (iot_dashboard.py:117-130). The driver tables are flat, so
+these queries CONSTRUCT the nested shape from ``events`` columns and
+then flatten/extract it — both sides of the oracle build the same
+nested value, so the final flat output hash-checks exactly while the
+Spark plan genuinely exercises struct/map construction and traversal.
+
+Also here: the dashboard's defensive operators — all-null predicate
+(P5, iot_dashboard.py:156), column-existence guard (P6, :77-81), and
+the result cache (S8, :45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+
+
+@register(
+    "nested_flatten_wide",
+    oracle="""
+        WITH nested AS (
+            SELECT event_id,
+                   struct_pack(
+                       device := 'user_' || CAST(user_id AS VARCHAR),
+                       coordinates := struct_pack(
+                           latitude := CAST(user_id AS DOUBLE) / 10.0,
+                           longitude := value),
+                       readings := MAP {
+                           'temperature': struct_pack(v := value, u := 'C'),
+                           'signal': struct_pack(v := CAST(user_id AS DOUBLE), u := 'dB')}
+                   ) AS rec
+            FROM events WHERE user_id <= 10 AND value IS NOT NULL
+        )
+        SELECT event_id,
+               rec.device AS device,
+               rec.coordinates.latitude AS latitude,
+               rec.coordinates.longitude AS longitude,
+               map_extract(rec.readings, 'temperature')[1].v AS temperature_value,
+               map_extract(rec.readings, 'temperature')[1].u AS temperature_unit,
+               map_extract(rec.readings, 'signal')[1].v AS signal_value,
+               map_extract(rec.readings, 'signal')[1].u AS signal_unit
+        FROM nested
+    """,
+    doc=(
+        "P1: flatten nested→wide (iot-data-stream.py:322-341). Builds the "
+        "reference's record shape (struct coordinates + map readings) and "
+        "projects every leaf into a flat column — Catalyst collapses the "
+        "construct-then-extract into direct column references."
+    ),
+    tags=("nested", "flatten"),
+)
+def nested_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    rec = F.struct(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("device"),
+        F.struct(
+            (F.col("user_id").cast("double") / 10.0).alias("latitude"),
+            F.col("value").alias("longitude"),
+        ).alias("coordinates"),
+        F.create_map(
+            F.lit("temperature"),
+            F.struct(F.col("value").alias("v"), F.lit("C").alias("u")),
+            F.lit("signal"),
+            F.struct(F.col("user_id").cast("double").alias("v"), F.lit("dB").alias("u")),
+        ).alias("readings"),
+    )
+    nested = (
+        t.events.filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select("event_id", rec.alias("rec"))
+    )
+    return nested.select(
+        "event_id",
+        F.col("rec.device").alias("device"),
+        F.col("rec.coordinates.latitude").alias("latitude"),
+        F.col("rec.coordinates.longitude").alias("longitude"),
+        F.element_at(F.col("rec.readings"), "temperature").getField("v").alias("temperature_value"),
+        F.element_at(F.col("rec.readings"), "temperature").getField("u").alias("temperature_unit"),
+        F.element_at(F.col("rec.readings"), "signal").getField("v").alias("signal_value"),
+        F.element_at(F.col("rec.readings"), "signal").getField("u").alias("signal_unit"),
+    )
+
+
+@register(
+    "nested_extract_sparse_map",
+    oracle="""
+        WITH nested AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN MAP {'temperature': struct_pack(v := value, u := 'C')}
+                        ELSE MAP {'pressure': struct_pack(v := value, u := 'hPa')}
+                   END AS readings
+            FROM events WHERE user_id <= 10 AND value IS NOT NULL
+        )
+        SELECT event_id, event_type,
+               map_extract(readings, 'temperature')[1].v AS temperature,
+               map_extract(readings, 'pressure')[1].v AS pressure,
+               CAST(len(map_keys(readings)) AS INT) AS n_sensors
+        FROM nested
+    """,
+    doc=(
+        "P2: null-safe extraction from a SPARSE map — key sets vary per "
+        "row (the reference's 4-6-sensors-per-device regime, "
+        "iot-data-stream.py:234-236); missing keys yield NULL exactly as "
+        "the dashboard's .get() does (iot_dashboard.py:117-130)."
+    ),
+    tags=("nested", "extract"),
+)
+def nested_extract_sparse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    temp_map = F.create_map(
+        F.lit("temperature"), F.struct(F.col("value").alias("v"), F.lit("C").alias("u"))
+    )
+    pres_map = F.create_map(
+        F.lit("pressure"), F.struct(F.col("value").alias("v"), F.lit("hPa").alias("u"))
+    )
+    nested = (
+        t.events.filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type").isin("click", "view"), temp_map)
+            .otherwise(pres_map)
+            .alias("readings"),
+        )
+    )
+    return nested.select(
+        "event_id",
+        "event_type",
+        F.element_at("readings", F.lit("temperature")).getField("v").alias("temperature"),
+        F.element_at("readings", F.lit("pressure")).getField("v").alias("pressure"),
+        F.size(F.map_keys("readings")).alias("n_sensors"),
+    )
+
+
+@register(
+    "dashboard_all_null_guard",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(value) AS n_present,
+               COUNT(value) = 0 AS all_null
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "P5: the dashboard's skip-plot-if-all-null predicate "
+        "(iot_dashboard.py:156) as an aggregate — COUNT(col) ignores "
+        "nulls in both engines."
+    ),
+    tags=("dashboard", "guard"),
+)
+def dashboard_all_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_present"),
+            (F.count("value") == 0).alias("all_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ensure_column(df: DataFrame, name: str, default: Column) -> DataFrame:
+    """P6: schema-introspection guard — add ``name`` with ``default`` if
+    the column is absent (iot_dashboard.py:77-81)."""
+    return df if name in df.columns else df.withColumn(name, default)
+
+
+@register(
+    "dashboard_column_guard",
+    oracle="""
+        SELECT event_id, user_id, 'unknown_device' AS device_id
+        FROM events WHERE user_id <= 5
+    """,
+    doc=(
+        "P6: column-existence guard — events has no device_id, so "
+        "ensure_column injects the reference's default "
+        "(iot_dashboard.py:80-81). The guard itself is schema "
+        "introspection, resolved at plan time."
+    ),
+    tags=("dashboard", "guard"),
+)
+def dashboard_column_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    df = t.events.filter(F.col("user_id") <= 5).select("event_id", "user_id")
+    df = ensure_column(df, "device_id", F.lit("unknown_device"))
+    df = ensure_column(df, "user_id", F.lit(-1))  # no-op: column exists
+    return df
+
+
+@register(
+    "dashboard_cached_status_counts",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "S8: the dashboard's cached scan (iot_dashboard.py:45) — the "
+        "status-count result is marked .cache() so repeated dashboard "
+        "interactions reuse the materialized aggregate; results are "
+        "identical to the uncached plan."
+    ),
+    tags=("dashboard", "cache"),
+)
+def dashboard_cached_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+        .cache()
+    )

@@ -45,6 +45,8 @@ _QUERY_MODULES = (
     "severless_data_pipeline_aws_spark.operators.setops",
     "severless_data_pipeline_aws_spark.functions.scalar",
     "severless_data_pipeline_aws_spark.operators.dashboard",
+    "severless_data_pipeline_aws_spark.sources.generator",
+    "severless_data_pipeline_aws_spark.streaming.queries",
     "severless_data_pipeline_aws_spark.operators.dedup",
     "severless_data_pipeline_aws_spark.operators.similarity",
     "severless_data_pipeline_aws_spark.operators.text",

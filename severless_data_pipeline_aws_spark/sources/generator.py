@@ -1,0 +1,268 @@
+"""Synthetic IoT reading generator (SURVEY §2.1 S1, M2 pipeline parity).
+
+The reference generates readings imperatively — per-device Python
+objects mutating ``current_values`` each tick (iot-data-stream.py:
+115-257). Re-expressed Spark-first: the whole reading stream for
+``n_ticks × n_devices`` is ONE declarative plan over ``spark.range``:
+
+* per-device randomness is *hash-uniform* — ``xxhash64`` of (device,
+  sensor, tick, tag) scaled to [0,1) — so the data is deterministic
+  under any partitioning/reordering (``F.rand`` is only seed-stable per
+  partition arrangement, which breaks replay);
+* the random-walk drift (iot-data-stream.py:155-173) is a keyed
+  cumulative-sum window over ticks (SURVEY §2.5), then clamp + round —
+  W4's batch twin. Battery decay forces drift negative (= monotone
+  non-increasing after clamp/round);
+* anomaly injection (1% spike-or-drop, :184-193), weighted status
+  choice (.95/.03/.015/.005, :110-111), 98% report gate (:254), sensor
+  subsets of 4-6 per device (:234-236), GPS jitter (:202-203) — all
+  stateless column expressions.
+
+Scale: generation is embarrassingly parallel over (device, tick); the
+only shuffle is the drift window's partition-by-(device, sensor) and
+the final per-reading map assembly — both keyed on the device axis, so
+a 1000-executor run just needs ``spark.range`` partitioning, which is
+uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+#: sensor metadata — unit / range / precision / drift per type
+#: (iot-data-stream.py:54-98; ``decay`` marks battery monotone decrease)
+SENSOR_TYPES: dict[str, dict] = {
+    "temperature": {"unit": "°C", "min": -10.0, "max": 45.0, "precision": 1, "drift": 0.1},
+    "humidity": {"unit": "%", "min": 0.0, "max": 100.0, "precision": 1, "drift": 2.0},
+    "pressure": {"unit": "hPa", "min": 970.0, "max": 1050.0, "precision": 1, "drift": 0.5},
+    "light_level": {"unit": "lux", "min": 0.0, "max": 10000.0, "precision": 0, "drift": 50.0},
+    "air_quality": {"unit": "PM2.5", "min": 0.0, "max": 500.0, "precision": 1, "drift": 5.0},
+    "battery_level": {
+        "unit": "%",
+        "min": 0.0,
+        "max": 100.0,
+        "precision": 0,
+        "drift": 0.1,
+        "decay": True,
+    },
+}
+
+#: 5-site location dimension (iot-data-stream.py:101-107)
+LOCATIONS = [
+    ("warehouse_a", "Warehouse A", 47.6062, -122.3321),
+    ("warehouse_b", "Warehouse B", 47.6152, -122.3447),
+    ("office_main", "Main Office", 47.6205, -122.3493),
+    ("production_floor", "Production Floor", 47.6170, -122.3377),
+    ("storage_cold", "Cold Storage", 47.6180, -122.3399),
+]
+
+STATUSES = ("operational", "maintenance", "warning", "error")
+#: cumulative weights of .95/.03/.015/.005 (iot-data-stream.py:110-111)
+_STATUS_CUM = (0.95, 0.98, 0.995, 1.0)
+
+_SENSORS = tuple(SENSOR_TYPES)
+
+
+def _hash_uniform(*cols) -> F.Column:
+    """Deterministic uniform [0,1) from column values (partition-invariant)."""
+    return (F.pmod(F.xxhash64(*cols), F.lit(1 << 31)) / float(1 << 31)).cast("double")
+
+
+def device_dimension(spark: SparkSession, n_devices: int) -> DataFrame:
+    """One row per device: id, location, and its 4-6 sensor subset."""
+    loc = spark.createDataFrame(
+        LOCATIONS, "location_id string, location_name string, lat double, lon double"
+    ).withColumn("loc_idx", F.expr("row_number() over (order by location_id) - 1"))
+
+    d = spark.range(n_devices).select(
+        F.col("id").alias("device_num"),
+        F.concat(F.lit("device_"), F.substring(F.md5(F.col("id").cast("string")), 1, 8)).alias(
+            "device_id"
+        ),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("loc")), F.lit(len(LOCATIONS))).alias("loc_idx"),
+        (4 + F.pmod(F.xxhash64(F.col("id"), F.lit("nsens")), F.lit(3))).alias("n_sensors"),
+    )
+    # deterministic "random sample without replacement": order the sensor
+    # list by a per-(device, sensor) hash and keep the first n
+    sensor_arr = F.array(*[F.lit(s) for s in _SENSORS])
+    ordered = F.expr(
+        "transform(array_sort(transform(sensors_all, "
+        "s -> struct(xxhash64(device_id, s) AS h, s AS name))), p -> p.name)"
+    )
+    d = (
+        d.withColumn("sensors_all", sensor_arr)
+        .withColumn("sensors", F.slice(ordered, 1, 6))
+        .withColumn("sensors", F.expr("slice(sensors, 1, n_sensors)"))
+        .drop("sensors_all")
+    )
+    return d.join(F.broadcast(loc), "loc_idx").drop("loc_idx")
+
+
+def generate_readings(
+    spark: SparkSession,
+    n_devices: int = 10,
+    n_ticks: int = 100,
+    frequency_s: int = 1,
+    base_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Nested reading records, one per (reporting device, tick).
+
+    Schema matches the reference record (iot-data-stream.py:196-207):
+    device_id, timestamp (ISO string), location fields, coordinates
+    struct, readings map<sensor, struct<value double, unit string>>,
+    status.
+    """
+    devices = device_dimension(spark, n_devices)
+    ticks = spark.range(1, n_ticks + 1).select(F.col("id").alias("tick"))
+
+    # long form: one row per (device, sensor, tick) for the drift walk
+    long = (
+        devices.select("device_num", "device_id", F.explode("sensors").alias("sensor"))
+        .join(ticks)  # cross join: tick axis
+    )
+
+    # per-sensor metadata as CASE expressions (JVM-side, no UDF)
+    def meta(field: str) -> F.Column:
+        col = F.lit(SENSOR_TYPES[_SENSORS[0]][field])
+        expr = F.when(F.col("sensor") == _SENSORS[0], col)
+        for s in _SENSORS[1:]:
+            expr = expr.when(F.col("sensor") == s, F.lit(SENSOR_TYPES[s][field]))
+        return expr
+
+    lo, hi, drift_f = meta("min"), meta("max"), meta("drift")
+    is_decay = F.col("sensor") == "battery_level"
+
+    init = _hash_uniform(F.col("device_id"), F.col("sensor"), F.lit("init")) * (hi - lo) + lo
+    step = _hash_uniform(F.col("device_id"), F.col("sensor"), F.col("tick")) * 2.0 * drift_f - drift_f
+    step = F.when(is_decay, -F.abs(step)).otherwise(step)
+
+    from pyspark.sql import Window as W
+
+    walk = W.partitionBy("device_id", "sensor").orderBy("tick").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    clamped = F.least(F.greatest(init + F.sum(step).over(walk), lo), hi)
+    long = long.withColumn(
+        "value",
+        F.when(meta("precision") == 0, F.round(clamped, 0)).otherwise(F.round(clamped, 1)),
+    )
+
+    # 1% anomaly: one of the device's sensors snaps to min or max
+    anom_u = _hash_uniform(F.col("device_id"), F.col("tick"), F.lit("anomaly"))
+    anom_pick = F.pmod(F.xxhash64(F.col("device_id"), F.col("tick"), F.lit("pick")), F.lit(6))
+    sensor_idx = F.array_position(F.array(*[F.lit(s) for s in _SENSORS]), F.col("sensor")) - 1
+    spike = _hash_uniform(F.col("device_id"), F.col("tick"), F.lit("spike")) < 0.5
+    long = long.withColumn(
+        "value",
+        F.when(
+            (anom_u < 0.01) & (anom_pick == sensor_idx),
+            F.when(spike, hi).otherwise(lo),
+        ).otherwise(F.col("value")),
+    ).withColumn("unit", meta("unit"))
+
+    # assemble the nested record per (device, tick)
+    readings = (
+        long.groupBy("device_num", "device_id", "tick")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("sensor").alias("key"),
+                            F.struct(F.col("value").alias("value"), F.col("unit").alias("unit")).alias(
+                                "val"
+                            ),
+                        )
+                    )
+                )
+            ).alias("readings")
+        )
+    )
+
+    status_u = _hash_uniform(F.col("device_id"), F.col("tick"), F.lit("status"))
+    status = (
+        F.when(status_u < _STATUS_CUM[0], STATUSES[0])
+        .when(status_u < _STATUS_CUM[1], STATUSES[1])
+        .when(status_u < _STATUS_CUM[2], STATUSES[2])
+        .otherwise(STATUSES[3])
+    )
+    jitter_lat = _hash_uniform(F.col("device_id"), F.col("tick"), F.lit("jlat")) * 2e-4 - 1e-4
+    jitter_lon = _hash_uniform(F.col("device_id"), F.col("tick"), F.lit("jlon")) * 2e-4 - 1e-4
+
+    out = (
+        readings.join(F.broadcast(devices.select("device_num", "device_id", "location_id", "location_name", "lat", "lon")), ["device_num", "device_id"])
+        .withColumn(
+            "timestamp",
+            F.date_format(
+                F.lit(base_ts).cast("timestamp") + F.make_interval(secs=F.col("tick") * frequency_s),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            ),
+        )
+        .filter(_hash_uniform(F.col("device_id"), F.col("tick"), F.lit("report")) < 0.98)
+        .select(
+            "device_id",
+            "timestamp",
+            "location_id",
+            "location_name",
+            F.struct(
+                (F.col("lat") + jitter_lat).alias("latitude"),
+                (F.col("lon") + jitter_lon).alias("longitude"),
+            ).alias("coordinates"),
+            "readings",
+            status.alias("status"),
+            "tick",
+        )
+    )
+    return out
+
+
+def flatten_readings(df: DataFrame) -> DataFrame:
+    """P1: nested reading → wide CSV-shape frame (iot-data-stream.py:322-341).
+
+    One flat row per reading: top-level fields, coordinates leaves, and
+    ``{sensor}_value`` / ``{sensor}_unit`` per known sensor (null when
+    the device lacks that sensor — the reference's pandas NaN fill).
+    """
+    cols = [
+        "device_id",
+        "timestamp",
+        "location_id",
+        "location_name",
+        F.col("coordinates.latitude").alias("latitude"),
+        F.col("coordinates.longitude").alias("longitude"),
+        "status",
+    ]
+    for s in _SENSORS:
+        entry = F.element_at(F.col("readings"), s)
+        cols.append(entry.getField("value").alias(f"{s}_value"))
+        cols.append(entry.getField("unit").alias(f"{s}_unit"))
+    return df.select(*cols)
+
+
+@register(
+    "iot_generated_readings",
+    oracle=None,  # stochastic generator: invariants verified in pytest
+    doc=(
+        "S1/M2: the reference's synthetic IoT stream in batch form — one "
+        "declarative plan (hash-uniform randomness, window-cumsum drift, "
+        "clamp/round, sparse sensor maps, weighted status, 1% anomalies, "
+        "98% report gate). Invariants (range, precision, battery "
+        "monotonicity, subset sizes) asserted in tests/test_generator.py."
+    ),
+    tags=("generator", "source"),
+)
+def iot_generated_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return generate_readings(spark, n_devices=10, n_ticks=60).drop("tick")
+
+
+@register(
+    "iot_flatten_wide",
+    oracle=None,  # derived from the stochastic generator; schema checked in pytest
+    doc="P1: flatten the generated nested readings to the reference's wide CSV schema.",
+    tags=("generator", "flatten"),
+)
+def iot_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flatten_readings(generate_readings(spark, n_devices=10, n_ticks=60))

@@ -1,0 +1,77 @@
+"""Sinks (SURVEY §2.1 S3-S6) + the bucketed writer for co-located joins.
+
+Reference sinks re-expressed Spark-first:
+  S3 console     log/pretty-print each batch   iot-data-stream.py:377-379
+  S4 JSON file   accumulate + write JSON       iot-data-stream.py:299-309
+  S5 CSV file    flatten nested then to_csv    iot-data-stream.py:312-346
+  S6 keyed sink  put_records keyed by device   iot-data-stream.py:259-296
+
+The reference's S4 writes ONE json array; Spark writes JSON-lines part
+files — the distributed-correct format (a single array would serialize
+through the driver). S6's Kinesis partition-key semantics (all records
+of a device land on one shard, ordered) map to ``repartition(key)`` +
+per-partition files, or ``partitionBy(key)`` for a directory per key.
+
+The bucketed writer is the 100 TB fact-fact join story (joins.py:15-18):
+write both join sides bucketed by the key into the warehouse and the
+sort-merge join needs NO shuffle at read time (verified by
+tests/test_sinks.py asserting the absence of Exchange in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_console(df: DataFrame, n: int = 1) -> None:
+    """S3: console sink — batch size + first record(s), like the
+    reference's per-tick log (iot-data-stream.py:377-379)."""
+    df.show(n, truncate=False, vertical=True)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4: JSON-lines sink (distributed twin of save_to_file)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv_flat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: flatten nested readings then CSV with header (save_to_csv).
+
+    Accepts either the nested reading frame (flattens it) or an
+    already-flat frame (writes as-is) — CSV cannot hold structs/maps.
+    """
+    from .generator import flatten_readings
+
+    if "readings" in df.columns:
+        df = flatten_readings(df)
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_keyed(df: DataFrame, path: str, key: str = "device_id", mode: str = "overwrite") -> None:
+    """S6: keyed sink — all records of one key co-located and ordered
+    within their file, the Kinesis partition-key contract
+    (iot-data-stream.py:276-288). ``partitionBy`` gives a directory per
+    key value for partition-pruned reads."""
+    df.repartition(key).sortWithinPartitions(key).write.mode(mode).partitionBy(key).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed warehouse table: pre-shuffled by ``key`` at write time.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO exchange — at 100 TB this converts the per-query shuffle
+    of the biggest joins into a one-time write-side cost.
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

@@ -1,0 +1,109 @@
+"""Streaming pipeline surface (S1/S2/S9, W1/W2/W3/W6/W7).
+
+Reference mapping:
+* S1/W1: the generator's fixed-interval micro-batch loop
+  (iot-data-stream.py:369-391) → a rate source +
+  ``trigger(processingTime=...)``; bounded runs → ``availableNow``.
+* S9 [inferred]: Kinesis record → Lambda JSON-decode → DynamoDB put
+  (README.md:2, iot-data-stream.py:279) → ``from_json(value, schema)``
+  → ``writeStream.format("parquet")`` with a checkpoint — exactly-once
+  to the landed table, replacing three AWS services.
+* W2: Kinesis partition key = device_id (iot-data-stream.py:281) → the
+  shuffle implied by any keyed stateful/grouped operation.
+* W3/W7: irregular arrival (2% dropped reports, :253-255) + lateness →
+  ``withWatermark`` bounding state.
+* W6: tumbling/sliding/session windows over event time — the batch
+  twins are oracle-verified in operators/windows.py; these run the same
+  expressions under the streaming engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: wire schema of the landed event record (the driver's events table)
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def rate_reading_stream(spark: SparkSession, rows_per_second: int = 10, n_devices: int = 10) -> DataFrame:
+    """S1: unbounded synthetic reading stream off the rate source.
+
+    Each rate row becomes one (device, tick) emission with the same
+    hash-uniform deterministic columns as the batch generator — the
+    stateless part of the pipeline; the drift walk is the stateful op
+    (streaming/stateful.py).
+    """
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    device_num = F.pmod(F.col("value"), F.lit(n_devices))
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") / n_devices).cast("long").alias("tick"),
+        F.concat(F.lit("device_"), F.substring(F.md5(device_num.cast("string")), 1, 8)).alias(
+            "device_id"
+        ),
+    )
+
+
+def json_wire_stream(spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """S9 ingest: JSON-lines wire records → typed columns via from_json.
+
+    The Lambda equivalent: schema-on-read with null-for-corrupt fields
+    (the reference dashboard's tolerance, iot_dashboard.py:33-36).
+    """
+    reader = spark.readStream.schema(StructType([StructField("value", StringType())]))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(src_dir)
+    return raw.select(F.from_json("value", EVENT_SCHEMA).alias("r")).select("r.*")
+
+
+def land_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: str | None = None,
+) -> DataStreamWriter:
+    """S9 landing: exactly-once parquet sink with checkpointed progress.
+
+    Replaces the DynamoDB table; ``partition_by`` gives the
+    partition-pruned layout (§3.3 recommends location/device keys).
+    """
+    w = stream.writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint
+    )
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    return w
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
+    """W6/W7: watermarked tumbling-window aggregation — the streaming twin
+    of tumbling_window_agg (operators/windows.py)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )

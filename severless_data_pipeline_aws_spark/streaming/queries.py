@@ -1,0 +1,115 @@
+"""Driver-verifiable streaming queries.
+
+The driver contract collects batch DataFrames, so each entry here runs
+a bounded streaming query (``availableNow`` over a file source) to a
+memory sink and returns the materialized result. That makes the
+streaming engine itself part of the correctness gate:
+
+* ``streaming_tumbling_window_agg`` — the W6 streaming twin, verified
+  against the SAME DuckDB oracle as the batch version (exact hash).
+* ``streaming_stateful_drift`` — W4 stateful walk output (rows-only;
+  its exactness vs the imperative replay is pinned in
+  tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table_path
+from ..registry import register
+from . import stateful
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_tumbling_window_agg",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc=(
+        "W6 under the STREAMING engine: events parquet replayed as a "
+        "bounded stream (availableNow), watermarked tumbling window, "
+        "complete-mode memory sink — hash-matches the same oracle as the "
+        "batch twin, proving engine-equivalence."
+    ),
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file streams monitor DIRECTORIES; the test table is a single parquet
+    # file, so stage it into a temp dir first (at scale the landed table
+    # already is a directory — see pipeline.land_parquet)
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    src = tempfile.mkdtemp(prefix="events_stream_")
+    events.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "streaming_stateful_drift",
+    oracle=None,  # W4 custom state op; exact replay-equivalence in tests/test_streaming.py
+    doc=(
+        "W4 under the STREAMING engine: deterministic drift steps for 6 "
+        "devices x 2 sensors x 40 ticks streamed through "
+        "applyInPandasWithState (per-key GroupState carrying the last "
+        "value), availableNow, memory sink."
+    ),
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    rows = []
+    for d in range(6):
+        dev = f"device_{d}"
+        for s, (lo, hi, prec, df_) in {
+            "temperature": (-10.0, 45.0, 1, 0.1),
+            "battery_level": (0.0, 100.0, 0, 0.5),
+        }.items():
+            for t in range(1, 41):
+                h = int(hashlib.md5(f"{dev}|{s}|{t}".encode()).hexdigest()[:8], 16)
+                u = h / 0xFFFFFFFF
+                drift = (u * 2 - 1) * df_
+                if s == "battery_level":
+                    drift = -abs(drift)
+                rows.append((dev, s, t, drift, lo, hi, 20.0 if s == "temperature" else 90.0, prec))
+    steps = spark.createDataFrame(rows, schema=stateful.STEP_SCHEMA)
+
+    src = tempfile.mkdtemp(prefix="drift_steps_")
+    steps.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(stateful.STEP_SCHEMA).parquet(src)
+    return _run_to_memory(stateful.drift_walk(stream), "append")

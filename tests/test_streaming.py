@@ -1,0 +1,172 @@
+"""Structured Streaming parity tests (M3).
+
+All streams are file-sourced and driven with ``availableNow`` so runs
+are bounded and deterministic. Covers: S9 ingest (json wire → from_json
+→ parquet landing with checkpoint), W6 watermarked windows matching the
+batch twin, and W4 stateful drift — equivalence with the imperative
+replay plus state survival across a checkpointed restart.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from severless_data_pipeline_aws_spark.io import Tables
+from severless_data_pipeline_aws_spark.streaming import pipeline, stateful
+
+
+def _events_as_jsonl(spark, sf_dir, out_dir):
+    df = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10)
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(str(out_dir))
+    return df
+
+
+def test_ingest_json_to_parquet_landing(spark, sf_dir, tmp_path):
+    src = tmp_path / "wire"
+    expected = _events_as_jsonl(spark, sf_dir, src)
+
+    stream = pipeline.json_wire_stream(spark, str(src))
+    q = pipeline.land_parquet(
+        stream, str(tmp_path / "landed"), str(tmp_path / "ckpt"), partition_by="event_type"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    assert landed.count() == expected.count()
+    assert set(landed.columns) == set(expected.columns)
+    # exactly-once: re-running with the same checkpoint adds nothing
+    q2 = pipeline.land_parquet(
+        pipeline.json_wire_stream(spark, str(src)),
+        str(tmp_path / "landed"),
+        str(tmp_path / "ckpt"),
+        partition_by="event_type",
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "landed")).count() == expected.count()
+
+
+def test_streaming_tumbling_matches_batch_twin(spark, sf_dir, tmp_path):
+    src = tmp_path / "wire"
+    _events_as_jsonl(spark, sf_dir, src)
+
+    agg = pipeline.tumbling_counts(pipeline.json_wire_stream(spark, str(src)))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("tumbling_stream").collect()
+    }
+
+    batch = (
+        Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def _steps_df(spark, n_devices=4, n_ticks=30):
+    rows = []
+    import hashlib
+
+    for d in range(n_devices):
+        dev = f"device_{d}"
+        for s, (lo, hi, prec) in {
+            "temperature": (-10.0, 45.0, 1),
+            "battery_level": (0.0, 100.0, 0),
+        }.items():
+            for t in range(1, n_ticks + 1):
+                h = int(hashlib.md5(f"{dev}|{s}|{t}".encode()).hexdigest()[:8], 16)
+                u = h / 0xFFFFFFFF
+                drift = (u * 2 - 1) * (0.1 if s == "temperature" else 0.5)
+                if s == "battery_level":
+                    drift = -abs(drift)
+                rows.append((dev, s, t, drift, lo, hi, 20.0 if s == "temperature" else 90.0, prec))
+    return spark.createDataFrame(rows, schema=stateful.STEP_SCHEMA)
+
+
+def test_stateful_drift_stream_equals_replay(spark, tmp_path):
+    steps = _steps_df(spark)
+    src = str(tmp_path / "steps_once")
+    steps.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(stateful.STEP_SCHEMA).parquet(src)
+    q = (
+        stateful.drift_walk(stream)
+        .writeStream.format("memory")
+        .queryName("drift_once")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("drift_once").toPandas()
+    want = stateful.batch_replay(steps.toPandas())
+    key = ["device_id", "sensor", "tick"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stateful_drift_state_survives_restart(spark, tmp_path):
+    steps = _steps_df(spark).toPandas()
+    first = steps[steps.tick <= 15]
+    second = steps[steps.tick > 15]
+    src = tmp_path / "steps"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch(pdf, fname):
+        spark.createDataFrame(pdf, schema=stateful.STEP_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(stateful.STEP_SCHEMA).parquet(str(src))
+        q = (
+            stateful.drift_walk(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch(first, "a")   # run 1: ticks 1-15
+    run_batch(second, "b")  # restart from checkpoint: ticks 16-30
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["device_id", "sensor", "tick"])
+        .reset_index(drop=True)
+    )
+    want = (
+        stateful.batch_replay(steps)
+        .sort_values(["device_id", "sensor", "tick"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_rate_reading_stream_is_streaming(spark):
+    stream = pipeline.rate_reading_stream(spark, rows_per_second=5)
+    assert stream.isStreaming
+    assert set(stream.columns) == {"ts", "tick", "device_id"}
