@@ -58,6 +58,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    r01_set = HEADLINE[:5]  # the round-1 headline set, for like-for-like deltas
     print(
         json.dumps(
             {
@@ -66,6 +67,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "r01_comparable_total": round(
+                    sum(t for n, t in timings.items() if n in r01_set), 4
+                ),
+                "n_queries": len(timings),
             }
         )
     )

@@ -10,13 +10,21 @@ Layout:
     registry.py   Named-query registry: each operator from SURVEY.md §2
                   registers a (spark_fn, oracle_sql) pair consumed by
                   __spark_entry__.py and the correctness tests.
-    operators/    Relational core, windows, dedup, similarity, text.
-    functions/    Scalar function battery (reference F1-F14 equivalents).
-    sources/      Synthetic IoT generator (batch + streaming), readers.
-    streaming/    Structured Streaming parity: stateful ops, windows,
-                  ingest pipeline (Kinesis/Lambda/DynamoDB re-expressed
-                  as readStream -> from_json -> parquet landing).
-    plans/        Plan-inspection helpers (pushdown / broadcast asserts).
+    operators/    Relational core (relational/joins/aggregates/windows/
+                  setops), dashboard + nested data, anomaly detection,
+                  and the LLM-pipeline set: dedup, similarity, text,
+                  sketches, multimodal.
+    functions/    Scalar function battery (reference F1-F14 equivalents)
+                  and the pandas UDF surface (scalar / grouped-agg /
+                  grouped-map).
+    sources/      Synthetic IoT generator (batch) and sinks: console,
+                  JSON, CSV-with-flatten, keyed, bucketed writer.
+    streaming/    Structured Streaming parity: ingest (readStream ->
+                  from_json -> checkpointed parquet landing), watermarked
+                  windows, applyInPandasWithState drift (W4), and
+                  driver-verifiable bounded streaming queries.
+    plans/        Plan-inspection helpers (pushdown / pruning / broadcast
+                  / top-k / shuffle-count asserts).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

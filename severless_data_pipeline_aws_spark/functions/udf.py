@@ -1,0 +1,124 @@
+"""UDF surface (SURVEY §2.9): pandas_udf scalar, pandas_udf GROUPED_AGG,
+and applyInPandas grouped-map — the engine's three Python extension
+points, all Arrow-batched (never row-at-a-time Python).
+
+The reference's only "UDFs" are row-wise pandas .apply lambdas
+(iot_dashboard.py:117-130, :18-41) which this engine replaces with
+native exprs (P2/F12); this module exposes the surface itself for
+operations that genuinely need Python, and deliberately computes
+EXACT things (linear transforms, max-min, subtract-group-min) so each
+entry is hash-verified against the DuckDB oracle — proving the Arrow
+round-trip does not perturb values.
+
+Scale: scalar pandas_udf streams Arrow batches (no shuffle);
+grouped-agg/grouped-map shuffle once on the group key, same as a
+native aggregate. The hot path should stay on built-ins — these are
+the escape hatch, and their cost model is documented here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import Tables
+from ..registry import register
+
+
+def _rescale(v: pd.Series) -> pd.Series:
+    """Vectorized scalar: 2x+1 with a clip at 15 (exact in IEEE)."""
+    return (v * 2.0 + 1.0).clip(upper=15.0)
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT event_id, value,
+               LEAST(value * 2.0 + 1.0, 15.0) AS rescaled
+        FROM events WHERE value IS NOT NULL AND user_id <= 10
+    """,
+    doc="Scalar pandas_udf (Arrow-batched): exact linear transform + clip.",
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # pandas_udf parses its DDL type against the active session, so wrap
+    # at call time rather than module import
+    rescale_udf = pandas_udf(_rescale, "double")
+    return (
+        t.events.filter(F.col("value").isNotNull() & (F.col("user_id") <= 10))
+        .select("event_id", "value", rescale_udf("value").alias("rescaled"))
+    )
+
+
+def _value_range(v: pd.Series) -> float:
+    """Grouped-agg pandas_udf: max - min (exact on doubles)."""
+    return float(v.max() - v.min())
+
+
+def _group_size(v: pd.Series) -> int:
+    """Grouped-agg pandas_udf: COUNT (the type hints select GROUPED_AGG)."""
+    return len(v)
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+        SELECT event_type,
+               MAX(value) - MIN(value) AS value_range,
+               COUNT(value) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc="GROUPED_AGG pandas_udf (UDAF surface): per-type value range.",
+    tags=("udf", "pandas", "agg"),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    range_udf = pandas_udf(_value_range, "double")
+    # grouped-agg pandas UDFs cannot mix with native aggregates in one
+    # agg() — the count rides along as a second pandas aggregate
+    count_udf = pandas_udf(_group_size, "bigint")
+    return (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            range_udf("value").alias("value_range"),
+            count_udf("value").alias("n"),
+        )
+    )
+
+
+def _shift_to_group_min(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map: rebase each group's values at its minimum (exact)."""
+    out = pdf[["event_id", "event_type", "value"]].copy()
+    out["value_rebased"] = out["value"] - out["value"].min()
+    return out
+
+
+@register(
+    "udf_grouped_map_applyinpandas",
+    oracle="""
+        SELECT event_id, event_type, value,
+               value - MIN(value) OVER (PARTITION BY event_type) AS value_rebased
+        FROM events WHERE value IS NOT NULL AND user_id <= 10
+    """,
+    doc=(
+        "applyInPandas grouped-map (UDTF-like surface): whole-group "
+        "pandas transform, one shuffle on the key — semantically a window "
+        "subtract, hash-verified against it."
+    ),
+    tags=("udf", "pandas", "grouped_map"),
+)
+def udf_grouped_map_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("value").isNotNull() & (F.col("user_id") <= 10))
+        .groupBy("event_type")
+        .applyInPandas(
+            _shift_to_group_min,
+            schema="event_id bigint, event_type string, value double, value_rebased double",
+        )
+    )

@@ -1,0 +1,116 @@
+"""Anomaly detection (SURVEY §2.8 W5 — the detection counterpart of the
+generator's 1% injection, iot-data-stream.py:184-193).
+
+Two detectors, both single-pass-plus-broadcast shapes that hold at
+100 TB (per-key stats are tiny; the fact scan joins against them
+broadcast, so no second shuffle of the data):
+
+* min/max snap — the reference injects anomalies by snapping a sensor
+  to its exact range bound, so equality with the per-key extreme IS the
+  detector;
+* z-score — mean/std from exact decimal sums (value has 2 decimals and
+  value² has 4, so DECIMAL(38,8) sums are exact and the derived double
+  math is bit-identical across engines, keeping the oracle hash exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+
+
+@register(
+    "anomaly_minmax_snap",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   MIN(value) AS v_min, MAX(value) AS v_max
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               e.value = s.v_min AS at_min,
+               e.value = s.v_max AS at_max
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE e.value IS NOT NULL AND (e.value = s.v_min OR e.value = s.v_max)
+    """,
+    doc=(
+        "W5: range-snap detector — rows sitting exactly on their key's "
+        "min/max (how the reference injects anomalies). Stats aggregate "
+        "is tiny -> broadcast back against the fact scan."
+    ),
+    tags=("anomaly", "detection"),
+)
+def anomaly_minmax_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("v_min"), F.max("value").alias("v_max")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("value") == F.col("v_min")) | (F.col("value") == F.col("v_max")))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("value") == F.col("v_min")).alias("at_min"),
+            (F.col("value") == F.col("v_max")).alias("at_max"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   COUNT(value) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS s2
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        ms AS (
+            SELECT event_type, n, s1 / n AS mean,
+                   sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+            FROM stats
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - m.mean) / m.std AS zscore
+        FROM events e JOIN ms m ON e.event_type = m.event_type
+        WHERE e.value IS NOT NULL
+          AND ABS((e.value - m.mean) / m.std) > 1.96
+    """,
+    doc=(
+        "W5: z-score outliers per key — mean/std derived from exact "
+        "decimal sums (order-independent), flagged at |z| > 1.96. "
+        "Single scan + broadcast of the per-key stats."
+    ),
+    tags=("anomaly", "detection"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)").alias("s1"),
+        F.expr("CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE)").alias("s2"),
+    )
+    ms = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "std"
+        ),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(ms), "event_type")
+        .filter(F.abs(z) > 1.96)
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+    )

@@ -1,0 +1,144 @@
+"""Multimodal column operators (SURVEY §2.9 X5).
+
+Images / audio / video are opaque ``binary`` columns plus typed
+metadata — the storage contract of a multimodal training pipeline at
+100 TB (the bytes travel with the row; decode happens late, inside
+Arrow-batched Python, never on the driver).
+
+The container has no image/audio libraries, so the DECODE step is
+stubbed: ``decode_stub`` is a deterministic fake that parses our
+synthetic payload header. Everything around it — the binary column
+schema, the ``mapInPandas`` batch plumbing, partition behavior, and
+the metadata contract — is real and tested; swapping the stub for
+PIL/librosa is a one-function change (marked NOT-REAL-DECODE below).
+
+Payload layout (synthetic): ``b"IMG1" + width:4BE + height:4BE + body``
+— enough structure to exercise header parsing, validation, and
+feature extraction shape without any codec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, payload binary"
+)
+
+DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "n_bytes int, header_ok boolean, mean_byte double"
+)
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
+    """Deterministic binary payloads derived from documents.
+
+    Binary construction is pure column exprs: a magic header, big-endian
+    dims packed from the doc's stable ids, and the md5 of the text as
+    the body — so every engine run produces identical bytes.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("doc_id") < limit)
+    width = (F.pmod(F.col("doc_id"), F.lit(64)) + 16).cast("int")
+    height = (F.pmod(F.col("doc_id") * 7, F.lit(64)) + 16).cast("int")
+
+    def be32(col):
+        # 4-byte big-endian encoding via hex + unhex (JVM-side)
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    payload = F.concat(
+        F.lit(b"IMG1"),
+        be32(width),
+        be32(height),
+        F.unhex(F.md5("text")),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image/png")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "image/jpeg")
+        .otherwise("audio/wav")
+        .alias("media_type"),
+        width.alias("width"),
+        height.alias("height"),
+        payload.alias("payload"),
+    )
+
+
+def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """NOT-REAL-DECODE: deterministic fake decoder over Arrow batches.
+
+    Real pipelines put PIL/ffmpeg here; the Spark-side contract —
+    iterator of pandas batches in, iterator out, one row per input row,
+    bytes never leave the executor — is exactly what a real decoder
+    uses. Parses the synthetic header and computes a body statistic
+    standing in for pixel features.
+    """
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "width": pdf["width"],
+            "height": pdf["height"],
+            "n_bytes": pdf["payload"].map(len).astype("int32"),
+            "header_ok": pdf["payload"].map(lambda b: bytes(b[:4]) == b"IMG1"),
+            "mean_byte": pdf["payload"].map(lambda b: sum(b[12:]) / max(len(b) - 12, 1)),
+        }
+        yield pd.DataFrame(out)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """X5 decode step: mapInPandas over the binary column."""
+    return df.mapInPandas(decode_stub, schema=DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                    ELSE 'audio/wav' END AS media_type,
+               CAST(doc_id % 64 + 16 AS INT) AS width,
+               CAST((doc_id * 7) % 64 + 16 AS INT) AS height,
+               CAST(12 + 16 AS INT) AS n_bytes
+        FROM documents WHERE doc_id < 200
+    """,
+    doc=(
+        "X5: typed metadata over binary payload columns — the payload "
+        "length check proves the binary construction (4B magic + 2x4B "
+        "dims + 16B md5 body) without shipping bytes through the hash."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # decode runs through the Python stub; invariants in pytest
+    doc=(
+        "X5: the decode/feature-extract stage — binary payloads through "
+        "an Arrow-batched mapInPandas decoder (stubbed: no codecs in this "
+        "container; plumbing and batch shape are real). Output is one "
+        "feature row per media row."
+    ),
+    tags=("multimodal", "llm", "udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(synthesize_media(spark, sf_dir))

@@ -51,6 +51,9 @@ _QUERY_MODULES = (
     "severless_data_pipeline_aws_spark.operators.similarity",
     "severless_data_pipeline_aws_spark.operators.text",
     "severless_data_pipeline_aws_spark.operators.sketches",
+    "severless_data_pipeline_aws_spark.operators.multimodal",
+    "severless_data_pipeline_aws_spark.operators.anomaly",
+    "severless_data_pipeline_aws_spark.functions.udf",
 )
 
 

@@ -1,0 +1,81 @@
+"""Physical-plan audits: the 100 TB design properties, asserted.
+
+Correctness tests prove the math; these prove the PLAN — that filters
+reach the scan, projections prune the read schema, dimensions
+broadcast, top-k avoids global sorts, and shuffle counts match each
+operator's theoretical minimum. A regression here is a scale bug even
+when every value is still right.
+"""
+
+from __future__ import annotations
+
+from severless_data_pipeline_aws_spark import plans, registry
+
+SPECS = registry.load_all()
+
+
+def _df(name, spark, sf_dir):
+    return SPECS[name].fn(spark, sf_dir)
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    df = _df("filter_project_lineitem", spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_returnflag" in pushed and "l_quantity" in pushed, pushed
+    cols = plans.read_schema_columns(df)
+    # projection + filter columns only (6 of lineitem's 11) — no full-width scan
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+    }
+
+
+def test_flagship_pushes_date_filter(spark, sf_dir):
+    df = _df("flagship_revenue_by_status_year", spark, sf_dir)
+    assert any("l_shipdate" in f for f in plans.pushed_filters(df))
+    # join + agg + orderBy => at most 3 shuffles before AQE trims
+    assert plans.exchange_count(df) <= 3
+
+
+def test_dim_enrichment_broadcasts_both_dims(spark, sf_dir):
+    df = _df("join_broadcast_dim_enrichment", spark, sf_dir)
+    assert plans.broadcast_join_count(df) == 2
+    assert plans.exchange_count(df) == 0  # no fact-side shuffle at all
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    assert plans.has_take_ordered(_df("order_by_limit", spark, sf_dir))
+    assert plans.has_take_ordered(_df("recent_n_events", spark, sf_dir))
+    assert plans.has_take_ordered(_df("text_wordcount_topk", spark, sf_dir))
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    df = _df("dedup_exact_keep_first", spark, sf_dir)
+    assert plans.exchange_count(df) == 1  # one hash partition on sha2
+
+
+def test_window_is_single_shuffle(spark, sf_dir):
+    df = _df("window_running_cumsum", spark, sf_dir)
+    assert plans.exchange_count(df) == 1  # partitionBy(user_id) only
+
+
+def test_groupby_count_is_single_shuffle(spark, sf_dir):
+    df = _df("groupby_count_status", spark, sf_dir)
+    # partial+final agg -> one exchange (plus possibly a sort exchange)
+    assert plans.exchange_count(df) <= 2
+
+
+def test_anomaly_detectors_broadcast_stats(spark, sf_dir):
+    for name in ("anomaly_minmax_snap", "anomaly_zscore"):
+        df = _df(name, spark, sf_dir)
+        assert plans.broadcast_join_count(df) >= 1, name
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    df = _df("similarity_topk_cosine_exact", spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or plans.broadcast_join_count(df) >= 1, plan[:500]
