@@ -139,6 +139,23 @@ def recent_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "head_sample",
+    oracle=None,  # head is order-arbitrary by definition; row count checked
+    doc=(
+        "O4: head sample (iot_dashboard.py:138 df.head()) — an unordered "
+        "LIMIT planned as CollectLimit: the scan stops after the first "
+        "partitions produce 5 rows, reading almost nothing at any scale. "
+        "Row CONTENT is engine-arbitrary, so this is a rows-only check; "
+        "the deterministic ordered variant is order_by_limit (O5)."
+    ),
+    tags=("limit", "sample"),
+)
+def head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.select("event_id", "event_type").limit(5)
+
+
+@register(
     "distinct_sorted_keys",
     oracle="""
         SELECT DISTINCT event_type FROM events ORDER BY event_type

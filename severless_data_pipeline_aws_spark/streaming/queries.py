@@ -80,6 +80,60 @@ def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_session_window_agg",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WHERE user_id <= 20
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+    doc=(
+        "W6 sessions under the STREAMING engine: F.session_window with a "
+        "watermark over the replayed events stream, complete mode — "
+        "hash-matches the batch sessionization oracle (gap semantics "
+        "identical across engines)."
+    ),
+    tags=("streaming", "window", "session"),
+)
+def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    src = tempfile.mkdtemp(prefix="events_stream_")
+    events.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .filter(F.col("user_id") <= 20)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
     "streaming_stateful_drift",
     oracle=None,  # W4 custom state op; exact replay-equivalence in tests/test_streaming.py
     doc=(

@@ -9,6 +9,13 @@ from severless_data_pipeline_aws_spark.sources.generator import generate_reading
 from severless_data_pipeline_aws_spark.sources import sinks
 
 
+def test_console_sink_prints_batch(spark, sf_dir, capsys):
+    df = Tables(spark, sf_dir).events.limit(3)
+    sinks.write_console(df, n=1)
+    out = capsys.readouterr().out
+    assert "event_id" in out
+
+
 def test_json_sink_roundtrip(spark, sf_dir, tmp_path):
     df = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 5)
     path = str(tmp_path / "events_json")
