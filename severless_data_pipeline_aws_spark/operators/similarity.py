@@ -102,19 +102,20 @@ def similarity_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
+    # norms are precomputed per side BEFORE the cross join: the query norm
+    # would otherwise be re-folded for every one of |C| candidate rows
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qv"),
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
-    )
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("cv"),
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        (
-            _dot(F.col("qv"), F.col("cv"))
-            / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
-        ).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -190,23 +191,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
-    )
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = (
         candidates.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine"),
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
