@@ -246,6 +246,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings WHERE vec_id < 300
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    """,
+    doc=(
+        "X2 (embedding tier): near-dup pairs by embedding cosine — the "
+        "semantic-dedup primitive. Exact on a bounded block here "
+        "(hash-verified scores); at 100 TB the candidate set comes from "
+        "the LSH buckets (similarity_ann_lsh) instead of all pairs."
+    ),
+    tags=("dedup", "llm", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = (
+        t.embeddings.filter(F.col("vec_id") < 300)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
 _SIMHASH_BITS = 63  # bits 0..62: keep the long positive, avoid 1<<63 overflow
 
 

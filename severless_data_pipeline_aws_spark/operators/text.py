@@ -210,6 +210,75 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: word / number / punctuation runs with optional
+#: leading space — the GPT-2-style regex shape, restricted to constructs
+#: whose semantics agree between Java regex (Spark) and RE2 (DuckDB).
+_BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_token_count_bpe_regex",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+               CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS chars_per_bpe_token
+        FROM documents WHERE doc_id <= 200
+    """,
+    doc=(
+        "X4: token counting two ways — whitespace and a BPE-ish "
+        "pre-tokenizer regex (the cost-estimation primitive for LLM "
+        "training data). Row-local regexp_extract_all, zero shuffle."
+    ),
+    tags=("text", "llm", "tokens"),
+)
+def text_token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bpe = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    return t.documents.filter(F.col("doc_id") <= 200).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.size(bpe)).alias("chars_per_bpe_token"),
+    )
+
+
+@register(
+    "text_rolling_hash_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           w -> CAST(length(w) * 131 + ascii(substring(w, 1, 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+        FROM documents WHERE doc_id <= 200
+    """,
+    doc=(
+        "X4: polynomial rolling-hash document fingerprint — order-"
+        "SENSITIVE (unlike the bag-of-words md5), the incremental-update "
+        "shape a streaming dedup uses. Sequential fold, modded each step "
+        "so both engines stay in exact int64 range."
+    ),
+    tags=("text", "llm", "fingerprint"),
+)
+def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    word_vals = F.transform(
+        F.split("text", " "),
+        lambda w: (F.length(w) * 131 + F.ascii(F.substring(w, 1, 1))).cast("long"),
+    )
+    rolling = F.aggregate(
+        word_vals,
+        F.lit(7).cast("long"),
+        lambda acc, b: (acc * 31 + b) % 1000000007,
+    )
+    return t.documents.filter(F.col("doc_id") <= 200).select(
+        "doc_id", rolling.alias("rolling_hash")
+    )
+
+
 @register(
     "text_fingerprint_canonical",
     oracle="""

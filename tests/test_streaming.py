@@ -166,6 +166,63 @@ def test_stateful_drift_state_survives_restart(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """W7: a row older than the watermark is discarded, not aggregated.
+
+    Three checkpointed availableNow runs over a growing file source:
+    run 1 sets the watermark, run 2 delivers a LATE row (older than the
+    watermark), run 3 pushes the watermark far enough to finalize all
+    windows. If the late row had been accepted, its 30-min window would
+    appear in the append-mode output; it must not.
+    """
+    import datetime as dt
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def write_rows(rows, fname):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+        spark.createDataFrame(pdf, schema=pipeline.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(pipeline.EVENT_SCHEMA).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    T = dt.datetime(2024, 6, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # run 1: two on-time rows at 10:00/10:05 -> watermark 9:55
+    write_rows([(1, T, 1, "click", 1.0, "{}"), (2, T + 5 * m, 1, "click", 1.0, "{}")], "a")
+    run()
+    # run 2: a LATE row at 9:00 (< watermark) -> must be dropped
+    write_rows([(3, T - 60 * m, 1, "click", 1.0, "{}")], "b")
+    run()
+    # run 3: a future row at 11:00 -> watermark 10:50 finalizes [10:00,10:30)
+    write_rows([(4, T + 60 * m, 1, "click", 1.0, "{}")], "c")
+    run()
+
+    got = {r["window_start"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got.get(T) == 2  # the on-time window, both rows
+    assert (T - 60 * m) not in got  # the late row's window never materialized
+
+
 def test_rate_reading_stream_is_streaming(spark):
     stream = pipeline.rate_reading_stream(spark, rows_per_second=5)
     assert stream.isStreaming
