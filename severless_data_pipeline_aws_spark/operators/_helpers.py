@@ -49,8 +49,15 @@ def dsum_double(expr_sql: str) -> Column:
 
 
 def dsum_double_sql(expr_sql: str) -> str:
-    """Oracle-side twin of :func:`dsum_double`."""
-    return f"CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS DOUBLE)"
+    """Oracle-side twin of :func:`dsum_double`.
+
+    NOTE the VARCHAR hop: DuckDB converts DECIMAL to DOUBLE as
+    ``(double)int128 / 10^scale`` — TWO roundings, off by 1 ulp once the
+    scaled integer exceeds 2^53 (bites at sf >= 0.1 on big sums). Spark's
+    BigDecimal conversion is correctly rounded, and so is DuckDB's
+    string->double parse, hence decimal -> VARCHAR -> DOUBLE.
+    """
+    return f"CAST(CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS VARCHAR) AS DOUBLE)"
 
 
 def davg(expr_sql: str) -> Column:
@@ -63,4 +70,5 @@ def davg(expr_sql: str) -> Column:
 
 
 def davg_sql(expr_sql: str) -> str:
-    return f"CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS DOUBLE) / COUNT({expr_sql})"
+    # VARCHAR hop: see dsum_double_sql
+    return f"CAST(CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT({expr_sql})"

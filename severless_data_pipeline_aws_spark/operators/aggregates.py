@@ -35,12 +35,12 @@ def groupby_count_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST((l_extendedprice) AS DECIMAL(38,8))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-               CAST(SUM(CAST((l_discount) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               CAST(CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST((l_extendedprice) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(CAST(SUM(CAST((l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -95,7 +95,7 @@ def agg_minmax_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+               CAST(CAST(SUM(CAST((l_quantity) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -113,7 +113,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS DOUBLE) AS total
+               CAST(CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -159,7 +159,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
         SELECT o_custkey, COUNT(*) AS n_orders,
-               CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS DOUBLE) AS spend
+               CAST(CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS spend
         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
     """,
     doc="HAVING: post-aggregation predicate.",
@@ -178,8 +178,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
         SELECT l_returnflag,
-               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS DOUBLE) AS qty_O,
-               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS DOUBLE) AS qty_F
+               CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE) AS qty_O,
+               CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE) AS qty_F
         FROM lineitem GROUP BY l_returnflag
     """,
     doc="Pivot linestatus into columns (conditional aggregation).",
@@ -224,7 +224,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries_rollup_per_key",
     oracle="""
         SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               CAST(SUM(CAST((value) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(value) AS avg_value,
+               CAST(CAST(SUM(CAST((value) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS avg_value,
                COUNT(*) AS n
         FROM events
         WHERE user_id <= 20

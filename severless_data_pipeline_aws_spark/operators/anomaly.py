@@ -69,8 +69,8 @@ def anomaly_minmax_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH stats AS (
             SELECT event_type,
                    COUNT(value) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS s1,
-                   CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS s2
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s2
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type
         ),

@@ -31,7 +31,7 @@ from ._helpers import dsum_double
     oracle="""
         SELECT o.o_orderstatus,
                CAST(year(o.o_orderdate) AS INT) AS o_year,
-               CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -101,9 +101,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_cumsum",
     oracle="""
         SELECT user_id, event_id, ts,
-               CAST(SUM(CAST(value AS DECIMAL(38,8)))
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value,
                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
         FROM events WHERE user_id <= 10
@@ -127,9 +127,9 @@ def window_running_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_sliding_frame_avg",
     oracle="""
         SELECT user_id, event_id, ts,
-               CAST(SUM(CAST(value AS DECIMAL(38,8)))
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
         FROM events WHERE user_id <= 10
@@ -148,6 +148,43 @@ def window_sliding_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).over(w).cast("double")
             / F.count("value").over(w)
         ).alias("mov_avg"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW) AS n_within_5k_below,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS sum_within_5k_below
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc=(
+        "RANGE frame (value-based, not row-based): peers within 5k of the "
+        "current price — completes the frame-spec family next to the "
+        "rowsBetween queries. Value frames are order-of-peers insensitive, "
+        "so exact-hash safe."
+    ),
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, W.currentRow)
+    )
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_5k_below"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(38,8))")).over(w).cast("double").alias(
+            "sum_within_5k_below"
+        ),
     )
 
 
@@ -186,7 +223,7 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -215,7 +252,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events CROSS JOIN offsets
         )
         SELECT window_start, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM slid GROUP BY window_start
     """,
     doc="W6: sliding window (1h length, 30min slide) — each row lands in 2 windows.",

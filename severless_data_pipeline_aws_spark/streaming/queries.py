@@ -43,7 +43,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
     """,

@@ -48,6 +48,19 @@ def test_keyed_sink_partitions_by_key(spark, sf_dir, tmp_path):
     assert any(d.startswith("device=") for d in os.listdir(path))
 
 
+def test_keyed_layout_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """Reading one key from the partitionBy layout scans one directory."""
+    df = Tables(spark, sf_dir).events.select("event_id", "value", "event_type")
+    path = str(tmp_path / "pruned")
+    sinks.write_keyed(df, path, key="event_type")
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    from severless_data_pipeline_aws_spark.plans import explain_str
+
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == df.filter(F.col("event_type") == "click").count()
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     t = Tables(spark, sf_dir)
     sinks.write_bucketed(t.orders, "b_orders", "o_orderkey", n_buckets=8)
