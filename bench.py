@@ -30,6 +30,7 @@ HEADLINE = [
     "recent_n_events",
     "distinct_sorted_keys",
     "pricing_summary",
+    "tpch_q5_local_supplier_volume",
     "dedup_exact_keep_first",
     "similarity_topk_cosine_exact",
     "text_wordcount_topk",

@@ -1,0 +1,149 @@
+"""Subquery family: scalar, IN, correlated EXISTS/NOT-IN — the query
+shapes a SQL user of the reference's Redshift layer (README.md:2
+declares "Redshift (for SQL data)") would reach for first, plus the
+TPC-H Q5 multi-join shape as a join-reordering exercise.
+
+Catalyst rewrites all of these into joins (scalar subquery → broadcast
+of a 1-row aggregate; IN → left-semi; NOT IN → null-aware anti), so
+they inherit the join family's scale behavior — no per-row subquery
+execution anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables, register_views
+from ..registry import register
+
+
+@register(
+    "subquery_scalar_above_avg",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                                         / COUNT(*) FROM orders)
+    """,
+    doc=(
+        "Scalar subquery: orders above 2x the average price. The "
+        "aggregate is one row — Catalyst plans it as a broadcast below "
+        "the filter (exact decimal avg so both engines agree)."
+    ),
+    tags=("subquery", "scalar"),
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                                         / COUNT(*) FROM orders)
+        """
+    )
+
+
+@register(
+    "subquery_in_hot_parts",
+    oracle="""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+    doc="IN subquery → left-semi join (no duplicate explosion from the inner side).",
+    tags=("subquery", "in"),
+)
+def subquery_in_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_discount >= 0.09)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'R'
+                            AND l2.l_quantity >= 49)
+    """,
+    doc=(
+        "Correlated EXISTS + NOT EXISTS on the same key → semi join "
+        "stacked on anti join; the correlation becomes the join key."
+    ),
+    tags=("subquery", "exists"),
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_discount >= 0.09)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'R'
+                            AND l2.l_quantity >= 49)
+        """
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    doc=(
+        "TPC-H Q5 shape: 6-table join (two facts, four dims) with a "
+        "region filter and local-supplier correlation — the classic "
+        "join-ordering stress test. Dims broadcast; fact-fact shuffles "
+        "on orderkey; Catalyst+AQE pick the order."
+    ),
+    tags=("join", "agg", "tpch", "headline"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import dsum_double
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum_double("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
