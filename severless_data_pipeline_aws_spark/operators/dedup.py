@@ -247,6 +247,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein_verify",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingle
+            FROM documents WHERE doc_id <= {_PAIR_SUBSET}
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 20
+        )
+        SELECT i.doc_a, i.doc_b,
+               levenshtein(da.text, db.text) AS edit_distance,
+               CAST(length(da.text) AS INT) AS len_a,
+               CAST(length(db.text) AS INT) AS len_b
+        FROM inter i
+        JOIN documents da ON da.doc_id = i.doc_a
+        JOIN documents db ON db.doc_id = i.doc_b
+    """,
+    doc=(
+        "X2 (character tier): Levenshtein edit distance as the final "
+        "verifier over shingle-index candidates (>=20 shared 3-grams) — "
+        "the expensive O(len^2) comparison runs only on the pre-filtered "
+        "pair set, never all pairs."
+    ),
+    tags=("dedup", "llm", "levenshtein"),
+)
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= 20)
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+            F.length("text_a").alias("len_a"),
+            F.length("text_b").alias("len_b"),
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
         WITH e AS (

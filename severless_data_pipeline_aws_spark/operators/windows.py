@@ -152,6 +152,39 @@ def window_sliding_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_percent_rank_cume",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               percent_rank() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal, c_custkey) AS pct_rank,
+               cume_dist() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal, c_custkey) AS cume,
+               nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_poorest
+        FROM customer
+    """,
+    doc=(
+        "Distribution windows: percent_rank / cume_dist (exact int-ratio "
+        "doubles) + nth_value with a full-partition frame."
+    ),
+    tags=("window", "rank"),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 3).over(w_full).alias("third_poorest"),
+    )
+
+
+@register(
     "window_range_frame",
     oracle="""
         SELECT o_orderkey, o_orderstatus, o_totalprice,
