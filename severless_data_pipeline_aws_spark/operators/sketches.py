@@ -116,3 +116,56 @@ def sketch_histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "sketch_countmin_event_types",
+    oracle=None,  # xxhash64 bucket layout has no DuckDB twin; bounded in pytest
+    doc=(
+        "X6: Count-Min sketch as a pure DataFrame composition — ONE scan "
+        "of events exploded over D=3 seeds, hashed into W=4096 buckets "
+        "per seed (map-side partial counts, fixed-size state), then each "
+        "distinct key probes its D buckets and takes the MIN count. "
+        "Estimates are deterministic (xxhash64) and obey the CMS bound "
+        "est >= true, est <= true + eps*N (asserted in pytest)."
+    ),
+    tags=("sketch", "llm", "approx"),
+)
+def sketch_countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    width, depth = 1 << 12, 3
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    bucket = (F.xxhash64(F.col("event_type"), F.col("seed")) % width + width) % width
+    sketch = (
+        t.events.select("event_type")
+        .withColumn("seed", F.explode(seeds))
+        .groupBy(F.col("seed"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        t.events.select("event_type")
+        .distinct()
+        .withColumn("seed", F.explode(seeds))
+        .select("event_type", "seed", bucket.alias("bucket"))
+    )
+    return (
+        probes.join(sketch, ["seed", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+@register(
+    "sketch_freq_items",
+    oracle=None,  # Karp-style freqItems output is implementation-defined
+    doc=(
+        "X6: approximate frequent items (Karp et al. via "
+        "df.stat.freqItems, support=0.1) over event_type — single pass, "
+        "bounded state; every item with true frequency > support is "
+        "guaranteed present (recall asserted in pytest)."
+    ),
+    tags=("sketch", "approx"),
+)
+def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.select("event_type").stat.freqItems(["event_type"], support=0.1)

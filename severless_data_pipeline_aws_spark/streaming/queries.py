@@ -167,3 +167,40 @@ def streaming_stateful_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(stateful.STEP_SCHEMA).parquet(src)
     return _run_to_memory(stateful.drift_walk(stream), "append")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "Streaming exact dedup: the events table is replayed with 10% of "
+        "its rows duplicated, and dropDuplicatesWithinWatermark(event_id) "
+        "under a generous watermark removes them in-flight (keyed state, "
+        "expired by event-time — bounded memory at 100 TB/day rates). The "
+        "post-dedup aggregate hash-matches the UN-duplicated batch oracle, "
+        "which is only possible if every injected duplicate was dropped."
+    ),
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    src = tempfile.mkdtemp(prefix="events_dup_stream_")
+    dup = events.filter(F.expr("event_id % 10 = 0"))
+    events.unionAll(dup).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    deduped = _run_to_memory(stream, "append")
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
+    )

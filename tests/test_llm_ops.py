@@ -116,3 +116,32 @@ def test_exact_dedup_consistency(name, spark, sf_dir):
         F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("extra")
     ).first()
     assert n_survivors + clusters["extra"] == n_docs
+
+
+def test_countmin_sketch_bounds(spark, sf_dir):
+    """CMS guarantees: est >= true count; overestimate bounded by eps*N."""
+    t = Tables(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    est = {
+        r["event_type"]: r["cms_estimate"]
+        for r in SPECS["sketch_countmin_event_types"].fn(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k], f"CMS underestimated {k}"
+        assert e - exact[k] <= max(1, int(0.01 * n_total)), f"CMS overshoot on {k}"
+
+
+def test_freq_items_recall(spark, sf_dir):
+    """Every item with true support > 0.1 must appear in freqItems output."""
+    t = Tables(spark, sf_dir)
+    n_total = t.events.count()
+    counts = t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    truly_frequent = {r["event_type"] for r in counts if r["n"] / n_total > 0.1}
+    row = SPECS["sketch_freq_items"].fn(spark, sf_dir).first()
+    found = set(row["event_type_freqItems"])
+    assert truly_frequent <= found

@@ -227,3 +227,65 @@ def test_rate_reading_stream_is_streaming(spark):
     stream = pipeline.rate_reading_stream(spark, rows_per_second=5)
     assert stream.isStreaming
     assert set(stream.columns) == {"ts", "tick", "device_id"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """W-join: watermarked stream-stream interval join == its batch twin.
+
+    Clicks and purchases (user_id <= 10) are replayed as two file
+    streams; each purchase joins clicks by the same user in the
+    preceding hour. Both sides are watermarked so the join state is
+    bounded (the 100 TB requirement); availableNow keeps the run
+    deterministic, and the result must equal the identical batch join.
+    """
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10)
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    ev.filter(F.col("event_type") == "click").write.mode("overwrite").parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").write.mode("overwrite").parquet(buys_dir)
+
+    schema = spark.read.parquet(clicks_dir).schema
+
+    def _stream(d, alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("event_id").alias(f"{alias}_id"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    joined = _stream(clicks_dir, "c").join(
+        _stream(buys_dir, "b"),
+        F.expr(
+            "c_user = b_user AND c_ts >= b_ts - INTERVAL 1 HOUR AND c_ts <= b_ts"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["c_id"], r["b_id"]) for r in spark.table("ss_join").collect()
+    }
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), F.col("event_id").alias("b_id")
+    )
+    want = {
+        (r["c_id"], r["b_id"])
+        for r in c.join(
+            b, F.expr("c_user = b_user AND c_ts >= b_ts - INTERVAL 1 HOUR AND c_ts <= b_ts")
+        ).collect()
+    }
+    assert want, "interval-join twin is vacuous — widen the interval"
+    assert got == want
