@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_exact_keep_first",
     "similarity_topk_cosine_exact",
     "text_wordcount_topk",
+    "tpch_q18_large_volume_orders",
+    "pipeline_llm_preprocess",
 ]
 
 

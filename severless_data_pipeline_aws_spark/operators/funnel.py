@@ -1,0 +1,112 @@
+"""End-to-end LLM training-data preprocess funnel.
+
+Composes the X-family operators — language filter, quality gates
+(text.py), prefix dedup (dedup.py family), reproducible split
+(sampling.py) — into ONE query that reports per-stage attrition, the
+way a 100 TB curation job is actually monitored.
+
+The dedup stage keys on the first-8-words prefix (the CCNet/
+RefinedWeb-style cheap near-dup catch) rather than the full-text hash:
+the synthetic corpus carries no byte-identical duplicates at small SF,
+and a funnel stage that never fires verifies nothing. Every stage here
+has measurable attrition at every test scale.
+
+Scale shape: a naive funnel recounts the corpus once per stage (N full
+scans). Here every stage is a boolean FLAG computed in a single scan
+(+ one window shuffle on the dedup key), and the attrition counts are
+conditional aggregates over the flags — one pass regardless of how
+many stages the funnel grows. The dedup stage ranks each doc among the
+*surviving* (lang+quality-passing) copies of its key via a windowed
+conditional count, so a duplicate whose first copy was quality-filtered
+still keeps its earliest surviving copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+from .sampling import _H_DUCK, _H_SPARK
+
+_PASS_LANG = "lang = 'en'"
+
+_STOPS_SPARK = "array('the','a','of','and','to','in')"
+_STOPS_DUCK = "['the','a','of','and','to','in']"
+_QUALITY = (
+    "size(split(text, ' ')) >= 30 "
+    f"AND CAST(size(filter(split(text, ' '), w -> array_contains({_STOPS_SPARK}, w))) AS DOUBLE)"
+    " / size(split(text, ' ')) <= 0.08"
+)
+_QUALITY_DUCK = (
+    "len(string_split(text, ' ')) >= 30 "
+    f"AND CAST(len(list_filter(string_split(text, ' '), w -> list_contains({_STOPS_DUCK}, w))) AS DOUBLE)"
+    " / len(string_split(text, ' ')) <= 0.08"
+)
+
+_PREFIX_SPARK = "concat_ws(' ', slice(split(text, ' '), 1, 8))"
+_PREFIX_DUCK = "array_to_string(string_split(text, ' ')[1:8], ' ')"
+
+
+@register(
+    "pipeline_llm_preprocess",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT doc_id,
+                   ({_PASS_LANG}) AS pass_lang,
+                   ({_PASS_LANG}) AND ({_QUALITY_DUCK}) AS pass_q,
+                   len(string_split(text, ' ')) AS n_words,
+                   {_H_DUCK.format(key="doc_id")} < 90 AS in_train,
+                   COUNT(CASE WHEN ({_PASS_LANG}) AND ({_QUALITY_DUCK})
+                              THEN 1 END)
+                       OVER (PARTITION BY {_PREFIX_DUCK} ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS n_prior_pass
+            FROM documents
+        )
+        SELECT COUNT(*) AS n_total,
+               COUNT(CASE WHEN pass_lang THEN 1 END) AS n_lang,
+               COUNT(CASE WHEN pass_q THEN 1 END) AS n_quality,
+               COUNT(CASE WHEN pass_q AND n_prior_pass = 0 THEN 1 END) AS n_dedup,
+               COUNT(CASE WHEN pass_q AND n_prior_pass = 0 AND in_train THEN 1 END)
+                   AS n_train,
+               CAST(SUM(CASE WHEN pass_q AND n_prior_pass = 0 AND in_train
+                             THEN n_words ELSE 0 END) AS BIGINT) AS train_words
+        FROM flagged
+    """,
+    doc=(
+        "X1+X4 composition: the full curation funnel (language -> "
+        "quality -> 8-word-prefix dedup keep-first-survivor -> train "
+        "split) as one scan with per-stage boolean flags + one window "
+        "shuffle, reporting stage attrition and final token budget."
+    ),
+    tags=("llm", "dedup", "text", "pipeline"),
+)
+def pipeline_llm_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pass_lang = F.expr(_PASS_LANG)
+    pass_q = pass_lang & F.expr(_QUALITY)
+    flagged = t.documents.select(
+        "doc_id",
+        pass_lang.alias("pass_lang"),
+        pass_q.alias("pass_q"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        (F.expr(_H_SPARK.format(key="doc_id")) < 90).alias("in_train"),
+        F.expr(
+            f"""COUNT(CASE WHEN ({_PASS_LANG}) AND ({_QUALITY}) THEN 1 END)
+                OVER (PARTITION BY {_PREFIX_SPARK} ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+        ).alias("n_prior_pass"),
+    )
+    final = F.col("pass_q") & (F.col("n_prior_pass") == 0)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("pass_lang"), 1)).alias("n_lang"),
+        F.count(F.when(F.col("pass_q"), 1)).alias("n_quality"),
+        F.count(F.when(final, 1)).alias("n_dedup"),
+        F.count(F.when(final & F.col("in_train"), 1)).alias("n_train"),
+        F.sum(F.when(final & F.col("in_train"), F.col("n_words")).otherwise(0)).alias(
+            "train_words"
+        ),
+    )

@@ -1,0 +1,127 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+A 100 TB corpus cannot be split with ``rand()`` — the assignment must
+be a pure function of the row key so it is reproducible across runs,
+engines, and repartitionings, and so late-arriving rows land in the
+same split. The standard trick is a stable hash of the key modulo N:
+
+  * ``sampling_hash_split``      — 90/5/5 train/val/test over documents
+  * ``sampling_stratified_hash`` — per-label 20% sample over embeddings
+  * ``sampling_fixed_k_per_group`` — exactly-k uniform sample per key
+    (order by hash = a distributed, deterministic reservoir)
+
+All three hash with md5 (identical bytes on every engine) rather than
+xxhash64/hash (Spark-specific), so each query is exactly
+oracle-verifiable in DuckDB. Everything is JVM-side expression work +
+one hash aggregate or window — no Python, no collect, no rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import Tables
+from ..registry import register
+
+#: Spark-side stable bucket in [0, 100): md5 of the key's decimal string,
+#: first 14 hex digits (56 bits — exact in BIGINT), mod 100.
+_H_SPARK = "CAST(conv(substr(md5(CAST({key} AS STRING)), 1, 14), 16, 10) AS BIGINT) % 100"
+#: DuckDB twin (verified bit-identical for the bigint key domain).
+_H_DUCK = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 14)) AS BIGINT) % 100"
+
+_SPLIT_SPARK = (
+    "CASE WHEN " + _H_SPARK.format(key="doc_id") + " < 90 THEN 'train' "
+    "WHEN " + _H_SPARK.format(key="doc_id") + " < 95 THEN 'val' "
+    "ELSE 'test' END"
+)
+_SPLIT_DUCK = (
+    "CASE WHEN " + _H_DUCK.format(key="doc_id") + " < 90 THEN 'train' "
+    "WHEN " + _H_DUCK.format(key="doc_id") + " < 95 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "sampling_hash_split",
+    oracle=f"""
+        SELECT {_SPLIT_DUCK} AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY {_SPLIT_DUCK}
+    """,
+    doc=(
+        "Reproducible 90/5/5 train/val/test split: assignment is a pure "
+        "function of doc_id (md5 mod 100), so it is stable across runs, "
+        "partitionings, and engines — no rand(), no shuffle beyond the "
+        "3-row summary agg."
+    ),
+    tags=("sampling", "llm"),
+)
+def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy(F.expr(_SPLIT_SPARK).alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "sampling_stratified_hash",
+    oracle=f"""
+        SELECT label,
+               COUNT(*) AS n_total,
+               COUNT(CASE WHEN {_H_DUCK.format(key="vec_id")} < 20 THEN 1 END)
+                   AS n_sampled
+        FROM embeddings
+        GROUP BY label
+    """,
+    doc=(
+        "Stratified deterministic ~20% sample per label (the class-"
+        "balanced eval-set draw): keep rows whose key-hash bucket < 20. "
+        "Single scan, one hash agg; per-stratum rates concentrate to 20% "
+        "at scale with no per-group pass."
+    ),
+    tags=("sampling", "llm"),
+)
+def sampling_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    keep = F.expr(_H_SPARK.format(key="vec_id")) < 20
+    return t.embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+    )
+
+
+@register(
+    "sampling_fixed_k_per_group",
+    oracle=f"""
+        SELECT lang, doc_id, rn FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY {_H_DUCK.format(key="doc_id")},
+                                               doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 50
+    """,
+    doc=(
+        "Exactly-k uniform sample per group: rank by key-hash inside "
+        "each lang and keep the first 50 — a deterministic, distributed "
+        "reservoir (one shuffle on the group key; the rank-filter prunes "
+        "before any downstream work)."
+    ),
+    tags=("sampling", "window", "llm"),
+)
+def sampling_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(F.expr(_H_SPARK.format(key="doc_id")), F.col("doc_id"))
+    return (
+        t.documents.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )

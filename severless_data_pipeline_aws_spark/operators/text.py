@@ -304,3 +304,50 @@ def text_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_bag_of_words"
         ),
     )
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+    doc=(
+        "X4: corpus-wide top-20 bigram counts — token arrays built "
+        "JVM-side (split/transform/explode, zero Python), partial "
+        "map-side counts, TakeOrderedAndProject top-k. The n-gram "
+        "language-model staple over the documents table."
+    ),
+    tags=("text", "llm", "ngram"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bigrams = t.documents.select(
+        F.explode(
+            # sequence(0, -1) counts DOWN, so guard docs with < 2 tokens
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+                " ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

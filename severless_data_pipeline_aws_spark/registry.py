@@ -46,6 +46,8 @@ _QUERY_MODULES = (
     "severless_data_pipeline_aws_spark.operators.subqueries",
     "severless_data_pipeline_aws_spark.operators.tpch",
     "severless_data_pipeline_aws_spark.operators.nulls",
+    "severless_data_pipeline_aws_spark.operators.sampling",
+    "severless_data_pipeline_aws_spark.operators.funnel",
     "severless_data_pipeline_aws_spark.functions.scalar",
     "severless_data_pipeline_aws_spark.operators.dashboard",
     "severless_data_pipeline_aws_spark.sources.generator",
