@@ -142,3 +142,130 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(synthesize_media(spark, sf_dir))
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_type string, src_w int, src_h int, "
+    "dst_w int, dst_h int, payload binary"
+)
+
+
+def resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """NOT-REAL-RESIZE: deterministic fake resizer over Arrow batches.
+
+    A real pipeline calls PIL.Image.resize here; the contract — rewrite
+    the header dims to the 32x32 target, keep the body bytes on the
+    executor, one row out per row in — is what matters to the plan.
+    """
+    target_w, target_h = 32, 32
+    for pdf in batches:
+        def _resize(b: bytes) -> bytes:
+            body = bytes(b[12:])
+            return (
+                b"IMG1"
+                + target_w.to_bytes(4, "big")
+                + target_h.to_bytes(4, "big")
+                + body
+            )
+
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "src_w": pdf["width"],
+                "src_h": pdf["height"],
+                "dst_w": target_w,
+                "dst_h": target_h,
+                "payload": pdf["payload"].map(_resize),
+            }
+        )
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=None,  # resize runs through the Python stub; invariants in pytest
+    doc=(
+        "X5: the resize stage — binary payloads through an Arrow-batched "
+        "mapInPandas resizer (stubbed: no codecs in this container). "
+        "Header dims rewritten to the 32x32 target, body bytes preserved "
+        "executor-side; invariants pinned in tests/test_multimodal.py."
+    ),
+    tags=("multimodal", "llm", "udf"),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthesize_media(spark, sf_dir).mapInPandas(
+        resize_stub, schema=RESIZED_SCHEMA
+    )
+
+
+VIDEO_SCHEMA = "doc_id bigint, n_frames int, payload binary"
+FRAME_SCHEMA = "doc_id bigint, frame_index int, frame_value bigint"
+
+
+def synthesize_video(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
+    """Deterministic multi-frame binary payloads derived from documents.
+
+    Layout: ``b"VID1" + n_frames:4BE + 4 x 4-byte frames`` (the md5 of
+    the text); ``n_frames`` (1-4) says how many leading frames are
+    valid. Pure column exprs — identical bytes on every engine.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("doc_id") < limit)
+    n_frames = (F.pmod("doc_id", F.lit(4)) + 1).cast("int")
+
+    def be32(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    payload = F.concat(F.lit(b"VID1"), be32(n_frames), F.unhex(F.md5("text")))
+    return d.select("doc_id", n_frames.alias("n_frames"), payload.alias("payload"))
+
+
+def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampler: keep every 2nd valid frame, one output ROW per frame.
+
+    The flatMap-shaped mapInPandas stage of a video pipeline (a real
+    sampler decodes via ffmpeg; the header parse, stride, and row
+    explosion are the real contract).
+    """
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_index": [], "frame_value": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:4] != b"VID1":
+                continue
+            nf = int.from_bytes(b[4:8], "big")
+            for i in range(0, nf, 2):
+                out["doc_id"].append(doc_id)
+                out["frame_index"].append(i)
+                out["frame_value"].append(int.from_bytes(b[8 + 4 * i : 12 + 4 * i], "big"))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id, md5(text) AS h,
+                   CAST(doc_id % 4 + 1 AS INT) AS n_frames
+            FROM documents WHERE doc_id < 200
+        ),
+        idx AS (
+            SELECT doc_id, h, unnest(range(0, n_frames)) AS i FROM v
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_index,
+               CAST(('0x' || substr(h, 8 * i + 1, 8)) AS BIGINT) AS frame_value
+        FROM idx WHERE i % 2 = 0
+    """,
+    doc=(
+        "X5: frame sampling — multi-frame binary payloads exploded to "
+        "one row per kept frame (stride 2) inside Arrow-batched "
+        "mapInPandas. The Python sampler's output is EXACTLY "
+        "oracle-verified: DuckDB re-derives each frame's 4-byte value "
+        "from the same md5 bytes."
+    ),
+    tags=("multimodal", "llm", "udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthesize_video(spark, sf_dir).mapInPandas(
+        frame_sample_stub, schema=FRAME_SCHEMA
+    )

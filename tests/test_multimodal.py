@@ -1,0 +1,55 @@
+"""X5 multimodal plumbing invariants.
+
+The decode/resize/frame-sample stages run Python only inside
+Arrow-batched ``mapInPandas`` (the bytes never reach the driver), and
+each stage's *deterministic* parts are pinned here; the frame sampler
+is additionally hash-verified against a DuckDB oracle through the
+registry replay in test_correctness.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from severless_data_pipeline_aws_spark import registry
+from severless_data_pipeline_aws_spark.operators import multimodal
+
+SPECS = registry.load_all()
+
+
+def test_decode_parses_every_header(spark, sf_dir):
+    out = SPECS["multimodal_decode_features"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "decode produced no rows"
+    assert all(r["header_ok"] for r in rows)
+    # body = 16 md5 bytes after the 12-byte header
+    assert all(r["n_bytes"] == 28 for r in rows)
+    assert all(0.0 <= r["mean_byte"] <= 255.0 for r in rows)
+
+
+def test_resize_rewrites_header_preserves_body(spark, sf_dir):
+    src = multimodal.synthesize_media(spark, sf_dir)
+    dst = SPECS["multimodal_resize_stub"].fn(spark, sf_dir)
+    src_bodies = {r["doc_id"]: bytes(r["payload"])[12:] for r in src.collect()}
+    rows = dst.collect()
+    assert len(rows) == len(src_bodies)
+    for r in rows:
+        b = bytes(r["payload"])
+        assert (r["dst_w"], r["dst_h"]) == (32, 32)
+        assert b[:4] == b"IMG1"
+        assert int.from_bytes(b[4:8], "big") == 32
+        assert b[12:] == src_bodies[r["doc_id"]], "resize must not touch the body"
+
+
+def test_frame_sample_stride_and_count(spark, sf_dir):
+    vids = {
+        r["doc_id"]: r["n_frames"]
+        for r in multimodal.synthesize_video(spark, sf_dir).collect()
+    }
+    frames = SPECS["multimodal_frame_sample"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+    for doc_id, nf in vids.items():
+        expect = list(range(0, nf, 2))
+        assert sorted(by_doc.get(doc_id, [])) == expect
