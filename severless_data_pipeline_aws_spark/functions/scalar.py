@@ -401,3 +401,47 @@ def scalar_cast_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").cast("double").alias("k_double"),
         (F.col("value") > 5.0).cast("int").alias("above_mid"),
     )
+
+
+@register(
+    "scalar_posexplode_outer",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT[])
+                        WHEN o_orderkey % 4 = 0 THEN CAST([] AS BIGINT[])
+                        ELSE range(1, o_orderkey % 4 + 1) END AS arr
+            FROM orders WHERE o_orderkey <= 500
+        ),
+        pairs AS (
+            SELECT o_orderkey,
+                   CASE WHEN arr IS NULL OR len(arr) = 0
+                        THEN [{'pos': CAST(NULL AS INT), 'val': CAST(NULL AS BIGINT)}]
+                        ELSE list_transform(range(1, len(arr) + 1),
+                                            i -> {'pos': CAST(i - 1 AS INT),
+                                                  'val': arr[i]}) END AS ps
+            FROM base
+        )
+        SELECT o_orderkey, u.pos AS pos, u.val AS val
+        FROM (SELECT o_orderkey, unnest(ps) AS u FROM pairs)
+    """,
+    doc=(
+        "LATERAL VIEW OUTER posexplode: row-preserving array explosion "
+        "— NULL and empty arrays still emit one (NULL, NULL) row, the "
+        "semantics that keep left-side rows alive through a flatten. "
+        "The generator runs inside whole-stage codegen (no shuffle)."
+    ),
+    tags=("scalar", "array", "explode", "nulls"),
+)
+def scalar_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    arr = F.expr(
+        "CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS ARRAY<BIGINT>) "
+        "WHEN o_orderkey % 4 = 0 THEN CAST(ARRAY() AS ARRAY<BIGINT>) "
+        "ELSE sequence(CAST(1 AS BIGINT), o_orderkey % 4) END"
+    )
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", arr.alias("arr"))
+        .select("o_orderkey", F.posexplode_outer("arr").alias("pos", "val"))
+    )

@@ -240,3 +240,56 @@ def timeseries_rollup_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(davg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, date_trunc('hour', ts) AS h, value
+            FROM events WHERE user_id < 5
+        ),
+        hourly AS (
+            SELECT user_id, h, COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(38,8))) AS tv
+            FROM ev GROUP BY user_id, h
+        ),
+        spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY user_id),
+        grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM spans
+        )
+        SELECT g.user_id, g.h AS bucket,
+               COALESCE(n, 0) AS n_events,
+               COALESCE(CAST(CAST(tv AS VARCHAR) AS DOUBLE), 0.0) AS total_value
+        FROM grid g LEFT JOIN hourly USING (user_id, h)
+    """,
+    doc=(
+        "Time-series gap fill: per-key hourly grid (sequence + explode "
+        "over each key's own span) left-joined to the actual hourly "
+        "rollup, missing buckets zero-filled. The grid is derived from a "
+        "2-row-per-key aggregate, so its explode is tiny next to the "
+        "fact scan; the join shuffles only the rolled-up buckets."
+    ),
+    tags=("agg", "timeseries", "window"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") < 5).select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("tv"),
+    )
+    spans = ev.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+    )
+    return grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        F.col("h").alias("bucket"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+    )

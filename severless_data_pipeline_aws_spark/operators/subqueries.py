@@ -147,3 +147,34 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(dsum_double("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "subquery_not_in_null_aware",
+    oracle="""
+        SELECT c_custkey, c_nationkey
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                  WHERE n_regionkey = 2)
+          AND c_custkey <= 1000
+    """,
+    doc=(
+        "NOT IN subquery -> null-aware anti join. SQL's NOT IN is NOT "
+        "a plain anti join: one NULL in the inner relation empties the "
+        "result (three-valued logic); Catalyst plans the null-aware "
+        "variant. The empty-on-NULL behavior is pinned in "
+        "tests/test_correctness.py::test_not_in_goes_empty_on_null."
+    ),
+    tags=("subquery", "not_in", "nulls"),
+)
+def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                  WHERE n_regionkey = 2)
+          AND c_custkey <= 1000
+        """
+    )

@@ -33,3 +33,22 @@ def test_oracle_match(name, spark, sf_dir, con):
 def test_rows_only_runs(name, spark, sf_dir):
     df = SPECS[name].fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_not_in_goes_empty_on_null(spark, sf_dir):
+    """SQL NOT IN three-valued logic: a NULL in the inner set empties
+    the result — the behavior that distinguishes the null-aware anti
+    join from a plain anti join."""
+    from severless_data_pipeline_aws_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    n = spark.sql(
+        """
+        SELECT count(*) AS n FROM customer
+        WHERE c_nationkey NOT IN (
+            SELECT CASE WHEN n_regionkey = 2 THEN n_nationkey
+                        ELSE NULL END
+            FROM nation)
+        """
+    ).first()["n"]
+    assert n == 0
