@@ -293,3 +293,29 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("tv", F.lit(0.0)).alias("total_value"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "GROUPING() markers over CUBE: distinguishes a NULL that *is* a "
+        "group key from the NULL that marks a subtotal row — the "
+        "disambiguation every report generator over rollup output needs."
+    ),
+    tags=("agg", "cube", "grouping"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )

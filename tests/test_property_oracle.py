@@ -1,0 +1,83 @@
+"""Property-based oracle equivalence (hypothesis).
+
+The per-query oracle gate pins FIXED predicates; these properties pin
+the PARAMETRIC behavior — for randomized filter bounds and group keys,
+the Spark plan and the DuckDB SQL must agree exactly (same decimal
+accumulation discipline as operators/_helpers.py). Catches predicate-
+boundary bugs (<= vs <, double literal parsing, null handling) that a
+single fixed choice can miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from severless_data_pipeline_aws_spark.io import Tables
+from severless_data_pipeline_aws_spark.operators._helpers import (
+    dsum_double,
+    dsum_double_sql,
+)
+from tests.oracle import compare, duckdb_connect
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    qty=st.integers(min_value=1, max_value=50),
+    dlo_pct=st.integers(min_value=0, max_value=8),
+    width_pct=st.integers(min_value=0, max_value=4),
+    key=st.sampled_from(["l_returnflag", "l_linestatus"]),
+)
+def test_filter_agg_matches_oracle(spark, sf_dir, qty, dlo_pct, width_pct, key):
+    dlo, dhi = dlo_pct / 100.0, (dlo_pct + width_pct) / 100.0
+    df = (
+        Tables(spark, sf_dir)
+        .lineitem.filter(
+            (F.col("l_quantity") < qty)
+            & (F.col("l_discount") >= dlo)
+            & (F.col("l_discount") <= dhi)
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum_double("l_extendedprice * (1 - l_discount)").alias("revenue"),
+        )
+    )
+    sql = f"""
+        SELECT {key}, COUNT(*) AS n,
+               {dsum_double_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        WHERE l_quantity < {qty} AND l_discount >= {dlo!r} AND l_discount <= {dhi!r}
+        GROUP BY {key}
+    """
+    con = duckdb_connect(sf_dir)
+    assert not compare(df, con, sql)
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    desc=st.booleans(),
+)
+def test_topk_matches_oracle(spark, sf_dir, n, desc):
+    order = F.desc("o_totalprice") if desc else F.asc("o_totalprice")
+    df = (
+        Tables(spark, sf_dir)
+        .orders.select("o_orderkey", "o_totalprice")
+        .orderBy(order, F.asc("o_orderkey"))
+        .limit(n)
+    )
+    direction = "DESC" if desc else "ASC"
+    sql = f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice {direction}, o_orderkey LIMIT {n}
+    """
+    con = duckdb_connect(sf_dir)
+    assert not compare(df, con, sql)
