@@ -31,7 +31,7 @@ from ._helpers import dsum_double, dsum_double_sql
                    o_totalprice + 1000.0 AS o_totalprice
             FROM orders WHERE o_orderkey % 97 = 0
             UNION ALL
-            SELECT o_orderkey + 100000000, 'N', 50000.0
+            SELECT -o_orderkey, 'N', 50000.0
             FROM orders WHERE o_orderkey % 499 = 0
         ),
         merged AS (
@@ -66,7 +66,10 @@ def cdc_upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             base.filter(F.col("o_orderkey") % 499 == 0).select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                # negated keys are disjoint from the (positive) base key
+                # space at EVERY scale — an additive offset would collide
+                # once the snapshot's max key outgrows it
+                (-F.col("o_orderkey")).alias("o_orderkey"),
                 F.lit("N").alias("u_status"),
                 F.lit(50000.0).alias("u_price"),
             )

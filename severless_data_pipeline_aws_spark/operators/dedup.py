@@ -35,6 +35,19 @@ from ..registry import register
 #: candidate joins stay bounded while still covering many near-dup pairs.
 _PAIR_SUBSET = 150
 
+#: DuckDB twin of ``_shingles()`` over the ``_PAIR_SUBSET`` docs — the
+#: ONE place the oracle-side 3-gram definition lives (interpolated into
+#: every candidate-pair oracle below; keep in sync with _shingles()).
+_SHINGLE_CTE_SQL = f"""sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingle
+            FROM documents WHERE doc_id <= {_PAIR_SUBSET}
+        )"""
+
 
 def _shingles(col: str = "text", n: int = 3):
     """Distinct word n-gram shingles of a text column (JVM-side exprs)."""
@@ -99,15 +112,7 @@ def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-        WITH sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i+1] || ' ' ||
-                            string_split(text, ' ')[i+2])) AS shingle
-            FROM documents WHERE doc_id <= {_PAIR_SUBSET}
-        ),
+        WITH {_SHINGLE_CTE_SQL},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -249,15 +254,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_levenshtein_verify",
     oracle=f"""
-        WITH sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i+1] || ' ' ||
-                            string_split(text, ' ')[i+2])) AS shingle
-            FROM documents WHERE doc_id <= {_PAIR_SUBSET}
-        ),
+        WITH {_SHINGLE_CTE_SQL},
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

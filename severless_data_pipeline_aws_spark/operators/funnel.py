@@ -18,13 +18,16 @@ conditional aggregates over the flags — one pass regardless of how
 many stages the funnel grows. The dedup stage ranks each doc among the
 *surviving* (lang+quality-passing) copies of its key via a windowed
 conditional count, so a duplicate whose first copy was quality-filtered
-still keeps its earliest surviving copy.
+still keeps its earliest surviving copy. Each predicate is defined
+ONCE and flows through named flag columns — the window counts the
+``pass_q`` column, never a re-derived expression.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import Tables
 from ..registry import register
@@ -58,12 +61,16 @@ _PREFIX_DUCK = "array_to_string(string_split(text, ' ')[1:8], ' ')"
                    ({_PASS_LANG}) AND ({_QUALITY_DUCK}) AS pass_q,
                    len(string_split(text, ' ')) AS n_words,
                    {_H_DUCK.format(key="doc_id")} < 90 AS in_train,
-                   COUNT(CASE WHEN ({_PASS_LANG}) AND ({_QUALITY_DUCK})
-                              THEN 1 END)
-                       OVER (PARTITION BY {_PREFIX_DUCK} ORDER BY doc_id
+                   {_PREFIX_DUCK} AS prefix
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *,
+                   COUNT(CASE WHEN pass_q THEN 1 END)
+                       OVER (PARTITION BY prefix ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        AS n_prior_pass
-            FROM documents
+            FROM flagged
         )
         SELECT COUNT(*) AS n_total,
                COUNT(CASE WHEN pass_lang THEN 1 END) AS n_lang,
@@ -73,7 +80,7 @@ _PREFIX_DUCK = "array_to_string(string_split(text, ' ')[1:8], ' ')"
                    AS n_train,
                CAST(SUM(CASE WHEN pass_q AND n_prior_pass = 0 AND in_train
                              THEN n_words ELSE 0 END) AS BIGINT) AS train_words
-        FROM flagged
+        FROM ranked
     """,
     doc=(
         "X1+X4 composition: the full curation funnel (language -> "
@@ -93,14 +100,18 @@ def pipeline_llm_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_q.alias("pass_q"),
         F.size(F.split("text", " ")).alias("n_words"),
         (F.expr(_H_SPARK.format(key="doc_id")) < 90).alias("in_train"),
-        F.expr(
-            f"""COUNT(CASE WHEN ({_PASS_LANG}) AND ({_QUALITY}) THEN 1 END)
-                OVER (PARTITION BY {_PREFIX_SPARK} ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
-        ).alias("n_prior_pass"),
+        F.expr(_PREFIX_SPARK).alias("prefix"),
+    )
+    w = (
+        W.partitionBy("prefix")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = flagged.withColumn(
+        "n_prior_pass", F.count(F.when(F.col("pass_q"), 1)).over(w)
     )
     final = F.col("pass_q") & (F.col("n_prior_pass") == 0)
-    return flagged.agg(
+    return ranked.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(F.col("pass_lang"), 1)).alias("n_lang"),
         F.count(F.when(F.col("pass_q"), 1)).alias("n_quality"),

@@ -38,6 +38,11 @@ DECODED_SCHEMA = (
 )
 
 
+def _be32(col):
+    """4-byte big-endian encoding via hex + unhex (JVM-side)."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
 def synthesize_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
     """Deterministic binary payloads derived from documents.
 
@@ -50,14 +55,10 @@ def synthesize_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> Data
     width = (F.pmod(F.col("doc_id"), F.lit(64)) + 16).cast("int")
     height = (F.pmod(F.col("doc_id") * 7, F.lit(64)) + 16).cast("int")
 
-    def be32(col):
-        # 4-byte big-endian encoding via hex + unhex (JVM-side)
-        return F.unhex(F.lpad(F.hex(col), 8, "0"))
-
     payload = F.concat(
         F.lit(b"IMG1"),
-        be32(width),
-        be32(height),
+        _be32(width),
+        _be32(height),
         F.unhex(F.md5("text")),
     )
     return d.select(
@@ -213,10 +214,7 @@ def synthesize_video(spark: SparkSession, sf_dir: str, limit: int = 200) -> Data
     d = t.documents.filter(F.col("doc_id") < limit)
     n_frames = (F.pmod("doc_id", F.lit(4)) + 1).cast("int")
 
-    def be32(col):
-        return F.unhex(F.lpad(F.hex(col), 8, "0"))
-
-    payload = F.concat(F.lit(b"VID1"), be32(n_frames), F.unhex(F.md5("text")))
+    payload = F.concat(F.lit(b"VID1"), _be32(n_frames), F.unhex(F.md5("text")))
     return d.select("doc_id", n_frames.alias("n_frames"), payload.alias("payload"))
 
 

@@ -122,10 +122,13 @@ def sketch_histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFram
     "sketch_countmin_event_types",
     oracle=None,  # xxhash64 bucket layout has no DuckDB twin; bounded in pytest
     doc=(
-        "X6: Count-Min sketch as a pure DataFrame composition — ONE scan "
-        "of events exploded over D=3 seeds, hashed into W=4096 buckets "
-        "per seed (map-side partial counts, fixed-size state), then each "
-        "distinct key probes its D buckets and takes the MIN count. "
+        "X6: Count-Min sketch as a pure DataFrame composition — the "
+        "sketch builds in one scan of events exploded over D=3 seeds, "
+        "hashed into W=4096 buckets per seed (map-side partial counts, "
+        "fixed-size state); a second lightweight scan derives the "
+        "distinct probe keys, each taking the MIN of its D buckets. "
+        "(In production the probe keys are the caller's input, not a "
+        "scan.) "
         "Estimates are deterministic (xxhash64) and obey the CMS bound "
         "est >= true, est <= true + eps*N (asserted in pytest)."
     ),

@@ -25,6 +25,24 @@ from ..registry import register
 from . import stateful
 
 
+
+def _replay_events_stream(spark: SparkSession, sf_dir: str, df=None) -> DataFrame:
+    """Stage the events table (or ``df`` derived from it) into a temp
+    DIRECTORY and open it as a bounded file stream with the nanos->micros
+    ts conversion applied — the ONE copy of the replay preamble (file
+    streams monitor directories; the test table is a single parquet file;
+    at scale the landed table already is a directory, see
+    pipeline.land_parquet)."""
+    events = df if df is not None else spark.read.parquet(table_path(sf_dir, "events"))
+    src = tempfile.mkdtemp(prefix="events_stream_")
+    events.write.mode("overwrite").parquet(src)
+    return (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
@@ -56,17 +74,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     tags=("streaming", "window"),
 )
 def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # file streams monitor DIRECTORIES; the test table is a single parquet
-    # file, so stage it into a temp dir first (at scale the landed table
-    # already is a directory — see pipeline.land_parquet)
-    events = spark.read.parquet(table_path(sf_dir, "events"))
-    src = tempfile.mkdtemp(prefix="events_stream_")
-    events.write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(events.schema)
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _replay_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -110,15 +118,7 @@ def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("streaming", "window", "session"),
 )
 def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = spark.read.parquet(table_path(sf_dir, "events"))
-    src = tempfile.mkdtemp(prefix="events_stream_")
-    events.write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(events.schema)
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .filter(F.col("user_id") <= 20)
-    )
+    stream = _replay_events_stream(spark, sf_dir).filter(F.col("user_id") <= 20)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -189,13 +189,9 @@ def streaming_stateful_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(table_path(sf_dir, "events"))
-    src = tempfile.mkdtemp(prefix="events_dup_stream_")
     dup = events.filter(F.expr("event_id % 10 = 0"))
-    events.unionAll(dup).write.mode("overwrite").parquet(src)
     stream = (
-        spark.readStream.schema(events.schema)
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _replay_events_stream(spark, sf_dir, df=events.unionAll(dup))
         .withWatermark("ts", "30 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )

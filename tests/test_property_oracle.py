@@ -10,6 +10,7 @@ single fixed choice can miss.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -20,6 +21,13 @@ from severless_data_pipeline_aws_spark.operators._helpers import (
     dsum_double_sql,
 )
 from tests.oracle import compare, duckdb_connect
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connect(sf_dir)
+    yield c
+    c.close()
 
 _SETTINGS = dict(
     max_examples=8,
@@ -35,7 +43,7 @@ _SETTINGS = dict(
     width_pct=st.integers(min_value=0, max_value=4),
     key=st.sampled_from(["l_returnflag", "l_linestatus"]),
 )
-def test_filter_agg_matches_oracle(spark, sf_dir, qty, dlo_pct, width_pct, key):
+def test_filter_agg_matches_oracle(spark, sf_dir, con, qty, dlo_pct, width_pct, key):
     dlo, dhi = dlo_pct / 100.0, (dlo_pct + width_pct) / 100.0
     df = (
         Tables(spark, sf_dir)
@@ -57,7 +65,6 @@ def test_filter_agg_matches_oracle(spark, sf_dir, qty, dlo_pct, width_pct, key):
         WHERE l_quantity < {qty} AND l_discount >= {dlo!r} AND l_discount <= {dhi!r}
         GROUP BY {key}
     """
-    con = duckdb_connect(sf_dir)
     assert not compare(df, con, sql)
 
 
@@ -66,7 +73,7 @@ def test_filter_agg_matches_oracle(spark, sf_dir, qty, dlo_pct, width_pct, key):
     n=st.integers(min_value=1, max_value=200),
     desc=st.booleans(),
 )
-def test_topk_matches_oracle(spark, sf_dir, n, desc):
+def test_topk_matches_oracle(spark, sf_dir, con, n, desc):
     order = F.desc("o_totalprice") if desc else F.asc("o_totalprice")
     df = (
         Tables(spark, sf_dir)
@@ -79,5 +86,4 @@ def test_topk_matches_oracle(spark, sf_dir, n, desc):
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice {direction}, o_orderkey LIMIT {n}
     """
-    con = duckdb_connect(sf_dir)
     assert not compare(df, con, sql)

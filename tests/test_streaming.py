@@ -270,7 +270,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream-stream join did not finish in time"
     got = {
         (r["c_id"], r["b_id"]) for r in spark.table("ss_join").collect()
     }
