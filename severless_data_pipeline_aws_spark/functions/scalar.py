@@ -445,3 +445,67 @@ def scalar_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", arr.alias("arr"))
         .select("o_orderkey", F.posexplode_outer("arr").alias("pos", "val"))
     )
+
+
+@register(
+    "scalar_bitwise_ops",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | 4096 AS with_flag,
+               xor(o_orderkey, 1365) AS xored,
+               o_orderkey << 2 AS shifted_l,
+               o_orderkey >> 3 AS shifted_r,
+               CAST(bit_count(o_orderkey) AS INT) AS popcount
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc=(
+        "Bitwise battery: AND/OR/XOR, shifts, popcount — the flag-field "
+        "and bitmap-index manipulation layer, all codegen'd JVM "
+        "expressions."
+    ),
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("with_flag"),
+        F.expr("o_orderkey ^ 1365").alias("xored"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shifted_l"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shifted_r"),
+        F.expr("bit_count(o_orderkey)").alias("popcount"),
+    )
+
+
+@register(
+    "scalar_try_cast",
+    oracle="""
+        SELECT o_orderkey,
+               TRY_CAST(o_orderpriority AS INT) AS bad_int,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+               TRY_CAST(o_orderpriority AS DOUBLE) IS NULL AS unparseable,
+               COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT), -1)
+                   AS prio_or_default
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc=(
+        "TRY_CAST data-cleaning battery: malformed strings become NULL "
+        "instead of job-killing exceptions — the ingestion posture for "
+        "dirty 100 TB feeds ('1-URGENT' fails, its leading digit "
+        "parses), with COALESCE defaulting."
+    ),
+    tags=("scalar", "cast", "nulls"),
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.expr("TRY_CAST(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr("TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)").alias("prio_digit"),
+        F.expr("TRY_CAST(o_orderpriority AS DOUBLE)").isNull().alias("unparseable"),
+        F.coalesce(
+            F.expr("TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)"), F.lit(-1)
+        ).alias("prio_or_default"),
+    )

@@ -319,3 +319,63 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_maxby_countif_bool",
+    oracle="""
+        SELECT o_orderstatus,
+               max_by(o_orderkey, o_totalprice) AS biggest_order,
+               min_by(o_orderkey, o_totalprice) AS smallest_order,
+               count_if(o_totalprice > 150000) AS n_big,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               bool_and(o_totalprice > 0) AS all_positive
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Modern conditional aggregates: max_by/min_by (argmax without a "
+        "self-join or window), count_if, bool_or/bool_and — one hash agg "
+        "instead of the join-back idiom. Prices are tie-free per group "
+        "at test scales, so the argmax choice is deterministic."
+    ),
+    tags=("agg", "maxby"),
+)
+def agg_maxby_countif_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        F.expr("count_if(o_totalprice > 150000)").alias("n_big"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations,
+               array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
+               CAST(len(list(n_name)) AS BIGINT) AS n
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc=(
+        "Array aggregation: collect_list made deterministic via "
+        "sort_array (collection order is partition-dependent, the sorted "
+        "array is not) + listagg as concat_ws over the sorted array. "
+        "Bounded per group — the pattern for building per-key vocabulary "
+        "lists at scale."
+    ),
+    tags=("agg", "array"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    nations = F.sort_array(F.collect_list("n_name"))
+    return t.nation.groupBy("n_regionkey").agg(
+        nations.alias("nations"),
+        F.concat_ws(",", nations).alias("nations_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
