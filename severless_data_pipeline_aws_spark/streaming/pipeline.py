@@ -107,3 +107,46 @@ def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = 
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame, snapshot_dir: str, checkpoint_dir: str, key: str = "event_id"
+) -> DataStreamWriter:
+    """Streaming CDC: merge each micro-batch into a parquet snapshot.
+
+    ``foreachBatch`` is the streaming escape hatch for sinks Structured
+    Streaming cannot express declaratively — here a MERGE-INTO emulation
+    (full-outer join on the key, update-wins coalesce, atomic rewrite via
+    a staging dir). Exactly-once comes from the checkpoint: a replayed
+    batch re-merges idempotently because the merge is keyed.
+
+    At 100 TB the rewrite targets a table format (Delta/Iceberg) or a
+    partition-scoped overwrite; the merge plan itself — batch joined
+    against the keyed snapshot — is unchanged.
+    """
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+        import shutil
+
+        cols = batch.columns
+        upd = batch.select([F.col(c).alias(f"u_{c}") for c in cols])
+        try:
+            base = spark.read.parquet(snapshot_dir)
+        except Exception:
+            base = spark.createDataFrame([], batch.schema)
+        merged = base.join(
+            upd, base[key] == upd[f"u_{key}"], "full_outer"
+        ).select(
+            *[F.coalesce(f"u_{c}", c).alias(c) for c in cols]
+        )
+        staging = snapshot_dir.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(staging, snapshot_dir)
+
+    return stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )

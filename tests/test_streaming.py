@@ -289,3 +289,68 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert want, "interval-join twin is vacuous — widen the interval"
     assert got == want
+
+
+def test_foreach_batch_upsert_merges_stream_into_snapshot(spark, sf_dir, tmp_path):
+    """foreachBatch CDC: replaying events (with 20% of rows modified)
+    over an existing snapshot must update those rows and insert nothing
+    new — merge semantics, not append."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10).select(
+        "event_id", "event_type", "value"
+    )
+    snapshot = str(tmp_path / "snapshot")
+    ev.write.mode("overwrite").parquet(snapshot)
+    n_base = ev.count()
+
+    changes = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.lit(-1.0)
+    )
+    src = str(tmp_path / "changes")
+    changes.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+
+    q = (
+        pipeline.foreach_batch_upsert(stream, snapshot, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    merged = spark.read.parquet(snapshot)
+    assert merged.count() == n_base, "upsert must not change row count"
+    assert merged.filter(F.col("value") == -1.0).count() == changes.count()
+    # idempotent replay: same checkpoint, no new work, snapshot unchanged
+    q2 = (
+        pipeline.foreach_batch_upsert(
+            spark.readStream.schema(changes.schema).parquet(src),
+            snapshot,
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300)
+    again = spark.read.parquet(snapshot)
+    assert again.count() == n_base
+    assert again.filter(F.col("value") == -1.0).count() == changes.count()
+
+
+def test_mergeschema_reads_evolved_landing(spark, sf_dir, tmp_path):
+    """Schema evolution at the landing zone: a later batch adds a column;
+    mergeSchema reads both generations, old rows NULL-filled."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10).select(
+        "event_id", "event_type", "value"
+    )
+    landed = str(tmp_path / "landed")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0)
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "schema_version", F.lit(2)
+    )
+    gen1.write.mode("overwrite").parquet(landed + "/batch=1")
+    gen2.write.mode("overwrite").parquet(landed + "/batch=2")
+
+    wide = spark.read.option("mergeSchema", "true").parquet(landed)
+    assert set(wide.columns) >= {"event_id", "event_type", "value", "schema_version"}
+    assert wide.count() == ev.count()
+    assert wide.filter(F.col("schema_version").isNull()).count() == gen1.count()
+    assert wide.filter(F.col("schema_version") == 2).count() == gen2.count()
