@@ -79,3 +79,26 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
     df = _df("similarity_topk_cosine_exact", spark, sf_dir)
     plan = plans.explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or plans.broadcast_join_count(df) >= 1, plan[:500]
+
+
+def test_q18_semi_join_and_topk(spark, sf_dir):
+    df = _df("tpch_q18_large_volume_orders", spark, sf_dir)
+    assert plans.has_take_ordered(df), "top-100 must not global-sort"
+    # subquery agg shuffle + final regroup shuffle; every join broadcasts
+    assert plans.exchange_count(df) <= 2
+    assert plans.broadcast_join_count(df) >= 3
+
+
+def test_funnel_is_one_scan_one_window_shuffle(spark, sf_dir):
+    df = _df("pipeline_llm_preprocess", spark, sf_dir)
+    # one data shuffle (dedup window) + the single-partition reduce
+    assert plans.exchange_count(df) <= 2
+    cols = plans.read_schema_columns(df)
+    assert cols == {"doc_id", "text", "lang"}, "must prune to 3 columns"
+
+
+def test_gap_fill_joins_rollup_not_facts(spark, sf_dir):
+    df = _df("timeseries_gap_fill", spark, sf_dir)
+    # span agg, hourly rollup, grid-to-rollup join: bounded shuffles
+    assert plans.exchange_count(df) <= 4
+    assert any("user_id" in f for f in plans.pushed_filters(df))
