@@ -336,8 +336,10 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Modern conditional aggregates: max_by/min_by (argmax without a "
         "self-join or window), count_if, bool_or/bool_and — one hash agg "
-        "instead of the join-back idiom. Prices are tie-free per group "
-        "at test scales, so the argmax choice is deterministic."
+        "instead of the join-back idiom. Tied prices exist in the data, "
+        "but each group's EXTREME price is unique at test scales (pinned "
+        "by tests/test_correctness.py::test_maxby_extremes_are_unique), "
+        "so the argmax choice is deterministic."
     ),
     tags=("agg", "maxby"),
 )

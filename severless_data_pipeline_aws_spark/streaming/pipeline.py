@@ -116,36 +116,69 @@ def foreach_batch_upsert(
 
     ``foreachBatch`` is the streaming escape hatch for sinks Structured
     Streaming cannot express declaratively — here a MERGE-INTO emulation
-    (full-outer join on the key, update-wins coalesce, atomic rewrite via
-    a staging dir). Exactly-once comes from the checkpoint: a replayed
-    batch re-merges idempotently because the merge is keyed.
+    (full-outer join on the key, update-wins coalesce). Semantics:
 
-    At 100 TB the rewrite targets a table format (Delta/Iceberg) or a
+    * batches are deduplicated per key before merging (latest-wins is
+      source-order-dependent; provide a pre-sorted stream if it matters)
+      and NULL-key rows are dropped — a NULL key has no merge identity;
+    * schema drift is tolerated both ways: batch-new columns appear
+      NULL-filled for old snapshot rows, snapshot-only columns survive
+      untouched;
+    * the snapshot swap is staged (write -> _SUCCESS-complete staging ->
+      rename out -> rename in) with crash recovery at the next batch, so
+      no crash window loses the snapshot; together with the checkpoint
+      this makes replays idempotent.
+
+    At 100 TB the swap targets a table format (Delta/Iceberg) or a
     partition-scoped overwrite; the merge plan itself — batch joined
     against the keyed snapshot — is unchanged.
     """
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         import os
         import shutil
 
+        spark = batch.sparkSession
+        staging = snapshot_dir.rstrip("/") + ".staging"
+        backup = snapshot_dir.rstrip("/") + ".old"
+
+        def _complete(d: str) -> bool:
+            return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+        # crash recovery: finish or roll back a half-done swap, then clean
+        if not os.path.exists(snapshot_dir):
+            if _complete(staging):
+                os.rename(staging, snapshot_dir)
+            elif os.path.exists(backup):
+                os.rename(backup, snapshot_dir)
+        for d in (staging, backup):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
+        batch = batch.filter(F.col(key).isNotNull()).dropDuplicates([key])
         cols = batch.columns
         upd = batch.select([F.col(c).alias(f"u_{c}") for c in cols])
-        try:
+        if os.path.exists(snapshot_dir):
             base = spark.read.parquet(snapshot_dir)
-        except Exception:
+        else:
             base = spark.createDataFrame([], batch.schema)
-        merged = base.join(
-            upd, base[key] == upd[f"u_{key}"], "full_outer"
-        ).select(
-            *[F.coalesce(f"u_{c}", c).alias(c) for c in cols]
+        types = dict(batch.dtypes)
+        for c in cols:
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(None).cast(types[c]))
+        out_cols = base.columns
+        merged = base.join(upd, base[key] == upd[f"u_{key}"], "full_outer").select(
+            *[
+                (F.coalesce(f"u_{c}", c) if c in cols else F.col(c)).alias(c)
+                for c in out_cols
+            ]
         )
-        staging = snapshot_dir.rstrip("/") + ".staging"
         merged.write.mode("overwrite").parquet(staging)
         if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
+            os.rename(snapshot_dir, backup)
         os.rename(staging, snapshot_dir)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
 
     return stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

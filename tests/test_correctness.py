@@ -52,3 +52,23 @@ def test_not_in_goes_empty_on_null(spark, sf_dir):
         """
     ).first()["n"]
     assert n == 0
+
+
+def test_maxby_extremes_are_unique(spark, sf_dir):
+    """agg_maxby_countif_bool's determinism rests on each group's
+    max/min price being held by exactly one order — assert it so a
+    data regeneration that breaks the property fails loudly here, not
+    as a mysterious oracle hash flake."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    o = Tables(spark, sf_dir).orders
+    ext = o.groupBy("o_orderstatus").agg(
+        F.max("o_totalprice").alias("mx"), F.min("o_totalprice").alias("mn")
+    )
+    joined = o.join(ext, "o_orderstatus")
+    n_at_max = joined.filter(F.col("o_totalprice") == F.col("mx")).count()
+    n_at_min = joined.filter(F.col("o_totalprice") == F.col("mn")).count()
+    n_groups = ext.count()
+    assert n_at_max == n_groups and n_at_min == n_groups

@@ -354,3 +354,36 @@ def test_mergeschema_reads_evolved_landing(spark, sf_dir, tmp_path):
     assert wide.count() == ev.count()
     assert wide.filter(F.col("schema_version").isNull()).count() == gen1.count()
     assert wide.filter(F.col("schema_version") == 2).count() == gen2.count()
+
+
+def test_foreach_batch_upsert_dedups_batch_and_drops_null_keys(spark, sf_dir, tmp_path):
+    """MERGE must not fan out on duplicate keys within one batch, and
+    NULL-key rows (no merge identity) are dropped."""
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10).select(
+        "event_id", "event_type", "value"
+    )
+    snapshot = str(tmp_path / "snapshot")
+    ev.write.mode("overwrite").parquet(snapshot)
+    n_base = ev.count()
+
+    changes = ev.filter(F.col("event_id") % 5 == 0).withColumn("value", F.lit(-1.0))
+    dirty = changes.unionAll(changes).unionAll(  # duplicate every change row
+        changes.limit(3).withColumn("event_id", F.lit(None).cast("bigint"))
+    )
+    src = str(tmp_path / "changes")
+    dirty.write.mode("overwrite").parquet(src)
+
+    q = (
+        pipeline.foreach_batch_upsert(
+            spark.readStream.schema(dirty.schema).parquet(src),
+            snapshot,
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    merged = spark.read.parquet(snapshot)
+    assert merged.count() == n_base, "dup keys in batch must not fan out"
+    assert merged.filter(F.col("event_id").isNull()).count() == 0
+    assert merged.filter(F.col("value") == -1.0).count() == changes.count()
