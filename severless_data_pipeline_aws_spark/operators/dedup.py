@@ -427,3 +427,87 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 6)
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLE_CTE_SQL},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 3
+        ),
+        e AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach
+        GROUP BY src
+    """,
+    doc=(
+        "X2 (cluster tier): connected components over the near-dup "
+        "candidate graph (>=3 shared 3-grams) by iterative min-label "
+        "propagation — the union-find step that turns pairwise "
+        "near-dup hits into dedup groups. Each Spark iteration is one "
+        "join+agg with lineage truncated via localCheckpoint (bounded "
+        "plans at scale); converges in <= graph-diameter rounds. The "
+        "DuckDB oracle recomputes components with a recursive CTE."
+    ),
+    tags=("dedup", "llm", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= 3)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+    comps = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; tiny candidate graphs converge fast
+        msgs = (
+            edges.join(comps, edges["dst"] == comps["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            comps.join(msgs, comps["doc_id"] == msgs["src"], "left")
+            .select(
+                "doc_id",
+                F.least("component", F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(comps.alias("c"), "doc_id")
+            .filter(F.col("u.component") != F.col("c.component"))
+            .count()
+        )
+        comps = updated
+        if changed == 0:
+            break
+    return comps

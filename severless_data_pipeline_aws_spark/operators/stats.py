@@ -1,0 +1,94 @@
+"""Distributed statistics from exact sums.
+
+Built-in ``corr``/``covar_samp`` stream co-moments in accumulation
+order, so their double outputs are not reproducible across engines or
+even across partitionings. The scalable-and-exact alternative: reduce
+each group to its DECIMAL power sums (order-independent, mergeable —
+one map-side-combined shuffle), convert the handful of finals to
+DOUBLE, and evaluate the closed forms driver-free in one projection.
+The same six sums yield correlation AND the least-squares line, which
+is why pretraining-data audits compute them together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+from ._helpers import dsum_double, dsum_double_sql
+
+_CALC = """
+        SELECT {key}, n, corr_xy,
+               cov_num / var_x AS slope,
+               (sy - (cov_num / var_x) * sx) / nd AS intercept
+        FROM (
+            SELECT {key}, n, nd, sx, sy,
+                   cov_num / (sqrt(var_x) * sqrt(var_y)) AS corr_xy,
+                   cov_num, var_x
+            FROM (
+                SELECT {key}, n, nd, sx, sy,
+                       nd * sxy - sx * sy AS cov_num,
+                       nd * sxx - sx * sx AS var_x,
+                       nd * syy - sy * sy AS var_y
+                FROM sums
+            )
+        )
+"""
+
+
+@register(
+    "stats_corr_regression_exact",
+    oracle=f"""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   {dsum_double_sql("l_quantity")} AS sx,
+                   {dsum_double_sql("l_extendedprice")} AS sy,
+                   {dsum_double_sql("l_quantity * l_quantity")} AS sxx,
+                   {dsum_double_sql("l_extendedprice * l_extendedprice")} AS syy,
+                   {dsum_double_sql("l_quantity * l_extendedprice")} AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        {_CALC.format(key="l_returnflag")}
+    """,
+    doc=(
+        "Exact distributed correlation + least-squares fit of "
+        "extendedprice on quantity per returnflag: DECIMAL power sums "
+        "(order-independent, one shuffle) -> DOUBLE closed forms. "
+        "Reproducible where built-in corr()/covar() are accumulation-"
+        "order-dependent."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_corr_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sums = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        dsum_double("l_quantity").alias("sx"),
+        dsum_double("l_extendedprice").alias("sy"),
+        dsum_double("l_quantity * l_quantity").alias("sxx"),
+        dsum_double("l_extendedprice * l_extendedprice").alias("syy"),
+        dsum_double("l_quantity * l_extendedprice").alias("sxy"),
+    )
+    moments = sums.select(
+        "l_returnflag",
+        "n",
+        "nd",
+        "sx",
+        "sy",
+        F.expr("nd * sxy - sx * sy").alias("cov_num"),
+        F.expr("nd * sxx - sx * sx").alias("var_x"),
+        F.expr("nd * syy - sy * sy").alias("var_y"),
+    )
+    return moments.select(
+        "l_returnflag",
+        "n",
+        F.expr("cov_num / (sqrt(var_x) * sqrt(var_y))").alias("corr_xy"),
+        F.expr("cov_num / var_x").alias("slope"),
+        F.expr("(sy - (cov_num / var_x) * sx) / nd").alias("intercept"),
+    )

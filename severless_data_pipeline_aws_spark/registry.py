@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "severless_data_pipeline_aws_spark.operators.sampling",
     "severless_data_pipeline_aws_spark.operators.funnel",
     "severless_data_pipeline_aws_spark.operators.cdc",
+    "severless_data_pipeline_aws_spark.operators.stats",
     "severless_data_pipeline_aws_spark.functions.scalar",
     "severless_data_pipeline_aws_spark.operators.dashboard",
     "severless_data_pipeline_aws_spark.sources.generator",
