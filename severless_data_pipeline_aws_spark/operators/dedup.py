@@ -59,20 +59,44 @@ def _shingles(col: str = "text", n: int = 3):
     )
 
 
+#: The synthetic corpus has no byte-identical duplicates below sf0.1, so
+#: the exact-dedup operators would pass vacuously at the driver's scale.
+#: Both therefore run over ``documents`` plus a re-keyed copy of every
+#: 10th doc — negated ids are collision-free against the non-negative id
+#: space at ANY scale, and the oracle injects the identical rows.
+_DUP_CORPUS_SQL = """corpus AS (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT -doc_id - 1, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 10 = 0
+        )"""
+
+
+def duplicated_corpus(t: Tables) -> DataFrame:
+    """Spark twin of ``_DUP_CORPUS_SQL``."""
+    d = t.documents.select("doc_id", "text", "lang", "source", "n_chars")
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", -F.col("doc_id") - 1
+    )
+    return d.unionByName(dup)
+
+
 @register(
     "dedup_exact_keep_first",
-    oracle="""
-        WITH ranked AS (
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL},
+        ranked AS (
             SELECT doc_id, lang, source, n_chars,
                    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-            FROM documents
+            FROM corpus
         )
         SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
     """,
     doc=(
-        "X1: exact dedup at scale — sha2(text,256) + keep-first window. "
-        "One shuffle on the 256-bit hash; survivor choice is deterministic "
-        "(lowest doc_id), unlike dropDuplicates."
+        "X1: exact dedup at scale — sha2(text,256) + keep-first window "
+        "over the duplicate-injected corpus. One shuffle on the 256-bit "
+        "hash; survivor choice is deterministic (lowest doc_id), unlike "
+        "dropDuplicates."
     ),
     tags=("dedup", "llm"),
 )
@@ -82,7 +106,8 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     return (
-        t.documents.withColumn("rn", F.row_number().over(w))
+        duplicated_corpus(t)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
@@ -90,20 +115,26 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_clusters",
-    oracle="""
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL}
         SELECT sha256(text) AS text_hash, COUNT(*) AS n_copies,
                MIN(doc_id) AS first_doc_id
-        FROM documents
+        FROM corpus
         GROUP BY sha256(text)
         HAVING COUNT(*) > 1
     """,
-    doc="X1: duplicate-cluster inventory (hash, multiplicity, surviving id).",
+    doc=(
+        "X1: duplicate-cluster inventory (hash, multiplicity, surviving "
+        "id) over the duplicate-injected corpus — non-vacuous at every "
+        "scale."
+    ),
     tags=("dedup", "llm"),
 )
 def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
-        t.documents.groupBy(F.sha2("text", 256).alias("text_hash"))
+        duplicated_corpus(t)
+        .groupBy(F.sha2("text", 256).alias("text_hash"))
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("first_doc_id"))
         .filter(F.col("n_copies") > 1)
     )

@@ -108,9 +108,11 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
 
 @pytest.mark.parametrize("name", ["dedup_exact_keep_first", "dedup_exact_clusters"])
 def test_exact_dedup_consistency(name, spark, sf_dir):
-    """Survivors + duplicate clusters partition the corpus."""
+    """Survivors + duplicate clusters partition the (dup-injected) corpus."""
+    from severless_data_pipeline_aws_spark.operators.dedup import duplicated_corpus
+
     t = Tables(spark, sf_dir)
-    n_docs = t.documents.count()
+    n_docs = duplicated_corpus(t).count()
     n_survivors = SPECS["dedup_exact_keep_first"].fn(spark, sf_dir).count()
     clusters = SPECS["dedup_exact_clusters"].fn(spark, sf_dir).agg(
         F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("extra")
