@@ -23,11 +23,11 @@ from ..registry import register
     oracle="""
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+        WHERE o_totalprice > 1.75 * (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
                                          / COUNT(*) FROM orders)
     """,
     doc=(
-        "Scalar subquery: orders above 2x the average price. The "
+        "Scalar subquery: orders above 1.75x the average price. The "
         "aggregate is one row — Catalyst plans it as a broadcast below "
         "the filter (exact decimal avg so both engines agree)."
     ),
@@ -39,7 +39,7 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+        WHERE o_totalprice > 1.75 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
                                          / COUNT(*) FROM orders)
         """
     )
@@ -69,17 +69,20 @@ def subquery_in_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_correlated_exists",
     oracle="""
-        SELECT s_suppkey, s_name
-        FROM supplier s
+        SELECT p_partkey, p_name
+        FROM part p
         WHERE EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_suppkey = s.s_suppkey AND l.l_discount >= 0.09)
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
           AND NOT EXISTS (SELECT 1 FROM lineitem l2
-                          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'R'
-                            AND l2.l_quantity >= 49)
+                          WHERE l2.l_partkey = p.p_partkey AND l2.l_returnflag = 'R'
+                            AND l2.l_quantity >= 40)
     """,
     doc=(
-        "Correlated EXISTS + NOT EXISTS on the same key → semi join "
-        "stacked on anti join; the correlation becomes the join key."
+        "Correlated EXISTS + NOT EXISTS on the same key (parts with a "
+        "max-quantity sale but no large returned sale) → semi join "
+        "stacked on anti join; the correlation becomes the join key. "
+        "Correlates on part: supplier cardinality is too low for the "
+        "NOT EXISTS side to survive at small scales."
     ),
     tags=("subquery", "exists"),
 )
@@ -87,13 +90,13 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT s_suppkey, s_name
-        FROM supplier s
+        SELECT p_partkey, p_name
+        FROM part p
         WHERE EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_suppkey = s.s_suppkey AND l.l_discount >= 0.09)
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
           AND NOT EXISTS (SELECT 1 FROM lineitem l2
-                          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'R'
-                            AND l2.l_quantity >= 49)
+                          WHERE l2.l_partkey = p.p_partkey AND l2.l_returnflag = 'R'
+                            AND l2.l_quantity >= 40)
         """
     )
 
