@@ -1,0 +1,872 @@
+"""The remaining TPC-H decision-support shapes (Q2,4,7,8,9,11-17,19-22).
+
+Together with Q1/Q3/Q5/Q6/Q10/Q18 (operators/tpch.py, aggregates.py,
+subqueries.py) this completes all 22 TPC-H query *shapes* over the
+driver's slimmed star schema. The reference's SQL surface is Redshift
+(README.md:2); TPC-H is the canonical coverage bar for that surface.
+
+The test schema has no ``partsupp`` table and drops several columns
+(l_commitdate/l_receiptdate/l_shipmode/c_phone/o_comment/ps_*), so five
+queries are *shape-preserving adaptations* — the plan topology (the part
+Catalyst sees: correlated scalar subqueries, disjunctive join predicates,
+double-EXISTS decorrelation, group-HAVING semi joins) is the canonical
+one, with the part-supplier link derived from lineitem instead:
+
+  Q2   min-cost supplier      supply_cost := MIN(l_extendedprice/l_quantity)
+  Q4   priority check         EXISTS(returned item) for l_commitdate breach
+  Q9   product-type profit    cost proxy := 0.5 * p_retailprice
+  Q11  important part value   value := SUM(l_extendedprice) by nation's sales
+  Q12  priority by class      l_linestatus for l_shipmode
+  Q16  supplier counts        lineitem link; complaints := s_acctbal < 0
+  Q20  qualified suppliers    HAVING SUM(l_quantity) for ps_availqty/2
+  Q21  waiting suppliers      l_returnflag='R' for receipt-after-commit
+  Q22  dormant customers      no order since 1999 for 7-year no-order
+
+Scale notes (100 TB): every query keeps dims (part/supplier/nation/
+region at their TPC-H ratios) on the broadcast side of fact joins;
+fact-fact joins shuffle on their natural keys after pushed-down
+filters; decorrelated forms (Q17 per-part avg, Q21 per-order supplier
+stats) replace correlated re-scans with ONE extra aggregate over the
+already-shuffled fact — the textbook Spark plan for each shape.
+Exactness discipline per operators/_helpers.py (decimal accumulation,
+VARCHAR-hop casts, no double rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..registry import register
+from ._helpers import DEC, davg_sql, dsum_double, dsum_double_sql
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN subquery)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS supply_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        FROM part
+        JOIN ps       ON p_partkey = ps.l_partkey
+        JOIN supplier ON s_suppkey = ps.l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+          AND supply_cost = (
+              SELECT MIN(ps2.supply_cost)
+              FROM ps ps2
+              JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+              JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+              WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+    """,
+    doc=(
+        "TPC-H Q2 shape: cheapest regional supplier per part via a "
+        "correlated MIN subquery, decorrelated into a per-part min "
+        "aggregate joined back (one extra agg, no re-scan). supply_cost "
+        "adapted from absent partsupp as MIN(unit price) over sales."
+    ),
+    tags=("join", "subquery", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ps = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    # suppliers restricted to the region; supplier/nation/region are dims
+    eur_supp = (
+        t.supplier.join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eur_ps = ps.join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = eur_ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        eur_ps.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(
+                t.part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order-priority checking (EXISTS semi join)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q4_priority_check",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape: one quarter of orders with EXISTS evidence of "
+        "a problem lineitem (returned, standing in for commit-date "
+        "breach), counted per priority bucket. Plans as a left-semi "
+        "join; the date filter pushes to the orders scan."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    quarter = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    problem = t.lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        quarter.join(problem, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT r1.r_name AS supp_region,
+               r2.r_name AS cust_region,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               {dsum_double_sql(_REV)} AS revenue
+        FROM supplier
+        JOIN lineitem  ON s_suppkey = l_suppkey
+        JOIN orders    ON o_orderkey = l_orderkey
+        JOIN customer  ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+            OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q7 shape: bilateral trade volume by year between two "
+        "trading blocs. The nation->region dim chain is joined TWICE "
+        "(supplier side and customer side) — all four broadcast; the "
+        "symmetric pair predicate is a residual filter after them. "
+        "(Regions instead of canonical nations: sf0.001 has only 10 "
+        "suppliers, so any single-nation pair is vacuous there.)"
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    n1 = t.nation.join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("s_nk"), F.col("r_name").alias("supp_region"))
+    n2 = t.nation.join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"), F.col("r_name").alias("cust_region"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_region", "cust_region", "l_year")
+        .agg(dsum_double(_REV).alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               {dsum_double_sql(f"CASE WHEN n2.n_name = 'NATION_2' THEN {_REV} ELSE 0 END")}
+               / {dsum_double_sql(_REV)} AS mkt_share
+        FROM part
+        JOIN lineitem  ON p_partkey = l_partkey
+        JOIN supplier  ON s_suppkey = l_suppkey
+        JOIN orders    ON o_orderkey = l_orderkey
+        JOIN customer  ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc=(
+        "TPC-H Q8 shape: one nation's share of a region's market for a "
+        "part type, by order year. Share = conditional decimal sum / "
+        "total decimal sum — both exact, divided as identical doubles. "
+        "part/supplier/nation(x2)/region all broadcast; lineitem-orders "
+        "is the only fact-fact shuffle."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        t.lineitem.join(
+            F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+    )
+    nation_rev = f"CASE WHEN supp_nation = 'NATION_2' THEN {_REV} ELSE 0 END"
+    return (
+        base.groupBy("o_year")
+        .agg((dsum_double(nation_rev) / dsum_double(_REV)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit (adapted cost basis)
+# --------------------------------------------------------------------------
+_PROFIT = "l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity"
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               {dsum_double_sql(_PROFIT)} AS sum_profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q9 shape: profit on a product line by supplier nation "
+        "and year. Cost basis adapted (0.5 * p_retailprice standing in "
+        "for absent ps_supplycost); the LIKE filter prunes part before "
+        "its broadcast."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.filter(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(dsum_double(_PROFIT).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part values (scalar-subquery threshold)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_part_value",
+    oracle=f"""
+        WITH nval AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS {DEC})) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey,
+               CAST(CAST(v AS VARCHAR) AS DOUBLE) AS part_value
+        FROM nval
+        WHERE CAST(CAST(v AS VARCHAR) AS DOUBLE) >
+              (SELECT 3.0 * CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*)
+               FROM nval)
+        ORDER BY part_value DESC, partkey
+    """,
+    doc=(
+        "TPC-H Q11 shape: parts representing a significant share of one "
+        "nation's sales value (adapted from absent partsupp: value = "
+        "decimal sum of sale prices). The global threshold is a scalar "
+        "subquery — planned as a single-row broadcast under the filter. "
+        "Canonical Q11's fixed fraction is scale-variant (share per "
+        "part ~ 1/|part|, vacuous as data grows); 3x the mean part "
+        "value keeps the query meaningful at every sf. Sums stay exact "
+        "DECIMAL; the comparison happens on identically-rounded doubles."
+    ),
+    tags=("agg", "subquery", "tpch"),
+)
+def tpch_q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    nation_supp = (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    nval = (
+        t.lineitem.join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.expr(f"SUM(CAST(l_extendedprice AS {DEC}))").alias("v"))
+    )
+    threshold = nval.agg(
+        (F.lit(3.0) * F.sum("v").cast("double") / F.count(F.lit(1))).alias("threshold")
+    )
+    return (
+        nval.join(F.broadcast(threshold))
+        .filter(F.col("v").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — priority mix by line status (adapted from shipmode)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q12_priority_by_linestatus",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'N'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12 shape: split a year of shipments into high/low "
+        "priority counts per category (l_linestatus standing in for "
+        "absent l_shipmode). Conditional counts as SUM(CASE), cast "
+        "BIGINT on both engines (DuckDB SUM(int) is HUGEINT)."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.lineitem.filter(
+            (F.col("l_returnflag") == "N")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc=(
+        "TPC-H Q13 shape: histogram of orders-per-customer including "
+        "zero-order customers — the LEFT join keeps them, COUNT(col) "
+        "skips their NULLs, then a second aggregate builds the "
+        "distribution. (Priority filter standing in for the o_comment "
+        "NOT LIKE of the canonical query.)"
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion revenue share
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+        SELECT 100.00 * {dsum_double_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END")}
+               / {dsum_double_sql(_REV)} AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc=(
+        "TPC-H Q14: percentage of one month's revenue from PROMO parts "
+        "(the schema's p_type domain includes the literal 'PROMO'). "
+        "Single-row output; part broadcasts into the month of lineitem."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    promo = f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END"
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.00) * dsum_double(promo) / dsum_double(_REV)).alias("promo_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier (agg-of-agg scalar subquery)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {dsum_double_sql(_REV)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15 shape: supplier(s) achieving the quarter's maximum "
+        "revenue — the view's MAX is a scalar subquery over the same "
+        "aggregate (agg-of-agg). Per-supplier revenue is an exact "
+        "decimal sum cast to identical doubles, so the MAX-equality "
+        "selects the same rows on both engines."
+    ),
+    tags=("agg", "subquery", "tpch"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum_double(_REV).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier counts by part attributes (NOT IN anti join)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc=(
+        "TPC-H Q16 shape: how many distinct suppliers can deliver each "
+        "surviving (brand, size) bucket, excluding a supplier denylist "
+        "(negative balance standing in for the complaints LIKE). The "
+        "NOT IN plans as a broadcast anti join (keys are non-null); "
+        "supplier link derived from lineitem (no partsupp)."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bad_supp = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        t.lineitem.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG subquery)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+        SELECT {dsum_double_sql("l_extendedprice")} / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM'
+          AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+    doc=(
+        "TPC-H Q17: revenue lost to small orders, via a correlated AVG "
+        "subquery per part — decorrelated into ONE per-part average "
+        "joined back (no per-row re-scan). l_quantity is integral, so "
+        "the double AVG is order-independent and exact on both engines."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_part_avg = t.lineitem.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM"))
+    return (
+        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum_double("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — disjunctive discounted revenue
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+        SELECT {dsum_double_sql(_REV)} AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape: revenue under a three-branch disjunction "
+        "mixing part and lineitem columns. The equi-key (partkey) still "
+        "drives the join; the cross-table OR stays a residual filter — "
+        "the classic test that an engine doesn't fall back to a "
+        "cartesian plan on disjunctive predicates."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(dsum_double(_REV).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — qualified promo-part suppliers (group-HAVING semi join)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q20_promo_part_suppliers",
+    oracle="""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AFRICA'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(l_quantity) > 45)
+        ORDER BY s_name
+    """,
+    doc=(
+        "TPC-H Q20 shape: regional suppliers who moved significant "
+        "volume of a promoted part line in a year — an IN over a "
+        "grouped HAVING subquery, planned as semi join on the "
+        "qualifying supplier set (HAVING SUM(l_quantity) standing in "
+        "for the absent ps_availqty/2 comparison)."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    qualified = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t.part.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey")
+    )
+    return (
+        t.supplier.join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "AFRICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers solely responsible for returns (double EXISTS)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q21_sole_returned_supplier",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders      ON o_orderkey = l1.l_orderkey
+        JOIN nation      ON s_nationkey = n_nationkey
+        JOIN region      ON n_regionkey = r_regionkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND r_name = 'ASIA'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q21 shape (returnflag standing in for receipt-after-"
+        "commit): in finished multi-supplier orders, count lineitems "
+        "whose supplier was the ONLY one with a return. The correlated "
+        "EXISTS + NOT EXISTS pair is decorrelated into one per-order "
+        "aggregate (distinct suppliers, distinct returning suppliers) — "
+        "one shuffle over lineitem instead of two correlated self-joins."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_order = t.lineitem.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_ret"),
+    )
+    # EXISTS(other supplier)       <=> order has >= 2 distinct suppliers
+    # NOT EXISTS(other R supplier) <=> exactly one supplier returned (l1's)
+    qualifying = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_supp_ret") == 1))
+    asia_supp = (
+        t.supplier.join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(qualifying, F.col("l_orderkey") == F.col("po_orderkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — dormant high-balance customers (anti join + scalar AVG)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q22_dormant_customers",
+    oracle=f"""
+        SELECT c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               {dsum_double_sql("c_acctbal")} AS totacctbal
+        FROM customer c
+        WHERE c_nationkey IN (0, 5, 10, 15, 20)
+          AND c_acctbal > (SELECT {davg_sql("c_acctbal")}
+                           FROM customer
+                           WHERE c_acctbal > 0
+                             AND c_nationkey IN (0, 5, 10, 15, 20))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+    """,
+    doc=(
+        "TPC-H Q22 shape: above-average-balance customers in selected "
+        "countries with no recent orders (nationkey standing in for the "
+        "phone country code; 'no order since 1999' replacing the "
+        "canonical 7-year window so the anti join is non-vacuous in the "
+        "test data). Scalar AVG broadcast + anti join against orders."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    codes = [0, 5, 10, 15, 20]
+    hot = t.customer.filter(F.col("c_nationkey").isin(codes))
+    avg_bal = hot.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(
+            f"CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(c_acctbal)"
+        ).alias("avg_bal")
+    )
+    recent = t.orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        hot.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum_double("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "severless_data_pipeline_aws_spark.operators.setops",
     "severless_data_pipeline_aws_spark.operators.subqueries",
     "severless_data_pipeline_aws_spark.operators.tpch",
+    "severless_data_pipeline_aws_spark.operators.tpch_suite",
     "severless_data_pipeline_aws_spark.operators.nulls",
     "severless_data_pipeline_aws_spark.operators.sampling",
     "severless_data_pipeline_aws_spark.operators.funnel",
