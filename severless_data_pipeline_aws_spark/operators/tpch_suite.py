@@ -34,7 +34,7 @@ VARCHAR-hop casts, no double rounding).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
@@ -94,15 +94,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eur_ps = ps.join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-    min_cost = eur_ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
+    # correlated MIN as a window over the (already aggregated) pair table:
+    # ONE lineitem scan, vs two for the groupBy+join-back decorrelation
+    min_cost = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
     return (
-        eur_ps.join(
-            min_cost,
-            (F.col("l_partkey") == F.col("mc_partkey"))
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
+        eur_ps.withColumn("min_cost", min_cost)
+        .filter(F.col("supply_cost") == F.col("min_cost"))
         .join(
             F.broadcast(
                 t.part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
@@ -555,9 +552,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum_double(_REV).alias("total_revenue"))
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    # global MAX as an unpartitioned window over the per-supplier aggregate
+    # (bounded by supplier cardinality, so the single partition is tiny) —
+    # ONE lineitem scan, vs two for the agg+cross-join decorrelation
+    max_rev = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(F.broadcast(top))
+        revenue.withColumn("max_revenue", max_rev)
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -631,13 +631,14 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    per_part_avg = t.lineitem.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
-    )
     parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM"))
+    # the part-filter join keeps EVERY lineitem of the surviving parts, so
+    # the correlated per-part AVG can run as a window AFTER the broadcast
+    # join — ONE lineitem scan (the correlation key is the join key)
+    threshold = F.lit(0.2) * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
         t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
+        .withColumn("qty_threshold", threshold)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum_double("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -785,15 +786,16 @@ def tpch_q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    per_order = t.lineitem.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_ret"),
-    )
     # EXISTS(other supplier)       <=> order has >= 2 distinct suppliers
     # NOT EXISTS(other R supplier) <=> exactly one supplier returned (l1's)
-    qualifying = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_supp_ret") == 1))
+    # Both computed as per-order windows (collect_set is tiny: orders have
+    # ~7 lineitems at any scale) — ONE lineitem scan + one shuffle on
+    # l_orderkey, vs two scans + two shuffles for the agg+semi-join form.
+    w = Window.partitionBy("l_orderkey")
+    n_supp = F.size(F.collect_set("l_suppkey").over(w))
+    n_supp_ret = F.size(
+        F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).over(w)
+    )
     asia_supp = (
         t.supplier.join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
@@ -803,13 +805,18 @@ def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFra
         .select("s_suppkey", "s_name")
     )
     return (
-        t.lineitem.filter(F.col("l_returnflag") == "R")
+        t.lineitem.withColumn("n_supp", n_supp)
+        .withColumn("n_supp_ret", n_supp_ret)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_supp_ret") == 1)
+        )
         .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             t.orders.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(qualifying, F.col("l_orderkey") == F.col("po_orderkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

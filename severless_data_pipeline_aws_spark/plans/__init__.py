@@ -9,4 +9,5 @@ from .inspect import (  # noqa: F401
     pushed_filters,
     read_schema_columns,
     sort_merge_join_count,
+    table_scan_count,
 )

@@ -66,3 +66,14 @@ def sort_merge_join_count(df: DataFrame) -> int:
 def has_take_ordered(df: DataFrame) -> bool:
     """True when the sort+limit planned as top-k, not a global sort."""
     return "TakeOrderedAndProject" in _simple_plan(df)
+
+
+def table_scan_count(df: DataFrame, table: str) -> int:
+    """How many separate file scans read ``<table>.parquet``.
+
+    DataFrame plans get no common-subplan reuse from Catalyst: a fact
+    referenced from two branches is SCANNED twice. At 100 TB a second
+    fact scan dwarfs most other costs, so single-scan is an assertable
+    design property (decorrelate via window, not via self-join).
+    """
+    return len(re.findall(rf"Location:.*[/\\]{re.escape(table)}\.parquet", explain_str(df)))

@@ -102,3 +102,33 @@ def test_gap_fill_joins_rollup_not_facts(spark, sf_dir):
     # span agg, hourly rollup, grid-to-rollup join: bounded shuffles
     assert plans.exchange_count(df) <= 4
     assert any("user_id" in f for f in plans.pushed_filters(df))
+
+
+def test_correlated_tpch_shapes_scan_fact_once(spark, sf_dir):
+    """Decorrelated subqueries must not re-scan the fact table.
+
+    Catalyst gives DataFrame plans no common-subplan reuse, so a
+    groupBy+join-back decorrelation scans lineitem twice; the window
+    forms of Q2/Q15/Q17/Q21 keep it to one scan — at 100 TB the second
+    fact scan would dominate the query.
+    """
+    for name in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q21_sole_returned_supplier",
+    ):
+        df = _df(name, spark, sf_dir)
+        assert plans.table_scan_count(df, "lineitem") == 1, name
+
+
+def test_tpch_suite_broadcasts_dims(spark, sf_dir):
+    """Multi-dim shapes keep every dimension on the broadcast side."""
+    for name, min_bcast in (
+        ("tpch_q7_volume_shipping", 5),
+        ("tpch_q8_market_share", 5),
+        ("tpch_q9_product_type_profit", 3),
+        ("tpch_q21_sole_returned_supplier", 3),
+    ):
+        df = _df(name, spark, sf_dir)
+        assert plans.broadcast_join_count(df) >= min_bcast, name
