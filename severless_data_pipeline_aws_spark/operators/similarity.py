@@ -248,3 +248,176 @@ def similarity_label_centroid_agreement(spark: SparkSession, sf_dir: str) -> Dat
             )
         ).alias("cosine_to_own_centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the third tier: coarse k-means cells + multi-probe
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16  # coarse cells
+_IVF_ITERS = 2  # Lloyd refinement passes
+_IVF_NPROBE = 6  # cells probed per query
+
+#: spherical k-means: train/assign on L2-normalized vectors so nearest-cell
+#: by squared L2 == nearest-cell by cosine (the metric the search uses)
+
+
+def _normalize(vcol):
+    norm = F.sqrt(_dot(vcol, vcol))
+    return F.transform(vcol, lambda x: x / norm)
+
+
+def _cells_literal(centroids: list[tuple[int, list[float]]]):
+    """K centroid vectors as ONE literal array<struct<cid,cv>> column.
+
+    Centroids are bounded metadata (K x dim doubles), not data — inlining
+    them makes every assignment map-only (no join, no shuffle), exactly
+    how MLlib's KMeans broadcasts centers each iteration.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def _nearest_cell(vcol, cells):
+    """argmin_{cell} ||v - c||^2 as a fold over the centroid array."""
+
+    def dist2(cell):
+        return F.aggregate(
+            F.zip_with(vcol, cell["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    init = F.struct(F.lit(-1).alias("cid"), F.lit(float("inf")).alias("d"))
+    return F.aggregate(
+        cells,
+        init,
+        lambda acc, cell: F.when(
+            dist2(cell) < acc["d"],
+            F.struct(cell["cid"].alias("cid"), dist2(cell).alias("d")),
+        ).otherwise(acc),
+    )
+
+
+def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS):
+    """Deterministic spherical k-means on normalized vectors.
+
+    Seeds = k hash-sampled vectors (xxhash64 order: deterministic, no
+    Math.random). Each Lloyd pass is one map-only assignment + one
+    (cell, dim) aggregation; only the K centroid vectors ever reach the
+    driver — bounded metadata, the same contract as MLlib KMeans'
+    per-iteration center collection. At 100 TB, train on a hash-sampled
+    slice (TABLESAMPLE) — centroid quality needs samples, not the corpus.
+    """
+    import math
+
+    vec = emb.select("vec_id", _normalize(_as_double("embedding")).alias("v"))
+    seeds = vec.orderBy(F.xxhash64("vec_id")).limit(k).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cells = _cells_literal(centroids)
+        assigned = vec.withColumn("cell", _nearest_cell(F.col("v"), cells)["cid"])
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+            .select("cell", F.expr("transform(pairs, p -> p.cx)").alias("centroid"))
+            .collect()
+        )
+        centroids = []
+        for r in rows:
+            c = list(r["centroid"])
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            centroids.append((r["cell"], [x / n for x in c]))
+        centroids.sort()
+    return centroids
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate by construction; recall vs exact checked in pytest
+    doc=(
+        "X3 (scale tier 2): IVF approximate nearest neighbors. A "
+        "deterministic spherical k-means coarse quantizer (16 cells, 2 "
+        "Lloyd passes, all DataFrame aggregations) partitions the corpus "
+        "into an inverted file; queries probe their 6 nearest cells and "
+        "re-score exactly only inside them. Assignment is MAP-ONLY "
+        "(centroids inlined as a literal, no join); candidate lookup is "
+        "an equi-join on cell id. vs LSH: cells adapt to the data "
+        "distribution, so probe cost concentrates where neighbors are."
+    ),
+    tags=("similarity", "llm", "ivf", "ann"),
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    centroids = ivf_train(spark, emb)
+    cells = _cells_literal(centroids)
+
+    # inverted file: map-only cell assignment for every candidate vector
+    inv = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .select("vec_id", _normalize(_as_double("embedding")).alias("nv"))
+        .withColumn("cell", _nearest_cell(F.col("nv"), cells)["cid"])
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    # multi-probe: each query's NPROBE nearest cells (queries are few; the
+    # explode is |Q| x K rows of metadata)
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _normalize(_as_double("embedding")).alias("nq"))
+        .select("query_id", "nq", F.explode(cells).alias("cellrow"))
+        .select(
+            "query_id",
+            F.col("cellrow.cid").alias("cell"),
+            F.aggregate(
+                F.zip_with(F.col("nq"), F.col("cellrow.cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(W.partitionBy("query_id").orderBy("d2", "cell")),
+        )
+        .filter(F.col("cell_rank") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    candidates = probes.join(inv, "cell").select("query_id", "neighbor_id")
+
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv"))
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    scored = (
+        candidates.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -60,6 +60,45 @@ def test_ann_lsh_recall_vs_exact_topk(spark, sf_dir):
     assert hits / total >= 0.5, f"ANN recall@10 = {hits}/{total}"
 
 
+def test_ann_ivf_recall_vs_exact_topk(spark, sf_dir):
+    """IVF (6 of 16 cells probed) must recover >=50% of the true top-10,
+    and scoring must stay inside the probed cells (candidate count < corpus)."""
+    exact = SPECS["similarity_topk_cosine_exact"].fn(spark, sf_dir).collect()
+    ann = SPECS["similarity_ann_ivf"].fn(spark, sf_dir).collect()
+    true_sets = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    for r in ann:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.5, f"IVF recall@10 = {hits}/{total}"
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    """The inverted file is a partition: every vector in exactly one cell,
+    and the quantizer actually spreads the corpus (>= 4 non-empty cells)."""
+    from severless_data_pipeline_aws_spark.operators.similarity import (
+        _as_double,
+        _cells_literal,
+        _nearest_cell,
+        _normalize,
+        ivf_train,
+    )
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    cells = _cells_literal(ivf_train(spark, emb))
+    assigned = emb.select(
+        "vec_id", _nearest_cell(_normalize(_as_double("embedding")), cells)["cid"].alias("cell")
+    )
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.filter(F.col("cell") < 0).count() == 0
+    assert assigned.select("cell").distinct().count() >= 4
+
+
 def test_centroid_agreement_positive(spark, sf_dir):
     """Vectors should be positively aligned with their label centroid
     (the embeddings fixture is 10 generated clusters)."""
