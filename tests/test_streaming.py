@@ -125,6 +125,35 @@ def test_stateful_drift_stream_equals_replay(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stateful_drift_transform_with_state_equals_replay(spark, tmp_path):
+    """The Spark 4 transformWithState form must produce the identical walk."""
+    import pytest
+
+    if stateful.drift_walk_tws is None:
+        pytest.skip("transformWithState requires Spark 4+")
+    if not stateful.tws_runtime_available():
+        pytest.skip("transformWithState runner needs google.protobuf (absent here)")
+    steps = _steps_df(spark)
+    src = str(tmp_path / "steps_tws")
+    steps.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(stateful.STEP_SCHEMA).parquet(src)
+    q = (
+        stateful.drift_walk_tws(stream)
+        .writeStream.format("memory")
+        .queryName("drift_tws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("drift_tws").toPandas()
+    want = stateful.batch_replay(steps.toPandas())
+    key = ["device_id", "sensor", "tick"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stateful_drift_state_survives_restart(spark, tmp_path):
     steps = _steps_df(spark).toPandas()
     first = steps[steps.tick <= 15]
