@@ -351,3 +351,180 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+_CHUNK_LEN = 32  # words per chunk
+_CHUNK_STRIDE = 24  # overlap = 8 words
+
+
+@register(
+    "text_chunk_sliding_windows",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        )
+        SELECT doc_id,
+               CAST(s.i AS BIGINT) AS chunk_id,
+               array_to_string(
+                   words[s.i * {_CHUNK_STRIDE} + 1 : s.i * {_CHUNK_STRIDE} + {_CHUNK_LEN}],
+                   ' ') AS chunk_text,
+               CAST(least({_CHUNK_LEN}, len(words) - s.i * {_CHUNK_STRIDE}) AS BIGINT)
+                   AS n_tokens
+        FROM toks, LATERAL (
+            SELECT unnest(range(0, ((len(words) - 1) // {_CHUNK_STRIDE}) + 1)) AS i
+        ) s
+        ORDER BY doc_id, chunk_id
+    """,
+    doc=(
+        "LLM preprocessing: split every document into overlapping "
+        f"{_CHUNK_LEN}-word windows with stride {_CHUNK_STRIDE} (context-"
+        "window packing). Pure column ops — split once, sequence+explode "
+        "the start offsets, slice per chunk; the explode is the row "
+        "multiplier (~n_words/stride per doc) and everything stays in "
+        "whole-stage codegen. At 100 TB this is the map-only stage before "
+        "tokenization; no shuffle at all until a downstream groupBy."
+    ),
+    tags=("text", "llm", "chunk"),
+)
+def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return (
+        t.documents.select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            F.size("words").alias("n_words"),
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("words") - 1) / _CHUNK_STRIDE).cast("int")
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("words"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_LEN),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(_CHUNK_LEN),
+                F.col("n_words") - F.col("chunk_id") * _CHUNK_STRIDE,
+            ).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+#: deterministic synthetic PII (the fixture corpus is clean word soup, so
+#: the redactor needs its targets injected — same pattern as the dedup
+#: corpus injection)
+_PII_SUFFIX = (
+    "concat(' contact user', doc_id, '@example.com or 555-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now')"
+)
+_PII_SUFFIX_DUCK = (
+    "concat(' contact user', doc_id, '@example.com or 555-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now')"
+)
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        WITH tainted AS (
+            SELECT doc_id, text || {_PII_SUFFIX_DUCK} AS text FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+        FROM tainted
+        ORDER BY doc_id
+    """,
+    doc=(
+        "LLM preprocessing: PII redaction — regexp_replace emails and "
+        "phone-shaped tokens with typed placeholders and count what was "
+        "scrubbed per document (the audit column). The corpus is clean "
+        "synthetic text, so deterministic PII is injected first (doc_id-"
+        "derived, reproducible on both engines). Map-only; the regex "
+        "runs JVM-side in codegen, no UDF."
+    ),
+    tags=("text", "llm", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tainted = t.documents.select(
+        "doc_id", F.expr(f"concat(text, {_PII_SUFFIX})").alias("text")
+    )
+    return tainted.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PHONE_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.15
+                   AS is_repetitive
+        FROM wc
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "LLM quality filtering, Gopher-style repetition signals: per "
+        "document, the fraction of tokens taken by the single most "
+        "frequent word and the distinct-token ratio; documents past the "
+        "threshold get flagged for drop. Two-level aggregate (doc+word, "
+        "then doc) — both partial-aggregated map-side; integer counts "
+        "divide as identical doubles on both engines."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wc = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_frac = F.max("c").cast("double") / F.sum("c").cast("double")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            top_frac.alias("top_word_frac"),
+            (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+                "distinct_ratio"
+            ),
+            (top_frac > 0.15).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
