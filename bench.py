@@ -36,6 +36,11 @@ HEADLINE = [
     "text_wordcount_topk",
     "tpch_q18_large_volume_orders",
     "pipeline_llm_preprocess",
+    # round-2 additions: widest join tree, window-decorrelated double-EXISTS,
+    # and the map-only chunking stage (explode-heavy string workload)
+    "tpch_q9_product_type_profit",
+    "tpch_q21_sole_returned_supplier",
+    "text_chunk_sliding_windows",
 ]
 
 
