@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import Tables
+from ..io import Tables, register_views
 from ..registry import register
 from ._helpers import davg, dsum_double
 
@@ -380,4 +380,63 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         nations.alias("nations"),
         F.concat_ws(",", nations).alias("nations_csv"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "timeseries_rollup_hierarchical",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(38,8))) AS s,
+                   MIN(value) AS mn, MAX(value) AS mx
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT 'hour' AS level, bucket_start, event_type,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_value,
+               mn AS min_value, mx AS max_value
+        FROM hourly
+        UNION ALL
+        SELECT 'day', date_trunc('day', bucket_start), event_type,
+               CAST(SUM(n) AS BIGINT),
+               CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE),
+               MIN(mn), MAX(mx)
+        FROM hourly
+        GROUP BY date_trunc('day', bucket_start), event_type
+        ORDER BY level, bucket_start, event_type
+    """,
+    doc=(
+        "Hypertable-style hierarchical rollup, both grains in ONE "
+        "GROUPING SETS pass: (type, day, hour) and (type, day) share a "
+        "single events scan and a single shuffle — a plain union of two "
+        "aggregations would scan the fact twice (no common-subplan "
+        "reuse). The ORACLE builds the day level by re-aggregating the "
+        "hourly CTE, so the hash match doubles as proof that coarser "
+        "grains can be maintained from finer rollups exactly (decimal "
+        "sums/min/max/count are associative) — the continuous-aggregate "
+        "pattern at 100 TB. Single fact scan asserted by plan test."
+    ),
+    tags=("agg", "timeseries", "rollup"),
+)
+def timeseries_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(hour_b) = 1 THEN 'day' ELSE 'hour' END AS level,
+               CASE WHEN GROUPING(hour_b) = 1 THEN day_b ELSE hour_b END AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM (SELECT date_trunc('hour', ts) AS hour_b,
+                     date_trunc('day', ts) AS day_b,
+                     event_type, value
+              FROM events)
+        GROUP BY event_type, day_b, GROUPING SETS ((hour_b), ())
+        ORDER BY level, bucket_start, event_type
+        """
     )

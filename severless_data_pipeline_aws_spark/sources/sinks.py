@@ -75,3 +75,31 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+    cluster_by: str | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files, optionally clustered on a key.
+
+    The 100 TB maintenance op streaming landings make necessary: a
+    micro-batched ingest leaves thousands of KB-sized files whose open
+    cost dominates scans. ``repartition(n)`` round-robins rows into
+    exactly n writers; ``cluster_by`` additionally hash-partitions and
+    sorts within files so min/max footer stats turn the key into a
+    row-group pruning predicate (poor man's Z-order on one dimension).
+    Returns the row count written (for the caller's audit log).
+    """
+    df = spark.read.parquet(src_path)
+    if cluster_by:
+        out = df.repartition(target_files, cluster_by).sortWithinPartitions(cluster_by)
+    else:
+        out = df.repartition(target_files)
+    out.write.mode(mode).parquet(dst_path)
+    return spark.read.parquet(dst_path).count()

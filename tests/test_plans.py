@@ -122,6 +122,14 @@ def test_correlated_tpch_shapes_scan_fact_once(spark, sf_dir):
         assert plans.table_scan_count(df, "lineitem") == 1, name
 
 
+def test_hierarchical_rollup_single_scan(spark, sf_dir):
+    """Both time grains must come from ONE events scan (GROUPING SETS),
+    not a union of two aggregations that re-reads the fact."""
+    df = _df("timeseries_rollup_hierarchical", spark, sf_dir)
+    assert plans.table_scan_count(df, "events") == 1
+    assert plans.exchange_count(df) <= 2  # expand+agg shuffle, final sort
+
+
 def test_tpch_suite_broadcasts_dims(spark, sf_dir):
     """Multi-dim shapes keep every dimension on the broadcast side."""
     for name, min_bcast in (

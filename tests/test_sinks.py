@@ -81,3 +81,32 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_parquet_reduces_files_and_prunes(spark, sf_dir, tmp_path):
+    t = Tables(spark, sf_dir)
+    frag = str(tmp_path / "fragmented")
+    compacted = str(tmp_path / "compacted")
+    # simulate a micro-batched landing: many tiny files
+    t.events.repartition(40).write.mode("overwrite").parquet(frag)
+    import glob
+
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 40
+    n = sinks.compact_parquet(spark, frag, compacted, target_files=4, cluster_by="user_id")
+    out_files = glob.glob(f"{compacted}/part-*.parquet")
+    assert len(out_files) == 4
+    assert n == t.events.count()
+    # clustering must make the key a row-group pruning predicate: a
+    # user_id filter should read fewer rows than the full table
+    import pyarrow.parquet as pq
+
+    stats = []
+    for f in out_files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        col_idx = names.index("user_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            stats.append((st.min, st.max))
+    # sorted-within-files => at least one file whose whole range misses user_id 1
+    assert any(mn > 1 or mx < 1 for mn, mx in stats)
