@@ -103,3 +103,81 @@ def compact_parquet(
         out = df.repartition(target_files)
     out.write.mode(mode).parquet(dst_path)
     return spark.read.parquet(dst_path).count()
+
+
+def _zvalue(col_a, col_b, bits: int = 16):
+    """Interleave the low ``bits`` bits of two non-negative ints (Morton
+    code) as a pure column expression — stays in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    def bit_at(col, i):
+        # (col >> i) & 1 with a Column shift amount: shiftright() needs a
+        # literal, so divide by 2^i instead (inputs are < 2^bits, exact)
+        return (col / F.pow(F.lit(2.0), i)).cast("long") % 2
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + bit_at(col_a, i) * F.pow(F.lit(2.0), i * 2).cast("long")
+        + bit_at(col_b, i) * F.pow(F.lit(2.0), i * 2 + 1).cast("long"),
+    )
+
+
+def _quantile_rank(df: DataFrame, col: str, bits: int):
+    """Map a numeric column into [0, 2^bits) by its approximate quantiles.
+
+    The 2^bits - 1 boundaries are bounded metadata collected once
+    (percentile_approx, one aggregate) and inlined as a literal array,
+    so the per-row rank is MAP-ONLY — no global sort, no single-
+    partition window. Quantile buckets also absorb skew: a hot value
+    region still spreads over the curve.
+    """
+    from pyspark.sql import functions as F
+
+    n = (1 << bits) - 1
+    fracs = [i / (n + 1) for i in range(1, n + 1)]
+    bounds = df.agg(F.percentile_approx(col, fracs, 10_000).alias("b")).first()["b"]
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.aggregate(
+        barr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(F.col(col) >= b, 1).otherwise(0).cast("long"),
+    )
+
+
+def write_zordered(
+    spark,
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering on two dimensions.
+
+    One-dimensional clustering (compact_parquet's sort) prunes on one
+    key and destroys locality on every other; interleaving the bits of
+    BOTH keys gives every file a small rectangle of the (a, b) space, so
+    row-group min/max stats prune selective filters on EITHER dimension
+    — the engine-level equivalent of Delta's OPTIMIZE ZORDER BY, built
+    from quantile-bucket rank normalization (map-only, skew-absorbing;
+    see _quantile_rank) + range partitioning on the interleaved code +
+    in-file sort. 8 bits per dimension addresses 65k curve cells —
+    far beyond per-file row-group counts.
+
+    At 100 TB: rewrite per partition (e.g. per day) so each range sort
+    stays bounded; the z column itself is dropped before writing.
+    """
+    ra = _quantile_rank(df, col_a, bits)
+    rb = _quantile_rank(df, col_b, bits)
+    z = df.withColumn("__z", _zvalue(ra, rb, bits))
+    (
+        z.repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -110,3 +110,40 @@ def test_compact_parquet_reduces_files_and_prunes(spark, sf_dir, tmp_path):
             stats.append((st.min, st.max))
     # sorted-within-files => at least one file whose whole range misses user_id 1
     assert any(mn > 1 or mx < 1 for mn, mx in stats)
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout must give row-group pruning on EITHER key —
+    1-D sort would prune only its own column."""
+    import pyarrow.parquet as pq
+
+    t = Tables(spark, sf_dir)
+    path = str(tmp_path / "zordered")
+    # two high-cardinality dimensions (a 15-distinct-value key like
+    # user_id can't form small rectangles over 8 files)
+    sinks.write_zordered(spark, t.events, path, "event_id", "value", target_files=8)
+    import glob
+
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 8
+
+    def ranges(col):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            idx = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    for col in ("event_id", "value"):
+        rs = ranges(col)
+        lo = min(mn for mn, _ in rs)
+        # a point-lookup at the global minimum must skip >= half the row
+        # groups on BOTH dimensions (the Morton rectangle property)
+        missed = sum(1 for mn, mx in rs if not (mn <= lo <= mx))
+        assert missed >= len(rs) // 2, (col, rs)
+    # and the data survives the rewrite intact
+    assert spark.read.parquet(path).count() == t.events.count()
