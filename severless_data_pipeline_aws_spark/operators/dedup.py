@@ -542,3 +542,63 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return comps
+
+
+_SPAN_N = 8  # words per span
+
+
+@register(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL},
+        w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(words) - {_SPAN_N} + 2),
+                       i -> array_to_string(words[i : i + {_SPAN_N} - 1], ' '))) AS span
+            FROM w WHERE len(words) >= {_SPAN_N}
+        )
+        SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        FROM spans
+        GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, span
+        LIMIT 50
+    """,
+    doc=(
+        "Substring-level duplication signal (the Lee-et-al exact-"
+        f"substring idea, windowed): every {_SPAN_N}-word span of every "
+        "document, grouped to find spans appearing in >= 2 distinct "
+        "docs — training-set contamination and boilerplate detection. "
+        "One explode (fan-out n_words per doc) + one shuffle on the "
+        "span; top-50 via TakeOrderedAndProject. At 100 TB, group on "
+        "xxhash64(span) instead of the text and keep a span->doc "
+        "sample, not the full posting list; the plan shape is identical."
+    ),
+    tags=("dedup", "llm", "ngram"),
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    corpus = duplicated_corpus(t)
+    spans = corpus.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {_SPAN_N - 1}, 0)), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SPAN_N})))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
+        .limit(50)
+    )

@@ -94,15 +94,22 @@ def compact_parquet(
     exactly n writers; ``cluster_by`` additionally hash-partitions and
     sorts within files so min/max footer stats turn the key into a
     row-group pruning predicate (poor man's Z-order on one dimension).
-    Returns the row count written (for the caller's audit log).
+    Returns the row count written — measured by ``Dataset.observe`` ON
+    the write pass itself, not by re-scanning the output (an audit
+    re-read of a 100 TB compaction would double its cost).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(src_path)
     if cluster_by:
         out = df.repartition(target_files, cluster_by).sortWithinPartitions(cluster_by)
     else:
         out = df.repartition(target_files)
+    audit = Observation("compact_audit")
+    out = out.observe(audit, F.count(F.lit(1)).alias("rows"))
     out.write.mode(mode).parquet(dst_path)
-    return spark.read.parquet(dst_path).count()
+    return int(audit.get["rows"])
 
 
 def _zvalue(col_a, col_b, bits: int = 16):
