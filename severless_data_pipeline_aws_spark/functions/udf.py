@@ -122,3 +122,58 @@ def udf_grouped_map_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame
             schema="event_id bigint, event_type string, value double, value_rebased double",
         )
     )
+
+
+def _quantize_batches(batches):
+    """Arrow-native int8 quantization of embedding vectors.
+
+    Operates on RecordBatches directly (mapInArrow) — no pandas
+    conversion at all; the flat float32 values buffer is scaled in one
+    numpy pass per batch and rebuilt as a list array over int8.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_id = batch.column("vec_id")
+        emb = batch.column("embedding")
+        flat = np.asarray(emb.values, dtype=np.float64)
+        offsets = np.asarray(emb.offsets)
+        # per-vector max |x| via reduceat over the flat buffer (guard empties)
+        absmax = np.maximum.reduceat(np.abs(flat), offsets[:-1]) if len(flat) else np.array([])
+        absmax = np.where(absmax == 0.0, 1.0, absmax)
+        scale = absmax / 127.0
+        widths = np.diff(offsets)
+        q = np.clip(np.round(flat / np.repeat(scale, widths)), -127, 127).astype(np.int8)
+        out = pa.RecordBatch.from_arrays(
+            [
+                vec_id,
+                pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(q)),
+                pa.array(scale, type=pa.float64()),
+            ],
+            ["vec_id", "q_embedding", "scale"],
+        )
+        yield out
+
+
+@register(
+    "udf_map_in_arrow_quantize",
+    oracle=None,  # binary-level Arrow op; round-trip invariant in pytest
+    doc=(
+        "mapInArrow surface: int8 embedding quantization straight on "
+        "Arrow RecordBatches — the zero-copy tier below pandas UDFs "
+        "(no Series materialization; one numpy pass over the flat "
+        "values buffer per batch). The storage-shrink op an embedding "
+        "corpus needs before ANN at 100 TB: 4x smaller, dequantization "
+        "error bounded by scale/2 per component (asserted in pytest)."
+    ),
+    tags=("udf", "arrow", "llm", "similarity"),
+)
+def udf_map_in_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    out_schema = "vec_id bigint, q_embedding array<tinyint>, scale double"
+    return (
+        t.embeddings.select("vec_id", "embedding")
+        .mapInArrow(_quantize_batches, out_schema)
+        .orderBy("vec_id")
+    )

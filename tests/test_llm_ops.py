@@ -186,3 +186,16 @@ def test_freq_items_recall(spark, sf_dir):
     row = SPECS["sketch_freq_items"].fn(spark, sf_dir).first()
     found = set(row["event_type_freqItems"])
     assert truly_frequent <= found
+
+
+def test_arrow_quantize_roundtrip_error_bound(spark, sf_dir):
+    """int8 quantization must reconstruct within scale/2 per component."""
+    q = {r["vec_id"]: r for r in SPECS["udf_map_in_arrow_quantize"].fn(spark, sf_dir).collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in Tables(spark, sf_dir).embeddings.collect()}
+    assert set(q) == set(orig)
+    for vid, row in q.items():
+        s = row["scale"]
+        assert s > 0
+        assert len(row["q_embedding"]) == len(orig[vid])
+        for qi, xi in zip(row["q_embedding"], orig[vid]):
+            assert abs(qi * s - xi) <= s / 2 + 1e-9, (vid, qi, xi, s)

@@ -140,3 +140,27 @@ def test_tpch_suite_broadcasts_dims(spark, sf_dir):
     ):
         df = _df(name, spark, sf_dir)
         assert plans.broadcast_join_count(df) >= min_bcast, name
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine exposes physical join-strategy control: hints must
+    switch the planned join node (the 100 TB escape hatch when AQE's
+    choice is wrong for a specific query)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark import plans as P
+
+    t = Tables(spark, sf_dir)
+    left = t.orders
+    right = t.customer
+
+    merged = left.join(right.hint("merge"), left.o_custkey == right.c_custkey)
+    assert P.sort_merge_join_count(merged) == 1, "merge hint must force SMJ"
+
+    bcast = left.join(right.hint("broadcast"), left.o_custkey == right.c_custkey)
+    assert P.broadcast_join_count(bcast) == 1
+
+    shuffled = left.join(right.hint("shuffle_hash"), left.o_custkey == right.c_custkey)
+    plan = bcast.sparkSession._jvm.PythonSQLUtils.explainString(
+        shuffled._jdf.queryExecution(), "simple"
+    )
+    assert "ShuffledHashJoin" in plan, plan[:400]

@@ -416,3 +416,36 @@ def test_foreach_batch_upsert_dedups_batch_and_drops_null_keys(spark, sf_dir, tm
     assert merged.count() == n_base, "dup keys in batch must not fan out"
     assert merged.filter(F.col("event_id").isNull()).count() == 0
     assert merged.filter(F.col("value") == -1.0).count() == changes.count()
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static
+    (broadcastable) dimension with no stateful shuffle — the streaming
+    twin of J1. Result must equal the batch join."""
+    t = Tables(spark, sf_dir)
+    events = t.events.filter(F.col("user_id") <= 10)
+    src = str(tmp_path / "events_parquet")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    # static dim: users -> nation names (synthetic mapping via modulo)
+    dim = t.nation.select(
+        F.col("n_nationkey").cast("bigint").alias("user_mod"), "n_name"
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.withColumn("user_mod", F.col("user_id") % 25).join(
+        F.broadcast(dim), "user_mod"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stream_static")
+    want = events.withColumn("user_mod", F.col("user_id") % 25).join(
+        F.broadcast(dim), "user_mod"
+    )
+    assert got.count() == want.count()
+    assert got.filter(F.col("n_name").isNull()).count() == 0
