@@ -396,3 +396,57 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+            FROM events WHERE user_id <= 10
+        )
+        SELECT user_id, event_id, ts_sec,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) OVER w AS VARCHAR) AS DOUBLE)
+                   AS sum_last_hour
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "Time-based RANGE frame: per user, the trailing 1-hour event "
+        "count and (exact decimal) value sum at every event — the "
+        "sliding aggregate row frames can't express when events are "
+        "irregularly spaced. Ordered on floored epoch seconds so both "
+        "engines frame identically (DuckDB's epoch() keeps fractions, "
+        "Spark's unix_timestamp floors). One shuffle on user_id."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return (
+        t.events.filter(F.col("user_id") <= 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_sec"),
+            "value",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_sec",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))"))
+            .over(w)
+            .cast("double")
+            .alias("sum_last_hour"),
+        )
+    )
