@@ -181,3 +181,44 @@ def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c_custkey <= 1000
         """
     )
+
+
+@register(
+    "subquery_lateral_topn_per_key",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) o ON TRUE
+        WHERE c.c_custkey <= 50
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+    doc=(
+        "Correlated LATERAL subquery with per-key ORDER BY + LIMIT: "
+        "each customer's top-3 orders by value — the SQL-standard "
+        "alternative to the row_number window idiom "
+        "(window_rank_topn_per_group computes the same shape). Catalyst "
+        "decorrelates the lateral into a join + per-key ranking, so the "
+        "plan scales like the window form rather than re-scanning "
+        "orders per customer."
+    ),
+    tags=("subquery", "lateral", "topk"),
+)
+def subquery_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        WHERE c.c_custkey <= 50
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )
