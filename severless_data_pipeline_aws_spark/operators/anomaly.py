@@ -114,3 +114,70 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 1.96)
         .select("event_id", "event_type", "value", z.alias("zscore"))
     )
+
+
+@register(
+    "anomaly_seasonal_baseline",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, event_type, value,
+                   CAST(EXTRACT(hour FROM ts) AS INT) AS hod
+            FROM events WHERE value IS NOT NULL
+        ),
+        scored AS (
+            SELECT event_id, event_type, hod, value,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) OVER w AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) OVER w AS mu,
+                   CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) OVER w AS msq
+            FROM ev
+            WINDOW w AS (PARTITION BY event_type, hod)
+        )
+        SELECT event_id, event_type, hod, value,
+               (value - mu) / sqrt(msq - mu * mu) AS deviation
+        FROM scored
+        WHERE abs(value - mu) > 3.0 * sqrt(msq - mu * mu)
+        ORDER BY event_id
+    """,
+    doc=(
+        "Seasonal anomaly detection: each event scored against the "
+        "baseline of ITS OWN (event_type, hour-of-day) cell — catches "
+        "values that are normal at 3pm but anomalous at 3am, which a "
+        "global z-score (anomaly_zscore) misses. Cell stats are window "
+        "aggregates over one scan (a groupBy+join-back would scan events "
+        "twice); decimal power sums -> identical doubles -> identical "
+        "flag decisions on both engines."
+    ),
+    tags=("anomaly", "timeseries", "window"),
+)
+def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type", "hod")
+    mu = (
+        F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    msq = (
+        F.sum(F.expr("CAST(value * value AS DECIMAL(38,8))")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    scored = (
+        t.events.filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", F.hour("ts").alias("hod"), "value")
+        .withColumn("mu", mu)
+        .withColumn("msq", msq)
+    )
+    std = F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    return (
+        scored.filter(F.abs(F.col("value") - F.col("mu")) > 3.0 * std)
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            ((F.col("value") - F.col("mu")) / std).alias("deviation"),
+        )
+        .orderBy("event_id")
+    )

@@ -222,3 +222,82 @@ def dashboard_cached_status_counts(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("event_type")
         .cache()
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+        SELECT 'orders_pk_unique' AS constraint_name,
+               CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+                   AS n_violations
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+               CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+                     (SELECT c_custkey FROM customer)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_shipdate_not_null',
+               CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_discount_domain',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+        UNION ALL
+        SELECT 'customer_acctbal_non_negative',
+               CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal < 0) AS BIGINT)
+        ORDER BY constraint_name
+    """,
+    doc=(
+        "Data-quality constraint report (the dbt-test / Deequ pattern): "
+        "primary-key uniqueness, referential integrity (anti join), "
+        "non-null, and domain constraints, each as a violation count in "
+        "one result frame. The acctbal rule genuinely fires in the test "
+        "data (negative balances exist) so the report is non-vacuous. "
+        "Each check is a scan-local aggregate or broadcast anti join — "
+        "at 100 TB the whole report is one pass per table."
+    ),
+    tags=("quality", "dashboard"),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    checks = [
+        (
+            "orders_pk_unique",
+            t.orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+            ),
+        ),
+        (
+            "orders_custkey_fk",
+            t.orders.join(
+                t.customer.select(F.col("c_custkey").alias("fk")),
+                F.col("o_custkey") == F.col("fk"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        (
+            "lineitem_shipdate_not_null",
+            t.lineitem.filter(F.col("l_shipdate").isNull()).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        (
+            "lineitem_discount_domain",
+            t.lineitem.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        (
+            "customer_acctbal_non_negative",
+            t.customer.filter(F.col("c_acctbal") < 0).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("constraint_name")

@@ -450,3 +450,69 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_last_hour"),
         )
     )
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS tms,
+                   CASE WHEN event_type = 'click' THEN 900000 ELSE 1800000 END AS gap_ms,
+                   value
+            FROM events WHERE user_id <= 20
+        ),
+        chained AS (
+            SELECT *, MAX(tms + gap_ms) OVER (
+                       PARTITION BY user_id ORDER BY tms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM ev
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev_end IS NULL OR tms >= prev_end THEN 1 ELSE 0 END AS ns
+            FROM chained
+        ),
+        sess AS (
+            SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MIN(tms) AS BIGINT) AS session_start_ms,
+               CAST(MAX(tms + gap_ms) AS BIGINT) AS session_end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                   AS total_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_ms
+    """,
+    doc=(
+        "Native session_window with a DYNAMIC per-event gap (clicks "
+        "time out after 15 min, everything else 30): each event extends "
+        "its session by its own gap, sessions merge while intervals "
+        "overlap. The oracle replays Spark's merge rule as a running "
+        "max of (ts + gap) — an event starts a new session iff it "
+        "begins at/after every previous event's deadline. Millisecond-"
+        "epoch outputs keep both engines' interval arithmetic identical."
+    ),
+    tags=("window", "session", "timeseries"),
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", "15 minutes").otherwise("30 minutes")
+    return (
+        t.events.filter(F.col("user_id") <= 20)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
