@@ -164,3 +164,41 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         shuffled._jdf.queryExecution(), "simple"
     )
     assert "ShuffledHashJoin" in plan, plan[:400]
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning is live in this engine's config.
+
+    At 100 TB a selective dim filter becomes a bloom filter pushed into
+    the fact scan before the shuffle. The production gate is a 10 GB
+    application-side scan (correctly NOT met by test data), so the test
+    scales the thresholds down to prove injection works and results are
+    unchanged.
+    """
+    from severless_data_pipeline_aws_spark.io import Tables
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = Tables(spark, sf_dir)
+        sel = t.orders.filter(F.col("o_totalprice") > 450000)
+        j = t.lineitem.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:400]
+        expected = (
+            t.lineitem.join(
+                t.orders.filter(F.col("o_totalprice") > 450000).hint("broadcast"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).count()
+        )
+        assert j.count() == expected
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
