@@ -121,3 +121,68 @@ def pipeline_llm_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_words"
         ),
     )
+
+
+_PACK_BUDGET = 128  # tokens per training batch
+_PACK_PARTS = 8  # parallel packers
+
+
+def _greedy_pack(iterator):
+    """Per-partition greedy first-fit packer (mapInPandas).
+
+    Bin packing is inherently sequential, so the scalable form is
+    sequential WITHIN a partition, parallel ACROSS partitions: rows
+    arrive doc/chunk-ordered per range partition, each partition packs
+    independently, and batch ids are namespaced by partition id so they
+    never collide. Batches never mix partitions — at 100 TB each packer
+    sees a bounded, contiguous slice of the corpus.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    batch_seq = 0
+    used = 0
+    for pdf in iterator:
+        batch_ids = []
+        for tok in pdf["n_tokens"]:
+            if used > 0 and used + tok > _PACK_BUDGET:
+                batch_seq += 1
+                used = 0
+            used += int(tok)
+            batch_ids.append(batch_seq)
+        out = pdf.copy()
+        out["batch_id"] = [f"p{pid:04d}_b{b:06d}" for b in batch_ids]
+        yield out[["doc_id", "chunk_id", "n_tokens", "batch_id"]]
+
+
+@register(
+    "pipeline_pack_training_batches",
+    oracle=None,  # sequential bin-packing; invariants asserted in pytest
+    doc=(
+        "Training-batch packing: greedy first-fit of document chunks "
+        f"into <= {_PACK_BUDGET}-token batches. Sequential logic made "
+        "scalable: an explicit doc_id mod-class repartition (range "
+        "partitioning samples its boundaries, which is not run-"
+        "deterministic) + in-partition sort give each packer a "
+        "deterministic slice; packers run in parallel and namespace "
+        "their batch ids by partition id. "
+        "pytest asserts no batch exceeds the budget, every chunk is "
+        "packed exactly once, and assignment is deterministic."
+    ),
+    tags=("llm", "pipeline", "udf"),
+)
+def pipeline_pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import text_chunk_sliding_windows
+
+    chunks = text_chunk_sliding_windows(spark, sf_dir).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    return (
+        chunks.repartition(_PACK_PARTS, F.pmod(F.col("doc_id"), F.lit(_PACK_PARTS)))
+        .sortWithinPartitions("doc_id", "chunk_id")
+        .mapInPandas(
+            _greedy_pack,
+            "doc_id bigint, chunk_id bigint, n_tokens bigint, batch_id string",
+        )
+    )

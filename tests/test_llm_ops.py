@@ -199,3 +199,19 @@ def test_arrow_quantize_roundtrip_error_bound(spark, sf_dir):
         assert len(row["q_embedding"]) == len(orig[vid])
         for qi, xi in zip(row["q_embedding"], orig[vid]):
             assert abs(qi * s - xi) <= s / 2 + 1e-9, (vid, qi, xi, s)
+
+
+def test_pack_training_batches_invariants(spark, sf_dir):
+    """Packer invariants: budget respected, every chunk packed exactly
+    once, assignment deterministic across runs."""
+    fn = SPECS["pipeline_pack_training_batches"].fn
+    a = fn(spark, sf_dir).toPandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    chunks = SPECS["text_chunk_sliding_windows"].fn(spark, sf_dir)
+    assert len(a) == chunks.count(), "every chunk packed exactly once"
+    per_batch = a.groupby("batch_id")["n_tokens"].sum()
+    assert (per_batch <= 128).all(), per_batch.max()
+    # oversized single chunks would be the only legal overflow; chunk max is 32
+    b = fn(spark, sf_dir).toPandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert (a["batch_id"] == b["batch_id"]).all(), "assignment must be deterministic"
+    # batches are reasonably full (greedy first-fit wastes < half on average here)
+    assert per_batch.mean() > 64, per_batch.mean()
