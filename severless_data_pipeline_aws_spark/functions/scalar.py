@@ -509,3 +509,42 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)"), F.lit(-1)
         ).alias("prio_or_default"),
     )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Spark 4 VARIANT path for semi-structured data: parse_json once "
+        "into the binary VARIANT encoding, then typed variant_get "
+        "extraction — unlike get_json_object (string re-parse per "
+        "access), VARIANT parses once and fields extract at "
+        "binary-offset speed, the right plan when many fields are read "
+        "per row at 100 TB. Aggregated per event_type; integer sums "
+        "exact on both engines."
+    ),
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        t.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
