@@ -188,3 +188,28 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def backfill_partitions(
+    spark,
+    corrected: DataFrame,
+    path: str,
+    partition_by: str,
+) -> None:
+    """Idempotent partition backfill: rewrite ONLY the partitions present
+    in ``corrected``, leaving every other partition untouched.
+
+    Uses dynamic partition overwrite — the 100 TB reprocessing
+    primitive: a late-data or bug-fix recompute of one day must not
+    truncate the rest of the dataset (static overwrite mode would), and
+    re-running the same backfill is a no-op semantically (idempotent).
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # the session's FileStatusCache still lists the replaced files;
+    # readers would otherwise hit FILE_NOT_EXIST on the stale entries
+    spark.catalog.refreshByPath(path)

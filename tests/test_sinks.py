@@ -147,3 +147,30 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
         assert missed >= len(rs) // 2, (col, rs)
     # and the data survives the rewrite intact
     assert spark.read.parquet(path).count() == t.events.count()
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    t = Tables(spark, sf_dir)
+    path = str(tmp_path / "landed_by_type")
+    base = t.events.select("event_id", "value", "event_type")
+    base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    corrected = base.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    sinks.backfill_partitions(spark, corrected, path, "event_type")
+
+    after = spark.read.parquet(path)
+    # untouched partitions identical
+    want_other = base.filter(F.col("event_type") != "click")
+    got_other = after.filter(F.col("event_type") != "click")
+    assert got_other.count() == want_other.count()
+    assert got_other.exceptAll(want_other.select(*got_other.columns)).count() == 0
+    # backfilled partition fully replaced with corrected values
+    got_click = after.filter(F.col("event_type") == "click")
+    assert got_click.count() == corrected.count()
+    assert got_click.exceptAll(corrected.select(*got_click.columns)).count() == 0
+    # idempotence: re-running the same backfill changes nothing
+    n_after = after.count()
+    sinks.backfill_partitions(spark, corrected, path, "event_type")
+    assert spark.read.parquet(path).count() == n_after
