@@ -602,3 +602,61 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
         .limit(50)
     )
+
+
+_DECON_N = 4  # words per decontamination n-gram
+
+
+@register(
+    "dedup_decontaminate_eval_overlap",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - {_DECON_N - 2}, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i : i + {_DECON_N - 1}], ' '))) AS gram
+            FROM documents
+        ),
+        ev AS (
+            SELECT DISTINCT doc_id AS eval_doc, gram FROM sh WHERE doc_id % 20 = 7
+        )
+        SELECT s.doc_id,
+               COUNT(DISTINCT s.gram) AS n_shared_grams,
+               COUNT(DISTINCT e.eval_doc) AS n_eval_docs_hit
+        FROM sh s JOIN ev e USING (gram)
+        WHERE s.doc_id % 20 != 7
+        GROUP BY s.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination (the PaLM/GPT-3 n-gram-overlap rule): "
+        f"flag every training document sharing any word {_DECON_N}-gram "
+        "with a held-out eval slice (doc_id % 20 == 7 stands in for the "
+        "benchmark corpus), reporting overlap severity (distinct shared "
+        "grams, distinct eval docs hit). The eval n-gram set is "
+        "broadcast — real benchmark suites are ~10^6 grams regardless of "
+        "training-corpus size — so the train side is a map-side hash "
+        "probe with no shuffle; the only shuffle is the per-doc "
+        "severity aggregate. At 100 TB: identical plan, with grams "
+        "hashed (xxhash64) instead of carried as strings."
+    ),
+    tags=("dedup", "llm", "ngram", "decontamination"),
+)
+def dedup_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grams = t.documents.select(
+        "doc_id", F.explode(_shingles("text", _DECON_N)).alias("gram")
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 20 == 7)
+        .select(F.col("doc_id").alias("eval_doc"), "gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 20 != 7)
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+        )
+    )

@@ -186,3 +186,49 @@ def pipeline_pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFram
             "doc_id bigint, chunk_id bigint, n_tokens bigint, batch_id string",
         )
     )
+
+
+@register(
+    "funnel_cohort_retention",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active_users
+        FROM activity a JOIN first f USING (user_id)
+        GROUP BY f.cohort_week, week_offset
+    """,
+    doc=(
+        "Cohort retention matrix over the event stream: cohort = ISO "
+        "week of each user's first event; cell (cohort_week, "
+        "week_offset) counts users from that cohort active offset weeks "
+        "later. Both inputs are keyed by user_id, so the join is "
+        "co-partitioned off one shuffle (first-touch agg reuses the "
+        "activity shuffle's partitioning under AQE); the matrix agg is "
+        "a second small shuffle. No window, no cross product — the "
+        "standard product-analytics rollup at any scale."
+    ),
+    tags=("analytics", "events", "cohort"),
+)
+def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = t.events
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    offset = (F.datediff("week", "cohort_week") / 7).cast("int")
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

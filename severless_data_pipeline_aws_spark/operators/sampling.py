@@ -125,3 +125,61 @@ def sampling_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 50)
     )
+
+
+@register(
+    "sampling_lang_balanced_mixture",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS hk
+            FROM documents
+        ),
+        tot AS (SELECT lang, SUM(n_chars) AS chars FROM h GROUP BY lang),
+        tgt AS (SELECT MIN(chars) AS budget FROM tot),
+        c AS (
+            SELECT doc_id, lang, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY lang ORDER BY hk, doc_id) AS cum
+            FROM h
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM c, tgt
+        WHERE cum - n_chars < budget
+        GROUP BY lang
+    """,
+    doc=(
+        "Data-mixture rebalancing under a token budget: equalize the "
+        "per-language char mass by taking, per language, documents in "
+        "deterministic hash-priority order until the smallest language's "
+        "total is reached (greedy knapsack via a running-sum window). "
+        "The budget is a 1-row broadcast scalar; the only shuffles are "
+        "the per-lang window and the tiny summary agg. Replaces rand()-"
+        "based downsampling with a reproducible, engine-independent "
+        "mixture — the shape used to hit target source proportions when "
+        "assembling a training corpus."
+    ),
+    tags=("sampling", "llm", "mixture"),
+)
+def sampling_lang_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    h = t.documents.select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    budget = (
+        h.groupBy("lang")
+        .agg(F.sum("n_chars").alias("chars"))
+        .agg(F.min("chars").alias("budget"))
+    )
+    w = W.partitionBy("lang").orderBy("hk", "doc_id")
+    c = h.withColumn("cum", F.sum("n_chars").over(w))
+    return (
+        c.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum") - F.col("n_chars") < F.col("budget"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -528,3 +528,59 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_top_salient_terms",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tfc AS (
+            SELECT doc_id, term, COUNT(*) AS term_freq
+            FROM tf GROUP BY doc_id, term
+        ),
+        dfc AS (
+            SELECT term, COUNT(*) AS doc_freq FROM tfc GROUP BY term
+        )
+        SELECT doc_id, term, term_freq, doc_freq, rn FROM (
+            SELECT t.doc_id, t.term, t.term_freq, d.doc_freq,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY t.term_freq DESC,
+                                               d.doc_freq ASC, t.term) AS rn
+            FROM tfc t JOIN dfc d USING (term)
+        ) WHERE rn <= 3
+    """,
+    doc=(
+        "Per-document salient-term extraction (integer-exact TF-IDF "
+        "ordering): rank each doc's terms by term frequency desc, then "
+        "corpus document frequency asc (rarer wins), keep the top 3. "
+        "The document-frequency table is vocabulary-sized, so it is "
+        "broadcast — the per-doc side never shuffles for the join; the "
+        "two shuffles are the (doc,term) count and the per-doc window. "
+        "Keeping the ordering on integer (tf, df) pairs rather than a "
+        "float tf*log(N/df) score makes the result bit-reproducible "
+        "across engines — the float score is a display concern."
+    ),
+    tags=("text", "llm", "tfidf"),
+)
+def text_top_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    tfc = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("term_freq"), F.asc("doc_freq"), F.asc("term")
+    )
+    return (
+        tfc.join(F.broadcast(dfc), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "term_freq", "doc_freq", "rn")
+    )
