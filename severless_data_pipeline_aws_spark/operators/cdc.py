@@ -83,3 +83,62 @@ def cdc_upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum_double("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "cdc_scd2_from_event_log",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM events WHERE user_id < 50
+        ),
+        o AS (
+            SELECT user_id, event_type, ts,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM e
+        ),
+        ch AS (
+            SELECT user_id, event_type, ts FROM o
+            WHERE prev IS NULL OR event_type != prev
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   AS is_current
+        FROM ch
+    """,
+    doc=(
+        "SCD Type-2 dimension built from an append-only event log: "
+        "collapse consecutive identical attribute values per key "
+        "(lag != current -> change point), then derive "
+        "[valid_from, valid_to) intervals with lead() and flag the "
+        "open-ended current row. Both windows share one partitioning "
+        "(user_id), so the whole history build is a single shuffle — "
+        "the standard warehouse pattern for reconstructing dimension "
+        "history from CDC streams, at any scale. Bounded here to a "
+        "deterministic user subset to keep driver output small."
+    ),
+    tags=("cdc", "window", "scd2"),
+)
+def cdc_scd2_from_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    e = t.events.filter(F.col("user_id") < 50).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(w_ord))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w_iv = W.partitionBy("user_id").orderBy("valid_from")
+    return ch.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
+    )

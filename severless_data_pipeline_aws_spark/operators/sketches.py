@@ -172,3 +172,34 @@ def sketch_countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.events.select("event_type").stat.freqItems(["event_type"], support=0.1)
+
+
+@register(
+    "sketch_hll_mergeable",
+    oracle=None,  # DataSketches HLL has no DuckDB twin; error bound in pytest
+    doc=(
+        "X6 (mergeability — the property that makes sketches the 100 TB "
+        "distinct-count answer): build one DataSketches HLL sketch of "
+        "user_id per event_type (partial aggregation, one pass), then "
+        "union the per-type sketches with hll_union_agg into a global "
+        "cardinality WITHOUT rescanning the input — how per-day/per-"
+        "partition sketches roll up to any grain. Output: one row per "
+        "event_type plus an ALL row from the sketch union. Estimates "
+        "are within ~2% rel. error at lgConfigK=12 (asserted vs exact "
+        "counts in pytest)."
+    ),
+    tags=("sketch", "approx", "hll"),
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_type = t.events.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return typed.unionByName(merged)

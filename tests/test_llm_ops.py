@@ -215,3 +215,31 @@ def test_pack_training_batches_invariants(spark, sf_dir):
     assert (a["batch_id"] == b["batch_id"]).all(), "assignment must be deterministic"
     # batches are reasonably full (greedy first-fit wastes < half on average here)
     assert per_batch.mean() > 64, per_batch.mean()
+
+
+def test_hll_mergeable_error_bound(spark, sf_dir):
+    """Per-type HLL estimates and the sketch-union ALL row must land
+    within 5% of the exact distinct counts (lgConfigK=12 gives ~1.6%
+    standard error), and the union must NOT be the sum of the parts
+    (users overlap across event types — a sum would overcount)."""
+    import pyspark.sql.functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in load_all()["sketch_hll_mergeable"].fn(spark, sf_dir).collect()
+    }
+    ev = Tables(spark, sf_dir).events
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
+    assert est["ALL"] < sum(v for k, v in est.items() if k != "ALL")

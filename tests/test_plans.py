@@ -202,3 +202,31 @@ def test_runtime_bloom_filter_reaches_fact_side(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval n-gram set is benchmark-sized regardless of corpus
+    scale — it must broadcast so the training side probes map-side
+    (no sort-merge join on the gram string)."""
+    df = _df("dedup_decontaminate_eval_overlap", spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    s = plans.explain_str(df)
+    assert "SortMergeJoin" not in s, s
+
+
+def test_salient_terms_broadcast_df_table(spark, sf_dir):
+    """The document-frequency side is vocabulary-sized: broadcast, so
+    the (doc,term) side keeps its partitioning into the window."""
+    df = _df("text_top_salient_terms", spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    s = plans.explain_str(df)
+    assert "SortMergeJoin" not in s, s
+
+
+def test_cohort_retention_no_window_no_broadcast_fact(spark, sf_dir):
+    """Retention is two aggs + one co-keyed join — no window operator
+    (a per-user window would serialize skewed users) and no cross
+    product anywhere."""
+    s = plans.explain_str(_df("funnel_cohort_retention", spark, sf_dir))
+    assert "Window" not in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
