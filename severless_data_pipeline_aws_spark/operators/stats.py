@@ -92,3 +92,77 @@ def stats_corr_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cov_num / var_x").alias("slope"),
         F.expr("(sy - (cov_num / var_x) * sx) / nd").alias("intercept"),
     )
+
+
+@register(
+    "stats_winsorize_clip",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        cuts AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                            THEN value END) AS p01,
+                   MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                            THEN value END) AS p99,
+                   MAX(n) AS n_rows
+            FROM ranked GROUP BY event_type
+        )
+        SELECT r.event_type, c.p01, c.p99,
+               CAST(c.n_rows AS BIGINT) AS n_rows,
+               COUNT(CASE WHEN r.value < c.p01 THEN 1 END) AS n_clipped_low,
+               COUNT(CASE WHEN r.value > c.p99 THEN 1 END) AS n_clipped_high
+        FROM ranked r JOIN cuts c USING (event_type)
+        GROUP BY r.event_type, c.p01, c.p99, c.n_rows
+    """,
+    doc=(
+        "Winsorization cuts per group via exact rank-based percentiles "
+        "(percentile_disc computed manually: the value at row_number = "
+        "ceil(q*n) in value order) — no float interpolation, so the "
+        "cuts are actual data values and bit-identical across engines. "
+        "The per-type cut table is group-cardinality-sized and "
+        "broadcast back onto the fact for the clip counts; both the "
+        "rank window and the count agg shuffle on the same key. The "
+        "standard outlier-clipping prep for numeric features at scale "
+        "(interpolating percentiles cannot be hash-verified across "
+        "engines; disc percentiles can)."
+    ),
+    tags=("stats", "window", "quality"),
+)
+def stats_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    e = t.events.select("event_id", "event_type", "value")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.01 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("p01"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("p99"),
+        F.max("n").cast("bigint").alias("n_rows"),
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "p01", "p99", "n_rows")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("p01"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clipped_high"),
+        )
+    )
