@@ -142,3 +142,71 @@ def cdc_scd2_from_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_iv).alias("valid_to"),
         F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
     )
+
+
+@register(
+    "cdc_incremental_mv_refresh",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   SUM(o_totalprice) AS sum_price
+            FROM orders WHERE o_orderkey % 7 != 0
+            GROUP BY o_orderstatus
+        ),
+        delta AS (
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   SUM(o_totalprice) AS sum_price
+            FROM orders WHERE o_orderkey % 7 = 0
+            GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus,
+               CAST(COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS BIGINT)
+                   AS n_orders,
+               CAST(CAST(COALESCE(b.sum_price, 0) + COALESCE(d.sum_price, 0)
+                         AS VARCHAR) AS DOUBLE) AS total_price
+        FROM base b FULL OUTER JOIN delta d USING (o_orderstatus)
+    """,
+    doc=(
+        "Incremental materialized-view maintenance: the standing "
+        "aggregate snapshot (base, = orders seen so far) absorbs a "
+        "change batch (delta) by merging PARTIAL aggregate states — "
+        "count adds, decimal sum adds — instead of rescanning the "
+        "fact. The merge is a full-outer join on the group key, "
+        "group-cardinality-sized on both sides (tiny at any fact "
+        "scale). The oracle re-derives the same result, proving the "
+        "merged view equals a full recompute — the associativity "
+        "property that makes MV maintenance sound at 100 TB. Decimal "
+        "accumulation throughout; one VARCHAR-hop DOUBLE cast at the "
+        "edge (operators/_helpers.py)."
+    ),
+    tags=("cdc", "agg", "mv"),
+)
+def cdc_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+
+    base = _agg(o.filter(F.col("o_orderkey") % 7 != 0))
+    delta = _agg(o.filter(F.col("o_orderkey") % 7 == 0))
+    merged = base.alias("b").join(
+        delta.alias("d"), ["o_orderstatus"], "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(38,8)")
+    return merged.select(
+        "o_orderstatus",
+        (
+            F.coalesce(F.col("b.n_orders"), F.lit(0))
+            + F.coalesce(F.col("d.n_orders"), F.lit(0))
+        ).cast("bigint").alias("n_orders"),
+        (
+            F.coalesce(F.col("b.sum_price"), zero)
+            + F.coalesce(F.col("d.sum_price"), zero)
+        ).cast("string").cast("double").alias("total_price"),
+    )
