@@ -177,3 +177,69 @@ def udf_map_in_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInArrow(_quantize_batches, out_schema)
         .orderBy("vec_id")
     )
+
+
+class _WordChunks:
+    """Python UDTF: explode a document into fixed 10-word chunks.
+
+    Deliberately mirrors the codegen'd ``text_chunk_sliding_windows``
+    shape so the two tiers are comparable: UDTFs are the row-at-a-time
+    Python tier (flexible, slow) — use them only when the per-row
+    logic cannot be expressed with built-ins or Arrow batches. Here
+    the logic IS expressible natively, which is exactly what makes the
+    UDTF hash-verifiable against the DuckDB oracle.
+    """
+
+    def eval(self, doc_id: int, text: str):
+        words = text.split(" ")
+        for i in range(max((len(words) + 9) // 10, 1)):
+            yield doc_id, i, " ".join(words[i * 10 : (i + 1) * 10])
+
+
+@register(
+    "udf_python_udtf_chunks",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE doc_id < 20
+        ),
+        ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, greatest(CAST(ceil(len(words) / 10.0) AS BIGINT), 1)),
+                       i -> struct_pack(
+                           idx := i,
+                           chunk := array_to_string(words[i*10+1 : i*10+10], ' '))))
+                       AS s
+            FROM w
+        )
+        SELECT doc_id, CAST(s.idx AS INT) AS chunk_idx, s.chunk AS chunk
+        FROM ch
+    """,
+    doc=(
+        "Python UDTF surface (Spark 4 `udtf`): a table function lateral-"
+        "joined per input row, yielding N output rows each — the fourth "
+        "Python extension point beside pandas_udf / applyInPandas / "
+        "mapInArrow. Registered and invoked through SQL LATERAL, so it "
+        "composes with the relational layer. Bounded to 20 docs: UDTFs "
+        "run row-at-a-time Python and exist for logic built-ins can't "
+        "express; the codegen'd twin (text_chunk_sliding_windows) is "
+        "the hot path."
+    ),
+    tags=("udf", "udtf", "text"),
+)
+def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    chunker = udtf(_WordChunks, returnType="doc_id bigint, chunk_idx int, chunk string")
+    spark.udtf.register("word_chunks", chunker)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk
+        FROM documents d, LATERAL word_chunks(d.doc_id, d.text) c
+        WHERE d.doc_id < 20
+        """
+    )

@@ -516,3 +516,45 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_ms")
     )
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY day, event_type
+        )
+        SELECT day, event_type, n_events,
+               CAST(n_events AS DOUBLE) /
+                   CAST(SUM(n_events) OVER (PARTITION BY day) AS BIGINT)
+                   AS share
+        FROM c
+    """,
+    doc=(
+        "Ratio-to-report: each (day, event_type) count as a share of "
+        "its day's total via an unordered partition-total window — the "
+        "frameless window shape (no sort, no running state; one "
+        "exchange on day reused from the pre-agg under AQE). The "
+        "division is a single op on exact integers, so the doubles "
+        "hash-match across engines — contrast with summing doubles, "
+        "which is partition-order-dependent and never hash-safe."
+    ),
+    tags=("window", "agg"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = (
+        t.events.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = W.partitionBy("day")
+    return c.select(
+        "day",
+        "event_type",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(w)).alias("share"),
+    )
