@@ -243,3 +243,23 @@ def test_hll_mergeable_error_bound(spark, sf_dir):
     for k, v in exact.items():
         assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
     assert est["ALL"] < sum(v for k, v in est.items() if k != "ALL")
+
+
+def test_two_stage_rerank_recall(spark, sf_dir):
+    """The quantized coarse pass must retain most of the true top-k:
+    recall@10 vs the exact brute-force ranking >= 0.8 (floor-to-0.1
+    quantization preserves dot-product ordering almost everywhere)."""
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["similarity_topk_cosine_exact"].fn(spark, sf_dir).collect()
+    }
+    staged = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["similarity_two_stage_rerank"].fn(spark, sf_dir).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & staged) / len(exact)
+    assert recall >= 0.8, recall
