@@ -89,3 +89,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_tolerant(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> DataFrame:
+    """PERMISSIVE CSV ingest: parse what parses, quarantine what doesn't.
+
+    Rows that violate the declared schema are NOT dropped and do NOT
+    fail the job — they land with null fields plus the raw line in
+    ``_corrupt_record``, so a downstream filter can route them to a
+    quarantine sink while clean rows flow on. This is the ingest
+    posture a 100 TB landing zone needs: schema-on-read with explicit,
+    auditable rejects instead of silent loss (DROPMALFORMED) or a
+    cluster-wide abort on one bad file (FAILFAST).
+
+    The reference tolerated malformed timestamps per-record
+    (iot_dashboard.py:33-36); this is the same policy applied at the
+    source boundary.
+    """
+    return spark.read.csv(
+        path,
+        schema=schema_ddl + ", _corrupt_record STRING",
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )

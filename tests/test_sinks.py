@@ -174,3 +174,30 @@ def test_backfill_overwrites_only_touched_partitions(spark, sf_dir, tmp_path):
     n_after = after.count()
     sinks.backfill_partitions(spark, corrected, path, "event_type")
     assert spark.read.parquet(path).count() == n_after
+
+
+def test_tolerant_csv_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE ingest: clean rows parse fully, schema-violating rows
+    survive with the raw line in _corrupt_record — no silent drops, no
+    job abort."""
+    from severless_data_pipeline_aws_spark.io import read_csv_tolerant
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "device_id,reading,ts\n"
+        "dev_1,21.5,2024-01-01T00:00:00\n"
+        "dev_2,not_a_number,2024-01-01T00:01:00\n"
+        "dev_3,19.0,2024-01-01T00:02:00\n"
+    )
+    df = read_csv_tolerant(
+        spark, str(p), "device_id STRING, reading DOUBLE, ts TIMESTAMP"
+    ).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert df.count() == 3
+    assert clean.count() == 2
+    assert bad.count() == 1
+    row = bad.first()
+    assert row["reading"] is None  # the violating field nulls out
+    assert "not_a_number" in row["_corrupt_record"]  # raw line preserved

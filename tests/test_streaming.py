@@ -449,3 +449,52 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count()
     assert got.filter(F.col("n_name").isNull()).count() == 0
+
+
+def test_streaming_mv_merge_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """Fold orders through the streaming MV maintainer one file-batch at
+    a time; the standing snapshot must equal a from-scratch groupBy
+    (exact decimal sums), and a replayed batch_id must be a no-op."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_mv_merge,
+        merge_partial_aggregates,
+    )
+
+    orders = Tables(spark, sf_dir).orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = str(tmp_path / "src")
+    orders.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    mv = str(tmp_path / "mv")
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        foreach_batch_mv_merge(stream, mv, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def _as_dict(df):
+        return {
+            r["o_orderstatus"]: (r["n_rows"], r["sum_val"]) for r in df.collect()
+        }
+
+    got = _as_dict(spark.read.parquet(mv).select("o_orderstatus", "n_rows", "sum_val"))
+    want = _as_dict(
+        orders.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,8)")).alias("sum_val"),
+        )
+    )
+    assert got == want  # exact, including Decimal sums
+
+    # replaying an already-applied batch_id must not double-count
+    merge_partial_aggregates(orders, mv, batch_id=0)
+    assert _as_dict(
+        spark.read.parquet(mv).select("o_orderstatus", "n_rows", "sum_val")
+    ) == want
