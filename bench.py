@@ -41,6 +41,11 @@ HEADLINE = [
     "tpch_q9_product_type_profit",
     "tpch_q21_sole_returned_supplier",
     "text_chunk_sliding_windows",
+    # round-2 late additions: broadcast n-gram decontamination, the
+    # two-stage retrieval cascade, and the windowless cohort matrix
+    "dedup_decontaminate_eval_overlap",
+    "similarity_two_stage_rerank",
+    "funnel_cohort_retention",
 ]
 
 
