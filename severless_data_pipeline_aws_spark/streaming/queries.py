@@ -200,3 +200,40 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "streaming_sliding_window_agg",
+    oracle="""
+        WITH offsets AS (SELECT 0 AS off UNION ALL SELECT 30),
+        slid AS (
+            SELECT date_trunc('hour', ts - to_minutes(off)) + to_minutes(off) AS window_start,
+                   value
+            FROM events CROSS JOIN offsets
+        )
+        SELECT window_start, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total_value
+        FROM slid GROUP BY window_start
+    """,
+    doc=(
+        "W6 (sliding) under the STREAMING engine: 1h windows sliding "
+        "every 30min over the replayed event stream — each row feeds 2 "
+        "window states, watermark bounds how long each stays open. "
+        "Hash-matches the batch twin's oracle (sliding_window_agg), "
+        "completing engine-equivalence across all three time-window "
+        "kinds (tumbling / sliding / session)."
+    ),
+    tags=("streaming", "window"),
+)
+def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    return _run_to_memory(agg, "complete")

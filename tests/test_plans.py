@@ -230,3 +230,15 @@ def test_cohort_retention_no_window_no_broadcast_fact(spark, sf_dir):
     s = plans.explain_str(_df("funnel_cohort_retention", spark, sf_dir))
     assert "Window" not in s
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_two_stage_rerank_single_broadcast_two_windows(spark, sf_dir):
+    """One broadcast of the query vectors serves both stages; the
+    cascade must never fall back to a shuffle join, and both ranking
+    stages are windows (coarse cut + fine re-rank)."""
+    df = _df("similarity_two_stage_rerank", spark, sf_dir)
+    s = plans.explain_str(df)
+    assert "SortMergeJoin" not in s
+    # the bounded query side broadcasts (cross join -> BroadcastNestedLoopJoin)
+    assert "BroadcastNestedLoopJoin" in s or plans.broadcast_join_count(df) >= 1, s
+    assert s.count("Window") >= 2, s
