@@ -237,3 +237,24 @@ def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "streaming_zscore_anomaly",
+    oracle=None,  # stateful float recursion; replay-equivalence in tests/test_streaming.py
+    doc=(
+        "Second custom stateful operator: prequential running z-score "
+        "per event_type via applyInPandasWithState — each event scored "
+        "against the Welford statistics of everything before it (3 "
+        "doubles of state per key, O(1) however much data streams "
+        "through), then folded in. Events replayed as a bounded file "
+        "stream; append mode. Exact equivalence with the imperative "
+        "batch replay asserted in pytest."
+    ),
+    tags=("streaming", "stateful", "anomaly"),
+)
+def streaming_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).select(
+        "event_type", "event_id", "ts", "value"
+    )
+    return _run_to_memory(stateful.zscore_walk(stream), "append")

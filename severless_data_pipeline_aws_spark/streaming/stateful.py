@@ -191,3 +191,104 @@ try:  # the StatefulProcessor API landed in Spark 4.0
 
 except ImportError:  # pragma: no cover - pre-4.0 PySpark
     drift_walk_tws = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# Second stateful operator: prequential running z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("is_anomaly", StringType()),  # 'Y'/'N' (bool via Arrow state API is finicky)
+    ]
+)
+
+#: Welford accumulator per key: (n, mean, M2)
+ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+_MIN_OBS = 30  # observations required before scoring
+_Z_CUT = 3.0
+
+
+def zscore_steps(
+    state: tuple[int, float, float] | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple[int, float, float]]:
+    """Pure per-key prequential scorer: each row is scored against the
+    statistics of everything BEFORE it (so an anomaly cannot mask
+    itself by inflating the variance it is judged by), then folded into
+    the Welford accumulator. Shared verbatim by the streaming state
+    function and the batch replay oracle."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    n, mean, m2 = state if state is not None else (0, 0.0, 0.0)
+    zs: list[float | None] = []
+    flags: list[str] = []
+    for row in pdf.itertuples(index=False):
+        v = float(row.value)
+        if n >= _MIN_OBS and m2 > 0.0:
+            std = (m2 / (n - 1)) ** 0.5
+            z = (v - mean) / std
+        else:
+            z = None
+        zs.append(z)
+        flags.append("Y" if z is not None and abs(z) > _Z_CUT else "N")
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+    out = pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].values,
+            "event_id": pdf["event_id"].values,
+            "value": pdf["value"].values,
+            "zscore": pd.array(zs, dtype="float64"),
+            "is_anomaly": flags,
+        }
+    )
+    return out, (n, mean, m2)
+
+
+def _apply_zscore(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = zscore_steps(st, pdf)
+        yield out
+    state.update((int(st[0]), float(st[1]), float(st[2])))
+
+
+def zscore_walk(events: DataFrame) -> DataFrame:
+    """Streaming per-event_type running z-score (applyInPandasWithState).
+
+    State is 3 doubles per key however much data streams through —
+    the O(1)-state alternative to recomputing global statistics per
+    batch. Batch twin: ``zscore_batch_replay``; tests assert stream ==
+    replay."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_zscore,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def zscore_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = zscore_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

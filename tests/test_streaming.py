@@ -498,3 +498,43 @@ def test_streaming_mv_merge_equals_batch_recompute(spark, sf_dir, tmp_path):
     assert _as_dict(
         spark.read.parquet(mv).select("o_orderstatus", "n_rows", "sum_val")
     ) == want
+
+
+def test_streaming_zscore_equals_batch_replay(spark, sf_dir):
+    """The streamed prequential z-score must equal the single-process
+    imperative replay exactly — same pure function, same per-key order,
+    state carried across Arrow chunks without loss."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        zscore_batch_replay,
+    )
+
+    got = {
+        r["event_id"]: (r["zscore"], r["is_anomaly"])
+        for r in load_all()["streaming_zscore_anomaly"].fn(spark, sf_dir).collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.select("event_type", "event_id", "ts", "value")
+        .toPandas()
+    )
+    want_pdf = zscore_batch_replay(events_pdf)
+    want = {
+        int(r.event_id): (
+            None if pd.isna(r.zscore) else float(r.zscore),
+            r.is_anomaly,
+        )
+        for r in want_pdf.itertuples(index=False)
+    }
+    assert len(got) == len(want) > 0
+    n_anom = 0
+    for eid, (z, flag) in want.items():
+        gz, gflag = got[eid]
+        assert gflag == flag
+        n_anom += flag == "Y"
+        if z is None:
+            assert gz is None or pd.isna(gz)
+        else:
+            assert gz == z, (eid, gz, z)  # bit-exact: identical fold order
+    assert n_anom > 0  # the detector actually fires on the test data
