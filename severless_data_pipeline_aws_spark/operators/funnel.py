@@ -232,3 +232,71 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@register(
+    "funnel_rfm_segmentation",
+    oracle="""
+        WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+        per_user AS (
+            SELECT user_id,
+                   date_diff('day', CAST(MAX(ts) AS DATE),
+                             CAST((SELECT now_ts FROM anchor) AS DATE))
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR)
+                        AS DOUBLE) AS monetary
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_quartile,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+        FROM per_user
+    """,
+    doc=(
+        "RFM segmentation: per-user recency (days before the corpus "
+        "anchor), frequency, and decimal-exact monetary value, each cut "
+        "into quartiles with deterministic tie-breaks. The quartile "
+        "windows are unpartitioned — safe because they run on the "
+        "POST-AGGREGATION user table (|users| << |events|; the fact "
+        "scan and agg are fully parallel). At billions of users, swap "
+        "ntile for rank against broadcast quantile cuts (the "
+        "stats_winsorize_clip pattern) to avoid the single-partition "
+        "sort; the segmentation semantics are unchanged."
+    ),
+    tags=("analytics", "events", "rfm"),
+)
+def funnel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = t.events
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("user_max_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,8))"))
+            .cast("string")
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now_ts"), F.to_date("user_max_ts")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy(F.asc("recency_days"), "user_id")).alias("r_quartile"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f_quartile"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "user_id")).alias("m_quartile"),
+    )
