@@ -213,3 +213,90 @@ def backfill_partitions(
     # the session's FileStatusCache still lists the replaced files;
     # readers would otherwise hit FILE_NOT_EXIST on the stale entries
     spark.catalog.refreshByPath(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    split_col: str = "split",
+    size_col: str = "n_chars",
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Write a split-partitioned training corpus with a JSON manifest.
+
+    The last mile of a curation pipeline: each split lands under
+    ``out_dir/split=<name>/`` in files sized to ``target_rows_per_file``
+    (explicit repartition per split — a single partitionBy write cannot
+    control per-split file counts), and ``_manifest.json`` records per
+    split the row count, file count, and total ``size_col`` mass — the
+    contract a training job validates before consuming shards. The
+    manifest stats come from one tiny aggregate (split-cardinality
+    rows); data is written once. Returns the manifest dict.
+
+    At 100 TB the same two-phase shape holds: the stats pass is a
+    metadata-scale aggregate, and per-split repartition counts keep
+    shard sizes uniform for data-parallel loaders regardless of how
+    skewed the split sizes are.
+    """
+    import json
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    stats = {
+        r["s"]: (r["n"], r["mass"])
+        for r in df.groupBy(F.col(split_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(size_col).cast("bigint").alias("mass"),
+        )
+        .collect()
+    }
+    manifest: dict = {"splits": {}, "target_rows_per_file": target_rows_per_file}
+    for split, (n, mass) in sorted(stats.items()):
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        (
+            df.filter(F.col(split_col) == split)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"split={split}"))
+        )
+        manifest["splits"][split] = {
+            "n_rows": int(n),
+            "n_files": n_files,
+            "total_" + size_col: int(mass),
+        }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_training_shards(spark, out_dir: str, validate: bool = True) -> DataFrame:
+    """Manifest-validated read of a shard directory written above.
+
+    With ``validate=True`` the actual per-split row counts are checked
+    against ``_manifest.json`` before returning — a truncated or
+    half-written corpus fails loudly at load time, not mid-training.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "split=*")
+    )
+    if validate:
+        with open(os.path.join(out_dir, "_manifest.json")) as f:
+            manifest = json.load(f)
+        actual = {
+            r["split"]: r["n"]
+            for r in df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        expected = {s: v["n_rows"] for s, v in manifest["splits"].items()}
+        if actual != expected:
+            raise ValueError(
+                f"shard corpus does not match manifest: {actual} != {expected}"
+            )
+    return df

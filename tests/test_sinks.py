@@ -201,3 +201,39 @@ def test_tolerant_csv_quarantines_malformed_rows(spark, tmp_path):
     row = bad.first()
     assert row["reading"] is None  # the violating field nulls out
     assert "not_a_number" in row["_corrupt_record"]  # raw line preserved
+
+
+def test_training_shards_manifest_roundtrip(spark, sf_dir, tmp_path):
+    """Shard writer: per-split layout + manifest counts match the data;
+    manifest-validated read returns every row; a tampered corpus fails
+    validation loudly."""
+    import json
+
+    from severless_data_pipeline_aws_spark.sources.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = Tables(spark, sf_dir).documents.withColumn(
+        "split", F.when(F.col("doc_id") % 10 < 8, "train").otherwise("val")
+    )
+    out = str(tmp_path / "corpus")
+    manifest = write_training_shards(docs, out, target_rows_per_file=100)
+    assert set(manifest["splits"]) == {"train", "val"}
+    n_total = docs.count()
+    assert sum(v["n_rows"] for v in manifest["splits"].values()) == n_total
+
+    back = read_training_shards(spark, out)
+    assert back.count() == n_total
+
+    # tamper: drop a shard file -> validation must fail
+    import glob
+    import os
+
+    victim = glob.glob(os.path.join(out, "split=train", "part-*.parquet"))[0]
+    os.remove(victim)
+    try:
+        read_training_shards(spark, out)
+        raise AssertionError("tampered corpus passed validation")
+    except ValueError as e:
+        assert "does not match manifest" in str(e)
