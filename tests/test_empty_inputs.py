@@ -1,0 +1,74 @@
+"""Empty-input robustness: at 100 TB, empty partitions and empty
+filter results are routine — an operator that crashes or changes
+schema on zero rows is a production incident. Stage a zero-row copy
+of every table and require each representative operator to (a) run,
+(b) keep its exact schema, (c) return a sane row count (0, or 1 for
+global aggregates)."""
+
+from __future__ import annotations
+
+import pytest
+
+from severless_data_pipeline_aws_spark import registry
+from severless_data_pipeline_aws_spark.io import TABLES, load_table, table_path
+
+SPECS = registry.load_all()
+
+#: one representative per module/shape — broad without doubling suite time
+REPRESENTATIVE = [
+    "flagship_revenue_by_status_year",
+    "filter_project_lineitem",
+    "join_full_outer",
+    "join_asof_last_click_before_purchase",
+    "pricing_summary",
+    "agg_cube",
+    "window_rank_topn_per_group",
+    "window_share_of_total",
+    "setop_except",
+    "subquery_not_in_null_aware",
+    "tpch_q21_sole_returned_supplier",
+    "cdc_upsert_orders_snapshot",
+    "cdc_scd2_from_event_log",
+    "cdc_incremental_mv_refresh",
+    "stats_winsorize_clip",
+    "sampling_lang_balanced_mixture",
+    "funnel_cohort_retention",
+    "funnel_rfm_segmentation",
+    "pipeline_llm_preprocess",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_decontaminate_eval_overlap",
+    "similarity_topk_cosine_exact",
+    "similarity_two_stage_rerank",
+    "text_top_salient_terms",
+    "text_chunk_sliding_windows",
+    "sketch_exact_quantiles",
+    "sketch_hll_mergeable",
+    "udf_pandas_grouped_agg",
+    "udf_python_udtf_chunks",
+    "nested_flatten_wide",
+]
+
+#: global aggregates legitimately emit one (all-zero/null) summary row
+#: (hll's ALL row behaves like SUM over empty: present, NULL estimate)
+_ALLOW_ONE_ROW = {"pipeline_llm_preprocess", "sketch_hll_mergeable"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("empty_sf")
+    for name in TABLES:
+        load_table(spark, sf_dir, name).limit(0).coalesce(1).write.parquet(
+            str(root / f"{name}.parquet")
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_runs_on_empty_tables(name, spark, sf_dir, empty_sf_dir):
+    spec = SPECS[name]
+    full_schema = spec.fn(spark, sf_dir).schema
+    empty_df = spec.fn(spark, empty_sf_dir)
+    assert empty_df.schema == full_schema, name
+    n = empty_df.count()
+    assert n == 0 or (n == 1 and name in _ALLOW_ONE_ROW), (name, n)
