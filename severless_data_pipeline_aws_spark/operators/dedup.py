@@ -660,3 +660,39 @@ def dedup_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFr
             F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
         )
     )
+
+
+@register(
+    "dedup_decontaminate_hashed",
+    oracle=None,  # xxhash64 has no DuckDB twin; set-equivalence vs the string op in pytest
+    doc=(
+        "The 100 TB form of dedup_decontaminate_eval_overlap: grams are "
+        "carried as xxhash64 values instead of strings, shrinking the "
+        "broadcast eval set and the shuffle payload by ~5x at identical "
+        "plan shape. pytest asserts the flagged doc set and per-doc "
+        "gram counts are identical to the string-gram (oracled) twin — "
+        "i.e., zero hash collisions on this corpus, and the claim that "
+        "hashing preserves the result is TESTED, not assumed."
+    ),
+    tags=("dedup", "llm", "ngram", "decontamination"),
+)
+def dedup_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grams = t.documents.select(
+        "doc_id",
+        F.explode(_shingles("text", _DECON_N)).alias("gram_s"),
+    ).select("doc_id", F.xxhash64("gram_s").alias("gram"))
+    ev = (
+        grams.filter(F.col("doc_id") % 20 == 7)
+        .select(F.col("doc_id").alias("eval_doc"), "gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 20 != 7)
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+        )
+    )

@@ -263,3 +263,22 @@ def test_two_stage_rerank_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(exact & staged) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_hashed_decontamination_matches_string_grams(spark, sf_dir):
+    """Hashing grams (the 100 TB payload optimization) must not change
+    the answer: identical flagged docs and identical severity counts
+    vs the string-gram oracled twin."""
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    specs = load_all()
+
+    def _rows(name):
+        return {
+            r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs_hit"])
+            for r in specs[name].fn(spark, sf_dir).collect()
+        }
+
+    strings = _rows("dedup_decontaminate_eval_overlap")
+    hashed = _rows("dedup_decontaminate_hashed")
+    assert strings == hashed and len(strings) > 0

@@ -242,3 +242,11 @@ def test_two_stage_rerank_single_broadcast_two_windows(spark, sf_dir):
     # the bounded query side broadcasts (cross join -> BroadcastNestedLoopJoin)
     assert "BroadcastNestedLoopJoin" in s or plans.broadcast_join_count(df) >= 1, s
     assert s.count("Window") >= 2, s
+
+
+def test_winsorize_broadcasts_cut_table(spark, sf_dir):
+    """The per-group percentile cut table is group-cardinality-sized —
+    it must broadcast back onto the fact, never shuffle-join it."""
+    df = _df("stats_winsorize_clip", spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plans.explain_str(df)
