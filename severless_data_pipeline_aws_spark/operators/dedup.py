@@ -696,3 +696,46 @@ def dedup_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
         )
     )
+
+
+@register(
+    "dedup_incremental_new_batch",
+    oracle="""
+        WITH corpus_index AS (
+            SELECT DISTINCT sha256(text) AS text_hash
+            FROM documents WHERE doc_id % 10 != 3
+        ),
+        new_batch AS (
+            SELECT doc_id, sha256(text) AS text_hash, lang, n_chars
+            FROM documents WHERE doc_id % 10 = 3
+        )
+        SELECT b.doc_id, b.lang, b.n_chars,
+               (i.text_hash IS NOT NULL) AS is_duplicate
+        FROM new_batch b LEFT JOIN corpus_index i USING (text_hash)
+    """,
+    doc=(
+        "Cross-run incremental dedup: an arriving batch (doc_id%10==3 "
+        "stands in for today's crawl) checks against the standing "
+        "corpus's HASH INDEX — 32 bytes per historical doc, never the "
+        "text — via a left join on sha2(text,256), flagging duplicates "
+        "while new content flows through. At 100 TB the index is "
+        "bucketed by hash so the daily join is shuffle-free on the "
+        "corpus side (write_bucketed); re-hashing only the new batch "
+        "is what makes daily ingest O(batch), not O(corpus)."
+    ),
+    tags=("dedup", "llm", "incremental"),
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    index = (
+        d.filter(F.col("doc_id") % 10 != 3)
+        .select(F.sha2("text", 256).alias("text_hash"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.sha2("text", 256).alias("text_hash"), "lang", "n_chars"
+    )
+    return batch.join(index.withColumn("hit", F.lit(1)), ["text_hash"], "left").select(
+        "doc_id", "lang", "n_chars", F.col("hit").isNotNull().alias("is_duplicate")
+    )
