@@ -107,6 +107,11 @@ def read_csv_tolerant(
     The reference tolerated malformed timestamps per-record
     (iot_dashboard.py:33-36); this is the same policy applied at the
     source boundary.
+
+    Spark caveat: a query that references ONLY ``_corrupt_record``
+    raises (the parser never materializes the other fields to know
+    what failed) — ``cache()`` the frame before routing on the corrupt
+    column, as the quarantine test does.
     """
     return spark.read.csv(
         path,
