@@ -300,3 +300,94 @@ def funnel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f_quartile"),
         F.ntile(4).over(W.orderBy(F.desc("monetary"), "user_id")).alias("m_quartile"),
     )
+
+
+@register(
+    "funnel_conversion_ordered",
+    oracle="""
+        WITH v AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS step, COUNT(t_view) AS n_users
+        FROM v WHERE t_view IS NOT NULL
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+    doc=(
+        "Ordered conversion funnel (view -> later click -> later "
+        "purchase): each step's timestamp is the earliest event of that "
+        "type STRICTLY AFTER the previous step — the sequence-matching "
+        "semantics real funnels need (an early purchase before any view "
+        "does not convert). Spark side is a SINGLE scan: three chained "
+        "conditional-min windows on one user_id partitioning (each "
+        "step's window reuses the prior step's column), then one tiny "
+        "count aggregate; the oracle proves it equal to the naive "
+        "3-pass CTE chain. One shuffle however many steps the funnel "
+        "grows — vs one join per step in the textbook formulation."
+    ),
+    tags=("analytics", "events", "funnel"),
+)
+def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = t.events.select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("step"), F.col("n_view").alias("n_users")),
+                F.struct(F.lit("2_click").alias("step"), F.col("n_click").alias("n_users")),
+                F.struct(
+                    F.lit("3_purchase").alias("step"), F.col("n_purchase").alias("n_users")
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.n_users")

@@ -250,3 +250,14 @@ def test_winsorize_broadcasts_cut_table(spark, sf_dir):
     df = _df("stats_winsorize_clip", spark, sf_dir)
     assert plans.broadcast_join_count(df) >= 1
     assert "SortMergeJoin" not in plans.explain_str(df)
+
+
+def test_conversion_funnel_single_scan(spark, sf_dir):
+    """The chained conditional-min windows must share one user_id
+    partitioning over ONE events scan — the whole funnel is a single
+    shuffle regardless of step count (the 3-pass CTE form would scan
+    the fact three times)."""
+    df = _df("funnel_conversion_ordered", spark, sf_dir)
+    assert plans.table_scan_count(df, "events") == 1
+    s = plans.explain_str(df)
+    assert "SortMergeJoin" not in s and "BroadcastHashJoin" not in s
