@@ -344,50 +344,45 @@ def funnel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     e = t.events.select("user_id", "event_type", "ts")
+    return ordered_funnel(e, ["view", "click", "purchase"])
+
+
+def ordered_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """N-step ordered funnel over (user_id, event_type, ts) rows.
+
+    Step k's timestamp is the earliest event of its type strictly after
+    step k-1's timestamp, per user. All step columns are chained
+    conditional-min windows on ONE user_id partitioning — a single fact
+    scan and a single shuffle for any N (property-tested against a
+    brute-force replay in tests/test_property_oracle.py).
+    Returns (step, n_users) with steps labeled '1_<type>', '2_<type>'…
+    """
     w = W.partitionBy("user_id")
-    staged = (
-        e.withColumn(
-            "t_view",
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
-        )
-        .withColumn(
-            "t_click",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t_purchase",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
+    staged = events
+    prev: str | None = None
+    for i, ev in enumerate(steps):
+        cond = F.col("event_type") == ev
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        col = f"_t{i}"
+        staged = staged.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = col
     per_user = staged.groupBy("user_id").agg(
-        F.max("t_view").alias("t_view"),
-        F.max("t_click").alias("t_click"),
-        F.max("t_purchase").alias("t_purchase"),
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
     )
     counts = per_user.agg(
-        F.count("t_view").alias("n_view"),
-        F.count("t_click").alias("n_click"),
-        F.count("t_purchase").alias("n_purchase"),
+        *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(steps))]
     )
     return counts.select(
         F.explode(
             F.array(
-                F.struct(F.lit("1_view").alias("step"), F.col("n_view").alias("n_users")),
-                F.struct(F.lit("2_click").alias("step"), F.col("n_click").alias("n_users")),
-                F.struct(
-                    F.lit("3_purchase").alias("step"), F.col("n_purchase").alias("n_users")
-                ),
+                *[
+                    F.struct(
+                        F.lit(f"{i + 1}_{ev}").alias("step"),
+                        F.col(f"_n{i}").alias("n_users"),
+                    )
+                    for i, ev in enumerate(steps)
+                ]
             )
         ).alias("s")
     ).select("s.step", "s.n_users")

@@ -87,3 +87,40 @@ def test_topk_matches_oracle(spark, sf_dir, con, n, desc):
         ORDER BY o_totalprice {direction}, o_orderkey LIMIT {n}
     """
     assert not compare(df, con, sql)
+
+
+@given(
+    steps=st.lists(
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_ordered_funnel_matches_bruteforce(spark, sf_dir, steps):
+    """For ANY step sequence (repeats allowed), the windowed funnel must
+    equal an imperative per-user replay: counts are non-increasing down
+    the funnel and exactly match the brute force."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.funnel import ordered_funnel
+
+    e = Tables(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    got = {
+        r["step"]: r["n_users"] for r in ordered_funnel(e, steps).collect()
+    }
+
+    pdf = e.toPandas().sort_values(["user_id", "ts"])
+    want = [0] * len(steps)
+    for _, grp in pdf.groupby("user_id", sort=False):
+        t_prev = None
+        for i, ev in enumerate(steps):
+            sel = grp[grp["event_type"] == ev]
+            if t_prev is not None:
+                sel = sel[sel["ts"] > t_prev]
+            if sel.empty:
+                break
+            t_prev = sel["ts"].min()
+            want[i] += 1
+    assert got == {f"{i + 1}_{ev}": n for i, (ev, n) in enumerate(zip(steps, want))}
+    ns = [got[f"{i + 1}_{ev}"] for i, ev in enumerate(steps)]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
