@@ -131,3 +131,28 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("id"), F.lit("event").alias("kind")
     )
     return a.unionByName(b)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+        SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 100000
+        INTERSECT ALL
+        SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc=(
+        "INTERSECT ALL: multiset intersection (keeps min multiplicity "
+        "per value) — completes the set-op matrix alongside UNION [ALL] "
+        "/ EXCEPT [ALL] / INTERSECT / unionByName."
+    ),
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderstatus").alias("status")
+    )
+    b = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderstatus").alias("status")
+    )
+    return a.intersectAll(b)
