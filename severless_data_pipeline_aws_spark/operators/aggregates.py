@@ -440,3 +440,34 @@ def timeseries_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY level, bucket_start, event_type
         """
     )
+
+
+@register(
+    "agg_median_interpolated",
+    oracle="""
+        SELECT o_orderstatus,
+               median(o_totalprice) AS median_price,
+               quantile_cont(o_totalprice, 0.25) AS p25_price,
+               quantile_cont(o_totalprice, 0.75) AS p75_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Exact interpolated median + quartiles per group: Spark's "
+        "percentile() and DuckDB's quantile_cont share the same "
+        "definition (linear interpolation between the two straddling "
+        "order statistics), and the interpolation arithmetic on the "
+        "same doubles is IEEE-identical, so even the interpolated "
+        "values hash-match. Exact percentiles need the full sorted "
+        "group (one shuffle); the approximate twin for 100 TB is "
+        "sketch_approx_quantiles (KLL-style mergeable sketch)."
+    ),
+    tags=("agg", "stats"),
+)
+def agg_median_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75_price"),
+    )
