@@ -301,3 +301,65 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("constraint_name")
+
+
+_LTTB_N = 100  # output points per series
+
+
+def _lttb_downsample(pdf, n_out: int = _LTTB_N):
+    """Largest-Triangle-Three-Buckets on one series (pandas, per key).
+
+    Keeps the first and last points; buckets the interior and keeps,
+    per bucket, the point forming the largest triangle with the
+    previously kept point and the NEXT bucket's centroid — the
+    standard shape-preserving decimation for plotting large series.
+    Deterministic: ties resolve to the earliest point.
+    """
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(pdf)
+    if n <= n_out:
+        return pdf
+    x = pdf["ts"].astype("int64").to_numpy(dtype="float64")
+    y = pdf["value"].to_numpy(dtype="float64")
+    # bucket boundaries over the interior points [1, n-1)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    keep = [0]
+    prev = 0
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (n - 1, n)
+        ax, ay = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        area = np.abs(
+            (x[prev] - ax) * (y[lo:hi] - y[prev]) - (x[prev] - x[lo:hi]) * (ay - y[prev])
+        )
+        prev = int(lo + np.argmax(area))  # argmax: first maximal index (det.)
+        keep.append(prev)
+    keep.append(n - 1)
+    return pdf.iloc[keep]
+
+
+@register(
+    "dashboard_lttb_downsample",
+    oracle=None,  # sequential geometric selection; invariants in pytest
+    doc=(
+        "Shape-preserving time-series decimation (largest-triangle-"
+        f"three-buckets) to {_LTTB_N} points per series — what a "
+        "dashboard must do before plotting a 100 TB series (the "
+        "reference plots raw rows, viable only at its 500-row scan "
+        "cap). Selection is sequential WITHIN a series (each kept "
+        "point depends on the previous) and parallel ACROSS series "
+        "via applyInPandas on the series key — the packer/stateful-"
+        "walk pattern again. pytest asserts point count, endpoint "
+        "preservation, output-is-subset-of-input, and determinism."
+    ),
+    tags=("analytics", "dashboard", "timeseries"),
+)
+def dashboard_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = t.events.select("event_type", "event_id", "ts", "value")
+    return e.groupBy("event_type").applyInPandas(
+        lambda pdf: _lttb_downsample(pdf)[["event_type", "event_id", "ts", "value"]],
+        "event_type string, event_id bigint, ts timestamp, value double",
+    )

@@ -282,3 +282,39 @@ def test_hashed_decontamination_matches_string_grams(spark, sf_dir):
     strings = _rows("dedup_decontaminate_eval_overlap")
     hashed = _rows("dedup_decontaminate_hashed")
     assert strings == hashed and len(strings) > 0
+
+
+def test_lttb_downsample_invariants(spark, sf_dir):
+    """LTTB: <= N points per series, endpoints preserved exactly, every
+    output point is an input point, and two runs agree bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    fn = load_all()["dashboard_lttb_downsample"].fn
+    out1 = fn(spark, sf_dir).collect()
+    out2 = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    ev = Tables(spark, sf_dir).events
+    full = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("event_id", "ts").alias("first_id"),
+            F.max_by("event_id", "ts").alias("last_id"),
+        )
+        .collect()
+    }
+    input_ids = {r["event_id"] for r in ev.select("event_id").collect()}
+    per_type: dict[str, list] = {}
+    for r in out1:
+        per_type.setdefault(r["event_type"], []).append(r)
+        assert r["event_id"] in input_ids
+    for etype, rows in per_type.items():
+        expect = min(full[etype]["n"], 100)
+        assert len(rows) == expect
+        ids = {r["event_id"] for r in rows}
+        assert full[etype]["first_id"] in ids and full[etype]["last_id"] in ids
