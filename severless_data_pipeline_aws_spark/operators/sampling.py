@@ -183,3 +183,45 @@ def sampling_lang_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+#: acceptance modulus for weighted sampling — power of 2, > max n_chars
+_W_MOD = 4096
+
+_WH_SPARK = f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 17, 14), 16, 10) AS BIGINT) % {_W_MOD}"
+_WH_DUCK = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 14)) AS BIGINT) % {_W_MOD}"
+
+
+@register(
+    "sampling_length_weighted",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(CASE WHEN {_WH_DUCK} < LEAST(n_chars, {_W_MOD} - 1)
+                          THEN 1 END) AS n_kept,
+               CAST(SUM(CASE WHEN {_WH_DUCK} < LEAST(n_chars, {_W_MOD} - 1)
+                             THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc=(
+        "Length-weighted Bernoulli sampling: accept each doc with "
+        f"probability n_chars/{_W_MOD} via an EXACT integer test — a "
+        "second, disjoint md5 slice (chars 17-30; independent of the "
+        "split hash's chars 1-14) against the clamped length. Token-"
+        "proportional document sampling is how a doc-level sample "
+        "approximates a token-uniform sample; integer acceptance keeps "
+        "it reproducible on any engine, unlike rand() < p or float "
+        "u^(1/w) priority keys (libm-dependent). Map-side filter + "
+        "tiny per-lang summary — no shuffle of the corpus."
+    ),
+    tags=("sampling", "llm"),
+)
+def sampling_length_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    keep = F.expr(_WH_SPARK) < F.least(F.col("n_chars"), F.lit(_W_MOD - 1))
+    return t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
+    )
