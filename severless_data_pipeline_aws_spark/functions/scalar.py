@@ -548,3 +548,43 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_array_lambda",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 5)) AS INT) AS n_long_words,
+               len(list_filter(string_split(text, ' '),
+                               w -> length(w) >= 8)) > 0 AS has_very_long,
+               len(list_filter(string_split(text, ' '),
+                               w -> length(w) = 0)) = 0 AS all_nonempty,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            w -> length(w))) AS BIGINT) AS letter_chars,
+               list_transform(string_split(text, ' '), w -> w || '!')[1] AS first_bang
+        FROM documents WHERE doc_id <= 100
+    """,
+    doc=(
+        "Higher-order lambda battery (the Catalyst-native alternative "
+        "to a Python UDF for per-row collection logic): filter / "
+        "exists / forall / aggregate / transform over the word array — "
+        "all codegen'd JVM expressions, zero Python. These are the "
+        "primitives the dedup/similarity modules build on; this entry "
+        "pins their cross-engine semantics directly."
+    ),
+    tags=("scalar", "array", "lambda"),
+)
+def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = "split(text, ' ')"
+    return t.documents.filter(F.col("doc_id") <= 100).select(
+        "doc_id",
+        F.expr(f"size(filter({w}, x -> length(x) > 5))").alias("n_long_words"),
+        F.expr(f"exists({w}, x -> length(x) >= 8)").alias("has_very_long"),
+        F.expr(f"forall({w}, x -> length(x) > 0)").alias("all_nonempty"),
+        F.expr(f"CAST(aggregate({w}, 0L, (a, x) -> a + length(x)) AS BIGINT)").alias(
+            "letter_chars"
+        ),
+        F.expr(f"transform({w}, x -> concat(x, '!'))[0]").alias("first_bang"),
+    )
