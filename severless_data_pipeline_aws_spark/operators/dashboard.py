@@ -363,3 +363,51 @@ def dashboard_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda pdf: _lttb_downsample(pdf)[["event_type", "event_id", "ts", "value"]],
         "event_type string, event_id bigint, ts timestamp, value double",
     )
+
+
+@register(
+    "dashboard_day_over_day",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY day, event_type
+        )
+        SELECT day, event_type, n_events,
+               lag(n_events) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev_day,
+               CAST(n_events AS DOUBLE) /
+                   lag(n_events) OVER (PARTITION BY event_type ORDER BY day) - 1.0
+                   AS dod_change
+        FROM daily
+    """,
+    doc=(
+        "Day-over-day movement per event type: daily counts, previous "
+        "day via lag, relative change as ONE division of exact "
+        "integers (hash-safe; first day yields NULL, as SQL semantics "
+        "dictate). The lag window runs on the day-grain rollup — "
+        "365 x |types| rows per year regardless of event volume — so "
+        "the dashboard query costs one fact aggregate plus metadata-"
+        "scale window work."
+    ),
+    tags=("analytics", "dashboard", "window"),
+)
+def dashboard_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        prev.alias("prev_day"),
+        (F.col("n_events").cast("double") / prev - 1.0).alias("dod_change"),
+    )
