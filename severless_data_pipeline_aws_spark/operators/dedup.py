@@ -739,3 +739,42 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(index.withColumn("hit", F.lit(1)), ["text_hash"], "left").select(
         "doc_id", "lang", "n_chars", F.col("hit").isNotNull().alias("is_duplicate")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL}
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT sha256(text)) AS n_unique,
+               1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*)
+                   AS dup_rate
+        FROM corpus
+        GROUP BY source
+    """,
+    doc=(
+        "Per-source duplication-rate monitor over the duplicate-"
+        "injected corpus: docs vs distinct content hashes per source, "
+        "dup_rate as one division of exact integers. The health metric "
+        "a crawl pipeline tracks per feed to catch a misbehaving "
+        "source before it floods the corpus; one shuffle (count-"
+        "distinct on the 256-bit hash), group-cardinality output."
+    ),
+    tags=("dedup", "llm", "monitoring"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        duplicated_corpus(t)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
+            (
+                F.lit(1.0)
+                - F.countDistinct(F.sha2("text", 256)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
