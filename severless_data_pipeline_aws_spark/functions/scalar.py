@@ -588,3 +588,40 @@ def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"transform({w}, x -> concat(x, '!'))[0]").alias("first_bang"),
     )
+
+
+@register(
+    "scalar_string_pad_translate",
+    oracle="""
+        SELECT doc_id,
+               lpad(lang, 5, '.') AS lang_padded,
+               rpad(source, 8, '-') AS source_padded,
+               translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_up,
+               trim(BOTH 's' FROM source) AS source_trimmed,
+               repeat(lang, 2) AS lang_twice,
+               reverse(source) AS source_rev,
+               ascii(lang) AS first_code,
+               chr(65 + CAST(doc_id % 26 AS INT)) AS letter
+        FROM documents WHERE doc_id <= 100
+    """,
+    doc=(
+        "Second string battery: lpad/rpad/translate/trim-chars/repeat/"
+        "reverse/ascii/chr — the fixed-width formatting and character-"
+        "mapping functions a report/export layer leans on, pinned "
+        "cross-engine."
+    ),
+    tags=("scalar", "string"),
+)
+def scalar_string_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.filter(F.col("doc_id") <= 100).select(
+        "doc_id",
+        F.lpad("lang", 5, ".").alias("lang_padded"),
+        F.rpad("source", 8, "-").alias("source_padded"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels_up"),
+        F.expr("trim(BOTH 's' FROM source)").alias("source_trimmed"),
+        F.repeat("lang", 2).alias("lang_twice"),
+        F.reverse("source").alias("source_rev"),
+        F.ascii("lang").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"),
+    )
