@@ -625,3 +625,40 @@ def scalar_string_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("lang").alias("first_code"),
         F.chr(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"),
     )
+
+
+@register(
+    "scalar_timezone_battery",
+    oracle="""
+        SELECT event_id,
+               timezone('America/New_York', timezone('UTC', ts)) AS ny_wall,
+               timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo_wall,
+               ts AS roundtrip_utc,
+               CAST(hour(timezone('America/New_York', timezone('UTC', ts)))
+                    AS BIGINT) AS ny_hour
+        FROM events
+    """,
+    doc=(
+        "Timezone conversion battery: from_utc_timestamp / "
+        "to_utc_timestamp between session-UTC instants and "
+        "America/New_York (DST-observing) and Asia/Tokyo (no DST) wall "
+        "clocks, plus local-hour extraction — the dashboard's "
+        "display-timezone path. The roundtrip column re-converts the NY "
+        "wall time back to UTC and the oracle pins it to the original "
+        "ts, proving from/to are exact inverses on this range. Pure "
+        "per-row JVM intrinsics (whole-stage codegen, no shuffle); the "
+        "oracle composes DuckDB's two-argument timezone() so neither "
+        "engine's session timezone participates."
+    ),
+    tags=("scalar", "timestamp", "timezone"),
+)
+def scalar_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return t.events.select(
+        "event_id",
+        ny.alias("ny_wall"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
+        F.to_utc_timestamp(ny, "America/New_York").alias("roundtrip_utc"),
+        F.hour(ny).cast("bigint").alias("ny_hour"),
+    )

@@ -471,3 +471,46 @@ def agg_median_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.25)").alias("p25_price"),
         F.expr("percentile(o_totalprice, 0.75)").alias("p75_price"),
     )
+
+
+@register(
+    "timeseries_rolling_distinct_users",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        grid AS (SELECT DISTINCT day FROM ud)
+        SELECT g.day, COUNT(DISTINCT u.user_id) AS n_users_7d
+        FROM grid g
+        JOIN ud u ON u.day BETWEEN g.day - 6 AND g.day
+        GROUP BY g.day
+    """,
+    doc=(
+        "Trailing 7-day distinct users per day — the metric a RANGE-"
+        "frame COUNT(DISTINCT) window would express if Spark had one. "
+        "Implemented by the window-explode rewrite: dedup to (user, "
+        "day), fan each active day out to the <=7 report days it "
+        "serves (explode of a 7-element date sequence), then one "
+        "countDistinct per report day. Cost is O(rows x window_days), "
+        "independent of the span of history, and every step is a hash "
+        "shuffle on a single small key — no range self-join, whose "
+        "cost is O(rows x span_days) and explodes on a year of data. "
+        "The oracle IS that range join, so the rewrite is verified "
+        "against the naive semantics."
+    ),
+    tags=("agg", "timeseries", "distinct"),
+)
+def timeseries_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ud = t.events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grid = ud.select("day").distinct()
+    fanned = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("rday"),
+    )
+    return (
+        fanned.join(F.broadcast(grid), fanned.rday == grid.day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )

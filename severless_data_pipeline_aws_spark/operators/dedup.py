@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import Tables
@@ -776,5 +776,77 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.countDistinct(F.sha2("text", 256)).cast("double")
                 / F.count(F.lit(1))
             ).alias("dup_rate"),
+        )
+    )
+
+
+_BLOCK_W = 20  # words per paragraph-block
+
+
+@register(
+    "dedup_paragraph_blocks_keep_first",
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL},
+        w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+        b AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, CAST(ceil(len(words) / {_BLOCK_W}.0) AS BIGINT) + 1),
+                       i -> struct_pack(
+                           pos := i,
+                           block := array_to_string(
+                               words[(i-1)*{_BLOCK_W}+1 : i*{_BLOCK_W}], ' ')))) AS s
+            FROM w
+        ),
+        b2 AS (SELECT doc_id, s.pos AS pos, s.block AS block FROM b),
+        k AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+            FROM b2
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_blocks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS retention
+        FROM k GROUP BY doc_id
+    """,
+    doc=(
+        "Paragraph-level (block-level) exact dedup, the C4/RefinedWeb "
+        "sub-document rule: chunk every document into disjoint "
+        f"{_BLOCK_W}-word blocks, keep only each block's first "
+        "occurrence corpus-wide (ordered by doc_id, position), and "
+        "report per-document retention — injected duplicate docs "
+        "retain 0%% while their originals retain 100%%. One explode "
+        "(~n_words/{_BLOCK_W} rows per doc) + one shuffle on the "
+        "block (at 100 TB: on xxhash64(block), same plan) + one "
+        "per-doc aggregate. Catches copied passages inside otherwise "
+        "unique pages, which document-level dedup cannot see."
+    ),
+    tags=("dedup", "llm", "paragraph"),
+)
+def dedup_paragraph_blocks_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    corpus = duplicated_corpus(t)
+    blocks = corpus.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(size(split(text, ' ')) / {_BLOCK_W}.0) AS INT)), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), (i-1)*{_BLOCK_W}+1, {_BLOCK_W})))"
+            )
+        ).alias("pos", "block"),
+    )
+    w = W.partitionBy("block").orderBy("doc_id", "pos")
+    return (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            (
+                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("retention"),
         )
     )

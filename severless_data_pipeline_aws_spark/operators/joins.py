@@ -319,3 +319,62 @@ def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Da
             "last_click_ts",
         )
     )
+
+
+@register(
+    "join_interval_month_buckets",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(o_orderdate AS DATE) + CAST(o_orderkey % 60 AS INTEGER) AS e
+            FROM orders
+        ),
+        grid AS (
+            SELECT CAST(unnest(generate_series(
+                       (SELECT date_trunc('month', MIN(s)) FROM o),
+                       (SELECT date_trunc('month', MAX(e)) FROM o),
+                       INTERVAL 1 MONTH)) AS DATE) AS month
+        )
+        SELECT g.month,
+               COUNT(*) AS n_open_orders,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,8))) AS VARCHAR)
+                    AS DOUBLE) AS open_value
+        FROM grid g
+        JOIN o ON o.s < g.month + INTERVAL 1 MONTH AND o.e >= g.month
+        GROUP BY g.month
+    """,
+    doc=(
+        "Interval-overlap join via bucket explosion — the standard way "
+        "to run a range/interval join on Spark without a theta-join "
+        "cross product. Each order's open interval [orderdate, "
+        "orderdate + (key %% 60) days] is exploded to the calendar "
+        "months it overlaps (sequence of month-truncated dates, <=3 "
+        "rows per order), turning the non-equi overlap predicate into "
+        "a plain hash aggregate on the month bucket. Cost is O(rows x "
+        "avg_months_spanned); the oracle runs the naive non-equi range "
+        "join against a month grid, verifying the bucketization exactly "
+        "— including the decimal-exact open-value sum."
+    ),
+    tags=("join", "range", "interval"),
+)
+def join_interval_month_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), (F.col("o_orderkey") % 60).cast("int")).alias("e"),
+    )
+    fanned = o.select(
+        "o_totalprice",
+        F.explode(
+            F.sequence(F.trunc("s", "MM"), F.trunc("e", "MM"), F.expr("INTERVAL 1 MONTH"))
+        ).alias("month"),
+    )
+    return fanned.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_open_orders"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)"
+        ).alias("open_value"),
+    )

@@ -558,3 +558,93 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_events").cast("double") / F.sum("n_events").over(w)).alias("share"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               COUNT(DISTINCT event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS n_types_seen
+        FROM events
+    """,
+    doc=(
+        "Running COUNT(DISTINCT) per key — Spark has no DISTINCT window "
+        "aggregate, so it is rewritten as the standard two-window form: "
+        "a first-occurrence flag (row_number over (user, type) == 1) "
+        "summed cumulatively over the user's timeline. Both windows "
+        "hash-partition on user_id only, so AQE reuses one exchange; "
+        "state per row is O(1) vs the O(types) a collect_set rewrite "
+        "would carry — the form that survives wide keys at 100 TB. The "
+        "oracle runs DuckDB's native DISTINCT window aggregate, so the "
+        "rewrite is verified against an independent implementation."
+    ),
+    tags=("window", "distinct"),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.events.withColumn(
+            "is_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        )
+        .withColumn("n_types_seen", F.sum("is_first").over(w_run))
+        .select("event_id", "user_id", "event_type", "n_types_seen")
+    )
+
+
+@register(
+    "window_streaks_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                              AS INTEGER) AS anchor
+            FROM days
+        ),
+        s AS (
+            SELECT user_id, anchor, COUNT(*) AS len, MAX(day) AS streak_end
+            FROM g GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               COUNT(*) AS n_streaks,
+               MAX(len) AS longest_streak,
+               MAX(streak_end) AS last_active_day
+        FROM s GROUP BY user_id
+    """,
+    doc=(
+        "Gaps-and-islands: per-user runs of consecutive active days via "
+        "the classic day - row_number() anchor (consecutive days share "
+        "an anchor), then one aggregate per island and one per user. "
+        "The distinct, both windows, and both aggregates all partition "
+        "on user_id, so the whole plan is a single hash exchange — no "
+        "self-join, no per-island shuffle; the session_window analog for "
+        "calendar-grain data at any scale."
+    ),
+    tags=("window", "sessionize"),
+)
+def window_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    days = t.events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"), F.max("day").alias("streak_end"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.max("streak_end").alias("last_active_day"),
+    )
