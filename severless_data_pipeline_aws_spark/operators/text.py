@@ -584,3 +584,127 @@ def text_top_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "term_freq", "doc_freq", "rn")
     )
+
+
+_BM25_TERMS = ("spark", "join", "fast")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_term_sql(i: int) -> str:
+    """One query term's BM25 contribution, as SQL text shared verbatim by
+    the Spark plan and the DuckDB oracle.
+
+    Every integer operand is cast to DOUBLE *before* any literal touches
+    it: both engines parse ``0.5`` as DECIMAL, and their decimal
+    scale-propagation rules differ (observed: 1e-8-relative drift, the
+    DECIMAL(. ,8) quantum), so the arithmetic must be forced into IEEE
+    doubles to be bit-identical. With identical expression trees over
+    identical doubles, + - * / are deterministic across engines.
+    """
+    k1, b = _BM25_K1, _BM25_B
+    norm = f"(CAST(tf{i} AS DOUBLE) + {k1} * (0.25 + {b} * CAST(dl AS DOUBLE) / avgdl))"
+    idf = f"((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+    return f"{idf} * (CAST(tf{i} AS DOUBLE) * {k1 + 1}) / {norm}"
+
+
+_BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents
+        ),
+        st AS (
+            SELECT COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(dl AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+            FROM d
+        ),
+        tf AS (
+            SELECT doc_id, dl,
+                   len(list_filter(words, w -> w = '{_BM25_TERMS[0]}')) AS tf0,
+                   len(list_filter(words, w -> w = '{_BM25_TERMS[1]}')) AS tf1,
+                   len(list_filter(words, w -> w = '{_BM25_TERMS[2]}')) AS tf2
+            FROM d
+        ),
+        dfreq AS (
+            SELECT SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM tf
+        ),
+        scored AS (
+            SELECT doc_id, {_BM25_SCORE_SQL} AS score
+            FROM tf, st, dfreq
+        )
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+    doc=(
+        "BM25 lexical retrieval: score every document against a fixed "
+        f"{len(_BM25_TERMS)}-term query and return the top 20 — the "
+        "keyword-search half of a hybrid retrieval stack (the vector "
+        "half is similarity_two_stage_rerank). Corpus stats (N, avgdl "
+        "via decimal-exact sum, per-term document frequencies) reduce "
+        "to single-row DFs broadcast into a per-row scoring expression; "
+        "per-term tf comes from a higher-order filter on the split "
+        "words, so the whole scan stays in whole-stage codegen with "
+        "zero Python. The idf is the rational Robertson form "
+        "((N-df+0.5)/(df+0.5), no log — log differs by ulps across "
+        "libm implementations), and the score expression text is "
+        "SHARED verbatim between the Spark plan and the oracle with "
+        "all integers pre-cast to DOUBLE, so every score is the same "
+        "IEEE expression tree over the same doubles — hash-exact, not "
+        "approximately equal. Top-20 via TakeOrderedAndProject; rank "
+        "is assigned after the limit, so the global window sorts 20 "
+        "rows, not the corpus. At 100 TB nothing changes: stats are "
+        "one tiny broadcast, scoring is map-only, top-k is "
+        "per-partition heaps + driver merge."
+    ),
+    tags=("text", "llm", "retrieval", "topk"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    tf = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.expr(f"size(filter(words, w -> w = '{term}'))").alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    st = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(dl AS DECIMAL(38,8))) AS DOUBLE) / COUNT(1)").alias("avgdl"),
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    topk = (
+        tf.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(dfreq))
+        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+    from pyspark.sql import Window as W
+
+    return topk.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("int")
+    )
