@@ -514,3 +514,38 @@ def timeseries_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("n_users_7d"))
     )
+
+
+@register(
+    "agg_weighted_avg_exact",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8)))
+                         AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8)))
+                               AS VARCHAR) AS DOUBLE) AS wavg_discount,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Quantity-weighted average discount per return flag — the "
+        "weighted-mean shape every reporting layer needs. Both the "
+        "weighted sum and the weight sum accumulate in DECIMAL(38,8) "
+        "(order-independent, partial-aggregate/map-side-combine "
+        "friendly), and only the final single division happens in "
+        "doubles — so the result is bit-identical across engines and "
+        "across any partitioning, unlike a naive avg(x*w)/avg(w) in "
+        "floats. One shuffle on the group key."
+    ),
+    tags=("agg", "exact"),
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        (
+            F.expr("CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE)")
+            / F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)")
+        ).alias("wavg_discount"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS BIGINT)").alias("total_qty"),
+    )

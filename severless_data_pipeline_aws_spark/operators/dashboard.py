@@ -411,3 +411,37 @@ def dashboard_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_day"),
         (F.col("n_events").cast("double") / prev - 1.0).alias("dod_change"),
     )
+
+
+@register(
+    "dashboard_heatmap_hour_dow",
+    oracle="""
+        SELECT CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Hour-of-day x day-of-week activity heatmap — the dashboard "
+        "staple for spotting diurnal/weekly cycles. 168 output cells "
+        "regardless of input size, one shuffle. Cross-engine trap "
+        "handled explicitly: Spark's dayofweek() is 1-based "
+        "(1=Sunday) while DuckDB's is 0-based (0=Sunday), so the "
+        "Spark side subtracts 1 to emit the 0=Sunday convention."
+    ),
+    tags=("dashboard", "agg", "timeseries"),
+)
+def dashboard_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

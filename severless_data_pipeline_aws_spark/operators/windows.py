@@ -648,3 +648,54 @@ def window_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.max("streak_end").alias("last_active_day"),
     )
+
+
+@register(
+    "window_median_sliding",
+    oracle="""
+        SELECT event_id, user_id,
+               median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS median_7
+        FROM events
+    """,
+    doc=(
+        "Rolling exact median over a trailing 7-row frame — the robust "
+        "smoother a dashboard uses where a moving average would chase "
+        "outliers. Spark has no ordered-set window aggregate, so the "
+        "frame is materialized with collect_list OVER the same frame, "
+        "array_sort'ed, and the middle element(s) picked: O(frame log "
+        "frame) per row with frame=7, state bounded by the frame — "
+        "scale-safe for any corpus length since cost is rows x frame, "
+        "never rows x history. Even-length frames interpolate as "
+        "(lo + hi) / 2 in doubles, matching DuckDB's native windowed "
+        "median bit-for-bit (selection + one IEEE add/divide, no "
+        "accumulation-order dependence)."
+    ),
+    tags=("window", "median"),
+)
+def window_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.when(
+            n % 2 == 1,
+            F.element_at(vals, ((n + F.lit(1)) / F.lit(2)).cast("int")),
+        )
+        .otherwise(
+            (
+                F.element_at(vals, (n / F.lit(2)).cast("int"))
+                + F.element_at(vals, (n / F.lit(2)).cast("int") + 1)
+            )
+            / F.lit(2.0)
+        )
+        .alias("median_7"),
+    )
