@@ -214,13 +214,43 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_label_centroid_agreement",
-    oracle=None,  # aggregates computed doubles; asserted as invariants in pytest
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dims AS (
+            SELECT label, vec_id,
+                   unnest(list_transform(range(1, len(v) + 1),
+                          i -> struct_pack(dim := i, x := v[i]))) AS s
+            FROM e
+        ),
+        d2 AS (SELECT label, vec_id, s.dim AS dim, s.x AS x FROM dims),
+        cent AS (
+            SELECT label, dim,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+                       / COUNT(*) AS cx
+            FROM d2 GROUP BY label, dim
+        ),
+        cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cent GROUP BY label)
+        SELECT e.vec_id, e.label,
+               list_dot_product(e.v, c.centroid)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.centroid, c.centroid)))
+                   AS cosine_to_own_centroid
+        FROM e JOIN cvec c USING (label)
+    """,
     doc=(
         "Ground-truth sanity: each vector's cosine to its own label "
-        "centroid vs the global centroid. Centroids via per-dimension "
-        "posexplode + avg (one shuffle on (label, dim)) — the scalable "
-        "dense-centroid pattern. pytest asserts own-label similarity wins "
-        "on average (labels are the generator's 10 clusters)."
+        "centroid. Centroids via per-dimension posexplode (one shuffle "
+        "on (label, dim)) — the scalable dense-centroid pattern. The "
+        "per-dimension mean folds the values in vec_id order "
+        "(collect_list(struct) + array_sort + sequential aggregate) "
+        "instead of avg(), so the float reduction is order-pinned and "
+        "bit-identical to the DuckDB oracle's ordered list_reduce — "
+        "which upgrades this query from rows-only to hash-exact. sqrt "
+        "is IEEE-correctly-rounded on both engines, so the cosines "
+        "match exactly too. pytest still asserts own-label similarity "
+        "wins on average (labels are the generator's 10 clusters)."
     ),
     tags=("similarity", "llm"),
 )
@@ -228,10 +258,17 @@ def similarity_label_centroid_agreement(spark: SparkSession, sf_dir: str) -> Dat
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
 
-    dims = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    dims = emb.select("label", "vec_id", F.posexplode("v").alias("dim0", "x")).select(
+        "label", "vec_id", (F.col("dim0") + 1).alias("dim"), "x"
+    )
     centroids = (
         dims.groupBy("label", "dim")
-        .agg(F.avg("x").alias("cx"))
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, x))), "
+                "p -> p.x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / count(1)"
+            ).alias("cx")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
         .select("label", F.expr("transform(pairs, p -> p.cx)").alias("centroid"))
