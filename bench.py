@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_decontaminate_eval_overlap",
     "similarity_two_stage_rerank",
     "funnel_cohort_retention",
+    # round-2 final additions: lexical retrieval (broadcast-stats BM25),
+    # the bucketized interval join, and the DISTINCT-window rewrite
+    "text_bm25_topk",
+    "join_interval_month_buckets",
+    "window_cumulative_distinct",
 ]
 
 

@@ -261,3 +261,61 @@ def test_conversion_funnel_single_scan(spark, sf_dir):
     assert plans.table_scan_count(df, "events") == 1
     s = plans.explain_str(df)
     assert "SortMergeJoin" not in s and "BroadcastHashJoin" not in s
+
+
+def test_rolling_distinct_broadcasts_day_grid(spark, sf_dir):
+    """The 7-day fan-out joins the (tiny) day grid by broadcast; the
+    heavy side never shuffles for the join — only for the dedup and the
+    final per-day aggregate."""
+    df = _df("timeseries_rolling_distinct_users", spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.exchange_count(df) <= 4
+    assert plans.read_schema_columns(df) == {"ts", "user_id"}
+
+
+def test_interval_bucketization_single_shuffle(spark, sf_dir):
+    """Bucketizing the interval join turns a non-equi range join into
+    map-side explode + ONE hash aggregate — the whole point."""
+    df = _df("join_interval_month_buckets", spark, sf_dir)
+    assert plans.exchange_count(df) <= 1
+    assert plans.read_schema_columns(df) == {
+        "o_orderkey", "o_totalprice", "o_orderdate",
+    }
+
+
+def test_bm25_is_map_side_scored_take_ordered(spark, sf_dir):
+    """Corpus stats reach the scorer as broadcasts (nested-loop on
+    single-row DFs), scoring is map-only, and the top-20 must be
+    TakeOrderedAndProject, never a global sort."""
+    df = _df("text_bm25_topk", spark, sf_dir)
+    assert plans.has_take_ordered(df)
+    assert plans.exchange_count(df) <= 2  # the two single-row stat reductions
+    assert plans.read_schema_columns(df) == {"doc_id", "text"}
+
+
+def test_paragraph_dedup_two_shuffles(spark, sf_dir):
+    """Block keep-first needs exactly the block window shuffle + the
+    per-doc aggregate shuffle."""
+    df = _df("dedup_paragraph_blocks_keep_first", spark, sf_dir)
+    assert plans.exchange_count(df) <= 2
+    assert plans.read_schema_columns(df) == {"doc_id", "text"}
+
+
+def test_cumulative_distinct_reuses_user_partitioning(spark, sf_dir):
+    """Both windows of the DISTINCT-count rewrite cluster on user_id;
+    the plan must not exceed the two window exchanges."""
+    df = _df("window_cumulative_distinct", spark, sf_dir)
+    assert plans.exchange_count(df) <= 2
+
+
+def test_streaks_single_partitioning_chain(spark, sf_dir):
+    """distinct -> window -> island agg -> user agg all cluster by
+    user_id (anchor is a narrowing, served by the same partitioning)."""
+    df = _df("window_streaks_gaps_islands", spark, sf_dir)
+    assert plans.exchange_count(df) <= 2
+    assert plans.read_schema_columns(df) == {"ts", "user_id"}
+
+
+def test_rolling_median_one_exchange(spark, sf_dir):
+    df = _df("window_median_sliding", spark, sf_dir)
+    assert plans.exchange_count(df) <= 1
