@@ -538,3 +538,76 @@ def test_streaming_zscore_equals_batch_replay(spark, sf_dir):
         else:
             assert gz == z, (eid, gz, z)  # bit-exact: identical fold order
     assert n_anom > 0  # the detector actually fires on the test data
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, sf_dir, tmp_path):
+    """W-join (outer): watermarked stream-stream LEFT OUTER join.
+
+    Outer results are the hard part of streaming joins: an unmatched
+    click may only emit its null-padded row once the watermark proves
+    no future purchase can match it. A future-dated flush row (written
+    as a SECOND file, with maxFilesPerTrigger=1 forcing it into a later
+    micro-batch) pushes the watermark past every real row, so the
+    streaming result must equal the batch left-outer twin exactly —
+    including the null-padded rows.
+    """
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10)
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    clicks.coalesce(1).write.mode("overwrite").parquet(clicks_dir)
+    buys.coalesce(1).write.mode("overwrite").parquet(buys_dir)
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    flush = spark.createDataFrame(
+        [(-1, max_ts, -1, "flush", 0.0, "{}")],
+        schema=spark.read.parquet(clicks_dir).schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    flush.coalesce(1).write.mode("append").parquet(clicks_dir)
+    flush.coalesce(1).write.mode("append").parquet(buys_dir)
+
+    schema = spark.read.parquet(clicks_dir).schema
+
+    def _stream(d, alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("event_id").alias(f"{alias}_id"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    cond = "c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"
+    joined = _stream(clicks_dir, "c").join(
+        _stream(buys_dir, "b"), F.expr(cond), "left_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream-stream left join did not finish"
+    got = {
+        (r["c_id"], r["b_id"])
+        for r in spark.table("ss_left_join").collect()
+        if r["c_id"] >= 0  # drop the flush row's own (pending) output
+    }
+
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    b = buys.select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), F.col("event_id").alias("b_id")
+    )
+    want = {
+        (r["c_id"], r["b_id"])
+        for r in c.join(b, F.expr(cond), "left_outer").collect()
+    }
+    assert any(bid is None for _, bid in want), "outer twin is vacuous"
+    assert got == want
