@@ -549,3 +549,50 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_discount"),
         F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS BIGINT)").alias("total_qty"),
     )
+
+
+@register(
+    "timeseries_index_to_base",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(38,8))) AS dval
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day,
+               CAST(CAST(dval AS VARCHAR) AS DOUBLE) AS day_value,
+               (CAST(CAST(dval AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(first_value(dval) OVER (PARTITION BY user_id ORDER BY day)
+                            AS VARCHAR) AS DOUBLE)) * 100.0 AS index_100
+        FROM daily
+    """,
+    doc=(
+        "Index-to-base normalization: each user's daily total re-based "
+        "to their first observed day = 100 — how dashboards compare "
+        "series with different magnitudes on one axis. Daily totals "
+        "accumulate in DECIMAL (order-independent), the base arrives "
+        "via first_value over the per-user day order (no self-join "
+        "back to day one), and only the final ratio runs in doubles — "
+        "identical operands on both engines, so the index is "
+        "hash-exact. Two exchanges: the daily rollup and the per-user "
+        "window."
+    ),
+    tags=("agg", "timeseries", "window"),
+)
+def timeseries_index_to_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.expr("SUM(CAST(value AS DECIMAL(38,8)))").alias("dval"))
+    w = W.partitionBy("user_id").orderBy("day")
+    base = F.first("dval").over(w)
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("dval").cast("double").alias("day_value"),
+        (
+            (F.col("dval").cast("double") / base.cast("double")) * F.lit(100.0)
+        ).alias("index_100"),
+    )

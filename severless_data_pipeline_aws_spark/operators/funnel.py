@@ -386,3 +386,76 @@ def ordered_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
             )
         ).alias("s")
     ).select("s.step", "s.n_users")
+
+
+@register(
+    "funnel_pareto_revenue_concentration",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, rev,
+                   ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+            FROM cust
+        ),
+        by_decile AS (
+            SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS decile_rev
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (SELECT SUM(rev) AS total_rev FROM cust)
+        SELECT decile, n_customers,
+               CAST(CAST(decile_rev AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS decile_share,
+               CAST(CAST(SUM(decile_rev) OVER (ORDER BY decile
+                                               ROWS UNBOUNDED PRECEDING)
+                         AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS cum_share
+        FROM by_decile, tot
+    """,
+    doc=(
+        "Revenue concentration (Pareto / Lorenz curve at decile "
+        "granularity): customers ranked by lifetime revenue, cut into "
+        "ntile(10) deciles, each decile's share and the cumulative "
+        "share of total revenue. All sums are DECIMAL end-to-end — "
+        "including the cumulative window sum — with doubles only in "
+        "the two final share divisions, so every value is hash-exact. "
+        "Plan: customer rollup shuffle, a single-partition ntile over "
+        "the customer aggregate (customer-count scale, METADATA-sized "
+        "next to the fact table — at 100 TB rank against percentile "
+        "cuts instead, the documented swap in funnel_rfm_segmentation), "
+        "then a 10-row decile aggregate."
+    ),
+    tags=("funnel", "agg", "pareto"),
+)
+def funnel_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    cust = t.orders.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,8)))").alias("rev")
+    )
+    ranked = cust.withColumn(
+        "decile", F.ntile(10).over(W.orderBy(F.desc("rev"), "o_custkey"))
+    )
+    by_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("decile_rev"),
+    )
+    tot = cust.agg(F.sum("rev").alias("total_rev"))
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        by_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("decile_rev").cast("double") / F.col("total_rev").cast("double")).alias(
+                "decile_share"
+            ),
+            (
+                F.sum("decile_rev").over(wcum).cast("double")
+                / F.col("total_rev").cast("double")
+            ).alias("cum_share"),
+        )
+    )
