@@ -699,3 +699,67 @@ def window_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("median_7"),
     )
+
+
+_SESS_GAP_S = 600  # inactivity gap: 10 minutes
+_SESS_CAP_S = 3600  # hard cap: no session longer than 1 hour
+
+
+@register(
+    "session_window_gap_and_cap",
+    oracle=None,  # sequential recurrence (state depends on emitted session
+    # starts); no closed SQL form — exact brute-force twin in pytest
+    doc=(
+        "Sessionization with BOTH an inactivity gap (10 min) and a hard "
+        "duration cap (1 h): an event opens a new session when it is "
+        "more than the gap after the previous event OR more than the "
+        "cap after the CURRENT session's start. The cap makes this a "
+        "sequential recurrence — each decision depends on the session "
+        "start chosen by earlier decisions — which no window function "
+        "or session_window() can express (gap-only sessions are the "
+        "running-max trick; gap+cap is not). Implemented as "
+        "applyInPandas per user: sequential within a key, parallel "
+        "across keys, O(events-per-user) memory — the same "
+        "shape-contract as the streaming stateful operators. Output is "
+        "one row per session (start/end/n_events), deterministic; "
+        "pytest replays an exact brute-force Python twin and asserts "
+        "equality plus the gap/cap invariants."
+    ),
+    tags=("window", "sessionize", "custom"),
+)
+def session_window_gap_and_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_id")
+
+    schema = (
+        "user_id bigint, session_idx int, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
+
+    def _sessionize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out = []
+        idx = -1
+        start = end = None
+        n = 0
+        for ts in pdf["ts"]:
+            if (
+                idx < 0
+                or (ts - end).total_seconds() > _SESS_GAP_S
+                or (ts - start).total_seconds() > _SESS_CAP_S
+            ):
+                if idx >= 0:
+                    out.append((idx, start, end, n))
+                idx += 1
+                start, n = ts, 0
+            end = ts
+            n += 1
+        if idx >= 0:
+            out.append((idx, start, end, n))
+        res = pd.DataFrame(out, columns=["session_idx", "session_start", "session_end", "n_events"])
+        res.insert(0, "user_id", pdf["user_id"].iloc[0])
+        return res
+
+    return ev.groupBy("user_id").applyInPandas(_sessionize, schema=schema)

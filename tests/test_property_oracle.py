@@ -124,3 +124,55 @@ def test_ordered_funnel_matches_bruteforce(spark, sf_dir, steps):
     assert got == {f"{i + 1}_{ev}": n for i, (ev, n) in enumerate(zip(steps, want))}
     ns = [got[f"{i + 1}_{ev}"] for i, ev in enumerate(steps)]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_session_gap_and_cap_equals_bruteforce(spark, sf_dir):
+    """Exact replay: the applyInPandas sessionizer must equal a
+    straight-line Python implementation of the gap+cap recurrence,
+    and every emitted session must satisfy both invariants."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.windows import (
+        _SESS_CAP_S,
+        _SESS_GAP_S,
+        session_window_gap_and_cap,
+    )
+
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+        for r in session_window_gap_and_cap(spark, sf_dir).collect()
+    }
+
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        per_user.setdefault(r["user_id"], []).append(r["ts"])
+    want = {}
+    for uid, tss in per_user.items():
+        idx, start, end, n = -1, None, None, 0
+        for ts in tss:
+            if (
+                idx < 0
+                or (ts - end).total_seconds() > _SESS_GAP_S
+                or (ts - start).total_seconds() > _SESS_CAP_S
+            ):
+                if idx >= 0:
+                    want[(uid, idx)] = (start, end, n)
+                idx, start, n = idx + 1, ts, 0
+            end = ts
+            n += 1
+        if idx >= 0:
+            want[(uid, idx)] = (start, end, n)
+
+    assert got == want
+    assert any(k[1] > 0 for k in want), "fixture never splits a session — vacuous"
+    for (uid, idx), (start, end, n) in want.items():
+        assert (end - start).total_seconds() <= _SESS_CAP_S + _SESS_GAP_S, (
+            "session span exceeds cap+gap bound"
+        )
+        assert n >= 1
