@@ -378,3 +378,37 @@ def join_interval_month_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)"
         ).alias("open_value"),
     )
+
+
+@register(
+    "join_salted_skew_segments",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc=(
+        "Skew-mitigated fact join as a first-class query: events join "
+        "their user dimension through operators/skew.py::salted_join "
+        "(uniform salt on the skewed side, dimension replicated per "
+        "salt), so one hot user can never pin a single shuffle "
+        "partition — the manual backstop for skew beyond what AQE's "
+        "runtime splitting handles. The salt is internal: the oracle is "
+        "the PLAIN join, proving salting changes the execution shape "
+        "and not the semantics. Post-join rollup by market segment."
+    ),
+    tags=("join", "skew"),
+)
+def join_salted_skew_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(F.col("user_id").alias("k"), "user_id")
+    dim = t.customer.select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    joined = salted_join(ev, dim, "k", n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -763,3 +763,46 @@ def session_window_gap_and_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
 
     return ev.groupBy("user_id").applyInPandas(_sessionize, schema=schema)
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+        WITH eq AS (
+            SELECT user_id, event_id, ts,
+                   SUM(CAST(value AS DECIMAL(38,8)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS equity
+            FROM events WHERE user_id <= 10
+        )
+        SELECT user_id, event_id,
+               CAST(CAST(equity AS VARCHAR) AS DOUBLE) AS equity,
+               CAST(CAST(MAX(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) - equity
+                         AS VARCHAR) AS DOUBLE) AS drawdown
+        FROM eq
+    """,
+    doc=(
+        "Running maximum drawdown: the cumulative series (decimal-exact "
+        "running sum of value) against its running peak, per user — the "
+        "risk-monitoring window every trading/SLO dashboard carries. "
+        "Stacked windows share one (user_id, ts) sort: Catalyst plans a "
+        "single exchange + sort feeding both frames. peak - equity "
+        "happens in DECIMAL (exact), doubles appear only at output."
+    ),
+    tags=("window", "frame", "timeseries"),
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    equity = F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).over(w)
+    return t.events.filter(F.col("user_id") <= 10).select(
+        "user_id",
+        "event_id",
+        equity.cast("double").alias("equity"),
+        (F.max(equity).over(w) - equity).cast("double").alias("drawdown"),
+    )

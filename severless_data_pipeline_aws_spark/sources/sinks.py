@@ -300,3 +300,18 @@ def read_training_shards(spark, out_dir: str, validate: bool = True) -> DataFram
                 f"shard corpus does not match manifest: {actual} != {expected}"
             )
     return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (S5-adjacent: the second columnar interchange format).
+
+    ORC support is built into Spark (no extra package, unlike Avro);
+    predicate pushdown and column pruning work the same as parquet, so
+    an ORC landing zone is a drop-in swap where the downstream consumer
+    demands it.
+    """
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -237,3 +237,17 @@ def test_training_shards_manifest_roundtrip(spark, sf_dir, tmp_path):
         raise AssertionError("tampered corpus passed validation")
     except ValueError as e:
         assert "does not match manifest" in str(e)
+
+
+def test_orc_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    """ORC sink/source: write the nation dim to ORC, read it back, and
+    the row multiset must be identical (schema nullability aside)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.sources import sinks
+
+    d = str(tmp_path / "nation_orc")
+    nation = Tables(spark, sf_dir).nation
+    sinks.write_orc(nation, d)
+    back = sinks.read_orc(spark, d)
+    assert back.schema.fieldNames() == nation.schema.fieldNames()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
