@@ -210,3 +210,100 @@ def cdc_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("d.sum_price"), zero)
         ).cast("string").cast("double").alias("total_price"),
     )
+
+
+@register(
+    "cdc_pit_join_state_before",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM events WHERE user_id < 50
+        ),
+        o AS (
+            SELECT user_id, event_type, ts,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM e
+        ),
+        ch AS (
+            SELECT user_id, event_type, ts FROM o
+            WHERE prev IS NULL OR event_type != prev
+        ),
+        dim AS (
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+            FROM ch
+        )
+        SELECT f.event_id, f.user_id, f.ts,
+               d.state AS state_before,
+               (d.state IS DISTINCT FROM f.event_type) AS is_state_change
+        FROM e f
+        LEFT JOIN dim d
+          ON d.user_id = f.user_id
+         AND d.valid_from <= f.ts - INTERVAL 1 SECOND
+         AND (d.valid_to IS NULL OR f.ts - INTERVAL 1 SECOND < d.valid_to)
+    """,
+    doc=(
+        "Point-in-time (as-of) join against the SCD2 history that "
+        "cdc_scd2_from_event_log builds: each event is enriched with "
+        "the user's state one second BEFORE the event, plus a flag for "
+        "whether the event changed it. The oracle is the textbook "
+        "range join (key equi-join + interval filter) — which explodes "
+        "as keys x versions at scale; the engine instead unions the "
+        "dimension's change points with the fact probes, sorts once "
+        "per key, and carries the state forward with "
+        "last(ignorenulls) — one shuffle, zero pair explosion, the "
+        "same plan the as-of join uses. Empty [t, t) versions (two "
+        "changes at one timestamp) are dropped before the union to "
+        "match interval semantics exactly."
+    ),
+    tags=("cdc", "join", "asof", "scd2"),
+)
+def cdc_pit_join_state_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    fact = t.events.filter(F.col("user_id") < 50).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    dim = cdc_scd2_from_event_log(spark, sf_dir).filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    )
+
+    dim_rows = dim.select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("cur_type"),
+    )
+    probes = fact.select(
+        "user_id",
+        F.expr("ts - INTERVAL 1 SECOND").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("state"),
+        "event_id",
+        "ts",
+        F.col("event_type").alias("cur_type"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dim_rows.unionByName(probes)
+        .withColumn("state_before", F.last("state", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "state_before",
+            (~F.col("state_before").eqNullSafe(F.col("cur_type"))).alias(
+                "is_state_change"
+            ),
+        )
+    )
