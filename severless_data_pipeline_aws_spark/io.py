@@ -65,6 +65,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nanos_timestamp_cols(path):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    # parquet timestamp[us] arrives as TIMESTAMP_NTZ; normalize to the
+    # session-zoned TimestampType (session tz is pinned UTC, so values are
+    # unchanged) — streaming watermarks and several chrono functions
+    # (unix_millis, window) require TIMESTAMP, and this keeps the engine's
+    # surface identical whether the generator stored NANOS or MICROS.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

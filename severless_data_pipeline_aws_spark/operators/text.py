@@ -708,3 +708,150 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("int")
     )
+
+
+# collocation lift: shared verbatim by both engines so the double
+# arithmetic (left-assoc products, one division) is bit-identical
+_LIFT_SQL = (
+    "(CAST(c_xy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))"
+    " / (CAST(nb AS DOUBLE) * CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))"
+)
+
+
+@register(
+    "text_bigram_lift_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        uni AS (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT unnest(t) AS w FROM toks)
+            GROUP BY w
+        ),
+        nu_t AS (SELECT SUM(c) AS nu FROM uni),
+        bg AS (
+            SELECT w1, w2, COUNT(*) AS c_xy
+            FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                             i -> t[i])) AS w1,
+                       unnest(list_transform(range(1, greatest(len(t), 1)),
+                                             i -> t[i + 1])) AS w2
+                FROM toks
+            )
+            GROUP BY w1, w2
+        ),
+        nb_t AS (SELECT SUM(c_xy) AS nb FROM bg),
+        scored AS (
+            SELECT w1, w2, c_xy, {_LIFT_SQL} AS lift
+            FROM bg
+            CROSS JOIN nb_t
+            CROSS JOIN nu_t
+            JOIN (SELECT w AS w1k, c AS cx FROM uni) u1 ON w1 = w1k
+            JOIN (SELECT w AS w2k, c AS cy FROM uni) u2 ON w2 = w2k
+            WHERE c_xy >= 10
+        )
+        SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, lift
+        FROM scored
+        ORDER BY lift DESC, w1, w2
+        LIMIT 30
+    """,
+    doc=(
+        "Collocation extraction via pointwise LIFT — the PMI exponent "
+        "p(xy)/(p(x)p(y)) = c_xy*Nu^2/(Nb*cx*cy) — over corpus bigrams. "
+        "Monotone in PMI, so the top-k ranking is identical, but the "
+        "score is a pure rational of exact integer counts evaluated in "
+        "one shared expression (no log), hence bit-reproducible across "
+        "engines — the same trick as the rational-idf BM25. Plan: one "
+        "token-keyed count, one bigram-keyed count, two broadcast "
+        "joins of the unigram side onto the c_xy>=10-pruned bigrams "
+        "(the prune keeps the join input tiny at any scale), "
+        "TakeOrderedAndProject top-30."
+    ),
+    tags=("text", "llm", "ngram", "stats"),
+)
+def text_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu_t = uni.agg(F.sum("c").alias("nu"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                    " ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    nb_t = bg.agg(F.sum("c_xy").alias("nb"))
+    pruned = bg.filter(F.col("c_xy") >= 10)
+    scored = (
+        pruned.crossJoin(F.broadcast(nb_t))
+        .crossJoin(F.broadcast(nu_t))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))),
+            "w2",
+        )
+        .select("w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"), F.expr(_LIFT_SQL).alias("lift"))
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(30)
+
+
+@register(
+    "text_avg_token_corpus_freq",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS INT) AS n_tokens,
+               CAST(SUM(u.c) AS BIGINT) AS sum_freq,
+               CAST(SUM(u.c) AS DOUBLE) / COUNT(*) AS avg_corpus_freq
+        FROM toks t JOIN uni u USING (w)
+        GROUP BY t.doc_id
+    """,
+    doc=(
+        "Unigram-LM document quality proxy: each document scored by the "
+        "mean corpus frequency of its tokens — low scores flag rare-"
+        "token noise (boilerplate, mojibake), high scores flag stopword "
+        "soup; the cheap stand-in for model-based perplexity filtering "
+        "in pretraining curation. Exactness: the per-doc accumulator is "
+        "an integer SUM of counts (order-independent), with ONE final "
+        "double division — no float folding anywhere. Plan: one token "
+        "count, then a token-keyed shuffle join back onto the "
+        "(doc,token) pairs and a doc-keyed partial agg; head tokens "
+        "('the') skew the join key, which AQE skew-split handles — the "
+        "vocab side is 1 row per token so no row explosion."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_avg_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(uni, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("sum_freq"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("avg_corpus_freq"),
+        )
+    )

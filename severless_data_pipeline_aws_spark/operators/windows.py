@@ -509,8 +509,8 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            F.unix_millis(F.col("sw.start").cast("timestamp")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end").cast("timestamp")).alias("session_end_ms"),
             "n_events",
             "total_value",
         )

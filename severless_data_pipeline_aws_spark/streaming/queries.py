@@ -36,11 +36,16 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str, df=None) -> DataFram
     events = df if df is not None else spark.read.parquet(table_path(sf_dir, "events"))
     src = tempfile.mkdtemp(prefix="events_stream_")
     events.write.mode("overwrite").parquet(src)
-    return (
-        spark.readStream.schema(events.schema)
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    # ts arrives as epoch-nanos bigint when the source parquet stored
+    # TIMESTAMP(NANOS) (read under nanosAsLong), or as TIMESTAMP_NTZ for
+    # timestamp[us] sources; watermarks need session-zoned TIMESTAMP.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
