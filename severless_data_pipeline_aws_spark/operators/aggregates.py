@@ -596,3 +596,52 @@ def timeseries_index_to_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dval").cast("double") / base.cast("double")) * F.lit(100.0)
         ).alias("index_100"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH counts AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY n DESC, o_orderpriority) AS rn
+            FROM counts
+        )
+        SELECT o_orderstatus, o_orderpriority AS modal_priority,
+               CAST(n AS BIGINT) AS n
+        FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "Deterministic MODE per group: the most frequent order priority "
+        "per status, ties broken by value. Built-in mode() picks an "
+        "arbitrary winner on ties (engine- and partitioning-dependent), "
+        "so it can never be hash-verified; count + row_number makes the "
+        "winner well-defined. Plan: one map-side-combined count on the "
+        "composite key, then a window over the tiny (status, priority) "
+        "count table — the window input is group-cardinality-sized, "
+        "not data-sized, so this scales to any fact size."
+    ),
+    tags=("agg", "window", "stats"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    counts = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -166,3 +166,75 @@ def stats_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clipped_high"),
         )
     )
+
+
+# chi-square pieces shared verbatim by both engines: expected count and
+# the squared-deviation contribution are each ONE double expression over
+# exact integer totals, so the values are bit-identical
+_CHI_EXP = "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+_CHI_CONTRIB = (
+    f"((CAST(obs AS DOUBLE) - {_CHI_EXP}) * (CAST(obs AS DOUBLE) - {_CHI_EXP}))"
+    f" / {_CHI_EXP}"
+)
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS INTEGER)
+                       AS dow,
+                   COUNT(*) AS obs
+            FROM events
+            GROUP BY event_type, dow
+        ),
+        tot AS (
+            SELECT event_type, dow, obs,
+                   SUM(obs) OVER (PARTITION BY event_type) AS rt,
+                   SUM(obs) OVER (PARTITION BY dow) AS ct,
+                   SUM(obs) OVER () AS n
+            FROM cells
+        )
+        SELECT event_type, dow, CAST(obs AS BIGINT) AS obs,
+               {_CHI_EXP} AS expected,
+               {_CHI_CONTRIB} AS chi2_contrib
+        FROM tot
+    """,
+    doc=(
+        "Independence diagnostic for the event stream: the event_type x "
+        "day-of-week contingency table with each cell's expected count "
+        "and chi-square contribution — the standard drift/seasonality "
+        "check before trusting a traffic mix. Marginals come from three "
+        "frameless windows OVER the 35-row cell table (metadata-scale "
+        "after the one fact aggregation — the windows never see raw "
+        "rows), and the double arithmetic is a shared expression over "
+        "exact integer counts, so the output is bit-reproducible. The "
+        "final chi-square statistic is the SUM of a 35-row column — "
+        "left to the caller because a float fold's value depends on "
+        "add order; the cells themselves are exact."
+    ),
+    tags=("stats", "agg", "window"),
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    cells = t.events.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot = cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(W.partitionBy("event_type")).alias("rt"),
+        F.sum("obs").over(W.partitionBy("dow")).alias("ct"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    return tot.select(
+        "event_type",
+        "dow",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.expr(_CHI_EXP).alias("expected"),
+        F.expr(_CHI_CONTRIB).alias("chi2_contrib"),
+    )

@@ -806,3 +806,104 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         equity.cast("double").alias("equity"),
         (F.max(equity).over(w) - equity).cast("double").alias("drawdown"),
     )
+
+
+@register(
+    "window_nth_value_per_key",
+    oracle="""
+        WITH w AS (
+            SELECT o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+                   nth_value(o_totalprice, 3) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                       AS third_price,
+                   first_value(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                       AS first_price
+            FROM orders
+        )
+        SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(first_price AS DOUBLE) AS first_price,
+               CAST(third_price AS DOUBLE) AS third_price
+        FROM w WHERE rn = 1
+    """,
+    doc=(
+        "nth_value over a full-partition frame: each customer's first "
+        "and THIRD order amount in date order (third is NULL for "
+        "customers with fewer than three orders — nth_value's framed "
+        "NULL semantics, which lag/lead can't express without a "
+        "self-join). One shuffle on custkey serves all three window "
+        "functions plus the row_number used to keep one row per key."
+    ),
+    tags=("window",),
+)
+def window_nth_value_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    full = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ordered = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_custkey",
+            F.row_number().over(ordered).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("n_orders"),
+            F.nth_value("o_totalprice", 3).over(full).alias("third_price"),
+            F.first("o_totalprice").over(full).alias("first_price"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("first_price").cast("double").alias("first_price"),
+            F.col("third_price").cast("double").alias("third_price"),
+        )
+    )
+
+
+_EWMA_ALPHA = 0.2
+
+
+@register(
+    "timeseries_ewma_smooth",
+    oracle=None,  # sequential IEEE recurrence: y_n = a*x_n + (1-a)*y_{n-1};
+    # any closed form changes the rounding, so exactness is pinned by a
+    # pandas ewm(adjust=False) replay in pytest instead of SQL
+    doc=(
+        "Exponentially-weighted moving average per user stream (alpha "
+        "= 0.2): the dashboard smoother the max-drawdown / moving-"
+        "average family lacks. The recurrence's floating-point value "
+        "depends on evaluation ORDER, so a window-function rewrite "
+        "(sum of a^(n-k) x_k) would both overflow a^-k at stream "
+        "length and round differently — instead it runs as "
+        "applyInPandas per key: sequential within a user, parallel "
+        "across users, O(1) state per row, the same shape-contract as "
+        "the stateful streaming ops. pytest pins bit-equality against "
+        "pandas ewm(adjust=False) and partition-count invariance."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 20).select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double, ewma double"
+
+    def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ewma"] = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    return ev.groupBy("user_id").applyInPandas(_ewma, schema=schema)

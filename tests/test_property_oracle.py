@@ -176,3 +176,55 @@ def test_session_gap_and_cap_equals_bruteforce(spark, sf_dir):
             "session span exceeds cap+gap bound"
         )
         assert n >= 1
+
+
+def test_ewma_equals_sequential_replay(spark, sf_dir):
+    """The distributed EWMA must be BIT-equal to a single-threaded
+    recurrence replay per user, and invariant to the input partitioning
+    (the groupBy shuffle must fully re-serialize each key)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.windows import (
+        _EWMA_ALPHA,
+        timeseries_ewma_smooth,
+    )
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in timeseries_ewma_smooth(spark, sf_dir).collect()
+    }
+
+    rows = (
+        Tables(spark, sf_dir)
+        .events.filter("user_id <= 20")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    want = {}
+    per_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        y = per_user.get(r["user_id"])
+        y = r["value"] if y is None else _EWMA_ALPHA * r["value"] + (1 - _EWMA_ALPHA) * y
+        per_user[r["user_id"]] = y
+        want[r["event_id"]] = y
+    assert len(got) == len(want) > 0
+    assert all(got[k] == want[k] for k in want), "EWMA diverges from sequential replay"
+
+    ev3 = (
+        Tables(spark, sf_dir)
+        .events.filter("user_id <= 20")
+        .select("user_id", "ts", "event_id", "value")
+        .repartition(3)
+    )
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ewma"] = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    got3 = {
+        r["event_id"]: r["ewma"]
+        for r in ev3.groupBy("user_id")
+        .applyInPandas(_ewma, "user_id bigint, event_id bigint, ts timestamp, value double, ewma double")
+        .collect()
+    }
+    assert got3 == got, "EWMA output depends on input partitioning"
