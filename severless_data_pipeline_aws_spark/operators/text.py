@@ -855,3 +855,65 @@ def text_avg_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c").cast("double") / F.count(F.lit(1))).alias("avg_corpus_freq"),
         )
     )
+
+
+_VOCAB_K = 100  # tokenizer vocabulary size for the coverage audit
+
+
+@register(
+    "text_vocab_coverage_oov",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+                ORDER BY c DESC, w LIMIT {_VOCAB_K}
+            )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS INT) AS n_tokens,
+               CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS INT) AS n_oov,
+               CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS DOUBLE)
+                   / COUNT(*) AS oov_ratio
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    """,
+    doc=(
+        "Tokenizer-vocabulary coverage audit: per-document out-of-"
+        "vocabulary rate against the corpus top-{k} vocab — the check "
+        "run before committing a tokenizer, since high-OOV documents "
+        "become UNK soup in training. The vocab is a deterministic "
+        "top-k (count desc, word tie-break → TakeOrderedAndProject, "
+        "never a global sort) and is broadcast for the membership "
+        "probe, so the fact side never shuffles for the join; integer "
+        "counts + one final division keep it hash-exact. At 100 TB the "
+        "vocab is a real tokenizer's fixed table (a few 100k rows) — "
+        "same broadcast shape."
+    ).format(k=_VOCAB_K),
+    tags=("text", "llm", "quality"),
+)
+def text_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("int").alias("n_oov"),
+            (
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_ratio"),
+        )
+    )

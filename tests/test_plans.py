@@ -319,3 +319,81 @@ def test_streaks_single_partitioning_chain(spark, sf_dir):
 def test_rolling_median_one_exchange(spark, sf_dir):
     df = _df("window_median_sliding", spark, sf_dir)
     assert plans.exchange_count(df) <= 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join filter: a selective filter on the
+    orders side injects a bloom-filter predicate into the lineitem scan
+    BEFORE the shuffle join — the runtime analogue of static partition
+    pruning, and the 100 TB lever that turns a full fact shuffle into a
+    pre-filtered one. Asserts both the plan shape and that the filtered
+    result is identical to the unfiltered join's."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test tables are far below the default creation/application
+        # thresholds (meant for real clusters), so open them wide
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = Tables(spark, sf_dir)
+        li = t.lineitem
+        sel = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        joined = (
+            li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in optimized, "no runtime bloom filter injected"
+        with_bloom = {(r["l_returnflag"], r["n"]) for r in joined.collect()}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    sel = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    plain = (
+        li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert with_bloom == {(r["l_returnflag"], r["n"]) for r in plain.collect()}
+
+
+def test_observation_metrics_api(spark, sf_dir):
+    """df.observe(): accumulator-style metrics collected DURING an
+    action with zero extra scans — how a 100 TB pipeline audits row
+    counts / null rates / value sums without re-running the query.
+    The observed metrics must equal a direct aggregation's answer."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.max("user_id").alias("max_user"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.max("user_id").alias("max_user"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"] > 0
+    assert got["n_null_value"] == want["n_null_value"]
+    assert got["max_user"] == want["max_user"]
