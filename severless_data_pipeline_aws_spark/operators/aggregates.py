@@ -645,3 +645,45 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "agg_hist_magnitude_buckets",
+    oracle="""
+        WITH b AS (
+            SELECT length(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR)) AS n_digits,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT n_digits,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM b GROUP BY n_digits
+    """,
+    doc=(
+        "Order-of-magnitude histogram: orders bucketed by the DIGIT "
+        "COUNT of their integer-cent total — the log10 histogram "
+        "without log10, so bucket edges are integer-exact in both "
+        "engines (floor-to-cents then string length; a float log10 "
+        "would put boundary values in engine-dependent buckets). The "
+        "skew diagnostic run before choosing partition counts: one "
+        "map-side-combined agg, cardinality = max digit count."
+    ),
+    tags=("agg", "histogram", "stats"),
+)
+def agg_hist_magnitude_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    digits = F.length(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string")
+    ).alias("n_digits")
+    return (
+        t.orders.select(digits, "o_totalprice")
+        .groupBy("n_digits")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )

@@ -181,3 +181,106 @@ def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "anomaly_mad_robust",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_id, event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                            THEN value END) AS median_v
+            FROM ranked GROUP BY event_type
+        ),
+        devs AS (
+            SELECT r.event_id, r.event_type, r.value, m.median_v,
+                   abs(r.value - m.median_v) AS dev,
+                   row_number() OVER (PARTITION BY r.event_type
+                                      ORDER BY abs(r.value - m.median_v),
+                                               r.event_id) AS drn,
+                   COUNT(*) OVER (PARTITION BY r.event_type) AS dn
+            FROM ranked r JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type,
+                   MAX(CASE WHEN drn = CAST(ceil(0.5 * dn) AS BIGINT)
+                            THEN dev END) AS mad_v
+            FROM devs GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value, d.median_v, m2.mad_v,
+               d.dev / m2.mad_v AS robust_score
+        FROM devs d JOIN mad m2 USING (event_type)
+        WHERE d.dev > 5.0 * m2.mad_v
+    """,
+    doc=(
+        "Robust outlier detection via median absolute deviation: flag "
+        "events whose |value - median| exceeds 5 MAD of their type — "
+        "the estimator that, unlike the z-score, is not dragged by the "
+        "outliers it is hunting (50% breakdown point). Both the median "
+        "and the MAD are RANK-BASED disc percentiles (actual data "
+        "values at row ceil(n/2), the winsorize trick), so no float "
+        "interpolation and the whole query is hash-exact. Plan: two "
+        "window passes over the same event_type partitioning plus two "
+        "broadcast joins of the per-type cut tables — the second pass "
+        "is unavoidable (deviations need the median first), matching "
+        "the two-pass lower bound for exact MAD."
+    ),
+    tags=("anomaly", "stats", "window"),
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    e = t.events.select("event_id", "event_type", "value")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("median_v")
+    )
+    devs = ranked.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "median_v",
+        F.abs(F.col("value") - F.col("median_v")).alias("dev"),
+    )
+    dev_ranked = devs.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("dev", "event_id"))
+        .alias("drn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("dn"),
+    )
+    mad = dev_ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("drn") == F.ceil(0.5 * F.col("dn")).cast("bigint"), F.col("dev"))
+        ).alias("mad_v")
+    )
+    return (
+        dev_ranked.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 5.0 * F.col("mad_v"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "median_v",
+            "mad_v",
+            (F.col("dev") / F.col("mad_v")).alias("robust_score"),
+        )
+    )

@@ -412,3 +412,131 @@ def join_salted_skew_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+_NEAR_TOL_S = 86400  # tolerance: nearest neighbor within +/- 24 hours
+
+# chooser over the carried backward/forward candidates — shared verbatim
+# by both engines. Backward wins ties; a candidate outside tolerance
+# never blocks the other side.
+_NEAR_PICK = (
+    f"CASE WHEN back_delta IS NOT NULL AND back_delta <= {_NEAR_TOL_S}"
+    f"          AND (fwd_delta IS NULL OR fwd_delta > {_NEAR_TOL_S}"
+    f"               OR back_delta <= fwd_delta) THEN {{back}}"
+    f"     WHEN fwd_delta IS NOT NULL AND fwd_delta <= {_NEAR_TOL_S} THEN {{fwd}}"
+    f"     ELSE NULL END"
+)
+
+
+@register(
+    "join_asof_nearest_tolerance",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts,
+                   1 AS is_right
+            FROM events WHERE user_id <= 30 AND event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, event_id, event_id, ts, 0
+            FROM events WHERE user_id <= 30 AND event_type = 'click'
+        ),
+        carried AS (
+            SELECT user_id, ts, event_id, is_right,
+                   last_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_id,
+                   last_value(c_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+                   first_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_id,
+                   first_value(c_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+            FROM tagged
+        ),
+        deltas AS (
+            SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                   back_id, fwd_id,
+                   CAST(date_diff('second', back_ts, ts) AS BIGINT) AS back_delta,
+                   CAST(date_diff('second', ts, fwd_ts) AS BIGINT) AS fwd_delta
+            FROM carried WHERE is_right = 1
+        )
+        SELECT user_id, purchase_id, purchase_ts,
+               {_NEAR_PICK.format(back="back_id", fwd="fwd_id")} AS nearest_click_id,
+               {_NEAR_PICK.format(back="back_delta", fwd="fwd_delta")} AS nearest_delta_s,
+               {_NEAR_PICK.format(back="'backward'", fwd="'forward'")} AS direction
+        FROM deltas
+    """,
+    doc=(
+        "Bidirectional as-of join with tolerance: each purchase matched "
+        "to the user's NEAREST click within +/-24 h, whichever side "
+        "is closer (backward wins ties; an out-of-tolerance candidate "
+        "never blocks the other side) — the temporal feature join of ML "
+        "feature stores, e.g. nearest sensor reading to each label "
+        "event. Same union + ignorenulls-carry shape as the backward "
+        "as-of: ONE shuffle on the key, both directions carried by two "
+        "mirrored window frames over one sort, no pairwise explosion. "
+        "Same-instant clicks sort before the purchase, so they are "
+        "backward candidates (delta 0) — consistent in both engines."
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 30)
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("bigint").alias("c_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(1).alias("is_right"),
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.lit(0).alias("is_right"),
+    )
+    order = ["ts", "is_right", "event_id"]
+    w_back = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = right.unionByName(left).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_right",
+        F.last("c_id", ignorenulls=True).over(w_back).alias("back_id"),
+        F.last("c_ts", ignorenulls=True).over(w_back).alias("back_ts"),
+        F.first("c_id", ignorenulls=True).over(w_fwd).alias("fwd_id"),
+        F.first("c_ts", ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+    )
+    deltas = carried.filter(F.col("is_right") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "back_id",
+        "fwd_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("back_ts")).alias("back_delta"),
+        (F.unix_timestamp("fwd_ts") - F.unix_timestamp("ts")).alias("fwd_delta"),
+    )
+    return deltas.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        F.expr(_NEAR_PICK.format(back="back_id", fwd="fwd_id")).alias("nearest_click_id"),
+        F.expr(_NEAR_PICK.format(back="back_delta", fwd="fwd_delta")).alias("nearest_delta_s"),
+        F.expr(_NEAR_PICK.format(back="'backward'", fwd="'forward'")).alias("direction"),
+    )
