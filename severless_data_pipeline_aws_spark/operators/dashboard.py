@@ -445,3 +445,95 @@ def dashboard_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "dq_freshness_lag_monitor",
+    oracle="""
+        WITH per_type AS (
+            SELECT event_type,
+                   MAX(ts) AS latest_ts,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        ),
+        g_latest AS (SELECT MAX(ts) AS global_latest FROM events)
+        SELECT event_type, latest_ts,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(date_diff('second', latest_ts, global_latest) AS BIGINT)
+                   AS staleness_s,
+               date_diff('second', latest_ts, global_latest) > 86400 AS is_stale
+        FROM per_type CROSS JOIN g_latest
+    """,
+    doc=(
+        "Pipeline freshness SLA monitor: each feed's (event_type's) "
+        "latest event vs the globally freshest one, with a >24 h "
+        "staleness flag — the first page of any ingestion dashboard; a "
+        "feed that silently stops is caught by its growing lag, not by "
+        "an error. One map-side-combined MAX per feed plus a 1-row "
+        "global broadcast: metadata-scale everywhere, whatever the "
+        "fact size."
+    ),
+    tags=("dashboard", "dq", "timeseries"),
+)
+def dq_freshness_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_type = t.events.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    glob = t.events.agg(F.max("ts").alias("global_latest"))
+    lag = F.unix_timestamp("global_latest") - F.unix_timestamp("latest_ts")
+    return per_type.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        lag.alias("staleness_s"),
+        (lag > 86400).alias("is_stale"),
+    )
+
+
+@register(
+    "dashboard_dataset_card",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+                   AS dup_rate,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+                   AS avg_doc_tokens
+        FROM documents
+    """,
+    doc=(
+        "Dataset card in one row: corpus size, token & char mass, "
+        "language/source diversity, exact-duplicate rate, mean doc "
+        "length — the summary block published with every training-data "
+        "release. One scan; the distinct counts expand-rewrite into a "
+        "single shuffle round; every output is integers or one "
+        "division of integers, so the card is hash-exact. At 100 TB "
+        "the same query runs with approx_count_distinct swapped in "
+        "where 2% error is acceptable (see sketch_approx_count_"
+        "distinct) — the exact form here doubles as its accuracy "
+        "oracle."
+    ),
+    tags=("dashboard", "llm", "agg"),
+)
+def dashboard_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    n_tokens = F.sum(F.size(F.split("text", " ")))
+    n_dist = F.countDistinct(F.md5("text"))
+    return t.documents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        n_dist.cast("bigint").alias("n_unique_texts"),
+        (
+            (F.count(F.lit(1)) - n_dist).cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        (n_tokens.cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
+    )

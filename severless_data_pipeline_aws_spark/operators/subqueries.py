@@ -222,3 +222,36 @@ def subquery_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
         """
     )
+
+
+@register(
+    "subquery_all_quantified",
+    oracle="""
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier)
+    """,
+    doc=(
+        "Quantified-ALL comparison subquery: customers whose balance "
+        "exceeds EVERY supplier's. Spark SQL has no ALL/ANY "
+        "quantifier, so the engine applies the standard decorrelation: "
+        "`> ALL (SELECT x ...)` == `> (SELECT MAX(x) ...)` on a "
+        "non-empty null-free subquery — one scalar aggregate broadcast "
+        "into the filter, no join explosion. The oracle runs DuckDB's "
+        "NATIVE ALL quantifier, so the rewrite's equivalence is what's "
+        "being verified, not assumed (non-vacuous: 6 rows at sf0.01)."
+    ),
+    tags=("subquery", "rewrite"),
+)
+def subquery_all_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sup_max = t.supplier.agg(F.max("s_acctbal").alias("sup_max"))
+    return (
+        t.customer.crossJoin(F.broadcast(sup_max))
+        .filter(F.col("c_acctbal") > F.col("sup_max"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+    )

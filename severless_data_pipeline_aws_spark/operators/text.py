@@ -917,3 +917,63 @@ def text_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_ratio"),
         )
     )
+
+
+@register(
+    "text_char_trigram_profile",
+    oracle="""
+        WITH tri AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+                                         i -> substr(text, i, 3))) AS g
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, g, COUNT(*) AS n FROM tri GROUP BY lang, g
+        ),
+        ranked AS (
+            SELECT lang, g, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, g) AS rn
+            FROM counts
+        )
+        SELECT lang, g AS trigram, CAST(n AS BIGINT) AS n, rn AS rank
+        FROM ranked WHERE rn <= 20
+    """,
+    doc=(
+        "Character-trigram frequency profile per language — the actual "
+        "mechanism behind production language ID (textcat): a language "
+        "is recognized by ranking its char n-grams and comparing "
+        "profiles. Top-20 per lang via substring explode (sequence + "
+        "substr, zero Python) -> (lang, gram) count with map-side "
+        "combine -> per-lang row_number. The char explode is ~len(text) "
+        "rows per doc, the heaviest fan-out in the text battery — but "
+        "the combine collapses it to |langs| x |alphabet^3| before the "
+        "shuffle, so the exchanged volume is vocabulary-, not corpus-"
+        "sized."
+    ),
+    tags=("text", "llm", "langid", "ngram"),
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    tri = t.documents.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    counts = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.withColumn(
+        "rn", F.row_number().over(W.partitionBy("lang").orderBy(F.desc("n"), "g"))
+    )
+    return ranked.filter(F.col("rn") <= 20).select(
+        "lang", F.col("g").alias("trigram"), F.col("n").cast("bigint").alias("n"),
+        F.col("rn").alias("rank"),
+    )
