@@ -51,6 +51,10 @@ HEADLINE = [
     "text_bm25_topk",
     "join_interval_month_buckets",
     "window_cumulative_distinct",
+    # late round-2 additions: the char-level fan-out workload and the
+    # two-pass rank-percentile (median/MAD) window workload
+    "text_char_trigram_profile",
+    "anomaly_mad_robust",
 ]
 
 
