@@ -662,3 +662,51 @@ def scalar_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_utc_timestamp(ny, "America/New_York").alias("roundtrip_utc"),
         F.hour(ny).cast("bigint").alias("ny_hour"),
     )
+
+
+@register(
+    "scalar_inline_charge_breakdown",
+    oracle="""
+        SELECT o_orderkey, u.kind AS charge_kind,
+               CAST(u.amount AS DOUBLE) AS amount
+        FROM (
+            SELECT o_orderkey,
+                   unnest([
+                       struct_pack(kind := 'base',
+                                   amount := CAST(o_totalprice AS DOUBLE)),
+                       struct_pack(kind := 'tax',
+                                   amount := CAST(o_totalprice AS DOUBLE) * 0.08),
+                       struct_pack(kind := 'freight',
+                                   amount := CAST(o_totalprice AS DOUBLE) * 0.025)
+                   ]) AS u
+            FROM orders
+        )
+        WHERE o_orderkey <= 2000
+    """,
+    doc=(
+        "inline() generator: each order row fans out into its charge "
+        "breakdown (base / tax / freight) from a constructed "
+        "array<struct> — the row-to-rows normalization that turns a "
+        "wide denormalized record into a ledger without a join or a "
+        "shuffle (map-side Generate node, like explode but emitting "
+        "the struct's columns directly). Amounts are single shared "
+        "double expressions, so the ledger is hash-exact."
+    ),
+    tags=("scalar", "generator", "array"),
+)
+def scalar_inline_charge_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "inline(array("
+                "struct('base' AS kind, CAST(o_totalprice AS DOUBLE) AS amount),"
+                "struct('tax' AS kind, CAST(o_totalprice AS DOUBLE) * 0.08 AS amount),"
+                "struct('freight' AS kind, CAST(o_totalprice AS DOUBLE) * 0.025 AS amount)"
+                "))"
+            ),
+        )
+        .select("o_orderkey", F.col("kind").alias("charge_kind"), "amount")
+    )

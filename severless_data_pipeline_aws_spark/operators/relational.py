@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import Tables
+from ..io import Tables, register_views
 from ..registry import register
 from ._helpers import dsum_double
 
@@ -166,3 +166,47 @@ def head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_sorted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.events.select("event_type").distinct().orderBy("event_type")
+
+
+@register(
+    "sql_api_revenue_by_nation",
+    oracle="""
+        SELECT n_name,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+               CAST(CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                    AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    doc=(
+        "The SQL front door: this query is executed as a literal "
+        "spark.sql() string over temp views (io.register_views), not "
+        "through the DataFrame builders — proving the engine's second "
+        "API surface end-to-end (view registration, ANSI join syntax, "
+        "decimal-exact aggregation) lands on the identical Catalyst "
+        "plan and the identical hash as the DataFrame path would. "
+        "Broadcast of nation happens via AQE size estimation here "
+        "rather than an explicit hint — the declarative path."
+    ),
+    tags=("relational", "sql-api", "join", "agg"),
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                    AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )

@@ -571,3 +571,45 @@ def similarity_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@register(
+    "pipeline_text_embedding_pairs",
+    oracle="""
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+               e.label,
+               CAST(len(e.embedding) AS INT) AS dim,
+               sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[]))) AS l2_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE len(string_split(d.text, ' ')) >= 20
+    """,
+    doc=(
+        "Contrastive-training pair assembly: align each document with "
+        "its embedding row (doc_id = vec_id), keep pairs whose text "
+        "passes a minimum-length gate, and emit the audit columns a "
+        "retrieval-training job checks before writing shards (token "
+        "count, declared dim, vector norm). The 1:1 fact-fact equi-join "
+        "shuffles both sides on the shared key once — at 100 TB both "
+        "tables would be bucketed on the id (sinks.write_bucketed) and "
+        "the join plans with zero exchanges. Norms use the order-"
+        "deterministic sequential fold, so the whole pairing is "
+        "hash-exact."
+    ),
+    tags=("similarity", "llm", "join", "pipeline"),
+)
+def pipeline_text_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 20)
+    v = _as_double("embedding")
+    e = t.embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(_dot(v, v)).alias("l2_norm"),
+    )
+    return d.join(e, "doc_id").select("doc_id", "n_tokens", "label", "dim", "l2_norm")

@@ -397,3 +397,24 @@ def test_observation_metrics_api(spark, sf_dir):
     assert got["n_rows"] == want["n_rows"] > 0
     assert got["n_null_value"] == want["n_null_value"]
     assert got["max_user"] == want["max_user"]
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partition layout + filter => partition pruning: the
+    predicate must land in the scan's PartitionFilters (directory-level
+    skip, no file of other partitions opened) — the static counterpart
+    of the runtime bloom filter, and the reason a 100 TB landed table
+    is partitioned by its hottest filter column."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events
+    out = str(tmp_path / "events_parted")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = plans.explain_str(df)
+    assert "PartitionFilters" in plan and "click" in plan, plan[:2000]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert df.count() == want > 0
