@@ -710,3 +710,38 @@ def scalar_inline_charge_breakdown(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("o_orderkey", F.col("kind").alias("charge_kind"), "amount")
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_discount AS DOUBLE) AS l_discount,
+               CASE WHEN l_discount = 0 THEN NULL
+                    ELSE CAST(l_extendedprice AS DOUBLE) / l_discount END
+                   AS price_per_discount_unit,
+               l_discount = 0 AS divide_blocked
+        FROM lineitem WHERE l_orderkey <= 2000
+    """,
+    doc=(
+        "ANSI-safe arithmetic: try_divide turns division-by-zero into "
+        "NULL instead of an Infinity that silently poisons downstream "
+        "aggregates (or, under ANSI mode, a job-killing exception) — "
+        "the arithmetic counterpart of TRY_CAST's ingest posture. The "
+        "oracle spells out the guarded CASE, verifying try_divide's "
+        "exact NULL semantics; non-zero rows are one IEEE division, "
+        "bit-identical."
+    ),
+    tags=("scalar", "nulls", "ansi"),
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.filter(F.col("l_orderkey") <= 2000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.expr(
+            "try_divide(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE))"
+        ).alias("price_per_discount_unit"),
+        (F.col("l_discount") == 0).alias("divide_blocked"),
+    )

@@ -687,3 +687,47 @@ def agg_hist_magnitude_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+        WITH chunks AS (
+            SELECT event_type,
+                   user_id // 32 AS chunk,
+                   bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm
+            FROM events
+            GROUP BY event_type, chunk
+        )
+        SELECT event_type,
+               CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_users
+        FROM chunks
+        GROUP BY event_type
+    """,
+    doc=(
+        "EXACT distinct counting via two-level bitmaps: user ids pack "
+        "into 32-wide chunks (bit_or per (group, id div 32)), then "
+        "popcounts sum — no COUNT(DISTINCT) Expand, no per-value "
+        "shuffle rows. The first agg's map-side combine reduces each "
+        "partition to its occupied chunks, so shuffle volume is "
+        "O(occupied id-space / 32) per group instead of O(distinct "
+        "values): the exact-answer middle ground between "
+        "COUNT(DISTINCT) (accurate, heavy) and HLL sketches "
+        "(mergeable, ~2% error) for dense integer keys. Verified "
+        "against a plain COUNT(DISTINCT) in pytest and the same "
+        "bitmap construction in DuckDB."
+    ),
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    chunks = t.events.groupBy(
+        "event_type", F.expr("user_id div 32").alias("chunk")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bm")
+    )
+    return chunks.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("bigint").alias("n_distinct_users")
+    )

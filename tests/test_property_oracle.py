@@ -228,3 +228,27 @@ def test_ewma_equals_sequential_replay(spark, sf_dir):
         .collect()
     }
     assert got3 == got, "EWMA output depends on input partitioning"
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The two-level bitmap popcount must equal COUNT(DISTINCT) exactly
+    — it is an exact algorithm, not a sketch."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.aggregates import (
+        agg_bitmap_exact_distinct,
+    )
+
+    got = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in agg_bitmap_exact_distinct(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in Tables(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
