@@ -307,3 +307,75 @@ def cdc_pit_join_state_before(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+        WITH old_snap AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+            FROM orders WHERE o_orderkey % 7 != 0
+        ),
+        new_snap AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN CAST(o_totalprice AS DOUBLE) * 1.1
+                        ELSE CAST(o_totalprice AS DOUBLE) END AS price
+            FROM orders WHERE o_orderkey % 5 != 0
+        ),
+        classified AS (
+            SELECT CASE
+                     WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     WHEN o.price != n.price THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS change_kind
+            FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+        )
+        SELECT change_kind, CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM classified GROUP BY change_kind
+    """,
+    doc=(
+        "Snapshot diff / change classification: given yesterday's and "
+        "today's keyed snapshots, classify every key as added / "
+        "removed / changed / unchanged via ONE full-outer join on the "
+        "key — the reconciliation report run before publishing a CDC "
+        "feed, and the audit that catches a silently truncated "
+        "upstream (a spike in 'removed'). Snapshots are derived "
+        "deterministically from the orders table (mod-key membership, "
+        "mod-key price bump) so the oracle sees identical inputs. At "
+        "100 TB both snapshots are bucketed on the key and the join "
+        "is shuffle-free; the classification itself adds no shuffle "
+        "beyond the join."
+    ),
+    tags=("cdc", "join", "dq"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    old_snap = base.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("price").alias("p_old")
+    )
+    new_snap = (
+        base.filter(F.col("o_orderkey") % 5 != 0)
+        .select(
+            F.col("o_orderkey").alias("k_new"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("price") * 1.1)
+            .otherwise(F.col("price"))
+            .alias("p_new"),
+        )
+    )
+    classified = old_snap.join(
+        new_snap, old_snap["k_old"] == new_snap["k_new"], "full_outer"
+    ).select(
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("p_old") != F.col("p_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change_kind")
+    )
+    return classified.groupBy("change_kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )

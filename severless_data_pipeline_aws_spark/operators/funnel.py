@@ -459,3 +459,87 @@ def funnel_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> Dat
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        ),
+        conv AS (
+            SELECT e.user_id,
+                   CAST(date_diff('second', f.first_view, MIN(e.ts)) AS BIGINT)
+                       AS latency_s
+            FROM events e JOIN fv f USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > f.first_view
+            GROUP BY e.user_id, f.first_view
+        ),
+        ranked AS (
+            SELECT latency_s,
+                   row_number() OVER (ORDER BY latency_s, latency_s) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM conv
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+               CAST(MIN(latency_s) AS BIGINT) AS min_s,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN latency_s END) AS p50_s,
+               MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN latency_s END) AS p90_s,
+               CAST(MAX(latency_s) AS BIGINT) AS max_s
+        FROM ranked
+    """,
+    doc=(
+        "Time-to-convert distribution: per user, seconds from FIRST "
+        "view to the first purchase AFTER it, summarized as exact "
+        "rank-based percentiles (p50/p90 are actual observed latencies "
+        "— disc, not interpolated, so hash-exact). The business twin "
+        "of the ordered funnel: not just HOW MANY convert but HOW "
+        "FAST. Plan: one conditional MIN per user for the view anchor, "
+        "a user-keyed join + filtered MIN for the conversion, then a "
+        "single global rank over the users-sized latency table — the "
+        "global window runs on per-user rows, never raw events."
+    ),
+    tags=("funnel", "stats", "window"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts")) - F.unix_timestamp(F.col("first_view"))
+            ).alias("latency_s")
+        )
+    )
+    ranked = conv.select(
+        "latency_s",
+        F.row_number().over(W.orderBy("latency_s", "latency_s")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(q * F.col("n")).cast("bigint"), F.col("latency_s")
+        )
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min("latency_s").cast("bigint").alias("min_s"),
+        pick(0.5).alias("p50_s"),
+        pick(0.9).alias("p90_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
