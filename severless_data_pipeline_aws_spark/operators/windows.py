@@ -907,3 +907,99 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
 
     return ev.groupBy("user_id").applyInPandas(_ewma, schema=schema)
+
+
+@register(
+    "window_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    doc=(
+        "First-order behavior transition matrix: counts of consecutive "
+        "(prev event → next event) pairs per user timeline — the "
+        "sufficient statistic for a Markov model of user behavior "
+        "(next-action prediction, bot detection via impossible "
+        "transitions). lag() over the user sort gives every adjacent "
+        "pair in ONE pass — the self-join formulation pairs each event "
+        "with its successor explicitly and shuffles twice; this "
+        "shuffles once on user_id, then the |types|² count table "
+        "aggregates map-side."
+    ),
+    tags=("window", "agg", "markov"),
+)
+def window_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+
+
+_DEBOUNCE_HI = 90.0  # alert asserts above this value
+
+
+@register(
+    "window_alert_debounce",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   value > {_DEBOUNCE_HI} AS is_alert,
+                   lag(value > {_DEBOUNCE_HI}) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS was_alert
+            FROM events
+        )
+        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+               CASE WHEN is_alert THEN 'raised' ELSE 'cleared' END AS edge
+        FROM flagged
+        WHERE (was_alert IS NULL AND is_alert)
+           OR (was_alert IS NOT NULL AND is_alert != was_alert)
+    """,
+    doc=(
+        "Alert debouncing / edge detection: emit only the TRANSITIONS "
+        "of a threshold predicate (raised on false→true, cleared on "
+        "true→false, plus an initial raise) instead of re-alerting on "
+        "every breaching row — what turns a 100 TB metric stream's "
+        "millions of breaching rows into the handful of pages an "
+        "on-call actually wants. One lag() over the per-key sort; the "
+        "filter keeps state edges only. The streaming twin is "
+        "flatMapGroupsWithState carrying was_alert — same per-key "
+        "O(1) state, here expressed in batch."
+    ),
+    tags=("window", "anomaly", "dashboard"),
+)
+def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_alert = F.col("value") > _DEBOUNCE_HI
+    flagged = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        is_alert.alias("is_alert"),
+        F.lag(is_alert).over(w).alias("was_alert"),
+    )
+    return flagged.filter(
+        (F.col("was_alert").isNull() & F.col("is_alert"))
+        | (F.col("was_alert").isNotNull() & (F.col("is_alert") != F.col("was_alert")))
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.when(F.col("is_alert"), "raised").otherwise("cleared").alias("edge"),
+    )
