@@ -731,3 +731,45 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.groupBy("event_type").agg(
         F.sum(F.bit_count("bm")).cast("bigint").alias("n_distinct_users")
     )
+
+
+@register(
+    "timeseries_ohlc_bars",
+    oracle="""
+        SELECT event_type,
+               date_trunc('hour', ts) AS bar_start,
+               CAST(arg_min(value, ts) AS DOUBLE) AS open,
+               CAST(MAX(value) AS DOUBLE) AS high,
+               CAST(MIN(value) AS DOUBLE) AS low,
+               CAST(arg_max(value, ts) AS DOUBLE) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM events
+        GROUP BY event_type, bar_start
+    """,
+    doc=(
+        "OHLC bar downsampling: per (series, hour) the opening value "
+        "(min_by ts), high, low, closing value (max_by ts), tick count "
+        "— the canonical time-series compaction for charting and for "
+        "feeding coarse-grained models; 100 TB of ticks become "
+        "|series|×|hours| bars in ONE map-side-combined aggregate "
+        "(min_by/max_by are associative partial aggregates, no window, "
+        "no sort). Tie risk: min_by on duplicate (ts) picks an "
+        "arbitrary row — the events fixture has unique ts per "
+        "(type, hour) stream at every sf, so the bars are "
+        "deterministic here; production schemas add event_id to the "
+        "ordering key via struct ordering."
+    ),
+    tags=("timeseries", "agg", "dashboard"),
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_start"))
+        .agg(
+            F.min_by("value", "ts").cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by("value", "ts").cast("double").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )

@@ -850,3 +850,67 @@ def dedup_paragraph_blocks_keep_first(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+        WITH {_SHINGLE_CTE_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS BIGINT) AS n_inter,
+               CAST(i.n_inter AS DOUBLE) / sa.n AS containment_a_in_b,
+               CAST(i.n_inter AS DOUBLE) / sb.n AS containment_b_in_a
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / sa.n >= 0.35
+           OR CAST(i.n_inter AS DOUBLE) / sb.n >= 0.35
+    """,
+    doc=(
+        "ASYMMETRIC near-dup: shingle containment |A∩B|/|A| in both "
+        "directions — catches what Jaccard structurally cannot: a "
+        "short document quoted wholesale inside a long one scores "
+        "near-1 containment but low Jaccard (the union is dominated "
+        "by the long doc). The subset/quotation detector used "
+        "alongside symmetric dedup in pretraining curation. Same "
+        "inverted shingle index and candidate join as the Jaccard "
+        "query (no all-pairs blowup); each direction is one exact "
+        "integer division."
+    ),
+    tags=("dedup", "llm", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            (F.col("n_inter").cast("double") / F.col("na")).alias("containment_a_in_b"),
+            (F.col("n_inter").cast("double") / F.col("nb")).alias("containment_b_in_a"),
+        )
+    )
+    return scored.filter(
+        (F.col("containment_a_in_b") >= 0.35) | (F.col("containment_b_in_a") >= 0.35)
+    )
