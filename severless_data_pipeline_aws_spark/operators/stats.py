@@ -238,3 +238,115 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(_CHI_EXP).alias("expected"),
         F.expr(_CHI_CONTRIB).alias("chi2_contrib"),
     )
+
+
+@register(
+    "stats_gini_coefficient",
+    oracle="""
+        WITH ranked AS (
+            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS i,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        ),
+        sums AS (
+            SELECT MAX(n) AS n,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS s,
+                   SUM(CAST(i AS DECIMAL(38,0)) * cents) AS si
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CAST((2.0 * CAST(CAST(si AS VARCHAR) AS DOUBLE)
+                     - (CAST(n AS DOUBLE) + 1.0) * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+                    AS DOUBLE) AS gini
+        FROM sums
+    """,
+    doc=(
+        "Exact Gini inequality coefficient of order values: "
+        "G = (2*Σ i·x_(i) − (n+1)·Σ x_(i)) / (n·Σ x_(i)) over the "
+        "ascending sort — the single-number companion to the Lorenz "
+        "deciles (funnel_pareto_revenue_concentration). Everything "
+        "before the final expression is integer-exact: values become "
+        "cents, the rank-weighted and plain sums accumulate in "
+        "DECIMAL(38,0) (order-independent, map-side-combinable), and "
+        "ONE shared double expression finishes — hash-exact. The "
+        "global row_number is the only total-order step; at 100 TB it "
+        "becomes a two-pass range-partitioned rank (sort by value, "
+        "per-partition counts, prefix offsets) with identical sums."
+    ),
+    tags=("stats", "window", "agg"),
+)
+def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ranked = t.orders.select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.row_number().over(W.orderBy("o_totalprice", "o_orderkey")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    sums = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * cents")).alias("si"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST((2.0 * CAST(si AS DOUBLE)"
+            " - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS DOUBLE)"
+        ).alias("gini"),
+    )
+
+
+@register(
+    "stats_simpson_diversity",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS k
+            FROM events GROUP BY user_id, event_type
+        ),
+        per_user AS (
+            SELECT user_id,
+                   SUM(k) AS n,
+                   SUM(k * k) AS sum_k2,
+                   COUNT(*) AS n_types
+            FROM c GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n_types AS BIGINT) AS n_types,
+               1.0 - CAST(sum_k2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                   AS simpson_diversity
+        FROM per_user
+    """,
+    doc=(
+        "Gini–Simpson behavioral diversity per user: 1 − Σp_i² — the "
+        "probability two random actions differ in type. The "
+        "log-free diversity index: Shannon entropy needs ln() (never "
+        "bit-reproducible across engines), while Simpson is a pure "
+        "rational of integer counts — one shared double expression, "
+        "hash-exact. Low diversity at high volume flags single-action "
+        "bots; the two-level aggregate (user×type counts, then user "
+        "rollup) is map-side combined on both levels."
+    ),
+    tags=("stats", "agg", "quality"),
+)
+def stats_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = t.events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    per_user = c.groupBy("user_id").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k") * F.col("k")).alias("sum_k2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.expr(
+            "1.0 - CAST(sum_k2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+        ).alias("simpson_diversity"),
+    )

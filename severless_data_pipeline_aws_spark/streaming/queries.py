@@ -263,3 +263,25 @@ def streaming_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "ts", "value"
     )
     return _run_to_memory(stateful.zscore_walk(stream), "append")
+
+
+@register(
+    "streaming_alert_debounce",
+    oracle=None,  # edge emission depends on carried state; batch-twin
+    # equivalence asserted in tests/test_streaming.py
+    doc=(
+        "Third custom stateful operator: alert debounce under the "
+        "streaming engine — ONE BIT of state per user "
+        "(applyInPandasWithState) suppresses repeat alerts, emitting "
+        "only raised/cleared threshold crossings. The batch twin "
+        "(window_alert_debounce, oracled) computes the same edges with "
+        "a lag window; pytest asserts stream == batch row sets, "
+        "proving the state carry is exactly the lag."
+    ),
+    tags=("streaming", "stateful", "anomaly"),
+)
+def streaming_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return _run_to_memory(stateful.alert_edge_walk(stream), "append")

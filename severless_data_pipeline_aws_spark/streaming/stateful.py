@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 #: input rows: one proposed step per (device, sensor, tick)
@@ -292,3 +293,75 @@ def zscore_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = zscore_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 3: alert debounce / edge detection
+# ---------------------------------------------------------------------------
+
+EDGE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("edge", StringType()),  # 'raised' / 'cleared'
+    ]
+)
+
+#: one bit of state per key: was the alert asserted after the last row seen
+EDGE_STATE_SCHEMA = StructType([StructField("was_alert", LongType())])
+
+EDGE_THRESHOLD = 90.0  # keep equal to operators.windows._DEBOUNCE_HI
+
+
+def edge_steps(
+    state: tuple[int] | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple[int]]:
+    """Pure per-key debouncer: emit only threshold-crossing edges.
+    Shared verbatim by the streaming state function and the batch
+    replay oracle — a row is emitted iff its is_alert differs from the
+    carried state (or asserts with no prior state)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    was: int | None = state[0] if state is not None else None
+    rows = []
+    for row in pdf.itertuples(index=False):
+        is_alert = 1 if float(row.value) > EDGE_THRESHOLD else 0
+        if (was is None and is_alert) or (was is not None and is_alert != was):
+            rows.append(
+                (int(row.user_id), int(row.event_id), row.ts, float(row.value),
+                 "raised" if is_alert else "cleared")
+            )
+        was = is_alert
+    out = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "value", "edge"]
+    )
+    return out, (was if was is not None else -1,)
+
+
+def _apply_edge(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    if st is not None and st[0] == -1:
+        st = None
+    for pdf in pdfs:
+        out, st = edge_steps(st, pdf)
+        yield out
+    state.update((int(st[0]),))
+
+
+def alert_edge_walk(events: DataFrame) -> DataFrame:
+    """Streaming alert debounce (applyInPandasWithState): one bit of
+    state per user turns every breaching row into at most one page per
+    crossing. Batch twin: operators.windows.window_alert_debounce;
+    tests assert stream == batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _apply_edge,
+        outputStructType=EDGE_OUT_SCHEMA,
+        stateStructType=EDGE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -611,3 +611,27 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, sf_dir, tmp_path):
     }
     assert any(bid is None for _, bid in want), "outer twin is vacuous"
     assert got == want
+
+
+def test_streaming_alert_debounce_equals_batch(spark, sf_dir):
+    """The one-bit-state streaming debouncer must emit EXACTLY the edge
+    set of the batch lag-window query — same rows, same labels."""
+    from severless_data_pipeline_aws_spark.operators.windows import (
+        _DEBOUNCE_HI,
+        window_alert_debounce,
+    )
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming import stateful
+
+    assert stateful.EDGE_THRESHOLD == _DEBOUNCE_HI  # twin contract
+
+    got_df = load_all()["streaming_alert_debounce"].fn(spark, sf_dir)
+    got = {
+        (r["user_id"], r["event_id"], r["edge"]) for r in got_df.collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["edge"])
+        for r in window_alert_debounce(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+    assert {e for (_, _, e) in want} == {"raised", "cleared"}
