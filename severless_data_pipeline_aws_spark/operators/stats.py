@@ -350,3 +350,207 @@ def stats_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1.0 - CAST(sum_k2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
         ).alias("simpson_diversity"),
     )
+
+
+# -- two-sample distribution comparison ---------------------------------------
+
+#: shared Spark/DuckDB closed form for the binned KS statistic. Integer
+#: cross-multiplication (|cum1*n2 - cum2*n1|) keeps the max exact; the single
+#: division at the end is one deterministic double op.
+_KS_D = "CAST(MAX(dev) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+
+
+@register(
+    "stats_ks_two_sample_binned",
+    oracle=f"""
+        WITH src AS (
+            SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(SUM(is_f) AS BIGINT) AS c1,
+                   CAST(SUM(1 - is_f) AS BIGINT) AS c2
+            FROM src GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin,
+                   CAST(SUM(c1) OVER (ORDER BY bin) AS BIGINT) AS a1,
+                   CAST(SUM(c2) OVER (ORDER BY bin) AS BIGINT) AS a2
+            FROM bins
+        ),
+        tot AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2
+            FROM bins
+        ),
+        devs AS (
+            SELECT bin, n1, n2, ABS(a1 * n2 - a2 * n1) AS dev
+            FROM cum, tot
+        ),
+        marked AS (
+            SELECT bin, n1, n2, dev, MAX(dev) OVER () AS mdev FROM devs
+        )
+        SELECT n1, n2, {_KS_D} AS d_stat,
+               CAST(MIN(CASE WHEN dev = mdev THEN bin END) AS BIGINT) AS d_bin
+        FROM marked
+        GROUP BY n1, n2
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov D between the F and O order "
+        "price distributions, on a fixed-width binned ECDF. The binned "
+        "form IS the 100 TB form: per-bin counts are one map-side-"
+        "combined shuffle keyed by bin, and the cumulative/max pass "
+        "runs over the bounded bin axis (~500 rows, metadata scale) — "
+        "no global sort of the raw data, unlike the classic pooled-"
+        "rank KS. D is found by integer cross-multiplication "
+        "|cum1*n2 - cum2*n1| (exact), divided once at the end. d_bin "
+        "locates the maximum divergence."
+    ),
+    tags=("stats", "agg", "window"),
+)
+def stats_ks_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.expr("CAST(floor(o_totalprice / 1000.0) AS BIGINT)").alias("bin"),
+        F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END").alias("is_f"),
+    )
+    bins = src.groupBy("bin").agg(
+        F.sum("is_f").cast("bigint").alias("c1"),
+        F.sum(F.expr("1 - is_f")).cast("bigint").alias("c2"),
+    )
+    # window over the bounded bin axis only — single partition is deliberate
+    cum = bins.select(
+        "bin",
+        F.sum("c1").over(W.orderBy("bin")).cast("bigint").alias("a1"),
+        F.sum("c2").over(W.orderBy("bin")).cast("bigint").alias("a2"),
+    )
+    tot = bins.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    joined = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "dev", F.expr("ABS(a1 * n2 - a2 * n1)")
+    )
+    mx = joined.withColumn("mdev", F.max("dev").over(W.partitionBy("n1", "n2")))
+    return mx.groupBy("n1", "n2").agg(
+        F.expr(_KS_D).alias("d_stat"),
+        F.expr("CAST(MIN(CASE WHEN dev = mdev THEN bin END) AS BIGINT)").alias("d_bin"),
+    )
+
+
+#: Welch's t closed form over per-group (n, sum, sum-of-squares) — identical
+#: text evaluated by both engines on identical double inputs.
+_WELCH_FROM = "welch_sums"
+_WELCH = """
+    SELECT n1, n2, m1, m2,
+           (m1 - m2) / sqrt(v1 / nd1 + v2 / nd2) AS t_stat,
+           (v1 / nd1 + v2 / nd2) * (v1 / nd1 + v2 / nd2)
+             / ((v1 / nd1) * (v1 / nd1) / (nd1 - 1.0)
+                + (v2 / nd2) * (v2 / nd2) / (nd2 - 1.0)) AS df_welch
+    FROM (
+        SELECT n1, n2, nd1, nd2,
+               s1 / nd1 AS m1, s2 / nd2 AS m2,
+               (q1 - s1 * s1 / nd1) / (nd1 - 1.0) AS v1,
+               (q2 - s2 * s2 / nd2) / (nd2 - 1.0) AS v2
+        FROM {src}
+    )
+"""
+
+
+@register(
+    "stats_welch_t_test",
+    oracle=f"""
+        WITH sums AS (
+            SELECT
+                CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n1,
+                CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n2,
+                CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) AS nd1,
+                CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE) AS nd2,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS s1,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS s2,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * o_totalprice ELSE 0 END")} AS q1,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * o_totalprice ELSE 0 END")} AS q2
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        )
+        {_WELCH.format(src='sums')}
+    """,
+    doc=(
+        "Welch's unequal-variance t-test (A/B testing primitive) "
+        "between F and O order values: one conditional-aggregate scan "
+        "reduces each arm to DECIMAL power sums (order-independent, "
+        "map-side combined), then mean/variance/t/Welch-Satterthwaite "
+        "df evaluate as one shared double expression — sqrt and / are "
+        "IEEE-exact, so the statistic is bit-identical to the oracle "
+        "with no accumulation-order dependence at any partitioning."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sums = t.orders.filter(F.col("o_orderstatus").isin("F", "O")).agg(
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)").alias("n2"),
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)").alias("nd1"),
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE)").alias("nd2"),
+        dsum_double("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END").alias("s1"),
+        dsum_double("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END").alias("s2"),
+        dsum_double(
+            "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * o_totalprice ELSE 0 END"
+        ).alias("q1"),
+        dsum_double(
+            "CASE WHEN o_orderstatus = 'O' THEN o_totalprice * o_totalprice ELSE 0 END"
+        ).alias("q2"),
+    )
+    sums.createOrReplaceTempView(_WELCH_FROM)
+    return spark.sql(_WELCH.format(src=_WELCH_FROM))
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders
+        )
+        SELECT digit,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+        FROM d GROUP BY digit ORDER BY digit
+    """,
+    doc=(
+        "Benford's-law first-significant-digit audit of order values — "
+        "the classic fabricated-data screen. The digit is taken "
+        "numerically (exact integer cents -> integer stringify, never "
+        "stringifying a raw double, whose shortest-representation "
+        "rendering differs across engines); shares are one double "
+        "division of exact counts. Single scan, 9-row output; the "
+        "expected log10(1+1/d) curve is left to the caller because ln/"
+        "log10 are not bit-reproducible across engines."
+    ),
+    tags=("stats", "agg", "quality"),
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    d = t.orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.withColumn("tot", F.sum("n").over(W.partitionBy()))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)").alias("share"),
+        )
+        .orderBy("digit")
+    )
