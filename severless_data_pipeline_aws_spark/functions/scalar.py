@@ -745,3 +745,47 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_per_discount_unit"),
         (F.col("l_discount") == 0).alias("divide_blocked"),
     )
+
+
+@register(
+    "scalar_url_parse",
+    oracle="""
+        SELECT doc_id,
+               'https://' || lang || '.example.com/' || source || '/'
+                   || CAST(doc_id AS VARCHAR) || '?q=' || lang
+                   || '&n=' || CAST(n_chars AS VARCHAR) AS url,
+               lang || '.example.com' AS host,
+               '/' || source || '/' || CAST(doc_id AS VARCHAR) AS path,
+               'q=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS query,
+               CAST(n_chars AS VARCHAR) AS q_n,
+               'https' AS protocol
+        FROM documents
+    """,
+    doc=(
+        "URL structure extraction with Spark's parse_url (HOST / PATH "
+        "/ QUERY / named query parameter / PROTOCOL) — the standard "
+        "first step of web-crawl curation (host-level dedup, source "
+        "throttling, tracking-param stripping). The URLs are "
+        "constructed from document columns, so the oracle states the "
+        "ground truth componentwise instead of re-parsing — the test "
+        "verifies the parser against what was actually assembled. "
+        "parse_url is a codegen'd JVM expression: per-row, no shuffle, "
+        "scales with the scan."
+    ),
+    tags=("scalar", "string", "text"),
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    url = (
+        "concat('https://', lang, '.example.com/', source, '/', "
+        "CAST(doc_id AS STRING), '?q=', lang, '&n=', CAST(n_chars AS STRING))"
+    )
+    return t.documents.select(
+        "doc_id",
+        F.expr(url).alias("url"),
+        F.expr(f"parse_url({url}, 'HOST')").alias("host"),
+        F.expr(f"parse_url({url}, 'PATH')").alias("path"),
+        F.expr(f"parse_url({url}, 'QUERY')").alias("query"),
+        F.expr(f"parse_url({url}, 'QUERY', 'n')").alias("q_n"),
+        F.expr(f"parse_url({url}, 'PROTOCOL')").alias("protocol"),
+    )

@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "severless_data_pipeline_aws_spark.operators.sketches",
     "severless_data_pipeline_aws_spark.operators.multimodal",
     "severless_data_pipeline_aws_spark.operators.anomaly",
+    "severless_data_pipeline_aws_spark.operators.graphs",
     "severless_data_pipeline_aws_spark.functions.udf",
 )
 
