@@ -543,3 +543,56 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).alias("p90_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "funnel_event_path_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+            FROM seq WHERE e3 IS NOT NULL
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT path, n,
+                   row_number() OVER (ORDER BY n DESC, path) AS rn
+            FROM paths
+        )
+        SELECT path, n FROM ranked WHERE rn <= 20
+    """,
+    doc=(
+        "Top-20 three-step user paths (clickstream path mining): two "
+        "leads over one per-user sort give consecutive event trigrams, "
+        "counted and TakeOrdered'd. Ties on ts break by event_id so "
+        "the sequence — and therefore the counts — are deterministic. "
+        "One shuffle on user_id for the window, one hash agg keyed by "
+        "path (bounded: |event_types|^3 keys), top-k without a global "
+        "sort. The longer-memory companion of the Markov transition "
+        "matrix (window_markov_transitions)."
+    ),
+    tags=("funnel", "window", "events"),
+)
+def funnel_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        paths.orderBy(F.col("n").desc(), "path").limit(20).select("path", "n")
+    )

@@ -225,3 +225,69 @@ def sampling_length_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(keep, 1)).alias("n_kept"),
         F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
     )
+
+
+@register(
+    "sampling_temperature_mixture",
+    oracle="""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        s AS (
+            SELECT source,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+                   sqrt(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)) AS sq
+            FROM c
+        ),
+        d AS (
+            SELECT list_reduce(list(sq ORDER BY source), (a, b) -> a + b)
+                       AS denom
+            FROM s
+        )
+        SELECT source, n_docs, share,
+               sq / denom AS temp_weight,
+               (sq / denom) / share AS boost
+        FROM s, d
+    """,
+    doc=(
+        "Temperature-based source-mixture reweighting (T = 2, i.e. "
+        "weight ∝ share^(1/2)) — the GPT-3/PaLM-style recipe that "
+        "upsamples small high-quality sources and downsamples the "
+        "dominant crawl. Exponent 1/2 is sqrt, the one power IEEE "
+        "requires correctly rounded, so per-source terms are "
+        "bit-exact; the 20-term normalizer is an order-pinned fold "
+        "(collect_list sorted by source, sequential aggregate == "
+        "DuckDB's ordered list_reduce), not an unordered float SUM. "
+        "One count shuffle on source; the mixture table is "
+        "source-cardinality-sized (metadata scale at any SF). boost "
+        "is each source's resampling factor for the data loader."
+    ),
+    tags=("sampling", "llm", "agg"),
+)
+def sampling_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = c.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)"
+        ).alias("share"),
+        F.expr(
+            "sqrt(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE))"
+        ).alias("sq"),
+    )
+    denom = s.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, sq))), "
+            "p -> p.sq), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("denom")
+    )
+    return s.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "share",
+        F.expr("sq / denom").alias("temp_weight"),
+        F.expr("(sq / denom) / share").alias("boost"),
+    )
