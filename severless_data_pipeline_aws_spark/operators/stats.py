@@ -554,3 +554,80 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "stats_tvd_category_drift",
+    oracle="""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS tmid_us
+            FROM events
+        ),
+        c AS (
+            SELECT event_type,
+                   CAST(COUNT(CASE WHEN epoch_us(ts) < tmid_us THEN 1 END)
+                        AS BIGINT) AS n1,
+                   CAST(COUNT(CASE WHEN epoch_us(ts) >= tmid_us THEN 1 END)
+                        AS BIGINT) AS n2
+            FROM events, bounds
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+            FROM c
+        )
+        SELECT t1 AS n_first_half, t2 AS n_second_half,
+               CAST(SUM(ABS(n1 * t2 - n2 * t1)) AS DOUBLE)
+                   / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS tvd,
+               CAST(COUNT(*) AS BIGINT) AS n_categories
+        FROM c, tot
+        GROUP BY t1, t2
+    """,
+    doc=(
+        "Total-variation distance between the event-type mixes of the "
+        "first and second half of the stream — the log-free drift "
+        "metric (PSI/KL need ln(), never bit-reproducible across "
+        "engines; TVD = ½·Σ|p−q| is a pure rational). Computed "
+        "entirely in integers via cross-multiplication "
+        "Σ|n1_i·N2 − n2_i·N1| / (2·N1·N2): one conditional-aggregate "
+        "scan to the bounded category table, one category-axis sum, "
+        "one double division. The retrain-trigger statistic a feature "
+        "store monitors per batch; at 100 TB the shuffle carries only "
+        "|event_types| rows after partial agg."
+    ),
+    tags=("stats", "agg", "quality"),
+)
+def stats_tvd_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2").alias("tmid_us")
+    )
+    c = (
+        t.events.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(COUNT(CASE WHEN unix_micros(ts) < tmid_us THEN 1 END) AS BIGINT)"
+            ).alias("n1"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN unix_micros(ts) >= tmid_us THEN 1 END) AS BIGINT)"
+            ).alias("n2"),
+        )
+    )
+    tot = c.agg(
+        F.sum("n1").cast("bigint").alias("t1"), F.sum("n2").cast("bigint").alias("t2")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("t1", "t2")
+        .agg(
+            F.expr(
+                "CAST(SUM(ABS(n1 * t2 - n2 * t1)) AS DOUBLE)"
+                " / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))"
+            ).alias("tvd"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_categories"),
+        )
+        .selectExpr(
+            "t1 AS n_first_half", "t2 AS n_second_half", "tvd", "n_categories"
+        )
+    )
