@@ -285,3 +285,26 @@ def streaming_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     return _run_to_memory(stateful.alert_edge_walk(stream), "append")
+
+
+@register(
+    "streaming_rate_limit_tokens",
+    oracle=None,  # decision depends on carried bucket state; replay
+    # equivalence asserted in tests/test_streaming.py
+    doc=(
+        "Fourth custom stateful operator: per-source token-bucket rate "
+        "limiting (applyInPandasWithState) — burst capacity 3, refill "
+        "1/day, TWO INTEGERS of state per key (micro-tokens + last "
+        "event micros) deciding allow/throttle for every event. The "
+        "ingest back-pressure / per-feed quota primitive of a crawl "
+        "pipeline. All-integer arithmetic makes the decision sequence "
+        "bit-reproducible; pytest asserts stream == imperative replay "
+        "and that both decisions occur on the test data."
+    ),
+    tags=("streaming", "stateful", "quality"),
+)
+def streaming_rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).select(
+        "event_type", "event_id", "ts"
+    )
+    return _run_to_memory(stateful.rate_limit_walk(stream), "append")

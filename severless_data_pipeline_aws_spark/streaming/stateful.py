@@ -365,3 +365,99 @@ def alert_edge_walk(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 4: token-bucket ingest rate limiter
+# ---------------------------------------------------------------------------
+
+BUCKET_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("decision", StringType()),  # 'allow' / 'throttle'
+        StructField("tokens_after", DoubleType()),
+    ]
+)
+
+#: (micro-tokens in the bucket, last event epoch-micros; -1 = no prior event)
+BUCKET_STATE_SCHEMA = StructType(
+    [StructField("tokens_utok", LongType()), StructField("last_us", LongType())]
+)
+
+BUCKET_CAPACITY_TOKENS = 3  # burst allowance
+_UTOK = 1_000_000  # one token, in millionths
+#: refill 1 token/day in integer micro-token arithmetic:
+#: utok = elapsed_us * (1e6 utok / 86.4e9 us) = elapsed_us // 86_400
+_REFILL_DIVISOR_US = 86_400
+
+
+def bucket_steps(
+    state: tuple[int, int] | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple[int, int]]:
+    """Pure per-key token bucket, all-integer (micro-tokens + epoch
+    micros), so stream and replay agree bit-for-bit with no float
+    drift. Shared verbatim by the streaming state function and the
+    batch replay oracle."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    if state is None:
+        tokens, last_us = BUCKET_CAPACITY_TOKENS * _UTOK, -1
+    else:
+        tokens, last_us = state
+    cap = BUCKET_CAPACITY_TOKENS * _UTOK
+    rows = []
+    for row in pdf.itertuples(index=False):
+        us = int(pd.Timestamp(row.ts).value // 1000)
+        if last_us >= 0:
+            tokens = min(cap, tokens + max(0, us - last_us) // _REFILL_DIVISOR_US)
+        last_us = us
+        if tokens >= _UTOK:
+            tokens -= _UTOK
+            decision = "allow"
+        else:
+            decision = "throttle"
+        rows.append(
+            (row.event_type, int(row.event_id), row.ts, decision, tokens / _UTOK)
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "event_id", "ts", "decision", "tokens_after"]
+    )
+    return out, (int(tokens), int(last_us))
+
+
+def _apply_bucket(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = bucket_steps(st, pdf)
+        yield out
+    state.update((int(st[0]), int(st[1])))
+
+
+def rate_limit_walk(events: DataFrame) -> DataFrame:
+    """Streaming per-event_type token-bucket rate limiter
+    (applyInPandasWithState): two integers of state per key decide
+    allow/throttle for every event — the ingest back-pressure /
+    per-source quota primitive. All arithmetic is integer micro-tokens,
+    so the decision sequence is exactly reproducible; tests assert
+    stream == imperative replay."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_bucket,
+        outputStructType=BUCKET_OUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rate_limit_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = bucket_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

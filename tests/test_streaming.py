@@ -635,3 +635,35 @@ def test_streaming_alert_debounce_equals_batch(spark, sf_dir):
     }
     assert got == want and len(want) > 0
     assert {e for (_, _, e) in want} == {"raised", "cleared"}
+
+
+def test_streaming_rate_limit_equals_batch_replay(spark, sf_dir):
+    """The streamed token-bucket decisions must equal the imperative
+    replay exactly (all-integer state), and both allow and throttle
+    must actually occur so the limiter is non-vacuous."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        rate_limit_batch_replay,
+    )
+
+    got = {
+        r["event_id"]: (r["decision"], r["tokens_after"])
+        for r in load_all()["streaming_rate_limit_tokens"].fn(spark, sf_dir).collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir).events.select("event_type", "event_id", "ts").toPandas()
+    )
+    want_pdf = rate_limit_batch_replay(events_pdf)
+    want = {
+        int(r.event_id): (r.decision, float(r.tokens_after))
+        for r in want_pdf.itertuples(index=False)
+    }
+    assert len(got) == len(want) > 0
+    decisions = set()
+    for eid, (dec, tok) in want.items():
+        gdec, gtok = got[eid]
+        assert gdec == dec, (eid, gdec, dec)
+        assert gtok == tok, (eid, gtok, tok)  # bit-exact: integer state
+        decisions.add(dec)
+    assert decisions == {"allow", "throttle"}
