@@ -278,13 +278,19 @@ def sampling_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE))"
         ).alias("sq"),
     )
-    denom = s.agg(
+    # the normalizer is an order-pinned fold of a frameless window
+    # collect_list — same plan branch, so documents is scanned exactly
+    # once (no separate aggregate + join-back)
+    s = s.withColumn(
+        "pairs", F.collect_list(F.struct("source", "sq")).over(W.partitionBy())
+    ).withColumn(
+        "denom",
         F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(source, sq))), "
-            "p -> p.sq), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        ).alias("denom")
+            "aggregate(transform(array_sort(pairs), p -> p.sq), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
     )
-    return s.crossJoin(F.broadcast(denom)).select(
+    return s.select(
         "source",
         "n_docs",
         "share",

@@ -428,13 +428,17 @@ def stats_ks_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(W.orderBy("bin")).cast("bigint").alias("a1"),
         F.sum("c2").over(W.orderBy("bin")).cast("bigint").alias("a2"),
     )
-    tot = bins.agg(
-        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
-    )
-    joined = cum.crossJoin(F.broadcast(tot)).withColumn(
-        "dev", F.expr("ABS(a1 * n2 - a2 * n1)")
-    )
-    mx = joined.withColumn("mdev", F.max("dev").over(W.partitionBy("n1", "n2")))
+    # totals are the cumulative maxima (a1/a2 are monotone), so the whole
+    # statistic stays in ONE plan branch — no second orders scan for a
+    # separate totals aggregate, no join. All windows run on the bin axis.
+    m = cum.select(
+        "bin",
+        "a1",
+        "a2",
+        F.max("a1").over(W.partitionBy()).alias("n1"),
+        F.max("a2").over(W.partitionBy()).alias("n2"),
+    ).withColumn("dev", F.expr("ABS(a1 * n2 - a2 * n1)"))
+    mx = m.withColumn("mdev", F.max("dev").over(W.partitionBy()))
     return mx.groupBy("n1", "n2").agg(
         F.expr(_KS_D).alias("d_stat"),
         F.expr("CAST(MIN(CASE WHEN dev = mdev THEN bin END) AS BIGINT)").alias("d_bin"),
@@ -598,6 +602,8 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "agg", "quality"),
 )
 def stats_tvd_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     t = Tables(spark, sf_dir)
     bounds = t.events.agg(
         F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2").alias("tmid_us")
@@ -614,11 +620,12 @@ def stats_tvd_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n2"),
         )
     )
-    tot = c.agg(
-        F.sum("n1").cast("bigint").alias("t1"), F.sum("n2").cast("bigint").alias("t2")
-    )
+    # totals via frameless windows over the bounded category table — one
+    # plan branch, so events is scanned once for bounds and once for
+    # counts, never re-executed for a separate totals aggregate
     return (
-        c.crossJoin(F.broadcast(tot))
+        c.withColumn("t1", F.sum("n1").over(W.partitionBy()).cast("bigint"))
+        .withColumn("t2", F.sum("n2").over(W.partitionBy()).cast("bigint"))
         .groupBy("t1", "t2")
         .agg(
             F.expr(

@@ -418,3 +418,48 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "click" in plan, plan[:2000]
     want = ev.filter(F.col("event_type") == "click").count()
     assert df.count() == want > 0
+
+
+def test_ks_binned_never_sorts_raw_data(spark, sf_dir):
+    """The binned KS plan's only window runs on the bounded bin axis:
+    the per-bin count agg shuffles once on bin, the cumulative pass is
+    a single-partition exchange of ~500 rows, and the totals join is a
+    broadcast — the raw orders are never globally sorted."""
+    df = _df("stats_ks_two_sample_binned", spark, sf_dir)
+    # totals come from cumulative maxima in the SAME branch: one scan,
+    # no join operators at all
+    assert plans.table_scan_count(df, "orders") == 1
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+
+
+def test_welch_t_is_one_scan_no_shuffle_joins(spark, sf_dir):
+    """Welch reduces to a 1-row frame in one conditional-aggregate scan:
+    single orders scan, no join operators at all."""
+    df = _df("stats_welch_t_test", spark, sf_dir)
+    assert plans.table_scan_count(df, "orders") == 1
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_path_trigrams_topk_takes_ordered(spark, sf_dir):
+    """Top-20 paths must plan as TakeOrderedAndProject (no global sort),
+    with one shuffle for the user window and one for the path agg."""
+    df = _df("funnel_event_path_trigrams", spark, sf_dir)
+    assert plans.has_take_ordered(df)
+    assert plans.table_scan_count(df, "events") == 1
+
+
+def test_temperature_mixture_broadcasts_normalizer(spark, sf_dir):
+    """The mixture table is source-cardinality-sized and the normalizer
+    is a same-branch window fold: documents scans exactly once."""
+    df = _df("sampling_temperature_mixture", spark, sf_dir)
+    assert plans.table_scan_count(df, "documents") == 1
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_tvd_drift_single_fact_scan_for_counts(spark, sf_dir):
+    """TVD's category counts come from ONE conditional-aggregate pass;
+    events is scanned at most twice (bounds + counts), never per
+    category and never re-executed for the totals."""
+    df = _df("stats_tvd_category_drift", spark, sf_dir)
+    assert plans.table_scan_count(df, "events") <= 2
