@@ -55,6 +55,10 @@ HEADLINE = [
     # two-pass rank-percentile (median/MAD) window workload
     "text_char_trigram_profile",
     "anomaly_mad_robust",
+    # round-2 closing additions: the iterative join-loop workload and the
+    # binned distribution-comparison workload
+    "graph_bfs_part_supplier_hops",
+    "stats_ks_two_sample_binned",
 ]
 
 
