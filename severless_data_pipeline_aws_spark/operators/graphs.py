@@ -74,8 +74,16 @@ def graph_bfs_part_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("a"),
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
     ).distinct()
-    sym = pairs.selectExpr("a AS src", "b AS dst").union(
-        pairs.selectExpr("b AS src", "a AS dst")
+    # materialize the edge index ONCE — every BFS round joins against the
+    # same cached, pre-shuffled edge list instead of re-running the
+    # distinct over the fact table per round (lineage re-execution is the
+    # classic iterative-algorithm trap; on a cluster this is the
+    # hash-partitioned edge RDD every Pregel round reuses)
+    sym = (
+        pairs.selectExpr("a AS src", "b AS dst")
+        .union(pairs.selectExpr("b AS src", "a AS dst"))
+        .repartition("src")  # cache carries the join-key partitioning:
+        .persist()           # no round re-shuffles the edge side
     )
 
     visited = spark.createDataFrame(
