@@ -460,6 +460,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def min_label_components(edges: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over a symmetric edge list
+    (columns ``src``, ``dst``) -> one row per node: (doc_id, component).
+
+    Each round is one join+agg with lineage truncated via
+    localCheckpoint (bounded plans at scale); converges in <=
+    graph-diameter rounds. Shared by the shingle-graph and the
+    semantic (embedding-cosine) cluster queries."""
+    edges = edges.localCheckpoint(eager=True)
+    comps = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; tiny candidate graphs converge fast
+        msgs = (
+            edges.join(comps, edges["dst"] == comps["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            comps.join(msgs, comps["doc_id"] == msgs["src"], "left")
+            .select(
+                "doc_id",
+                F.least("component", F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(comps.alias("c"), "doc_id")
+            .filter(F.col("u.component") != F.col("c.component"))
+            .count()
+        )
+        comps = updated
+        if changed == 0:
+            break
+    return comps
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""
@@ -510,38 +554,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint(eager=True)
-    comps = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(20):  # diameter bound; tiny candidate graphs converge fast
-        msgs = (
-            edges.join(comps, edges["dst"] == comps["doc_id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            comps.join(msgs, comps["doc_id"] == msgs["src"], "left")
-            .select(
-                "doc_id",
-                F.least("component", F.coalesce("nbr_min", "component")).alias(
-                    "component"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            updated.alias("u")
-            .join(comps.alias("c"), "doc_id")
-            .filter(F.col("u.component") != F.col("c.component"))
-            .count()
-        )
-        comps = updated
-        if changed == 0:
-            break
-    return comps
+    ).toDF("src", "dst")
+    return min_label_components(edges)
 
 
 _SPAN_N = 8  # words per span
@@ -913,4 +927,103 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.filter(
         (F.col("containment_a_in_b") >= 0.35) | (F.col("containment_b_in_a") >= 0.35)
+    )
+
+
+@register(
+    "dedup_semantic_keep_representative",
+    oracle="""
+        WITH RECURSIVE
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings WHERE vec_id < 300
+        ),
+        p AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+        ),
+        sym AS (
+            SELECT va AS src, vb AS dst FROM p
+            UNION SELECT vb, va FROM p
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src
+        ),
+        comp0 AS (
+            SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+            FROM reach GROUP BY src
+        ),
+        labeled AS (
+            SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component
+            FROM e LEFT JOIN comp0 c ON e.vec_id = c.vec_id
+        )
+        SELECT vec_id, component,
+               vec_id = MIN(vec_id) OVER (PARTITION BY component) AS keep,
+               CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+                   AS cluster_size
+        FROM labeled
+    """,
+    doc=(
+        "X2 (semantic tier, end-to-end): embedding-cosine near-dup "
+        "pairs -> min-label connected components -> ONE representative "
+        "kept per semantic cluster (lowest vec_id; singletons keep "
+        "themselves) — the full SemDeDup-style pipeline as a single "
+        "query. Pair generation is exact on a bounded block here "
+        "(hash-verified); at 100 TB candidates come from LSH/IVF "
+        "buckets and the same propagation + keep-window run unchanged. "
+        "The keep flag and cluster size come from one window over the "
+        "component key; the DuckDB oracle replays clustering with a "
+        "recursive CTE."
+    ),
+    tags=("dedup", "llm", "embedding", "graph"),
+)
+def dedup_semantic_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    e = (
+        t.embeddings.filter(F.col("vec_id") < 300)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    a = e.select(F.col("vec_id").alias("va"), F.col("v").alias("xa"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select("va", "vb")
+    )
+    sym = pairs.selectExpr("va AS src", "vb AS dst").union(
+        pairs.selectExpr("vb AS src", "va AS dst")
+    )
+    comps = min_label_components(sym).withColumnRenamed("doc_id", "vec_id")
+    labeled = e.select("vec_id").join(comps, "vec_id", "left").select(
+        "vec_id", F.coalesce("component", "vec_id").alias("component")
+    )
+    w = W.partitionBy("component")
+    return labeled.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
