@@ -42,8 +42,12 @@ def _sorted_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def compare(spark_df, con, sql, rel_tol=0.0, abs_tol=0.0) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+def compare(spark_df, con, sql, rel_tol=0.0, abs_tol=0.0, require_rows=False) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match).
+
+    ``require_rows=True`` additionally rejects a 0 == 0 row match: a
+    query whose predicate never fires "passes" while verifying nothing
+    (round-1's join_anti/join_asof lesson) — the gate should say so."""
     errs: list[str] = []
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -56,6 +60,9 @@ def compare(spark_df, con, sql, rel_tol=0.0, abs_tol=0.0) -> list[str]:
         return errs
     if len(s_rows) != len(d_rows):
         errs.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+        return errs
+    if require_rows and not s_rows:
+        errs.append("vacuous: both engines returned 0 rows — nothing verified")
         return errs
 
     s_sorted = _sorted_rows(s_cols, s_rows)
