@@ -638,3 +638,89 @@ def stats_tvd_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t1 AS n_first_half", "t2 AS n_second_half", "tvd", "n_categories"
         )
     )
+
+
+#: shared closed form for the rolling least-squares slope over exact
+#: integer window sums (y in fixed-point 1e-4 units; one double division)
+_ROLL_SLOPE = (
+    "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 10000.0 END"
+)
+
+
+@register(
+    "stats_rolling_trend_slope",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+                   CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM events
+            GROUP BY event_type, day_idx
+        ),
+        win AS (
+            SELECT event_type, day_idx,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(day_idx) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(day_idx * day_idx) OVER w AS BIGINT) AS sxx,
+                   CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(day_idx * y) OVER w AS BIGINT) AS sxy
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day_idx, n AS n_days,
+               {_ROLL_SLOPE} AS slope_7d
+        FROM win
+    """,
+    doc=(
+        "Rolling 7-day least-squares trend slope of daily value volume "
+        "per event_type — the dashboard trend-arrow / regression-based "
+        "burst detector. Everything before the final division is exact "
+        "integer arithmetic: daily totals in fixed-point 1e-4 units "
+        "(the source doubles carry <=4 true decimal digits), window "
+        "power sums over a RANGE frame of integer day indices — so "
+        "the slope is bit-identical across engines and partitionings "
+        "with no decimal precision-promotion divergence. One shuffle "
+        "to daily grain (map-side combined), one window on the same "
+        "key; the windowed table is days x types (metadata scale)."
+    ),
+    tags=("stats", "window", "timeseries"),
+)
+def stats_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type",
+        F.expr("datediff(CAST(date_trunc('day', ts) AS DATE), DATE '2024-01-01')").alias(
+            "day_idx"
+        ),
+    ).agg(
+        F.expr("CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)").alias("y")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, W.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "day_idx",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("day_idx").over(w).cast("bigint").alias("sx"),
+        F.sum(F.expr("day_idx * day_idx")).over(w).cast("bigint").alias("sxx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.expr("day_idx * y")).over(w).cast("bigint").alias("sxy"),
+    )
+    return win.select(
+        "event_type",
+        "day_idx",
+        F.col("n").alias("n_days"),
+        F.expr(_ROLL_SLOPE).alias("slope_7d"),
+    )
