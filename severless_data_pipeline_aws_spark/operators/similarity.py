@@ -613,3 +613,71 @@ def pipeline_text_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sqrt(_dot(v, v)).alias("l2_norm"),
     )
     return d.join(e, "doc_id").select("doc_id", "n_tokens", "label", "dim", "l2_norm")
+
+
+@register(
+    "similarity_hard_negative_mining",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings WHERE vec_id < 200
+        ),
+        scored AS (
+            SELECT a.vec_id, a.label,
+                   b.vec_id AS neg_id,
+                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                                DESC, b.vec_id
+                   ) AS rn
+            FROM e a JOIN e b
+              ON a.label <> b.label
+        )
+        SELECT vec_id, label, neg_id, cosine AS hard_negative_cosine
+        FROM scored WHERE rn = 1
+    """,
+    doc=(
+        "Hard-negative mining for contrastive training: for every "
+        "anchor, the most-similar vector of a DIFFERENT label (the "
+        "negative that actually teaches the model). Exact on a bounded "
+        "block (per-pair order-deterministic fold, hash-verified; ties "
+        "break on neg_id); at 100 TB the candidate pairs come from the "
+        "ANN buckets (similarity_ann_lsh / _ivf) and the same per-"
+        "anchor top-1 window runs on candidates only. One window "
+        "shuffle keyed by anchor after the block join."
+    ),
+    tags=("similarity", "llm", "embedding"),
+)
+def similarity_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    e = (
+        t.embeddings.filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("label"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = a.join(b, F.col("label") != F.col("neg_label")).withColumn(
+        "cosine", _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "neg_id", F.col("cosine").alias("hard_negative_cosine"))
+    )
