@@ -251,3 +251,33 @@ def test_orc_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
     back = sinks.read_orc(spark, d)
     assert back.schema.fieldNames() == nation.schema.fieldNames()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_corrupt_parquet_file_policy(spark, sf_dir, tmp_path):
+    """Landed-zone ops policy for a corrupt shard: the default read
+    FAILS LOUDLY (silent data loss is worse than a failed job), and
+    the explicit recovery path (`ignoreCorruptFiles`) reads every
+    healthy row so a backfill can proceed while the shard is repaired."""
+    import pytest
+
+    from severless_data_pipeline_aws_spark.io import load_table
+
+    d = tmp_path / "landed"
+    nation = load_table(spark, sf_dir, "nation")
+    nation.repartition(4).write.parquet(str(d))
+    # clobber one shard with garbage that has no parquet magic bytes
+    part = sorted(p for p in d.iterdir() if p.name.endswith(".parquet"))[0]
+    part.write_bytes(b"not a parquet file at all")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()  # loud by default
+
+    # recovery read pins the schema (footer inference would touch the
+    # corrupt shard before the ignore option can skip it)
+    healthy = (
+        spark.read.schema(nation.schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(d))
+        .count()
+    )
+    assert 0 < healthy < nation.count() + 1
