@@ -104,3 +104,64 @@ def graph_bfs_part_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.union(nxt)
         frontier = nxt
     return visited
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH co AS (
+            SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000
+        ),
+        e AS (
+            SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+            FROM co WHERE a <> b
+            GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+               CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+    doc=(
+        "Triangle count over the nation co-trade graph (customer "
+        "nation ↔ supplier nation on high-value orders) — the "
+        "clustering-coefficient numerator, counted with the canonical "
+        "ordered-edge 3-join (u < v on every edge, so each triangle is "
+        "produced exactly once, no /6 correction). The edge list is "
+        "nation-bounded (metadata scale) after the distinct, so the "
+        "triple join is trivially broadcastable; on a big graph the "
+        "same query runs with the standard degree-ordered orientation "
+        "to bound the join fan-out."
+    ),
+    tags=("graph", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    e = (
+        co.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    n_edges = e.count()  # scalar for the report column (edge list is tiny)
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+    )
