@@ -165,3 +165,84 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
         F.lit(n_edges).cast("bigint").alias("n_edges"),
     )
+
+
+_SSSP_ROUNDS = 3
+
+#: one min-plus relaxation round, shared as the oracle's unrolled step
+_RELAX_SQL = """
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM {prev}
+            UNION ALL
+            SELECT s.dst AS node, {prev}.cost + s.w AS cost
+            FROM {prev} JOIN sym s ON s.src = {prev}.node
+        ) GROUP BY node
+"""
+
+
+@register(
+    "graph_sssp_bounded_minplus",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS a,
+                   's:' || CAST(l_suppkey AS VARCHAR) AS b,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY a, b
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst, w FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM pairs
+        ),
+        d0 AS (
+            SELECT 'p:' || CAST((SELECT MIN(l_partkey) FROM lineitem)
+                                AS VARCHAR) AS node,
+                   CAST(0 AS BIGINT) AS cost
+        ),
+        d1 AS ({_RELAX_SQL.format(prev="d0")}),
+        d2 AS ({_RELAX_SQL.format(prev="d1")}),
+        d3 AS ({_RELAX_SQL.format(prev="d2")})
+        SELECT node, cost FROM d3
+    """,
+    doc=(
+        "Bounded single-source shortest path (<= 3 relaxations) over "
+        "the weighted part-supplier graph — BFS generalized to the "
+        "min-plus semiring (edge weight = the pair's minimum shipped "
+        "quantity, an exact integer). Each Spark round relaxes every "
+        "edge once (frontier-less Bellman-Ford step: distances ⋈ "
+        "edges, union, min-combine — two shuffles on the same key) "
+        "with lineage cut per round; the cached edge index carries its "
+        "join-key partitioning across rounds. The oracle unrolls the "
+        "identical three rounds as chained CTE aggregates, so costs "
+        "are hash-exact — no recursion, no path enumeration."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_sssp_bounded_minplus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    seed_key = li.agg(F.min("l_partkey")).first()[0]
+
+    pairs = li.groupBy(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("a"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+    ).agg(F.min("l_quantity").cast("bigint").alias("w"))
+    sym = (
+        pairs.selectExpr("a AS src", "b AS dst", "w")
+        .union(pairs.selectExpr("b AS src", "a AS dst", "w"))
+        .repartition("src")
+        .persist()
+    )
+
+    dist = spark.createDataFrame([(f"p:{seed_key}", 0)], "node string, cost bigint")
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(sym, dist["node"] == sym["src"]).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
