@@ -43,15 +43,18 @@ def _be32(col):
     return F.unhex(F.lpad(F.hex(col), 8, "0"))
 
 
-def synthesize_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
+def synthesize_media(
+    spark: SparkSession, sf_dir: str, limit: int = 200, docs: DataFrame | None = None
+) -> DataFrame:
     """Deterministic binary payloads derived from documents.
 
     Binary construction is pure column exprs: a magic header, big-endian
     dims packed from the doc's stable ids, and the md5 of the text as
-    the body — so every engine run produces identical bytes.
+    the body — so every engine run produces identical bytes. ``docs``
+    overrides the source corpus (must carry doc_id + text).
     """
     t = Tables(spark, sf_dir)
-    d = t.documents.filter(F.col("doc_id") < limit)
+    d = docs if docs is not None else t.documents.filter(F.col("doc_id") < limit)
     width = (F.pmod(F.col("doc_id"), F.lit(64)) + 16).cast("int")
     height = (F.pmod(F.col("doc_id") * 7, F.lit(64)) + 16).cast("int")
 
@@ -266,4 +269,53 @@ def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_video(spark, sf_dir).mapInPandas(
         frame_sample_stub, schema=FRAME_SCHEMA
+    )
+
+
+@register(
+    "multimodal_binary_exact_dedup",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT md5(text) AS body_md5,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keep_doc_id,
+               MAX(doc_id) AS newest_doc_id
+        FROM corpus GROUP BY body_md5
+    """,
+    doc=(
+        "X5: exact dedup of binary media by CONTENT, not metadata — "
+        "the dedup key is read from the payload bytes themselves "
+        "(body = bytes 13.., skipping the 12-byte header whose dims "
+        "differ between copies of the same asset), so re-encoded "
+        "metadata can't hide a duplicate. 50 cross-id duplicate "
+        "payloads are injected by re-keying a document slice; the "
+        "oracle derives the same clusters from the text the bodies "
+        "were built from. One hash-aggregate keyed by the content "
+        "hash — at 100 TB the map side hashes bytes locally and "
+        "shuffles only (key, id) pairs, never the payloads."
+    ),
+    tags=("multimodal", "dedup", "llm"),
+)
+def multimodal_binary_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.documents.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    dup = (
+        t.documents.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    media = synthesize_media(spark, sf_dir, docs=base.unionByName(dup))
+    body_key = F.lower(F.hex(F.expr("substring(payload, 13, length(payload) - 12)")))
+    return (
+        media.select("doc_id", body_key.alias("body_md5"))
+        .groupBy("body_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("newest_doc_id"),
+        )
     )
