@@ -540,3 +540,88 @@ def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NEAR_PICK.format(back="back_delta", fwd="fwd_delta")).alias("nearest_delta_s"),
         F.expr(_NEAR_PICK.format(back="'backward'", fwd="'forward'")).alias("direction"),
     )
+
+
+def _merge_asof_group(pdf):
+    """Per-user backward as-of via pandas.merge_asof (Arrow-batched).
+
+    Same tie policy as the window twin: among equal-ts clicks the
+    highest event_id wins (merge_asof takes the LAST right row in sort
+    order), and a same-instant click matches (allow_exact_matches)."""
+    import pandas as pd
+
+    p = (
+        pdf[pdf["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        .sort_values(["ts", "event_id"])
+        .rename(columns={"event_id": "purchase_id", "ts": "purchase_ts"})
+    )
+    c = (
+        pdf[pdf["event_type"] == "click"][["event_id", "ts"]]
+        .sort_values(["ts", "event_id"])
+        .rename(columns={"event_id": "last_click_id", "ts": "last_click_ts"})
+    )
+    if len(p) == 0:
+        return p.assign(last_click_id=pd.Series(dtype="Int64"),
+                        last_click_ts=pd.Series(dtype="datetime64[us]"))
+    merged = pd.merge_asof(
+        p,
+        c,
+        left_on="purchase_ts",
+        right_on="last_click_ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    merged["last_click_id"] = merged["last_click_id"].astype("Int64")
+    return merged
+
+
+@register(
+    "join_asof_merge_asof_twin",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts,
+                   1 AS is_right
+            FROM events WHERE user_id <= 30 AND event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, event_id, event_id, ts, 0
+            FROM events WHERE user_id <= 30 AND event_type = 'click'
+        ),
+        carried AS (
+            SELECT user_id, ts, event_id, is_right,
+                   last_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+                   last_value(c_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_right, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+            FROM tagged
+        )
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+               last_click_id, last_click_ts
+        FROM carried WHERE is_right = 1
+    """,
+    doc=(
+        "The SECOND physical strategy for the backward as-of join: "
+        "applyInPandas + pandas.merge_asof per user group (the "
+        "guide-book alternative when the union+ignorenulls rewrite "
+        "can't express the semantics, e.g. tolerance-+ -nearest with "
+        "custom tie rules). Same oracle as "
+        "join_asof_last_click_before_purchase, so the two strategies "
+        "are proven value-identical. Scale shape: one shuffle on "
+        "user_id, per-group work is O(n log n) local sort — but Arrow "
+        "transfer + Python make it the fallback, not the default; the "
+        "window form stays JVM-side."
+    ),
+    tags=("join", "asof", "udf"),
+)
+def join_asof_merge_asof_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(
+        (F.col("user_id") <= 30) & F.col("event_type").isin("purchase", "click")
+    ).select("user_id", "event_type", "event_id", "ts")
+    out_schema = (
+        "purchase_id bigint, user_id bigint, purchase_ts timestamp, "
+        "last_click_id bigint, last_click_ts timestamp"
+    )
+    return ev.groupBy("user_id").applyInPandas(_merge_asof_group, schema=out_schema)
