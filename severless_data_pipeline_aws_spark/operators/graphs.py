@@ -90,7 +90,6 @@ def graph_bfs_part_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"p:{seed_key}", 0)], "node string, hop bigint"
     )
     frontier = visited
-    persisted = []
     for hop in range(1, _MAX_HOPS + 1):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["src"])
@@ -98,9 +97,8 @@ def graph_bfs_part_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(hop).cast("bigint"))
+            .persist()
         )
-        nxt = nxt.persist()
-        persisted.append(nxt)
         visited = visited.union(nxt)
         frontier = nxt
     return visited
