@@ -244,3 +244,133 @@ def graph_sssp_bounded_minplus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+_PR_ITERS = 3
+
+#: one PageRank power-iteration round as a DuckDB CTE. The incoming
+#: contributions fold in src order (list_reduce over an ORDER BY src
+#: list), matching the Spark side's array_sort(collect_list) +
+#: aggregate fold — so the double sums are bit-identical, not just
+#: close, and the query is hash-exact instead of rows-only.
+_PR_STEP_SQL = """
+        SELECT nodes.v,
+               CAST(0.15 AS DOUBLE) / CAST((SELECT cnt FROM n) AS DOUBLE)
+               + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS r
+        FROM nodes LEFT JOIN (
+            SELECT co.b AS v,
+                   list_reduce(list({prev}.r / deg.outdeg ORDER BY co.a),
+                               (x, y) -> x + y) AS s
+            FROM co
+            JOIN {prev} ON {prev}.v = co.a
+            JOIN deg ON deg.a = co.a
+            GROUP BY co.b
+        ) c ON c.v = nodes.v
+"""
+
+
+@register(
+    "graph_pagerank_bounded",
+    oracle=f"""
+        WITH co AS (
+            SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS a,
+                            CAST(s.s_nationkey AS BIGINT) AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000 AND c.c_nationkey <> s.s_nationkey
+        ),
+        nodes AS (
+            SELECT DISTINCT v FROM (
+                SELECT a AS v FROM co UNION ALL SELECT b FROM co
+            )
+        ),
+        deg AS (SELECT a, COUNT(*) AS outdeg FROM co GROUP BY a),
+        n AS (SELECT COUNT(*) AS cnt FROM nodes),
+        r0 AS (
+            SELECT v, CAST(1.0 AS DOUBLE) / CAST((SELECT cnt FROM n) AS DOUBLE) AS r
+            FROM nodes
+        ),
+        r1 AS ({_PR_STEP_SQL.format(prev="r0")}),
+        r2 AS ({_PR_STEP_SQL.format(prev="r1")}),
+        r3 AS ({_PR_STEP_SQL.format(prev="r2")})
+        SELECT v AS nationkey, r AS pagerank FROM r3
+    """,
+    doc=(
+        "Bounded PageRank (3 power iterations, damping 0.85) over the "
+        "directed nation co-trade graph (customer nation -> supplier "
+        "nation on high-value orders; simplified variant: dangling "
+        "mass is not redistributed, identically on both engines). "
+        "Each Spark round is contributions = ranks ⋈ edges ⋈ outdeg, "
+        "then a groupBy(dst) whose double sum folds in src order "
+        "(array_sort(collect_list(struct)) + sequential aggregate) so "
+        "it is bit-identical to the oracle's ordered list_reduce — the "
+        "same order-pinning that makes the label-centroid query "
+        "hash-exact. The edge list and degree table are built once and "
+        "persisted; every round reuses them (on a cluster: the "
+        "hash-partitioned edge index every power iteration joins "
+        "against), and localCheckpoint cuts per-round lineage. The "
+        "nation graph is metadata-scale; on a billion-node graph the "
+        "identical loop runs with the edge list bucketed by src and "
+        "the ordered fold swapped for plain sum (order-pinning is an "
+        "oracle-exactness device, not an algorithmic need)."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("a"),
+            F.col("s_nationkey").cast("bigint").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        co.select(F.col("a").alias("v"))
+        .union(co.select(F.col("b").alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = co.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    n_nodes = nodes.count()  # scalar query parameter (metadata-scale)
+
+    base = f"CAST(0.15 AS DOUBLE) / CAST({n_nodes} AS DOUBLE)"
+    ranks = nodes.select(
+        "v", F.expr(f"CAST(1.0 AS DOUBLE) / CAST({n_nodes} AS DOUBLE)").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            co.join(ranks, co["a"] == ranks["v"])
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("dst"),
+                F.col("a").alias("src"),
+                (F.col("r") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(src, c))), "
+                    "p -> p.c), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                ).alias("s")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                F.expr(
+                    f"{base} + CAST(0.85 AS DOUBLE) * coalesce(s, CAST(0.0 AS DOUBLE))"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias("nationkey"), F.col("r").alias("pagerank"))
