@@ -537,3 +537,124 @@ def dashboard_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         (n_tokens.cast("double") / F.count(F.lit(1))).alias("avg_doc_tokens"),
     )
+
+
+@register(
+    "dq_key_skew_profile",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS nk
+            FROM c
+        )
+        SELECT c.user_id,
+               CAST(c.n AS BIGINT) AS n_events,
+               CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   * CAST(100 AS DOUBLE) AS share_pct,
+               CAST(c.n AS DOUBLE) * CAST(t.nk AS DOUBLE)
+                   / CAST(t.total AS DOUBLE) AS skew_x_avg
+        FROM c, t
+        ORDER BY c.n DESC, c.user_id
+        LIMIT 10
+    """,
+    doc=(
+        "Shuffle-skew audit: the 10 heaviest join/group keys with their "
+        "share of total rows and their multiple of the average key "
+        "load — the report a pipeline runs BEFORE a big keyed join to "
+        "decide between a plain shuffle, broadcast, or the salted plan "
+        "(join_salted_skew_segments). One aggregation over the fact "
+        "table, then window totals + top-k on the keys-sized result "
+        "(TakeOrderedAndProject; never a global sort of raw data). "
+        "Ratios are single divisions of exact integer counts in a "
+        "pinned operation order, so the profile is hash-exact."
+    ),
+    tags=("dq", "agg", "window"),
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    counts = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    everything = Window.partitionBy()  # frameless: one total per partition-all
+    profiled = counts.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.sum("n").over(everything).alias("total"),
+        F.count(F.lit(1)).over(everything).alias("nk"),
+    ).select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) * CAST(100 AS DOUBLE)"
+        ).alias("share_pct"),
+        F.expr(
+            "CAST(n_events AS DOUBLE) * CAST(nk AS DOUBLE) / CAST(total AS DOUBLE)"
+        ).alias("skew_x_avg"),
+    )
+    return profiled.orderBy(F.col("n_events").desc(), "user_id").limit(10)
+
+
+@register(
+    "dashboard_topn_with_others",
+    oracle="""
+        WITH rev AS (
+            SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS r
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        ),
+        ranked AS (
+            SELECT n_name, r,
+                   ROW_NUMBER() OVER (ORDER BY r DESC, n_name) AS rk
+            FROM rev
+        )
+        SELECT CASE WHEN rk <= 5 THEN n_name ELSE 'Other' END AS bucket,
+               CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM ranked
+        GROUP BY bucket
+    """,
+    doc=(
+        "The classic dashboard pie/bar shape: revenue by nation, top 5 "
+        "named, everything else collapsed into one 'Other' bucket. "
+        "Decimal revenue sums are exact and associative, so the "
+        "re-aggregation of the non-top rows is lossless and the final "
+        "DOUBLE cast hash-matches the oracle. The ranking window runs "
+        "on the already-aggregated nations-sized table (metadata "
+        "scale), never on the fact table — the plan is one fact "
+        "shuffle for the group-by, then driver-trivial work; at 100 TB "
+        "only the first aggregation grows."
+    ),
+    tags=("dashboard", "agg", "window"),
+)
+def dashboard_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ._helpers import dsum
+
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("r"))
+    )
+    ranked = rev.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy().orderBy(F.col("r").desc(), "n_name")),
+    )
+    return (
+        ranked.select(
+            F.when(F.col("rk") <= 5, F.col("n_name")).otherwise("Other").alias("bucket"),
+            "r",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("CAST(SUM(r) AS DOUBLE)").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+    )
