@@ -297,3 +297,78 @@ def sampling_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sq / denom").alias("temp_weight"),
         F.expr("(sq / denom) / share").alias("boost"),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds scaled by 1e6 — replicate counts for
+#: the Poisson bootstrap, assigned by EXACT integer comparison (no float
+#: CDF evaluation at query time, no engine libm involved)
+_POIS_T = (367879, 735759, 919699, 981012, 996340, 999406)
+
+_BOOT_B = 16  # bootstrap replicates
+
+_BH_SPARK = (
+    "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':' || "
+    "CAST(b AS STRING)), 1, 14), 16, 10) AS BIGINT) % 1000000"
+)
+_BH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || "
+    "CAST(b AS VARCHAR)), 1, 14)) AS BIGINT) % 1000000"
+)
+
+
+def _pois_case(h: str) -> str:
+    branches = " ".join(
+        f"WHEN ({h}) < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_T)} END"
+
+
+@register(
+    "sampling_poisson_bootstrap",
+    oracle=f"""
+        WITH reps AS (
+            SELECT o_orderkey, o_totalprice, b,
+                   {_pois_case(_BH_DUCK)} AS w
+            FROM orders
+            CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) bs
+        )
+        SELECT CAST(b AS BIGINT) AS replicate,
+               CAST(SUM(w) AS BIGINT) AS n_sampled,
+               CAST(CAST(SUM(CAST((CAST(w AS DOUBLE) * o_totalprice)
+                                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(w) AS DOUBLE) AS boot_mean
+        FROM reps
+        GROUP BY b
+    """,
+    doc=(
+        "Poisson bootstrap: 16 deterministic replicate estimates of "
+        "mean order value, the standard way to bootstrap a confidence "
+        "interval on a distributed table WITHOUT B resampling passes "
+        "(Chamandy et al.'s web-scale formulation). Each row's "
+        "replicate multiplicity is Poisson(1), drawn by comparing an "
+        "md5 slice of (key, replicate) against fixed integer inverse-"
+        "CDF thresholds — exact on every engine, unlike rand(). The "
+        "explode-by-16 happens map-side and partial aggregation "
+        "collapses it to B groups per partition before the shuffle, so "
+        "the exchanged data is B rows per task regardless of fact "
+        "size; weighted sums accumulate in DECIMAL for order-"
+        "independence, with one final double division per replicate. "
+        "The spread of boot_mean across replicates IS the standard "
+        "error estimate a dashboard would report."
+    ),
+    tags=("sampling", "stats", "agg"),
+)
+def sampling_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    reps = t.orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    ).withColumn("w", F.expr(_pois_case(_BH_SPARK)))
+    return reps.groupBy(F.col("b").cast("bigint").alias("replicate")).agg(
+        F.sum("w").cast("bigint").alias("n_sampled"),
+        F.expr(
+            "CAST(SUM(CAST((CAST(w AS DOUBLE) * o_totalprice) AS DECIMAL(38,8))) "
+            "AS DOUBLE) / CAST(SUM(w) AS DOUBLE)"
+        ).alias("boot_mean"),
+    )
