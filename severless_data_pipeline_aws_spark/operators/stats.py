@@ -724,3 +724,78 @@ def stats_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.expr(_ROLL_SLOPE).alias("slope_7d"),
     )
+
+
+#: shared closed form over the already-cast double power sums — identical
+#: text on both engines, so every multiply/divide/sqrt is the same IEEE op
+_AC1_FORMULA = (
+    "CASE WHEN (n_d * sxx_d - sx_d * sx_d) > 0.0 "
+    "AND (n_d * syy_d - sy_d * sy_d) > 0.0 "
+    "THEN (n_d * sxy_d - sx_d * sy_d) "
+    "/ (sqrt(n_d * sxx_d - sx_d * sx_d) * sqrt(n_d * syy_d - sy_d * sy_d)) "
+    "ELSE NULL END"
+)
+
+
+@register(
+    "stats_autocorrelation_lag1",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS y,
+                   LAG(CAST(round(value * 10000) AS BIGINT)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id) AS x
+            FROM events
+        ),
+        p AS (SELECT * FROM v WHERE x IS NOT NULL),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(*) AS DOUBLE) AS n_d,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy_d,
+                   CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy_d,
+                   CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx_d,
+                   CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy_d
+            FROM p GROUP BY event_type
+        )
+        SELECT event_type, n_pairs, {_AC1_FORMULA} AS autocorr_lag1
+        FROM s
+    """,
+    doc=(
+        "Lag-1 autocorrelation of the value series per event_type — the "
+        "burstiness / regime-persistence statistic behind seasonality "
+        "detection and anomaly-detector calibration (white noise ~ 0, "
+        "trending ~ +1, mean-reverting ~ -1). One window pass pairs "
+        "each value with its predecessor (ts, event_id order — fully "
+        "deterministic), then per-type power sums accumulate as "
+        "DECIMAL(38,0) over exact 1e-4 fixed-point integers (value "
+        "carries <=4 decimal digits; BIGINT products, decimal sums — "
+        "overflow-safe past 10^18 where a raw BIGINT sum of squares "
+        "dies at corpus scale). The Pearson closed form then runs on "
+        "identically-cast doubles, so the coefficient is bit-exact. "
+        "One shuffle for the window, map-side combine for the sums."
+    ),
+    tags=("stats", "window", "timeseries"),
+)
+def stats_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    fixed = F.expr("CAST(round(value * 10000) AS BIGINT)")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        t.events.select("event_type", "ts", "event_id", fixed.alias("y"))
+        .withColumn("x", F.lag("y").over(w))
+        .filter(F.col("x").isNotNull())
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("n_d"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx_d"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy_d"),
+        F.expr("CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE)").alias("sxy_d"),
+        F.expr("CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE)").alias("sxx_d"),
+        F.expr("CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE)").alias("syy_d"),
+    )
+    return sums.select("event_type", "n_pairs", F.expr(_AC1_FORMULA).alias("autocorr_lag1"))
