@@ -379,3 +379,87 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classified.groupBy("change_kind").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys")
     )
+
+
+@register(
+    "cdc_upsert_with_deletes",
+    oracle=f"""
+        WITH changes AS (
+            SELECT o_orderkey, 'U' AS op, 'X' AS c_status,
+                   o_totalprice + 1000.0 AS c_price
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT -o_orderkey, 'I', 'N', 50000.0
+            FROM orders WHERE o_orderkey % 499 = 0
+            UNION ALL
+            SELECT o_orderkey, 'D', NULL, NULL
+            FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+        ),
+        merged AS (
+            SELECT COALESCE(c.c_status, b.o_orderstatus) AS o_orderstatus,
+                   COALESCE(c.c_price, b.o_totalprice) AS o_totalprice
+            FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)
+            WHERE COALESCE(c.op, '') <> 'D'
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {dsum_double_sql("o_totalprice")} AS total_price
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Full CDC merge with tombstones: one change batch carrying "
+        "inserts, updates AND deletes (op column I/U/D), applied in a "
+        "single full-outer join — matched D rows drop out of the "
+        "snapshot, U rows override per-column, unmatched I rows land. "
+        "The three-way batch is derived deterministically (disjoint "
+        "key predicates, so no key carries two ops) and both engines "
+        "merge the identical delta; per-status decimal summary proves "
+        "the surviving set matches exactly. Same single-shuffle shape "
+        "as cdc_upsert_orders_snapshot — delete handling costs nothing "
+        "extra, which is the point: tombstones ride the same merge."
+    ),
+    tags=("cdc", "join", "agg"),
+)
+def cdc_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    changes = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("op"),
+            F.lit("X").alias("c_status"),
+            (F.col("o_totalprice") + 1000.0).alias("c_price"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 499 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                F.lit("N").alias("c_status"),
+                F.lit(50000.0).alias("c_price"),
+            )
+        )
+        .unionByName(
+            base.filter(
+                (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+            ).select(
+                "o_orderkey",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("c_status"),
+                F.lit(None).cast("double").alias("c_price"),
+            )
+        )
+    )
+    merged = (
+        base.join(changes, ["o_orderkey"], "full_outer")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce("c_status", "o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("c_price", "o_totalprice").alias("o_totalprice"),
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum_double("o_totalprice").alias("total_price"),
+    )
