@@ -625,3 +625,63 @@ def join_asof_merge_asof_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_id bigint, last_click_ts timestamp"
     )
     return ev.groupBy("user_id").applyInPandas(_merge_asof_group, schema=out_schema)
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+        WITH c AS (
+            SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                        ELSE CAST(c_nationkey AS BIGINT) END AS seg_key,
+                   COUNT(*) AS n_cust
+            FROM customer GROUP BY seg_key
+        ),
+        s AS (
+            SELECT CASE WHEN s_acctbal < 0 THEN NULL
+                        ELSE CAST(s_nationkey AS BIGINT) END AS seg_key,
+                   COUNT(*) AS n_supp
+            FROM supplier GROUP BY seg_key
+        )
+        SELECT c.seg_key,
+               CAST(c.n_cust AS BIGINT) AS n_cust,
+               CAST(s.n_supp AS BIGINT) AS n_supp
+        FROM c JOIN s ON c.seg_key IS NOT DISTINCT FROM s.seg_key
+    """,
+    doc=(
+        "Null-safe equi join (<=> / IS NOT DISTINCT FROM): both sides "
+        "derive a nullable segment key (negative-balance accounts fall "
+        "into the NULL segment) and the join matches NULL with NULL — "
+        "the semantic a plain equi join silently drops. Spark plans "
+        "<=> as a regular hash join on a null-coalesced key, so the "
+        "NULL segment shuffles like any other key rather than falling "
+        "back to nested-loop. Aggregation happens BEFORE the join on "
+        "both sides (segment-cardinality inputs), the shape that keeps "
+        "this metadata-scale at any corpus size."
+    ),
+    tags=("join", "nulls"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cust = (
+        t.customer.select(
+            F.when(F.col("c_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("c_nationkey"))
+            .cast("bigint")
+            .alias("seg_key")
+        )
+        .groupBy("seg_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    supp = (
+        t.supplier.select(
+            F.when(F.col("s_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("s_nationkey"))
+            .cast("bigint")
+            .alias("seg_key")
+        )
+        .groupBy("seg_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"))
+    )
+    return cust.join(supp, cust["seg_key"].eqNullSafe(supp["seg_key"])).select(
+        cust["seg_key"], "n_cust", "n_supp"
+    )
