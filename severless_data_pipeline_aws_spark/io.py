@@ -128,3 +128,27 @@ def read_csv_tolerant(
         mode="PERMISSIVE",
         columnNameOfCorruptRecord="_corrupt_record",
     )
+
+
+def read_jsonl_tolerant(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> DataFrame:
+    """PERMISSIVE JSON-lines ingest — the wire-format twin of
+    :func:`read_csv_tolerant`.
+
+    The reference's ingest path carries JSON records (Kinesis wire
+    format, iot-data-stream.py:279); a landing zone reading those files
+    needs the same posture as CSV: schema-on-read, malformed lines
+    quarantined in ``_corrupt_record`` (truncated payloads, bad quotes,
+    type violations), clean rows flowing on. FAILFAST would abort a
+    100 TB backfill on one bad shard; DROPMALFORMED loses data silently;
+    PERMISSIVE + explicit routing is the only auditable option.
+
+    Same Spark caveat as CSV: cache() before filtering on only the
+    corrupt column.
+    """
+    return spark.read.schema(schema_ddl + ", _corrupt_record STRING").json(
+        path,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )

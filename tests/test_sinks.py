@@ -281,3 +281,24 @@ def test_corrupt_parquet_file_policy(spark, sf_dir, tmp_path):
         .count()
     )
     assert 0 < healthy < nation.count() + 1
+
+
+def test_tolerant_jsonl_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE JSON-lines ingest: clean rows parse, truncated/type-
+    violating lines survive with the raw payload in _corrupt_record."""
+    from severless_data_pipeline_aws_spark.io import read_jsonl_tolerant
+
+    p = tmp_path / "landing_json"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"device_id": "dev_1", "reading": 21.5}\n'
+        '{"device_id": "dev_2", "reading": }\n'
+        '{"device_id": "dev_3", "reading": 19.0}\n'
+    )
+    df = read_jsonl_tolerant(spark, str(p), "device_id STRING, reading DOUBLE").cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert df.count() == 3
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert '"reading": }' in bad.first()["_corrupt_record"]
