@@ -681,3 +681,127 @@ def similarity_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "neg_id", F.col("cosine").alias("hard_negative_cosine"))
     )
+
+
+_PCA_ITERS = 2
+
+#: one power-iteration step in DuckDB: project scores, per-dim weighted
+#: sums folded in vec_id order, repack to an ordered list
+_PCA_STEP_SQL = """
+        s{k} AS (
+            SELECT e.vec_id, list_dot_product(e.v, {vprev}.vec) AS score
+            FROM e, {vprev}
+        ),
+        w{k} AS (
+            SELECT d.dim,
+                   list_reduce(list(s.score * d.x ORDER BY d.vec_id),
+                               (a, b) -> a + b) AS w
+            FROM dims d JOIN s{k} s USING (vec_id) GROUP BY d.dim
+        ),
+        wv{k} AS (SELECT list(w ORDER BY dim) AS wv FROM w{k}),
+        v{k} AS (
+            SELECT list_transform(wv, x -> x / sqrt(list_dot_product(wv, wv))) AS vec
+            FROM wv{k}
+        )
+"""
+
+
+@register(
+    "similarity_pca_top_component",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dimsu AS (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, len(v) + 1),
+                          i -> struct_pack(dim := i, x := v[i]))) AS s
+            FROM e
+        ),
+        dims AS (SELECT vec_id, s.dim AS dim, s.x AS x FROM dimsu),
+        v0 AS (
+            SELECT list_transform(range(1, len(v) + 1),
+                   i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END) AS vec
+            FROM e LIMIT 1
+        ),
+        {_PCA_STEP_SQL.format(k=1, vprev="v0")},
+        {_PCA_STEP_SQL.format(k=2, vprev="v1")},
+        fin AS (
+            SELECT unnest(list_transform(range(1, len(wv) + 1),
+                   i -> struct_pack(
+                       dim := i,
+                       loading := wv[i] / sqrt(list_dot_product(wv, wv)),
+                       sigma := sqrt(list_dot_product(wv, wv))))) AS s
+            FROM wv2
+        )
+        SELECT CAST(s.dim AS BIGINT) AS dim, s.loading AS loading, s.sigma AS sigma
+        FROM fin
+    """,
+    doc=(
+        "Top principal direction of the embedding matrix by power "
+        "iteration — distributed linear algebra as two DataFrame "
+        "passes: score = x·v per vector (map-side, broadcast v), then "
+        "per-dimension weighted sums Σ score·x_dim (one shuffle on "
+        "dim), normalize, repeat. The fixed e1 start and vec_id-ordered "
+        "per-dimension folds make both iterations bit-identical to the "
+        "oracle's unrolled CTEs (the order-pinning is an exactness "
+        "device — at corpus scale the folds become plain SUMs and the "
+        "loop runs to tolerance). sigma (the ||X^T X v|| norm) "
+        "estimates the top singular value's square. This is the "
+        "engine-level primitive under embedding whitening / "
+        "all-but-the-top post-processing of text embeddings; the "
+        "per-vector projection and per-dim reduction are exactly the "
+        "shapes a full Lanczos/Arnoldi would reuse."
+    ),
+    tags=("similarity", "llm", "iterative"),
+)
+def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v")).persist()
+    dims = (
+        emb.select("vec_id", F.posexplode("v").alias("dim0", "x"))
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+        .persist()
+    )
+    vcur = emb.limit(1).select(
+        F.expr(
+            "transform(v, (y, i) -> CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE) "
+            "ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("vec")
+    )
+    wvec = None
+    for _ in range(_PCA_ITERS):
+        scores = emb.crossJoin(F.broadcast(vcur)).select(
+            "vec_id", _dot(F.col("v"), F.col("vec")).alias("score")
+        )
+        w = (
+            dims.join(scores, "vec_id")
+            .select("dim", "vec_id", (F.col("score") * F.col("x")).alias("c"))
+            .groupBy("dim")
+            .agg(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(vec_id, c))), "
+                    "p -> p.c), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
+                ).alias("w")
+            )
+        )
+        wvec = (
+            w.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("pairs"))
+            .select(F.expr("transform(pairs, p -> p.w)").alias("wv"))
+        )
+        vcur = wvec.select(
+            F.expr(
+                "transform(wv, x -> x / sqrt(aggregate(zip_with(wv, wv, "
+                "(a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)))"
+            ).alias("vec")
+        )
+    norm = (
+        "sqrt(aggregate(zip_with(wv, wv, (a, b) -> a * b), "
+        "CAST(0.0 AS DOUBLE), (acc, y) -> acc + y))"
+    )
+    return wvec.select(
+        F.posexplode(F.expr(f"transform(wv, x -> x / {norm})")).alias("dim0", "loading"),
+        F.expr(norm).alias("sigma"),
+    ).select((F.col("dim0") + 1).cast("bigint").alias("dim"), "loading", "sigma")
