@@ -773,3 +773,124 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
         )
     )
+
+
+#: shared linear-interpolation expression over the carry columns — the
+#: identical text runs on both engines, so every double op is the same
+#: IEEE operation
+_LERP = (
+    "CASE WHEN v IS NOT NULL THEN v "
+    "ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END"
+)
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type,
+                   date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('hour', ts)) AS h,
+                   value
+            FROM events WHERE user_id < 20
+        ),
+        known AS (
+            SELECT event_type, h,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(value) AS v
+            FROM ev GROUP BY event_type, h
+        ),
+        spans AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM spans
+        ),
+        joined AS (
+            SELECT g.event_type, g.h, k.v FROM grid g
+            LEFT JOIN known k USING (event_type, h)
+        ),
+        carried AS (
+            SELECT event_type, h, v,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER wb AS ph,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER wf AS nh
+            FROM joined
+            WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, CAST(h AS BIGINT) AS hour_idx,
+               {_LERP} AS value_filled,
+               v IS NULL AS is_interpolated
+        FROM carried
+    """,
+    doc=(
+        "Linear interpolation of missing hourly buckets per event_type "
+        "— the resample-and-fill every sensor/metrics pipeline needs "
+        "before feeding models that can't see NaNs. Grid from each "
+        "key's own span (2-row-per-key aggregate exploded), left join "
+        "to the hourly decimal-exact averages, then BOTH carry "
+        "directions from one sorted window pair (last/first IGNORE "
+        "NULLS with mirrored frames — same single sort, same shuffle): "
+        "prev/next known value and hour feed one shared lerp "
+        "expression, so filled values are bit-exact across engines. "
+        "Interior gaps only by construction (the grid spans knowns), "
+        "so the lerp denominators are never null/zero. Scales as the "
+        "bucket grid (metadata × span), not the fact table."
+    ),
+    tags=("agg", "timeseries", "window"),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") < 20).select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', "
+            "date_trunc('hour', ts))"
+        ).alias("h"),
+        "value",
+    )
+    known = ev.groupBy("event_type", "h").agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) / COUNT(value)"
+        ).alias("v")
+    )
+    spans = ev.groupBy("event_type").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select("event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+    joined = grid.join(known, ["event_type", "h"], "left")
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = joined.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(F.expr("CASE WHEN v IS NOT NULL THEN h END"), ignorenulls=True)
+        .over(wb)
+        .alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(F.expr("CASE WHEN v IS NOT NULL THEN h END"), ignorenulls=True)
+        .over(wf)
+        .alias("nh"),
+    )
+    return carried.select(
+        "event_type",
+        F.col("h").cast("bigint").alias("hour_idx"),
+        F.expr(_LERP).alias("value_filled"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
