@@ -805,3 +805,127 @@ def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.expr(f"transform(wv, x -> x / {norm})")).alias("dim0", "loading"),
         F.expr(norm).alias("sigma"),
     ).select((F.col("dim0") + 1).cast("bigint").alias("dim"), "loading", "sigma")
+
+
+_KM_K = 8
+
+#: squared-L2 distance, index-ascending fold — the identical IEEE
+#: sequence on both engines (Spark zip_with+aggregate == DuckDB
+#: list_transform+list_reduce)
+_KM_DIST_DUCK = (
+    "list_reduce(list_transform(range(1, len(e.v) + 1), "
+    "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])), (a, b) -> a + b)"
+)
+
+#: one Lloyd round in DuckDB: assign under c{prev}, then ordered-fold
+#: per-dimension means into c{k}
+_KM_STEP_SQL = """
+        a{k} AS (
+            SELECT e.vec_id, c.cid, {dist} AS dist
+            FROM e, c{prev} c
+        ),
+        asg{k} AS (
+            SELECT vec_id, cid, dist FROM a{k}
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) = 1
+        ),
+        cd{k} AS (
+            SELECT s.cid, d.dim,
+                   list_reduce(list(d.x ORDER BY d.vec_id), (a, b) -> a + b)
+                       / COUNT(*) AS cx
+            FROM dims d JOIN asg{k} s USING (vec_id)
+            GROUP BY s.cid, d.dim
+        ),
+        c{k} AS (SELECT cid, list(cx ORDER BY dim) AS cvec FROM cd{k} GROUP BY cid)
+"""
+
+
+@register(
+    "similarity_kmeans_lloyd",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dimsu AS (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, len(v) + 1),
+                          i -> struct_pack(dim := i, x := v[i]))) AS s
+            FROM e
+        ),
+        dims AS (SELECT vec_id, s.dim AS dim, s.x AS x FROM dimsu),
+        c0 AS (
+            SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT {_KM_K}
+        ),
+        {_KM_STEP_SQL.format(k=1, prev=0, dist=_KM_DIST_DUCK)},
+        a2 AS (
+            SELECT e.vec_id, c.cid, {_KM_DIST_DUCK} AS dist
+            FROM e, c1 c
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist
+        FROM a2
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    """,
+    doc=(
+        "Lloyd's k-means (k=8, one update round bracketed by two exact "
+        "assignment passes) on the raw embeddings — the clustering "
+        "primitive under IVF index build, SemDeDup cluster pruning, "
+        "and diversity-balanced data selection. Deterministic "
+        "end-to-end: seeds are the k lowest vec_ids, assignment "
+        "tie-breaks on (dist, cid), distances fold index-ascending, "
+        "and centroid updates fold per-dimension in vec_id order — so "
+        "every cluster id and distance hash-matches the oracle's "
+        "unrolled CTEs. Assignment is a broadcast cross join (k·N "
+        "distance rows, map-side) + one per-vector argmin window; the "
+        "update shuffles (cid, dim) partial sums. At corpus scale the "
+        "ordered folds relax to plain SUM/AVG and iterations run to "
+        "convergence — the plan shape (broadcast assign, keyed "
+        "combine) is already the scalable one."
+    ),
+    tags=("similarity", "llm", "iterative"),
+)
+def similarity_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v")).persist()
+    dims = (
+        emb.select("vec_id", F.posexplode("v").alias("dim0", "x"))
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+        .persist()
+    )
+    dist_expr = F.expr(
+        "aggregate(zip_with(v, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    rk_w = W.partitionBy("vec_id").orderBy("dist", "cid")
+
+    def assign(cent):
+        return (
+            emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", dist_expr.alias("dist"))
+            .withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    cent = emb.orderBy("vec_id").limit(_KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    asg1 = assign(cent)
+    cent1 = (
+        dims.join(asg1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, x))), "
+                "p -> p.x), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y) / count(1)"
+            ).alias("cx")
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select("cid", F.expr("transform(pairs, p -> p.cx)").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    return assign(cent1).select(
+        "vec_id", F.col("cid").cast("bigint").alias("cluster"), "dist"
+    )
