@@ -210,3 +210,55 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@register(
+    "relational_global_row_number_scalable",
+    oracle="""
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+        FROM orders
+    """,
+    doc=(
+        "Global row numbering WITHOUT the single-partition global "
+        "window (Spark warns and serializes on row_number() over an "
+        "unpartitioned ORDER BY): rows bucket by a deterministic key "
+        "range (o_orderkey DIV 4096), per-bucket counts roll into "
+        "prefix offsets with one metadata-scale window, and each "
+        "bucket numbers its rows locally in parallel — global id = "
+        "bucket offset + local rank. Equivalent to ROW_NUMBER() OVER "
+        "(ORDER BY key) because bucket order aligns with key order; "
+        "the oracle IS that global window. This is zipWithIndex "
+        "re-expressed as DataFrames, the standard two-pass trick for "
+        "assigning stable ids to 10^12 rows; the only sequential step "
+        "is the offsets window over the bucket-count table."
+    ),
+    tags=("relational", "window"),
+)
+def relational_global_row_number_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    b = t.orders.select("o_orderkey").withColumn(
+        "bkt", F.expr("o_orderkey DIV 4096")
+    )
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    # metadata-scale: one row per bucket; the unpartitioned window is fine HERE
+    offs = counts.select(
+        "bkt",
+        F.coalesce(
+            F.sum("n").over(
+                W.partitionBy().orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        b.join(F.broadcast(offs), "bkt")
+        .withColumn(
+            "local", F.row_number().over(W.partitionBy("bkt").orderBy("o_orderkey"))
+        )
+        .select(
+            "o_orderkey", (F.col("off") + F.col("local")).cast("bigint").alias("row_id")
+        )
+    )
