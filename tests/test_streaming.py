@@ -613,6 +613,82 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_stream_full_outer_join_emits_both_sides(spark, sf_dir, tmp_path):
+    """W-join (full outer): watermarked stream-stream FULL OUTER join.
+
+    Completes the outer-join family: unmatched rows on EITHER side must
+    emit null-padded once the watermark passes them. Same flush-row
+    technique as the left-outer test; the streaming result must equal
+    the batch full-outer twin exactly, including null-padded rows from
+    both inputs.
+    """
+    ev = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10)
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    clicks.coalesce(1).write.mode("overwrite").parquet(clicks_dir)
+    buys.coalesce(1).write.mode("overwrite").parquet(buys_dir)
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    flush = spark.createDataFrame(
+        [(-1, max_ts, -1, "flush", 0.0, "{}")],
+        schema=spark.read.parquet(clicks_dir).schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    flush.coalesce(1).write.mode("append").parquet(clicks_dir)
+    flush.coalesce(1).write.mode("append").parquet(buys_dir)
+
+    schema = spark.read.parquet(clicks_dir).schema
+
+    def _stream(d, alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("event_id").alias(f"{alias}_id"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    cond = "c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"
+    joined = _stream(clicks_dir, "c").join(
+        _stream(buys_dir, "b"), F.expr(cond), "full_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_full_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream-stream full join did not finish"
+
+    def _real(cid, bid):
+        return (cid is None or cid >= 0) and (bid is None or bid >= 0)
+
+    got = {
+        (r["c_id"], r["b_id"])
+        for r in spark.table("ss_full_join").collect()
+        if _real(r["c_id"], r["b_id"])
+    }
+
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    b = buys.select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), F.col("event_id").alias("b_id")
+    )
+    want = {
+        (r["c_id"], r["b_id"])
+        for r in c.join(b, F.expr(cond), "full_outer").collect()
+    }
+    assert any(bid is None for _, bid in want), "left-unmatched side vacuous"
+    assert any(cid is None for cid, _ in want), "right-unmatched side vacuous"
+    assert got == want
+
+
 def test_streaming_alert_debounce_equals_batch(spark, sf_dir):
     """The one-bit-state streaming debouncer must emit EXACTLY the edge
     set of the batch lag-window query — same rows, same labels."""
