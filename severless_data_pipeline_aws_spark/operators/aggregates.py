@@ -894,3 +894,78 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(_LERP).alias("value_filled"),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+@register(
+    "timeseries_seasonal_decompose_additive",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   SUM(CAST(value AS DECIMAL(38,8))) AS v
+            FROM events GROUP BY event_type, h
+        ),
+        ma AS (
+            SELECT event_type, h, v,
+                   SUM(v) OVER w AS frame_sum,
+                   COUNT(*) OVER w AS frame_n
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+        ),
+        resid AS (
+            -- residual scaled by 23: 23*v - frame_sum stays exact decimal
+            SELECT event_type,
+                   CAST(hour(h) AS BIGINT) AS hour_of_day,
+                   23 * v - frame_sum AS r23
+            FROM ma WHERE frame_n = 23
+        )
+        SELECT event_type, hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(CAST(SUM(r23) AS VARCHAR) AS DOUBLE)
+                   / (CAST(23 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+                   AS seasonal_component
+        FROM resid
+        GROUP BY event_type, hour_of_day
+    """,
+    doc=(
+        "Additive seasonal decomposition (STL-lite): hourly volume per "
+        "event_type, a 23-hour centered moving-average trend, and the "
+        "mean residual per hour-of-day as the seasonal profile — the "
+        "daily-shape fingerprint behind seasonal anomaly baselines and "
+        "load forecasting. The float trap here is summing residual "
+        "doubles (order-dependent); instead the residual stays EXACT "
+        "decimal by scaling out the division — r·23 = 23·v − Σframe — "
+        "and the single double division happens once per output cell. "
+        "Three shuffles total, two on the same (type) key: hourly "
+        "rollup (map-combined), the centered window, and the 24-cell "
+        "seasonal aggregate. Trend cells without a full 23-hour frame "
+        "are excluded on both engines identically."
+    ),
+    tags=("agg", "timeseries", "window", "stats"),
+)
+def timeseries_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).alias("v"))
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-11, 11)
+    ma = hourly.select(
+        "event_type",
+        "h",
+        "v",
+        F.sum("v").over(w).alias("frame_sum"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+    resid = ma.filter(F.col("frame_n") == 23).select(
+        "event_type",
+        F.hour("h").cast("bigint").alias("hour_of_day"),
+        F.expr("23 * v - frame_sum").alias("r23"),
+    )
+    return resid.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.expr(
+            "CAST(SUM(r23) AS DOUBLE) / (CAST(23 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))"
+        ).alias("seasonal_component"),
+    )
