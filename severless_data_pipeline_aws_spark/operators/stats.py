@@ -799,3 +799,107 @@ def stats_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE)").alias("syy_d"),
     )
     return sums.select("event_type", "n_pairs", F.expr(_AC1_FORMULA).alias("autocorr_lag1"))
+
+
+@register(
+    "stats_cusum_drift_detector",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(round(value * 10000) AS BIGINT) AS x
+            FROM events
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+            FROM base GROUP BY event_type
+        ),
+        y AS (
+            SELECT b.event_type, b.event_id, b.ts,
+                   b.x * t.n - t.sx AS yv, t.n AS n
+            FROM base b JOIN tot t USING (event_type)
+        ),
+        p AS (
+            SELECT event_type, event_id, ts, n,
+                   CAST(SUM(yv) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pt
+            FROM y
+        ),
+        m AS (
+            SELECT event_type, event_id, n, pt,
+                   LEAST(CAST(0 AS BIGINT),
+                         MIN(pt) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)) AS mt
+            FROM p
+        )
+        SELECT event_type, event_id,
+               CAST(CAST(pt - mt AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE)) AS cusum
+        FROM m
+    """,
+    doc=(
+        "One-sided CUSUM drift statistic per event_type: S_t = "
+        "max(0, S_{t-1} + x_t - mean) — the classic sequential "
+        "change-point detector. The recurrence LOOKS unvectorizable "
+        "(like EWMA), but over the max-plus identity S_t = P_t - "
+        "min(0, min_{j<=t} P_j) it becomes a running sum plus a "
+        "running min on ONE sorted window pass — fully parallel, no "
+        "applyInPandas, no per-row Python. Exactness: deviations are "
+        "scaled through by n (y = n*x - sum(x), all BIGINT in 1e-4 "
+        "fixed point), so prefix sums and mins are integers and the "
+        "single double division per row happens identically on both "
+        "engines. One shuffle for the totals join (broadcast, "
+        "type-cardinality) and one for the window sort. The EWMA twin "
+        "shows the opposite case: a recurrence whose FLOAT rounding "
+        "order is semantic must stay sequential — CUSUM's integer "
+        "algebra is why it gets the window rewrite."
+    ),
+    tags=("stats", "window", "timeseries", "anomaly"),
+)
+def stats_cusum_drift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    base = t.events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    y = base.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("x") * F.col("n") - F.col("sx")).alias("yv"),
+        "n",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = y.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "n",
+        F.sum("yv").over(w).cast("bigint").alias("pt"),
+    )
+    m = p.select(
+        "event_type",
+        "event_id",
+        "n",
+        "pt",
+        F.least(F.lit(0).cast("bigint"), F.min("pt").over(w)).alias("mt"),
+    )
+    return m.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "CAST(pt - mt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE))"
+        ).alias("cusum"),
+    )

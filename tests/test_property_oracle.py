@@ -252,3 +252,39 @@ def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cusum_equals_sequential_recurrence(spark, sf_dir):
+    """The window rewrite S_t = P_t - min(0, min prefix P) must equal the
+    literal recurrence S_t = max(0, S_{t-1} + y_t) replayed sequentially.
+    The DuckDB oracle shares the identity, so this test is the
+    independent proof that the identity itself is right."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    got = {
+        r["event_id"]: r["cusum"]
+        for r in load_all()["stats_cusum_drift_detector"].fn(spark, sf_dir).collect()
+    }
+
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select("event_type", "event_id", "ts", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    want = {}
+    for rs in by_type.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        xs = [round(r["value"] * 10000) for r in rs]
+        n, sx = len(xs), sum(xs)
+        s = 0
+        for r, x in zip(rs, xs):
+            s = max(0, s + x * n - sx)
+            want[r["event_id"]] = s / (float(n) * 10000.0)
+    assert want and got == want
+    assert any(v > 0 for v in got.values()), "vacuous: no positive excursion"
