@@ -463,3 +463,35 @@ def test_tvd_drift_single_fact_scan_for_counts(spark, sf_dir):
     category and never re-executed for the totals."""
     df = _df("stats_tvd_category_drift", spark, sf_dir)
     assert plans.table_scan_count(df, "events") <= 2
+
+
+def test_cusum_windows_share_one_sort(spark, sf_dir):
+    """The CUSUM rewrite chains two window aggregates (running sum, then
+    running min) on the same (partition, sort) — the plan must reuse one
+    exchange+sort for both Window nodes, and the totals join must
+    broadcast."""
+    df = _df("stats_cusum_drift_detector", spark, sf_dir)
+    s = plans.explain_str(df)
+    assert s.count("Window") >= 2
+    between = s.split("Window")[1]  # text between the two Window nodes
+    assert "Exchange" not in between and "Sort" not in between, between
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_global_row_number_avoids_fact_single_partition(spark, sf_dir):
+    """The two-pass row numbering must keep the fact-side window
+    partitioned by bucket; the only single-partition exchange allowed is
+    the metadata-scale offsets window over the bucket-count table."""
+    df = _df("relational_global_row_number_scalable", spark, sf_dir)
+    s = plans.explain_str(df)
+    assert s.count("SinglePartition") == 1, s
+    assert "hashpartitioning(bkt" in s, s
+
+
+def test_kmeans_and_pca_assignment_broadcasts(spark, sf_dir):
+    """Iterative linear-algebra ops must broadcast the small side
+    (centroids / current vector) into a map-side cross join — the
+    vectors table itself never shuffles for assignment."""
+    for name in ("similarity_kmeans_lloyd", "similarity_pca_top_component"):
+        s = plans.explain_str(_df(name, spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, name
