@@ -60,6 +60,13 @@ HEADLINE = [
     # a 10-stage join loop's per-stage overhead dominates at bench SF and
     # would measure stage latency, not operator cost)
     "stats_ks_two_sample_binned",
+    # continuation additions: the one-pass explode-by-16 bootstrap (scan +
+    # map-side weight assignment), the chained-window CUSUM, and the
+    # window+reaggregate seasonal profile (iterative PCA/k-means/PageRank
+    # stay out for the same stage-overhead reason as BFS)
+    "sampling_poisson_bootstrap",
+    "stats_cusum_drift_detector",
+    "timeseries_seasonal_decompose_additive",
 ]
 
 
