@@ -1003,3 +1003,79 @@ def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.when(F.col("is_alert"), "raised").otherwise("cleared").alias("edge"),
     )
+
+
+@register(
+    "window_interval_merge_overlaps",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_span
+            FROM iv
+        ),
+        spans AS (
+            SELECT user_id, s, e,
+                   SUM(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+               MIN(s) AS span_start, MAX(e) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals
+        FROM spans
+        GROUP BY user_id, span_id
+    """,
+    doc=(
+        "Interval union / overlap merging per key — the calendar-merge "
+        "/ downtime-coalescing primitive (each event opens a 30-minute "
+        "activity interval; overlapping intervals fuse into maximal "
+        "spans). The trick that keeps it one pass: an interval starts a "
+        "new span iff its start exceeds the running MAX of all earlier "
+        "ends (not just the previous end — an early long interval can "
+        "swallow later short ones, which is what breaks the naive lag() "
+        "formulation); the flag's running sum then names the spans. "
+        "Both windows and the final group-by share one (user_id) "
+        "partitioning — a single shuffle end-to-end. Timestamps "
+        "compare exactly, so the span boundaries are hash-exact. NULL "
+        "first-row MAX handled identically on both engines (s > NULL "
+        "is false -> first interval flags 0, spans number from the "
+        "cumulative sum with the first span id 0)."
+    ),
+    tags=("window", "timeseries", "sessionization"),
+)
+def window_interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    iv = t.events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 30 MINUTE").alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0).alias("new_span"),
+    )
+    spans = flagged.select(
+        "user_id", "s", "e", F.sum("new_span").over(w_run).alias("span_id")
+    )
+    return spans.groupBy("user_id", F.col("span_id").cast("bigint").alias("span_id")).agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
