@@ -658,3 +658,72 @@ def dashboard_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_nations"),
         )
     )
+
+
+#: shared z-score closed form over identically-cast double window sums
+_RC_Z = (
+    "CASE WHEN cd = 7.0 AND (qd / cd - (sd / cd) * (sd / cd)) > 0.0 "
+    "THEN (nd - sd / cd) / sqrt(qd / cd - (sd / cd) * (sd / cd)) "
+    "ELSE NULL END"
+)
+
+
+@register(
+    "dq_rowcount_trend_monitor",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, d
+        ),
+        win AS (
+            SELECT event_type, d, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(SUM(n) OVER w AS DOUBLE) AS sd,
+                   CAST(SUM(n * n) OVER w AS DOUBLE) AS qd,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS cd
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, d AS day, n AS n_events,
+               {_RC_Z} AS z_score
+        FROM win
+    """,
+    doc=(
+        "Pipeline-health monitor: each day's ingest row count per feed "
+        "scored against its own trailing week (mean/std from integer "
+        "window power sums over the 7 preceding days, current day "
+        "excluded) — the data-volume anomaly check every production "
+        "ingest runs to catch silent upstream drops or duplicate "
+        "replays before they poison downstream tables. The windowed "
+        "table is days × feeds (metadata scale after one map-combined "
+        "rollup shuffle); the z closed form runs on identically-cast "
+        "doubles from exact integer sums, so scores are hash-exact. "
+        "Days without a full trailing week score NULL on both engines."
+    ),
+    tags=("dq", "window", "timeseries", "anomaly"),
+)
+def dq_rowcount_trend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    win = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.sum("n").over(w).cast("double").alias("sd"),
+        F.sum(F.expr("n * n")).over(w).cast("double").alias("qd"),
+        F.count(F.lit(1)).over(w).cast("double").alias("cd"),
+    )
+    return win.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("n").alias("n_events"),
+        F.expr(_RC_Z).alias("z_score"),
+    )
