@@ -33,7 +33,20 @@ from ..registry import register
 
 #: documents subset used by the quadratic-adjacent verification queries —
 #: candidate joins stay bounded while still covering many near-dup pairs.
+#: The bound is SCALE-AWARE (max(150, half the corpus)): the generator
+#: scatters injected near-dup pairs uniformly over the id space, so a
+#: fixed 150-id block goes pair-empty once the corpus outgrows it (bit at
+#: sf0.1); half the id space keeps ~1/4 of injected pairs fully inside at
+#: every SF while the candidate join stays bounded.
 _PAIR_SUBSET = 150
+
+_PAIR_BOUND_SQL = f"GREATEST({_PAIR_SUBSET}, (SELECT COUNT(*) FROM documents) // 2)"
+
+
+def _pair_docs(t: Tables):
+    """The pair-tier document subset (Spark twin of _PAIR_BOUND_SQL)."""
+    n = t.documents.count()  # scalar query parameter (metadata-scale)
+    return t.documents.filter(F.col("doc_id") <= max(_PAIR_SUBSET, n // 2))
 
 #: DuckDB twin of ``_shingles()`` over the ``_PAIR_SUBSET`` docs — the
 #: ONE place the oracle-side 3-gram definition lives (interpolated into
@@ -45,7 +58,7 @@ _SHINGLE_CTE_SQL = f"""sh AS (
                        i -> string_split(text, ' ')[i] || ' ' ||
                             string_split(text, ' ')[i+1] || ' ' ||
                             string_split(text, ' ')[i+2])) AS shingle
-            FROM documents WHERE doc_id <= {_PAIR_SUBSET}
+            FROM documents WHERE doc_id <= {_PAIR_BOUND_SQL}
         )"""
 
 
@@ -167,7 +180,7 @@ def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    docs = _pair_docs(t)
     sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -229,7 +242,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    docs = _pair_docs(t)
     sig = minhash_signature(docs).select("doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)])
 
     # band hash = xxhash64 of the band's signature slice
@@ -310,7 +323,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    docs = _pair_docs(t)
     sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -423,7 +436,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    docs = _pair_docs(t)
     fp = simhash(docs).select("doc_id", "simhash")
 
     band_width = 21
@@ -540,7 +553,7 @@ def min_label_components(edges: DataFrame) -> DataFrame:
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    docs = _pair_docs(t)
     sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -901,7 +914,7 @@ def dedup_paragraph_blocks_keep_first(spark: SparkSession, sf_dir: str) -> DataF
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("doc_id") <= _PAIR_SUBSET)
+    docs = _pair_docs(t)
     sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

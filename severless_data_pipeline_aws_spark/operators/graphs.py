@@ -341,6 +341,10 @@ def graph_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = co.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     n_nodes = nodes.count()  # scalar query parameter (metadata-scale)
+    if n_nodes == 0:
+        # empty graph: the (1/N, 0.15/N) literals would constant-fold to a
+        # divide-by-zero under ANSI mode even though no row evaluates them
+        return spark.createDataFrame([], "nationkey bigint, pagerank double")
 
     base = f"CAST(0.15 AS DOUBLE) / CAST({n_nodes} AS DOUBLE)"
     ranks = nodes.select(

@@ -73,12 +73,14 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
     """,
     doc=(
-        "EXCEPT: nations with customers but no high-balance supplier "
-        "(set difference; right side predicated so the result is non-empty "
-        "— every nation has *some* supplier in the test data)."
+        "EXCEPT: nations with customers but no distressed (negative-"
+        "balance) supplier — set difference with the right side "
+        "predicated so the result is non-empty at EVERY test scale "
+        "(the earlier >8000 predicate went vacuous at sf0.1, where "
+        "every nation has a high-balance supplier)."
     ),
     tags=("setop",),
 )
@@ -87,10 +89,10 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (exceptAll().distinct() would be multiset difference, which keeps a
     # key whenever the left multiplicity exceeds the right one.)
     t = Tables(spark, sf_dir)
-    rich = t.supplier.filter(F.col("s_acctbal") > 8000).select(
+    distressed = t.supplier.filter(F.col("s_acctbal") < 0).select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return _cust_nations(t).subtract(rich)
+    return _cust_nations(t).subtract(distressed)
 
 
 @register(

@@ -47,6 +47,22 @@ REPRESENTATIVE = [
     "udf_pandas_grouped_agg",
     "udf_python_udtf_chunks",
     "nested_flatten_wide",
+    # continuation-session additions
+    "graph_pagerank_bounded",
+    "dq_key_skew_profile",
+    "dq_rowcount_trend_monitor",
+    "dashboard_topn_with_others",
+    "sampling_poisson_bootstrap",
+    "stats_autocorrelation_lag1",
+    "stats_cusum_drift_detector",
+    "cdc_upsert_with_deletes",
+    "join_null_safe_eq",
+    "similarity_pca_top_component",
+    "similarity_kmeans_lloyd",
+    "timeseries_interpolate_linear",
+    "timeseries_seasonal_decompose_additive",
+    "relational_global_row_number_scalable",
+    "window_interval_merge_overlaps",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
