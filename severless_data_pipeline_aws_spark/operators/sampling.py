@@ -372,3 +372,58 @@ def sampling_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS DOUBLE) / CAST(SUM(w) AS DOUBLE)"
         ).alias("boot_mean"),
     )
+
+
+_SH_SPARK = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 3, 14), 16, 10) AS BIGINT)"
+_SH_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 14)) AS BIGINT)"
+
+
+@register(
+    "sampling_shuffle_positions",
+    oracle=f"""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY {_SH_DUCK}, doc_id) AS shuffle_pos
+        FROM documents
+    """,
+    doc=(
+        "Reproducible global corpus shuffle: every document gets a "
+        "deterministic training-order position by ranking an md5 key — "
+        "the property a training run needs so a restart, a different "
+        "cluster, or a re-shard sees the SAME example order (rand() "
+        "shuffles can't replay). Spark side avoids the single-partition "
+        "global window: the hash's top bits form 256 order-aligned "
+        "buckets, per-bucket counts roll into prefix offsets (one "
+        "metadata-scale window), and buckets rank locally in parallel — "
+        "the same two-pass construction as "
+        "relational_global_row_number_scalable, but over a UNIFORM hash "
+        "key, so bucket sizes are balanced by construction at any "
+        "corpus size. Oracle = the literal global ROW_NUMBER."
+    ),
+    tags=("sampling", "llm", "window"),
+)
+def sampling_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # 2^48 divisor -> top 8 bits of the 56-bit slice = 256 ordered buckets
+    b = t.documents.select(
+        "doc_id", F.expr(_SH_SPARK).alias("h")
+    ).withColumn("bkt", F.expr("h DIV 281474976710656"))
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    offs = counts.select(
+        "bkt",
+        F.coalesce(
+            F.sum("n").over(
+                W.partitionBy().orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        b.join(F.broadcast(offs), "bkt")
+        .withColumn(
+            "local", F.row_number().over(W.partitionBy("bkt").orderBy("h", "doc_id"))
+        )
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("local")).cast("bigint").alias("shuffle_pos"),
+        )
+    )
