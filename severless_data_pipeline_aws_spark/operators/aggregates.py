@@ -969,3 +969,62 @@ def timeseries_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> 
             "CAST(SUM(r23) AS DOUBLE) / (CAST(23 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))"
         ).alias("seasonal_component"),
     )
+
+
+@register(
+    "timeseries_period_to_date_totals",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(38,8))) AS v
+            FROM events GROUP BY event_type, d
+        )
+        SELECT event_type, d AS day,
+               CAST(CAST(v AS VARCHAR) AS DOUBLE) AS day_total,
+               CAST(CAST(SUM(v) OVER (
+                   PARTITION BY event_type, date_trunc('month', d)
+                   ORDER BY d ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+                   AS mtd_total,
+               CAST(CAST(SUM(v) OVER (
+                   PARTITION BY event_type, date_trunc('year', d)
+                   ORDER BY d ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+                   AS ytd_total
+        FROM daily
+    """,
+    doc=(
+        "Period-to-date rollups (MTD / YTD running totals per feed) — "
+        "the resetting-cumsum shape every BI dashboard carries next to "
+        "its daily series. Both running sums accumulate the DECIMAL "
+        "daily totals (order-independent, exact) and reset at their "
+        "period boundary via the window partition key; the windowed "
+        "table is days × feeds, metadata-scale after one map-combined "
+        "rollup shuffle. Month/year truncation semantics are identical "
+        "across engines (unlike ISO week numbering, deliberately "
+        "avoided here)."
+    ),
+    tags=("agg", "timeseries", "window", "dashboard"),
+)
+def timeseries_period_to_date_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("d")
+    ).agg(F.sum(F.expr("CAST(value AS DECIMAL(38,8))")).alias("v"))
+    w_m = (
+        W.partitionBy("event_type", F.date_trunc("month", "d"))
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_y = (
+        W.partitionBy("event_type", F.date_trunc("year", "d"))
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("v").cast("double").alias("day_total"),
+        F.sum("v").over(w_m).cast("double").alias("mtd_total"),
+        F.sum("v").over(w_y).cast("double").alias("ytd_total"),
+    )
