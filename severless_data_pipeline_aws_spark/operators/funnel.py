@@ -596,3 +596,56 @@ def funnel_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         paths.orderBy(F.col("n").desc(), "path").limit(20).select("path", "n")
     )
+
+
+@register(
+    "funnel_new_vs_returning_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_d
+            FROM events GROUP BY user_id
+        ),
+        dau AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events GROUP BY d, user_id
+        )
+        SELECT dau.d AS day,
+               CAST(COUNT(*) AS BIGINT) AS active_users,
+               CAST(COUNT(CASE WHEN f.first_d = dau.d THEN 1 END) AS BIGINT)
+                   AS new_users,
+               CAST(COUNT(CASE WHEN f.first_d < dau.d THEN 1 END) AS BIGINT)
+                   AS returning_users
+        FROM dau JOIN firsts f USING (user_id)
+        GROUP BY dau.d
+    """,
+    doc=(
+        "Daily active users split into new vs returning — the growth "
+        "dashboard's headline decomposition (DAU = acquisition + "
+        "retention). One (day, user) dedup shuffle, a first-seen "
+        "aggregate on the same user key (co-partitioned join, no extra "
+        "exchange of the big side), then a day-grain rollup. All "
+        "integer counts over exact date equality — hash-exact. At "
+        "corpus scale the firsts table is users-sized and incrementally "
+        "maintainable (MIN is associative — see "
+        "cdc_incremental_mv_refresh for the maintenance pattern)."
+    ),
+    tags=("funnel", "agg", "timeseries", "dashboard"),
+)
+def funnel_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    day = F.expr("CAST(date_trunc('day', ts) AS DATE)")
+    firsts = t.events.groupBy("user_id").agg(F.min(day).alias("first_d"))
+    dau = t.events.select(day.alias("d"), "user_id").distinct()
+    return (
+        dau.join(firsts, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.count(F.when(F.col("first_d") == F.col("d"), 1))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count(F.when(F.col("first_d") < F.col("d"), 1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
