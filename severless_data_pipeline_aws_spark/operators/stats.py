@@ -903,3 +903,184 @@ def stats_cusum_drift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(pt - mt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE))"
         ).alias("cusum"),
     )
+
+
+@register(
+    "stats_skewness_kurtosis_exact",
+    oracle="""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(q) AS DOUBLE) AS s1,
+                   CAST(SUM(q * q) AS DOUBLE) AS s2,
+                   CAST(SUM(q * q * q) AS DOUBLE) AS s3,
+                   CAST(SUM(q * q * q * q) AS DOUBLE) AS s4
+            FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        ),
+        raw AS (
+            SELECT l_returnflag, n, s1 / nd AS mean,
+                   s2 / nd AS r2, s3 / nd AS r3, s4 / nd AS r4
+            FROM sums
+        ),
+        cm AS (
+            SELECT l_returnflag, n, mean,
+                   r2 - mean * mean AS m2,
+                   r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+                   r4 - 4 * mean * r3 + 6 * mean * mean * r2
+                      - 3 * mean * mean * mean * mean AS m4
+            FROM raw
+        )
+        SELECT l_returnflag, n, mean,
+               m3 / (m2 * sqrt(m2)) AS skewness,
+               m4 / (m2 * m2) - 3 AS kurtosis_excess
+        FROM cm
+    """,
+    doc=(
+        "Exact distributed skewness + excess kurtosis per returnflag "
+        "from BIGINT power sums (l_quantity is integral): one map-side-"
+        "combined shuffle, order-independent, then identical IEEE closed "
+        "forms on both engines. Built-in skewness()/kurtosis() stream "
+        "double central moments in accumulation order and are not "
+        "reproducible across engines or partitionings. No pow(): "
+        "m2*sqrt(m2) keeps every step correctly rounded."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_skewness_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.lineitem.select(
+        "l_returnflag", F.expr("CAST(l_quantity AS BIGINT)").alias("q")
+    )
+    sums = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("q").cast("double").alias("s1"),
+        F.expr("CAST(SUM(q * q) AS DOUBLE)").alias("s2"),
+        F.expr("CAST(SUM(q * q * q) AS DOUBLE)").alias("s3"),
+        F.expr("CAST(SUM(q * q * q * q) AS DOUBLE)").alias("s4"),
+    )
+    raw = sums.select(
+        "l_returnflag",
+        "n",
+        F.expr("s1 / nd").alias("mean"),
+        F.expr("s2 / nd").alias("r2"),
+        F.expr("s3 / nd").alias("r3"),
+        F.expr("s4 / nd").alias("r4"),
+    )
+    cm = raw.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        F.expr("r2 - mean * mean").alias("m2"),
+        F.expr("r3 - 3 * mean * r2 + 2 * mean * mean * mean").alias("m3"),
+        F.expr(
+            "r4 - 4 * mean * r3 + 6 * mean * mean * r2"
+            " - 3 * mean * mean * mean * mean"
+        ).alias("m4"),
+    )
+    return cm.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        F.expr("m3 / (m2 * sqrt(m2))").alias("skewness"),
+        F.expr("m4 / (m2 * m2) - 3").alias("kurtosis_excess"),
+    )
+
+
+@register(
+    "stats_rolling_corr_pair",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT d, x, y,
+                   COUNT(*)      OVER w AS n,
+                   SUM(x)        OVER w AS sx,
+                   SUM(y)        OVER w AS sy,
+                   SUM(x * x)    OVER w AS sxx,
+                   SUM(y * y)    OVER w AS syy,
+                   SUM(x * y)    OVER w AS sxy
+            FROM daily
+            WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ),
+        full_windows AS (
+            SELECT d,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                   CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+                   CAST(sxy AS DOUBLE) AS sxy,
+                   n * sxx - sx * sx AS ivx, n * syy - sy * sy AS ivy
+            FROM win WHERE n = 7
+        )
+        SELECT d AS epoch_day,
+               (nd * sxy - sx * sy)
+                 / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr_7d
+        FROM full_windows
+        WHERE ivx > 0 AND ivy > 0
+    """,
+    doc=(
+        "Rolling 7-day Pearson correlation between the click and "
+        "purchase daily-count series: one events scan -> per-day "
+        "conditional counts (integer-exact), BIGINT power sums over a "
+        "calendar RANGE frame (gap-correct, unlike a ROWS frame), then "
+        "one shared double closed form. Degenerate windows (partial or "
+        "zero-variance) are filtered on integers, so the double "
+        "expression is only evaluated where it is well-defined. "
+        "Scale: the window input is the day-grain rollup — metadata-"
+        "sized at any corpus scale; the single wide-table sort is "
+        "trivially small."
+    ),
+    tags=("stats", "window", "timeseries"),
+)
+def stats_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d"),
+            "event_type",
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).alias("x"),
+            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")).alias("y"),
+        )
+    )
+    w = W.orderBy("d").rangeBetween(-6, 0)
+    win = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.expr("x * x")).over(w).alias("sxx"),
+        F.sum(F.expr("y * y")).over(w).alias("syy"),
+        F.sum(F.expr("x * y")).over(w).alias("sxy"),
+    )
+    full = win.filter(F.col("n") == 7).select(
+        "d",
+        F.col("n").cast("double").alias("nd"),
+        F.expr("n * sxx - sx * sx").alias("ivx"),
+        F.expr("n * syy - sy * sy").alias("ivy"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("syy").cast("double").alias("syyd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+    )
+    return full.filter((F.col("ivx") > 0) & (F.col("ivy") > 0)).select(
+        F.col("d").alias("epoch_day"),
+        F.expr(
+            "(nd * sxyd - sxd * syd)"
+            " / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))"
+        ).alias("corr_7d"),
+    )
