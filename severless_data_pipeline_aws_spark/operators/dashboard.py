@@ -727,3 +727,73 @@ def dq_rowcount_trend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.expr(_RC_Z).alias("z_score"),
     )
+
+
+@register(
+    "dashboard_share_of_parent",
+    oracle="""
+        WITH leaf AS (
+            SELECT r_name AS region, n_name AS nation,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS rev_dec
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        ),
+        shared AS (
+            SELECT region, nation, rev_dec,
+                   SUM(rev_dec) OVER (PARTITION BY region) AS region_dec,
+                   SUM(rev_dec) OVER () AS grand_dec
+            FROM leaf
+        )
+        SELECT region, nation,
+               CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+               CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(region_dec AS VARCHAR) AS DOUBLE) AS share_of_region,
+               CAST(CAST(region_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(grand_dec AS VARCHAR) AS DOUBLE) AS region_share_of_total
+        FROM shared
+    """,
+    doc=(
+        "Hierarchical share-of-parent rollup (nation within region, "
+        "region within total): one decimal-exact leaf aggregation, then "
+        "two frameless windows over the nation-grain result. The window "
+        "input is dimension-sized (<=25 rows) at ANY fact scale, so the "
+        "unpartitioned grand-total window is metadata work, not a "
+        "single-reducer bottleneck. The windows sum the DECIMAL leaf "
+        "values (frameless-window accumulation order is engine-"
+        "arbitrary, so double window sums would not reproduce); doubles "
+        "appear only in the final ratios."
+    ),
+    tags=("dashboard", "window", "agg"),
+)
+def dashboard_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    leaf = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,8)))").alias("rev_dec"))
+    )
+    shared = leaf.select(
+        "region",
+        "nation",
+        "rev_dec",
+        F.sum("rev_dec").over(W.partitionBy("region")).alias("region_dec"),
+        F.sum("rev_dec").over(W.partitionBy()).alias("grand_dec"),
+    )
+    return shared.select(
+        "region",
+        "nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.expr("CAST(rev_dec AS DOUBLE) / CAST(region_dec AS DOUBLE)").alias(
+            "share_of_region"
+        ),
+        F.expr("CAST(region_dec AS DOUBLE) / CAST(grand_dec AS DOUBLE)").alias(
+            "region_share_of_total"
+        ),
+    )

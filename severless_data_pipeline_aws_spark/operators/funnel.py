@@ -649,3 +649,90 @@ def funnel_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("returning_users"),
         )
     )
+
+
+@register(
+    "funnel_market_basket_lift",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        item_counts AS (
+            SELECT item, COUNT(*) AS c FROM baskets GROUP BY item
+        ),
+        n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM baskets),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_n
+            FROM baskets a JOIN baskets b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY a.item, b.item
+        ),
+        scored AS (
+            SELECT item_a, item_b, pair_n,
+                   ca.c AS n_a, cb.c AS n_b,
+                   CAST(pair_n AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+                   CAST(pair_n AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+                   (CAST(pair_n AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+                     / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+            FROM pairs
+            JOIN item_counts ca ON pairs.item_a = ca.item
+            JOIN item_counts cb ON pairs.item_b = cb.item
+            CROSS JOIN n
+            WHERE pair_n >= 5
+        )
+        SELECT item_a, item_b, pair_n, n_a, n_b, support, confidence, lift
+        FROM scored
+        ORDER BY lift DESC, item_a, item_b
+        LIMIT 20
+    """,
+    doc=(
+        "Market-basket association rules over order baskets at the "
+        "brand grain: distinct (order, brand) -> bounded self-join on "
+        "the basket key (<=C(25,2) pairs per order, never an unbounded "
+        "explosion), integer support counts, support/confidence/lift as "
+        "exact integer ratios, top-20 lift via TakeOrderedAndProject. "
+        "Scale: the pair space is |brands|^2-bounded no matter how many "
+        "orders; item_counts and n_baskets are broadcast-sized."
+    ),
+    tags=("funnel", "reco", "join"),
+)
+def funnel_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    baskets = (
+        t.lineitem.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    n_baskets = baskets.select(F.countDistinct("basket").alias("n_baskets"))
+    a = baskets.select(F.col("basket"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("basket"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 5)
+    )
+    ca = item_counts.select(F.col("item").alias("item_a"), F.col("c").alias("n_a"))
+    cb = item_counts.select(F.col("item").alias("item_b"), F.col("c").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.expr("CAST(pair_n AS DOUBLE) / CAST(n_baskets AS DOUBLE)").alias("support"),
+            F.expr("CAST(pair_n AS DOUBLE) / CAST(n_a AS DOUBLE)").alias("confidence"),
+            F.expr(
+                "(CAST(pair_n AS DOUBLE) * CAST(n_baskets AS DOUBLE))"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "item_a", "item_b").limit(20)

@@ -929,3 +929,111 @@ def similarity_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(cent1).select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster"), "dist"
     )
+
+
+_KNN_K = 5
+
+
+@register(
+    "similarity_knn_label_vote",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, label AS true_label,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+        c AS (SELECT vec_id AS cid, label AS clabel,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (
+            SELECT qid, true_label, cid, clabel,
+                   list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                     AS cosine
+            FROM q JOIN c ON cid != qid
+        ),
+        ranked AS (
+            SELECT qid, true_label, clabel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, cid) AS rk
+            FROM scored
+        ),
+        votes AS (
+            SELECT qid, true_label, clabel, COUNT(*) AS n_votes
+            FROM ranked WHERE rk <= {_KNN_K}
+            GROUP BY qid, true_label, clabel
+        ),
+        best AS (
+            SELECT qid, true_label, clabel AS pred_label, n_votes,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY n_votes DESC, clabel) AS vr
+            FROM votes
+        )
+        SELECT qid AS query_id, true_label, pred_label, n_votes,
+               CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS is_correct
+        FROM best WHERE vr = 1
+    """,
+    doc=(
+        "kNN majority-vote label prediction (embedding-quality audit): "
+        "every 10th vector is classified by the majority label of its "
+        "5 nearest cosine neighbors; ties break deterministically by "
+        "(votes DESC, label ASC). One broadcast of the bounded query "
+        "sample against the candidate scan — the same plan shape as "
+        "similarity_topk_cosine_exact, so it scales with |candidates|, "
+        "and the vote reduction is per-query-bounded. The is_correct "
+        "column makes the query a label-noise detector: a low corpus "
+        "accuracy means embeddings and labels disagree."
+    ),
+    tags=("similarity", "llm", "topk"),
+)
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("true_label"),
+            _as_double("embedding").alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        _as_double("embedding").alias("cv"),
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "cid",
+            "clabel",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    rk = F.row_number().over(W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid")))
+    votes = (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy("qid", "true_label", "clabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vr = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("clabel"))
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("query_id"),
+            "true_label",
+            F.col("clabel").alias("pred_label"),
+            "n_votes",
+            F.expr("CASE WHEN clabel = true_label THEN 1 ELSE 0 END").alias("is_correct"),
+        )
+    )

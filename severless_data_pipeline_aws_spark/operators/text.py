@@ -977,3 +977,61 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.col("g").alias("trigram"), F.col("n").cast("bigint").alias("n"),
         F.col("rn").alias("rank"),
     )
+
+
+@register(
+    "text_heaps_vocab_growth",
+    oracle="""
+        WITH m AS (SELECT MAX(doc_id) + 1 AS md FROM documents),
+        firsts AS (
+            SELECT w, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+        ),
+        bucketed AS (
+            SELECT (first_doc * 10) // md AS decile, COUNT(*) AS new_tokens
+            FROM firsts CROSS JOIN m
+            GROUP BY 1
+        )
+        SELECT decile, new_tokens,
+               CAST(SUM(new_tokens) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_vocab
+        FROM bucketed
+    """,
+    doc=(
+        "Vocabulary-growth (Heaps'-law) curve: cumulative distinct "
+        "vocabulary after each corpus decile. Each token is charged to "
+        "the decile of its FIRST occurrence (min doc_id per token — one "
+        "map-side-combined shuffle on the token key), so cumulative "
+        "vocabulary is a running sum over the 10-row decile rollup, "
+        "never a per-prefix re-count. Sub-linear growth of this curve "
+        "is the standard novelty health check on an ingest corpus; a "
+        "suddenly linear segment means near-random text (or an encoding "
+        "bug) entered the feed."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    md = t.documents.agg((F.max("doc_id") + 1).alias("md"))
+    firsts = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucketed = (
+        firsts.crossJoin(F.broadcast(md))
+        .select(F.expr("(first_doc * 10) div md").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return bucketed.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("cum_vocab"),
+    )
