@@ -1028,3 +1028,71 @@ def timeseries_period_to_date_totals(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("v").over(w_m).cast("double").alias("mtd_total"),
         F.sum("v").over(w_y).cast("double").alias("ytd_total"),
     )
+
+
+@register(
+    "timeseries_seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        paired AS (
+            SELECT a.event_type, a.d, a.y, f.y AS yhat
+            FROM daily a JOIN daily f
+              ON a.event_type = f.event_type AND f.d = a.d - 7
+        )
+        SELECT event_type,
+               COUNT(*) AS n_forecasts,
+               CAST(SUM(abs(y - yhat)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+               CAST(SUM(abs(y - yhat)) AS DOUBLE) / CAST(SUM(y + yhat) AS DOUBLE) * 2
+                 AS smape
+        FROM paired
+        GROUP BY event_type
+    """,
+    doc=(
+        "Seasonal-naive forecast backtest: predict each day's per-type "
+        "event count with the count from 7 days earlier and score "
+        "MAE + sMAPE per type — the baseline every fancier forecaster "
+        "must beat, and the standing data-health monitor for weekly-"
+        "seasonal feeds. All error sums are integers until the two "
+        "final double divisions (sMAPE uses the aggregate-ratio form "
+        "2*sum|e|/sum(y+yhat) — per-row ratios would need per-row "
+        "doubles for no accuracy gain). The self-join is day-grain on "
+        "(type, day): metadata-sized at any event volume, co-"
+        "partitioned on event_type."
+    ),
+    tags=("timeseries", "agg", "forecast"),
+)
+def timeseries_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    fc = daily.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("d") + 7).alias("f_d"),
+        F.col("y").alias("yhat"),
+    )
+    paired = daily.join(
+        fc,
+        (F.col("event_type") == F.col("f_type")) & (F.col("d") == F.col("f_d")),
+    )
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.expr(
+            "CAST(SUM(abs(y - yhat)) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)"
+        ).alias("mae"),
+        F.expr(
+            "CAST(SUM(abs(y - yhat)) AS DOUBLE) / CAST(SUM(y + yhat) AS DOUBLE) * 2"
+        ).alias("smape"),
+    )

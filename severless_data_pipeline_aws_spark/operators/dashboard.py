@@ -797,3 +797,56 @@ def dashboard_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_total"
         ),
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity_audit",
+    oracle=f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_small_classes,
+               CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+               CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) AS BIGINT)
+                 AS n_rows_at_risk,
+               CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(class_size) AS DOUBLE) AS frac_rows_at_risk
+        FROM classes
+    """,
+    doc=(
+        "k-anonymity audit over the (nationkey, mktsegment) quasi-"
+        "identifier: equivalence-class sizes in one map-side-combined "
+        "groupBy, then a one-row release-gate report — how many classes "
+        "fall below k=5, the minimum class size, and the fraction of "
+        "rows re-identifiable through small classes. The standard "
+        "pre-release privacy check on any user-grain extract; integer "
+        "counts end-to-end with one final double ratio."
+    ),
+    tags=("dq", "privacy", "agg"),
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    classes = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    k = _KANON_K
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN class_size < {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_small_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN class_size < {k} THEN class_size ELSE 0 END) AS BIGINT)"
+        ).alias("n_rows_at_risk"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN class_size < {k} THEN class_size ELSE 0 END) AS DOUBLE)"
+            " / CAST(SUM(class_size) AS DOUBLE)"
+        ).alias("frac_rows_at_risk"),
+    )

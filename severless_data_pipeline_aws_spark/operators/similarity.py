@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
+from .text import BM25_SCORED_CTES
 
 _TOP_K = 10
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -1036,4 +1037,140 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
             F.expr("CASE WHEN clabel = true_label THEN 1 ELSE 0 END").alias("is_correct"),
         )
+    )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_TOP = 50  # per-list candidate depth fed into the fusion
+
+
+@register(
+    "similarity_rrf_hybrid_retrieval",
+    oracle=f"""
+        WITH {BM25_SCORED_CTES},
+        lexr AS (
+            SELECT doc_id, rl FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+                FROM scored
+            ) WHERE rl <= {_RRF_TOP}
+        ),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        vecscore AS (
+            SELECT vec_id AS doc_id,
+                   list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                     AS cos
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id != 0)
+            CROSS JOIN q
+        ),
+        vecr AS (
+            SELECT doc_id, rv FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cos DESC, doc_id) AS rv
+                FROM vecscore
+            ) WHERE rv <= {_RRF_TOP}
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   CAST(l.rl AS INTEGER) AS lex_rank,
+                   CAST(v.rv AS INTEGER) AS vec_rank,
+                   COALESCE(CAST(1 AS DOUBLE) /
+                            (CAST({_RRF_K} AS DOUBLE) + CAST(l.rl AS DOUBLE)),
+                            CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1 AS DOUBLE) /
+                            (CAST({_RRF_K} AS DOUBLE) + CAST(v.rv AS DOUBLE)),
+                            CAST(0 AS DOUBLE)) AS rrf_score
+            FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, lex_rank, vec_rank, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS INTEGER) AS fused_rank
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 20
+    """,
+    doc=(
+        "Hybrid retrieval via reciprocal rank fusion: the BM25 lexical "
+        "top-50 (text.bm25_scored — same scoring pipeline as "
+        "text_bm25_topk) and the embedding-cosine top-50 for the query "
+        "vector fuse as sum(1/(60+rank)), the score-free combiner that "
+        "needs no cross-list calibration. Each list is a bounded top-k "
+        "(TakeOrdered, never a global sort of the corpus); the fusion "
+        "full-outer join runs on two k-row inputs — driver-trivial at "
+        "any corpus scale. Missing-from-one-list docs contribute 0 from "
+        "that list, the standard RRF convention."
+    ),
+    tags=("similarity", "text", "llm", "retrieval", "topk"),
+)
+def similarity_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import bm25_scored
+
+    t = Tables(spark, sf_dir)
+    lex = (
+        bm25_scored(t)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).alias("rl"),
+        )
+    )
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    cand = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), _as_double("embedding").alias("cv")
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    vec = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).alias("rv"),
+        )
+    )
+    fused = (
+        lex.withColumnRenamed("doc_id", "ldoc")
+        .join(vec.withColumnRenamed("doc_id", "vdoc"),
+              F.col("ldoc") == F.col("vdoc"), "full_outer")
+        .select(
+            F.coalesce(F.col("ldoc"), F.col("vdoc")).alias("doc_id"),
+            F.col("rl").cast("int").alias("lex_rank"),
+            F.col("rv").cast("int").alias("vec_rank"),
+            (
+                F.coalesce(
+                    F.expr(
+                        f"CAST(1 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE) + CAST(rl AS DOUBLE))"
+                    ),
+                    F.expr("CAST(0 AS DOUBLE)"),
+                )
+                + F.coalesce(
+                    F.expr(
+                        f"CAST(1 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE) + CAST(rv AS DOUBLE))"
+                    ),
+                    F.expr("CAST(0 AS DOUBLE)"),
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(W.orderBy(F.desc("rrf_score"), "doc_id")).cast("int"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
     )

@@ -610,11 +610,11 @@ def _bm25_term_sql(i: int) -> str:
 
 _BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))
 
-
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-        WITH d AS (
+#: the full BM25 scoring pipeline as DuckDB CTEs ending in
+#: ``scored(doc_id, score)`` — shared by text_bm25_topk and the hybrid
+#: RRF fusion oracle (similarity.py)
+BM25_SCORED_CTES = f"""
+        d AS (
             SELECT doc_id, string_split(text, ' ') AS words,
                    len(string_split(text, ' ')) AS dl
             FROM documents
@@ -641,7 +641,47 @@ _BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))
         scored AS (
             SELECT doc_id, {_BM25_SCORE_SQL} AS score
             FROM tf, st, dfreq
-        )
+        )"""
+
+
+def bm25_scored(t: Tables) -> DataFrame:
+    """(doc_id, score): BM25 of every document against the fixed query —
+    the Spark twin of :data:`BM25_SCORED_CTES`. Corpus stats reduce to
+    single-row broadcast DFs; scoring is map-only."""
+    d = t.documents.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    tf = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.expr(f"size(filter(words, w -> w = '{term}'))").alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    st = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(dl AS DECIMAL(38,8))) AS DOUBLE) / COUNT(1)").alias("avgdl"),
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    return (
+        tf.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(dfreq))
+        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("score"))
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH {BM25_SCORED_CTES}
         SELECT doc_id, score,
                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
         FROM scored
@@ -672,39 +712,10 @@ _BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))
     tags=("text", "llm", "retrieval", "topk"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    d = t.documents.select(
-        "doc_id",
-        F.split("text", " ").alias("words"),
-        F.size(F.split("text", " ")).alias("dl"),
-    )
-    tf = d.select(
-        "doc_id",
-        "dl",
-        *[
-            F.expr(f"size(filter(words, w -> w = '{term}'))").alias(f"tf{i}")
-            for i, term in enumerate(_BM25_TERMS)
-        ],
-    )
-    st = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("CAST(SUM(CAST(dl AS DECIMAL(38,8))) AS DOUBLE) / COUNT(1)").alias("avgdl"),
-    )
-    dfreq = tf.agg(
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ]
-    )
-    topk = (
-        tf.crossJoin(F.broadcast(st))
-        .crossJoin(F.broadcast(dfreq))
-        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
-    )
     from pyspark.sql import Window as W
 
+    t = Tables(spark, sf_dir)
+    topk = bm25_scored(t).orderBy(F.desc("score"), "doc_id").limit(20)
     return topk.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("int")
     )
