@@ -850,3 +850,63 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(SUM(class_size) AS DOUBLE)"
         ).alias("frac_rows_at_risk"),
     )
+
+
+#: two-sided-geometric (discrete Laplace) inverse-CDF thresholds for
+#: epsilon=1 (alpha = e^-1), support ordered 0,+1,-1,...,+6,-6, scaled
+#: to 1e6 — noise is drawn by EXACT integer comparison, no engine libm.
+#: The residual 0.13% tail maps to +7 (a truncated mechanism variant).
+_DP_THRESHOLDS = (
+    (0, 462117), (1, 632121), (-1, 802124), (2, 864665), (-2, 927205),
+    (3, 950213), (-3, 973220), (4, 981684), (-4, 990148), (5, 993262),
+    (-5, 996376), (6, 997521), (-6, 998667),
+)
+
+
+def _dp_noise_case(h: str) -> str:
+    branches = " ".join(
+        f"WHEN ({h}) < {t} THEN {v}" for v, t in _DP_THRESHOLDS
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+_DP_H_SPARK = (
+    "CAST(conv(substr(md5('dp:' || event_type), 1, 14), 16, 10) AS BIGINT)"
+    " % 1000000"
+)
+_DP_H_DUCK = (
+    "CAST(('0x' || substr(md5('dp:' || event_type), 1, 14)) AS BIGINT)"
+    " % 1000000"
+)
+
+
+@register(
+    "dq_dp_noisy_counts",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) + {_dp_noise_case(_DP_H_DUCK)} AS BIGINT)
+                 AS noisy_count
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "Differentially-private release of per-type event counts via "
+        "the two-sided-geometric (discrete Laplace) mechanism at "
+        "epsilon=1: noise is drawn by comparing an md5 slice of the "
+        "release key against fixed integer inverse-CDF thresholds — "
+        "the same exact-integer construction as the Poisson bootstrap, "
+        "so the draw is bit-identical on every engine and the release "
+        "is replayable (a fixed per-release seed is how production DP "
+        "publishers make audits reproducible). Count sensitivity is 1, "
+        "so epsilon=1 noise is the textbook calibration. One map-side-"
+        "combined aggregation; noise is a per-group scalar expression."
+    ),
+    tags=("dq", "privacy", "agg"),
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.expr(
+            f"CAST(COUNT(1) + {_dp_noise_case(_DP_H_SPARK)} AS BIGINT)"
+        ).alias("noisy_count")
+    )

@@ -1084,3 +1084,114 @@ def stats_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))"
         ).alias("corr_7d"),
     )
+
+
+@register(
+    "stats_quantile_normalize_sources",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        ),
+        gvals AS (
+            SELECT n_chars AS gval,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+            FROM documents
+        ),
+        gn AS (SELECT COUNT(*) AS total FROM documents),
+        pos AS (
+            SELECT doc_id, source, n_chars,
+                   (CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                     * CAST(total - 1 AS DOUBLE) AS p
+            FROM ranked CROSS JOIN gn
+            WHERE n > 1
+        ),
+        idx AS (
+            SELECT doc_id, source, n_chars, p,
+                   CAST(floor(p) AS BIGINT) + 1 AS lo,
+                   CAST(ceil(p) AS BIGINT) + 1 AS hi,
+                   p - floor(p) AS frac
+            FROM pos
+        )
+        SELECT i.doc_id, i.source, i.n_chars,
+               CAST(glo.gval AS DOUBLE)
+                 + i.frac * (CAST(ghi.gval AS DOUBLE) - CAST(glo.gval AS DOUBLE))
+                 AS normalized
+        FROM idx i
+        JOIN gvals glo ON i.lo = glo.grank
+        JOIN gvals ghi ON i.hi = ghi.grank
+    """,
+    doc=(
+        "Quantile normalization across sources (batch-effect removal, "
+        "the feature-engineering step that maps every source's n_chars "
+        "distribution onto the global distribution): per-source rank "
+        "percentile (rn-1)/(n-1) -> target position on the globally "
+        "ranked value axis -> linear interpolation between the two "
+        "bracketing global order statistics. All rank arithmetic is "
+        "integer; the lerp is the shared IEEE expression. The global "
+        "row_number here is a window; at corpus scale it swaps for the "
+        "bucket-offset two-pass construction "
+        "(relational_global_row_number_scalable) with no semantic "
+        "change. Single-doc sources are excluded on an integer guard "
+        "(their percentile is undefined)."
+    ),
+    tags=("stats", "window", "ml"),
+)
+def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    glob = d.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("grank"),
+    )
+    gn = d.agg(F.count(F.lit(1)).alias("total"))
+    pos = (
+        ranked.filter(F.col("n") > 1)
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(
+                "(CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+                " * CAST(total - 1 AS DOUBLE)"
+            ).alias("p"),
+        )
+    )
+    idx = pos.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "p",
+        (F.expr("CAST(floor(p) AS BIGINT)") + 1).alias("lo"),
+        (F.expr("CAST(ceil(p) AS BIGINT)") + 1).alias("hi"),
+        F.expr("p - floor(p)").alias("frac"),
+    )
+    glo = glob.select(F.col("grank").alias("lo"), F.col("gval").alias("glo"))
+    ghi = glob.select(F.col("grank").alias("hi"), F.col("gval").alias("ghi"))
+    return (
+        idx.join(glo, "lo")
+        .join(ghi, "hi")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(
+                "CAST(glo AS DOUBLE) + frac * (CAST(ghi AS DOUBLE) - CAST(glo AS DOUBLE))"
+            ).alias("normalized"),
+        )
+    )
