@@ -816,3 +816,70 @@ def funnel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)"
         ).alias("attributed_revenue"),
     )
+
+
+@register(
+    "funnel_audience_overlap_jaccard",
+    oracle="""
+        WITH aud AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, COUNT(*) AS n FROM aud GROUP BY event_type
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_both
+            FROM aud a JOIN aud b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT type_a, type_b, n_both,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(n_both AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.type_a = sa.event_type
+        JOIN sizes sb ON inter.type_b = sb.event_type
+    """,
+    doc=(
+        "Audience-overlap matrix: pairwise Jaccard between the distinct "
+        "user sets of each event type. The self-join is on user_id "
+        "AFTER dedup to the (type, user) grain, so each user "
+        "contributes at most |types|^2 pairs — bounded by the type "
+        "vocabulary, never by event volume; intersection and union "
+        "sizes are exact integers with one final double ratio. The "
+        "audience-overlap matrix is how growth teams find cannibalizing "
+        "segments and how dataset curators detect near-identical "
+        "source feeds."
+    ),
+    tags=("funnel", "setops", "join"),
+)
+def funnel_audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    aud = t.events.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+    )

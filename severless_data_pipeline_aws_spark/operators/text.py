@@ -1046,3 +1046,63 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+@register(
+    "text_inverted_index_postings",
+    oracle="""
+        WITH tf AS (
+            SELECT w AS term, doc_id, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w, doc_id
+        ),
+        df AS (
+            SELECT term, COUNT(*) AS doc_freq,
+                   CAST(SUM(tf) AS BIGINT) AS corpus_freq
+            FROM tf GROUP BY term
+        ),
+        top AS (
+            SELECT term, doc_freq, corpus_freq
+            FROM df
+            ORDER BY doc_freq DESC, term
+            LIMIT 30
+        )
+        SELECT t.term, t.doc_freq, t.corpus_freq,
+               list(f.doc_id ORDER BY f.doc_id) AS postings
+        FROM top t JOIN tf f ON t.term = f.term
+        GROUP BY t.term, t.doc_freq, t.corpus_freq
+    """,
+    doc=(
+        "Inverted-index build for the 30 highest-df terms: (term, doc) "
+        "frequency table in one map-side-combined shuffle, document "
+        "frequencies on top of it, then sorted posting lists as array "
+        "columns — the storage layout under every lexical retrieval "
+        "system (text_bm25_topk consumes exactly these statistics). "
+        "Postings sort within each term's bounded list (array_sort "
+        "after collect, never a global sort); restricting to the top-30 "
+        "terms bounds the output while still exercising the full "
+        "corpus scan. At 100 TB the posting array for a stopword-grade "
+        "term exceeds single-row limits — the production layout shards "
+        "postings by doc_id range, which this plan already supports "
+        "(the collect key just becomes (term, doc_id DIV shard))."
+    ),
+    tags=("text", "llm", "retrieval"),
+)
+def text_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tf = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").cast("bigint").alias("corpus_freq"),
+    )
+    top = df.orderBy(F.desc("doc_freq"), "term").limit(30)
+    return (
+        tf.join(F.broadcast(top), "term")
+        .groupBy("term", "doc_freq", "corpus_freq")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings"))
+    )

@@ -1079,3 +1079,65 @@ def window_interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("e").alias("span_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
+
+
+@register(
+    "window_concurrency_from_intervals",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, ts AS s,
+                   ts + INTERVAL 30 MINUTE AS e
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        bounds AS (
+            SELECT s AS t, 1 AS delta, user_id FROM iv
+            UNION ALL
+            SELECT e AS t, -1 AS delta, user_id FROM iv
+        ),
+        running AS (
+            SELECT t, delta,
+                   SUM(delta) OVER (ORDER BY t, delta, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS concurrency
+            FROM bounds
+        )
+        SELECT CAST(t AS DATE) AS day,
+               CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency
+        FROM running
+        GROUP BY CAST(t AS DATE)
+    """,
+    doc=(
+        "Peak concurrency from intervals (the interval-stabbing "
+        "classic): each view/click opens a 30-minute activity "
+        "interval; +1/-1 boundary events sorted by time with a running "
+        "sum give instantaneous concurrency, and the day-grain MAX is "
+        "the capacity-planning output. Ends sort with delta=-1 BEFORE "
+        "the +1 of an interval starting at the same instant (delta "
+        "ASC), so touching intervals never double-count. One sort "
+        "feeds both the window and the rollup. The running sum is a "
+        "global-order window here; at 100 TB it becomes the two-pass "
+        "bucket-offset prefix sum (day buckets are natural and "
+        "balanced), same construction as "
+        "relational_global_row_number_scalable."
+    ),
+    tags=("window", "timeseries", "interval"),
+)
+def window_concurrency_from_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    iv = t.events.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 30 MINUTE").alias("e"),
+    )
+    bounds = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"))
+    w = (
+        W.orderBy("t", "delta", "user_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = bounds.select("t", F.sum("delta").over(w).alias("concurrency"))
+    return (
+        running.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))
+    )
