@@ -67,6 +67,13 @@ HEADLINE = [
     "sampling_poisson_bootstrap",
     "stats_cusum_drift_detector",
     "timeseries_seasonal_decompose_additive",
+    # round-3 additions: the PQ two-phase ANN (codes scan + shortlist
+    # re-rank), hybrid RRF fusion (two bounded retrievals), the bounded
+    # basket self-join, and the boundary-sweep concurrency window
+    "similarity_pq_adc_topk",
+    "similarity_rrf_hybrid_retrieval",
+    "funnel_market_basket_lift",
+    "window_concurrency_from_intervals",
 ]
 
 

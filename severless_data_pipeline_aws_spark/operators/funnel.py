@@ -699,18 +699,30 @@ def funnel_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def funnel_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # ONE shuffle on the basket key builds the per-order item set; pairs
+    # explode map-side from the sorted array (each unordered pair once),
+    # so the basket table is never self-joined — at 100 TB that removes
+    # a fact-sized shuffle and the skew risk of a hot basket key.
     baskets = (
         t.lineitem.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+        .persist()
     )
-    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
-    n_baskets = baskets.select(F.countDistinct("basket").alias("n_baskets"))
-    a = baskets.select(F.col("basket"), F.col("item").alias("item_a"))
-    b = baskets.select(F.col("basket"), F.col("item").alias("item_b"))
+    item_counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    pair_structs = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x AS item_a, y AS item_b))))"
+    )
     pairs = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= 5)
