@@ -789,3 +789,61 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"parse_url({url}, 'QUERY', 'n')").alias("q_n"),
         F.expr(f"parse_url({url}, 'PROTOCOL')").alias("protocol"),
     )
+
+
+@register(
+    "scalar_onehot_index_encode",
+    oracle="""
+        WITH freq AS (
+            SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment
+        ),
+        idx AS (
+            SELECT c_mktsegment,
+                   CAST(row_number() OVER (ORDER BY n DESC, c_mktsegment) AS INT)
+                     AS seg_index,
+                   CAST(COUNT(*) OVER () AS INT) AS k
+            FROM freq
+        )
+        SELECT c.c_custkey, c.c_mktsegment, i.seg_index,
+               list_transform(range(1, k + 1),
+                              j -> CASE WHEN j = seg_index THEN 1 ELSE 0 END)
+                 AS onehot
+        FROM customer c JOIN idx i USING (c_mktsegment)
+        WHERE c.c_custkey <= 50
+    """,
+    doc=(
+        "Deterministic label indexing + one-hot encoding (the "
+        "StringIndexer/OneHotEncoder pair as pure relational ops): "
+        "category index = rank by (frequency DESC, value) — the "
+        "frequency ordering ML pipelines use so index 1 is always the "
+        "modal class — then a dense 0/1 vector built row-locally from "
+        "the broadcast index. The index table is category-cardinality-"
+        "sized; the fact scan does one broadcast join, zero shuffles."
+    ),
+    tags=("scalar", "ml", "encode"),
+)
+def scalar_onehot_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    freq = t.customer.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    idx = freq.select(
+        "c_mktsegment",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), "c_mktsegment"))
+        .cast("int")
+        .alias("seg_index"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("int").alias("k"),
+    )
+    return (
+        t.customer.filter(F.col("c_custkey") <= 50)
+        .join(F.broadcast(idx), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "seg_index",
+            F.expr(
+                "transform(sequence(1, k), j -> CASE WHEN j = seg_index THEN 1 ELSE 0 END)"
+            ).alias("onehot"),
+        )
+    )

@@ -1106,3 +1106,84 @@ def text_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_freq", "corpus_freq")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("postings"))
     )
+
+
+_FH_DIM = 16  # hashed feature dimension
+
+_FH_BUCKET_SPARK = (
+    "CAST(CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % 16 AS INT)"
+)
+_FH_SIGN_SPARK = (
+    "CASE WHEN CAST(conv(substr(md5(w), 9, 1), 16, 10) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+_FH_BUCKET_DUCK = "CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS INT)"
+_FH_SIGN_DUCK = (
+    "CASE WHEN CAST(('0x' || substr(md5(w), 9, 1)) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id < 100
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   {_FH_BUCKET_DUCK} AS bucket,
+                   {_FH_SIGN_DUCK} AS sgn
+            FROM toks
+        ),
+        cells AS (
+            SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+            FROM hashed GROUP BY doc_id, bucket
+        ),
+        vecs AS (
+            SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := v))) AS m
+            FROM cells GROUP BY doc_id
+        )
+        SELECT doc_id,
+               list_transform(range(0, {_FH_DIM}),
+                              b -> coalesce(map_extract(m, b)[1], 0)) AS features
+        FROM vecs
+    """,
+    doc=(
+        "Feature hashing (the 'hashing trick'): every token maps to one "
+        "of 16 buckets by an md5 slice with a +/-1 sign bit, giving each "
+        "document a fixed-width integer feature vector with NO "
+        "vocabulary table — the property that makes it the standard "
+        "text featurizer at corpus scale (a vocabulary index would "
+        "itself be a 100 TB-era shuffle). One explode + one "
+        "(doc, bucket) combine; the dense vector materializes from a "
+        "16-entry map, missing buckets zero-filled. Exact integer "
+        "counts, bit-identical hash both engines."
+    ),
+    tags=("text", "llm", "ml"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cells = (
+        t.documents.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            F.expr(_FH_BUCKET_SPARK).alias("bucket"),
+            F.expr(_FH_SIGN_SPARK).alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("v"))
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {_FH_DIM - 1}), "
+                "b -> coalesce(element_at(m, b), CAST(0 AS BIGINT)))"
+            ).alias("features"),
+        )
+    )
