@@ -1187,3 +1187,85 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("features"),
         )
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_merge_fold(a: str, b: str):
+    """Left-to-right non-overlapping merge of adjacent (a, b) -> a+b via
+    a sequential array fold — the just-merged token never re-pairs as
+    the left element within the same pass, matching textbook BPE."""
+    return F.expr(
+        "aggregate(sym, CAST(array() AS array<string>), "
+        "(acc, s) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = '{a}' AND s = '{b}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')) "
+        "ELSE concat(acc, array(s)) END)"
+    )
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=None,  # iterative argmax-and-rewrite; verified by exact Python replay
+    doc=(
+        "BPE vocabulary induction, the tokenizer-training core: start "
+        "from the word-frequency table with words as character arrays, "
+        "and for 3 rounds (a) count adjacent symbol pairs weighted by "
+        "word frequency — one vocabulary-sized explode + map-side-"
+        "combined sum, (b) take the arg-max pair with deterministic "
+        "(count DESC, pair ASC) tie-break — a 1-row driver fetch of "
+        "metadata, the same per-round pattern as k-means centroids and "
+        "PageRank rounds, (c) rewrite every word's symbol array with a "
+        "left-to-right non-overlapping fold (the just-merged token "
+        "never re-pairs in the same pass). Word-frequency grain means "
+        "cost scales with VOCABULARY, not corpus: the 100 TB corpus "
+        "collapses to its word-count table in one shuffle and every "
+        "round after that is vocabulary-sized. Output = the learned "
+        "merge table; exact equality with a pure-Python BPE replayed "
+        "on the same corpus is pytest-asserted."
+    ),
+    tags=("text", "llm", "tokenizer", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(
+            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
+                "sym"
+            ),
+            "wn",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        # filter BEFORE the transform: Spark's sequence(1, 0) descends
+        # rather than going empty, so single-symbol words must not reach
+        # the pair generator
+        pairs = words.filter(F.expr("size(sym) > 1")).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sym) - 1), "
+                    "i -> struct(element_at(sym, i) AS a, element_at(sym, i + 1) AS b))"
+                )
+            ).alias("p"),
+            "wn",
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wn").alias("total"))
+            .orderBy(F.desc("total"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, best["a"], best["b"], best["a"] + best["b"], int(best["total"])))
+        words = words.select(
+            _bpe_merge_fold(best["a"], best["b"]).alias("sym"), "wn"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )

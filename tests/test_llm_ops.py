@@ -359,3 +359,47 @@ def test_pq_codes_partition_subspaces(spark, sf_dir):
     assert all(r["approx_d2"] >= 0.0 for r in rows)
     assert all(1 <= r["rank"] <= 10 for r in rows)
     assert 0 < len(rows) <= 5 * 10 and n_vec > 0
+
+
+def test_bpe_merges_match_pure_python_replay(spark, sf_dir):
+    """The distributed BPE trainer must learn EXACTLY the merge sequence a
+    textbook single-process BPE learns on the same corpus (count DESC,
+    pair ASC tie-break; left-to-right non-overlapping application)."""
+    from collections import Counter
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.text import _BPE_ROUNDS
+
+    docs = Tables(spark, sf_dir).documents.select("text").collect()
+    vocab = Counter()
+    for r in docs:
+        for w in r["text"].split(" "):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+
+    expected = []
+    for _ in range(_BPE_ROUNDS):
+        pair_counts = Counter()
+        for w, sym in words.items():
+            for i in range(len(sym) - 1):
+                pair_counts[(sym[i], sym[i + 1])] += vocab[w]
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        expected.append((a, b, a + b, n))
+        for w, sym in words.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in sorted(
+            SPECS["text_bpe_train_merges"].fn(spark, sf_dir).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    assert got == expected, f"spark={got} python={expected}"
