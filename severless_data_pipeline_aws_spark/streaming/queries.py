@@ -308,3 +308,25 @@ def streaming_rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "ts"
     )
     return _run_to_memory(stateful.rate_limit_walk(stream), "append")
+
+
+@register(
+    "streaming_holt_forecast",
+    oracle=None,  # sequential float recursion; replay-equivalence in tests
+    doc=(
+        "Fifth custom stateful operator: Holt double-exponential "
+        "(level + trend) smoothing per event_type via "
+        "applyInPandasWithState — the online forecaster with O(1) "
+        "state (two doubles + a counter per key). Prequential output: "
+        "each row carries the forecast made BEFORE observing it, so "
+        "the error stream is honest out-of-sample error. Exact "
+        "equivalence with the imperative batch replay asserted in "
+        "pytest, the same contract as the EWMA/z-score/drift family."
+    ),
+    tags=("streaming", "stateful", "forecast"),
+)
+def streaming_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).select(
+        "event_type", "event_id", "ts", "value"
+    )
+    return _run_to_memory(stateful.holt_walk(stream), "append")

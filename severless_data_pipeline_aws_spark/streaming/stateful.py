@@ -461,3 +461,108 @@ def rate_limit_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = bucket_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 5: Holt linear-trend smoother (level + trend)
+# ---------------------------------------------------------------------------
+
+HOLT_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("forecast", DoubleType()),  # one-step-ahead (prequential)
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+#: (n, level, trend) — two doubles + a counter per key, O(1) forever
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+def holt_steps(
+    state: tuple[int, float, float] | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple[int, float, float]]:
+    """Pure per-key Holt (double-exponential) smoother. Prequential: the
+    forecast for each row is level+trend from everything BEFORE it, so
+    forecast error is honest out-of-sample error. Shared verbatim by
+    the streaming state function and the batch replay oracle — the
+    second-order cousin of the EWMA recurrence, and like it genuinely
+    sequential (the float recursion has no associative window form)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    n, level, trend = state if state is not None else (0, 0.0, 0.0)
+    fcasts: list[float | None] = []
+    levels: list[float] = []
+    trends: list[float] = []
+    for row in pdf.itertuples(index=False):
+        v = float(row.value)
+        if n == 0:
+            f = None
+            new_level, new_trend = v, 0.0
+        else:
+            f = level + trend
+            new_level = _HOLT_ALPHA * v + (1.0 - _HOLT_ALPHA) * (level + trend)
+            new_trend = _HOLT_BETA * (new_level - level) + (1.0 - _HOLT_BETA) * trend
+        fcasts.append(f)
+        levels.append(new_level)
+        trends.append(new_trend)
+        level, trend = new_level, new_trend
+        n += 1
+    out = pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].values,
+            "event_id": pdf["event_id"].values,
+            "value": pdf["value"].values,
+            "forecast": pd.array(fcasts, dtype="float64"),
+            "level": pd.array(levels, dtype="float64"),
+            "trend": pd.array(trends, dtype="float64"),
+        }
+    )
+    return out, (n, level, trend)
+
+
+def _apply_holt(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = holt_steps(st, pdf)
+        yield out
+    state.update(st)
+
+
+def holt_walk(events: DataFrame) -> DataFrame:
+    """Streaming per-event_type Holt linear-trend smoother
+    (applyInPandasWithState). State is (n, level, trend) per key — the
+    O(1)-state online forecaster whose one-step-ahead errors feed the
+    seasonal-naive backtest's fancier-model comparison. Batch twin:
+    ``holt_batch_replay``; tests assert stream == replay bit-exactly."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_holt,
+        outputStructType=HOLT_OUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def holt_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = holt_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

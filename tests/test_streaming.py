@@ -743,3 +743,33 @@ def test_streaming_rate_limit_equals_batch_replay(spark, sf_dir):
         assert gtok == tok, (eid, gtok, tok)  # bit-exact: integer state
         decisions.add(dec)
     assert decisions == {"allow", "throttle"}
+
+
+def test_streaming_holt_equals_batch_replay(spark, sf_dir):
+    """The streamed Holt smoother must equal the single-process replay
+    bit-exactly: same pure function, same per-key order, (level, trend)
+    carried across Arrow chunks without loss."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        holt_batch_replay,
+    )
+
+    got = {
+        r["event_id"]: (r["forecast"], r["level"], r["trend"])
+        for r in load_all()["streaming_holt_forecast"].fn(spark, sf_dir).collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.select("event_type", "event_id", "ts", "value")
+        .toPandas()
+    )
+    want_pdf = holt_batch_replay(events_pdf)
+    assert len(got) == len(want_pdf) > 0
+    for r in want_pdf.itertuples(index=False):
+        gf, gl, gt = got[int(r.event_id)]
+        if pd.isna(r.forecast):
+            assert gf is None or pd.isna(gf)
+        else:
+            assert gf == float(r.forecast)
+        assert gl == float(r.level) and gt == float(r.trend)
