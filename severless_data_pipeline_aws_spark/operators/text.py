@@ -1255,13 +1255,16 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
             "wn",
         )
-        best = (
+        top = (
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("wn").alias("total"))
             .orderBy(F.desc("total"), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # empty corpus / no multi-symbol words: stop training
+            break
+        best = top[0]
         merges.append((rnd, best["a"], best["b"], best["a"] + best["b"], int(best["total"])))
         words = words.select(
             _bpe_merge_fold(best["a"], best["b"]).alias("sym"), "wn"

@@ -63,6 +63,17 @@ REPRESENTATIVE = [
     "timeseries_seasonal_decompose_additive",
     "relational_global_row_number_scalable",
     "window_interval_merge_overlaps",
+    # round-2-continuation additions
+    "stats_rolling_corr_pair",
+    "funnel_market_basket_lift",
+    "funnel_attribution_last_touch",
+    "similarity_pq_adc_topk",
+    "similarity_rrf_hybrid_retrieval",
+    "stats_quantile_normalize_sources",
+    "text_feature_hashing",
+    "text_bpe_train_merges",
+    "window_concurrency_from_intervals",
+    "dq_dp_noisy_counts",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
