@@ -1096,3 +1096,82 @@ def timeseries_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> Data
             "CAST(SUM(abs(y - yhat)) AS DOUBLE) / CAST(SUM(y + yhat) AS DOUBLE) * 2"
         ).alias("smape"),
     )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+        WITH seg AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS day,
+                   value,
+                   lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS next_ts,
+                   ts
+            FROM events WHERE value IS NOT NULL
+        ),
+        weighted AS (
+            SELECT event_type, day, value,
+                   CAST(datediff('second', ts, next_ts) AS BIGINT) AS dt
+            FROM seg WHERE next_ts IS NOT NULL
+        )
+        SELECT event_type, day,
+               CAST(SUM(dt) AS BIGINT) AS covered_seconds,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8)) * dt) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE) AS twap
+        FROM weighted
+        GROUP BY event_type, day
+        HAVING SUM(dt) > 0
+    """,
+    doc=(
+        "Time-weighted average value per (type, day) — the TWAP/"
+        "telemetry-average that plain AVG gets wrong when samples are "
+        "irregular: each reading holds until the next one (step "
+        "interpolation), so its weight is its holding duration. One "
+        "lead() window per (type, day) partition gives the durations; "
+        "weights are integer seconds, the value*dt products accumulate "
+        "in DECIMAL (order-independent), one final double division. "
+        "Day-bounded partitions keep the window shuffle balanced at "
+        "any volume."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    seg = (
+        t.events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn(
+            "next_ts",
+            F.lead("ts").over(
+                W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    weighted = seg.filter(F.col("next_ts").isNotNull()).select(
+        "event_type",
+        "day",
+        "value",
+        F.expr("CAST(unix_timestamp(next_ts) - unix_timestamp(ts) AS BIGINT)").alias(
+            "dt"
+        ),
+    )
+    return (
+        weighted.groupBy("event_type", "day")
+        .agg(
+            F.sum("dt").cast("bigint").alias("covered_seconds"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,8)) * dt) AS DOUBLE)"
+                " / CAST(SUM(dt) AS DOUBLE)"
+            ).alias("twap"),
+        )
+        .filter(F.col("covered_seconds") > 0)
+    )

@@ -910,3 +910,61 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(COUNT(1) + {_dp_noise_case(_DP_H_SPARK)} AS BIGINT)"
         ).alias("noisy_count")
     )
+
+
+@register(
+    "geo_grid_hotspots",
+    oracle="""
+        WITH coords AS (
+            SELECT event_id,
+                   ((user_id * 7919) % 18000
+                     + (event_id % 21)) % 18000 - 9000 AS lat_centi,
+                   ((user_id * 104729) % 36000
+                     + (event_id % 17)) % 36000 - 18000 AS lon_centi
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(floor(lat_centi / 100.0) AS BIGINT) AS cell_lat,
+                   CAST(floor(lon_centi / 100.0) AS BIGINT) AS cell_lon,
+                   COUNT(*) AS n_events
+            FROM coords
+            GROUP BY 1, 2
+        )
+        SELECT cell_lat, cell_lon, n_events
+        FROM cells
+        ORDER BY n_events DESC, cell_lat, cell_lon
+        LIMIT 15
+    """,
+    doc=(
+        "Geospatial grid-cell hotspot rollup — the reference's "
+        "coordinate model (station base + per-reading jitter, "
+        "iot-data-stream.py:139-257) re-derived deterministically from "
+        "(user_id, event_id) in centidegrees, binned into 1-degree "
+        "cells, top-15 by density. All coordinate arithmetic is "
+        "integer; the float appears only inside floor(x/100.0), which "
+        "is exact (centidegree magnitudes are far below 2^53). The "
+        "grid-cell bin is the scalable first stage of every spatial "
+        "pipeline: density maps, geofence joins, and DBSCAN-style "
+        "clustering all start from this |cells|-bounded rollup."
+    ),
+    tags=("dashboard", "geo", "agg", "topk"),
+)
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    coords = t.events.select(
+        F.expr(
+            "((user_id * 7919) % 18000 + (event_id % 21)) % 18000 - 9000"
+        ).alias("lat_centi"),
+        F.expr(
+            "((user_id * 104729) % 36000 + (event_id % 17)) % 36000 - 18000"
+        ).alias("lon_centi"),
+    )
+    return (
+        coords.groupBy(
+            F.expr("CAST(floor(lat_centi / 100.0) AS BIGINT)").alias("cell_lat"),
+            F.expr("CAST(floor(lon_centi / 100.0) AS BIGINT)").alias("cell_lon"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "cell_lat", "cell_lon")
+        .limit(15)
+    )

@@ -1195,3 +1195,79 @@ def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("normalized"),
         )
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+        WITH pooled AS (
+            SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+                   value
+            FROM events
+            WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT grp,
+                   2 * rank() OVER (ORDER BY value)
+                     + COUNT(*) OVER (PARTITION BY value) - 1 AS rank2
+            FROM pooled
+        ),
+        sums AS (
+            SELECT
+                CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN grp = 1 THEN rank2 ELSE 0 END) AS BIGINT) AS r1x2
+            FROM ranked
+        )
+        SELECT n1, n2,
+               CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+               (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS effect_cl
+        FROM sums
+    """,
+    doc=(
+        "Mann-Whitney U (the nonparametric A/B test — rank-sum instead "
+        "of means, robust to the heavy tails that break the t-test): "
+        "pool both samples, midrank ties exactly as 2*rank + ties - 1 "
+        "(an INTEGER, so tie handling never touches floats), reduce to "
+        "doubled rank sums in one pass, and emit U plus the common-"
+        "language effect size U/(n1*n2). One sort (the rank window) + "
+        "one global fold; every quantity is integer until the two "
+        "final shared double expressions."
+    ),
+    tags=("stats", "window", "ab"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 2 END").alias("grp"),
+        "value",
+    )
+    ranked = pooled.select(
+        "grp",
+        (
+            2 * F.rank().over(W.orderBy("value"))
+            + F.count(F.lit(1)).over(W.partitionBy("value"))
+            - 1
+        ).alias("rank2"),
+    )
+    sums = ranked.agg(
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)").alias("n2"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN rank2 ELSE 0 END) AS BIGINT)").alias(
+            "r1x2"
+        ),
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.expr("CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2").alias("u_stat"),
+        F.expr(
+            "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2)"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+        ).alias("effect_cl"),
+    )
