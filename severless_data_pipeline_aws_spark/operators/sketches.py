@@ -203,3 +203,44 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return typed.unionByName(merged)
+
+
+@register(
+    "sketch_hll_intersection_estimate",
+    oracle=None,  # sketch estimate; error bound vs exact in pytest
+    doc=(
+        "X6 extension: audience-intersection estimate from HLL sketches "
+        "by inclusion-exclusion — |A∩B| ≈ est(A) + est(B) - est(A∪B) — "
+        "for every pair of event types, WITHOUT any pairwise join of "
+        "the raw user sets. One scan builds the per-type sketches; the "
+        "pair table is |types|^2 rows of sketch merges (driver-trivial "
+        "metadata). This is how overlap matrices are computed at 100 TB "
+        "when funnel_audience_overlap_jaccard's exact self-join is too "
+        "expensive to run daily; error vs the exact intersection is "
+        "bounded in pytest."
+    ),
+    tags=("sketch", "approx", "hll", "setops"),
+)
+def sketch_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_type = t.events.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk")
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+        ).alias("est_intersection"),
+    )

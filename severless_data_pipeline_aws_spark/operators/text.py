@@ -19,6 +19,7 @@ ints), so every query here is exact-hash oracle-verifiable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1272,3 +1273,47 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )
+
+
+def _compression_ratios(texts: "pd.Series") -> "pd.Series":
+    """Arrow-batched zlib compression ratio (level 6, fixed so results
+    are deterministic across runs and machines)."""
+    import zlib
+
+    return pd.Series(
+        [
+            len(zlib.compress(s.encode("utf-8"), 6)) / max(len(s.encode("utf-8")), 1)
+            for s in texts
+        ],
+        dtype="float64",
+    )
+
+
+@register(
+    "text_compression_ratio_quality",
+    oracle=None,  # zlib has no DuckDB twin; behavior invariants in pytest
+    doc=(
+        "Compression-ratio quality signal (the Gopher/RefinedWeb-era "
+        "boilerplate detector: highly compressible text is repetitive "
+        "text): zlib-compress each document in an Arrow-batched pandas "
+        "UDF at a pinned level and emit compressed/raw byte ratio plus "
+        "a low-information flag under 0.45. The UDF is the legitimate "
+        "Python-path case — no JVM zlib surface in Spark SQL — and "
+        "stays vectorized per Arrow batch; the scan is map-only with "
+        "zero shuffles. pytest pins the invariants: repetitive text "
+        "compresses below random text, ratios bounded (zlib header "
+        "overhead can push tiny docs slightly over 1.0), deterministic "
+        "across runs."
+    ),
+    tags=("text", "llm", "quality", "udf"),
+)
+def text_compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    t = Tables(spark, sf_dir)
+    ratio_udf = pandas_udf(_compression_ratios, "double")
+    return t.documents.select(
+        "doc_id",
+        "n_chars",
+        ratio_udf("text").alias("compression_ratio"),
+    ).withColumn("low_information", F.col("compression_ratio") < 0.45)

