@@ -1325,3 +1325,100 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "approx_d2", "cosine", "rank")
     )
+
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic +/-1 sign matrix [out_dim][in_dim] from md5 parity —
+    reproducible metadata, inlined as a literal on both engines (the
+    IVF _cells_literal precedent)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"jl:{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(1, _JL_IN_DIM + 1)
+        ]
+        for j in range(1, _JL_OUT_DIM + 1)
+    ]
+
+
+def _jl_matrix_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(str(x) for x in row) + "]" for row in _jl_signs()
+    )
+    return f"[{rows}]"
+
+
+def _jl_matrix_spark() -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(str(x) for x in row) + ")" for row in _jl_signs()
+    )
+    return f"array({rows})"
+
+
+@register(
+    "similarity_random_projection_jl",
+    oracle=f"""
+        WITH m AS (SELECT {_jl_matrix_sql()} AS s),
+        proj AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(range(1, {_JL_OUT_DIM} + 1),
+                       j -> list_reduce(
+                                list_transform(range(1, {_JL_IN_DIM} + 1),
+                                               i -> (CAST(embedding AS DOUBLE[]))[i] * s[j][i]),
+                                (a, b) -> a + b) / 4.0) AS p
+            FROM embeddings CROSS JOIN m
+            WHERE vec_id < 100
+        )
+        SELECT vec_id, label, p AS projected,
+               sqrt(list_dot_product(p, p)) AS proj_norm,
+               sqrt(list_dot_product(v, v)) AS orig_norm,
+               sqrt(list_dot_product(p, p)) / sqrt(list_dot_product(v, v))
+                 AS norm_ratio
+        FROM proj
+    """,
+    doc=(
+        "Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
+        "deterministic +/-1 sign matrix (Achlioptas' database-friendly "
+        "construction, scaled by 1/sqrt(16)): the projection that makes "
+        "downstream ANN 4x cheaper while approximately preserving "
+        "pairwise distances. The matrix is md5-derived metadata inlined "
+        "as a literal on both engines; each output coordinate is a "
+        "sequential index-ascending fold, so the projected vectors are "
+        "hash-exact. Map-only — zero shuffles at any corpus size; "
+        "distance-preservation quality is separately bounded in pytest."
+    ),
+    tags=("similarity", "llm", "ml"),
+)
+def similarity_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    proj_expr = F.expr(
+        f"transform(sequence(1, {_JL_OUT_DIM}), "
+        "j -> aggregate("
+        f"transform(sequence(1, {_JL_IN_DIM}), i -> element_at(v, i) * element_at(element_at(s, j), i)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / 4.0)"
+    )
+    base = t.embeddings.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("v"),
+        F.expr(_jl_matrix_spark()).alias("s"),
+    )
+    proj = base.select("vec_id", "label", "v", proj_expr.alias("p"))
+    return proj.select(
+        "vec_id",
+        "label",
+        F.col("p").alias("projected"),
+        F.sqrt(_dot(F.col("p"), F.col("p"))).alias("proj_norm"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("orig_norm"),
+        (F.sqrt(_dot(F.col("p"), F.col("p"))) / F.sqrt(_dot(F.col("v"), F.col("v")))).alias(
+            "norm_ratio"
+        ),
+    )

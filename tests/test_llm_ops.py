@@ -443,3 +443,34 @@ def test_compression_ratio_invariants(spark, sf_dir):
     assert all(0.0 < v <= 1.3 for v in r1.values())
     rep, rnd = _compression_ratios(["spam " * 200, bytes(range(256)).hex() * 4])
     assert rep < rnd
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL with 16 output dims must roughly preserve pairwise L2 distances:
+    the median projected/original distance ratio of 100 sampled pairs
+    stays within [0.7, 1.4] and no ratio collapses to ~0."""
+    import math
+
+    rows = SPECS["similarity_random_projection_jl"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in Tables(spark, sf_dir)
+        .embeddings.filter("vec_id < 100")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    proj = {r["vec_id"]: list(r["projected"]) for r in rows}
+    ids = sorted(proj)
+    ratios = []
+    for a, b in zip(ids[:-1], ids[1:]):
+        do = math.dist(orig[a], orig[b])
+        dp = math.dist(proj[a], proj[b])
+        assert do > 0
+        ratios.append(dp / do)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.7 <= med <= 1.4, med
+    assert min(ratios) > 0.2, min(ratios)
