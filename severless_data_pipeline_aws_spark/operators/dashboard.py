@@ -968,3 +968,73 @@ def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "cell_lat", "cell_lon")
         .limit(15)
     )
+
+
+@register(
+    "dq_interarrival_profile",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   CAST(datediff('second',
+                        lag(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id),
+                        ts) AS BIGINT) AS gap_s
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, gap_s,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gap_s, event_type) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM gaps WHERE gap_s IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_gaps,
+               MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                        THEN gap_s END) AS p50_gap_s,
+               MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN gap_s END) AS p95_gap_s,
+               MAX(gap_s) AS max_gap_s
+        FROM ranked
+        GROUP BY event_type
+    """,
+    doc=(
+        "Arrival-rate health profile: per event type, the p50/p95/max "
+        "inter-arrival gap in whole seconds — the monitor that catches "
+        "a stalled producer (p95 blows up) or a runaway one (p50 "
+        "collapses) before volume alarms fire. One lag() per type "
+        "partition, integer gaps, exact rank-based discrete "
+        "percentiles (the winsorize construction — no approx sketch, "
+        "no float percentile semantics to disagree on)."
+    ),
+    tags=("dq", "window", "timeseries"),
+)
+def dq_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    gaps = t.events.select(
+        "event_type",
+        F.expr(
+            "CAST(unix_timestamp(ts) - unix_timestamp(lag(ts) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id)) AS BIGINT)"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    ranked = gaps.select(
+        "event_type",
+        "gap_s",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("gap_s", "event_type"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.expr("CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN gap_s END")
+        ).alias("p50_gap_s"),
+        F.max(
+            F.expr("CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN gap_s END")
+        ).alias("p95_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

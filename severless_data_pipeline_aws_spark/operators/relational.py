@@ -262,3 +262,56 @@ def relational_global_row_number_scalable(spark: SparkSession, sf_dir: str) -> D
             "o_orderkey", (F.col("off") + F.col("local")).cast("bigint").alias("row_id")
         )
     )
+
+
+@register(
+    "relational_pareto_skyline_2d",
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        ),
+        swept AS (
+            SELECT o_orderkey, o_totalprice, d,
+                   MAX(d) OVER (ORDER BY o_totalprice DESC, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS best_d_so_far
+            FROM pts
+        )
+        SELECT o_orderkey, o_totalprice, d AS o_orderdate
+        FROM swept
+        WHERE best_d_so_far IS NULL OR d > best_d_so_far
+    """,
+    doc=(
+        "2-D Pareto skyline (maximize price AND recency): sweep orders "
+        "by price descending and keep a row iff its date beats the "
+        "running max date of every strictly-pricier order — the O(n "
+        "log n) single-sort skyline, vs the naive O(n^2) dominance "
+        "self-join. Ties on price dominate nothing (1 PRECEDING frame "
+        "+ deterministic orderkey tie-break), matching the strict-"
+        "dominance definition. The global-order window swaps for the "
+        "bucket-offset two-pass (price-range buckets + per-bucket "
+        "running max seeded by prefix maxima) at fact scale."
+    ),
+    tags=("relational", "window", "skyline"),
+)
+def relational_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = t.orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = (
+        W.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    swept = pts.select(
+        "o_orderkey",
+        "o_totalprice",
+        "d",
+        F.max("d").over(w).alias("best_d_so_far"),
+    )
+    return swept.filter(
+        F.col("best_d_so_far").isNull() | (F.col("d") > F.col("best_d_so_far"))
+    ).select("o_orderkey", "o_totalprice", F.col("d").alias("o_orderdate"))
