@@ -495,3 +495,48 @@ def test_kmeans_and_pca_assignment_broadcasts(spark, sf_dir):
     for name in ("similarity_kmeans_lloyd", "similarity_pca_top_component"):
         s = plans.explain_str(_df(name, spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, name
+
+
+def test_market_basket_pairs_generated_map_side(spark, sf_dir):
+    """The basket pair table must come from the per-order array explode,
+    never a basket-key self-join: exactly one lineitem scan, no
+    sort-merge join anywhere, and the part dim broadcast."""
+    df = _df("funnel_market_basket_lift", spark, sf_dir)
+    assert plans.table_scan_count(df, "lineitem") == 1
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 3  # part dim + counts + n_baskets
+
+
+def test_geo_hotspots_take_ordered_single_shuffle(spark, sf_dir):
+    """Grid binning is map-side; one exchange for the cell rollup; the
+    top-15 never globally sorts."""
+    df = _df("geo_grid_hotspots", spark, sf_dir)
+    assert plans.has_take_ordered(df)
+    assert plans.exchange_count(df) == 1
+
+
+def test_skyline_single_sort_no_self_join(spark, sf_dir):
+    """The Pareto sweep is one window over one scan — the O(n^2)
+    dominance self-join must not appear."""
+    df = _df("relational_pareto_skyline_2d", spark, sf_dir)
+    assert plans.table_scan_count(df, "orders") == 1
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """The as-of carry + channel rollup: union is shuffle-free, so the
+    plan is the user_id window exchange plus the channel-grain agg."""
+    df = _df("funnel_attribution_last_touch", spark, sf_dir)
+    assert plans.table_scan_count(df, "events") == 2  # two branches, one union
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.exchange_count(df) <= 2
+
+
+def test_feature_hashing_two_exchanges_no_join(spark, sf_dir):
+    """Hashing-trick featurizer: explode + (doc,bucket) combine + per-doc
+    map assembly — no vocabulary join anywhere."""
+    df = _df("text_feature_hashing", spark, sf_dir)
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+    assert plans.exchange_count(df) <= 2
