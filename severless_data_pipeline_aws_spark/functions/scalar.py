@@ -847,3 +847,44 @@ def scalar_onehot_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("onehot"),
         )
     )
+
+
+@register(
+    "scalar_json_infer_flatten",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_valid(props) AS props_valid
+        FROM events WHERE user_id <= 20
+    """,
+    doc=(
+        "Semi-structured ingestion with schema DISCOVERY: the wire "
+        "field's JSON schema is inferred by spark.read.json over a "
+        "bounded sample (the driver-side metadata fetch every schema-"
+        "on-read system performs), then the full scan parses with the "
+        "inferred StructType via from_json and flattens every "
+        "discovered field — no hand-written schema. Inference cost is "
+        "sample-bounded; the scan itself is map-only. The flattened "
+        "typed columns + validity flag are what lands in the silver "
+        "table of a bronze/silver JSON pipeline."
+    ),
+    tags=("scalar", "json", "ingest"),
+)
+def scalar_json_infer_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 20)
+    # schema inference over a bounded sample (metadata-scale driver work)
+    sample = ev.select("props").limit(200)
+    inferred = spark.read.json(
+        sample.rdd.map(lambda r: r["props"]), multiLine=False
+    ).schema
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", inferred).alias("p"),
+        (F.get_json_object("props", "$").isNotNull()).alias("props_valid"),
+    )
+    return parsed.select(
+        "event_id",
+        *[F.col(f"p.{f.name}").alias(f.name) for f in inferred.fields],
+        "props_valid",
+    )

@@ -152,3 +152,34 @@ def read_jsonl_tolerant(
         mode="PERMISSIVE",
         columnNameOfCorruptRecord="_corrupt_record",
     )
+
+
+class SchemaContractError(ValueError):
+    """A landed table violates its declared schema contract."""
+
+
+def assert_schema(df: DataFrame, expected_ddl: str) -> DataFrame:
+    """Schema contract gate: fail LOUDLY (with a per-column diff) when a
+    DataFrame's schema drifts from the declared DDL.
+
+    The ingest-side twin of the dashboard's column-existence guard: a
+    producer silently adding/dropping/retyping a column should stop the
+    pipeline at the landing step, not corrupt a downstream join. Name
+    order is not part of the contract; names and types are.
+    """
+    from pyspark.sql.types import StructType
+
+    expected = StructType.fromDDL(expected_ddl)
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    if got == want:
+        return df
+    problems = []
+    for name in sorted(want.keys() - got.keys()):
+        problems.append(f"missing column {name} ({want[name]})")
+    for name in sorted(got.keys() - want.keys()):
+        problems.append(f"unexpected column {name} ({got[name]})")
+    for name in sorted(got.keys() & want.keys()):
+        if got[name] != want[name]:
+            problems.append(f"type drift on {name}: {got[name]} != {want[name]}")
+    raise SchemaContractError("; ".join(problems))

@@ -288,3 +288,31 @@ def test_cusum_equals_sequential_recurrence(spark, sf_dir):
             want[r["event_id"]] = s / (float(n) * 10000.0)
     assert want and got == want
     assert any(v > 0 for v in got.values()), "vacuous: no positive excursion"
+
+
+def test_skyline_dominance_property(spark, sf_dir):
+    """Semantic property, independent of the oracle: no kept point is
+    strictly dominated, and every dropped point is dominated by some
+    kept point."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    kept = [
+        (r["o_totalprice"], r["o_orderdate"])
+        for r in load_all()["relational_pareto_skyline_2d"].fn(spark, sf_dir).collect()
+    ]
+    allpts = [
+        (r["o_totalprice"], r["d"])
+        for r in Tables(spark, sf_dir)
+        .orders.selectExpr("o_totalprice", "CAST(o_orderdate AS DATE) AS d")
+        .collect()
+    ]
+    kset = set(kept)
+
+    def dominated(p, q):  # q strictly dominates p
+        return q[0] > p[0] and q[1] > p[1]
+
+    assert all(not any(dominated(p, q) for q in kept if q != p) for p in kept)
+    dropped = [p for p in allpts if p not in kset]
+    assert all(any(dominated(p, q) for q in kept) for p in dropped)
+    assert 0 < len(kept) < len(allpts)

@@ -302,3 +302,29 @@ def test_tolerant_jsonl_quarantines_malformed_rows(spark, tmp_path):
     assert clean.count() == 2
     assert bad.count() == 1
     assert '"reading": }' in bad.first()["_corrupt_record"]
+
+
+def test_schema_contract_gate(spark, sf_dir):
+    """assert_schema passes a conforming table unchanged and names every
+    drift class (missing / unexpected / retyped) in the failure."""
+    import pytest
+
+    from severless_data_pipeline_aws_spark.io import (
+        SchemaContractError,
+        Tables,
+        assert_schema,
+    )
+
+    nation = Tables(spark, sf_dir).nation
+    ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    assert assert_schema(nation, ddl) is nation
+
+    drifted = nation.drop("n_name").withColumn("extra", nation.n_regionkey).withColumn(
+        "n_nationkey", nation.n_nationkey.cast("string")
+    )
+    with pytest.raises(SchemaContractError) as e:
+        assert_schema(drifted, ddl)
+    msg = str(e.value)
+    assert "missing column n_name" in msg
+    assert "unexpected column extra" in msg
+    assert "type drift on n_nationkey" in msg
