@@ -271,27 +271,36 @@ def relational_global_row_number_scalable(spark: SparkSession, sf_dir: str) -> D
             SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
             FROM orders
         ),
+        grp AS (
+            SELECT o_totalprice, MAX(d) AS gd
+            FROM pts GROUP BY o_totalprice
+        ),
         swept AS (
-            SELECT o_orderkey, o_totalprice, d,
-                   MAX(d) OVER (ORDER BY o_totalprice DESC, o_orderkey
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                     AS best_d_so_far
-            FROM pts
+            SELECT o_totalprice,
+                   MAX(gd) OVER (ORDER BY o_totalprice DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS best_d_above
+            FROM grp
         )
-        SELECT o_orderkey, o_totalprice, d AS o_orderdate
-        FROM swept
-        WHERE best_d_so_far IS NULL OR d > best_d_so_far
+        SELECT p.o_orderkey, p.o_totalprice, p.d AS o_orderdate
+        FROM pts p
+        JOIN grp g USING (o_totalprice)
+        JOIN swept s USING (o_totalprice)
+        WHERE p.d = g.gd
+          AND (s.best_d_above IS NULL OR p.d > s.best_d_above)
     """,
     doc=(
-        "2-D Pareto skyline (maximize price AND recency): sweep orders "
-        "by price descending and keep a row iff its date beats the "
-        "running max date of every strictly-pricier order — the O(n "
-        "log n) single-sort skyline, vs the naive O(n^2) dominance "
-        "self-join. Ties on price dominate nothing (1 PRECEDING frame "
-        "+ deterministic orderkey tie-break), matching the strict-"
-        "dominance definition. The global-order window swaps for the "
-        "bucket-offset two-pass (price-range buckets + per-bucket "
-        "running max seeded by prefix maxima) at fact scale."
+        "2-D Pareto skyline (maximize price AND recency): collapse to "
+        "per-price max dates, sweep the price groups descending, and "
+        "keep a row iff it is its group's max date AND beats the "
+        "running max date of every STRICTLY pricier group — standard "
+        "weak dominance (>= both dims, > in one), O(n log n) vs the "
+        "naive O(n^2) dominance self-join. The group level is the tie-"
+        "correct construction: a 1 PRECEDING row frame over raw rows "
+        "mishandles equal prices — caught by the sf0.01 dominance "
+        "property test, where price ties actually occur. The sweep "
+        "window runs over the distinct-price table (tiny); the join "
+        "back is a co-partitioned equi-join, never a pair explosion."
     ),
     tags=("relational", "window", "skyline"),
 )
@@ -302,16 +311,17 @@ def relational_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = t.orders.select(
         "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("d")
     )
-    w = (
-        W.orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, -1)
+    grp = pts.groupBy("o_totalprice").agg(F.max("d").alias("gd"))
+    w = W.orderBy(F.desc("o_totalprice")).rowsBetween(W.unboundedPreceding, -1)
+    swept = grp.select(
+        "o_totalprice", F.max("gd").over(w).alias("best_d_above")
     )
-    swept = pts.select(
-        "o_orderkey",
-        "o_totalprice",
-        "d",
-        F.max("d").over(w).alias("best_d_so_far"),
+    return (
+        pts.join(grp, "o_totalprice")
+        .join(swept, "o_totalprice")
+        .filter(
+            (F.col("d") == F.col("gd"))
+            & (F.col("best_d_above").isNull() | (F.col("d") > F.col("best_d_above")))
+        )
+        .select("o_orderkey", "o_totalprice", F.col("d").alias("o_orderdate"))
     )
-    return swept.filter(
-        F.col("best_d_so_far").isNull() | (F.col("d") > F.col("best_d_so_far"))
-    ).select("o_orderkey", "o_totalprice", F.col("d").alias("o_orderdate"))

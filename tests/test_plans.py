@@ -515,13 +515,17 @@ def test_geo_hotspots_take_ordered_single_shuffle(spark, sf_dir):
     assert plans.exchange_count(df) == 1
 
 
-def test_skyline_single_sort_no_self_join(spark, sf_dir):
-    """The Pareto sweep is one window over one scan — the O(n^2)
-    dominance self-join must not appear."""
+def test_skyline_no_dominance_self_join(spark, sf_dir):
+    """The Pareto sweep never builds the O(n^2) dominance pair space:
+    the only joins are equi-joins back on the price key (co-partitioned
+    with the group shuffle), and the sweep window runs on the
+    distinct-price table."""
     df = _df("relational_pareto_skyline_2d", spark, sf_dir)
-    assert plans.table_scan_count(df, "orders") == 1
-    assert plans.sort_merge_join_count(df) == 0
-    assert plans.broadcast_join_count(df) == 0
+    # rows + two group-derived branches; at scale the rollup is one
+    # persisted table, here lineage recomputes it
+    assert plans.table_scan_count(df, "orders") <= 3
+    assert "CartesianProduct" not in plans.explain_str(df)
+    assert "NestedLoop" not in plans.explain_str(df)
 
 
 def test_attribution_single_user_shuffle(spark, sf_dir):

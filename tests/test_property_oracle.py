@@ -309,8 +309,8 @@ def test_skyline_dominance_property(spark, sf_dir):
     ]
     kset = set(kept)
 
-    def dominated(p, q):  # q strictly dominates p
-        return q[0] > p[0] and q[1] > p[1]
+    def dominated(p, q):  # standard weak dominance: >= both dims, > in one
+        return q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
 
     assert all(not any(dominated(p, q) for q in kept if q != p) for p in kept)
     dropped = [p for p in allpts if p not in kset]
