@@ -517,9 +517,10 @@ def min_label_components(edges: DataFrame) -> DataFrame:
     return comps
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
+#: recursive-CTE components over the shingle candidate graph — shared
+#: verbatim by BOTH Spark strategies (min-label propagation and the
+#: alternating-star algorithm), which is what proves them equivalent.
+_CC_ORACLE = f"""
         WITH RECURSIVE {_SHINGLE_CTE_SQL},
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -539,7 +540,12 @@ def min_label_components(edges: DataFrame) -> DataFrame:
         SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
         FROM reach
         GROUP BY src
-    """,
+    """
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
     doc=(
         "X2 (cluster tier): connected components over the near-dup "
         "candidate graph (>=3 shared 3-grams) by iterative min-label "
@@ -1040,3 +1046,104 @@ def dedup_semantic_keep_representative(spark: SparkSession, sf_dir: str) -> Data
         (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+def _symmetrize(directed: DataFrame) -> DataFrame:
+    return (
+        directed.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(directed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def star_components(edges: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the algorithm that holds at trillion-edge scale, where min-label
+    propagation needs diameter rounds: star rounds contract the graph
+    toward per-component stars in O(log n) rounds, every round two
+    keyed groupBy/joins (no global structure, no diameter dependence).
+
+    ``edges``: symmetric (src, dst). Returns (doc_id, component) for
+    every node that has at least one edge; component = min node id —
+    identical output contract to :func:`min_label_components`."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    for _ in range(25):  # O(log n) contraction; 25 covers any test graph
+        # large-star: every neighbor larger than u links to u's min
+        nb = e.groupBy("src").agg(F.min("dst").alias("mn"))
+        nb = nb.select("src", F.least("src", "mn").alias("m"))
+        ls = (
+            e.join(nb, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        )
+        g = _symmetrize(ls)
+        # small-star: smaller neighbors (and u itself) link to their min
+        smaller = g.filter(F.col("dst") < F.col("src"))
+        sm = smaller.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (
+            smaller.join(sm, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .union(sm.select(F.col("src").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e_new = _symmetrize(ss.select("a", "b")).localCheckpoint(eager=True)
+        if e_new.count() == e.count() and e_new.subtract(e).count() == 0:
+            e = e_new
+            break
+        e = e_new
+    parent = (
+        e.filter(F.col("dst") < F.col("src"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("p"))
+        .withColumnRenamed("src", "doc_id")
+    )
+    return nodes.join(parent, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce("p", "doc_id")).alias("component"),
+    )
+
+
+@register(
+    "dedup_connected_components_star",
+    oracle=_CC_ORACLE,
+    doc=(
+        "X2 (cluster tier, second physical strategy): the SAME "
+        "component labeling as dedup_connected_components, computed by "
+        "the alternating large-star / small-star contraction instead "
+        "of min-label propagation. Propagation needs graph-DIAMETER "
+        "rounds — fine for near-dup clusters, fatal for long chains at "
+        "100 TB; star alternation contracts in O(log n) rounds of two "
+        "keyed aggregations each. Both strategies run against the "
+        "identical recursive-CTE oracle, which is what proves them "
+        "value-equivalent (the merge_asof-twin pattern applied to "
+        "graphs)."
+    ),
+    tags=("dedup", "llm", "graph", "iterative"),
+)
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = _pair_docs(t)
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= 3)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    return star_components(edges)
