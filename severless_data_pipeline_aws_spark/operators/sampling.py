@@ -427,3 +427,147 @@ def sampling_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("local")).cast("bigint").alias("shuffle_pos"),
         )
     )
+
+
+@register(
+    "sampling_horvitz_thompson_total",
+    oracle=f"""
+        WITH flags AS (
+            SELECT lang, n_chars,
+                   CASE WHEN {_WH_DUCK} < LEAST(n_chars, {_W_MOD} - 1)
+                        THEN 1 ELSE 0 END AS kept,
+                   CASE WHEN n_chars >= {_W_MOD} - 1 THEN 1 ELSE 0 END AS clamped
+            FROM documents
+        ),
+        sums AS (
+            SELECT lang,
+                   CAST(SUM(n_chars) AS BIGINT) AS true_chars,
+                   CAST(SUM(kept) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN kept = 1 AND clamped = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS kept_unclamped,
+                   CAST(SUM(CASE WHEN kept = 1 AND clamped = 1 THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS clamped_chars
+            FROM flags GROUP BY lang
+        )
+        SELECT lang, true_chars, n_kept,
+               CAST({_W_MOD} AS DOUBLE) * CAST(kept_unclamped AS DOUBLE)
+                 + CAST({_W_MOD} AS DOUBLE) / CAST({_W_MOD} - 1 AS DOUBLE)
+                   * CAST(clamped_chars AS DOUBLE) AS ht_estimate,
+               (CAST({_W_MOD} AS DOUBLE) * CAST(kept_unclamped AS DOUBLE)
+                 + CAST({_W_MOD} AS DOUBLE) / CAST({_W_MOD} - 1 AS DOUBLE)
+                   * CAST(clamped_chars AS DOUBLE)
+                 - CAST(true_chars AS DOUBLE)) / CAST(true_chars AS DOUBLE)
+                 AS rel_error
+        FROM sums
+    """,
+    doc=(
+        "Horvitz-Thompson estimation over the length-weighted sample: "
+        "each kept document contributes n_chars / p_i with inclusion "
+        "probability p_i = min(n_chars, M-1)/M — which collapses to "
+        "exactly M corpus characters per unclamped kept doc (the PPS "
+        "sampling identity), so the per-language character mass is "
+        "estimated from the sample WITHOUT rescanning the corpus. The "
+        "entire estimator reduces to two integer counts per language "
+        "plus one shared closed form; rel_error against the true total "
+        "makes the query self-auditing. This is the estimator a "
+        "sampled dashboard runs when the full 100 TB scan is too "
+        "expensive per refresh."
+    ),
+    tags=("sampling", "stats", "llm"),
+)
+def sampling_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    kept = (F.expr(_WH_SPARK) < F.least(F.col("n_chars"), F.lit(_W_MOD - 1))).cast(
+        "int"
+    )
+    clamped = (F.col("n_chars") >= _W_MOD - 1).cast("int")
+    sums = (
+        t.documents.select("lang", "n_chars", kept.alias("kept"), clamped.alias("clamped"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("true_chars"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.expr(
+                "CAST(SUM(CASE WHEN kept = 1 AND clamped = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("kept_unclamped"),
+            F.expr(
+                "CAST(SUM(CASE WHEN kept = 1 AND clamped = 1 THEN n_chars ELSE 0 END) AS BIGINT)"
+            ).alias("clamped_chars"),
+        )
+    )
+    m = _W_MOD
+    est = (
+        f"CAST({m} AS DOUBLE) * CAST(kept_unclamped AS DOUBLE)"
+        f" + CAST({m} AS DOUBLE) / CAST({m} - 1 AS DOUBLE) * CAST(clamped_chars AS DOUBLE)"
+    )
+    return sums.select(
+        "lang",
+        "true_chars",
+        "n_kept",
+        F.expr(est).alias("ht_estimate"),
+        F.expr(
+            f"({est} - CAST(true_chars AS DOUBLE)) / CAST(true_chars AS DOUBLE)"
+        ).alias("rel_error"),
+    )
+
+
+@register(
+    "sampling_balanced_class_undersample",
+    oracle="""
+        WITH counts AS (
+            SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        ),
+        k AS (SELECT MIN(n) AS k_min FROM counts),
+        ranked AS (
+            SELECT vec_id, label,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY CAST(('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT),
+                                vec_id) AS rn
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(vec_id) AS BIGINT) AS sampled_id_sum
+        FROM ranked CROSS JOIN k
+        WHERE rn <= k_min
+        GROUP BY label
+    """,
+    doc=(
+        "Balanced-class undersampling: every label keeps exactly "
+        "min-class-size examples, chosen by md5 rank so the draw is "
+        "reproducible on any engine and any partitioning (rand() "
+        "orderings are neither). The per-label rank is one window "
+        "shuffle on the label key; k_min is a broadcast scalar. The "
+        "output summarizes per-label counts + an id checksum so the "
+        "oracle verifies the EXACT membership, not just the sizes. "
+        "This is the class-rebalancing step before training a "
+        "classifier on skewed labels."
+    ),
+    tags=("sampling", "ml", "llm"),
+)
+def sampling_balanced_class_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    k = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("k_min")
+    )
+    h = "CAST(conv(substr(md5('bal:' || CAST(vec_id AS STRING)), 1, 14), 16, 10) AS BIGINT)"
+    ranked = emb.select(
+        "vec_id",
+        "label",
+        F.row_number()
+        .over(W.partitionBy("label").orderBy(F.expr(h), "vec_id"))
+        .alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k_min"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("vec_id").cast("bigint").alias("sampled_id_sum"),
+        )
+    )
