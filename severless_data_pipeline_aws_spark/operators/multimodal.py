@@ -319,3 +319,105 @@ def multimodal_binary_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("doc_id").alias("newest_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style) — chunk-level binary dedup
+# ---------------------------------------------------------------------------
+
+CDC_MIN, CDC_AVG_BITS, CDC_MAX = 16, 6, 256  # ~64-byte average chunks
+
+CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_idx int, offset int, length int, chunk_md5 string"
+)
+
+
+def _gear_table() -> list[int]:
+    """Deterministic 256-entry gear table (md5-derived constants — no
+    RNG, so every engine/run chunks identically)."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+        for b in range(256)
+    ]
+
+
+_GEAR = _gear_table()
+_MASK64 = (1 << 64) - 1
+_BOUNDARY_MASK = (1 << CDC_AVG_BITS) - 1
+
+
+def cdc_chunk_bytes(payload: bytes) -> list[tuple[int, int, str]]:
+    """Pure chunker: (offset, length, md5) per chunk. Boundaries where
+    the gear rolling hash masks to zero, bracketed by min/max sizes —
+    the construction whose boundaries RESYNCHRONIZE after an insertion,
+    which is what makes chunk-level dedup byte-shift-resistant (fixed-
+    size chunking loses every chunk after an edit)."""
+    import hashlib
+
+    chunks = []
+    start = 0
+    h = 0
+    i = 0
+    n = len(payload)
+    while i < n:
+        h = ((h << 1) + _GEAR[payload[i]]) & _MASK64
+        size = i - start + 1
+        if (size >= CDC_MIN and (h & _BOUNDARY_MASK) == 0) or size >= CDC_MAX:
+            chunks.append(
+                (start, size, hashlib.md5(payload[start : i + 1]).hexdigest())
+            )
+            start = i + 1
+            h = 0
+        i += 1
+    if start < n:
+        chunks.append((start, n - start, hashlib.md5(payload[start:]).hexdigest()))
+    return chunks
+
+
+def _cdc_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            for idx, (off, ln, h) in enumerate(cdc_chunk_bytes(bytes(r.payload))):
+                rows.append((int(r.doc_id), idx, off, ln, h))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "chunk_idx", "offset", "length", "chunk_md5"]
+        )
+
+
+def synthesize_blobs(spark: SparkSession, sf_dir: str, limit: int = 100) -> DataFrame:
+    """~1 KiB varied deterministic payloads: 32 chained md5 digests of
+    (text, i) — column-expr construction, identical bytes everywhere."""
+    t = Tables(spark, sf_dir)
+    body_hex = F.expr(
+        "aggregate(transform(sequence(0, 31), i -> md5(concat(text, CAST(i AS STRING)))), "
+        "'', (a, x) -> a || x)"
+    )
+    return t.documents.filter(F.col("doc_id") < limit).select(
+        "doc_id", F.unhex(body_hex).alias("payload")
+    )
+
+
+@register(
+    "multimodal_cdc_chunks",
+    oracle=None,  # python rolling-hash chunker; invariants in pytest
+    doc=(
+        "X5: content-defined chunking over binary payloads (the "
+        "FastCDC/gear construction under every dedup storage system): "
+        "each blob splits at rolling-hash boundaries into ~64-byte "
+        "chunks, emitted as (doc_id, chunk_idx, offset, length, md5). "
+        "Because boundaries depend on CONTENT, an insertion only "
+        "perturbs chunks near the edit — the downstream chunk-hash "
+        "dedup then stores shifted copies once, where fixed-size "
+        "chunking would store everything twice (shift-resistance "
+        "asserted in pytest). Runs as mapInPandas over Arrow batches — "
+        "map-only, no shuffle; chunk-level dedup is then the ordinary "
+        "hash-groupBy on chunk_md5."
+    ),
+    tags=("multimodal", "dedup", "udf"),
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = synthesize_blobs(spark, sf_dir)
+    return blobs.mapInPandas(_cdc_chunks, CHUNK_SCHEMA)

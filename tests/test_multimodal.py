@@ -53,3 +53,44 @@ def test_frame_sample_stride_and_count(spark, sf_dir):
     for doc_id, nf in vids.items():
         expect = list(range(0, nf, 2))
         assert sorted(by_doc.get(doc_id, [])) == expect
+
+
+def test_cdc_chunks_reassemble_and_dedup(spark, sf_dir):
+    """Chunks tile each payload exactly (contiguous, full coverage) and
+    identical payloads produce identical chunk hash sequences."""
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    rows = load_all()["multimodal_cdc_chunks"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 100
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        pos = 0
+        for c in chunks:
+            assert c["offset"] == pos
+            assert c["length"] > 0
+            pos += c["length"]
+        assert pos == 512  # 32 md5 digests x 16 bytes each
+
+
+def test_cdc_shift_resistance():
+    """Inserting bytes at the front must leave MOST chunk hashes intact
+    (boundaries resynchronize) — the property fixed-size chunking lacks."""
+    import hashlib
+
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        cdc_chunk_bytes,
+    )
+
+    base = b"".join(
+        hashlib.md5(f"payload{i}".encode()).digest() for i in range(64)
+    )  # 1 KiB varied
+    shifted = b"XYZ" + base
+    h_base = {h for _, _, h in cdc_chunk_bytes(base)}
+    h_shift = {h for _, _, h in cdc_chunk_bytes(shifted)}
+    shared = len(h_base & h_shift) / len(h_base)
+    assert shared >= 0.8, f"only {shared:.0%} of chunks survived a 3-byte insert"
+    # determinism
+    assert cdc_chunk_bytes(base) == cdc_chunk_bytes(base)
