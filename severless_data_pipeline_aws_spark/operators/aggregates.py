@@ -1175,3 +1175,58 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("covered_seconds") > 0)
     )
+
+
+@register(
+    "agg_weighted_median_exact",
+    oracle="""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_w,
+                   SUM(n_chars) OVER (PARTITION BY lang) AS total_w
+            FROM documents
+        )
+        SELECT lang,
+               CAST(MIN(total_w) AS BIGINT) AS total_chars,
+               CAST(MIN(CASE WHEN 2 * cum_w >= total_w THEN n_chars END) AS BIGINT)
+                 AS weighted_median_chars
+        FROM ranked
+        GROUP BY lang
+    """,
+    doc=(
+        "Exact weighted median per language, weight = the value itself "
+        "(the 'median character' question: the document length such "
+        "that half the corpus CHARACTERS sit in shorter docs — a "
+        "token-budget planning number that the unweighted doc median "
+        "badly misstates when lengths are skewed). One sorted window "
+        "per language builds integer cumulative weights; the median is "
+        "the first value whose doubled cumsum reaches the total — "
+        "all-integer, no interpolation semantics to disagree on."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ranked = t.documents.select(
+        "lang",
+        "n_chars",
+        F.sum("n_chars")
+        .over(
+            W.partitionBy("lang")
+            .orderBy("n_chars", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum_w"),
+        F.sum("n_chars").over(W.partitionBy("lang")).alias("total_w"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.min("total_w").cast("bigint").alias("total_chars"),
+        F.min(
+            F.expr("CASE WHEN 2 * cum_w >= total_w THEN n_chars END")
+        ).cast("bigint").alias("weighted_median_chars"),
+    )

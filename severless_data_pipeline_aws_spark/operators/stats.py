@@ -1271,3 +1271,139 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
         ).alias("effect_cl"),
     )
+
+
+@register(
+    "stats_trimmed_mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN rn > CAST(floor(0.1 * n) AS BIGINT)
+                                AND rn <= CAST(n - floor(0.1 * n) AS BIGINT)
+                               THEN 1 END) AS BIGINT) AS n_used,
+               CAST(CAST(SUM(CASE WHEN rn > CAST(floor(0.1 * n) AS BIGINT)
+                                   AND rn <= CAST(n - floor(0.1 * n) AS BIGINT)
+                                  THEN CAST(value AS DECIMAL(38,8)) END)
+                         AS VARCHAR) AS DOUBLE)
+                 / CAST(COUNT(CASE WHEN rn > CAST(floor(0.1 * n) AS BIGINT)
+                                    AND rn <= CAST(n - floor(0.1 * n) AS BIGINT)
+                                   THEN 1 END) AS DOUBLE) AS trimmed_mean
+        FROM ranked
+        GROUP BY event_type
+    """,
+    doc=(
+        "10% two-sided trimmed mean per event type — the robust "
+        "location estimate between the outlier-fragile mean and the "
+        "information-discarding median (the metric SLO dashboards "
+        "should use for latency-like columns): rank each value, keep "
+        "the central 80% by exact integer rank bounds, accumulate in "
+        "DECIMAL, one final double division. One sort per type "
+        "partition; the trim bounds are integers, so both engines trim "
+        "the identical row set."
+    ),
+    tags=("stats", "window", "agg"),
+)
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ranked = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    inside = (
+        "rn > CAST(floor(0.1 * n) AS BIGINT)"
+        " AND rn <= CAST(n - floor(0.1 * n) AS BIGINT)"
+    )
+    return ranked.groupBy("event_type").agg(
+        F.expr(f"CAST(COUNT(CASE WHEN {inside} THEN 1 END) AS BIGINT)").alias(
+            "n_used"
+        ),
+        F.expr(
+            f"CAST(SUM(CASE WHEN {inside} THEN CAST(value AS DECIMAL(38,8)) END) AS DOUBLE)"
+            f" / CAST(COUNT(CASE WHEN {inside} THEN 1 END) AS DOUBLE)"
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "stats_spearman_rank_corr",
+    oracle="""
+        WITH ranked AS (
+            SELECT
+                2 * rank() OVER (ORDER BY l_quantity)
+                  + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx2,
+                2 * rank() OVER (ORDER BY l_extendedprice)
+                  + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS ry2
+            FROM lineitem
+        ),
+        sums AS (
+            SELECT COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM ranked
+        )
+        SELECT n,
+               (nd * sxy - sx * sy)
+                 / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                 AS spearman_rho
+        FROM sums
+    """,
+    doc=(
+        "Spearman rank correlation between quantity and extended price "
+        "— Pearson over midranks, the monotone-association measure "
+        "that survives the nonlinearities and outliers plain Pearson "
+        "chokes on. Tie midranks use the integer 2*rank + ties - 1 "
+        "doubling (no float tie averaging); doubled-rank power sums "
+        "accumulate in DECIMAL(38,0) (BIGINT squares overflow past "
+        "~10^9 rows), then the one shared Pearson closed form. Two "
+        "rank sorts + one fold; the doubling cancels in the ratio."
+    ),
+    tags=("stats", "window"),
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ranked = t.lineitem.select(
+        (
+            2 * F.rank().over(W.orderBy("l_quantity"))
+            + F.count(F.lit(1)).over(W.partitionBy("l_quantity"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(W.orderBy("l_extendedprice"))
+            + F.count(F.lit(1)).over(W.partitionBy("l_extendedprice"))
+            - 1
+        ).alias("ry2"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(SUM(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS DOUBLE)").alias("syy"),
+        F.expr("CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS DOUBLE)").alias("sxy"),
+    )
+    return sums.select(
+        "n",
+        F.expr(
+            "(nd * sxy - sx * sy)"
+            " / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))"
+        ).alias("spearman_rho"),
+    )
