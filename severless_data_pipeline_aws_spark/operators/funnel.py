@@ -895,3 +895,98 @@ def funnel_audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "funnel_attribution_time_decay",
+    oracle="""
+        WITH conv AS (
+            SELECT user_id, ts AS c_ts, value
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        touch AS (
+            SELECT user_id, event_type AS channel, ts AS t_ts
+            FROM events WHERE event_type != 'purchase'
+        ),
+        paired AS (
+            SELECT t.channel,
+                   CAST(datediff('day', CAST(t.t_ts AS DATE), CAST(c.c_ts AS DATE))
+                        AS BIGINT) AS age_days,
+                   CAST(round(c.value * 10000) AS BIGINT) AS v4
+            FROM conv c JOIN touch t
+              ON c.user_id = t.user_id
+             AND t.t_ts <= c.c_ts
+             AND t.t_ts > c.c_ts - INTERVAL 7 DAY
+        ),
+        weighted AS (
+            SELECT channel,
+                   CAST(64 / power(2, age_days) AS BIGINT) AS w,
+                   v4
+            FROM paired
+        )
+        SELECT channel,
+               COUNT(*) AS n_touches,
+               CAST(SUM(w) AS BIGINT) AS weight_points,
+               CAST(SUM(v4 * w) AS BIGINT) AS value_points,
+               CAST(SUM(w) AS DOUBLE)
+                 / CAST(SUM(SUM(w)) OVER () AS DOUBLE) AS weight_share
+        FROM weighted
+        GROUP BY channel
+    """,
+    doc=(
+        "Multi-touch attribution with exponential time decay (half-life "
+        "= 1 day): every touch in the 7 days before a purchase earns "
+        "weight 2^(6 - age_days) — INTEGER points (64, 32, ..., 1), so "
+        "the whole decay ledger is exact integer arithmetic; no libm "
+        "exp, no order-dependent float sums. The user-key pair join is "
+        "bounded by touches-per-user-week (never all history, the "
+        "window predicate is in the join condition), channel totals "
+        "are one combine, and the final share is one double ratio of "
+        "two integers. Complements funnel_attribution_last_touch with "
+        "the fractional-credit model."
+    ),
+    tags=("funnel", "attribution", "join"),
+)
+def funnel_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    conv = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", F.col("ts").alias("c_ts"), "value")
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"), F.col("ts").alias("t_ts")
+    )
+    paired = conv.join(
+        touch,
+        (conv["user_id"] == touch["user_id"])
+        & (touch["t_ts"] <= conv["c_ts"])
+        & (touch["t_ts"] > conv["c_ts"] - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "channel",
+        F.expr(
+            "CAST(datediff(CAST(c_ts AS DATE), CAST(t_ts AS DATE)) AS BIGINT)"
+        ).alias("age_days"),
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v4"),
+    )
+    weighted = paired.select(
+        "channel",
+        F.expr("CAST(shiftright(64, CAST(age_days AS INT)) AS BIGINT)").alias("w"),
+        "v4",
+    )
+    from pyspark.sql import Window as W
+
+    agg = weighted.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("w").cast("bigint").alias("weight_points"),
+        F.expr("CAST(SUM(v4 * w) AS BIGINT)").alias("value_points"),
+    )
+    tot = F.sum("weight_points").over(W.partitionBy())
+    return agg.select(
+        "channel",
+        "n_touches",
+        "weight_points",
+        "value_points",
+        (F.col("weight_points").cast("double") / tot.cast("double")).alias(
+            "weight_share"
+        ),
+    )
