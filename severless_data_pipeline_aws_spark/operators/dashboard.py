@@ -1135,3 +1135,94 @@ def profile_table(df: DataFrame) -> DataFrame:
 def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return profile_table(t.orders)
+
+
+@register(
+    "dashboard_rate_volume_decomposition",
+    oracle="""
+        WITH monthly AS (
+            SELECT o_orderpriority AS segment,
+                   CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                        THEN 'base' ELSE 'curr' END AS period,
+                   COUNT(*) AS q,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS r
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT segment,
+                   CAST(MAX(CASE WHEN period = 'base' THEN q END) AS BIGINT) AS q0,
+                   CAST(MAX(CASE WHEN period = 'curr' THEN q END) AS BIGINT) AS q1,
+                   CAST(CAST(MAX(CASE WHEN period = 'base' THEN r END) AS VARCHAR) AS DOUBLE) AS r0,
+                   CAST(CAST(MAX(CASE WHEN period = 'curr' THEN r END) AS VARCHAR) AS DOUBLE) AS r1
+            FROM monthly GROUP BY segment
+        ),
+        rates AS (
+            SELECT segment, q0, q1, r0, r1,
+                   r0 / CAST(q0 AS DOUBLE) AS p0,
+                   r1 / CAST(q1 AS DOUBLE) AS p1
+            FROM wide
+            WHERE q0 > 0 AND q1 > 0
+        )
+        SELECT segment, q0, q1, r0, r1,
+               r1 - r0 AS delta_revenue,
+               CAST(q1 - q0 AS DOUBLE) * p0 AS volume_effect,
+               CAST(q0 AS DOUBLE) * (p1 - p0) AS rate_effect,
+               CAST(q1 - q0 AS DOUBLE) * (p1 - p0) AS mix_effect
+        FROM rates
+    """,
+    doc=(
+        "Rate-volume(-mix) decomposition of revenue change per order "
+        "priority between 1997 (base) and 1998+ (current): "
+        "delta_R = dQ*P0 + Q0*dP + dQ*dP — the BI bridge that tells a "
+        "revenue reviewer whether movement came from order COUNT or "
+        "order VALUE. Counts are integers, revenues are decimal-exact "
+        "until the shared double closed forms; the three effects sum "
+        "to delta_revenue by construction (an auditor can check in the "
+        "output). One scan, one segment-grain combine."
+    ),
+    tags=("dashboard", "agg", "bi"),
+)
+def dashboard_rate_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    monthly = (
+        t.orders.filter(F.expr("CAST(o_orderdate AS DATE) >= DATE '1997-01-01'"))
+        .groupBy(
+            F.col("o_orderpriority").alias("segment"),
+            F.expr(
+                "CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'"
+                " THEN 'base' ELSE 'curr' END"
+            ).alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("q"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,8)))").alias("r"),
+        )
+    )
+    wide = monthly.groupBy("segment").agg(
+        F.expr("CAST(MAX(CASE WHEN period = 'base' THEN q END) AS BIGINT)").alias("q0"),
+        F.expr("CAST(MAX(CASE WHEN period = 'curr' THEN q END) AS BIGINT)").alias("q1"),
+        F.expr("CAST(MAX(CASE WHEN period = 'base' THEN r END) AS DOUBLE)").alias("r0"),
+        F.expr("CAST(MAX(CASE WHEN period = 'curr' THEN r END) AS DOUBLE)").alias("r1"),
+    )
+    rates = wide.filter((F.col("q0") > 0) & (F.col("q1") > 0)).select(
+        "segment",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        F.expr("r0 / CAST(q0 AS DOUBLE)").alias("p0"),
+        F.expr("r1 / CAST(q1 AS DOUBLE)").alias("p1"),
+    )
+    return rates.select(
+        "segment",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        F.expr("r1 - r0").alias("delta_revenue"),
+        F.expr("CAST(q1 - q0 AS DOUBLE) * p0").alias("volume_effect"),
+        F.expr("CAST(q0 AS DOUBLE) * (p1 - p0)").alias("rate_effect"),
+        F.expr("CAST(q1 - q0 AS DOUBLE) * (p1 - p0)").alias("mix_effect"),
+    )

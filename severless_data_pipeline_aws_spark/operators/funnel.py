@@ -990,3 +990,93 @@ def funnel_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
             "weight_share"
         ),
     )
+
+
+@register(
+    "funnel_bounce_rate_per_day",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                         OR datediff('second',
+                                     lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id),
+                                     ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, 0 - new_session
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id,
+                   ts
+            FROM seq
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   CAST(MIN(ts) AS DATE) AS day,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT day,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        FROM per_session
+        GROUP BY day
+    """,
+    doc=(
+        "Daily bounce rate: 30-minute-gap sessionization (the lag + "
+        "running-sum construction shared with the session-window "
+        "family) rolled to sessions, then the share of single-event "
+        "sessions per day — the engagement-health ratio every product "
+        "dashboard carries. One user-key sort powers both windows; "
+        "session and day rollups are integer counts with one final "
+        "ratio. At-equal-ts ordering pins new_session rows first so "
+        "the cumsum is deterministic under timestamp ties."
+    ),
+    tags=("funnel", "window", "session"),
+)
+def funnel_bounce_rate_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    seq = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " IS NULL OR (unix_timestamp(ts) - unix_timestamp("
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800"
+            " THEN 1 ELSE 0 END"
+        ).alias("new_session"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("ts", F.expr("0 - new_session"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("day"), F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.expr("CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_bounces"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(COUNT(1) AS DOUBLE)"
+        ).alias("bounce_rate"),
+    )

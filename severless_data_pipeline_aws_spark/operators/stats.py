@@ -1407,3 +1407,98 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))"
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "stats_two_proportion_ztest",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+            FROM events GROUP BY 1
+        ),
+        paired AS (
+            SELECT day, n, x,
+                   lag(n) OVER (ORDER BY day) AS n0,
+                   lag(x) OVER (ORDER BY day) AS x0
+            FROM daily
+        ),
+        forms AS (
+            SELECT day,
+                   CAST(n AS BIGINT) AS n1, CAST(x AS BIGINT) AS x1,
+                   CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+                   CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+                   CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+                   CAST(x + x0 AS DOUBLE) / CAST(n + n0 AS DOUBLE) AS pp
+            FROM paired WHERE n0 IS NOT NULL AND n0 > 0 AND n > 0
+        )
+        SELECT day, n1, x1, n0, x0,
+               (p1 - p0)
+                 / sqrt(pp * (1 - pp)
+                        * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           + CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE))) AS z_score,
+               CASE WHEN abs((p1 - p0)
+                 / sqrt(pp * (1 - pp)
+                        * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           + CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)))) > 1.96
+                    THEN 1 ELSE 0 END AS significant_95
+        FROM forms
+        WHERE pp > 0 AND pp < 1
+    """,
+    doc=(
+        "Two-proportion z-test on the daily purchase share vs the "
+        "previous day — the significance gate that separates real "
+        "conversion movement from small-sample noise in day-over-day "
+        "dashboards (pooled-proportion form). Counts come from one "
+        "day-grain rollup (metadata-sized), the lag pairs adjacent "
+        "days, and every double is a shared closed form over exact "
+        "integers; degenerate days (zero or unanimous pooled share) "
+        "are excluded on integer/ratio guards before the sqrt."
+    ),
+    tags=("stats", "ab", "timeseries"),
+)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").alias(
+                "x"
+            ),
+        )
+    )
+    paired = daily.select(
+        "day",
+        "n",
+        "x",
+        F.lag("n").over(W.orderBy("day")).alias("n0_raw"),
+        F.lag("x").over(W.orderBy("day")).alias("x0_raw"),
+    ).filter(F.col("n0_raw").isNotNull() & (F.col("n0_raw") > 0) & (F.col("n") > 0))
+    forms = paired.select(
+        "day",
+        F.col("n").cast("bigint").alias("n1"),
+        F.col("x").cast("bigint").alias("x1"),
+        F.col("n0_raw").cast("bigint").alias("n0"),
+        F.col("x0_raw").cast("bigint").alias("x0"),
+        F.expr("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)").alias("p1"),
+        F.expr("CAST(x0_raw AS DOUBLE) / CAST(n0_raw AS DOUBLE)").alias("p0"),
+        F.expr("CAST(x + x0_raw AS DOUBLE) / CAST(n + n0_raw AS DOUBLE)").alias("pp"),
+    ).filter((F.col("pp") > 0) & (F.col("pp") < 1))
+    z = (
+        "(p1 - p0) / sqrt(pp * (1 - pp)"
+        " * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " + CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+    )
+    return forms.select(
+        "day",
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        F.expr(z).alias("z_score"),
+        F.expr(f"CASE WHEN abs({z}) > 1.96 THEN 1 ELSE 0 END").alias("significant_95"),
+    )
