@@ -1502,3 +1502,75 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z).alias("z_score"),
         F.expr(f"CASE WHEN abs({z}) > 1.96 THEN 1 ELSE 0 END").alias("significant_95"),
     )
+
+
+@register(
+    "stats_theil_sen_daily_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                   COUNT(*) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        slopes AS (
+            SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+            FROM daily a JOIN daily b ON b.d > a.d
+        ),
+        ranked AS (
+            SELECT slope,
+                   row_number() OVER (ORDER BY slope) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM slopes
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN slope END)
+                 AS theil_sen_slope
+        FROM ranked
+    """,
+    doc=(
+        "Theil-Sen robust trend of the daily purchase series: the "
+        "median of all pairwise slopes — 29% breakdown point, immune "
+        "to the outlier days that wreck least squares. The O(n^2) pair "
+        "space is taken over the DAY-GRAIN rollup (bounded by the "
+        "calendar, never by event volume: a year is ~66k pairs at any "
+        "corpus size). Each slope is one exact double division of "
+        "integers; the median is the rank-based discrete order "
+        "statistic, so no interpolation semantics and no float "
+        "summation anywhere."
+    ),
+    tags=("stats", "timeseries", "robust"),
+)
+def stats_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            F.expr("CAST(yb - ya AS DOUBLE) / CAST(db - da AS DOUBLE)").alias("slope")
+        )
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.max(
+            F.expr("CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN slope END")
+        ).alias("theil_sen_slope"),
+    )

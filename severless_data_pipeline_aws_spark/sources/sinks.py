@@ -315,3 +315,38 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def storage_layout_report(path: str) -> "list[dict]":
+    """Parquet-layout audit for a table directory (or single file): per
+    file — bytes, rows, row groups, and the min row-group size — plus a
+    small-file / tiny-row-group flag. Pure footer metadata via pyarrow
+    (no data read); at warehouse scale this runs per table off the
+    manifest and feeds compaction planning (compact_parquet is the
+    remediation this report triggers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            paths += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    else:
+        paths = [path]
+    report = []
+    for p in sorted(paths):
+        meta = pq.ParquetFile(p).metadata
+        rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+        size = os.path.getsize(p)
+        report.append(
+            {
+                "file": p,
+                "bytes": size,
+                "n_rows": meta.num_rows,
+                "n_row_groups": meta.num_row_groups,
+                "min_row_group_rows": min(rg_rows) if rg_rows else 0,
+                "small_file": size < 8 * 1024 * 1024,
+            }
+        )
+    return report

@@ -328,3 +328,19 @@ def test_schema_contract_gate(spark, sf_dir):
     assert "missing column n_name" in msg
     assert "unexpected column extra" in msg
     assert "type drift on n_nationkey" in msg
+
+
+def test_storage_layout_report(spark, sf_dir, tmp_path):
+    """The layout audit reads footers only, counts rows/groups
+    correctly, and flags the small files compact_parquet would fix."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.sources.sinks import storage_layout_report
+
+    out = str(tmp_path / "frag")
+    Tables(spark, sf_dir).orders.repartition(6).write.parquet(out)
+    rep = storage_layout_report(out)
+    assert len(rep) == 6
+    assert sum(r["n_rows"] for r in rep) == Tables(spark, sf_dir).orders.count()
+    assert all(r["n_row_groups"] >= 1 for r in rep)
+    assert all(r["small_file"] for r in rep)  # sf0.001 shards are tiny
+    assert all(r["min_row_group_rows"] >= 0 for r in rep)
