@@ -20,7 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table_path
+from ..io import load_table, table_path
 from ..registry import register
 from . import stateful
 
@@ -330,3 +330,83 @@ def streaming_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "ts", "value"
     )
     return _run_to_memory(stateful.holt_walk(stream), "append")
+
+
+def _replay_events_stream_phased(
+    spark: SparkSession, sf_dir: str, n_phases: int = 3
+) -> DataFrame:
+    """Replay events as MULTIPLE micro-batches in event-time order: the
+    table splits into ts-ordered phase files read one per trigger
+    (maxFilesPerTrigger=1), so the watermark genuinely ADVANCES between
+    batches — required to exercise event-time timeouts. A final far-
+    future flush row (user_id = -1) drives the watermark past every
+    real session so timeout emission completes within availableNow."""
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="events_phased_")
+    bounds = list(
+        events.selectExpr(
+            *(
+                f"percentile_disc({i / n_phases}) WITHIN GROUP "
+                f"(ORDER BY unix_micros(ts)) AS p{i}"
+                for i in range(1, n_phases)
+            )
+        ).first()
+    )
+    lo = None
+    for i in range(n_phases):
+        hi = bounds[i] if i < len(bounds) else None
+        part = events
+        if lo is not None:
+            part = part.filter(F.expr("unix_micros(ts)") > F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.expr("unix_micros(ts)") <= F.lit(hi))
+        part.coalesce(1).write.parquet(f"{src}/phase={i:02d}")
+        lo = hi
+        _time.sleep(0.05)  # distinct mtimes pin the file -> batch order
+    # TWO flush phases: the first advances the watermark past every real
+    # deadline; the second is a data-bearing batch under that advanced
+    # watermark, in which Spark reliably fires the pending event-time
+    # timeouts (a trailing no-data batch is not guaranteed under
+    # availableNow — observed: tail sessions stayed unemitted at sf0.01)
+    for j, days in enumerate((30, 60)):
+        flush = events.limit(1).selectExpr(
+            f"CAST(-{j + 1} AS BIGINT) AS event_id",
+            f"timestampadd(DAY, {days}, MAX(ts) OVER ()) AS ts",
+            "CAST(-1 AS BIGINT) AS user_id",
+            "'flush' AS event_type",
+            "CAST(NULL AS DOUBLE) AS value",
+            "CAST(NULL AS STRING) AS props",
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        flush.coalesce(1).write.parquet(f"{src}/phase={n_phases + j:02d}")
+        _time.sleep(0.05)
+    return (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/phase=*")
+    )
+
+
+@register(
+    "streaming_session_emit_on_timeout",
+    oracle=None,  # timeout-driven emission; equals-batch-twin in pytest
+    doc=(
+        "Sixth custom stateful operator: event-time sessionization "
+        "whose sessions EMIT when the watermark passes session end + "
+        "30 min (GroupStateTimeout.EventTimeTimeout) — mid-stream "
+        "emission, the semantics a live dashboard needs, not end-of-"
+        "query flushing. The replay stages the events table as ts-"
+        "ordered phase files (one per micro-batch) so the watermark "
+        "genuinely advances and timeouts actually fire; a far-future "
+        "flush row closes the tail. pytest proves the emitted session "
+        "set identical to the batch lag + running-sum sessionization."
+    ),
+    tags=("streaming", "stateful", "session"),
+)
+def streaming_session_emit_on_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream_phased(spark, sf_dir).select(
+        "user_id", "event_id", "ts"
+    )
+    out = _run_to_memory(stateful.session_walk(stream), "append")
+    return out.filter(F.col("user_id") >= 0)

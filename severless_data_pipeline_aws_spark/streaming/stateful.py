@@ -566,3 +566,99 @@ def holt_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = holt_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 6: event-time session emission (timeout-driven)
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+#: (start_us, end_us, n) of the one open session per key — MICROsecond
+#: precision so emitted timestamps equal the batch twin's exactly
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+SESSION_GAP_US = 30 * 60 * 1000 * 1000
+
+
+def _us_to_ts(us: int):
+    # integer-exact epoch-micros -> naive UTC datetime (float epoch
+    # seconds would round above 2^53 microseconds)
+    import datetime
+
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+
+
+def _apply_session(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Event-time sessionizer: a session EMITS when the watermark passes
+    its end + gap (the timeout), not when the query ends — the semantics
+    a live dashboard needs. One (start, end, n) triple of state per key."""
+    user_id = int(key[0])
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, _us_to_ts(start_us), _us_to_ts(end_us), n)], columns=cols
+        )
+        return
+    st = tuple(state.get) if state.exists else None
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            ts_us = int(row.ts.value // 1_000)
+            if st is None:
+                st = (ts_us, ts_us, 1)
+            elif ts_us - st[1] > SESSION_GAP_US:
+                closed.append((user_id, _us_to_ts(st[0]), _us_to_ts(st[1]), st[2]))
+                st = (ts_us, ts_us, 1)
+            else:
+                st = (st[0], max(st[1], ts_us), st[2] + 1)
+    wm_ms = state.getCurrentWatermarkMs()
+    if st is not None:
+        deadline_ms = (st[1] + SESSION_GAP_US) // 1000 + 1
+        if deadline_ms <= wm_ms:
+            # already expired under the current watermark: emit now (a
+            # timeout in the past cannot be registered)
+            closed.append((user_id, _us_to_ts(st[0]), _us_to_ts(st[1]), st[2]))
+            if state.exists:
+                state.remove()
+            st = None
+        else:
+            state.update(st)
+            state.setTimeoutTimestamp(deadline_ms)
+    yield pd.DataFrame(closed, columns=cols)
+
+
+def session_walk(events: DataFrame) -> DataFrame:
+    """Streaming event-time sessionization with timeout-driven emission
+    (applyInPandasWithState + EventTimeTimeout): sessions close and EMIT
+    when the watermark passes end + 30 min — mid-stream, not at query
+    end. The batch twin is the lag + running-sum sessionization
+    (funnel_bounce_rate_per_day's construction); pytest proves the
+    emitted session set identical."""
+    return events.withWatermark("ts", "1 minute").groupBy("user_id").applyInPandasWithState(
+        _apply_session,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

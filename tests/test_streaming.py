@@ -773,3 +773,51 @@ def test_streaming_holt_equals_batch_replay(spark, sf_dir):
         else:
             assert gf == float(r.forecast)
         assert gl == float(r.level) and gt == float(r.trend)
+
+
+def test_streaming_session_timeout_equals_batch_sessions(spark, sf_dir):
+    """W4g: timeout-emitted streaming sessions must equal the batch
+    lag + running-sum sessionization EXACTLY — same gap rule, same
+    micro-precision boundaries — proving (a) sessions emit when the
+    watermark passes end + gap, not at query end, and (b) the phased
+    replay genuinely advances the watermark between micro-batches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in load_all()["streaming_session_emit_on_timeout"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_id", "ts")
+    wkey = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "new_session",
+        F.expr(
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " IS NULL OR (unix_micros(ts) - unix_micros("
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))"
+            " > 1800000000 THEN 1 ELSE 0 END"
+        ),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_session").over(wkey.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
