@@ -1422,3 +1422,71 @@ def similarity_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFra
             "norm_ratio"
         ),
     )
+
+
+def save_ivf_index(
+    spark: SparkSession, emb: DataFrame, path: str, k: int = _IVF_K
+) -> None:
+    """Persist an IVF index as TWO tables: ``{path}/centroids`` (cid,
+    cvec — K rows of metadata) and ``{path}/postings`` (vec_id, cell,
+    nv — the inverted file, partitioned BY cell so a probe reads only
+    its cells' files). Index build happens once; queries reload without
+    retraining — the index-lifecycle contract of a vector store."""
+    centroids = ivf_train(spark, emb)
+    cells = _cells_literal(centroids)
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cid int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    vec = emb.select("vec_id", _normalize(_as_double("embedding")).alias("nv"))
+    (
+        vec.withColumn("cell", _nearest_cell(F.col("nv"), cells)["cid"])
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/postings")
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vecs: DataFrame,
+    n_probe: int = 6,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """ANN search against a SAVED index: rank the K stored centroids per
+    query (metadata work), probe the n_probe nearest cells — partition
+    pruning means only those cells' posting files are read — and score
+    candidates with exact cosine. No training, no full-corpus scan."""
+    from pyspark.sql import Window as W
+
+    centroids = spark.read.parquet(f"{path}/centroids").collect()
+    cells = _cells_literal([(r["cid"], list(r["cvec"])) for r in centroids])
+    q = query_vecs.select(
+        F.col("vec_id").alias("query_id"),
+        _normalize(_as_double("embedding")).alias("qv"),
+    ).withColumn("cells", cells)
+    probed = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.expr(
+                "slice(transform(array_sort(transform(cells, c -> struct("
+                "aggregate(zip_with(qv, c.cv, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS d, c.cid AS cid))), "
+                f"s -> s.cid), 1, {n_probe})"
+            )
+        ).alias("cell"),
+    )
+    postings = spark.read.parquet(f"{path}/postings")
+    scored = postings.join(F.broadcast(probed), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _dot(F.col("qv"), F.col("nv")).alias("cosine"),  # both sides unit-norm
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -474,3 +474,48 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     med = ratios[len(ratios) // 2]
     assert 0.7 <= med <= 1.4, med
     assert min(ratios) > 0.2, min(ratios)
+
+
+def test_ivf_index_persist_reload_query(spark, sf_dir, tmp_path):
+    """Index lifecycle: build once, persist as centroids + cell-
+    partitioned postings, reload and query WITHOUT retraining. The
+    saved-index search must (a) hit >=50% of the exact top-10, (b) read
+    only the probed cells' partitions (partition pruning in the plan),
+    and (c) return identical results across two reloads."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.similarity import (
+        query_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(spark, emb, path)
+
+    queries = emb.filter("vec_id < 5")
+    got1 = query_ivf_index(spark, path, queries)
+    got2 = query_ivf_index(spark, path, queries)
+    r1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got1.collect()}
+    r2 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got2.collect()}
+    assert r1 == r2 and len(r1) > 0
+
+    exact = SPECS["similarity_topk_cosine_exact"].fn(spark, sf_dir).collect()
+    true_sets = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    for qid, nid, _rk in r1:
+        got_sets.setdefault(qid, set()).add(nid)
+    # the index also contains the query vectors themselves (vec_id < 5);
+    # drop self-hits before recall accounting
+    hits = sum(
+        len(true_sets[q] & (got_sets.get(q, set()) - {q})) for q in true_sets
+    )
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.5, f"saved-index recall@10 = {hits}/{total}"
+
+    # the probe list is computed at runtime, so pruning must be DYNAMIC:
+    # Spark plants a dynamicpruning subquery on the postings scan's
+    # partition column — only probed cells' files are read
+    plan = got1._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
