@@ -1226,3 +1226,36 @@ def dashboard_rate_volume_decomposition(spark: SparkSession, sf_dir: str) -> Dat
         F.expr("CAST(q0 AS DOUBLE) * (p1 - p0)").alias("rate_effect"),
         F.expr("CAST(q1 - q0 AS DOUBLE) * (p1 - p0)").alias("mix_effect"),
     )
+
+
+@register(
+    "metrics_layer_revenue_by_nation",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders,
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS aov
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc=(
+        "The semantic metrics layer end-to-end (metrics.py): revenue, "
+        "n_orders, and the DERIVED aov requested at the nation grain "
+        "resolve to one fact scan + broadcast dim joins + a single "
+        "aggregation, with the ratio projected post-agg. The same "
+        "definitions answer any grain — pytest asserts roll-up "
+        "consistency (per-nation revenues sum EXACTLY to the ungrouped "
+        "total, which only holds because leaf aggregates accumulate in "
+        "DECIMAL), the property that makes a metric trustworthy across "
+        "dashboards."
+    ),
+    tags=("dashboard", "metrics", "agg"),
+)
+def metrics_layer_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..metrics import resolve
+
+    return resolve(spark, sf_dir, ["revenue", "n_orders", "aov"], ["nation"])

