@@ -56,6 +56,19 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_profile(args: argparse.Namespace) -> int:
+    from .io import TABLES, load_table
+    from .operators.dashboard import profile_table
+
+    if args.table not in TABLES:
+        print(f"unknown table {args.table!r}; one of {TABLES}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"profile-{args.table}", cpus=args.cpus)
+    profile_table(load_table(spark, args.sf_dir, args.table)).show(100, truncate=False)
+    spark.stop()
+    return 0
+
+
 def _cmd_list(_: argparse.Namespace) -> int:
     specs = load_all()
     width = max(len(n) for n in specs)
@@ -88,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     l = sub.add_parser("list", help="list registered queries")
     l.set_defaults(fn=_cmd_list)
+
+    pr = sub.add_parser("profile", help="column-profile a test table")
+    pr.add_argument("table")
+    pr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pr.set_defaults(fn=_cmd_profile)
     return p
 
 

@@ -23,3 +23,17 @@ def test_parser_defaults():
 
 def test_unknown_query_returns_error_code(capsys):
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_profile_unknown_table_returns_error_code(capsys):
+    from severless_data_pipeline_aws_spark.cli import main
+
+    assert main(["profile", "nonexistent"]) == 2
+    assert "unknown table" in capsys.readouterr().err
+
+
+def test_profile_subcommand_parses():
+    from severless_data_pipeline_aws_spark.cli import build_parser
+
+    args = build_parser().parse_args(["profile", "orders", "--sf-dir", "/x"])
+    assert args.table == "orders" and args.sf_dir == "/x"
