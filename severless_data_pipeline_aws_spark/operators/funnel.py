@@ -1080,3 +1080,61 @@ def funnel_bounce_rate_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(COUNT(1) AS DOUBLE)"
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "funnel_survival_curve",
+    oracle="""
+        WITH lifetimes AS (
+            SELECT user_id,
+                   CAST(datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                        AS BIGINT) AS lifetime_days
+            FROM events GROUP BY user_id
+        ),
+        n AS (SELECT COUNT(*) AS n_users FROM lifetimes),
+        grid AS (SELECT unnest(range(0, 31)) AS k)
+        SELECT CAST(k AS BIGINT) AS day_k,
+               CAST(COUNT(CASE WHEN lifetime_days >= k THEN 1 END) AS BIGINT)
+                 AS n_surviving,
+               CAST(COUNT(CASE WHEN lifetime_days >= k THEN 1 END) AS DOUBLE)
+                 / CAST(MAX(n_users) AS DOUBLE) AS survival
+        FROM grid CROSS JOIN lifetimes CROSS JOIN n
+        GROUP BY k
+    """,
+    doc=(
+        "Empirical survival (retention-lifetime CCDF) curve: the "
+        "fraction of users still active k days after first being seen, "
+        "for k = 0..30 — the engagement curve cohort tables summarize "
+        "and growth models fit. Per-user lifetimes reduce in one "
+        "combine; the curve is a 31-row grid cross joined against the "
+        "users-sized lifetime table (at 100 TB: grid x users is "
+        "31-fold, or swap to a lifetime histogram + reverse running "
+        "sum for one pass — both shapes stay integer-exact). All "
+        "counts integer, one final ratio per grid row."
+    ),
+    tags=("funnel", "timeseries", "survival"),
+)
+def funnel_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    lifetimes = t.events.groupBy("user_id").agg(
+        F.expr(
+            "CAST(datediff(CAST(MAX(ts) AS DATE), CAST(MIN(ts) AS DATE)) AS BIGINT)"
+        ).alias("lifetime_days")
+    )
+    n = lifetimes.agg(F.count(F.lit(1)).alias("n_users"))
+    grid = t.events.sparkSession.range(0, 31).select(F.col("id").alias("k"))
+    return (
+        grid.crossJoin(lifetimes)
+        .crossJoin(F.broadcast(n))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "CAST(COUNT(CASE WHEN lifetime_days >= k THEN 1 END) AS BIGINT)"
+            ).alias("n_surviving"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN lifetime_days >= k THEN 1 END) AS DOUBLE)"
+                " / CAST(MAX(n_users) AS DOUBLE)"
+            ).alias("survival"),
+        )
+        .select(F.col("k").cast("bigint").alias("day_k"), "n_surviving", "survival")
+    )
