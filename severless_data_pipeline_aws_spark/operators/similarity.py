@@ -1490,3 +1490,131 @@ def query_ivf_index(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+_RBO_DEPTH = 50  # evaluation depth; p = 1/2 keeps every weight a dyadic exact double
+
+
+@register(
+    "similarity_rbo_lexical_vs_vector",
+    oracle=f"""
+        WITH {BM25_SCORED_CTES},
+        lexr AS (
+            SELECT doc_id, rl FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+                FROM scored
+            ) WHERE rl <= {_RBO_DEPTH}
+        ),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        vecr AS (
+            SELECT doc_id, rv FROM (
+                SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY
+                           list_dot_product(qv, CAST(embedding AS DOUBLE[])) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[]))))
+                           DESC, vec_id) AS rv
+                FROM embeddings CROSS JOIN q
+                WHERE vec_id != 0
+            ) WHERE rv <= {_RBO_DEPTH}
+        ),
+        depths AS (SELECT unnest(range(1, {_RBO_DEPTH} + 1)) AS d),
+        ovl AS (
+            SELECT d,
+                   (SELECT COUNT(*) FROM lexr l JOIN vecr v USING (doc_id)
+                    WHERE l.rl <= d AND v.rv <= d) AS ov
+            FROM depths
+        ),
+        terms AS (
+            SELECT d, ov,
+                   power(CAST(0.5 AS DOUBLE), d - 1)
+                     * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE) AS term
+            FROM ovl
+        )
+        SELECT CAST(SUM(CASE WHEN d = {_RBO_DEPTH} THEN ov END) AS BIGINT)
+                 AS overlap_at_depth,
+               CAST(0.5 AS DOUBLE) *
+               list_reduce(list(term ORDER BY d), (a, b) -> a + b) AS rbo
+        FROM terms
+    """,
+    doc=(
+        "Rank-biased overlap (p = 1/2) between the BM25 lexical "
+        "ranking and the embedding-cosine ranking for the same query — "
+        "the IR-evaluation statistic that says HOW MUCH hybrid fusion "
+        "can add (disjoint lists -> RBO 0, identical -> 1). p = 1/2 "
+        "makes every weight p^(d-1) a dyadic double and each term an "
+        "exact product/quotient of integers; the 50-term sum is an "
+        "order-pinned fold, so the statistic is hash-exact. Overlap "
+        "counts come from one k-row join per depth over the two "
+        "bounded top-50 lists — metadata work at any corpus size."
+    ),
+    tags=("similarity", "text", "retrieval", "eval"),
+)
+def similarity_rbo_lexical_vs_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import bm25_scored
+
+    t = Tables(spark, sf_dir)
+    lex = (
+        bm25_scored(t)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RBO_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).alias("rl"),
+        )
+    )
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), _as_double("embedding").alias("cv"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RBO_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).alias("rv"),
+        )
+    )
+    joined = lex.join(vec, "doc_id").select("rl", "rv")
+    depths = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    overlaps = (
+        depths.crossJoin(F.broadcast(joined))
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(COUNT(CASE WHEN rl <= d AND rv <= d THEN 1 END) AS BIGINT)"
+            ).alias("ov")
+        )
+    )
+    terms = overlaps.select(
+        "d",
+        "ov",
+        F.expr(
+            "power(CAST(0.5 AS DOUBLE), d - 1) * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)"
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN d = {_RBO_DEPTH} THEN ov END) AS BIGINT)"
+        ).alias("overlap_at_depth"),
+        F.expr(
+            "CAST(0.5 AS DOUBLE) * aggregate(transform(array_sort("
+            "collect_list(struct(d, term))), s -> s.term), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("rbo"),
+    )

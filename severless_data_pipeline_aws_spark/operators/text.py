@@ -1317,3 +1317,96 @@ def text_compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFram
         "n_chars",
         ratio_udf("text").alias("compression_ratio"),
     ).withColumn("low_information", F.col("compression_ratio") < 0.45)
+
+
+@register(
+    "text_langid_eval_confusion",
+    oracle="""
+        WITH pred AS (
+            SELECT lang AS true_lang,
+                   CASE WHEN list_contains(string_split(text, ' '), 'the')
+                          OR list_contains(string_split(text, ' '), 'a') THEN 'en'
+                        WHEN list_contains(string_split(text, ' '), 'le')
+                          OR list_contains(string_split(text, ' '), 'de') THEN 'fr'
+                        WHEN list_contains(string_split(text, ' '), 'el')
+                          OR list_contains(string_split(text, ' '), 'la') THEN 'es'
+                        ELSE 'und' END AS pred_lang
+            FROM documents
+        ),
+        cells AS (
+            SELECT true_lang, pred_lang, COUNT(*) AS n
+            FROM pred GROUP BY true_lang, pred_lang
+        ),
+        cls AS (
+            SELECT true_lang AS lang,
+                   CAST(SUM(CASE WHEN pred_lang = true_lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(n) AS BIGINT) AS support
+            FROM cells GROUP BY true_lang
+        ),
+        predtot AS (
+            SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+            FROM cells GROUP BY pred_lang
+        )
+        SELECT c.lang, c.tp, c.support,
+               COALESCE(p.n_pred, 0) AS n_pred,
+               CAST(c.tp AS DOUBLE) / CAST(c.support AS DOUBLE) AS recall,
+               CASE WHEN COALESCE(p.n_pred, 0) > 0
+                    THEN CAST(c.tp AS DOUBLE) / CAST(p.n_pred AS DOUBLE) END AS precision,
+               CASE WHEN c.tp > 0
+                    THEN CAST(2 * c.tp AS DOUBLE)
+                         / CAST(c.support + COALESCE(p.n_pred, 0) AS DOUBLE) END AS f1
+        FROM cls c LEFT JOIN predtot p ON c.lang = p.lang
+    """,
+    doc=(
+        "Model evaluation as a query: precision / recall / F1 of the "
+        "heuristic language-ID against the labeled lang column, from "
+        "one confusion-matrix aggregation (|langs|^2 cells — metadata "
+        "at any corpus size). The F1 uses the 2*tp/(support+predicted) "
+        "identity, so every ratio is one division of exact integers; "
+        "degenerate classes (no predictions / no hits) yield NULL "
+        "instead of a fake zero. The eval-as-query shape is how "
+        "classifier quality is monitored over a 100 TB corpus without "
+        "exporting anything."
+    ),
+    tags=("text", "llm", "eval"),
+)
+def text_langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    has = lambda w: F.array_contains(words, w)  # noqa: E731
+    pred = t.documents.select(
+        F.col("lang").alias("true_lang"),
+        F.when(has("the") | has("a"), "en")
+        .when(has("le") | has("de"), "fr")
+        .when(has("el") | has("la"), "es")
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    cls = cells.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN pred_lang = true_lang THEN n ELSE 0 END) AS BIGINT)"
+        ).alias("tp"),
+        F.sum("n").cast("bigint").alias("support"),
+    )
+    predtot = cells.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    return (
+        cls.join(predtot, "lang", "left")
+        .select(
+            "lang",
+            "tp",
+            "support",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.expr("CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)").alias("recall"),
+            F.expr(
+                "CASE WHEN COALESCE(n_pred, 0) > 0"
+                " THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END"
+            ).alias("precision"),
+            F.expr(
+                "CASE WHEN tp > 0 THEN CAST(2 * tp AS DOUBLE)"
+                " / CAST(support + COALESCE(n_pred, 0) AS DOUBLE) END"
+            ).alias("f1"),
+        )
+    )

@@ -1141,3 +1141,63 @@ def window_concurrency_from_intervals(spark: SparkSession, sf_dir: str) -> DataF
         running.groupBy(F.col("t").cast("date").alias("day"))
         .agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))
     )
+
+
+@register(
+    "window_rolling_minmax_scaler",
+    oracle="""
+        WITH scaled AS (
+            SELECT event_type, event_id, value,
+                   MIN(value) OVER w AS w_min,
+                   MAX(value) OVER w AS w_max,
+                   COUNT(*) OVER w AS n_window
+            FROM events
+            WHERE value IS NOT NULL AND user_id <= 20
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, event_id, value, w_min, w_max,
+               CASE WHEN w_max > w_min
+                    THEN (value - w_min) / (w_max - w_min) END AS scaled_value
+        FROM scaled
+        WHERE n_window = 20
+    """,
+    doc=(
+        "Rolling min-max feature scaling (the online normalizer for "
+        "drift-prone sensor features): each value rescaled to [0, 1] "
+        "against its trailing 20-observation window. MIN/MAX window "
+        "aggregates are SELECTIONS, not sums — no accumulation-order "
+        "float hazard — and the rescale is one shared per-row "
+        "expression; degenerate (constant or partial) windows are "
+        "excluded on integer counts / exact comparisons. One sort per "
+        "type partition serves all three window aggregates."
+    ),
+    tags=("window", "ml", "timeseries"),
+)
+def window_rolling_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    scaled = t.events.filter(
+        F.col("value").isNotNull() & (F.col("user_id") <= 20)
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.min("value").over(w).alias("w_min"),
+        F.max("value").over(w).alias("w_max"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    return scaled.filter(F.col("n_window") == 20).select(
+        "event_type",
+        "event_id",
+        "value",
+        "w_min",
+        "w_max",
+        F.expr(
+            "CASE WHEN w_max > w_min THEN (value - w_min) / (w_max - w_min) END"
+        ).alias("scaled_value"),
+    )
