@@ -571,3 +571,122 @@ def sampling_balanced_class_undersample(spark: SparkSession, sf_dir: str) -> Dat
             F.sum("vec_id").cast("bigint").alias("sampled_id_sum"),
         )
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sampling_neyman_allocation",
+    oracle=f"""
+        WITH sums AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8)) * value) AS VARCHAR) AS DOUBLE) AS s2
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        w AS (
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   nd * sqrt(s2 / nd - (s1 / nd) * (s1 / nd)) AS weight
+            FROM sums
+        ),
+        tot AS (
+            SELECT list_reduce(list(weight ORDER BY event_type), (a, b) -> a + b)
+                     AS total_w
+            FROM w
+        ),
+        exact AS (
+            SELECT event_type, n, weight,
+                   {_NEYMAN_BUDGET} * weight / total_w AS exact_alloc
+            FROM w, tot
+        ),
+        floored AS (
+            SELECT event_type, n, weight, exact_alloc,
+                   CAST(floor(exact_alloc) AS BIGINT) AS base_alloc,
+                   exact_alloc - floor(exact_alloc) AS frac
+            FROM exact
+        ),
+        leftover AS (
+            SELECT CAST({_NEYMAN_BUDGET} - SUM(base_alloc) AS BIGINT) AS k FROM floored
+        )
+        SELECT event_type, n, exact_alloc,
+               CAST(base_alloc
+                    + CASE WHEN row_number() OVER (ORDER BY frac DESC, event_type) <= k
+                           THEN 1 ELSE 0 END AS BIGINT) AS allocation
+        FROM floored, leftover
+    """,
+    doc=(
+        f"Neyman optimal allocation of a {_NEYMAN_BUDGET}-unit sampling "
+        "budget across event-type strata: allocation proportional to "
+        "N_h * S_h (stratum size x exact std from decimal power sums), "
+        "normalized by an ORDER-PINNED fold (an unordered float SUM of "
+        "the weights would not reproduce), integerized by largest-"
+        "remainder rounding — so the allocations sum to the budget "
+        "EXACTLY (asserted in the oracle by construction). This is how "
+        "a 100 TB audit decides how many rows to pull per stratum for "
+        "a fixed labeling budget; the downstream draw is the existing "
+        "md5-rank machinery."
+    ),
+    tags=("sampling", "stats"),
+)
+def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as Win
+
+    t = Tables(spark, sf_dir)
+    sums = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)").alias("s1"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,8)) * value) AS DOUBLE)"
+            ).alias("s2"),
+        )
+    )
+    w = sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("nd * sqrt(s2 / nd - (s1 / nd) * (s1 / nd))").alias("weight"),
+    )
+    tot = w.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(event_type, weight))),"
+            " s -> s.weight), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("total_w")
+    )
+    floored = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            F.expr(f"{_NEYMAN_BUDGET} * weight / total_w").alias("exact_alloc"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "exact_alloc",
+            F.expr("CAST(floor(exact_alloc) AS BIGINT)").alias("base_alloc"),
+            F.expr("exact_alloc - floor(exact_alloc)").alias("frac"),
+        )
+    )
+    leftover = floored.agg(
+        F.expr(f"CAST({_NEYMAN_BUDGET} - SUM(base_alloc) AS BIGINT)").alias("k")
+    )
+    rn = F.row_number().over(Win.orderBy(F.desc("frac"), "event_type"))
+    return (
+        floored.crossJoin(F.broadcast(leftover))
+        .withColumn("rn", rn)
+        .select(
+            "event_type",
+            "n",
+            "exact_alloc",
+            F.expr(
+                "CAST(base_alloc + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("allocation"),
+        )
+    )

@@ -1574,3 +1574,88 @@ def stats_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN slope END")
         ).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "stats_runs_test_randomness",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   CASE WHEN value >= 50 THEN 1 ELSE 0 END AS s,
+                   CASE WHEN lag(CASE WHEN value >= 50 THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                             IS DISTINCT FROM CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                        THEN 1 ELSE 0 END AS new_run
+            FROM events WHERE value IS NOT NULL
+        ),
+        sums AS (
+            SELECT event_type,
+                   CAST(SUM(new_run) AS BIGINT) AS r,
+                   CAST(SUM(s) AS BIGINT) AS n1,
+                   CAST(SUM(1 - s) AS BIGINT) AS n0
+            FROM seq GROUP BY event_type
+        ),
+        forms AS (
+            SELECT event_type, r, n1, n0,
+                   CAST(n1 AS DOUBLE) AS a, CAST(n0 AS DOUBLE) AS b
+            FROM sums WHERE n1 > 0 AND n0 > 0
+        )
+        SELECT event_type, r, n1, n0,
+               1 + 2 * a * b / (a + b) AS expected_runs,
+               (CAST(r AS DOUBLE) - (1 + 2 * a * b / (a + b)))
+                 / sqrt(2 * a * b * (2 * a * b - a - b)
+                        / ((a + b) * (a + b) * (a + b - 1))) AS z_score
+        FROM forms
+    """,
+    doc=(
+        "Wald-Wolfowitz runs test per event type: is the above/below-"
+        "median sign sequence RANDOM, or does it cluster (trending/"
+        "sticky sensor) or alternate (oscillation/interleaved feeds)? "
+        "Runs are counted with one lag window (IS DISTINCT FROM makes "
+        "the first row open a run without NULL special-casing); n1/n0/"
+        "R reduce per type, and the z statistic is one shared closed "
+        "form over exact integers — the randomness monitor that "
+        "catches a stuck-then-jumping gauge whose mean and variance "
+        "both still look healthy."
+    ),
+    tags=("stats", "window", "dq"),
+)
+def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    s_expr = "CASE WHEN value >= 50 THEN 1 ELSE 0 END"
+    seq = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(s_expr).alias("s"),
+        F.expr(
+            f"CASE WHEN lag({s_expr}) OVER (PARTITION BY event_type"
+            f" ORDER BY ts, event_id) IS DISTINCT FROM {s_expr}"
+            " THEN 1 ELSE 0 END"
+        ).alias("new_run"),
+    )
+    sums = seq.groupBy("event_type").agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.expr("CAST(SUM(1 - s) AS BIGINT)").alias("n0"),
+    )
+    forms = sums.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "event_type",
+        "r",
+        "n1",
+        "n0",
+        F.col("n1").cast("double").alias("a"),
+        F.col("n0").cast("double").alias("b"),
+    )
+    return forms.select(
+        "event_type",
+        "r",
+        "n1",
+        "n0",
+        F.expr("1 + 2 * a * b / (a + b)").alias("expected_runs"),
+        F.expr(
+            "(CAST(r AS DOUBLE) - (1 + 2 * a * b / (a + b)))"
+            " / sqrt(2 * a * b * (2 * a * b - a - b)"
+            " / ((a + b) * (a + b) * (a + b - 1)))"
+        ).alias("z_score"),
+    )
