@@ -284,3 +284,88 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dev") / F.col("mad_v")).alias("robust_score"),
         )
     )
+
+
+@register(
+    "anomaly_tukey_fences",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        quarts AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                            THEN value END) AS q1,
+                   MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                            THEN value END) AS q3,
+                   MAX(n) AS n_rows
+            FROM ranked GROUP BY event_type
+        ),
+        fences AS (
+            SELECT event_type, q1, q3, CAST(n_rows AS BIGINT) AS n_rows,
+                   q1 - 1.5 * (q3 - q1) AS lo_fence,
+                   q3 + 1.5 * (q3 - q1) AS hi_fence
+            FROM quarts
+        )
+        SELECT f.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence, f.n_rows,
+               CAST(COUNT(CASE WHEN r.value < f.lo_fence
+                                 OR r.value > f.hi_fence THEN 1 END) AS BIGINT)
+                 AS n_outliers
+        FROM ranked r JOIN fences f USING (event_type)
+        GROUP BY f.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence, f.n_rows
+    """,
+    doc=(
+        "Tukey boxplot fences per event type (the fourth detector in "
+        "the outlier family, alongside min-max snap, z-score, seasonal "
+        "baseline, and MAD): exact rank-based discrete quartiles, "
+        "fences at 1.5 IQR as shared per-row expressions, outliers "
+        "counted against the broadcast fence table in the same two-"
+        "pass shape as winsorize/MAD. Quartiles are SELECTED values "
+        "(no interpolation semantics to disagree on), so the whole "
+        "report is hash-exact."
+    ),
+    tags=("anomaly", "stats", "window"),
+)
+def anomaly_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ranked = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    quarts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.expr("CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END")
+        ).alias("q1"),
+        F.max(
+            F.expr("CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END")
+        ).alias("q3"),
+        F.max("n").cast("bigint").alias("n_rows"),
+    )
+    fences = quarts.select(
+        "event_type",
+        "q1",
+        "q3",
+        "n_rows",
+        F.expr("q1 - 1.5 * (q3 - q1)").alias("lo_fence"),
+        F.expr("q3 + 1.5 * (q3 - q1)").alias("hi_fence"),
+    )
+    return (
+        ranked.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo_fence", "hi_fence", "n_rows")
+        .agg(
+            F.expr(
+                "CAST(COUNT(CASE WHEN value < lo_fence OR value > hi_fence"
+                " THEN 1 END) AS BIGINT)"
+            ).alias("n_outliers")
+        )
+    )

@@ -1659,3 +1659,83 @@ def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((a + b) * (a + b) * (a + b - 1)))"
         ).alias("z_score"),
     )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8)) * value) AS VARCHAR) AS DOUBLE) AS s2
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS DOUBLE) AS ntd,
+                   list_reduce(list(s1 ORDER BY event_type), (a, b) -> a + b) AS st1,
+                   list_reduce(list(s2 ORDER BY event_type), (a, b) -> a + b) AS st2,
+                   list_reduce(list(s1 * s1 / nd ORDER BY event_type),
+                               (a, b) -> a + b) AS sgm
+            FROM g
+        )
+        SELECT n_total, k,
+               sgm - st1 * st1 / ntd AS ss_between,
+               st2 - sgm AS ss_within,
+               ((sgm - st1 * st1 / ntd) / CAST(k - 1 AS DOUBLE))
+                 / ((st2 - sgm) / CAST(n_total - k AS DOUBLE)) AS f_stat
+        FROM tot
+    """,
+    doc=(
+        "One-way ANOVA across event types (does mean value differ by "
+        "type?): between/within sums of squares from per-group decimal "
+        "power sums — SSB = sum(s1_g^2/n_g) - S1^2/N, SSW = S2 - "
+        "sum(s1_g^2/n_g) — then the F statistic as one shared closed "
+        "form. The cross-group reductions are ORDER-PINNED folds over "
+        "the |types|-row group table (unordered float SUMs would not "
+        "reproduce); everything upstream is the one map-side-combined "
+        "group pass. The k-group generalization of the Welch pair "
+        "test already in the battery."
+    ),
+    tags=("stats", "agg", "ab"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    g = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)").alias("s1"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,8)) * value) AS DOUBLE)"
+            ).alias("s2"),
+        )
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(event_type, {v} AS x))),"
+        " s -> s.x), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("double").alias("ntd"),
+        F.expr(fold.format(v="s1")).alias("st1"),
+        F.expr(fold.format(v="s2")).alias("st2"),
+        F.expr(fold.format(v="s1 * s1 / nd")).alias("sgm"),
+    )
+    return tot.select(
+        "n_total",
+        "k",
+        F.expr("sgm - st1 * st1 / ntd").alias("ss_between"),
+        F.expr("st2 - sgm").alias("ss_within"),
+        F.expr(
+            "((sgm - st1 * st1 / ntd) / CAST(k - 1 AS DOUBLE))"
+            " / ((st2 - sgm) / CAST(n_total - k AS DOUBLE))"
+        ).alias("f_stat"),
+    )
