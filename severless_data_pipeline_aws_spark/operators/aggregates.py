@@ -1230,3 +1230,63 @@ def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN 2 * cum_w >= total_w THEN n_chars END")
         ).cast("bigint").alias("weighted_median_chars"),
     )
+
+
+@register(
+    "timeseries_dow_seasonal_index",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow_raw,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        per_dow AS (
+            SELECT dow_raw + 1 AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(n) AS BIGINT) AS total_events,
+                   CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_daily
+            FROM daily GROUP BY dow_raw
+        ),
+        overall AS (
+            SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS grand_avg
+            FROM daily
+        )
+        SELECT dow, n_days, total_events, avg_daily,
+               avg_daily / grand_avg AS seasonal_index
+        FROM per_dow CROSS JOIN overall
+    """,
+    doc=(
+        "Day-of-week seasonal index: average daily event volume per "
+        "weekday relative to the overall daily average — the "
+        "multiplicative seasonal factor that deseasonalizes weekly "
+        "dashboards and calibrates the seasonal-naive forecaster. "
+        "Spark's dayofweek is 1-based and DuckDB's 0-based, so the "
+        "oracle shifts the raw DuckDB value (+1) onto Spark's scale — "
+        "the same base-offset parity handled in the hour x dow "
+        "heatmap. Integer counts to the end; two exact divisions and "
+        "one ratio of them."
+    ),
+    tags=("timeseries", "agg"),
+)
+def timeseries_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.expr("CAST(dayofweek(CAST(ts AS DATE)) AS INT)").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.expr("CAST(SUM(n) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)").alias("avg_daily"),
+    )
+    overall = daily.agg(
+        F.expr("CAST(SUM(n) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)").alias("grand_avg")
+    )
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        "total_events",
+        "avg_daily",
+        F.expr("avg_daily / grand_avg").alias("seasonal_index"),
+    )

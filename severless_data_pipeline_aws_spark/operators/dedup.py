@@ -1147,3 +1147,73 @@ def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
     return star_components(edges)
+
+
+_WIN_K = 4  # words per k-gram
+_WIN_W = 4  # grams per winnowing window
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents
+            WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 10
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(words) - {_WIN_K} + 2),
+                       i -> CAST(('0x' || substr(md5(
+                                array_to_string(words[i:i+{_WIN_K - 1}], ' ')),
+                                1, 14)) AS BIGINT)) AS h
+            FROM base
+        ),
+        fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(h) - {_WIN_W} + 2),
+                       j -> list_min(h[j:j+{_WIN_W - 1}]))) AS fp_set
+            FROM grams
+            WHERE len(h) >= {_WIN_W}
+        )
+        SELECT doc_id, unnest(fp_set) AS fingerprint
+        FROM fps
+    """,
+    doc=(
+        "Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — "
+        "the MOSS plagiarism-detection selection rule): hash every "
+        f"{_WIN_K}-word gram, slide a {_WIN_W}-gram window, keep each "
+        "window's MINIMUM hash. Winnowing guarantees any shared "
+        "substring of >= k+w-1 words yields at least one shared "
+        "fingerprint, while selecting only ~2/(w+1) of all grams — the "
+        "storage/recall trade LSH can't make for substring overlap. "
+        "Entirely ROW-LOCAL higher-order array ops (zero shuffle for "
+        "fingerprinting; the downstream dedup is a hash-groupBy on "
+        "fingerprint). Short docs are excluded on an integer word-"
+        "count guard shared by both engines."
+    ),
+    tags=("dedup", "llm", "text"),
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.documents.filter(
+        (F.col("doc_id") < 50) & (F.expr("size(split(text, ' '))") >= 10)
+    ).select("doc_id", F.split("text", " ").alias("words"))
+    grams = base.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(words) - {_WIN_K} + 1), "
+            "i -> CAST(conv(substr(md5("
+            f"array_join(slice(words, i, {_WIN_K}), ' ')), 1, 14), 16, 10) AS BIGINT))"
+        ).alias("h"),
+    )
+    fps = grams.filter(F.expr(f"size(h) >= {_WIN_W}")).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(h) - {_WIN_W} + 1), "
+                f"j -> array_min(slice(h, j, {_WIN_W})))"
+            )
+        ).alias("fp_set"),
+    )
+    return fps.select("doc_id", F.explode("fp_set").alias("fingerprint"))
