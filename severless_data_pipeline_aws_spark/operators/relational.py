@@ -325,3 +325,42 @@ def relational_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", F.col("d").alias("o_orderdate"))
     )
+
+
+@register(
+    "sql_api_filter_clause",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                         FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS VARCHAR) AS DOUBLE) AS urgent_revenue
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "ANSI FILTER-clause aggregates through the SQL front door: "
+        "per-status counts with inline aggregate filters (the standard "
+        "form of conditional aggregation, planned identically to the "
+        "CASE-WHEN rewrite but without nesting the predicate inside "
+        "the aggregate's argument). Executed as a literal spark.sql() "
+        "string over registered views; the filtered decimal sum keeps "
+        "the usual exactness discipline. One scan, one combine."
+    ),
+    tags=("relational", "sql-api", "agg"),
+)
+def sql_api_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                 AS urgent_revenue
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
