@@ -124,10 +124,36 @@ def main() -> None:
                     sum(t for n, t in timings.items() if n in r01_set), 4
                 ),
                 "n_queries": len(timings),
+                "regressions": _regressions(timings),
             }
         )
     )
     spark.stop()
+
+
+def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
+    """Ratchet vs the latest recorded round (BENCH_r*.json): flag any
+    headline query that regressed >1.5x round-over-round — the growing
+    headline total would otherwise hide individual regressions. Purely
+    informational in the JSON line; tests/CI read it to warn loudly."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior_files:
+        return {}
+    try:
+        with open(prior_files[-1]) as fh:
+            doc = json.load(fh)
+        baseline = (doc.get("parsed") or doc).get("queries", {})
+    except Exception:
+        return {}
+    out = {}
+    for name, now in timings.items():
+        prior = baseline.get(name)
+        if prior and now > 1.5 * prior:
+            out[name] = {"prior": prior, "now": now, "ratio": round(now / prior, 2)}
+    return out
 
 
 if __name__ == "__main__":

@@ -873,8 +873,9 @@ def scalar_onehot_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_json_infer_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     ev = t.events.filter(F.col("user_id") <= 20)
-    # schema inference over a bounded sample (metadata-scale driver work)
-    sample = ev.select("props").limit(200)
+    # schema inference over a bounded NON-NULL sample (metadata-scale
+    # driver work; a null-bearing sample crashes spark.read.json)
+    sample = ev.select("props").filter(F.col("props").isNotNull()).limit(200)
     inferred = spark.read.json(
         sample.rdd.map(lambda r: r["props"]), multiLine=False
     ).schema
@@ -883,8 +884,12 @@ def scalar_json_infer_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", inferred).alias("p"),
         (F.get_json_object("props", "$").isNotNull()).alias("props_valid"),
     )
-    return parsed.select(
-        "event_id",
-        *[F.col(f"p.{f.name}").alias(f.name) for f in inferred.fields],
-        "props_valid",
+    # fixed output contract (the oracle's column list): a schema-drifting
+    # sample must not change the result schema — inference feeds the
+    # parse, not the projection
+    k = (
+        F.col("p.k").cast("bigint")
+        if "k" in inferred.fieldNames()
+        else F.lit(None).cast("bigint")
     )
+    return parsed.select("event_id", k.alias("k"), "props_valid")

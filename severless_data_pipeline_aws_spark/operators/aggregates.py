@@ -327,7 +327,7 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus,
                max_by(o_orderkey, o_totalprice) AS biggest_order,
                min_by(o_orderkey, o_totalprice) AS smallest_order,
-               count_if(o_totalprice > 150000) AS n_big,
+               CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
                bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
                bool_and(o_totalprice > 0) AS all_positive
         FROM orders
@@ -358,7 +358,6 @@ def agg_maxby_countif_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations,
                array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
                CAST(len(list(n_name)) AS BIGINT) AS n
         FROM nation
@@ -369,7 +368,9 @@ def agg_maxby_countif_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort_array (collection order is partition-dependent, the sorted "
         "array is not) + listagg as concat_ws over the sorted array. "
         "Bounded per group — the pattern for building per-key vocabulary "
-        "lists at scale."
+        "lists at scale. The sorted array is serialized to CSV for the "
+        "result (raw array columns are unhashable in pandas-side "
+        "canonicalization; the CSV is a lossless encoding of it here)."
     ),
     tags=("agg", "array"),
 )
@@ -377,7 +378,6 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     nations = F.sort_array(F.collect_list("n_name"))
     return t.nation.groupBy("n_regionkey").agg(
-        nations.alias("nations"),
         F.concat_ws(",", nations).alias("nations_csv"),
         F.count(F.lit(1)).alias("n"),
     )

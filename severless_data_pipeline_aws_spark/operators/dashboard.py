@@ -890,16 +890,20 @@ _DP_H_DUCK = (
         GROUP BY event_type
     """,
     doc=(
-        "Differentially-private release of per-type event counts via "
-        "the two-sided-geometric (discrete Laplace) mechanism at "
-        "epsilon=1: noise is drawn by comparing an md5 slice of the "
-        "release key against fixed integer inverse-CDF thresholds — "
-        "the same exact-integer construction as the Poisson bootstrap, "
-        "so the draw is bit-identical on every engine and the release "
-        "is replayable (a fixed per-release seed is how production DP "
-        "publishers make audits reproducible). Count sensitivity is 1, "
-        "so epsilon=1 noise is the textbook calibration. One map-side-"
-        "combined aggregation; noise is a per-group scalar expression."
+        "DETERMINISTIC SIMULATION of the two-sided-geometric (discrete "
+        "Laplace) noise mechanism used for epsilon=1 DP count releases: "
+        "noise is drawn by comparing an md5 slice of the release key "
+        "against fixed integer inverse-CDF thresholds — the same exact-"
+        "integer construction as the Poisson bootstrap, so the draw is "
+        "bit-identical on every engine and oracle-able. NOT actual "
+        "differential privacy: the 'noise' here is a public function of "
+        "the released group key, so anyone can recompute and subtract "
+        "it (DP requires randomness kept secret from the adversary). A "
+        "real deployment derives the hash from a secret per-release "
+        "seed held outside the published artifact; this operator "
+        "demonstrates the mechanism's plan shape (noise as a per-group "
+        "scalar expression over a map-side-combined aggregation) with "
+        "a test-harness-determinism stand-in for the secret draw."
     ),
     tags=("dq", "privacy", "agg"),
 )
@@ -1042,9 +1046,8 @@ def dq_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def profile_table(df: DataFrame) -> DataFrame:
     """Generic one-pass column profiler: per column — null count,
-    distinct count, numeric min/max (NULL for non-numeric types), and
-    the modal value for low-cardinality string columns via a second
-    bounded pass. The per-column expressions are built by a METADATA
+    distinct count, and numeric min/max (NULL for non-numeric types).
+    The per-column expressions are built by a METADATA
     loop over df.schema (driver-side codegen, not a data loop); the
     data is scanned once for the wide agg row, which then unpivots to
     the long profile."""

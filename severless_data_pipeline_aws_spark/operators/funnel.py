@@ -257,17 +257,20 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "RFM segmentation: per-user recency (days before the corpus "
         "anchor), frequency, and decimal-exact monetary value, each cut "
-        "into quartiles with deterministic tie-breaks. The quartile "
-        "windows are unpartitioned — safe because they run on the "
-        "POST-AGGREGATION user table (|users| << |events|; the fact "
-        "scan and agg are fully parallel). At billions of users, swap "
-        "ntile for rank against broadcast quantile cuts (the "
-        "stats_winsorize_clip pattern) to avoid the single-partition "
-        "sort; the segmentation semantics are unchanged."
+        "into quartiles with deterministic tie-breaks. Each quartile is "
+        "NTILE(4) in exact ANSI semantics, but computed WITHOUT a "
+        "single-partition sort: three bucket-offset global row numbers "
+        "(operators/scalable.py — bucket keys: recency day, negated "
+        "frequency, negated monetary band, each monotone in its sort "
+        "order) plus the closed-form tile assignment ntile_from_rn. "
+        "The user table is checkpoint-cached once so the three rank "
+        "passes and their bucket-count sides share one materialization."
     ),
     tags=("analytics", "events", "rfm"),
 )
 def funnel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_row_number, ntile_from_rn
+
     t = Tables(spark, sf_dir)
     e = t.events
     anchor = e.agg(F.max("ts").alias("now_ts"))
@@ -290,15 +293,29 @@ def funnel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .localCheckpoint(eager=False)  # 3 rank passes x 2 subtrees each reuse this
     )
-    return per_user.select(
+    n = per_user.agg(F.count(F.lit(1)).alias("n"))
+    ranked = bucketed_row_number(
+        per_user, F.col("recency_days"), [F.asc("recency_days"), "user_id"], out="r_rn"
+    )
+    ranked = bucketed_row_number(
+        ranked, -F.col("frequency"), [F.desc("frequency"), "user_id"], out="f_rn"
+    )
+    ranked = bucketed_row_number(
+        ranked,
+        F.floor(-F.col("monetary") / 100).cast("bigint"),
+        [F.desc("monetary"), "user_id"],
+        out="m_rn",
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(W.orderBy(F.asc("recency_days"), "user_id")).alias("r_quartile"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f_quartile"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary"), "user_id")).alias("m_quartile"),
+        ntile_from_rn("r_rn", "n", 4).alias("r_quartile"),
+        ntile_from_rn("f_rn", "n", 4).alias("f_quartile"),
+        ntile_from_rn("m_rn", "n", 4).alias("m_quartile"),
     )
 
 
@@ -421,23 +438,34 @@ def ordered_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
         "share of total revenue. All sums are DECIMAL end-to-end — "
         "including the cumulative window sum — with doubles only in "
         "the two final share divisions, so every value is hash-exact. "
-        "Plan: customer rollup shuffle, a single-partition ntile over "
-        "the customer aggregate (customer-count scale, METADATA-sized "
-        "next to the fact table — at 100 TB rank against percentile "
-        "cuts instead, the documented swap in funnel_rfm_segmentation), "
-        "then a 10-row decile aggregate."
+        "Plan: customer rollup shuffle, then the decile is exact "
+        "NTILE(10) computed via the bucket-offset global row number + "
+        "closed-form tile assignment (operators/scalable.py — bucket "
+        "key: negated revenue band, monotone in the DESC order), so no "
+        "single-partition sort ever sees the customer table; finally a "
+        "10-row decile aggregate."
     ),
     tags=("funnel", "agg", "pareto"),
 )
 def funnel_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from .scalable import bucketed_row_number, ntile_from_rn
+
     t = Tables(spark, sf_dir)
     cust = t.orders.groupBy("o_custkey").agg(
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,8)))").alias("rev")
-    )
-    ranked = cust.withColumn(
-        "decile", F.ntile(10).over(W.orderBy(F.desc("rev"), "o_custkey"))
+    ).localCheckpoint(eager=False)  # reused by rank pass + total
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        bucketed_row_number(
+            cust,
+            F.floor(-F.col("rev") / 10000).cast("bigint"),
+            [F.desc("rev"), "o_custkey"],
+            out="rn",
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn("decile", ntile_from_rn("rn", "n", 10))
     )
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -479,7 +507,7 @@ def funnel_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> Dat
         ),
         ranked AS (
             SELECT latency_s,
-                   row_number() OVER (ORDER BY latency_s, latency_s) AS rn,
+                   row_number() OVER (ORDER BY latency_s, user_id) AS rn,
                    COUNT(*) OVER () AS n
             FROM conv
         )
@@ -499,14 +527,15 @@ def funnel_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> Dat
         "— disc, not interpolated, so hash-exact). The business twin "
         "of the ordered funnel: not just HOW MANY convert but HOW "
         "FAST. Plan: one conditional MIN per user for the view anchor, "
-        "a user-keyed join + filtered MIN for the conversion, then a "
-        "single global rank over the users-sized latency table — the "
-        "global window runs on per-user rows, never raw events."
+        "a user-keyed join + filtered MIN for the conversion, then the "
+        "bucket-offset global rank (operators/scalable.py, day-grain "
+        "latency buckets, user_id tie-break) over the users-sized "
+        "latency table — no single-partition window at any grain."
     ),
     tags=("funnel", "stats", "window"),
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .scalable import bucketed_row_number
 
     t = Tables(spark, sf_dir)
     ev = t.events
@@ -525,11 +554,18 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.unix_timestamp(F.min("ts")) - F.unix_timestamp(F.col("first_view"))
             ).alias("latency_s")
         )
+        .localCheckpoint(eager=False)  # reused by rank pass + count
     )
-    ranked = conv.select(
-        "latency_s",
-        F.row_number().over(W.orderBy("latency_s", "latency_s")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    ncnt = conv.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        bucketed_row_number(
+            conv.select("latency_s", "user_id"),
+            F.floor(F.col("latency_s") / 86400).cast("bigint"),
+            ["latency_s", "user_id"],
+            out="rn",
+        )
+        .crossJoin(F.broadcast(ncnt))
+        .select("latency_s", "rn", "n")
     )
     pick = lambda q: F.max(  # noqa: E731
         F.when(
@@ -1106,35 +1142,41 @@ def funnel_bounce_rate_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fraction of users still active k days after first being seen, "
         "for k = 0..30 — the engagement curve cohort tables summarize "
         "and growth models fit. Per-user lifetimes reduce in one "
-        "combine; the curve is a 31-row grid cross joined against the "
-        "users-sized lifetime table (at 100 TB: grid x users is "
-        "31-fold, or swap to a lifetime histogram + reverse running "
-        "sum for one pass — both shapes stay integer-exact). All "
-        "counts integer, one final ratio per grid row."
+        "combine, collapse to a day-grain HISTOGRAM (clamped at 30 — "
+        "longer lifetimes survive every grid day identically), and the "
+        "curve is the reverse running sum over the 31-row grid left-"
+        "joined to it: n_surviving(k) = Σ_{d>=k} hist(d). ONE pass "
+        "over users, no grid×users row blowup; the only window runs "
+        "over 31 rows. All counts integer, one final ratio per row."
     ),
     tags=("funnel", "timeseries", "survival"),
 )
 def funnel_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     t = Tables(spark, sf_dir)
     lifetimes = t.events.groupBy("user_id").agg(
         F.expr(
             "CAST(datediff(CAST(MAX(ts) AS DATE), CAST(MIN(ts) AS DATE)) AS BIGINT)"
         ).alias("lifetime_days")
     )
+    hist = lifetimes.groupBy(
+        F.least(F.col("lifetime_days"), F.lit(30)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     n = lifetimes.agg(F.count(F.lit(1)).alias("n_users"))
     grid = t.events.sparkSession.range(0, 31).select(F.col("id").alias("k"))
+    # 31-row frame: the unpartitioned reverse cumsum is metadata-scale
+    w_rev = W.orderBy(F.desc("k")).rowsBetween(W.unboundedPreceding, 0)
     return (
-        grid.crossJoin(lifetimes)
+        grid.join(hist, "k", "left")
+        .select("k", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .select("k", F.sum("cnt").over(w_rev).cast("bigint").alias("n_surviving"))
         .crossJoin(F.broadcast(n))
-        .groupBy("k")
-        .agg(
-            F.expr(
-                "CAST(COUNT(CASE WHEN lifetime_days >= k THEN 1 END) AS BIGINT)"
-            ).alias("n_surviving"),
-            F.expr(
-                "CAST(COUNT(CASE WHEN lifetime_days >= k THEN 1 END) AS DOUBLE)"
-                " / CAST(MAX(n_users) AS DOUBLE)"
-            ).alias("survival"),
+        .select(
+            F.col("k").cast("bigint").alias("day_k"),
+            "n_surviving",
+            (F.col("n_surviving").cast("double") / F.col("n_users").cast("double")).alias(
+                "survival"
+            ),
         )
-        .select(F.col("k").cast("bigint").alias("day_k"), "n_surviving", "survival")
     )

@@ -140,19 +140,28 @@ def recent_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "head_sample",
-    oracle=None,  # head is order-arbitrary by definition; row count checked
+    oracle="""
+        SELECT event_id, event_type
+        FROM events
+        ORDER BY event_id
+        LIMIT 5
+    """,
     doc=(
-        "O4: head sample (iot_dashboard.py:138 df.head()) — an unordered "
-        "LIMIT planned as CollectLimit: the scan stops after the first "
-        "partitions produce 5 rows, reading almost nothing at any scale. "
-        "Row CONTENT is engine-arbitrary, so this is a rows-only check; "
-        "the deterministic ordered variant is order_by_limit (O5)."
+        "O4: head sample (iot_dashboard.py:138 df.head()) — the "
+        "reference intent is just 'show 5 rows', so we pin a "
+        "deterministic orderBy(event_id) to make it oracle-able with "
+        "zero semantic loss. Still plans as TakeOrderedAndProject "
+        "(per-partition top-5 + tiny driver merge, no global sort)."
     ),
     tags=("limit", "sample"),
 )
 def head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return t.events.select("event_id", "event_type").limit(5)
+    return (
+        t.events.select("event_id", "event_type")
+        .orderBy("event_id")
+        .limit(5)
+    )
 
 
 @register(
@@ -298,24 +307,34 @@ def relational_global_row_number_scalable(spark: SparkSession, sf_dir: str) -> D
         "naive O(n^2) dominance self-join. The group level is the tie-"
         "correct construction: a 1 PRECEDING row frame over raw rows "
         "mishandles equal prices — caught by the sf0.01 dominance "
-        "property test, where price ties actually occur. The sweep "
-        "window runs over the distinct-price table (tiny); the join "
-        "back is a co-partitioned equi-join, never a pair explosion."
+        "property test, where price ties actually occur. The sweep is "
+        "the bucket-offset exclusive running max "
+        "(operators/scalable.py, price-band buckets, DESC order) over "
+        "the distinct-price table — no single-partition window even "
+        "though a price column is near row-grain; the join back is a "
+        "co-partitioned equi-join, never a pair explosion."
     ),
     tags=("relational", "window", "skyline"),
 )
 def relational_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .scalable import bucketed_running_max_exclusive
 
     t = Tables(spark, sf_dir)
     pts = t.orders.select(
         "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("d")
     )
-    grp = pts.groupBy("o_totalprice").agg(F.max("d").alias("gd"))
-    w = W.orderBy(F.desc("o_totalprice")).rowsBetween(W.unboundedPreceding, -1)
-    swept = grp.select(
-        "o_totalprice", F.max("gd").over(w).alias("best_d_above")
+    grp = (
+        pts.groupBy("o_totalprice")
+        .agg(F.max("d").alias("gd"))
+        .localCheckpoint(eager=False)  # reused by the sweep's 2 branches + join
     )
+    swept = bucketed_running_max_exclusive(
+        grp,
+        F.floor(-F.col("o_totalprice") / 100).cast("bigint"),
+        [F.desc("o_totalprice")],
+        "gd",
+        out="best_d_above",
+    ).select("o_totalprice", "best_d_above")
     return (
         pts.join(grp, "o_totalprice")
         .join(swept, "o_totalprice")

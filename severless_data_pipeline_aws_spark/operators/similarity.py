@@ -1592,14 +1592,19 @@ def similarity_rbo_lexical_vs_vector(spark: SparkSession, sf_dir: str) -> DataFr
     )
     joined = lex.join(vec, "doc_id").select("rl", "rv")
     depths = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    # a pair is inside both depth-d prefixes iff max(rl, rv) <= d, so the
+    # per-depth overlap is a running count over the (<= depth)-row grid.
+    # LEFT join from the grid: fully disjoint lists must yield ov = 0 at
+    # every depth (a cross join against the empty overlap set would drop
+    # all depth rows and emit NULL — the DuckDB oracle says 0).
+    firsts = joined.select(F.greatest("rl", "rv").alias("m")).groupBy("m").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w_cum = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)  # <= depth rows
     overlaps = (
-        depths.crossJoin(F.broadcast(joined))
-        .groupBy("d")
-        .agg(
-            F.expr(
-                "CAST(COUNT(CASE WHEN rl <= d AND rv <= d THEN 1 END) AS BIGINT)"
-            ).alias("ov")
-        )
+        depths.join(F.broadcast(firsts), depths["d"] == firsts["m"], "left")
+        .select("d", F.coalesce("k", F.lit(0)).alias("k"))
+        .select("d", F.sum("k").over(w_cum).cast("bigint").alias("ov"))
     )
     terms = overlaps.select(
         "d",

@@ -271,23 +271,25 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         "cents, the rank-weighted and plain sums accumulate in "
         "DECIMAL(38,0) (order-independent, map-side-combinable), and "
         "ONE shared double expression finishes — hash-exact. The "
-        "global row_number is the only total-order step; at 100 TB it "
-        "becomes a two-pass range-partitioned rank (sort by value, "
-        "per-partition counts, prefix offsets) with identical sums."
+        "global rank uses the bucket-offset two-pass construction "
+        "(operators/scalable.py — price-range buckets, per-bucket "
+        "counts, prefix offsets, parallel local numbering), so no "
+        "single-partition window ever sees the fact table."
     ),
     tags=("stats", "window", "agg"),
 )
 def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .scalable import bucketed_row_number
 
     t = Tables(spark, sf_dir)
-    ranked = t.orders.select(
-        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        F.row_number().over(W.orderBy("o_totalprice", "o_orderkey")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
+    ranked = bucketed_row_number(
+        t.orders.select("o_orderkey", "o_totalprice"),
+        F.floor(F.col("o_totalprice") / 100).cast("bigint"),
+        ["o_totalprice", "o_orderkey"],
+        out="i",
+    ).select(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"), "i")
     sums = ranked.agg(
-        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("s"),
         F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * cents")).alias("si"),
     )
@@ -1132,16 +1134,19 @@ def stats_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ranked value axis -> linear interpolation between the two "
         "bracketing global order statistics. All rank arithmetic is "
         "integer; the lerp is the shared IEEE expression. The global "
-        "row_number here is a window; at corpus scale it swaps for the "
-        "bucket-offset two-pass construction "
-        "(relational_global_row_number_scalable) with no semantic "
-        "change. Single-doc sources are excluded on an integer guard "
-        "(their percentile is undefined)."
+        "rank uses the bucket-offset two-pass construction "
+        "(operators/scalable.py bucketed_row_number over n_chars-range "
+        "buckets) — the per-source windows stay partitioned, and no "
+        "single-partition window sees the corpus. Single-doc sources "
+        "are excluded on an integer guard (their percentile is "
+        "undefined)."
     ),
     tags=("stats", "window", "ml"),
 )
 def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
+
+    from .scalable import bucketed_row_number
 
     t = Tables(spark, sf_dir)
     d = t.documents
@@ -1154,10 +1159,12 @@ def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
     )
-    glob = d.select(
-        F.col("n_chars").alias("gval"),
-        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("grank"),
-    )
+    glob = bucketed_row_number(
+        d.select(F.col("n_chars").alias("gval"), "doc_id"),
+        F.floor(F.col("gval") / 16).cast("bigint"),
+        ["gval", "doc_id"],
+        out="grank",
+    ).select("gval", "grank")
     gn = d.agg(F.count(F.lit(1)).alias("total"))
     pos = (
         ranked.filter(F.col("n") > 1)
@@ -1231,14 +1238,18 @@ def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFr
         "pool both samples, midrank ties exactly as 2*rank + ties - 1 "
         "(an INTEGER, so tie handling never touches floats), reduce to "
         "doubled rank sums in one pass, and emit U plus the common-"
-        "language effect size U/(n1*n2). One sort (the rank window) + "
-        "one global fold; every quantity is integer until the two "
-        "final shared double expressions."
+        "language effect size U/(n1*n2). Ranks come from the per-"
+        "distinct-value (cnt_less, cnt_eq) table (operators/scalable.py "
+        "value_rank_table — midrank2 = 2*cnt_less + cnt_eq + 1), so the "
+        "whole statistic reduces at distinct-value grain with bucketed "
+        "prefix sums: no global-order window touches row-grain data, "
+        "and every quantity is integer until the two final shared "
+        "double expressions."
     ),
     tags=("stats", "window", "ab"),
 )
 def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .scalable import value_rank_table
 
     t = Tables(spark, sf_dir)
     pooled = t.events.filter(
@@ -1247,18 +1258,17 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 2 END").alias("grp"),
         "value",
     )
-    ranked = pooled.select(
+    vr = value_rank_table(pooled, "value", F.floor(F.col("value")).cast("bigint"))
+    per_vg = pooled.groupBy("value", "grp").agg(F.count(F.lit(1)).alias("k"))
+    ranked = per_vg.join(vr, "value").select(
         "grp",
-        (
-            2 * F.rank().over(W.orderBy("value"))
-            + F.count(F.lit(1)).over(W.partitionBy("value"))
-            - 1
-        ).alias("rank2"),
+        "k",
+        (2 * F.col("cnt_less") + F.col("cnt_eq") + 1).alias("rank2"),
     )
     sums = ranked.agg(
-        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1"),
-        F.expr("CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)").alias("n2"),
-        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN rank2 ELSE 0 END) AS BIGINT)").alias(
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN k ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(CASE WHEN grp = 2 THEN k ELSE 0 END) AS BIGINT)").alias("n2"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN k * rank2 ELSE 0 END) AS BIGINT)").alias(
             "r1x2"
         ),
     )
@@ -1370,26 +1380,30 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chokes on. Tie midranks use the integer 2*rank + ties - 1 "
         "doubling (no float tie averaging); doubled-rank power sums "
         "accumulate in DECIMAL(38,0) (BIGINT squares overflow past "
-        "~10^9 rows), then the one shared Pearson closed form. Two "
-        "rank sorts + one fold; the doubling cancels in the ratio."
+        "~10^9 rows), then the one shared Pearson closed form. Both "
+        "rank tables are per-distinct-value with bucketed prefix sums "
+        "(operators/scalable.py): quantity's 50-value table broadcasts, "
+        "price's re-joins on value — no global-order window anywhere; "
+        "the doubling cancels in the ratio."
     ),
     tags=("stats", "window"),
 )
 def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .scalable import value_rank_table
 
     t = Tables(spark, sf_dir)
-    ranked = t.lineitem.select(
-        (
-            2 * F.rank().over(W.orderBy("l_quantity"))
-            + F.count(F.lit(1)).over(W.partitionBy("l_quantity"))
-            - 1
-        ).alias("rx2"),
-        (
-            2 * F.rank().over(W.orderBy("l_extendedprice"))
-            + F.count(F.lit(1)).over(W.partitionBy("l_extendedprice"))
-            - 1
-        ).alias("ry2"),
+    li = t.lineitem.select("l_quantity", "l_extendedprice")
+    midrank2 = (2 * F.col("cnt_less") + F.col("cnt_eq") + 1).alias("mr2")
+    vrx = value_rank_table(
+        li, "l_quantity", F.floor(F.col("l_quantity")).cast("bigint")
+    ).select("l_quantity", midrank2.alias("rx2"))
+    vry = value_rank_table(
+        li, "l_extendedprice", F.floor(F.col("l_extendedprice") / 100).cast("bigint")
+    ).select("l_extendedprice", midrank2.alias("ry2"))
+    ranked = (
+        li.join(F.broadcast(vrx), "l_quantity")
+        .join(vry, "l_extendedprice")
+        .select("rx2", "ry2")
     )
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),

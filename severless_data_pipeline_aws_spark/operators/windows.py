@@ -707,8 +707,39 @@ _SESS_CAP_S = 3600  # hard cap: no session longer than 1 hour
 
 @register(
     "session_window_gap_and_cap",
-    oracle=None,  # sequential recurrence (state depends on emitted session
-    # starts); no closed SQL form — exact brute-force twin in pytest
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk AS (
+            SELECT user_id, rn, ts, ts AS s_start
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, e.ts,
+                   CASE WHEN e.ts > w.ts + INTERVAL {_SESS_GAP_S} SECOND
+                          OR e.ts > w.s_start + INTERVAL {_SESS_CAP_S} SECOND
+                        THEN e.ts ELSE w.s_start END
+            FROM ev e JOIN walk w
+              ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        ),
+        sess AS (
+            SELECT user_id, s_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM walk GROUP BY user_id, s_start
+        )
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY s_start) - 1 AS INTEGER)
+                 AS session_idx,
+               s_start AS session_start,
+               session_end,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM sess
+    """,
     doc=(
         "Sessionization with BOTH an inactivity gap (10 min) and a hard "
         "duration cap (1 h): an event opens a new session when it is "
@@ -721,9 +752,12 @@ _SESS_CAP_S = 3600  # hard cap: no session longer than 1 hour
         "applyInPandas per user: sequential within a key, parallel "
         "across keys, O(events-per-user) memory — the same "
         "shape-contract as the streaming stateful operators. Output is "
-        "one row per session (start/end/n_events), deterministic; "
-        "pytest replays an exact brute-force Python twin and asserts "
-        "equality plus the gap/cap invariants."
+        "one row per session (start/end/n_events), deterministic. "
+        "Oracled since r3: a DuckDB RECURSIVE CTE walks the identical "
+        "recurrence one event-rank per iteration (all comparisons are "
+        "exact timestamp arithmetic — hash-safe); pytest additionally "
+        "replays an exact brute-force Python twin and asserts the "
+        "gap/cap invariants."
     ),
     tags=("window", "sessionize", "custom"),
 )
@@ -1113,16 +1147,18 @@ def window_interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
         "sum give instantaneous concurrency, and the day-grain MAX is "
         "the capacity-planning output. Ends sort with delta=-1 BEFORE "
         "the +1 of an interval starting at the same instant (delta "
-        "ASC), so touching intervals never double-count. One sort "
-        "feeds both the window and the rollup. The running sum is a "
-        "global-order window here; at 100 TB it becomes the two-pass "
-        "bucket-offset prefix sum (day buckets are natural and "
-        "balanced), same construction as "
-        "relational_global_row_number_scalable."
+        "ASC), so touching intervals never double-count. The running "
+        "sum is the two-pass bucket-offset prefix sum "
+        "(operators/scalable.py, day buckets — natural, balanced, and "
+        "monotone in the time order): per-day delta totals roll into "
+        "carry-in offsets, each day accumulates in parallel — no "
+        "single-partition window over the boundary stream."
     ),
     tags=("window", "timeseries", "interval"),
 )
 def window_concurrency_from_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_running_sum
+
     t = Tables(spark, sf_dir)
     iv = t.events.filter(F.col("event_type").isin("view", "click")).select(
         "user_id",
@@ -1132,11 +1168,9 @@ def window_concurrency_from_intervals(spark: SparkSession, sf_dir: str) -> DataF
     bounds = iv.select(
         F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
     ).unionAll(iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"))
-    w = (
-        W.orderBy("t", "delta", "user_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    running = bucketed_running_sum(
+        bounds, F.to_date("t"), ["t", "delta", "user_id"], "delta", out="concurrency"
     )
-    running = bounds.select("t", F.sum("delta").over(w).alias("concurrency"))
     return (
         running.groupBy(F.col("t").cast("date").alias("day"))
         .agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))

@@ -8,6 +8,7 @@ from .inspect import (  # noqa: F401
     has_take_ordered,
     pushed_filters,
     read_schema_columns,
+    single_partition_window_count,
     sort_merge_join_count,
     table_scan_count,
 )

@@ -77,3 +77,38 @@ def table_scan_count(df: DataFrame, table: str) -> int:
     design property (decorrelate via window, not via self-join).
     """
     return len(re.findall(rf"Location:.*[/\\]{re.escape(table)}\.parquet", explain_str(df)))
+
+
+def single_partition_window_count(df: DataFrame) -> int:
+    """Window operators fed by a SinglePartition shuffle — the
+    serialize-everything pattern Spark warns about ("No Partition
+    Defined for Window operation"). Distinguished from the legitimate
+    SinglePartition exchange under a final global aggregate by walking
+    the plan tree: only Window ancestors count. A nonzero value is
+    acceptable only when the window's input is provably metadata-scale
+    (a per-bucket offsets table, a fixed grid).
+
+    Parses the executed-plan tree string by indentation (the AQE
+    wrapper hides children from the py4j node API): for each
+    ``Exchange SinglePartition`` line, the nearest shaping ancestor
+    (Window / Join / Aggregate / Union / TakeOrdered) decides whether
+    this shuffle feeds a window."""
+    lines = _simple_plan(df).splitlines()
+    marker = re.compile(r"^[\s:+|-]*")
+    depths = [len(marker.match(ln).group(0)) for ln in lines]
+    n = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = depths[i]
+        for j in range(i - 1, -1, -1):
+            if depths[j] >= d or not lines[j].strip():
+                continue
+            body = lines[j]
+            if "Sort" in body and "Window" not in body:
+                d = depths[j]  # pass through the window's sort
+                continue
+            if "Window" in body:
+                n += 1
+            break
+    return n

@@ -55,6 +55,35 @@ def write_keyed(df: DataFrame, path: str, key: str = "device_id", mode: str = "o
     df.repartition(key).sortWithinPartitions(key).write.mode(mode).partitionBy(key).parquet(path)
 
 
+def write_keyed_wire(df: DataFrame, path: str, key: str, mode: str = "overwrite") -> None:
+    """S6 wire twin: the keyed sink in WIRE format — each record
+    serialized to one JSON line (the reference's ``json.dumps`` +
+    ``put_records`` payload, iot-data-stream.py:276-288), all records
+    of one key co-located in one shard directory and ordered within
+    their file. Output is directly consumable by the ingest path
+    (``streaming.pipeline.json_wire_stream`` over ``path/*/``), which
+    closes the produce->transport->consume loop end-to-end; the
+    round-trip + exactly-once test lives in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    (
+        df.select(
+            F.col(key).alias("__shard"),
+            # microsecond timestampFormat: the default SSS wire format
+            # silently truncates to millis and breaks value-exact replay
+            F.to_json(
+                F.struct(*df.columns),
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+            ).alias("value"),
+        )
+        .repartition("__shard")
+        .sortWithinPartitions("__shard")
+        .write.mode(mode)
+        .partitionBy("__shard")
+        .text(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

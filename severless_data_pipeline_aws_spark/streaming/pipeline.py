@@ -76,6 +76,24 @@ def json_wire_stream(spark: SparkSession, src_dir: str, max_files_per_trigger: i
     return raw.select(F.from_json("value", EVENT_SCHEMA).alias("r")).select("r.*")
 
 
+def socket_wire_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S6/S9 over a real TCP wire: JSON-lines records read from a
+    socket source and parsed schema-on-read — the closest in-sandbox
+    analog of a Kinesis/Kafka consumer (no broker ships in this
+    container; the socket source exercises the same unreplayable-wire
+    ingest contract: schema projection, corrupt-record tolerance,
+    arrival-order processing). NOT for production fault tolerance —
+    a socket has no offsets to replay; the landed-file path
+    (json_wire_stream + checkpoint) is the exactly-once story."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return raw.select(F.from_json("value", EVENT_SCHEMA).alias("r")).select("r.*")
+
+
 def land_parquet(
     stream: DataFrame,
     path: str,

@@ -370,10 +370,15 @@ def _replay_events_stream_phased(
     # watermark, in which Spark reliably fires the pending event-time
     # timeouts (a trailing no-data batch is not guaranteed under
     # availableNow — observed: tail sessions stayed unemitted at sf0.01)
+    # anchor the flush rows on the REAL table max (a limit(1) row's ts
+    # would be arbitrary: on data spanning more than the day offset the
+    # watermark would never pass tail session deadlines and timeout
+    # emission would silently drop sessions)
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
     for j, days in enumerate((30, 60)):
-        flush = events.limit(1).selectExpr(
+        flush = spark.range(1).selectExpr(
             f"CAST(-{j + 1} AS BIGINT) AS event_id",
-            f"timestampadd(DAY, {days}, MAX(ts) OVER ()) AS ts",
+            f"timestampadd(DAY, {days}, TIMESTAMP '{max_ts}') AS ts",
             "CAST(-1 AS BIGINT) AS user_id",
             "'flush' AS event_type",
             "CAST(NULL AS DOUBLE) AS value",

@@ -31,3 +31,22 @@ def test_documented_query_names_exist():
             # excluded by the regex); flag lone unknown query-like names
             ghosts.append(tok)
     assert not ghosts, f"COVERAGE.md references unknown queries: {sorted(set(ghosts))}"
+
+
+def test_query_counts_pinned_to_registry():
+    """COVERAGE.md's headline counts must track the registry exactly —
+    VERDICT r2 flagged docs drift (319 vs 320). The counts are parsed
+    from the 'N registered queries (M oracled, K rows-only' sentence."""
+    text = open(_COVERAGE).read()
+    m = re.search(
+        r"(\d+) registered queries \((\d+) oracled, (\d+) rows-only", text
+    )
+    assert m, "COVERAGE.md lost its 'N registered queries (M oracled…' line"
+    specs = registry.load_all()
+    n_total = len(specs)
+    n_oracled = sum(1 for s in specs.values() if s.oracle is not None)
+    got = tuple(int(g) for g in m.groups())
+    assert got == (n_total, n_oracled, n_total - n_oracled), (
+        f"COVERAGE.md says {got}, registry has "
+        f"({n_total}, {n_oracled}, {n_total - n_oracled})"
+    )

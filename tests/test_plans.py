@@ -567,3 +567,73 @@ def test_metrics_layer_rollup_consistency_and_plan(spark, sf_dir):
     assert plans.table_scan_count(df, "orders") == 1
     row = df.collect()[0]
     assert row["aov"] > 0
+
+
+# -- bucket-offset de-serialization (round-3 rewrites) ------------------------
+
+# query -> max single-partition WINDOW operators allowed in the plan
+# (plans.single_partition_window_count — final-global-aggregate shuffles
+# are excluded by construction). Each allowed window is METADATA-scale:
+# the exclusive prefix pass over a per-bucket count/sum/max table
+# (operators/scalable.py; counted once per JOIN REFERENCE, so the
+# quantile-normalize lo/hi double join counts 2 and RFM's three rank
+# passes count 3) or a provably bounded frame (10 deciles, a 31-day
+# grid). Anything above the cap means a fact/user-grain window
+# regressed onto one partition.
+_SCALABLE_WINDOW_CAPS = {
+    "stats_gini_coefficient": 1,
+    "stats_mann_whitney_u": 1,
+    "stats_spearman_rank_corr": 2,
+    "stats_quantile_normalize_sources": 2,
+    "funnel_rfm_segmentation": 3,
+    "funnel_pareto_revenue_concentration": 2,  # offsets + 10-row cum share
+    "funnel_time_to_convert": 1,
+    "window_concurrency_from_intervals": 1,
+    "relational_pareto_skyline_2d": 1,
+    "funnel_survival_curve": 1,  # 31-row reverse cumsum grid
+    "relational_global_row_number_scalable": 1,
+}
+
+# queries whose every single-partition window is a bucket-offset prefix
+# pass (survival's is the 31-row grid instead, so it is exempt)
+_BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {"funnel_survival_curve"}
+
+
+def test_no_fact_grain_single_partition_windows(spark, sf_dir):
+    """VERDICT r2's 10 scale-killers: every global-order operator must
+    run as the two-pass bucket-offset construction — the data-grain
+    window partitioned by __bkt, with at most the capped number of
+    metadata-scale single-partition prefix windows."""
+    for name, cap in _SCALABLE_WINDOW_CAPS.items():
+        df = _df(name, spark, sf_dir)
+        got = plans.single_partition_window_count(df)
+        assert got <= cap, f"{name}: {got} single-partition windows (cap {cap})"
+        if name in _BUCKETED:
+            s = plans.explain_str(df)
+            assert "hashpartitioning(__bkt" in s or "hashpartitioning(bkt" in s, (
+                f"{name}: no bucket-partitioned window in plan"
+            )
+
+
+def test_survival_curve_no_cartesian(spark, sf_dir):
+    """The survival curve must be histogram + reverse cumsum — the 31x
+    grid-cross-users row blowup is gone; the only cross join left is
+    the broadcast one-row user count."""
+    df = _df("funnel_survival_curve", spark, sf_dir)
+    s = plans.explain_str(df)
+    assert "CartesianProduct" not in s, s
+
+
+def test_time_to_convert_partition_invariance(spark, sf_dir):
+    """The rank tie-break (latency_s, user_id) must make the output
+    independent of physical partitioning."""
+    from severless_data_pipeline_aws_spark.io import Tables  # noqa: F401
+
+    df1 = _df("funnel_time_to_convert", spark, sf_dir)
+    rows1 = sorted(map(tuple, df1.collect()))
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = sorted(map(tuple, _df("funnel_time_to_convert", spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert rows1 == rows2

@@ -821,3 +821,116 @@ def test_streaming_session_timeout_equals_batch_sessions(spark, sf_dir):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_keyed_wire_roundtrip_exactly_once(spark, sf_dir, tmp_path):
+    """S6 end-to-end over the wire FORMAT: produce the keyed JSON wire
+    layout (write_keyed_wire — the put_records payload contract:
+    dir-per-key shards, JSON-lines records), consume it back through
+    the ingest path (json_wire_stream -> land_parquet with checkpoint),
+    and prove (a) every record round-trips value-exact, (b) the shard
+    layout is one directory per key, (c) a re-run against the same
+    checkpoint lands nothing new (exactly-once)."""
+    from severless_data_pipeline_aws_spark.sources import sinks
+
+    src = tmp_path / "wire_shards"
+    df = Tables(spark, sf_dir).events.filter(F.col("user_id") <= 10)
+    sinks.write_keyed_wire(df, str(src), key="event_type")
+
+    # (b) one shard directory per key
+    shard_dirs = {p.name for p in src.iterdir() if p.name.startswith("__shard=")}
+    keys = {r["event_type"] for r in df.select("event_type").distinct().collect()}
+    assert shard_dirs == {f"__shard={k}" for k in keys}
+
+    stream = pipeline.json_wire_stream(spark, str(src) + "/*/")
+    q = (
+        pipeline.land_parquet(stream, str(tmp_path / "landed"), str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    want = sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+    got = sorted(map(tuple, landed.select(*sorted(df.columns)).collect()))
+    assert got == want  # (a) value-exact round trip
+
+    # (c) exactly-once on replay
+    q2 = (
+        pipeline.land_parquet(
+            pipeline.json_wire_stream(spark, str(src) + "/*/"),
+            str(tmp_path / "landed"),
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "landed")).count() == df.count()
+
+
+def test_socket_wire_ingest(spark, sf_dir, tmp_path):
+    """S6 over a REAL wire: a TCP server replays JSON event records;
+    socket_wire_stream consumes and schema-projects them. Closes the
+    keyed-wire-transport gap as far as the sandbox allows (no broker
+    ships here): the bytes genuinely cross a socket."""
+    import json as _json
+    import socket
+    import threading
+
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-0{1 + i % 5} 12:00:{i:02d}",
+            "user_id": i % 3,
+            "event_type": "click" if i % 2 else "view",
+            "value": float(i) / 2,
+            "props": None,
+        }
+        for i in range(20)
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        payload = "".join(_json.dumps(r) + "\n" for r in rows)
+        conn.sendall(payload.encode())
+        # keep the connection open until the query stops reading
+        try:
+            conn.recv(1)
+        except OSError:
+            pass
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+
+    stream = pipeline.socket_wire_stream(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("socket_wire")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("socket_wire").count() >= len(rows):
+                break
+            time.sleep(0.5)
+        got = {
+            (r["event_id"], r["user_id"], r["event_type"], r["value"])
+            for r in spark.table("socket_wire").collect()
+        }
+    finally:
+        q.stop()
+        srv.close()
+    want = {(r["event_id"], r["user_id"], r["event_type"], r["value"]) for r in rows}
+    assert got == want
