@@ -1262,3 +1262,72 @@ def metrics_layer_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     from ..metrics import resolve
 
     return resolve(spark, sf_dir, ["revenue", "n_orders", "aov"], ["nation"])
+
+
+#: Benford first-digit expectations log10(1 + 1/d), precomputed in Python
+#: and embedded as literals in BOTH engines' SQL: java.lang.Math.log10 and
+#: libm log10 are each correctly rounded here, but relying on two separate
+#: runtimes to agree on transcendental ulps is not a contract — identical
+#: literals are.
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124", 3: "0.12493873660829992",
+    4: "0.09691001300805642", 5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129", 9: "0.04575749056067514",
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders
+        ),
+        counts AS (
+            SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT SUM(n) AS total FROM counts)
+        SELECT digit,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_share,
+               {_BENFORD_CASE} AS benford_share,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - {_BENFORD_CASE}
+                 AS deviation
+        FROM counts, tot
+    """,
+    doc=(
+        "Benford's-law first-digit audit of order values — the classic "
+        "fraud/synthetic-data detector: naturally occurring multi-scale "
+        "amounts follow P(d) = log10(1 + 1/d); uniform or fabricated "
+        "values do not (this table's generator is uniform, and the "
+        "audit SHOWS it: digit 1 lands far under 30.1%). First digit is "
+        "extracted on the integer path (floor -> BIGINT -> first char, "
+        "no float formatting); the nine expectations are Python-"
+        "precomputed literals shared by both engines, so observed/"
+        "expected/deviation are all one shared IEEE expression. One "
+        "map-side-combined aggregate + a broadcast 1-row total."
+    ),
+    tags=("dq", "stats", "agg"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    digits = t.orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+            " 1, 1) AS INT) AS digit"
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    share = "CAST(n AS DOUBLE) / CAST(total AS DOUBLE)"
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr(share).alias("observed_share"),
+        F.expr(_BENFORD_CASE).alias("benford_share"),
+        F.expr(f"{share} - {_BENFORD_CASE}").alias("deviation"),
+    )

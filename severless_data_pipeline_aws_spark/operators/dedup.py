@@ -1217,3 +1217,79 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp_set"),
     )
     return fps.select("doc_id", F.explode("fp_set").alias("fingerprint"))
+
+
+#: shared Spark/DuckDB canonicalization chain. The synthetic URLs are
+#: generated with lowercase paths, so whole-string lower() is exact here;
+#: real crawls lowercase scheme+host only. No regex backreferences — the
+#: replacement-group syntax differs between engines ($1 vs \1), so every
+#: rule is either a plain replace or a backref-free regex.
+_URL_RAW = (  # {s}: STRING on Spark, VARCHAR on DuckDB (cast-type syntax)
+    "'HTTPS://WWW.Example' || CAST(doc_id % 40 AS {s})"
+    " || '.COM:443/Path/' || CAST(doc_id % 7 AS {s})"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0"
+    "         THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS {s})"
+    "         ELSE '?id=' || CAST(doc_id % 5 AS {s}) END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+)
+_URL_CANON_STEPS = (
+    "TRIM(TRAILING '/' FROM "           # 5. trailing slash on bare paths
+    "replace("                           # 4. slash before query string
+    "regexp_replace("                    # 3b. utm param in tail position
+    "regexp_replace("                    # 3a. utm param followed by more
+    "replace(replace("                   # 2. default port, www
+    "split_part(lower({url}), '#', 1)"   # 1. lowercase + strip fragment
+    ", ':443/', '/'), 'www.', '')"
+    ", 'utm_[a-z]+=[a-z0-9]*&', '')"
+    ", '[?&]utm_[a-z]+=[a-z0-9]*$', '')"
+    ", '/?', '?')"
+    ")"
+)
+
+
+@register(
+    "dedup_url_canonical_keep_first",
+    oracle=f"""
+        WITH urls AS (
+            SELECT doc_id, {_URL_RAW.format(s="VARCHAR")} AS url FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   {_URL_CANON_STEPS.format(url="url")} AS canonical_url
+            FROM urls
+        )
+        SELECT canonical_url,
+               CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_variants
+        FROM canon
+        GROUP BY canonical_url
+    """,
+    doc=(
+        "URL-canonicalization dedup — the crawl-pipeline step before "
+        "any content dedup: the same page arrives under scheme/case "
+        "variants, www prefixes, default ports, trailing slashes, "
+        "fragments, and utm_* tracking params. Canonicalize with a "
+        "shared chain of plain replaces + backref-free regexes (lower, "
+        "strip #fragment, drop :443 and www., delete utm params, trim "
+        "trailing slash), then keep-first per canonical key as a "
+        "hash-groupBy MIN — one shuffle at canonical-key grain, no "
+        "window, no pair joins. URLs are synthesized deterministically "
+        "from doc_id (the documents table carries no URL column), with "
+        "variant classes chosen so every rule actually fires; the "
+        "aggregate collapses ~%d raw URLs onto their canonical keys."
+    ),
+    tags=("dedup", "llm", "url"),
+)
+def dedup_url_canonical_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    urls = t.documents.select(
+        "doc_id", F.expr(_URL_RAW.format(s="STRING")).alias("url")
+    )
+    canon = urls.select(
+        "doc_id", F.expr(_URL_CANON_STEPS.format(url="url")).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").cast("bigint").alias("kept_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+    )

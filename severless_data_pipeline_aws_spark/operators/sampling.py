@@ -690,3 +690,59 @@ def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("allocation"),
         )
     )
+
+
+@register(
+    "sampling_curriculum_quality_shards",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT)
+                     AS n_words
+            FROM documents
+        )
+        SELECT doc_id, source, n_words,
+               ntile(8) OVER (ORDER BY n_words DESC, doc_id) AS shard
+        FROM scored
+    """,
+    doc=(
+        "Curriculum sharding for training-data ordering: score each "
+        "document (integer word count — the stand-in for any "
+        "deterministic quality score), rank the corpus best-first, and "
+        "cut it into 8 equal shards so a training run can consume "
+        "easy/high-quality shards first. Exact ANSI NTILE(8) semantics "
+        "WITHOUT a single-partition sort: the bucket-offset global row "
+        "number (operators/scalable.py, negated-score band buckets) + "
+        "the closed-form ntile_from_rn assignment — the corpus never "
+        "serializes onto one partition, which is the entire difference "
+        "between this and ORDER BY at 100 TB."
+    ),
+    tags=("sampling", "llm", "curriculum"),
+)
+def sampling_curriculum_quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_row_number, ntile_from_rn
+
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        ).alias("n_words"),
+    ).localCheckpoint(eager=False)  # reused by the rank pass + count
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bucketed_row_number(
+            scored,
+            (-F.col("n_words")).cast("bigint"),
+            [F.desc("n_words"), "doc_id"],
+            out="rn",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            ntile_from_rn("rn", "n", 8).alias("shard"),
+        )
+    )

@@ -1623,3 +1623,159 @@ def similarity_rbo_lexical_vs_vector(spark: SparkSession, sf_dir: str) -> DataFr
             "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
         ).alias("rbo"),
     )
+
+
+_MMR_K = 5  # selections
+_MMR_POOL = 12  # relevance-ranked candidate pool
+_MMR_L = "CAST(0.7 AS DOUBLE)"  # lambda: relevance vs diversity trade-off
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled DuckDB twin of the greedy MMR selection: one CTE per
+    pick. Feasible to oracle exactly because every score is a shared
+    IEEE expression over bit-identical cosines (list_dot_product ==
+    the sequential F.aggregate fold — the established equivalence all
+    vector oracles here rely on)."""
+    head = f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ),
+        cand AS (
+            SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv,
+                   list_dot_product(qv, CAST(embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+                     AS rel
+            FROM embeddings, q
+            WHERE vec_id >= 5
+            ORDER BY rel DESC, doc_id LIMIT {_MMR_POOL}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   list_dot_product(a.cv, b.cv)
+                     / (sqrt(list_dot_product(a.cv, a.cv))
+                        * sqrt(list_dot_product(b.cv, b.cv))) AS sim
+            FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+        ),
+        s1 AS (
+            SELECT 1 AS rank, doc_id, rel, rel AS mmr_score
+            FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+        )"""
+    steps, prev_sets = [], ["s1"]
+    for i in range(2, _MMR_K + 1):
+        sel_union = " UNION ALL ".join(f"SELECT doc_id FROM {s}" for s in prev_sets)
+        steps.append(f"""
+        s{i} AS (
+            SELECT {i} AS rank, c.doc_id, c.rel,
+                   {_MMR_L} * c.rel - (1 - {_MMR_L}) * MAX(p.sim) AS mmr_score
+            FROM cand c JOIN pairs p ON p.a = c.doc_id
+            WHERE p.b IN ({sel_union}) AND c.doc_id NOT IN ({sel_union})
+            GROUP BY c.doc_id, c.rel
+            ORDER BY mmr_score DESC, c.doc_id LIMIT 1
+        )""")
+        prev_sets.append(f"s{i}")
+    tail = " UNION ALL ".join(
+        f"SELECT rank, doc_id, rel AS relevance, mmr_score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return head + "," + ",".join(steps) + "\n" + tail
+
+
+@register(
+    "similarity_mmr_diversified_topk",
+    oracle=_mmr_oracle_sql(),
+    doc=(
+        "Maximal-marginal-relevance diversified retrieval: greedily "
+        f"pick {_MMR_K} results from the top-{_MMR_POOL} relevance pool, each "
+        "maximizing lambda*rel - (1-lambda)*max-sim-to-already-picked — "
+        "the standard de-redundancy reranker for RAG context windows "
+        "(pure cosine top-k returns near-duplicates; MMR trades "
+        "relevance for coverage). Scale shape: the POOL is bounded by "
+        "construction (any top-k retriever), so the sequential greedy "
+        "runs over a broadcast-sized table — candidate scoring scans "
+        "the corpus once, the k iterations touch only pool-grain "
+        "DataFrames (no collect; each pick is a 1-row TakeOrdered). "
+        "The oracle unrolls all picks as chained CTEs, so even the "
+        "iterative selection is hash-verified, scores included."
+    ),
+    tags=("similarity", "llm", "rerank"),
+)
+def similarity_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(_as_double("embedding").alias("qv"))
+        .withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
+    cand = (
+        emb.filter(F.col("vec_id") >= 5)
+        .select(F.col("vec_id").alias("doc_id"), _as_double("embedding").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "cv",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=False)  # pool-sized; reused k+1 times
+    )
+    a = cand.select(F.col("doc_id").alias("a"), F.col("cv").alias("av"))
+    b = cand.select(F.col("doc_id").alias("b"), F.col("cv").alias("bv"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("av"), F.col("bv"))
+                / (
+                    F.sqrt(_dot(F.col("av"), F.col("av")))
+                    * F.sqrt(_dot(F.col("bv"), F.col("bv")))
+                )
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picked = (
+        cand.orderBy(F.desc("rel"), "doc_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "doc_id",
+            F.col("rel").alias("relevance"),
+            F.col("rel").alias("mmr_score"),
+        )
+    )
+    out = picked
+    for i in range(2, _MMR_K + 1):
+        sel_ids = out.select("doc_id")
+        scored = (
+            cand.join(sel_ids.withColumnRenamed("doc_id", "b_sel"), how="cross")
+            .join(
+                pairs,
+                (F.col("a") == F.col("doc_id")) & (F.col("b") == F.col("b_sel")),
+            )
+            .join(sel_ids, "doc_id", "left_anti")
+            .groupBy("doc_id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .select(
+                F.lit(i).alias("rank"),
+                "doc_id",
+                F.col("rel").alias("relevance"),
+                F.expr(f"{_MMR_L} * rel - (1 - {_MMR_L}) * max_sim").alias(
+                    "mmr_score"
+                ),
+            )
+            .orderBy(F.desc("mmr_score"), "doc_id")
+            .limit(1)
+        )
+        out = out.unionAll(scored)
+    return out

@@ -1753,3 +1753,108 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((st2 - sgm) / CAST(n_total - k AS DOUBLE))"
         ).alias("f_stat"),
     )
+
+
+@register(
+    "stats_changepoint_binary_segmentation",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        pre AS (
+            SELECT day, x,
+                   row_number() OVER (ORDER BY day) AS k,
+                   SUM(CAST(x AS DECIMAL(38,0))) OVER w AS s1,
+                   SUM(CAST(x AS DECIMAL(38,0)) * x) OVER w AS q1,
+                   SUM(CAST(x AS DECIMAL(38,0))) OVER () AS s,
+                   SUM(CAST(x AS DECIMAL(38,0)) * x) OVER () AS q,
+                   COUNT(*) OVER () AS d
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ),
+        scored AS (
+            SELECT day, k, d,
+                   CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(d AS DOUBLE)
+                     AS total_sse,
+                   (CAST(CAST(q1 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(k AS DOUBLE))
+                   + (CAST(CAST(q - q1 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s - s1 AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(s - s1 AS VARCHAR) AS DOUBLE)
+                       / CAST(d - k AS DOUBLE))
+                     AS split_sse
+            FROM pre WHERE k < d
+        )
+        SELECT day AS split_day,
+               CAST(d AS BIGINT) AS n_days,
+               total_sse,
+               split_sse,
+               total_sse - split_sse AS sse_reduction
+        FROM scored
+        ORDER BY total_sse - split_sse DESC, day
+        LIMIT 1
+    """,
+    doc=(
+        "Single-changepoint detection by binary segmentation over the "
+        "daily event-count series: the split that maximizes SSE "
+        "reduction (between-segment variance explained) — the offline "
+        "twin of the CUSUM detector, and the first recursion step of "
+        "the standard multi-changepoint algorithm. Everything runs at "
+        "DAY grain: one fact aggregate, then prefix sums in "
+        "DECIMAL(38,0) over the calendar-bounded day table (the only "
+        "windows — bounded by days-of-history, never event volume), "
+        "and the SSE closed forms q - s^2/n as shared IEEE doubles "
+        "via the VARCHAR-hop discipline. Argmax by (reduction DESC, "
+        "day) is a 1-row TakeOrdered, deterministic on both engines."
+    ),
+    tags=("stats", "timeseries", "changepoint"),
+)
+def stats_changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    pre = daily.select(
+        "day",
+        F.row_number().over(W.orderBy("day")).alias("k"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).over(w).alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(w).alias("q1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).over(wall).alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(wall).alias("q"),
+        F.count(F.lit(1)).over(wall).alias("d"),
+    )
+    scored = pre.filter(F.col("k") < F.col("d")).select(
+        "day",
+        "d",
+        F.expr(
+            "CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(d AS DOUBLE)"
+        ).alias("total_sse"),
+        F.expr(
+            "(CAST(q1 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))"
+            " + (CAST(q - q1 AS DOUBLE)"
+            " - CAST(s - s1 AS DOUBLE) * CAST(s - s1 AS DOUBLE)"
+            " / CAST(d - k AS DOUBLE))"
+        ).alias("split_sse"),
+    )
+    return (
+        scored.select(
+            F.col("day").alias("split_day"),
+            F.col("d").cast("bigint").alias("n_days"),
+            "total_sse",
+            "split_sse",
+            (F.col("total_sse") - F.col("split_sse")).alias("sse_reduction"),
+        )
+        .orderBy(F.desc("sse_reduction"), "split_day")
+        .limit(1)
+    )

@@ -1165,9 +1165,11 @@ def window_concurrency_from_intervals(spark: SparkSession, sf_dir: str) -> DataF
         F.col("ts").alias("s"),
         F.expr("ts + INTERVAL 30 MINUTE").alias("e"),
     )
-    bounds = iv.select(
-        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
-    ).unionAll(iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"))
+    bounds = (
+        iv.select(F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id")
+        .unionAll(iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"))
+        .localCheckpoint(eager=False)  # reused by per-day totals + the data pass
+    )
     running = bucketed_running_sum(
         bounds, F.to_date("t"), ["t", "delta", "user_id"], "delta", out="concurrency"
     )
