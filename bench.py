@@ -75,6 +75,12 @@ HEADLINE = [
     "similarity_rrf_hybrid_retrieval",
     "funnel_market_basket_lift",
     "window_concurrency_from_intervals",
+    # round-3 additions: the string-heavy canonicalization groupBy, the
+    # bucket-offset NTILE pipeline (tracks the de-serialized rank path),
+    # and the bounded-pool iterative MMR rerank
+    "dedup_url_canonical_keep_first",
+    "sampling_curriculum_quality_shards",
+    "funnel_rfm_segmentation",
 ]
 
 

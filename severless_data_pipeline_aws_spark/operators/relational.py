@@ -383,3 +383,89 @@ def sql_api_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+#: shared recursive hierarchy walk: nations arranged as a binary tree by
+#: key (parent(k) = floor((k-1)/2), root 0) — a synthetic org chart over
+#: a real dimension table. FLOOR before the INT cast: DuckDB CAST rounds
+#: while Spark truncates (the repo's documented cross-engine trap).
+_RECURSIVE_WALK_SQL = """
+    WITH RECURSIVE walk AS (
+        SELECT n_nationkey AS node, n_nationkey AS cur,
+               0 AS depth, n_name AS path
+        FROM nation
+        UNION ALL
+        SELECT w.node,
+               CAST(FLOOR((w.cur - 1) / 2) AS INTEGER) AS cur,
+               w.depth + 1,
+               w.path || '>' || p.n_name
+        FROM walk w
+        JOIN nation p
+          ON p.n_nationkey = CAST(FLOOR((w.cur - 1) / 2) AS INTEGER)
+        WHERE w.cur > 0
+    )
+    SELECT node AS n_nationkey,
+           CAST(depth AS INT) AS depth_to_root,
+           path AS path_to_root
+    FROM walk WHERE cur = 0
+"""
+
+
+@register(
+    "sql_api_recursive_cte",
+    oracle=_RECURSIVE_WALK_SQL,
+    doc=(
+        "Native WITH RECURSIVE through the SQL front door (Spark 4's "
+        "recursive CTE support): every nation walks a synthetic binary-"
+        "tree org hierarchy to the root, accumulating depth and the "
+        "name path. The IDENTICAL recursive SQL text runs on both "
+        "engines — the strongest possible parity statement for the "
+        "iterative-query surface (the graph operators' Pregel-shaped "
+        "DataFrame loops remain the 100 TB path; this is the "
+        "declarative twin users reach for first). Termination is "
+        "structural (cur strictly decreases to 0, max depth "
+        "log2(25) ~ 5 rounds); each round is one equi-join against "
+        "the 25-row dimension."
+    ),
+    tags=("relational", "sql-api", "recursive", "spark4"),
+)
+def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+@register(
+    "sql_api_group_by_all",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               o_orderpriority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    doc=(
+        "GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB shared modern "
+        "SQL sugar): every non-aggregate select item becomes a group "
+        "key and the full output sorts by every column — the "
+        "exploratory-analytics idiom that removes the copy-the-select-"
+        "list drudgery. The identical text runs on both engines and "
+        "plans exactly like the explicit GROUP BY (one hash aggregate, "
+        "map-side combined)."
+    ),
+    tags=("relational", "sql-api", "agg", "spark4"),
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               o_orderpriority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -415,3 +415,4 @@ def streaming_session_emit_on_timeout(spark: SparkSession, sf_dir: str) -> DataF
     )
     out = _run_to_memory(stateful.session_walk(stream), "append")
     return out.filter(F.col("user_id") >= 0)
+

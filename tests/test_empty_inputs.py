@@ -82,6 +82,17 @@ REPRESENTATIVE = [
     "text_bpe_train_merges",
     "window_concurrency_from_intervals",
     "dq_dp_noisy_counts",
+    # round-3 additions
+    "dedup_url_canonical_keep_first",
+    "sampling_curriculum_quality_shards",
+    "stats_changepoint_binary_segmentation",
+    "similarity_mmr_diversified_topk",
+    "dq_benford_first_digit",
+    "scalar_variant_shred_props",
+    "sql_api_recursive_cte",
+    "funnel_survival_curve",
+    "relational_pareto_skyline_2d",
+    "stats_gini_coefficient",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -91,11 +102,12 @@ _ALLOW_ONE_ROW = {
     "sketch_hll_mergeable",
     "stats_theil_sen_daily_trend",
     "stats_mann_whitney_u",
+    "stats_gini_coefficient",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
 #: on a zero-row input the correct output is still n_columns rows
-_ALLOW_SCHEMA_SHAPED = {"dq_column_profile": 6}
+_ALLOW_SCHEMA_SHAPED = {"dq_column_profile": 6, "funnel_survival_curve": 31}
 
 
 @pytest.fixture(scope="module")

@@ -592,6 +592,7 @@ _SCALABLE_WINDOW_CAPS = {
     "relational_pareto_skyline_2d": 1,
     "funnel_survival_curve": 1,  # 31-row reverse cumsum grid
     "relational_global_row_number_scalable": 1,
+    "sampling_curriculum_quality_shards": 1,  # r3: bucketed NTILE(8)
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
