@@ -81,6 +81,12 @@ HEADLINE = [
     "dedup_url_canonical_keep_first",
     "sampling_curriculum_quality_shards",
     "funnel_rfm_segmentation",
+    # round-3 continuation: the islands+two-join RAKE phrase pipeline,
+    # the distinct-value-grain rank test (tracks value_rank_table), and
+    # the gram->min(doc) inverted-index novelty join
+    "text_rake_keyword_extraction",
+    "stats_kruskal_wallis",
+    "text_ngram_novelty_score",
 ]
 
 

@@ -925,3 +925,55 @@ def scalar_variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
         F.expr("try_parse_json(props) IS NOT NULL").alias("parsed"),
     )
+
+
+@register(
+    "scalar_collation_lcase_group",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                        ELSE event_type END AS raw_type
+            FROM events
+        )
+        SELECT lower(raw_type) AS event_type_ci,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT raw_type) AS BIGINT) AS n_raw_variants
+        FROM mixed
+        GROUP BY lower(raw_type)
+    """,
+    doc=(
+        "Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): a "
+        "deterministically case-mangled event_type column (UPPER on "
+        "even event_ids) groups back together under the "
+        "case-insensitive collation WITHOUT rewriting every "
+        "expression through lower() — the engine carries the "
+        "comparison semantics in the type. The projected key is "
+        "lower(min-representative) so the output is representative-"
+        "order independent; the oracle is the classic lower() "
+        "rewrite, proving the collated GROUP BY partitions the rows "
+        "identically. n_raw_variants = 2 per type pins that the mix "
+        "actually exercised both cases (non-vacuous)."
+    ),
+    tags=("scalar", "string", "spark4"),
+)
+def scalar_collation_lcase_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    mixed = t.events.selectExpr(
+        "CASE WHEN event_id % 2 = 0 THEN upper(event_type)"
+        " ELSE event_type END AS raw_type"
+    )
+    return (
+        mixed.selectExpr("raw_type", "raw_type COLLATE UTF8_LCASE AS type_ci")
+        .groupBy("type_ci")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.expr("raw_type COLLATE UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_raw_variants"),
+        )
+        .select(
+            F.lower(F.col("type_ci").cast("string")).alias("event_type_ci"),
+            "n",
+            "n_raw_variants",
+        )
+    )

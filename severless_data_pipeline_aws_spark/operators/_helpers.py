@@ -60,6 +60,18 @@ def dsum_double_sql(expr_sql: str) -> str:
     return f"CAST(CAST(SUM(CAST(({expr_sql}) AS {DEC})) AS VARCHAR) AS DOUBLE)"
 
 
+def ddbl(x: str) -> str:
+    """Spark-side DECIMAL/BIGINT -> DOUBLE cast (correctly rounded)."""
+    return f"CAST({x} AS DOUBLE)"
+
+
+def ddbl_sql(x: str) -> str:
+    """DuckDB-side twin: VARCHAR hop for a correctly-rounded cast
+    (see dsum_double_sql — DuckDB's direct int128/decimal -> double
+    conversion double-rounds past 2^53)."""
+    return f"CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
 def davg(expr_sql: str) -> Column:
     """Exact-sum-based average: decimal sum -> double, / count.
 

@@ -1180,3 +1180,153 @@ def funnel_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ABSORB_STATE = "purchase"
+_ABSORB_STEPS = 12
+_ABSORB_SC = "1000000000000"  # 1e12 fixed-point probability scale
+
+
+def _absorb_oracle() -> str:
+    """DuckDB oracle: the 12-step absorption recurrence unrolled as
+    chained CTEs over the (metadata-scale) transition-count matrix.
+    Probabilities are 1e12-scaled integers; each step is
+    (direct + SUM(cnt * p_prev)) // row_total — exact integer
+    arithmetic, identical to the Spark iteration's truncation."""
+    steps = []
+    prev = "p0"
+    for k in range(1, _ABSORB_STEPS + 1):
+        steps.append(f"""p{k} AS (
+            SELECT t.prev_type AS state,
+                   CAST((MAX(t.n_to_absorb) * {_ABSORB_SC}
+                         + COALESCE(SUM(CAST(t.n AS HUGEINT) * p.p_scaled), 0))
+                        // MAX(t.n_out) AS BIGINT) AS p_scaled
+            FROM trans_m t
+            LEFT JOIN {prev} p ON p.state = t.next_type
+            GROUP BY t.prev_type
+        )""")
+        prev = f"p{k}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS prev_type, next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq
+            WHERE next_type IS NOT NULL AND event_type <> '{_ABSORB_STATE}'
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out,
+                   CAST(COALESCE(SUM(CASE WHEN next_type = '{_ABSORB_STATE}'
+                                          THEN n END), 0) AS BIGINT) AS n_to_absorb
+            FROM trans GROUP BY prev_type
+        ),
+        trans_m AS (
+            SELECT t.prev_type, t.next_type, t.n, tt.n_out, tt.n_to_absorb
+            FROM trans t JOIN totals tt USING (prev_type)
+            WHERE t.next_type <> '{_ABSORB_STATE}'
+            UNION ALL
+            -- keep states whose every transition absorbs (no non-absorbing
+            -- edges would otherwise drop them from the GROUP BY)
+            SELECT tt.prev_type, NULL, CAST(0 AS BIGINT), tt.n_out, tt.n_to_absorb
+            FROM totals tt
+        ),
+        p0 AS (SELECT prev_type AS state, CAST(0 AS BIGINT) AS p_scaled
+               FROM totals),
+        {chain}
+        SELECT t.prev_type AS state,
+               t.n_out AS n_transitions,
+               CAST(t.n_to_absorb AS DOUBLE) / t.n_out AS p_step1,
+               CAST(p.p_scaled AS DOUBLE) / {_ABSORB_SC}.0 AS p_convert_{_ABSORB_STEPS}
+        FROM totals t JOIN p{_ABSORB_STEPS} p ON p.state = t.prev_type
+    """
+
+
+@register(
+    "funnel_markov_absorbing_conversion",
+    oracle=_absorb_oracle(),
+    doc=(
+        "Markov-chain conversion modeling: treat the event stream as a "
+        "per-user state chain, 'purchase' as the absorbing state, and "
+        "compute each starting state's probability of converting "
+        f"within {_ABSORB_STEPS} steps — the quantity the Markov "
+        "attribution family (removal effect) is built from, and what "
+        "last-touch/time-decay attribution approximates. The fact "
+        "table is reduced ONCE to the |states|^2 transition-count "
+        "matrix (a lag window per user, then a groupBy); the "
+        f"{_ABSORB_STEPS}-step value iteration then runs on that "
+        "metadata-scale matrix — driver-looped over a ~25-row "
+        "DataFrame, the bounded-iteration pattern of kmeans/MMR. "
+        "Probabilities iterate as 1e12-scaled integers with "
+        "per-step truncating division, so every step is exact "
+        "integer arithmetic and the oracle's unrolled-CTE recurrence "
+        "hash-matches bit-for-bit (a float recurrence would drift "
+        "with fold order)."
+    ),
+    tags=("funnel", "attribution", "graph"),
+)
+def funnel_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("event_type") != _ABSORB_STATE)
+        )
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_out"),
+        F.coalesce(
+            F.sum(F.when(F.col("next_type") == _ABSORB_STATE, F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_to_absorb"),
+    )
+    # metadata-scale from here: collect the matrix once, iterate locally,
+    # and hand the exact integer vector back as a literal frame
+    m = [
+        (r["prev_type"], r["next_type"], r["n"])
+        for r in trans.filter(F.col("next_type") != _ABSORB_STATE).collect()
+    ]
+    tot = {r["prev_type"]: (r["n_out"], r["n_to_absorb"]) for r in totals.collect()}
+    sc = int(_ABSORB_SC)
+    p = {s: 0 for s in tot}
+    for _ in range(_ABSORB_STEPS):
+        p = {
+            s: (tot[s][1] * sc + sum(n * p.get(nt, 0) for pt, nt, n in m if pt == s))
+            // tot[s][0]
+            for s in tot
+        }
+    rows = [
+        (s, tot[s][0], tot[s][1], p[s])
+        for s in sorted(tot)
+    ]
+    out = spark.createDataFrame(
+        rows, "state string, n_transitions bigint, n_to_absorb bigint, p_scaled bigint"
+    )
+    return out.select(
+        "state",
+        "n_transitions",
+        (F.col("n_to_absorb").cast("double") / F.col("n_transitions")).alias(
+            "p_step1"
+        ),
+        (F.col("p_scaled").cast("double") / float(_ABSORB_SC)).alias(
+            f"p_convert_{_ABSORB_STEPS}"
+        ),
+    )

@@ -497,3 +497,56 @@ def graph_modularity_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem
+        ),
+        degrees AS (
+            SELECT part, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY part
+        )
+        SELECT degree,
+               CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(degree) AS BIGINT) AS n_edges_covered
+        FROM degrees
+        GROUP BY degree
+    """,
+    doc=(
+        "Degree distribution of the part-supplier bipartite graph "
+        "(how many suppliers ship each part): the first diagnostic of "
+        "any graph workload — a heavy-tailed histogram predicts skew "
+        "in every downstream neighborhood join, and the hub buckets "
+        "name the keys that need salting. Edges dedup with one "
+        "map-side-combinable DISTINCT, degrees are a count per part, "
+        "and the histogram collapses to |distinct degrees| rows — "
+        "three cascading aggregations, each strictly smaller, no "
+        "joins at all. floor(log2(degree)) is computed exactly as "
+        "length(bin(degree)) - 1 — float log2 rounds below integer "
+        "results at exact powers on some libm builds, bin() never."
+    ),
+    tags=("graph", "agg", "quality"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = t.lineitem.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    degrees = edges.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("degree").cast("bigint").alias("n_edges_covered"),
+        )
+        .select(
+            "degree",
+            F.expr("CAST(length(bin(degree)) - 1 AS BIGINT)").alias("log2_bucket"),
+            "n_parts",
+            "n_edges_covered",
+        )
+    )

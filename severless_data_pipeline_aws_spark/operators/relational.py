@@ -469,3 +469,82 @@ def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_api_pipe_syntax",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc=(
+        "SQL pipe syntax (Spark 4): the same revenue rollup written as "
+        "a linear FROM |> WHERE |> AGGREGATE |> ORDER BY dataflow — "
+        "the composable front door Google's SQL:2016-pipe proposal "
+        "standardizes, parsed natively by Spark's ANSI parser. The "
+        "oracle is the equivalent classic SELECT (DuckDB has no pipe "
+        "parser), which also proves the two surfaces are semantically "
+        "identical: same plan, same pushed filter, same decimal-exact "
+        "aggregate discipline as every other oracled query."
+    ),
+    tags=("sql", "api", "spark4"),
+)
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    ).select("l_returnflag", "n_items", "revenue")
+
+
+@register(
+    "sql_api_named_parameters",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                    AS VARCHAR) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > 150000.0
+          AND o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Parameterized SQL (Spark 4 named parameter markers): the "
+        "query text carries :min_price / :status placeholders and the "
+        "values travel OUT-OF-BAND via spark.sql(..., args=...) — the "
+        "injection-safe surface a query service exposes instead of "
+        "string interpolation. The oracle inlines the same literals, "
+        "proving binding changes nothing semantically."
+    ),
+    tags=("sql", "api", "spark4"),
+)
+def sql_api_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > :min_price
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "O"},
+    )

@@ -781,3 +781,76 @@ def sampling_curriculum_quality_shards(spark: SparkSession, sf_dir: str) -> Data
             ntile_from_rn("rn", "n", 8).alias("shard"),
         )
     )
+
+
+@register(
+    "sampling_importance_downweight_duplicates",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT -doc_id - 1, text, source
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        clusters AS (
+            SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS k
+            FROM corpus GROUP BY md5(text)
+        ),
+        weighted AS (
+            SELECT c.source, cl.h, cl.k,
+                   10000000000 // cl.k AS w_scaled
+            FROM corpus c JOIN clusters cl ON md5(c.text) = cl.h
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+               CAST(CAST(SUM(CAST(w_scaled AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                   / 10000000000.0 AS n_effective,
+               1.0 - (CAST(CAST(SUM(CAST(w_scaled AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                      / 10000000000.0) / CAST(COUNT(*) AS DOUBLE) AS dup_mass
+        FROM weighted GROUP BY source
+    """,
+    doc=(
+        "Soft dedup by importance down-weighting: instead of dropping "
+        "exact duplicates, every doc in a k-sized duplicate cluster "
+        "gets weight 1/k, so each distinct text contributes exactly "
+        "one unit of mass to the training mixture (the 'docs repeated "
+        "k times are k times over-weighted' correction). Clusters are "
+        "GLOBAL md5(text) groups, so a text duplicated across sources "
+        "splits its credit between them — per source that yields raw "
+        "docs, distinct texts, the effective (weighted) corpus size "
+        "Σ 1/k, and the duplicated-mass share. The weight fold is "
+        "exact: per-doc 1e10-scaled integer truncation of 1/k (a "
+        "float Σ 1/k would be accumulation-order-dependent), summed "
+        "in int128. Runs on the duplicate-injected corpus the exact-"
+        "dedup family uses (the synthetic corpus has no byte dups "
+        "below sf0.1 — weights would pass vacuously). Plan: one "
+        "hash-groupBy to clusters, one hash-keyed join back — the X1 "
+        "shape twice, nothing all-pairs."
+    ),
+    tags=("sampling", "llm", "dedup"),
+)
+def sampling_importance_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import duplicated_corpus
+
+    t = Tables(spark, sf_dir)
+    corpus = duplicated_corpus(t).select(
+        "source", F.md5("text").alias("h")
+    )
+    clusters = corpus.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    weighted = corpus.join(clusters, "h").select(
+        "source", "h", F.expr("10000000000 DIV k").alias("w_scaled")
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_texts"),
+        F.expr(
+            "CAST(SUM(CAST(w_scaled AS DECIMAL(38,0))) AS DOUBLE) / 10000000000.0"
+        ).alias("n_effective"),
+        F.expr(
+            "1.0 - (CAST(SUM(CAST(w_scaled AS DECIMAL(38,0))) AS DOUBLE)"
+            " / 10000000000.0) / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("dup_mass"),
+    )

@@ -1779,3 +1779,85 @@ def similarity_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFra
         )
         out = out.unionAll(scored)
     return out
+
+
+_MARGIN_QUERIES = 32  # bounded probe set for the margin audit
+
+
+@register(
+    "similarity_same_vs_cross_label_margin",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < {_MARGIN_QUERIES}),
+        c AS (SELECT vec_id AS cid, label AS clabel,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= {_MARGIN_QUERIES}),
+        scored AS (
+            SELECT qid, qlabel, clabel,
+                   list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                       AS cosine
+            FROM q CROSS JOIN c
+        )
+        SELECT qid AS query_id, qlabel AS label,
+               MAX(CASE WHEN clabel = qlabel THEN cosine END) AS best_same,
+               MAX(CASE WHEN clabel <> qlabel THEN cosine END) AS best_cross,
+               MAX(CASE WHEN clabel = qlabel THEN cosine END)
+                 - MAX(CASE WHEN clabel <> qlabel THEN cosine END) AS margin
+        FROM scored
+        GROUP BY qid, qlabel
+    """,
+    doc=(
+        "Embedding-space discriminative margin: for each probe vector, "
+        "the best same-label cosine minus the best cross-label cosine "
+        "— positive means nearest-neighbor retrieval would label it "
+        "correctly; the distribution of margins is the standard "
+        "offline health check for a contrastively-trained embedding "
+        "before it gates dedup or retrieval. Probes are a bounded "
+        "broadcast set (the topk_cosine plan shape); MAX is a "
+        "selection, not a fold, so the only float arithmetic is the "
+        "per-pair sequential dot product both engines evaluate "
+        "identically. One scan of the corpus side, no shuffle of "
+        "fact-sized data — scales as brute-force kNN does, and the "
+        "ANN operators (IVF/LSH tiers) take over past that."
+    ),
+    tags=("similarity", "llm", "quality"),
+)
+def similarity_same_vs_cross_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = (
+        emb.filter(F.col("vec_id") < _MARGIN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            _as_double("embedding").alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= _MARGIN_QUERIES)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            _as_double("embedding").alias("cv"),
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "qlabel",
+        "clabel",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+            "cosine"
+        ),
+    )
+    return scored.groupBy("query_id", F.col("qlabel").alias("label")).agg(
+        F.expr("MAX(CASE WHEN clabel = qlabel THEN cosine END)").alias("best_same"),
+        F.expr("MAX(CASE WHEN clabel <> qlabel THEN cosine END)").alias("best_cross"),
+        F.expr(
+            "MAX(CASE WHEN clabel = qlabel THEN cosine END)"
+            " - MAX(CASE WHEN clabel <> qlabel THEN cosine END)"
+        ).alias("margin"),
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import dsum_double, dsum_double_sql
+from ._helpers import ddbl, ddbl_sql, dsum_double, dsum_double_sql
 
 _CALC = """
         SELECT {key}, n, corr_xy,
@@ -1858,3 +1858,482 @@ def stats_changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> D
         .orderBy(F.desc("sse_reduction"), "split_day")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: rank tests / association / ACF — same exactness
+# discipline (integers and DECIMAL sums until one shared double final).
+# ---------------------------------------------------------------------------
+
+#: exactness scale for the stepwise integer division below: statistics
+#: are truncated to 1e-10 — identically on both engines, so the hash
+#: still matches; 10 decimals is far below any statistical resolution.
+_SC10 = "10000000000"
+
+
+def _kw_final(dbl) -> str:
+    """Kruskal-Wallis closed form over the one-row exact-sums table.
+
+    ``dbl`` is the engine's correctly-rounded big-int/decimal -> DOUBLE
+    cast (helpers ddbl / ddbl_sql); everything after it is shared IEEE
+    text, so the H statistic is bit-identical across engines.
+    """
+    h = (
+        f"(12.0 * ({dbl('s4s')} / {_SC10}.0)"
+        f" / ({dbl('n')} * {dbl('np1')}) - 3.0 * {dbl('np1')})"
+    )
+    return f"""
+        SELECT k AS n_groups,
+               n AS n_obs,
+               CAST(k - 1 AS BIGINT) AS dof,
+               {h} AS h_stat,
+               CASE WHEN n3n <= tsum THEN NULL
+                    ELSE {h} * {dbl('n3n')} / ({dbl('n3n')} - {dbl('tsum')})
+               END AS h_stat_tie_adj
+        FROM {{src}}
+    """
+
+
+#: stepwise exact floor((a*a/d) * 1e10): every intermediate provably
+#: fits its type (quotients in BIGINT, products in 38-digit integers),
+#: because Spark's DECIMAL DIV silently WRAPS quotients past 2^63 —
+#: verified empirically, so the naive one-step a*a*SC DIV d is unsafe.
+#:   a*a/d = a*(a DIV d) + a*(a MOD d)/d,  and the second term is < a.
+#: Envelope: exact while a <= ~1e15 and a*(a MOD d) < 1e38 — i.e. BIGINT
+#: rank sums, the same ~1e9-rows-per-cell envelope the Mann-Whitney /
+#: bitmap-distinct family already documents. Beyond it, swap the final
+#: fraction step to double (loses cross-engine bit-identity only).
+def _sq_div_scaled(a: str, d: str) -> str:
+    """Spark text: a BIGINT >= 0, d BIGINT > 0 -> DECIMAL scaled 1e10."""
+    q1 = f"(({a}) DIV ({d}))"
+    rem1 = f"(({a}) - {q1} * ({d}))"
+    t2num = f"(CAST(({a}) AS DECIMAL(38,0)) * {rem1})"
+    q2 = f"({t2num} DIV ({d}))"
+    rem2 = f"({t2num} - CAST({q2} AS DECIMAL(38,0)) * ({d}))"
+    frac = f"(({rem2} * {_SC10}) DIV ({d}))"
+    return (
+        f"((CAST(({a}) AS DECIMAL(38,0)) * {q1} + {q2}) * {_SC10} + {frac})"
+    )
+
+
+def _sq_div_scaled_sql(a: str, d: str) -> str:
+    """DuckDB twin of :func:`_sq_div_scaled` (HUGEINT floor division)."""
+    a_h = f"CAST(({a}) AS HUGEINT)"
+    q1 = f"({a_h} // ({d}))"
+    rem1 = f"({a_h} - {q1} * ({d}))"
+    t2num = f"({a_h} * {rem1})"
+    q2 = f"({t2num} // ({d}))"
+    rem2 = f"({t2num} - {q2} * ({d}))"
+    frac = f"(({rem2} * {_SC10}) // ({d}))"
+    return f"(({a_h} * {q1} + {q2}) * {_SC10} + {frac})"
+
+
+_KW_FROM = "kw_exact_sums"
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle=f"""
+        WITH pooled AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type,
+                   2 * rank() OVER (ORDER BY value)
+                     + COUNT(*) OVER (PARTITION BY value) - 1 AS r2
+            FROM pooled
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(r2) AS BIGINT) AS r2_i
+            FROM ranked GROUP BY event_type
+        ),
+        ties AS (
+            SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tsum
+            FROM (SELECT COUNT(*) AS t FROM pooled GROUP BY value)
+        ),
+        sums AS (
+            SELECT SUM({_sq_div_scaled_sql('r2_i', '4 * n_i')}) AS s4s,
+                   CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(n_i) + 1 AS BIGINT) AS np1,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM g
+        ),
+        {_KW_FROM} AS (
+            SELECT s4s, n, np1, k,
+                   CAST(n AS HUGEINT) * n * n - n AS n3n, tsum
+            FROM sums, ties
+        )
+        {_kw_final(ddbl_sql).format(src=_KW_FROM)}
+    """,
+    doc=(
+        "Kruskal-Wallis H (the k-group nonparametric ANOVA — rank sums "
+        "instead of means, the heavy-tail-robust 'does event_type shift "
+        "the value distribution?' test) with the exact tie correction "
+        "H/(1 - SUM(t^3-t)/(N^3-N)). Ranks reduce at distinct-value "
+        "grain via operators/scalable.py value_rank_table (midrank2 = "
+        "2*cnt_less + cnt_eq + 1 stays INTEGER), per-group R_i^2/n_i is "
+        "a stepwise exact integer division scaled to 1e-10 (see "
+        "_sq_div_scaled: Spark's decimal DIV wraps past 2^63, so the "
+        "naive form is unsafe), and the only floats are the final "
+        "shared closed form — bit-identical to DuckDB's single-window "
+        "oracle. No global-order window ever touches row-grain data."
+    ),
+    tags=("stats", "window", "ab"),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import value_rank_table
+
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(F.col("value").isNotNull()).select("event_type", "value")
+    vr = value_rank_table(pooled, "value", F.floor(F.col("value")).cast("bigint"))
+    per_vg = pooled.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("kk"))
+    ranked = per_vg.join(vr, "value").select(
+        "event_type",
+        "kk",
+        (2 * F.col("cnt_less") + F.col("cnt_eq") + 1).alias("rank2"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.sum("kk").cast("bigint").alias("n_i"),
+        F.sum(F.col("kk") * F.col("rank2")).cast("bigint").alias("r2_i"),
+    )
+    ties = vr.agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(cnt_eq AS DECIMAL(38,0)) * cnt_eq * cnt_eq - cnt_eq")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("tsum")
+    )
+    sums = g.agg(
+        F.expr(f"SUM({_sq_div_scaled('r2_i', '4 * n_i')})").alias("s4s"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        (F.sum("n_i") + 1).cast("bigint").alias("np1"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    exact = sums.crossJoin(F.broadcast(ties)).selectExpr(
+        "s4s", "n", "np1", "k",
+        "CAST(n AS DECIMAL(38,0)) * n * n - n AS n3n", "tsum",
+    )
+    exact.createOrReplaceTempView(_KW_FROM)
+    return spark.sql(_kw_final(ddbl).format(src=_KW_FROM))
+
+
+#: Kendall tau-b closed form — all-integer inputs, so the IDENTICAL
+#: text runs on both engines (BIGINT -> DOUBLE casts are exact).
+_KENDALL_FINAL = """
+    SELECT ndays AS n_days, n0 AS n_pairs, c AS concordant, d AS discordant,
+           n1t AS tie_pairs_x, n2t AS tie_pairs_y,
+           CASE WHEN (n0 - n1t) = 0 OR (n0 - n2t) = 0 THEN NULL
+                ELSE CAST(c - d AS DOUBLE)
+                     / sqrt(CAST(n0 - n1t AS DOUBLE) * CAST(n0 - n2t AS DOUBLE))
+           END AS tau_b
+    FROM {src}
+"""
+
+_KENDALL_FROM = "kendall_pair_sums"
+
+
+@register(
+    "stats_kendall_tau_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS y
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c_d_t,
+                   CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+                                   OR (b.x < a.x AND b.y < a.y)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+                                   OR (b.x < a.x AND b.y > a.y)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        tx AS (
+            SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n1t
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+        ),
+        ty AS (
+            SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2t
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+        ),
+        {_KENDALL_FROM} AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS ndays,
+                   CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM daily)
+                     * ((SELECT COUNT(*) FROM daily) - 1) // 2 AS BIGINT) AS n0,
+                   c, d, n1t, n2t
+            FROM pairs, tx, ty
+        )
+        {_KENDALL_FINAL.format(src=_KENDALL_FROM)}
+    """,
+    doc=(
+        "Kendall tau-b between daily order volume and daily revenue — "
+        "the outlier-robust monotone-association test (Spearman's "
+        "sibling that handles ties exactly). Concordant/discordant "
+        "counts come from the day-grain pair join (calendar-bounded: "
+        "|days|^2/2 pairs, the Theil-Sen shape — never fact-grain), "
+        "revenue compares as an exact DECIMAL so tie detection never "
+        "touches floats, and tau_b = (C-D)/sqrt((n0-n1)(n0-n2)) is one "
+        "shared all-integer closed form — identical SQL text on both "
+        "engines. At 100 TB only the one day-grain aggregate sees the "
+        "fact table; the pair join is over a broadcast-sized calendar."
+    ),
+    tags=("stats", "timeseries", "ab"),
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(38,8))")).alias("y"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)"
+                " OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("c"),
+            F.expr(
+                "CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)"
+                " OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("d"),
+        )
+    )
+    tx = daily.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("t")).agg(
+        F.coalesce(F.sum(F.expr("t * (t - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n1t")
+    )
+    ty = daily.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("t")).agg(
+        F.coalesce(F.sum(F.expr("t * (t - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n2t")
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("ndays"))
+    exact = (
+        pairs.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(nd))
+        .selectExpr("ndays", "ndays * (ndays - 1) DIV 2 AS n0", "c", "d", "n1t", "n2t")
+    )
+    exact.createOrReplaceTempView(_KENDALL_FROM)
+    return spark.sql(_KENDALL_FINAL.format(src=_KENDALL_FROM))
+
+
+def _cramers_final(dbl) -> str:
+    """Shared Cramér's V closed form over per-pair exact sums
+    (pair, n, nr, nc, chi2s): chi2 = chi2s/1e10, v = sqrt(chi2/(n*mindim))."""
+    chi2 = f"({dbl('chi2s')} / {_SC10}.0)"
+    return f"""
+        SELECT pair, n AS n_obs,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+               {chi2} AS chi2,
+               CASE WHEN nr < 2 OR nc < 2 THEN NULL
+                    ELSE sqrt({chi2} / ({dbl('n')} * {dbl('mindim')}))
+               END AS cramers_v
+        FROM (SELECT pair, n, nr, nc, chi2s,
+                     CAST(least(nr - 1, nc - 1) AS BIGINT) AS mindim
+              FROM {{src}}) t
+    """
+
+
+def _cramers_cells_sql(src: str, rowk: str, colk: str, label: str) -> str:
+    """DuckDB: one exact-sums row (pair, n, nr, nc, chi2s) for one
+    contingency pair. chi2 contribution per cell is the exact scaled
+    integer (obs*N - rt*ct)^2 * 1e10 / (rt*ct*N), stepwise in HUGEINT."""
+    num2 = "CAST(obs * n - rt * ct AS HUGEINT) * (obs * n - rt * ct)"
+    den = "CAST(rt AS HUGEINT) * ct * n"
+    q1 = f"(({num2}) // ({den}))"
+    rem = f"(({num2}) - {q1} * ({den}))"
+    frac = f"(({rem} * {_SC10}) // ({den}))"
+    return f"""
+        SELECT '{label}' AS pair,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT rk) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT ck) AS BIGINT) AS nc,
+               SUM({q1} * {_SC10} + {frac}) AS chi2s
+        FROM (
+            SELECT rk, ck, obs,
+                   SUM(obs) OVER (PARTITION BY rk) AS rt,
+                   SUM(obs) OVER (PARTITION BY ck) AS ct,
+                   SUM(obs) OVER () AS n
+            FROM (SELECT {rowk} AS rk, {colk} AS ck,
+                         CAST(COUNT(*) AS BIGINT) AS obs
+                  FROM {src} GROUP BY 1, 2) cells
+        ) m
+    """
+
+
+def _cramers_pair_spark(df: DataFrame, rowk, colk, label: str) -> DataFrame:
+    """Spark twin of :func:`_cramers_cells_sql` — DECIMAL(38,0) stepwise
+    division (quotients provably fit BIGINT: see _sq_div_scaled notes;
+    envelope rt*ct >= N*(N/1e8) keeps q1 < 2^63 to ~1e9 rows/cell)."""
+    from pyspark.sql import Window as W
+
+    cells = df.groupBy(rowk.alias("rk"), colk.alias("ck")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    m = cells.select(
+        "rk",
+        "ck",
+        "obs",
+        F.sum("obs").over(W.partitionBy("rk")).cast("bigint").alias("rt"),
+        F.sum("obs").over(W.partitionBy("ck")).cast("bigint").alias("ct"),
+        F.sum("obs").over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    num2 = (
+        "CAST(obs * n - rt * ct AS DECIMAL(38,0)) * (obs * n - rt * ct)"
+    )
+    den = "CAST(rt AS DECIMAL(38,0)) * ct * n"
+    q1 = f"(({num2}) DIV ({den}))"
+    rem = f"(({num2}) - CAST({q1} AS DECIMAL(38,0)) * ({den}))"
+    frac = f"(({rem} * {_SC10}) DIV ({den}))"
+    return m.agg(
+        F.lit(label).alias("pair"),
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("rk").cast("bigint").alias("nr"),
+        F.countDistinct("ck").cast("bigint").alias("nc"),
+        F.expr(f"SUM(CAST({q1} AS DECIMAL(38,0)) * {_SC10} + {frac})").alias("chi2s"),
+    )
+
+
+_CRAMERS_FROM = "cramers_exact_sums"
+
+
+@register(
+    "stats_cramers_v",
+    oracle=f"""
+        WITH both_pairs AS (
+            {_cramers_cells_sql(
+                "(SELECT event_type,"
+                " CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS dow FROM events)",
+                "event_type", "dow", "event_type_x_dow")}
+            UNION ALL
+            {_cramers_cells_sql(
+                "orders", "o_orderstatus", "o_orderpriority", "status_x_priority")}
+        )
+        {_cramers_final(ddbl_sql).format(src="both_pairs")}
+    """,
+    doc=(
+        "Cramér's V — the normalized effect size the raw chi-square "
+        "lacks (comparable across tables of different shape), for two "
+        "contingency pairs: event_type x day-of-week and order status "
+        "x priority. Extends stats_chi_square_independence (which "
+        "leaves the cell SUM to the caller because a float fold is "
+        "order-dependent) by folding chi2 EXACTLY: each cell's "
+        "(obs*N - rt*ct)^2/(rt*ct*N) becomes a scaled integer via "
+        "stepwise DECIMAL/HUGEINT division (truncation 1e-10, "
+        "deterministic and identical on both engines), so the total "
+        "is order-independent and the statistic bit-matches the "
+        "oracle. Marginals are frameless windows over the bounded "
+        "cell table — the fact tables are touched once each."
+    ),
+    tags=("stats", "agg", "quality"),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).cast("int").alias("dow")
+    )
+    p1 = _cramers_pair_spark(ev, F.col("event_type"), F.col("dow"), "event_type_x_dow")
+    p2 = _cramers_pair_spark(
+        t.orders, F.col("o_orderstatus"), F.col("o_orderpriority"), "status_x_priority"
+    )
+    exact = p1.unionByName(p2)
+    exact.createOrReplaceTempView(_CRAMERS_FROM)
+    return spark.sql(_cramers_final(ddbl).format(src=_CRAMERS_FROM))
+
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_final(dbl) -> str:
+    """Pearson r per lag from exact DECIMAL pair sums — shared text."""
+    return f"""
+        SELECT lag, n AS n_pairs,
+               CASE WHEN ({dbl('n')} * {dbl('sxx')} - {dbl('sx')} * {dbl('sx')}) <= 0
+                      OR ({dbl('n')} * {dbl('syy')} - {dbl('sy')} * {dbl('sy')}) <= 0
+                    THEN NULL
+                    ELSE ({dbl('n')} * {dbl('sxy')} - {dbl('sx')} * {dbl('sy')})
+                         / (sqrt({dbl('n')} * {dbl('sxx')} - {dbl('sx')} * {dbl('sx')})
+                            * sqrt({dbl('n')} * {dbl('syy')} - {dbl('sy')} * {dbl('sy')}))
+               END AS acf
+        FROM {{src}}
+        ORDER BY lag
+    """
+
+
+_ACF_FROM = "acf_pair_sums"
+
+
+@register(
+    "stats_acf_multi_lag",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS x
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ),
+        pairs AS (
+            SELECT l.lag, a.x AS xa, b.x AS xb
+            FROM (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag) l
+            JOIN daily a ON true
+            JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        ),
+        {_ACF_FROM} AS (
+            SELECT CAST(lag AS INTEGER) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(xa) AS sx, SUM(xb) AS sy,
+                   SUM(CAST(xa AS DECIMAL(19,8)) * xa) AS sxx,
+                   SUM(CAST(xb AS DECIMAL(19,8)) * xb) AS syy,
+                   SUM(CAST(xa AS DECIMAL(19,8)) * xb) AS sxy
+            FROM pairs GROUP BY 1
+        )
+        {_acf_final(ddbl_sql).format(src=_ACF_FROM)}
+    """,
+    doc=(
+        "Autocorrelation function of the daily value series at lags "
+        "1..7 — the seasonality fingerprint (a weekly cycle shows as a "
+        "lag-7 peak) that extends stats_autocorrelation_lag1 to the "
+        "full profile a forecasting pipeline inspects. Day-grain "
+        "DECIMAL(18,8) sums make every pair product exact "
+        "(18,8 x 18,8 -> 37,16 fits BOTH engines' decimal rules with "
+        "no scale adjustment — wider operands would round differently "
+        "per engine); pairs come from one lag-exploded join over the "
+        "calendar-bounded day table; Pearson r per lag is the shared "
+        "closed form over six exact sums. The fact table is touched "
+        "once; everything after is metadata-scale."
+    ),
+    tags=("stats", "timeseries", "window"),
+)
+def stats_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.filter(F.col("value").isNotNull()).groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DECIMAL(18,8))").alias("x")
+    )
+    a = daily.select(
+        F.explode(F.expr(f"sequence(1, {_ACF_MAX_LAG})")).alias("lag"),
+        F.col("day").alias("day_a"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(F.col("day").alias("day_b"), F.col("x").alias("xb"))
+    pairs = a.join(
+        F.broadcast(b), F.expr("day_b = date_add(day_a, lag)")
+    )
+    sums = pairs.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.expr("CAST(xa AS DECIMAL(19,8)) * xa")).alias("sxx"),
+        F.sum(F.expr("CAST(xb AS DECIMAL(19,8)) * xb")).alias("syy"),
+        F.sum(F.expr("CAST(xa AS DECIMAL(19,8)) * xb")).alias("sxy"),
+    )
+    sums.createOrReplaceTempView(_ACF_FROM)
+    return spark.sql(_acf_final(ddbl).format(src=_ACF_FROM))

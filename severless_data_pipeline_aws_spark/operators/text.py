@@ -1410,3 +1410,231 @@ def text_langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+@register(
+    "text_ngram_novelty_score",
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS gram
+            FROM documents
+        ),
+        firsts AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM grams g JOIN firsts f ON f.gram = g.gram
+        GROUP BY g.doc_id
+    """,
+    doc=(
+        "Per-document n-gram novelty: the fraction of a doc's distinct "
+        "word trigrams whose FIRST corpus occurrence (min doc_id — the "
+        "ingestion-order proxy) is this document. The memorization/"
+        "staleness signal a pretraining curator ranks by: ~1.0 means "
+        "genuinely new text, ~0.0 means the doc is assembled from "
+        "already-seen phrasing (soft-duplicate tail that survives "
+        "exact dedup). Trigrams explode JVM-side and collapse to "
+        "(gram, min_doc) with a map-side-combined groupBy — the same "
+        "inverted-index shape as dedup_ngram_jaccard_pairs, no "
+        "all-pairs anything; the join back is gram-keyed equi. At 100 "
+        "TB the gram table shards by hash like any term dictionary."
+    ),
+    tags=("text", "llm", "ngram", "dedup"),
+)
+def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grams = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # sequence(1, 0) counts DOWN (the text_top_bigrams
+                # lesson), so docs under 3 words take the empty branch
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("gram"),
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.expr("CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+#: shared RAKE stopword list (interpolated into BOTH engines' queries)
+_RAKE_STOPS = (
+    "the a an and or of in on to is are was were for with as by at it "
+    "this that be from has have had not but they you we he she its"
+).split()
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+_RAKE_TOP = 20
+_RAKE_DYN_STOPS = 12  # corpus-adaptive delimiter words (RAKE §1.2.2)
+_RAKE_SC = "10000000000"
+
+
+@register(
+    "text_rake_keyword_extraction",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, s['i'] AS pos, s['w'] AS w
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(string_split(text, ' ')) + 1),
+                           i -> struct_pack(i := i, w := string_split(text, ' ')[i])
+                       )) AS s
+                FROM documents
+            )
+        ),
+        corpus_stops AS (
+            SELECT w FROM words GROUP BY w
+            ORDER BY COUNT(*) DESC, w LIMIT {_RAKE_DYN_STOPS}
+        ),
+        content AS (
+            SELECT doc_id, pos, w FROM words
+            WHERE w NOT IN ({_RAKE_STOPS_SQL})
+              AND w NOT IN (SELECT w FROM corpus_stops)
+              AND length(w) >= 3
+        ),
+        grp AS (
+            SELECT doc_id, pos, w,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM content
+        ),
+        phrases AS (
+            SELECT doc_id, g,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen
+            FROM grp GROUP BY doc_id, g
+        ),
+        inst AS (
+            SELECT gr.doc_id, gr.g, gr.w, p.plen
+            FROM grp gr JOIN phrases p USING (doc_id, g)
+        ),
+        wstats AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS degree
+            FROM inst GROUP BY w
+        ),
+        scored AS (
+            SELECT i.doc_id, i.g,
+                   CAST(SUM(CAST(ws.degree AS HUGEINT) * {_RAKE_SC} // ws.freq)
+                        AS BIGINT) AS score_scaled
+            FROM inst i JOIN wstats ws USING (w) GROUP BY i.doc_id, i.g
+        )
+        SELECT p.phrase,
+               CAST(MAX(p.plen) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(s.score_scaled) AS DOUBLE) / {_RAKE_SC}.0 AS rake_score
+        FROM phrases p JOIN scored s ON s.doc_id = p.doc_id AND s.g = p.g
+        GROUP BY p.phrase
+        ORDER BY rake_score DESC, phrase
+        LIMIT {_RAKE_TOP}
+    """,
+    doc=(
+        "RAKE keyword extraction (Rose et al. 2010), fully "
+        "distributed: candidate phrases are maximal stopword-free word "
+        "runs found by the gaps-and-islands trick (pos - row_number "
+        "per doc); the delimiter set is the static stoplist PLUS the "
+        "corpus's own top-12 most frequent words (the frequency-"
+        "derived stoplist of RAKE §1.2.2 — self-adapting to any "
+        "domain vocabulary, computed as a broadcast anti-join, "
+        "deterministic via the (count DESC, word) tie-break "
+        "per doc — windows partition by doc_id, bounded by doc "
+        "length); word degree (Σ phrase length over occurrences) and "
+        "frequency reduce at vocabulary grain; each phrase scores "
+        "Σ degree(w)/freq(w) folded EXACTLY as 1e10-scaled integers "
+        "(the quotient is bounded by max-phrase-length·1e10, so it "
+        "provably fits BIGINT at any corpus size); identical phrases "
+        "across docs dedup to one keyword with its occurrence count. "
+        "Top-20 is a TakeOrdered — the corpus is never globally "
+        "sorted. The keyword-extraction gap in the text family: "
+        "top_salient_terms ranks single words, this ranks phrases."
+    ),
+    tags=("text", "llm", "ngram"),
+)
+def text_rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    corpus_stops = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(_RAKE_DYN_STOPS)
+        .select("w")
+    )
+    content = words.filter(
+        ~F.col("w").isin(*_RAKE_STOPS) & (F.length("w") >= 3)
+    ).join(F.broadcast(corpus_stops), "w", "left_anti")
+    grp = content.withColumn(
+        "g", F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    )
+    phrases = grp.groupBy("doc_id", "g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    inst = grp.join(phrases.select("doc_id", "g", "plen"), ["doc_id", "g"])
+    wstats = inst.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    scored = (
+        inst.join(wstats, "w")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST(degree AS DECIMAL(38,0)) * {_RAKE_SC} DIV freq)"
+                " AS BIGINT)"
+            ).alias("score_scaled")
+        )
+    )
+    return (
+        phrases.join(scored, ["doc_id", "g"])
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            (F.max("score_scaled").cast("double") / float(_RAKE_SC)).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOP)
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import davg
+from ._helpers import davg, ddbl, ddbl_sql
 
 
 @register(
@@ -1237,3 +1237,77 @@ def window_rolling_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN w_max > w_min THEN (value - w_min) / (w_max - w_min) END"
         ).alias("scaled_value"),
     )
+
+
+def _bollinger_final(dbl) -> str:
+    """Shared Bollinger closed form over exact 7-day DECIMAL sums."""
+    mean = f"({dbl('sx')} / {dbl('nw')})"
+    sd = (
+        f"sqrt(({dbl('nw')} * {dbl('sxx')} - {dbl('sx')} * {dbl('sx')})"
+        f" / ({dbl('nw')} * ({dbl('nw')} - 1.0)))"
+    )
+    return f"""
+        SELECT day, {dbl('x')} AS revenue,
+               {mean} AS ma7,
+               {mean} + 2.0 * {sd} AS upper_band,
+               {mean} - 2.0 * {sd} AS lower_band,
+               CAST({dbl('x')} > {mean} + 2.0 * {sd}
+                    OR {dbl('x')} < {mean} - 2.0 * {sd} AS BOOLEAN) AS breach
+        FROM {{src}}
+        WHERE nw = 7
+        ORDER BY day
+    """
+
+
+_BOLL_FROM = "bollinger_day_sums"
+
+
+@register(
+    "window_bollinger_bands",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+            FROM orders GROUP BY 1
+        ),
+        {_BOLL_FROM} AS (
+            SELECT day, x,
+                   COUNT(*) OVER w AS nw,
+                   SUM(x) OVER w AS sx,
+                   SUM(CAST(x AS DECIMAL(19,4)) * x) OVER w AS sxx
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        {_bollinger_final(ddbl_sql).format(src=_BOLL_FROM)}
+    """,
+    doc=(
+        "Bollinger bands on daily revenue: 7-day moving average with "
+        "+/-2 sample-stdev envelopes and a breach flag — the classic "
+        "volatility-aware alert band a metrics dashboard draws. Rolling "
+        "mean and stdev come from exact DECIMAL window sums (sum and "
+        "sum-of-squares over ROWS 6 PRECEDING; the 19,4 widening keeps "
+        "the square exact on both engines' int128 paths), evaluated "
+        "through the shared closed form sqrt((n*sxx - sx^2)/(n(n-1))). "
+        "The only window runs over the calendar-bounded day table — "
+        "the orders fact is reduced to day grain in one aggregate "
+        "first, so no fact-grain global order exists at any scale."
+    ),
+    tags=("window", "timeseries", "quality"),
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))").alias(
+            "x"
+        )
+    )
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    sums = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).alias("nw"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,4)) * x")).over(w).alias("sxx"),
+    )
+    sums.createOrReplaceTempView(_BOLL_FROM)
+    return spark.sql(_bollinger_final(ddbl).format(src=_BOLL_FROM))

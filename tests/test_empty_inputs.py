@@ -93,6 +93,20 @@ REPRESENTATIVE = [
     "funnel_survival_curve",
     "relational_pareto_skyline_2d",
     "stats_gini_coefficient",
+    # round-3 continuation additions
+    "stats_kruskal_wallis",
+    "stats_kendall_tau_daily",
+    "stats_cramers_v",
+    "stats_acf_multi_lag",
+    "window_bollinger_bands",
+    "text_ngram_novelty_score",
+    "sampling_importance_downweight_duplicates",
+    "graph_degree_distribution",
+    "similarity_same_vs_cross_label_margin",
+    "text_rake_keyword_extraction",
+    "sql_api_pipe_syntax",
+    "scalar_collation_lcase_group",
+    "funnel_markov_absorbing_conversion",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -103,11 +117,19 @@ _ALLOW_ONE_ROW = {
     "stats_theil_sen_daily_trend",
     "stats_mann_whitney_u",
     "stats_gini_coefficient",
+    "stats_kruskal_wallis",
+    "stats_kendall_tau_daily",
+    "stats_cramers_v",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
 #: on a zero-row input the correct output is still n_columns rows
-_ALLOW_SCHEMA_SHAPED = {"dq_column_profile": 6, "funnel_survival_curve": 31}
+_ALLOW_SCHEMA_SHAPED = {
+    "dq_column_profile": 6,
+    "funnel_survival_curve": 31,
+    # one global-aggregate summary row per contingency pair
+    "stats_cramers_v": 2,
+}
 
 
 @pytest.fixture(scope="module")
