@@ -1330,3 +1330,231 @@ def funnel_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> Data
             f"p_convert_{_ABSORB_STEPS}"
         ),
     )
+
+
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")  # non-absorbing states
+
+
+def _removal_chain_sql(tag: str, removed: str | None) -> str:
+    """A 12-step absorption chain over trans_m with state ``removed``
+    deleted: excluding it from every step's output makes edges INTO it
+    find no match in the LEFT JOIN, so their probability mass is lost
+    while row totals keep their original denominator — the standard
+    removal-effect convention. ``removed=None`` is the base chain."""
+    where = f"WHERE t.prev_type <> '{removed}'" if removed else ""
+    steps = [
+        f"""{tag}0 AS (
+            SELECT prev_type AS state, CAST(0 AS BIGINT) AS p_scaled
+            FROM totals {f"WHERE prev_type <> '{removed}'" if removed else ""})"""
+    ]
+    for k in range(1, _ABSORB_STEPS + 1):
+        steps.append(f"""{tag}{k} AS (
+            SELECT t.prev_type AS state,
+                   CAST((MAX(t.n_to_absorb) * {_ABSORB_SC}
+                         + COALESCE(SUM(CAST(t.n AS HUGEINT) * p.p_scaled), 0))
+                        // MAX(t.n_out) AS BIGINT) AS p_scaled
+            FROM trans_m t
+            LEFT JOIN {tag}{k - 1} p ON p.state = t.next_type
+            {where}
+            GROUP BY t.prev_type
+        )""")
+    return ",\n        ".join(steps)
+
+
+def _removal_total_sql(tag: str, removed: str | None) -> str:
+    """Start-weighted overall conversion for one chain, 1e12-scaled."""
+    where = f"WHERE s.state <> '{removed}'" if removed else ""
+    return f"""(
+        SELECT CAST(SUM(CAST(s.n_start AS HUGEINT)
+                        * COALESCE(p.p_scaled, 0))
+                    // MAX(u.n_users) AS BIGINT)
+        FROM starts s
+        LEFT JOIN {tag}{_ABSORB_STEPS} p ON p.state = s.state
+        CROSS JOIN users_n u
+        {where}
+    )"""
+
+
+def _markov_removal_oracle() -> str:
+    chains = [_removal_chain_sql("b", None)]
+    totals_exprs = [f"{_removal_total_sql('b', None)} AS base_scaled"]
+    for i, ch in enumerate(_MARKOV_CHANNELS):
+        chains.append(_removal_chain_sql(f"r{i}", ch))
+        totals_exprs.append(f"{_removal_total_sql(f'r{i}', ch)} AS rem_{i}")
+    chain_sql = ",\n        ".join(chains)
+    sel = ",\n               ".join(totals_exprs)
+    rows = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, rem_{i} AS rem_scaled FROM sums"
+        for i, ch in enumerate(_MARKOV_CHANNELS)
+    )
+    # MATERIALIZED: the five 12-step chains reference these base CTEs
+    # ~65 times; DuckDB would otherwise inline (re-evaluate) the event
+    # scan into every step and the oracle never finishes at sf0.01+
+    return f"""
+        WITH seq AS MATERIALIZED (
+            SELECT user_id, ts, event_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        trans AS MATERIALIZED (
+            SELECT event_type AS prev_type, next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq
+            WHERE next_type IS NOT NULL AND event_type <> '{_ABSORB_STATE}'
+            GROUP BY 1, 2
+        ),
+        totals AS MATERIALIZED (
+            SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out,
+                   CAST(COALESCE(SUM(CASE WHEN next_type = '{_ABSORB_STATE}'
+                                          THEN n END), 0) AS BIGINT) AS n_to_absorb
+            FROM trans GROUP BY prev_type
+        ),
+        trans_m AS MATERIALIZED (
+            SELECT t.prev_type, t.next_type, t.n, tt.n_out, tt.n_to_absorb
+            FROM trans t JOIN totals tt USING (prev_type)
+            WHERE t.next_type <> '{_ABSORB_STATE}'
+            UNION ALL
+            SELECT tt.prev_type, NULL, CAST(0 AS BIGINT), tt.n_out, tt.n_to_absorb
+            FROM totals tt
+        ),
+        firsts AS (
+            SELECT user_id, event_type AS state FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ),
+        starts AS MATERIALIZED (
+            SELECT state, CAST(COUNT(*) AS BIGINT) AS n_start
+            FROM firsts WHERE state <> '{_ABSORB_STATE}' GROUP BY state
+        ),
+        users_n AS (SELECT CAST(SUM(n_start) AS BIGINT) AS n_users FROM starts),
+        {chain_sql},
+        sums AS (SELECT {sel}),
+        channels AS ({rows})
+        SELECT c.channel,
+               COALESCE(s.n_start, 0) AS n_starts,
+               CAST(m.base_scaled AS DOUBLE) / {_ABSORB_SC}.0 AS p_conv_base,
+               CAST(c.rem_scaled AS DOUBLE) / {_ABSORB_SC}.0 AS p_conv_removed,
+               CAST(m.base_scaled - c.rem_scaled AS DOUBLE) / {_ABSORB_SC}.0
+                   AS removal_effect,
+               CASE WHEN t.eff_total = 0 THEN NULL
+                    ELSE CAST(m.base_scaled - c.rem_scaled AS DOUBLE)
+                         / CAST(t.eff_total AS DOUBLE) END AS attribution_share
+        FROM channels c
+        CROSS JOIN sums m
+        CROSS JOIN (SELECT SUM(base_scaled - rem_scaled) AS eff_total
+                    FROM (SELECT m2.base_scaled, c2.rem_scaled
+                          FROM channels c2 CROSS JOIN sums m2)) t
+        LEFT JOIN starts s ON s.state = c.channel
+    """
+
+
+@register(
+    "funnel_markov_removal_attribution",
+    oracle=_markov_removal_oracle(),
+    doc=(
+        "Markov removal-effect attribution (Anderl et al. 2016): each "
+        "channel's credit is how much the overall start-weighted "
+        f"{_ABSORB_STEPS}-step conversion probability drops when that "
+        "channel is deleted from the chain (its inbound probability "
+        "mass lost, denominators unchanged), normalized across "
+        "channels — the data-driven alternative to last-touch/"
+        "time-decay heuristics, and the model both of those "
+        "approximate. Five exact value iterations (base + one per "
+        "channel) run on the collected states^2 matrix — metadata-"
+        "scale, the kmeans/MMR bounded-iteration pattern — with "
+        "probabilities as 1e12-scaled integers, so the oracle's five "
+        "unrolled-CTE chains hash-match bit-for-bit. The fact table "
+        "is touched twice (transition counts; per-user first states), "
+        "both partial-agg shuffles."
+    ),
+    tags=("funnel", "attribution", "graph"),
+)
+def funnel_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(
+            F.col("next_type").isNotNull() & (F.col("event_type") != _ABSORB_STATE)
+        )
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_out"),
+        F.coalesce(
+            F.sum(F.when(F.col("next_type") == _ABSORB_STATE, F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_to_absorb"),
+    )
+    starts = (
+        t.events.groupBy("user_id")
+        .agg(F.expr("min_by(event_type, struct(ts, event_id))").alias("state"))
+        .filter(F.col("state") != _ABSORB_STATE)
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_start"))
+    )
+    m = [
+        (r["prev_type"], r["next_type"], r["n"])
+        for r in trans.filter(F.col("next_type") != _ABSORB_STATE).collect()
+    ]
+    tot = {r["prev_type"]: (r["n_out"], r["n_to_absorb"]) for r in totals.collect()}
+    st = {r["state"]: r["n_start"] for r in starts.collect()}
+    n_users = sum(st.values())
+    sc = int(_ABSORB_SC)
+
+    def iterate(removed):
+        if n_users == 0:
+            return 0  # zero-row input: no users, no conversion mass
+        states = [s for s in tot if s != removed]
+        p = {s: 0 for s in states}
+        for _ in range(_ABSORB_STEPS):
+            p = {
+                s: (
+                    tot[s][1] * sc
+                    + sum(n * p.get(nt, 0) for pt, nt, n in m if pt == s and nt != removed)
+                )
+                // tot[s][0]
+                for s in states
+            }
+        return sum(st[s] * p.get(s, 0) for s in st if s != removed) // n_users
+
+    base = iterate(None)
+    rems = {ch: iterate(ch) for ch in _MARKOV_CHANNELS}
+    eff_total = sum(base - r for r in rems.values())
+    rows = [
+        (
+            ch,
+            st.get(ch, 0),
+            base,
+            rems[ch],
+            base - rems[ch],
+        )
+        for ch in _MARKOV_CHANNELS
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "channel string, n_starts bigint, base_scaled bigint,"
+        " rem_scaled bigint, eff_scaled bigint",
+    )
+    return out.select(
+        "channel",
+        "n_starts",
+        (F.col("base_scaled").cast("double") / sc).alias("p_conv_base"),
+        (F.col("rem_scaled").cast("double") / sc).alias("p_conv_removed"),
+        (F.col("eff_scaled").cast("double") / sc).alias("removal_effect"),
+        (
+            F.col("eff_scaled").cast("double") / float(eff_total)
+            if eff_total
+            else F.lit(None).cast("double")
+        ).alias("attribution_share"),
+    )

@@ -107,6 +107,7 @@ REPRESENTATIVE = [
     "sql_api_pipe_syntax",
     "scalar_collation_lcase_group",
     "funnel_markov_absorbing_conversion",
+    "funnel_markov_removal_attribution",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -129,6 +130,8 @@ _ALLOW_SCHEMA_SHAPED = {
     "funnel_survival_curve": 31,
     # one global-aggregate summary row per contingency pair
     "stats_cramers_v": 2,
+    # one all-zero row per (fixed) attribution channel
+    "funnel_markov_removal_attribution": 4,
 }
 
 
