@@ -908,9 +908,32 @@ _EWMA_ALPHA = 0.2
 
 @register(
     "timeseries_ewma_smooth",
-    oracle=None,  # sequential IEEE recurrence: y_n = a*x_n + (1-a)*y_{n-1};
-    # any closed form changes the rounding, so exactness is pinned by a
-    # pandas ewm(adjust=False) replay in pytest instead of SQL
+    # The sequential IEEE recurrence y_n = a*x_n + (1-a)*y_{n-1} IS
+    # SQL-expressible after all: a recursive CTE replays it in the same
+    # order with the same two roundings per step, and pandas
+    # ewm(adjust=False) divides by (old_wt+new_wt) which is EXACTLY 1.0
+    # for a=0.2 (0.8+0.2 rounds to 1.0), so the oracle bit-matches the
+    # applyInPandas path — verified empirically over 500 random steps
+    # before wiring, and at sf0.001/0.01/0.1 by the gate. The pytest
+    # pandas-replay + partition-invariance checks remain.
+    oracle="""
+        WITH RECURSIVE base AS MATERIALIZED (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id <= 20
+        ),
+        r AS (
+            SELECT user_id, event_id, ts, value, rn, value AS ewma
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+                   0.2 * b.value + 0.8 * r.ewma
+            FROM base b
+            JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, ts, value, ewma FROM r
+    """,
     doc=(
         "Exponentially-weighted moving average per user stream (alpha "
         "= 0.2): the dashboard smoother the max-drawdown / moving-"
