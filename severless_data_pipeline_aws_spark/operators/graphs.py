@@ -550,3 +550,82 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges_covered",
         )
     )
+
+
+_LINK_TOP = 25
+
+
+@register(
+    "graph_link_prediction_common_neighbors",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+            FROM lineitem
+        ),
+        deg AS (
+            SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY supp
+        ),
+        cand AS (
+            SELECT a.supp AS supp_a, b.supp AS supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS common_parts
+            FROM edges a JOIN edges b
+              ON a.part = b.part AND a.supp < b.supp
+            GROUP BY a.supp, b.supp
+        )
+        SELECT c.supp_a, c.supp_b, c.common_parts,
+               da.d AS deg_a, db.d AS deg_b,
+               CAST(c.common_parts AS DOUBLE)
+                   / (da.d + db.d - c.common_parts) AS jaccard
+        FROM cand c
+        JOIN deg da ON da.supp = c.supp_a
+        JOIN deg db ON db.supp = c.supp_b
+        ORDER BY jaccard DESC, c.supp_a, c.supp_b
+        LIMIT {_LINK_TOP}
+    """,
+    doc=(
+        "Link prediction by common-neighbor overlap: score supplier "
+        "pairs by the Jaccard of their part portfolios — the classic "
+        "'who will co-occur next' / competitor-similarity primitive. "
+        "Candidates come from the inverted part->suppliers index (an "
+        "equi-join on the shared part), so only pairs with >= 1 common "
+        "part ever materialize — never an all-pairs product; per-pair "
+        "counts reduce with map-side combine and the top-25 is a "
+        "TakeOrdered. The canonical skew caveat applies: a part "
+        "supplied by k suppliers fans out k^2/2 pairs, so at 100 TB "
+        "hub parts get capped or salted first (the degree histogram "
+        "op exists to find them). One int division per survivor."
+    ),
+    tags=("graph", "similarity", "topk"),
+)
+def graph_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = t.lineitem.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    deg = edges.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    b = edges.select(F.col("supp").alias("supp_b"), "part")
+    cand = (
+        a.join(b, ["part"])
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_parts"))
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("d").alias("deg_b"))
+    return (
+        cand.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_parts",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(common_parts AS DOUBLE) / (deg_a + deg_b - common_parts)"
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
+        .limit(_LINK_TOP)
+    )

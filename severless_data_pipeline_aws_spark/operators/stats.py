@@ -2337,3 +2337,97 @@ def stats_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums.createOrReplaceTempView(_ACF_FROM)
     return spark.sql(_acf_final(ddbl).format(src=_ACF_FROM))
+
+
+#: standard-normal quantiles for alpha=0.05 (two-sided) and power=0.80,
+#: precomputed in Python (inverse-CDF bisection) and shared as LITERALS
+#: by both engines — the transcendental itself is never evaluated in
+#: SQL, where libm differences would break cross-engine bit-identity
+_Z_ALPHA2 = "1.9599639845400536e0"  # e-notation: parses as DOUBLE, not DECIMAL, on both engines
+_Z_BETA = "0.8416212335729141e0"
+
+
+def _power_final(dbl) -> str:
+    """MDE closed form over exact per-day conversion sums: with daily
+    traffic n/2 per arm, mde = (z_a + z_b) * sqrt(2*p*(1-p) / (n/2))."""
+    p = f"({dbl('n_conv')} / {dbl('n_events')})"
+    half = f"({dbl('n_events')} / 2.0)"
+    mde = (
+        f"(({_Z_ALPHA2} + {_Z_BETA})"
+        f" * sqrt(2.0 * {p} * (1.0 - {p}) / {half}))"
+    )
+    return f"""
+        SELECT horizon_days, n_events, n_conv,
+               {p} AS base_rate,
+               {mde} AS mde_abs,
+               CASE WHEN n_conv = 0 THEN NULL
+                    ELSE {mde} / {p} END AS mde_rel
+        FROM {{src}}
+        ORDER BY horizon_days
+    """
+
+
+_POWER_FROM = "power_day_sums"
+
+
+@register(
+    "stats_power_analysis_proportions",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        horizons AS (SELECT unnest([7, 14, 28]) AS horizon_days),
+        {_POWER_FROM} AS (
+            SELECT h.horizon_days,
+                   CAST(SUM(d.n) AS BIGINT) AS n_events,
+                   CAST(SUM(d.c) AS BIGINT) AS n_conv
+            FROM horizons h
+            JOIN daily d
+              ON d.day > (SELECT MAX(day) FROM daily) - h.horizon_days
+            GROUP BY h.horizon_days
+        )
+        {_power_final(ddbl_sql).format(src=_POWER_FROM)}
+    """,
+    doc=(
+        "A/B test power analysis from observed traffic: for 7/14/28-"
+        "day horizons ending at the newest data, the minimum "
+        "detectable effect on the purchase conversion rate at "
+        "alpha=0.05 (two-sided) and 80% power with a 50/50 split — "
+        "the 'how long must this experiment run' planning primitive. "
+        "The normal quantiles are Python-precomputed literals (the "
+        "Benford-log trick: evaluating the transcendental in SQL "
+        "would tie the hash to libm rounding); everything else is "
+        "exact integer day-grain sums through one shared sqrt closed "
+        "form. One fact scan; the horizon join runs on the bounded "
+        "calendar table."
+    ),
+    tags=("stats", "ab", "agg"),
+)
+def stats_power_analysis_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)"
+        ).alias("c"),
+    )
+    maxday = daily.agg(F.max("day").alias("max_day"))
+    horizons = spark.range(1).select(
+        F.explode(F.array(F.lit(7), F.lit(14), F.lit(28))).alias("horizon_days")
+    )
+    sums = (
+        daily.crossJoin(F.broadcast(maxday))
+        .crossJoin(F.broadcast(horizons))
+        .filter(F.expr("day > date_sub(max_day, horizon_days)"))
+        .groupBy("horizon_days")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("c").cast("bigint").alias("n_conv"),
+        )
+    )
+    sums.createOrReplaceTempView(_POWER_FROM)
+    return spark.sql(_power_final(ddbl).format(src=_POWER_FROM))

@@ -108,6 +108,8 @@ REPRESENTATIVE = [
     "scalar_collation_lcase_group",
     "funnel_markov_absorbing_conversion",
     "funnel_markov_removal_attribution",
+    "graph_link_prediction_common_neighbors",
+    "stats_power_analysis_proportions",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
