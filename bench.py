@@ -87,6 +87,9 @@ HEADLINE = [
     "text_rake_keyword_extraction",
     "stats_kruskal_wallis",
     "text_ngram_novelty_score",
+    # GEMM-tier brute-force kNN (tracks the Arrow fast path against
+    # similarity_topk_cosine_exact's JVM fold — same oracle, same answer)
+    "similarity_topk_cosine_matmul",
 ]
 
 

@@ -110,6 +110,7 @@ REPRESENTATIVE = [
     "funnel_markov_removal_attribution",
     "graph_link_prediction_common_neighbors",
     "stats_power_analysis_proportions",
+    "similarity_topk_cosine_matmul",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
