@@ -1290,3 +1290,46 @@ def timeseries_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame
         "avg_daily",
         F.expr("avg_daily / grand_avg").alias("seasonal_index"),
     )
+
+
+@register(
+    "agg_pivot_dynamic",
+    oracle="""
+        SELECT day,
+               CAST(COALESCE(click, 0) AS BIGINT) AS click,
+               CAST(COALESCE(error, 0) AS BIGINT) AS error,
+               CAST(COALESCE(purchase, 0) AS BIGINT) AS purchase,
+               CAST(COALESCE(signup, 0) AS BIGINT) AS signup,
+               CAST(COALESCE(view, 0) AS BIGINT) AS view
+        FROM (
+            PIVOT (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
+            ON event_type USING COUNT(*) GROUP BY day
+        )
+    """,
+    doc=(
+        "Dynamic pivot: the category list is DISCOVERED from the data "
+        "(Spark's two-phase pivot — a distinct scan plans the output "
+        "columns, then one pivoting aggregate), not hard-coded as in "
+        "agg_pivot. The oracle uses DuckDB's dynamic PIVOT the same "
+        "way, so both engines must discover the identical column set "
+        "— a schema-level assertion the fixed-list pivot can't make. "
+        "Missing cells coalesce to 0 on both sides. At scale the "
+        "distinct scan is a cheap pre-pass (event_type is "
+        "low-cardinality by definition of pivoting) and the pivot "
+        "itself is one hash aggregate wide-row pass."
+    ),
+    tags=("agg", "pivot"),
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.events.select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    out = base.groupBy("day").pivot("event_type").count()
+    # the pivoted columns are data-discovered; coalesce each to 0 with a
+    # deterministic (sorted) column order to match the oracle's schema
+    cats = sorted(c for c in out.columns if c != "day")
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("bigint").alias(c) for c in cats],
+    )

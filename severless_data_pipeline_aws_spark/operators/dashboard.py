@@ -1331,3 +1331,72 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BENFORD_CASE).alias("benford_share"),
         F.expr(f"{share} - {_BENFORD_CASE}").alias("deviation"),
     )
+
+
+_DRIFT_COLS = ("user_id", "event_type", "value", "props")
+
+
+@register(
+    "dq_null_rate_drift",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS tmid_us
+            FROM events
+        ),
+        halves AS (
+            SELECT CASE WHEN epoch_us(ts) < tmid_us THEN 1 ELSE 2 END AS half,
+                   user_id, event_type, value, props
+            FROM events, bounds
+        )
+        {" UNION ALL ".join(
+            f'''SELECT '{c}' AS col,
+                   CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n1,
+                   CAST(COUNT(CASE WHEN half = 1 AND {c} IS NULL THEN 1 END)
+                        AS BIGINT) AS nulls1,
+                   CAST(COUNT(CASE WHEN half = 2 THEN 1 END) AS BIGINT) AS n2,
+                   CAST(COUNT(CASE WHEN half = 2 AND {c} IS NULL THEN 1 END)
+                        AS BIGINT) AS nulls2,
+                   CAST(nulls1 AS DOUBLE) / n1
+                     - CAST(nulls2 AS DOUBLE) / n2 AS null_rate_drift
+            FROM halves''' for c in _DRIFT_COLS)}
+    """,
+    doc=(
+        "Null-rate drift monitor: per column, the null fraction of the "
+        "stream's first half minus its second half (midpoint-of-time "
+        "split, the stats_tvd_category_drift convention) — the "
+        "upstream-breakage detector that fires when a producer starts "
+        "dropping a field. One conditional-aggregate scan per column "
+        "batch (the per-column expressions are a metadata loop, the "
+        "data is scanned once via the union's shared subtree + "
+        "exchange reuse); all counts integer-exact, one double "
+        "division pair per column at the end."
+    ),
+    tags=("quality", "dashboard", "agg"),
+)
+def dq_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2").alias("tmid_us")
+    )
+    halves = t.events.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CASE WHEN unix_micros(ts) < tmid_us THEN 1 ELSE 2 END").alias("half"),
+        *_DRIFT_COLS,
+    )
+    out = None
+    for c in _DRIFT_COLS:
+        row = halves.agg(
+            F.lit(c).alias("col"),
+            F.expr("CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT)").alias("n1"),
+            F.expr(
+                f"CAST(COUNT(CASE WHEN half = 1 AND {c} IS NULL THEN 1 END) AS BIGINT)"
+            ).alias("nulls1"),
+            F.expr("CAST(COUNT(CASE WHEN half = 2 THEN 1 END) AS BIGINT)").alias("n2"),
+            F.expr(
+                f"CAST(COUNT(CASE WHEN half = 2 AND {c} IS NULL THEN 1 END) AS BIGINT)"
+            ).alias("nulls2"),
+        ).withColumn(
+            "null_rate_drift",
+            F.expr("CAST(nulls1 AS DOUBLE) / n1 - CAST(nulls2 AS DOUBLE) / n2"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -111,6 +111,11 @@ REPRESENTATIVE = [
     "graph_link_prediction_common_neighbors",
     "stats_power_analysis_proportions",
     "similarity_topk_cosine_matmul",
+    # (agg_pivot_dynamic is deliberately absent: a dynamic pivot's
+    # schema is DISCOVERED from the data, so a zero-row input
+    # legitimately yields different columns than a populated one —
+    # the battery's schema-equality contract cannot apply to it)
+    "dq_null_rate_drift",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -135,6 +140,8 @@ _ALLOW_SCHEMA_SHAPED = {
     "stats_cramers_v": 2,
     # one all-zero row per (fixed) attribution channel
     "funnel_markov_removal_attribution": 4,
+    # one summary row per monitored column
+    "dq_null_rate_drift": 4,
 }
 
 
