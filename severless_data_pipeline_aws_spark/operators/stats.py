@@ -2431,3 +2431,78 @@ def stats_power_analysis_proportions(spark: SparkSession, sf_dir: str) -> DataFr
     )
     sums.createOrReplaceTempView(_POWER_FROM)
     return spark.sql(_power_final(ddbl).format(src=_POWER_FROM))
+
+
+def _wilson_final(dbl) -> str:
+    """Wilson score interval closed form over exact (k, n) counts —
+    sqrt is IEEE-correctly-rounded, so the whole form is shared text."""
+    z = _Z_ALPHA2
+    p = f"({dbl('k')} / {dbl('n')})"
+    z2n = f"({z} * {z} / {dbl('n')})"
+    centre = f"(({p} + {z2n} / 2.0) / (1.0 + {z2n}))"
+    half = (
+        f"(({z} * sqrt(({p} * (1.0 - {p}) + {z2n} / 4.0) / {dbl('n')}))"
+        f" / (1.0 + {z2n}))"
+    )
+    return f"""
+        SELECT segment, n AS n_users, k AS n_converted,
+               {p} AS rate,
+               {centre} - {half} AS ci_low,
+               {centre} + {half} AS ci_high
+        FROM {{src}}
+        ORDER BY segment
+    """
+
+
+_WILSON_FROM = "wilson_segment_counts"
+
+
+@register(
+    "stats_wilson_conversion_intervals",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(user_id % 4 AS BIGINT) AS segment,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ),
+        {_WILSON_FROM} AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(converted) AS BIGINT) AS k
+            FROM per_user GROUP BY segment
+        )
+        {_wilson_final(ddbl_sql).format(src=_WILSON_FROM)}
+    """,
+    doc=(
+        "Wilson score confidence intervals for per-segment user "
+        "conversion rates (alpha=0.05) — the interval that behaves at "
+        "the extremes where the naive Wald CI collapses (k=0 or k=n "
+        "still gives a sane band), i.e. what an experiment dashboard "
+        "should actually draw. The z quantile is the same Python-"
+        "precomputed e-notation literal the power-analysis op uses "
+        "(no SQL transcendentals except the correctly-rounded sqrt), "
+        "counts reduce per user then per segment (two partial-agg "
+        "shuffles, the cohort shape), and the closed form is one "
+        "shared expression — bit-identical across engines."
+    ),
+    tags=("stats", "ab", "agg"),
+)
+def stats_wilson_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.expr(
+                "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            ).alias("converted")
+        )
+        .select(F.expr("CAST(user_id % 4 AS BIGINT)").alias("segment"), "converted")
+    )
+    counts = per_user.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    counts.createOrReplaceTempView(_WILSON_FROM)
+    return spark.sql(_wilson_final(ddbl).format(src=_WILSON_FROM))

@@ -116,6 +116,7 @@ REPRESENTATIVE = [
     # legitimately yields different columns than a populated one —
     # the battery's schema-equality contract cannot apply to it)
     "dq_null_rate_drift",
+    "stats_wilson_conversion_intervals",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
