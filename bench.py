@@ -140,6 +140,20 @@ def main() -> None:
                 ),
                 "n_queries": len(timings),
                 "regressions": _regressions(timings),
+                # context for known round-over-round deltas, so a flagged
+                # regression is read against its cause (see EXPLAIN.md)
+                "regression_notes": {
+                    "window_concurrency_from_intervals": (
+                        "r3 rewrote the fact-grain single-partition sweep as "
+                        "the two-pass bucket-offset form: +~0.3s at bench SF, "
+                        "removes the scale-fatal global serialization"
+                    ),
+                    "funnel_market_basket_lift": (
+                        "plan unchanged since r2 (map-side pairs); this "
+                        "host's shared CPUs vary +-50 percent run-to-run "
+                        "and the r2 record caught a quiet window"
+                    ),
+                },
             }
         )
     )

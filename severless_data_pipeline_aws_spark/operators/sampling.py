@@ -854,3 +854,64 @@ def sampling_importance_downweight_duplicates(spark: SparkSession, sf_dir: str) 
             " / 10000000000.0) / CAST(COUNT(*) AS DOUBLE)"
         ).alias("dup_mass"),
     )
+
+
+_SYS_INTERVAL = 17  # take every 17th row of the hash-shuffled order
+
+#: 14-hex-digit md5 prefix as BIGINT — the portable pseudo-shuffle key
+#: (same constant family as _H_SPARK/_H_DUCK, unreduced by % 100)
+_HK_SPARK = "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 14), 16, 10) AS BIGINT)"
+_HK_DUCK = "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 14)) AS BIGINT)"
+
+
+@register(
+    "sampling_systematic_interval",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey, o_totalprice, {_HK_DUCK} AS hk
+            FROM orders
+        ),
+        ranked AS (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY hk, o_orderkey) AS rn
+            FROM keyed
+        )
+        SELECT o_orderkey, o_totalprice,
+               CAST(rn AS BIGINT) AS sample_rank
+        FROM ranked
+        WHERE rn % {_SYS_INTERVAL} = 1
+    """,
+    doc=(
+        "Systematic (every-k-th) sampling over a deterministic hash "
+        "shuffle: rank rows by the md5-prefix key (a reproducible "
+        "stand-in for random order — the _H_SPARK/_H_DUCK family), "
+        f"keep ranks = 1 mod {_SYS_INTERVAL}. Unlike the Bernoulli "
+        "hash split, systematic sampling guarantees the EXACT "
+        "stride, so the sample size is n/k +- 1 by construction — "
+        "what an auditor wants from an inspection sample. The global "
+        "rank comes from the scalable.py bucket-offset construction "
+        "(hash-bucket the key's top bits), so no single-partition "
+        "sort touches the fact table; the oracle is the single-"
+        "window form, hash-verified equivalent."
+    ),
+    tags=("sampling", "window"),
+)
+def sampling_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_row_number
+
+    t = Tables(spark, sf_dir)
+    keyed = t.orders.select(
+        "o_orderkey", "o_totalprice", F.expr(_HK_SPARK).alias("hk")
+    )
+    # monotone bucket of the leading sort key: its top bits
+    ranked = bucketed_row_number(
+        keyed,
+        F.expr("hk DIV 1099511627776"),  # 2^40: ~2^16 buckets over 56-bit keys
+        ["hk", "o_orderkey"],
+        out="rn",
+    )
+    return ranked.filter(F.col("rn") % _SYS_INTERVAL == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rn").cast("bigint").alias("sample_rank"),
+    )

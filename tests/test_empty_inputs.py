@@ -117,6 +117,7 @@ REPRESENTATIVE = [
     # the battery's schema-equality contract cannot apply to it)
     "dq_null_rate_drift",
     "stats_wilson_conversion_intervals",
+    "sampling_systematic_interval",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
