@@ -421,3 +421,190 @@ def synthesize_blobs(spark: SparkSession, sf_dir: str, limit: int = 100) -> Data
 def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = synthesize_blobs(spark, sf_dir)
     return blobs.mapInPandas(_cdc_chunks, CHUNK_SCHEMA)
+
+
+# -- perceptual (average-hash) near-dup -------------------------------------
+#
+# The aHash pipeline with a DETERMINISTIC fake pixel field: 64 pseudo-
+# pixels derive from the payload digest (md5(text) + md5(text||'|2')),
+# so the whole thing — pixels, mean threshold, 64-bit signature packed
+# as two 32-bit words, banded candidate join, bit_count Hamming verify
+# — is pure column arithmetic on BOTH engines: no Python, no UDF, and
+# a full DuckDB oracle (unlike the xxhash-based MinHash/SimHash tiers).
+# Swapping the fake pixel field for real decoded thumbnails only
+# replaces the first CTE with the decode path (mapInPandas + PIL).
+
+_AHASH_MOD = 7  # every 7th doc gets an injected near-variant
+_AHASH_FLIPPED = (3, 17, 40)  # variant pixels complemented (<=3 bit flips)
+_AHASH_HAMMING_MAX = 6
+
+
+def _px_spark(i: int) -> str:
+    h = f"h{i // 16 + 1}"  # 32 hex chars per md5 = 16 two-hex pixels
+    off = (i % 16) * 2 + 1
+    return f"CAST(conv(substr({h}, {off}, 2), 16, 10) AS INT)"
+
+
+def _px_duck(i: int) -> str:
+    h = f"h{i // 16 + 1}"
+    off = (i % 16) * 2 + 1
+    return f"CAST(('0x' || substr({h}, {off}, 2)) AS INT)"
+
+
+def _ahash_cte(px) -> str:
+    """Engine-shared CTE chain from (doc_id, h1, h2, variant rows) to
+    (doc_id, lo, hi, b0..b3). ``px`` renders pixel i's expression."""
+    pix_cols = ",\n                   ".join(
+        f"{px(i)} AS p{i}" for i in range(64)
+    )
+    flip_cols = ",\n                   ".join(
+        f"255 - p{i} AS p{i}" if i in _AHASH_FLIPPED else f"p{i}"
+        for i in range(64)
+    )
+    s = " + ".join(f"p{i}" for i in range(64))
+    lo = " + ".join(
+        f"(CASE WHEN 64 * p{i} >= s THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 64 * p{i + 32} >= s THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+        pixels0 AS (
+            SELECT doc_id, {pix_cols} FROM digests
+        ),
+        pixels AS (
+            SELECT doc_id, {flip_cols} FROM pixels0 WHERE doc_id < 0
+            UNION ALL
+            SELECT * FROM pixels0 WHERE doc_id >= 0
+        ),
+        summed AS (
+            SELECT *, {s} AS s FROM pixels
+        ),
+        sigs AS (
+            SELECT doc_id, {lo} AS lo, {hi} AS hi FROM summed
+        ),
+        banded AS (
+            SELECT doc_id, lo, hi,
+                   lo % 65536 AS b0, lo // 65536 AS b1,
+                   hi % 65536 AS b2, hi // 65536 AS b3
+            FROM sigs
+        )"""
+
+
+@register(
+    "multimodal_ahash_near_dup",
+    oracle=f"""
+        WITH digests AS (
+            SELECT doc_id, md5(text) AS h1, md5(text || '|2') AS h2,
+                   md5(text || '|3') AS h3, md5(text || '|4') AS h4
+            FROM documents
+            UNION ALL
+            SELECT -doc_id - 1, md5(text), md5(text || '|2'),
+                   md5(text || '|3'), md5(text || '|4')
+            FROM documents WHERE doc_id % {_AHASH_MOD} = 0
+        ),
+        {_ahash_cte(_px_duck)},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+            FROM banded a JOIN banded b
+              ON a.doc_id < b.doc_id
+             AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+                    AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+              <= {_AHASH_HAMMING_MAX}
+    """,
+    doc=(
+        "Perceptual near-dup by average hash: 64 pixels -> mean "
+        "threshold -> 64-bit signature packed as two 32-bit words -> "
+        "4x16-bit band join (pigeonhole-complete for Hamming <= 3, "
+        "candidates only — never all pairs) -> exact bit_count "
+        "Hamming verify. The pixel field is a deterministic function "
+        "of the payload digest, with injected variants (every "
+        f"{_AHASH_MOD}th doc, {len(_AHASH_FLIPPED)} complemented "
+        "pixels) providing non-vacuous near-pairs at every SF; a real "
+        "pipeline swaps that first CTE for decoded thumbnails "
+        "(mapInPandas + PIL) and keeps everything downstream. Unlike "
+        "the xxhash MinHash/SimHash tiers this is fully oracled: the "
+        "entire pipeline is engine-portable column arithmetic in "
+        "whole-stage codegen — zero Python."
+    ),
+    tags=("multimodal", "dedup", "llm"),
+)
+def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", "text")
+    digests = (
+        d.selectExpr(
+            "doc_id", "md5(text) AS h1", "md5(text || '|2') AS h2",
+            "md5(text || '|3') AS h3", "md5(text || '|4') AS h4",
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % _AHASH_MOD == 0).selectExpr(
+                "-doc_id - 1 AS doc_id", "md5(text) AS h1",
+                "md5(text || '|2') AS h2", "md5(text || '|3') AS h3",
+                "md5(text || '|4') AS h4",
+            )
+        )
+    )
+    pixels0 = digests.selectExpr(
+        "doc_id", *[f"{_px_spark(i)} AS p{i}" for i in range(64)]
+    )
+    flips = [
+        f"255 - p{i} AS p{i}" if i in _AHASH_FLIPPED else f"p{i}"
+        for i in range(64)
+    ]
+    pixels = (
+        pixels0.filter("doc_id < 0").selectExpr("doc_id", *flips)
+        .unionByName(pixels0.filter("doc_id >= 0"))
+    )
+    s_expr = " + ".join(f"p{i}" for i in range(64))
+    summed = pixels.selectExpr("*", f"{s_expr} AS s")
+    lo = " + ".join(
+        f"(CASE WHEN 64 * p{i} >= s THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 64 * p{i + 32} >= s THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    banded = summed.selectExpr(
+        "doc_id", f"{lo} AS lo", f"{hi} AS hi"
+    ).selectExpr(
+        "doc_id", "lo", "hi",
+        "lo % 65536 AS b0", "lo DIV 65536 AS b1",
+        "hi % 65536 AS b2", "hi DIV 65536 AS b3",
+    )
+    # LSH-style band explode: 4 rows per signature, equi-join on
+    # (band index, band value) — a hash join, never the nested-loop an
+    # OR-of-equalities condition would force (the simhash-pairs shape)
+    exploded = banded.selectExpr(
+        "doc_id", "lo", "hi",
+        "explode(array(struct(0 AS bi, b0 AS bv), struct(1 AS bi, b1 AS bv),"
+        " struct(2 AS bi, b2 AS bv), struct(3 AS bi, b3 AS bv))) AS band",
+    ).select("doc_id", "lo", "hi", "band.bi", "band.bv")
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"), "bi", "bv",
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"), "bi", "bv",
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    ham = "bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"
+    return (
+        cand.filter(f"{ham} <= {_AHASH_HAMMING_MAX}")
+        .selectExpr("doc_a", "doc_b", f"CAST({ham} AS BIGINT) AS hamming")
+    )

@@ -2506,3 +2506,83 @@ def stats_wilson_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataF
     )
     counts.createOrReplaceTempView(_WILSON_FROM)
     return spark.sql(_wilson_final(ddbl).format(src=_WILSON_FROM))
+
+
+def _cohens_final(dbl) -> str:
+    """Effect-size closed form over exact two-arm DECIMAL power sums.
+
+    d = (m1 - m2) / sd_pooled; Hedges g = J * d with the rational
+    small-sample correction J = 1 - 3/(4*df - 1) (no gamma function
+    needed at this accuracy level — Hedges & Olkin's own approximation)."""
+    m1 = f"({dbl('s1')} / {dbl('nd1')})"
+    m2 = f"({dbl('s2')} / {dbl('nd2')})"
+    v1 = f"(({dbl('q1')} - {dbl('s1')} * {dbl('s1')} / {dbl('nd1')}) / ({dbl('nd1')} - 1.0))"
+    v2 = f"(({dbl('q2')} - {dbl('s2')} * {dbl('s2')} / {dbl('nd2')}) / ({dbl('nd2')} - 1.0))"
+    sp = (
+        f"sqrt((({dbl('nd1')} - 1.0) * {v1} + ({dbl('nd2')} - 1.0) * {v2})"
+        f" / ({dbl('nd1')} + {dbl('nd2')} - 2.0))"
+    )
+    d = f"(({m1} - {m2}) / {sp})"
+    j = f"(1.0 - 3.0 / (4.0 * ({dbl('nd1')} + {dbl('nd2')} - 2.0) - 1.0))"
+    return f"""
+        SELECT n1, n2,
+               {m1} AS mean_f, {m2} AS mean_o,
+               {sp} AS sd_pooled,
+               {d} AS cohens_d,
+               {j} * {d} AS hedges_g
+        FROM {{src}}
+    """
+
+
+_COHENS_FROM = "cohens_arm_sums"
+
+
+@register(
+    "stats_cohens_d_effect_size",
+    oracle=f"""
+        WITH {_COHENS_FROM} AS (
+            SELECT
+                CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n1,
+                CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n2,
+                CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) AS nd1,
+                CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE) AS nd2,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS s1,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS s2,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * o_totalprice ELSE 0 END")} AS q1,
+                {dsum_double_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * o_totalprice ELSE 0 END")} AS q2
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        )
+        {_cohens_final(ddbl_sql).format(src=_COHENS_FROM)}
+    """,
+    doc=(
+        "Standardized effect size between the F and O order-value "
+        "arms: Cohen's d from the pooled standard deviation, plus "
+        "Hedges' g with the rational small-sample correction "
+        "J = 1 - 3/(4*df - 1) — the companion number a significance "
+        "test (stats_welch_t_test) needs before anyone acts on it, "
+        "because at these n a microscopic effect is still "
+        "'significant'. Same exactness contract as Welch: one "
+        "conditional-aggregate scan to DECIMAL power sums, then a "
+        "shared IEEE closed form — no accumulation-order dependence "
+        "at any partitioning."
+    ),
+    tags=("stats", "ab", "agg"),
+)
+def stats_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sums = t.orders.filter(F.col("o_orderstatus").isin("F", "O")).agg(
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)").alias("n2"),
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)").alias("nd1"),
+        F.expr("CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE)").alias("nd2"),
+        dsum_double("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END").alias("s1"),
+        dsum_double("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END").alias("s2"),
+        dsum_double(
+            "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * o_totalprice ELSE 0 END"
+        ).alias("q1"),
+        dsum_double(
+            "CASE WHEN o_orderstatus = 'O' THEN o_totalprice * o_totalprice ELSE 0 END"
+        ).alias("q2"),
+    )
+    sums.createOrReplaceTempView(_COHENS_FROM)
+    return spark.sql(_cohens_final(ddbl).format(src=_COHENS_FROM))

@@ -118,6 +118,8 @@ REPRESENTATIVE = [
     "dq_null_rate_drift",
     "stats_wilson_conversion_intervals",
     "sampling_systematic_interval",
+    "multimodal_ahash_near_dup",
+    "stats_cohens_d_effect_size",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -131,6 +133,7 @@ _ALLOW_ONE_ROW = {
     "stats_kruskal_wallis",
     "stats_kendall_tau_daily",
     "stats_cramers_v",
+    "stats_cohens_d_effect_size",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
