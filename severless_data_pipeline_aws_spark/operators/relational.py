@@ -548,3 +548,44 @@ def sql_api_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "status": "O"},
     )
+
+
+@register(
+    "sql_api_listagg_within_group",
+    oracle="""
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               listagg(n_name, ';' ORDER BY n_name DESC) AS nations_desc,
+               CAST(length(listagg(n_name, ';' ORDER BY n_name DESC)) AS BIGINT)
+                   AS list_len
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    doc=(
+        "ANSI SQL:2016 LISTAGG ... WITHIN GROUP (ORDER BY ...) through "
+        "Spark 4's parser, plus a lateral column alias (the aggregate "
+        "reused by name in the same SELECT) — the ordered string "
+        "aggregation agg_collect_sorted builds from DataFrame "
+        "primitives, now as the standard SQL text a ported workload "
+        "ships as-is. The explicit in-aggregate ORDER BY makes the "
+        "concatenation deterministic at any partitioning (an "
+        "unordered listagg would be shuffle-order-dependent, exactly "
+        "like collect_list)."
+    ),
+    tags=("sql", "api", "agg", "spark4"),
+)
+def sql_api_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               listagg(n_name, ';') WITHIN GROUP (ORDER BY n_name DESC)
+                   AS nations_desc,
+               CAST(length(nations_desc) AS BIGINT) AS list_len
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )

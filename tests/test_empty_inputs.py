@@ -120,6 +120,7 @@ REPRESENTATIVE = [
     "sampling_systematic_interval",
     "multimodal_ahash_near_dup",
     "stats_cohens_d_effect_size",
+    "sql_api_listagg_within_group",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
