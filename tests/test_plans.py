@@ -593,6 +593,10 @@ _SCALABLE_WINDOW_CAPS = {
     "funnel_survival_curve": 1,  # 31-row reverse cumsum grid
     "relational_global_row_number_scalable": 1,
     "sampling_curriculum_quality_shards": 1,  # r3: bucketed NTILE(8)
+    # r3 continuation: distinct-value-grain midranks / hash-order rank —
+    # one metadata-scale bucket-offset prefix window each
+    "stats_kruskal_wallis": 1,
+    "sampling_systematic_interval": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
