@@ -1558,3 +1558,111 @@ def funnel_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
             else F.lit(None).cast("double")
         ).alias("attribution_share"),
     )
+
+
+_KM_SC = "1000000000"  # 1e9 fixed-point survival scale
+
+
+#: the recursive KM core — IDENTICAL text on both engines (Spark 4
+#: native WITH RECURSIVE): survival iterates as a 1e9-scaled integer,
+#: S_k = floor(S_{k-1} * (n_k - d_k) / n_k). Both engines compute the
+#: BIGINT product exactly, the same correctly-rounded double division,
+#: and the same floor — engine-identical at every step while the
+#: product stays under 2^53 (users <= ~9e6 per study; beyond that,
+#: shard studies by cohort). km_steps is the only per-engine part
+#: (DATE arithmetic dialects differ), and carries death times only.
+_KM_CORE = f"""
+    walk AS (
+        SELECT CAST(0 AS BIGINT) AS rn, CAST({_KM_SC} AS BIGINT) AS s
+        UNION ALL
+        SELECT k.rn,
+               CAST(floor((w.s * (k.n_at_risk - k.d)) / k.n_at_risk) AS BIGINT)
+        FROM km_steps k JOIN walk w ON k.rn = w.rn + 1
+    )
+    SELECT k.t_days, k.n_at_risk, k.d AS n_deaths, k.c AS n_censored,
+           CAST(w.s AS DOUBLE) / {_KM_SC}.0 AS survival
+    FROM km_steps k JOIN walk w ON w.rn = k.rn
+    ORDER BY k.t_days
+"""
+
+
+def _km_steps_sql(day_diff) -> str:
+    """Engine-specific prelude to the shared core: per-user time to
+    first purchase under staggered follow-up (each user observed for
+    1 + user_id %% 5 days — the rolling-enrollment study shape that
+    right-censors users whose window ends before they convert), then
+    death/censor counts per day, at-risk via the day-grain cumulative
+    sum, death times numbered for the walk. ``day_diff(a, b)`` renders
+    whole days from a to b."""
+    return f"""
+    users AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS first_day,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+                   AS purchase_day,
+               CAST(1 + user_id % 5 AS BIGINT) AS followup_days
+        FROM events GROUP BY user_id
+    ),
+    times AS (
+        SELECT CASE WHEN purchase_day IS NOT NULL
+                     AND {day_diff('first_day', 'purchase_day')} <= followup_days
+                    THEN {day_diff('first_day', 'purchase_day')} END AS t_dead,
+               followup_days AS t_cens_at
+        FROM users
+    ),
+    per_day AS (
+        SELECT COALESCE(t_dead, t_cens_at) AS t_days,
+               CAST(COUNT(t_dead) AS BIGINT) AS d,
+               CAST(COUNT(CASE WHEN t_dead IS NULL THEN 1 END) AS BIGINT) AS c
+        FROM times GROUP BY 1
+    ),
+    at_risk AS (
+        SELECT t_days, d, c,
+               CAST((SELECT SUM(d + c) FROM per_day) AS BIGINT)
+                 - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_at_risk
+        FROM per_day
+    ),
+    km_steps AS (
+        SELECT CAST(row_number() OVER (ORDER BY t_days) AS BIGINT) AS rn,
+               t_days, n_at_risk, d, c
+        FROM at_risk WHERE d > 0
+    )"""
+
+
+@register(
+    "funnel_kaplan_meier_conversion",
+    oracle=(
+        "WITH RECURSIVE "
+        + _km_steps_sql(lambda a, b: f"datediff('day', {a}, {b})")
+        + ",\n" + _KM_CORE
+    ),
+    doc=(
+        "Kaplan-Meier survival for time-to-first-purchase under "
+        "staggered follow-up (each user observed 1 + user_id %% 5 "
+        "days) — the right-censored estimator funnel_survival_curve "
+        "(a naive CCDF) cannot replace: users whose observation "
+        "window closes before they convert contribute to the at-risk "
+        "denominators up to their censor time instead of polluting "
+        "the event counts. The product-limit estimator runs as the "
+        "SHARED recursive core _KM_CORE — the identical WITH "
+        "RECURSIVE text on both engines (the sql_api_recursive_cte "
+        "surface doing real statistics), iterating survival as a "
+        "1e9-scaled integer so every step is engine-identical "
+        "arithmetic. The fact table reduces to per-user first/"
+        "purchase days in one shuffle; everything after is the "
+        "calendar-bounded step table and a |death days|-step "
+        "recursion of metadata-scale joins."
+    ),
+    tags=("funnel", "timeseries", "stats", "recursive", "spark4"),
+)
+def funnel_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _km_steps_sql(lambda a, b: f"datediff({b}, {a})")
+        + ",\n" + _KM_CORE
+    )

@@ -121,6 +121,7 @@ REPRESENTATIVE = [
     "multimodal_ahash_near_dup",
     "stats_cohens_d_effect_size",
     "sql_api_listagg_within_group",
+    "funnel_kaplan_meier_conversion",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row

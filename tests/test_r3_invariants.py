@@ -114,3 +114,14 @@ def test_rake_windows_all_partitioned(spark, sf_dir):
     window may appear (the VERDICT-r2 scale gate, applied to RAKE)."""
     df = SPECS["text_rake_keyword_extraction"].fn(spark, sf_dir)
     assert plans.single_partition_window_count(df) == 0
+
+
+def test_kaplan_meier_survival_monotone(spark, sf_dir):
+    rows = sorted(_rows("funnel_kaplan_meier_conversion", spark, sf_dir),
+                  key=lambda r: r["t_days"])
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-12, r
+        prev = r["survival"]
+        # the at-risk count can never be smaller than that step's events
+        assert r["n_at_risk"] >= r["n_deaths"] + r["n_censored"] - 1e-9
