@@ -1666,3 +1666,132 @@ def funnel_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFram
         + _km_steps_sql(lambda a, b: f"datediff({b}, {a})")
         + ",\n" + _KM_CORE
     )
+
+
+_LR_SC = "10000000000"  # 1e10 exactness scale for the log-rank folds
+
+
+def _logrank_steps_sql(day_diff) -> str:
+    """Two-arm (user_id % 2) version of the KM prelude: per death time,
+    total and arm-A at-risk counts and death counts."""
+    return f"""
+    users AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS arm,
+               MIN(CAST(ts AS DATE)) AS first_day,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+                   AS purchase_day,
+               CAST(1 + user_id % 5 AS BIGINT) AS followup_days
+        FROM events GROUP BY user_id
+    ),
+    times AS (
+        SELECT arm,
+               CASE WHEN purchase_day IS NOT NULL
+                     AND {day_diff('first_day', 'purchase_day')} <= followup_days
+                    THEN {day_diff('first_day', 'purchase_day')} END AS t_dead,
+               followup_days AS t_cens_at
+        FROM users
+    ),
+    per_day AS (
+        SELECT COALESCE(t_dead, t_cens_at) AS t_days,
+               CAST(COUNT(t_dead) AS BIGINT) AS d,
+               CAST(COUNT(CASE WHEN t_dead IS NULL THEN 1 END) AS BIGINT) AS c,
+               CAST(COUNT(CASE WHEN arm = 0 THEN t_dead END) AS BIGINT) AS d_a,
+               CAST(COUNT(CASE WHEN arm = 0 AND t_dead IS NULL THEN 1 END)
+                    AS BIGINT) AS c_a
+        FROM times GROUP BY 1
+    ),
+    at_risk AS (
+        SELECT t_days, d, d_a,
+               CAST((SELECT SUM(d + c) FROM per_day) AS BIGINT)
+                 - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n,
+               CAST((SELECT SUM(d_a + c_a) FROM per_day) AS BIGINT)
+                 - CAST(COALESCE(SUM(d_a + c_a) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_a
+        FROM per_day
+    )"""
+
+
+def _logrank_final(dbl, int_div, big: str) -> str:
+    """Shared-shape log-rank fold: observed-minus-expected and the
+    hypergeometric variance per death time, folded EXACTLY as
+    1e10-scaled integers (``int_div`` renders the engine's floor
+    division, ``big`` its 128-bit integer type), then one shared
+    chi-square closed form."""
+    ome = (
+        f"SUM(d_a * {_LR_SC} - "
+        + int_div(f"CAST(n_a AS {big}) * d * {_LR_SC}", "n")
+        + ")"
+    )
+    v = (
+        "SUM("
+        + int_div(
+            f"CAST(n_a AS {big}) * (n - n_a) * d * (n - d) * {_LR_SC}",
+            f"CAST(n AS {big}) * n * (n - 1)",
+        )
+        + ")"
+    )
+    return f"""
+        sums AS (
+            SELECT CAST(SUM(d) AS BIGINT) AS total_deaths,
+                   CAST(SUM(d_a) AS BIGINT) AS deaths_arm0,
+                   CAST({ome} AS BIGINT) AS ome_scaled,
+                   CAST({v} AS BIGINT) AS v_scaled
+            FROM at_risk WHERE d > 0 AND n > 1
+        )
+        SELECT total_deaths, deaths_arm0,
+               {dbl('ome_scaled')} / {_LR_SC}.0 AS observed_minus_expected,
+               {dbl('v_scaled')} / {_LR_SC}.0 AS variance,
+               CASE WHEN v_scaled = 0 THEN NULL
+                    ELSE ({dbl('ome_scaled')} / {_LR_SC}.0)
+                         * ({dbl('ome_scaled')} / {_LR_SC}.0)
+                         / ({dbl('v_scaled')} / {_LR_SC}.0)
+               END AS chi2_logrank
+        FROM sums
+    """
+
+
+@register(
+    "stats_logrank_two_arm",
+    oracle=(
+        "WITH "
+        + _logrank_steps_sql(lambda a, b: f"datediff('day', {a}, {b})")
+        + ",\n"
+        + _logrank_final(
+            lambda x: f"CAST(CAST({x} AS VARCHAR) AS DOUBLE)",
+            lambda num, den: f"(({num}) // ({den}))",
+            "HUGEINT",
+        )
+    ),
+    doc=(
+        "Log-rank test between the even/odd user arms of the "
+        "Kaplan-Meier study (funnel_kaplan_meier_conversion's exact "
+        "two-sample companion): per death time, arm-A's observed "
+        "minus hypergeometric-expected deaths and the "
+        "hypergeometric variance, folded EXACTLY as 1e10-scaled "
+        "integers (float folds of per-time rationals are "
+        "accumulation-order-dependent), then chi2 = (O-E)^2/V as one "
+        "shared closed form. The survival-analysis A/B test — "
+        "censoring-aware where the two-proportion z-test is not. "
+        "Same plan shape as KM minus the recursion: one per-user "
+        "shuffle, then the calendar-bounded step table."
+    ),
+    tags=("stats", "ab", "funnel", "timeseries"),
+)
+def stats_logrank_two_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _logrank_steps_sql(lambda a, b: f"datediff({b}, {a})")
+        + ",\n"
+        + _logrank_final(
+            lambda x: f"CAST({x} AS DOUBLE)",
+            lambda num, den: f"(({num}) DIV ({den}))",
+            "DECIMAL(38,0)",
+        )
+    )

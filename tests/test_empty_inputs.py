@@ -122,6 +122,7 @@ REPRESENTATIVE = [
     "stats_cohens_d_effect_size",
     "sql_api_listagg_within_group",
     "funnel_kaplan_meier_conversion",
+    "stats_logrank_two_arm",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -136,6 +137,7 @@ _ALLOW_ONE_ROW = {
     "stats_kendall_tau_daily",
     "stats_cramers_v",
     "stats_cohens_d_effect_size",
+    "stats_logrank_two_arm",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
