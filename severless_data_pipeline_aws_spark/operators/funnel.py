@@ -1795,3 +1795,67 @@ def stats_logrank_two_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DECIMAL(38,0)",
         )
     )
+
+
+def _na_final(dbl, int_div) -> str:
+    """Nelson-Aalen over the KM step table: discrete hazard d/n per
+    death time and the cumulative hazard H(t) = SUM d/n folded as
+    exact 1e10-scaled integers (running window over the bounded step
+    table), with the classic exp-free survival bound pair left to the
+    caller (exp is libm-territory)."""
+    step = int_div(f"CAST(d AS BIGINT) * {_LR_SC}", "n_at_risk")
+    return f"""
+        hazards AS (
+            SELECT t_days, n_at_risk, d,
+                   CAST({step} AS BIGINT) AS h_scaled,
+                   CAST(SUM({step}) OVER (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS ch_scaled
+            FROM km_steps
+        )
+        SELECT t_days, n_at_risk, d AS n_deaths,
+               {dbl('h_scaled')} / {_LR_SC}.0 AS hazard,
+               {dbl('ch_scaled')} / {_LR_SC}.0 AS cumulative_hazard
+        FROM hazards
+        ORDER BY t_days
+    """
+
+
+@register(
+    "stats_nelson_aalen_hazard",
+    oracle=(
+        "WITH "
+        + _km_steps_sql(lambda a, b: f"datediff('day', {a}, {b})")
+        + ",\n"
+        + _na_final(
+            lambda x: f"CAST(CAST({x} AS VARCHAR) AS DOUBLE)",
+            lambda num, den: f"(({num}) // ({den}))",
+        )
+    ),
+    doc=(
+        "Nelson-Aalen cumulative hazard over the same right-censored "
+        "time-to-purchase study as funnel_kaplan_meier_conversion — "
+        "the additive counterpart of KM's product-limit estimator "
+        "(H(t) = Σ d/n; exp(-H) bounds KM's S from above), and the "
+        "curve a hazard-regression model is fit against. Per-step "
+        "hazards fold as exact 1e10-scaled integers through a "
+        "running window over the calendar-bounded step table (a "
+        "float Σ d/n would be accumulation-order-dependent), so no "
+        "recursion is needed — this is the closed-form sibling of "
+        "the KM walk, same one-shuffle plan."
+    ),
+    tags=("stats", "funnel", "timeseries"),
+)
+def stats_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _km_steps_sql(lambda a, b: f"datediff({b}, {a})")
+        + ",\n"
+        + _na_final(
+            lambda x: f"CAST({x} AS DOUBLE)",
+            lambda num, den: f"(({num}) DIV ({den}))",
+        )
+    )

@@ -123,6 +123,7 @@ REPRESENTATIVE = [
     "sql_api_listagg_within_group",
     "funnel_kaplan_meier_conversion",
     "stats_logrank_two_arm",
+    "stats_nelson_aalen_hazard",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row

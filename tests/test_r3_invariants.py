@@ -125,3 +125,13 @@ def test_kaplan_meier_survival_monotone(spark, sf_dir):
         prev = r["survival"]
         # the at-risk count can never be smaller than that step's events
         assert r["n_at_risk"] >= r["n_deaths"] + r["n_censored"] - 1e-9
+
+
+def test_nelson_aalen_cumulative_hazard_monotone(spark, sf_dir):
+    rows = sorted(_rows("stats_nelson_aalen_hazard", spark, sf_dir),
+                  key=lambda r: r["t_days"])
+    prev = 0.0
+    for r in rows:
+        assert 0.0 <= r["hazard"] <= 1.0, r
+        assert r["cumulative_hazard"] >= prev - 1e-12, r
+        prev = r["cumulative_hazard"]
