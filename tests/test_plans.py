@@ -642,3 +642,67 @@ def test_time_to_convert_partition_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert rows1 == rows2
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide Cartesian gate (the round-3 full-registry plan sweep, pinned).
+#
+# Every registered query's physical plan is swept. CartesianProduct is
+# banned outright — nothing in the registry may materialize an unbounded
+# pair space. BroadcastNestedLoopJoin is allowed ONLY for queries on the
+# whitelist below, each of which broadcasts a provably tiny side:
+#   - a one-row scalar (grand total / corpus size / table max),
+#   - a bounded parameter table (query set, centroids, depth grid,
+#     digit grid, decile edges, class caps, band constants), or
+#   - the generator's constant spec tables.
+# A new query that introduces a BNLJ must either restructure to an
+# equi-join or document its bounded side by joining this list.
+# ---------------------------------------------------------------------------
+
+_BNLJ_BOUNDED_OK = {
+    # one-row scalar broadcasts (grand totals, corpus stats, maxima)
+    "dedup_embedding_cosine", "dq_freshness_lag_monitor",
+    "funnel_market_basket_lift", "funnel_survival_curve",
+    "funnel_time_to_convert", "graph_modularity_by_region",
+    "sketch_hll_intersection_estimate", "stats_kruskal_wallis",
+    "stats_quantile_normalize_sources", "stats_tvd_category_drift",
+    "subquery_all_quantified", "text_heaps_vocab_growth",
+    "timeseries_dow_seasonal_index", "tpch_q11_important_part_value",
+    "tpch_q22_dormant_customers", "stats_theil_sen_daily_trend",
+    "iot_flatten_wide", "iot_generated_readings",
+    # bounded parameter tables (query sets / centroids / grids / caps)
+    "dq_benford_first_digit", "dq_null_rate_drift",
+    "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",
+    "sampling_balanced_class_undersample",
+    "sampling_curriculum_quality_shards", "sampling_lang_balanced_mixture",
+    "sampling_neyman_allocation", "similarity_ann_lsh",
+    "similarity_hard_negative_mining", "similarity_kmeans_lloyd",
+    "similarity_knn_label_vote", "similarity_pca_top_component",
+    "similarity_rbo_lexical_vs_vector", "similarity_rrf_hybrid_retrieval",
+    "similarity_same_vs_cross_label_margin", "similarity_topk_cosine_exact",
+    "similarity_two_stage_rerank", "stats_kendall_tau_daily",
+    "stats_power_analysis_proportions", "text_bigram_lift_topk",
+    "text_bm25_topk", "join_cross_bounded",
+}
+
+
+def test_registry_wide_no_cartesian_and_bnlj_whitelist(spark, sf_dir):
+    """Full-registry scale gate: no CartesianProduct anywhere; every
+    BroadcastNestedLoopJoin is on the documented-bounded whitelist."""
+    cart, stray_bnlj, unused = [], [], set(_BNLJ_BOUNDED_OK)
+    for name, spec in sorted(SPECS.items()):
+        s = plans.explain_str(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in s:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in s:
+            unused.discard(name)
+            if name not in _BNLJ_BOUNDED_OK:
+                stray_bnlj.append(name)
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not stray_bnlj, (
+        "BroadcastNestedLoopJoin outside the documented-bounded "
+        f"whitelist: {stray_bnlj}"
+    )
+    # the whitelist may not rot: every entry must still exist and still
+    # plan a BNLJ (drop entries whose query was restructured)
+    assert not unused, f"stale whitelist entries (no BNLJ anymore): {unused}"
