@@ -1295,13 +1295,7 @@ def timeseries_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "agg_pivot_dynamic",
     oracle="""
-        SELECT day,
-               CAST(COALESCE(click, 0) AS BIGINT) AS click,
-               CAST(COALESCE(error, 0) AS BIGINT) AS error,
-               CAST(COALESCE(purchase, 0) AS BIGINT) AS purchase,
-               CAST(COALESCE(signup, 0) AS BIGINT) AS signup,
-               CAST(COALESCE(view, 0) AS BIGINT) AS view
-        FROM (
+        SELECT * FROM (
             PIVOT (SELECT event_type, CAST(ts AS DATE) AS day FROM events)
             ON event_type USING COUNT(*) GROUP BY day
         )
@@ -1311,10 +1305,13 @@ def timeseries_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame
         "(Spark's two-phase pivot — a distinct scan plans the output "
         "columns, then one pivoting aggregate), not hard-coded as in "
         "agg_pivot. The oracle uses DuckDB's dynamic PIVOT the same "
-        "way, so both engines must discover the identical column set "
-        "— a schema-level assertion the fixed-list pivot can't make. "
-        "Missing cells coalesce to 0 on both sides. At scale the "
-        "distinct scan is a cheap pre-pass (event_type is "
+        "way and deliberately names NO category column, so both "
+        "engines must discover the identical column set on ANY data — "
+        "a category absent at some SF narrows both schemas in lockstep "
+        "instead of binding-erroring a hard-coded list (r3 ADVICE). "
+        "DuckDB's COUNT pivot fills missing cells with 0; Spark's "
+        "fills NULL, so the Spark side coalesces to 0 to match. At "
+        "scale the distinct scan is a cheap pre-pass (event_type is "
         "low-cardinality by definition of pivoting) and the pivot "
         "itself is one hash aggregate wide-row pass."
     ),

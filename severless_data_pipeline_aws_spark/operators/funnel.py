@@ -1198,7 +1198,7 @@ def _absorb_oracle() -> str:
     for k in range(1, _ABSORB_STEPS + 1):
         steps.append(f"""p{k} AS (
             SELECT t.prev_type AS state,
-                   CAST((MAX(t.n_to_absorb) * {_ABSORB_SC}
+                   CAST((CAST(MAX(t.n_to_absorb) AS HUGEINT) * {_ABSORB_SC}
                          + COALESCE(SUM(CAST(t.n AS HUGEINT) * p.p_scaled), 0))
                         // MAX(t.n_out) AS BIGINT) AS p_scaled
             FROM trans_m t
@@ -1350,7 +1350,7 @@ def _removal_chain_sql(tag: str, removed: str | None) -> str:
     for k in range(1, _ABSORB_STEPS + 1):
         steps.append(f"""{tag}{k} AS (
             SELECT t.prev_type AS state,
-                   CAST((MAX(t.n_to_absorb) * {_ABSORB_SC}
+                   CAST((CAST(MAX(t.n_to_absorb) AS HUGEINT) * {_ABSORB_SC}
                          + COALESCE(SUM(CAST(t.n AS HUGEINT) * p.p_scaled), 0))
                         // MAX(t.n_out) AS BIGINT) AS p_scaled
             FROM trans_m t

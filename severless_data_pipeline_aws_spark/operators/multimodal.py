@@ -436,7 +436,14 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AHASH_MOD = 7  # every 7th doc gets an injected near-variant
 _AHASH_FLIPPED = (3, 17, 40)  # variant pixels complemented (<=3 bit flips)
-_AHASH_HAMMING_MAX = 6
+# 4 bands x 16 bits is pigeonhole-complete only for Hamming <= 3 (a pair
+# at distance b=4 can put one flipped bit in every band and share none);
+# the verify threshold must not exceed bands-1 or the output contract
+# silently over-promises recall (r3 ADVICE). 16-bit bands keep the
+# candidate buckets selective at scale — widening to 8x8-bit bands would
+# guarantee <=7 but each 8-bit band value has only 256 buckets, so the
+# band join degenerates toward all-pairs on large corpora.
+_AHASH_HAMMING_MAX = 3
 
 
 def _px_spark(i: int) -> str:

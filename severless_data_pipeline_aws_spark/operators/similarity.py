@@ -1947,9 +1947,18 @@ def similarity_topk_cosine_matmul(spark: SparkSession, sf_dir: str) -> DataFrame
             for j, qid in enumerate(qids):
                 col = S[:, j]
                 k = min(_TOP_K, len(col))
-                # local top-k: argpartition then exact ordering of the k
-                idx = np.argpartition(-col, k - 1)[:k]
-                idx = idx[np.lexsort((cids[idx], -col[idx]))]
+                # local top-k: argpartition finds the k-th boundary SCORE,
+                # then every candidate tied at that boundary is kept and the
+                # final cut is by the deterministic (score DESC, cid ASC)
+                # composite — an exact cosine tie at the k-th slot must
+                # resolve by neighbor_id exactly like the JVM-fold strategy
+                # and the shared oracle (r3 ADVICE: argpartition alone
+                # breaks boundary ties arbitrarily).
+                part = np.argpartition(-col, k - 1)[:k]
+                kth = col[part].min()
+                cand = np.flatnonzero(col >= kth)
+                cand = cand[np.lexsort((cids[cand], -col[cand]))]
+                idx = cand[:k]
                 out.append(
                     pd.DataFrame(
                         {
