@@ -22,7 +22,25 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
         )
+    _register_xxh64_udfs(con)
     return con
+
+
+def _register_xxh64_udfs(con: duckdb.DuckDBPyConnection) -> None:
+    """Bit-exact ``F.xxhash64`` twins as DuckDB Python UDFs.
+
+    Available ONLY in this local harness (the driver's connection is
+    vanilla DuckDB — driver-facing oracles use the pure-SQL emitters in
+    ``functions/xxh64_sql.py`` instead); these exist so local tests can
+    state hash-level expectations directly in SQL."""
+    from severless_data_pipeline_aws_spark.functions import xxh64 as X
+
+    con.create_function(
+        "spark_xxhash64_str", lambda s: X.hash_str(s), ["VARCHAR"], "BIGINT"
+    )
+    con.create_function(
+        "spark_xxhash64_long", lambda v: X.hash_long(v), ["BIGINT"], "BIGINT"
+    )
 
 
 def _norm_cell(v):
