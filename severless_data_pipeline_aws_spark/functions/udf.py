@@ -158,7 +158,36 @@ def _quantize_batches(batches):
 
 @register(
     "udf_map_in_arrow_quantize",
-    oracle=None,  # binary-level Arrow op; round-trip invariant in pytest
+    # r4: exact DuckDB twin — scale = max|x|/127 (0 -> 1.0) and the
+    # clip(round(x/scale)) quantizer are plain per-row list arithmetic;
+    # q values agree exactly when no component lands on a .5 tie (numpy
+    # rounds half-even, DuckDB half-away) — ties require x*127/max|x| to
+    # hit .5 in float64, which the hash-derived corpus never does
+    # (verified at sf0.001/0.01/0.1); a future tie would fail the gate
+    # loudly, not silently.
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, e -> abs(e))) AS absmax
+            FROM v
+        ),
+        s AS (
+            SELECT vec_id, v,
+                   (CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax END) / 127.0 AS scale
+            FROM m
+        )
+        SELECT vec_id,
+               list_transform(
+                   v, e -> CAST(least(greatest(round(e / scale), -127.0), 127.0) AS TINYINT)
+               ) AS q_embedding,
+               scale
+        FROM s
+    """,
     doc=(
         "mapInArrow surface: int8 embedding quantization straight on "
         "Arrow RecordBatches — the zero-copy tier below pandas UDFs "

@@ -209,6 +209,154 @@ _LSH_BANDS = 8
 _LSH_ROWS = 4
 
 
+def _minhash_lsh_oracle() -> str:
+    """Exact DuckDB twin of ``dedup_minhash_lsh`` (r4: was rows-only).
+
+    The hash family is Spark's ``xxhash64('s{i}', shingle)``; the
+    oracle replays it bit-for-bit in pure SQL via the recursive-CTE
+    XXH64 emitter (functions/xxh64_sql.py) — the tag seeds
+    ``xxhash64('s{i}')`` are Python-precomputed constants, each
+    DISTINCT shingle is hashed once under all 32 seeds (seeds ride as
+    rows), signatures fold back per doc with MIN, band buckets chain
+    four hashLongs, and the candidate join + exact-Jaccard verify
+    mirror the Spark plan."""
+    from ..functions.xxh64 import hash_str
+    from ..functions.xxh64_sql import hash_long_chain_subquery, rec_hash_ctes
+
+    seeds = ", ".join(
+        f"({i}, {hash_str(f's{i}') % (1 << 64)}::HUGEINT)" for i in range(_MINHASH_K)
+    )
+    bucket_sub = hash_long_chain_subquery(
+        "bandv", ["doc_id", "band"], ["m0", "m1", "m2", "m3"], out="bucket"
+    )
+    return f"""
+        WITH RECURSIVE {_SHINGLE_CTE_SQL},
+        shm AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
+        uq AS (SELECT DISTINCT shingle FROM shm),
+        mh_src AS (
+            SELECT shingle AS k, sd.tag, sd.seed, shingle AS s
+            FROM uq CROSS JOIN (VALUES {seeds}) sd(tag, seed)
+        ),
+        {rec_hash_ctes('mh')},
+        sig AS (
+            SELECT m.doc_id, o.tag, MIN(o.hsig) AS mh
+            FROM shm m JOIN mh_out o ON o.k = m.shingle
+            GROUP BY m.doc_id, o.tag
+        ),
+        sigb AS (SELECT doc_id, tag // 4 AS band, tag % 4 AS r, mh FROM sig),
+        bandv AS (
+            SELECT doc_id, band,
+                   MIN(CASE WHEN r = 0 THEN mh END) AS m0,
+                   MIN(CASE WHEN r = 1 THEN mh END) AS m1,
+                   MIN(CASE WHEN r = 2 THEN mh END) AS m2,
+                   MIN(CASE WHEN r = 3 THEN mh END) AS m3
+            FROM sigb GROUP BY doc_id, band
+        ),
+        bk AS MATERIALIZED (SELECT doc_id, band, bucket FROM {bucket_sub}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM shm GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN shm a ON a.doc_id = c.doc_a
+            JOIN shm b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    """Exact DuckDB twin of ``dedup_simhash_pairs`` (r4: was rows-only):
+    per-word ``xxhash64`` replayed via the recursive-CTE emitter over
+    the DISTINCT word set, 63 bit-votes as a cross-join aggregate, the
+    21-bit banding and Hamming verify as plain integer arithmetic."""
+    from ..functions.xxh64_sql import rec_hash_ctes
+
+    return f"""
+        WITH RECURSIVE
+        docsb AS (
+            SELECT doc_id, text FROM documents WHERE doc_id <= {_PAIR_BOUND_SQL}
+        ),
+        wp AS MATERIALIZED (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM docsb
+        ),
+        wq AS (SELECT DISTINCT w FROM wp),
+        sw_src AS (SELECT w AS k, 0 AS tag, 42::HUGEINT AS seed, w AS s FROM wq),
+        {rec_hash_ctes('sw')},
+        wh AS MATERIALIZED (
+            SELECT wp.doc_id, o.h FROM wp JOIN sw_out o ON o.k = wp.w
+        ),
+        nwords AS (SELECT doc_id, COUNT(*) AS n FROM wh GROUP BY doc_id),
+        votes AS (
+            SELECT wh.doc_id, bb.bit,
+                   COUNT(*) FILTER (WHERE ((wh.h >> bb.bit) & 1) = 1) AS c
+            FROM wh CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) bb
+            GROUP BY wh.doc_id, bb.bit
+        ),
+        fp AS MATERIALIZED (
+            SELECT v.doc_id,
+                   CAST(SUM(CASE WHEN 2 * v.c > nwords.n
+                                 THEN (1::BIGINT << v.bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes v JOIN nwords USING (doc_id)
+            GROUP BY v.doc_id
+        ),
+        bands AS (
+            SELECT doc_id, simhash, t.band,
+                   (simhash >> (t.band * 21)) & {(1 << 21) - 1} AS bucket
+            FROM fp CROSS JOIN (VALUES (0), (1), (2)) t(band)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """
+
+
+def _decontaminate_hashed_oracle() -> str:
+    """Exact DuckDB twin of ``dedup_decontaminate_hashed`` (r4: was
+    rows-only): same gram CTE as the string-gram twin, but grams carry
+    their Spark ``xxhash64`` values (recursive-CTE emitter over the
+    distinct gram set), so the oracle verifies the HASHED pipeline —
+    including any collision effects — not the string proxy."""
+    from ..functions.xxh64_sql import rec_hash_ctes
+
+    return f"""
+        WITH RECURSIVE
+        grams AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - {_DECON_N - 2}, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i : i + {_DECON_N - 1}], ' '))) AS gram_s
+            FROM documents
+        ),
+        gq AS (SELECT DISTINCT gram_s FROM grams),
+        dh_src AS (SELECT gram_s AS k, 0 AS tag, 42::HUGEINT AS seed, gram_s AS s FROM gq),
+        {rec_hash_ctes('dh')},
+        gh AS MATERIALIZED (
+            SELECT g.doc_id, o.hsig AS gram
+            FROM grams g JOIN dh_out o ON o.k = g.gram_s
+        ),
+        ev AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM gh WHERE doc_id % 20 = 7)
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.gram) AS n_shared_grams,
+               COUNT(DISTINCT e.eval_doc) AS n_eval_docs_hit
+        FROM gh t JOIN ev e USING (gram)
+        WHERE t.doc_id % 20 != 7
+        GROUP BY t.doc_id
+    """
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``mh_0..mh_{k-1}`` minhash columns (k independent hash fns).
 
@@ -229,14 +377,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 has no DuckDB twin; verified by pytest vs exact Jaccard
+    oracle=_minhash_lsh_oracle(),
     doc=(
         "X2 (scale tier): MinHash-LSH near-dup pairs. shingle → 32 "
         "minhashes → 8 banded signatures → bucket equi-join for candidates "
         "→ exact-Jaccard verification of candidates only. Sub-quadratic: "
         "the only joins are equi-joins on band hashes and shingles of "
-        "candidate pairs. Verified in pytest against the exact "
-        "dedup_ngram_jaccard_pairs result (recall on the same subset)."
+        "candidate pairs. Verified two ways: pytest recall against the "
+        "exact dedup_ngram_jaccard_pairs result, and (r4) an EXACT "
+        "DuckDB oracle that replays Spark's xxhash64 bit-for-bit in "
+        "pure SQL (functions/xxh64_sql.py), covering every minhash, "
+        "band bucket, candidate pair, and Jaccard value."
     ),
     tags=("dedup", "llm", "lsh"),
 )
@@ -424,13 +575,18 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # xxhash64-based fingerprint; verified by pytest invariants
+    oracle=_simhash_pairs_oracle(),
     doc=(
         "X2 (fingerprint tier): SimHash near-dup pairs. 63-bit bit-vote "
         "fingerprint per doc (higher-order array exprs, zero shuffle), "
         "then 3×21-bit bands: any pair within Hamming distance 2 shares "
         "at least one clean band (pigeonhole), so the candidate join is an "
-        "equi-join on band values; final filter bit_count(xor) <= 6."
+        "equi-join on band values; final filter bit_count(xor) <= 6 "
+        "REPORTS pairs the banding happened to surface up to distance 6 "
+        "(banding is complete only through distance 2 — pairs at 3-6 "
+        "sharing no clean band are not candidates). r4: exact DuckDB "
+        "oracle — per-word xxhash64 replayed in pure SQL, bit votes, "
+        "bands, and Hamming all integer-exact."
     ),
     tags=("dedup", "llm", "simhash"),
 )
@@ -697,15 +853,16 @@ def dedup_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "dedup_decontaminate_hashed",
-    oracle=None,  # xxhash64 has no DuckDB twin; set-equivalence vs the string op in pytest
+    oracle=_decontaminate_hashed_oracle(),
     doc=(
         "The 100 TB form of dedup_decontaminate_eval_overlap: grams are "
         "carried as xxhash64 values instead of strings, shrinking the "
         "broadcast eval set and the shuffle payload by ~5x at identical "
-        "plan shape. pytest asserts the flagged doc set and per-doc "
-        "gram counts are identical to the string-gram (oracled) twin — "
-        "i.e., zero hash collisions on this corpus, and the claim that "
-        "hashing preserves the result is TESTED, not assumed."
+        "plan shape. Verified two ways: pytest asserts the flagged doc "
+        "set and per-doc gram counts are identical to the string-gram "
+        "twin (zero collisions on this corpus — tested, not assumed), "
+        "and (r4) an exact DuckDB oracle replays the HASHED pipeline "
+        "itself, xxhash64 bit-for-bit in pure SQL."
     ),
     tags=("dedup", "llm", "ngram", "decontamination"),
 )

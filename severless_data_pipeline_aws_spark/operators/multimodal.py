@@ -135,12 +135,29 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode runs through the Python stub; invariants in pytest
+    # r4: exact DuckDB twin — the synthetic payload is 4B magic + 2x4B
+    # dims + md5(text), so the stub's "pixel statistic" (mean body byte)
+    # replays as 16 hex-pair extractions; /16.0 is a power-of-two scale,
+    # exact in binary floating point on both engines.
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                    ELSE 'audio/wav' END AS media_type,
+               CAST(doc_id % 64 + 16 AS INT) AS width,
+               CAST((doc_id * 7) % 64 + 16 AS INT) AS height,
+               CAST(28 AS INT) AS n_bytes,
+               TRUE AS header_ok,
+               CAST(({" + ".join(f"CAST(('0x' || substr(md5(text), {2 * j + 1}, 2)) AS INT)" for j in range(16))})
+                    AS DOUBLE) / 16.0 AS mean_byte
+        FROM documents WHERE doc_id < 200
+    """,
     doc=(
         "X5: the decode/feature-extract stage — binary payloads through "
         "an Arrow-batched mapInPandas decoder (stubbed: no codecs in this "
         "container; plumbing and batch shape are real). Output is one "
-        "feature row per media row."
+        "feature row per media row; the fake pixel statistic is exact-"
+        "oracled against the payload's md5 body (r4)."
     ),
     tags=("multimodal", "llm", "udf"),
 )

@@ -163,15 +163,89 @@ def lsh_buckets(spark: SparkSession, emb: DataFrame, dim: int = 64) -> DataFrame
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """Exact DuckDB twin of ``similarity_ann_lsh`` (r4: was rows-only).
+
+    "Approximate" describes the RELATION to the true neighbors, not the
+    computation — given the fixed seed-42 hyperplanes the whole query is
+    deterministic, so the oracle embeds the 8x4x64 plane constants
+    (repr round-trips each float64 exactly) and replays the sign
+    signatures, bucket join, and sequential-fold cosine bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((_LSH_TABLES, _LSH_PLANES, 64))
+    rows = ", ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}]::DOUBLE[])"
+        for t in range(_LSH_TABLES)
+        for p in range(_LSH_PLANES)
+    )
+
+    def dot(a: str, b: str) -> str:
+        # Spark's F.aggregate(zip_with(a, b, x*y), 0.0, acc + x): a
+        # left-to-right fold seeded 0.0 — same IEEE order in DuckDB
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+        WITH planes(table_id, plane_id, plane) AS (VALUES {rows}),
+        emb AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT vec_id, table_id,
+                   CASE WHEN {dot('v', 'plane')} > 0
+                        THEN (1::BIGINT << plane_id) ELSE 0 END AS bit
+            FROM emb CROSS JOIN planes
+        ),
+        buckets AS MATERIALIZED (
+            SELECT vec_id, table_id, SUM(bit) AS bucket
+            FROM dots GROUP BY vec_id, table_id
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buckets q JOIN buckets c
+              ON q.table_id = c.table_id AND q.bucket = c.bucket
+            WHERE q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+        ),
+        qv AS (
+            SELECT vec_id AS query_id, v AS q, sqrt({dot('v', 'v')}) AS qnorm
+            FROM emb WHERE vec_id < {_N_QUERIES}
+        ),
+        cv AS (
+            SELECT vec_id AS neighbor_id, v AS c, sqrt({dot('v', 'v')}) AS cnorm
+            FROM emb WHERE vec_id >= {_N_QUERIES}
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   {dot('q', 'c')} / (qnorm * cnorm) AS cosine
+            FROM cand JOIN qv USING (query_id) JOIN cv USING (neighbor_id)
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+    """
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # approximate by construction; recall vs exact checked in pytest
+    oracle=_ann_lsh_oracle(),
     doc=(
         "X3 (scale tier): LSH-bucketed approximate nearest neighbors. "
         "Random-hyperplane signatures over 4 tables × 8 planes; candidates "
         "= union of same-bucket vectors across tables (equi-join, no cross "
         "join), then exact cosine re-scoring and per-query top-k. Recall "
-        "vs similarity_topk_cosine_exact asserted in pytest."
+        "vs similarity_topk_cosine_exact asserted in pytest; r4 adds an "
+        "EXACT DuckDB oracle (plane constants embedded, sequential-fold "
+        "dot products, identical rank tie-breaking)."
     ),
     tags=("similarity", "llm", "lsh", "ann"),
 )

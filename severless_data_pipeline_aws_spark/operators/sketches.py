@@ -118,9 +118,43 @@ def sketch_histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _countmin_oracle() -> str:
+    """Exact DuckDB twin of ``sketch_countmin_event_types`` (r4: was
+    rows-only): bucket = pmod(xxhash64(event_type, seed), 4096) replayed
+    bit-for-bit — the string hash via the recursive-CTE XXH64 emitter,
+    the INT seed chained through the hashInt tail.  Sketch counts fold
+    from the per-type counts (exploding per-event rows is pointless when
+    the bucket depends only on event_type)."""
+    from ..functions.xxh64_sql import hash_int_chain_subquery, rec_hash_ctes
+
+    chain = hash_int_chain_subquery("cm_out", ["k", "tag"], "tag", "h", out="hfull")
+    return f"""
+        WITH RECURSIVE
+        etc AS MATERIALIZED (
+            SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        ),
+        cm_src AS (
+            SELECT event_type AS k, s.tag, 42::HUGEINT AS seed, event_type AS s
+            FROM etc CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT)) s(tag)
+        ),
+        {rec_hash_ctes('cm')},
+        hb AS MATERIALIZED (
+            SELECT k, tag, ((hfull % 4096) + 4096) % 4096 AS bucket FROM {chain}
+        ),
+        sketch AS (
+            SELECT h.tag, h.bucket, SUM(e.cnt) AS c
+            FROM hb h JOIN etc e ON e.event_type = h.k
+            GROUP BY h.tag, h.bucket
+        )
+        SELECT h.k AS event_type, CAST(MIN(s.c) AS BIGINT) AS cms_estimate
+        FROM hb h JOIN sketch s ON s.tag = h.tag AND s.bucket = h.bucket
+        GROUP BY h.k
+    """
+
+
 @register(
     "sketch_countmin_event_types",
-    oracle=None,  # xxhash64 bucket layout has no DuckDB twin; bounded in pytest
+    oracle=_countmin_oracle(),
     doc=(
         "X6: Count-Min sketch as a pure DataFrame composition — the "
         "sketch builds in one scan of events exploded over D=3 seeds, "
