@@ -500,14 +500,24 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact-tier embedding block bound (SCALE CONTRACT): the all-pairs
+#: cosine queries below are the EXACT tier and stay quadratic by design
+#: — they must only ever run on a bounded block (demo: first
+#: _EMB_EXACT_BLOCK vectors; production: one LSH/IVF bucket at a time,
+#: see similarity_ann_lsh). The bound is a module constant so a caller
+#: cannot silently un-bound the pair space by editing one literal in
+#: one of the four sites (r3 VERDICT nit #3); the plan keeps the
+#: bounded side broadcast when the cap grows 10x (tests/test_plans.py).
+_EMB_EXACT_BLOCK = 300
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[]))) AS nrm
-            FROM embeddings WHERE vec_id < 300
+            FROM embeddings WHERE vec_id < {_EMB_EXACT_BLOCK}
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
@@ -524,8 +534,18 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    return embedding_exact_pairs(t)
+
+
+def embedding_exact_pairs(t: Tables, cap: int = _EMB_EXACT_BLOCK) -> DataFrame:
+    """All-pairs cosine >= 0.35 over the first ``cap`` vectors.
+
+    SCALE CONTRACT: quadratic by design — the exact tier. ``cap`` bounds
+    the pair space; at any cap the small side stays a broadcast
+    (plan-asserted with cap x10 in tests/test_plans.py), never a
+    shuffled cartesian. Production feeds one LSH/IVF bucket at a time."""
     e = (
-        t.embeddings.filter(F.col("vec_id") < 300)
+        t.embeddings.filter(F.col("vec_id") < cap)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn(
             "nrm",
@@ -1108,13 +1128,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_keep_representative",
-    oracle="""
+    oracle=f"""
         WITH RECURSIVE
         e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[]))) AS nrm
-            FROM embeddings WHERE vec_id < 300
+            FROM embeddings WHERE vec_id < {_EMB_EXACT_BLOCK}
         ),
         p AS (
             SELECT a.vec_id AS va, b.vec_id AS vb
@@ -1163,7 +1183,7 @@ def dedup_semantic_keep_representative(spark: SparkSession, sf_dir: str) -> Data
 
     t = Tables(spark, sf_dir)
     e = (
-        t.embeddings.filter(F.col("vec_id") < 300)
+        t.embeddings.filter(F.col("vec_id") < _EMB_EXACT_BLOCK)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn(
             "nrm",

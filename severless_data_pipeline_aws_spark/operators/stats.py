@@ -1551,7 +1551,11 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus size). Each slope is one exact double division of "
         "integers; the median is the rank-based discrete order "
         "statistic, so no interpolation semantics and no float "
-        "summation anywhere."
+        "summation anywhere. r4 (VERDICT #7): the slope rank runs as "
+        "the bucket-offset construction (bucket = floor(slope*8)) so a "
+        "long-horizon deployment (10y ~ 6.7M pairs) never "
+        "single-partitions the pair table; gated in "
+        "tests/test_plans.py::_SCALABLE_WINDOW_CAPS."
     ),
     tags=("stats", "timeseries", "robust"),
 )
@@ -1570,18 +1574,32 @@ def stats_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
     b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    # nullif keeps the division ANSI-safe: Catalyst pushes the bucket
+    # key's isnotnull(floor(slope*8)) into the join condition AHEAD of
+    # db > da, so the expression must tolerate the phantom db == da
+    # rows it then sees (they are filtered either way)
     slopes = (
         a.crossJoin(b)
         .filter(F.col("db") > F.col("da"))
         .select(
-            F.expr("CAST(yb - ya AS DOUBLE) / CAST(db - da AS DOUBLE)").alias("slope")
+            F.expr(
+                "CAST(yb - ya AS DOUBLE) / CAST(nullif(db - da, 0) AS DOUBLE)"
+            ).alias("slope")
         )
     )
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(W.orderBy("slope")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
+    # r4 (VERDICT #7): the slope rank was a fact-grain global window —
+    # calendar-bounded, but a long horizon (10y ~ 6.7M pairs) would
+    # single-partition it. Now the shared bucket-offset construction:
+    # bucket = floor(slope*8) is monotone in the sort key, near-zero
+    # slopes concentrate in a few buckets but the per-bucket sort is
+    # local; the only single-partition window left is the metadata-
+    # scale offsets prefix (gated in tests/test_plans.py).
+    from .scalable import bucketed_row_number
+
+    total = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = bucketed_row_number(
+        slopes, F.floor(F.col("slope") * 8).cast("long"), ["slope"], out="rn"
+    ).crossJoin(F.broadcast(total))
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_pairs"),
         F.max(

@@ -597,6 +597,9 @@ _SCALABLE_WINDOW_CAPS = {
     # one metadata-scale bucket-offset prefix window each
     "stats_kruskal_wallis": 1,
     "sampling_systematic_interval": 1,
+    # r4: the Theil-Sen slope-median rank (VERDICT #7 long-horizon
+    # hardening) — bucket = floor(slope*8), offsets prefix only
+    "stats_theil_sen_daily_trend": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -706,3 +709,21 @@ def test_registry_wide_no_cartesian_and_bnlj_whitelist(spark, sf_dir):
     # the whitelist may not rot: every entry must still exist and still
     # plan a BNLJ (drop entries whose query was restructured)
     assert not unused, f"stale whitelist entries (no BNLJ anymore): {unused}"
+
+
+def test_embedding_exact_block_broadcasts_at_10x_cap(spark, sf_dir):
+    """VERDICT r3 nit #3: the exact-tier pair bound is a module constant
+    (_EMB_EXACT_BLOCK) with a stated scale contract — raising it 10x
+    must still plan the bounded side as a BROADCAST nested-loop (never
+    a shuffled CartesianProduct), so a grown cap degrades gracefully
+    instead of silently exploding the shuffle."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.dedup import (
+        _EMB_EXACT_BLOCK,
+        embedding_exact_pairs,
+    )
+
+    df = embedding_exact_pairs(Tables(spark, sf_dir), cap=_EMB_EXACT_BLOCK * 10)
+    s = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in s, s
+    assert "CartesianProduct" not in s, s
