@@ -90,6 +90,21 @@ HEADLINE = [
     # GEMM-tier brute-force kNN (tracks the Arrow fast path against
     # similarity_topk_cosine_exact's JVM fold — same oracle, same answer)
     "similarity_topk_cosine_matmul",
+    # round-4 breadth (VERDICT #9): one representative per subsystem the
+    # ratchet did not yet cover — graphs (iterative bounded PageRank),
+    # survival analysis, Markov removal-effect attribution, the ANSI
+    # SQL front door, CDC upserts, correlated EXISTS decorrelation, set
+    # ops, banded perceptual near-dup, and the full MinHash-LSH
+    # pipeline (now exact-oracled)
+    "graph_pagerank_bounded",
+    "funnel_kaplan_meier_conversion",
+    "funnel_markov_removal_attribution",
+    "sql_api_listagg_within_group",
+    "cdc_upsert_orders_snapshot",
+    "subquery_correlated_exists",
+    "setop_except_all",
+    "multimodal_ahash_near_dup",
+    "dedup_minhash_lsh",
 ]
 
 
@@ -154,10 +169,49 @@ def main() -> None:
                         "and the r2 record caught a quiet window"
                     ),
                 },
+                "scale_sweep": _scale_sweep_summary(),
             }
         )
     )
     spark.stop()
+
+
+def _scale_sweep_summary() -> dict | None:
+    """Latest recorded ~sf1 sweep (scripts/scale_sweep.py): the 10x
+    proof that the bucket-offset rewrites hold beyond bench SF. Run
+    fresh with SPARK_GRAFT_SCALE_DIR=<dir of make_scale_data.py output>;
+    otherwise the last recorded SCALE_SWEEP_r*.json is summarized so
+    every bench line carries the scale evidence."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    live_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR")
+    if live_dir:
+        import subprocess
+
+        run = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "scale_sweep.py"), live_dir],
+            capture_output=True, text=True, timeout=3600,
+        )
+        try:
+            return json.loads(run.stdout.strip().splitlines()[-1])
+        except Exception:
+            return {"error": run.stderr[-500:]}
+    recorded = sorted(glob.glob(os.path.join(here, "SCALE_SWEEP_r*.json")))
+    if not recorded:
+        return None
+    try:
+        with open(recorded[-1]) as fh:
+            doc = json.load(fh)
+        return {
+            "recorded": os.path.basename(recorded[-1]),
+            "sf_equiv": doc.get("sf_equiv"),
+            "total_sec": doc.get("value"),
+            "n_queries": len(doc.get("queries", {})),
+            "caps_ok": doc.get("caps_ok"),
+        }
+    except Exception:
+        return None
 
 
 def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
