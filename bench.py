@@ -168,6 +168,11 @@ def main() -> None:
                         "host's shared CPUs vary +-50 percent run-to-run "
                         "and the r2 record caught a quiet window"
                     ),
+                    "tpch_q9_product_type_profit": (
+                        "r3 flagged 0.80->1.39s; r4 re-bench: 0.68s with "
+                        "the identical broadcast-dims plan — the r3 number "
+                        "was host variance, watch closed (VERDICT #4)"
+                    ),
                 },
                 "scale_sweep": _scale_sweep_summary(),
             }
