@@ -9,6 +9,7 @@ registry replay in test_correctness.py.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from severless_data_pipeline_aws_spark import registry
@@ -94,3 +95,57 @@ def test_cdc_shift_resistance():
     assert shared >= 0.8, f"only {shared:.0%} of chunks survived a 3-byte insert"
     # determinism
     assert cdc_chunk_bytes(base) == cdc_chunk_bytes(base)
+
+
+# -- real-pixel BMP tier (r4) -------------------------------------------------
+
+
+def test_bmp_payloads_are_valid_and_resize_is_block_mean(spark, sf_dir):
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        bmp_box_resize2x,
+        bmp_decode,
+        synthesize_bmp_media,
+    )
+
+    rows = synthesize_bmp_media(spark, sf_dir, limit=25).collect()
+    assert rows
+    for r in rows:
+        img = bmp_decode(bytes(r.payload))  # raises on any malformed byte
+        assert img.shape == (8, 8, 3)
+        small = bmp_box_resize2x(img)
+        # independent block-mean check on one corner block
+        blk = img[0:2, 0:2, 0]
+        assert small[0, 0, 0] == int(blk.sum()) // 4
+
+
+def test_bmp_resize_query_round_trips(spark, sf_dir):
+    from severless_data_pipeline_aws_spark import registry
+
+    df = registry.load_all()["multimodal_bmp_resize_box"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.out_valid for r in rows)
+    assert all(r.dst_w == 4 and r.dst_h == 4 for r in rows)
+    assert all(0 <= r.checksum <= 4 * 4 * 3 * 255 for r in rows)
+
+
+def test_bmp_decoder_matches_pil_box_filter(spark, sf_dir):
+    """Cross-check the pure decoder + box resize against PIL where it
+    exists (skips loudly in this container — no PIL installable)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        bmp_box_resize2x,
+        bmp_decode,
+        synthesize_bmp_media,
+    )
+
+    for r in synthesize_bmp_media(spark, sf_dir, limit=10).collect():
+        ours = bmp_box_resize2x(bmp_decode(bytes(r.payload)))
+        pil = Image.open(io.BytesIO(bytes(r.payload))).resize((4, 4), Image.BOX)
+        # PIL BOX uses float accumulation + rounding; floor-mean may
+        # differ by at most 1 count per channel
+        assert np.abs(np.asarray(pil).astype(int) - ours.astype(int)).max() <= 1
