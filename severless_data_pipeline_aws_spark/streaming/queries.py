@@ -26,6 +26,235 @@ from . import stateful
 
 
 
+# ---------------------------------------------------------------------------
+# r4: exact DuckDB oracles for the custom stateful operators
+# ---------------------------------------------------------------------------
+#
+# VERDICT r3 left these six queries rows-only ("stateful streaming has
+# no SQL form"). The STREAMING execution has no DuckDB twin, but the
+# OUTPUT is a deterministic per-key recurrence over a bounded replay —
+# and sequential recurrences are oracle-able with recursive CTEs that
+# replay the identical floating/integer step order (the EWMA lesson).
+# Each oracle below mirrors its stateful step function line by line and
+# pulls its constants from streaming.stateful so they cannot drift.
+# The bit-exact pytest batch-twin equivalences remain as a second layer.
+#
+# Two cross-engine subtleties are load-bearing:
+#  * NULL event values become float NaN inside pandas; NaN POISONS the
+#    running statistics. DuckDB's comparison semantics treat NaN as
+#    greater-than-everything, so guards must be `NOT isnan(x) AND ...`.
+#  * Python's `** 0.5` is libm pow, which is NOT bit-identical to
+#    sqrt(); DuckDB's pow() calls the same libm, so the oracle uses
+#    pow(x, 0.5e0), never sqrt.
+
+
+def _flit(x: float) -> str:
+    """Exact float literal: repr round-trips, e-notation pins DOUBLE."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def _alert_debounce_oracle() -> str:
+    thr = _flit(stateful.EDGE_THRESHOLD)
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN value > {thr} THEN 1 ELSE 0 END AS ia,
+                   lag(CASE WHEN value > {thr} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT user_id, event_id, ts,
+               COALESCE(value, 'NaN'::DOUBLE) AS value,
+               CASE WHEN ia = 1 THEN 'raised' ELSE 'cleared' END AS edge
+        FROM seq
+        WHERE (prev IS NULL AND ia = 1) OR (prev IS NOT NULL AND ia <> prev)
+    """
+
+
+def _session_timeout_oracle() -> str:
+    gap = stateful.SESSION_GAP_US
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR date_diff('microsecond',
+                                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                          ts) > {gap}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """
+
+
+#: drift-walk generation parameters — shared by the query body and its
+#: oracle so the replayed step table cannot diverge from the SQL twin
+_DRIFT_DEVICES = 6
+_DRIFT_TICKS = 40
+_DRIFT_SENSORS = {
+    "temperature": (-10.0, 45.0, 1, 0.1, 20.0),  # lo, hi, precision, drift, init
+    "battery_level": (0.0, 100.0, 0, 0.5, 90.0),
+}
+
+
+def _drift_oracle() -> str:
+    sensors = ", ".join(
+        f"('{s}', {_flit(lo)}, {_flit(hi)}, {prec}, {_flit(df)}, {_flit(init)})"
+        for s, (lo, hi, prec, df, init) in _DRIFT_SENSORS.items()
+    )
+    return f"""
+        WITH RECURSIVE
+        sensors(s, lo, hi, prec, df, init) AS (VALUES {sensors}),
+        base AS (
+            SELECT 'device_' || d AS device_id, s, CAST(t AS BIGINT) AS t,
+                   lo, hi, prec, init,
+                   CASE WHEN s = 'battery_level' THEN -abs(dr) ELSE dr END AS drift
+            FROM (
+                SELECT d, t, s, lo, hi, prec, init, df,
+                       (CAST(('0x' || substr(md5('device_' || d || '|' || s || '|' || t), 1, 8)) AS BIGINT)
+                        / 4294967295.0 * 2 - 1) * df AS dr
+                FROM range(0, {_DRIFT_DEVICES}) dd(d)
+                CROSS JOIN sensors
+                CROSS JOIN range(1, {_DRIFT_TICKS + 1}) tt(t)
+            )
+        ),
+        walk AS (
+            SELECT device_id, s AS sensor, 0::BIGINT AS tick, init AS v, lo, hi, prec
+            FROM (SELECT DISTINCT device_id, s, lo, hi, prec, init FROM base)
+            UNION ALL
+            SELECT w.device_id, w.sensor, w.tick + 1,
+                   CASE WHEN w.prec > 0
+                        THEN round(least(greatest(w.v + b.drift, w.lo), w.hi), 1)
+                        ELSE round(least(greatest(w.v + b.drift, w.lo), w.hi), 0) END,
+                   w.lo, w.hi, w.prec
+            FROM walk w JOIN base b
+              ON b.device_id = w.device_id AND b.s = w.sensor AND b.t = w.tick + 1
+            WHERE w.tick < {_DRIFT_TICKS}
+        )
+        SELECT device_id, sensor, tick, v AS value FROM walk WHERE tick >= 1
+    """
+
+
+def _rate_limit_oracle() -> str:
+    cap = stateful.BUCKET_CAPACITY_TOKENS * stateful._UTOK
+    utok = stateful._UTOK
+    div = stateful._REFILL_DIVISOR_US
+    return f"""
+        WITH RECURSIVE
+        base AS MATERIALIZED (
+            SELECT event_type, event_id, ts, epoch_us(ts) AS us,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk AS (
+            SELECT event_type, 0::BIGINT AS rn, {cap}::BIGINT AS tokens, -1::BIGINT AS last_us,
+                   CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+                   CAST(NULL AS VARCHAR) AS decision
+            FROM (SELECT DISTINCT event_type FROM base)
+            UNION ALL
+            SELECT event_type, rn,
+                   CASE WHEN refilled >= {utok} THEN refilled - {utok} ELSE refilled END,
+                   us, event_id, ts,
+                   CASE WHEN refilled >= {utok} THEN 'allow' ELSE 'throttle' END
+            FROM (
+                SELECT b.event_type AS event_type, b.rn AS rn, b.us AS us,
+                       b.event_id AS event_id, b.ts AS ts,
+                       CASE WHEN w.last_us >= 0
+                            THEN least({cap}::BIGINT,
+                                       w.tokens + greatest(0::BIGINT, b.us - w.last_us) // {div})
+                            ELSE w.tokens END AS refilled
+                FROM walk w JOIN base b ON b.event_type = w.event_type AND b.rn = w.rn + 1
+            )
+        )
+        SELECT event_type, event_id, ts, decision, tokens / {_flit(utok)} AS tokens_after
+        FROM walk WHERE rn >= 1
+    """
+
+
+def _holt_oracle() -> str:
+    a = _flit(stateful._HOLT_ALPHA)
+    one_a = _flit(1.0 - stateful._HOLT_ALPHA)
+    b = _flit(stateful._HOLT_BETA)
+    one_b = _flit(1.0 - stateful._HOLT_BETA)
+    return f"""
+        WITH RECURSIVE
+        base AS MATERIALIZED (
+            SELECT event_type, event_id, COALESCE(value, 'NaN'::DOUBLE) AS v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk AS (
+            SELECT event_type, 0::BIGINT AS rn, 0::BIGINT AS n, 0e0 AS level, 0e0 AS trend,
+                   CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS DOUBLE) AS forecast
+            FROM (SELECT DISTINCT event_type FROM base)
+            UNION ALL
+            SELECT event_type, rn, n + 1, new_level, new_trend, event_id, vv, fc
+            FROM (
+                SELECT q.*,
+                       CASE WHEN q.n = 0 THEN 0e0
+                            ELSE {b} * (q.new_level - q.level) + {one_b} * q.trend END AS new_trend
+                FROM (
+                    SELECT w.event_type AS event_type, b.rn AS rn, w.n AS n,
+                           w.level AS level, w.trend AS trend,
+                           b.event_id AS event_id, b.v AS vv,
+                           CASE WHEN w.n = 0 THEN NULL ELSE w.level + w.trend END AS fc,
+                           CASE WHEN w.n = 0 THEN b.v
+                                ELSE {a} * b.v + {one_a} * (w.level + w.trend) END AS new_level
+                    FROM walk w JOIN base b ON b.event_type = w.event_type AND b.rn = w.rn + 1
+                ) q
+            )
+        )
+        SELECT event_type, event_id, value, forecast, level, trend
+        FROM walk WHERE rn >= 1
+    """
+
+
+def _zscore_oracle() -> str:
+    min_obs = stateful._MIN_OBS
+    zcut = _flit(stateful._Z_CUT)
+    return f"""
+        WITH RECURSIVE
+        base AS MATERIALIZED (
+            SELECT event_type, event_id, COALESCE(value, 'NaN'::DOUBLE) AS v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk AS (
+            SELECT event_type, 0::BIGINT AS rn, 0::BIGINT AS n, 0e0 AS mean, 0e0 AS m2,
+                   CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS DOUBLE) AS zscore, CAST(NULL AS VARCHAR) AS is_anomaly
+            FROM (SELECT DISTINCT event_type FROM base)
+            UNION ALL
+            SELECT event_type, rn, n + 1, new_mean, m2 + d * (vv - new_mean), event_id, vv, z,
+                   CASE WHEN z IS NOT NULL AND abs(z) > {zcut} THEN 'Y' ELSE 'N' END
+            FROM (
+                SELECT q.*, q.mean + q.d / (q.n + 1) AS new_mean
+                FROM (
+                    SELECT w.event_type AS event_type, b.rn AS rn, w.n AS n,
+                           w.mean AS mean, w.m2 AS m2,
+                           b.event_id AS event_id, b.v AS vv, b.v - w.mean AS d,
+                           CASE WHEN w.n >= {min_obs} AND NOT isnan(w.m2) AND w.m2 > 0e0
+                                THEN (b.v - w.mean) / pow(w.m2 / (w.n - 1), 0.5e0)
+                                ELSE NULL END AS z
+                    FROM walk w JOIN base b ON b.event_type = w.event_type AND b.rn = w.rn + 1
+                ) q
+            )
+        )
+        SELECT event_type, event_id, value, zscore, is_anomaly
+        FROM walk WHERE rn >= 1
+    """
+
+
 def _replay_events_stream(spark: SparkSession, sf_dir: str, df=None) -> DataFrame:
     """Stage the events table (or ``df`` derived from it) into a temp
     DIRECTORY and open it as a bounded file stream with the nanos->micros
@@ -140,7 +369,7 @@ def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_drift",
-    oracle=None,  # W4 custom state op; exact replay-equivalence in tests/test_streaming.py
+    oracle=_drift_oracle(),  # + exact replay-equivalence in tests/test_streaming.py
     doc=(
         "W4 under the STREAMING engine: deterministic drift steps for 6 "
         "devices x 2 sensors x 40 ticks streamed through "
@@ -153,19 +382,17 @@ def streaming_stateful_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     rows = []
-    for d in range(6):
+    # generation params shared with _drift_oracle via _DRIFT_* constants
+    for d in range(_DRIFT_DEVICES):
         dev = f"device_{d}"
-        for s, (lo, hi, prec, df_) in {
-            "temperature": (-10.0, 45.0, 1, 0.1),
-            "battery_level": (0.0, 100.0, 0, 0.5),
-        }.items():
-            for t in range(1, 41):
+        for s, (lo, hi, prec, df_, init) in _DRIFT_SENSORS.items():
+            for t in range(1, _DRIFT_TICKS + 1):
                 h = int(hashlib.md5(f"{dev}|{s}|{t}".encode()).hexdigest()[:8], 16)
                 u = h / 0xFFFFFFFF
                 drift = (u * 2 - 1) * df_
                 if s == "battery_level":
                     drift = -abs(drift)
-                rows.append((dev, s, t, drift, lo, hi, 20.0 if s == "temperature" else 90.0, prec))
+                rows.append((dev, s, t, drift, lo, hi, init, prec))
     steps = spark.createDataFrame(rows, schema=stateful.STEP_SCHEMA)
 
     src = tempfile.mkdtemp(prefix="drift_steps_")
@@ -246,7 +473,7 @@ def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_zscore_anomaly",
-    oracle=None,  # stateful float recursion; replay-equivalence in tests/test_streaming.py
+    oracle=_zscore_oracle(),  # + replay-equivalence in tests/test_streaming.py
     doc=(
         "Second custom stateful operator: prequential running z-score "
         "per event_type via applyInPandasWithState — each event scored "
@@ -267,7 +494,7 @@ def streaming_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_alert_debounce",
-    oracle=None,  # edge emission depends on carried state; batch-twin
+    oracle=_alert_debounce_oracle(),  # + batch-twin
     # equivalence asserted in tests/test_streaming.py
     doc=(
         "Third custom stateful operator: alert debounce under the "
@@ -289,7 +516,7 @@ def streaming_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_rate_limit_tokens",
-    oracle=None,  # decision depends on carried bucket state; replay
+    oracle=_rate_limit_oracle(),  # + replay
     # equivalence asserted in tests/test_streaming.py
     doc=(
         "Fourth custom stateful operator: per-source token-bucket rate "
@@ -312,7 +539,7 @@ def streaming_rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_holt_forecast",
-    oracle=None,  # sequential float recursion; replay-equivalence in tests
+    oracle=_holt_oracle(),  # + replay-equivalence in tests
     doc=(
         "Fifth custom stateful operator: Holt double-exponential "
         "(level + trend) smoothing per event_type via "
@@ -395,7 +622,7 @@ def _replay_events_stream_phased(
 
 @register(
     "streaming_session_emit_on_timeout",
-    oracle=None,  # timeout-driven emission; equals-batch-twin in pytest
+    oracle=_session_timeout_oracle(),  # + equals-batch-twin in pytest
     doc=(
         "Sixth custom stateful operator: event-time sessionization "
         "whose sessions EMIT when the watermark passes session end + "
