@@ -144,3 +144,51 @@ def xxhash64(*values, seed: int = SPARK_SEED) -> int:
         else:
             raise TypeError(f"unsupported xxhash64 operand: {type(v)}")
     return h
+
+
+# ---------------------------------------------------------------------------
+# Murmur3 x86_32 (Spark's F.hash / HashPartitioning hash, seed 42)
+# ---------------------------------------------------------------------------
+
+_M32 = (1 << 32) - 1
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * _C1) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * _C2) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix32(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def murmur3_long(value: int, seed: int = SPARK_SEED) -> int:
+    """Spark ``Murmur3Hash`` (= ``F.hash``) of a LONG column — the hash
+    behind ``repartition(n, col)``'s HashPartitioning, needed to
+    replicate partition ids in oracles (e.g. the batch packer's
+    per-partition namespaces)."""
+    v = value & _M
+    low = v & 0xFFFFFFFF
+    high = (v >> 32) & 0xFFFFFFFF
+    h1 = _mix_h1(seed & _M32, _mix_k1(low))
+    h1 = _mix_h1(h1, _mix_k1(high))
+    return _fmix32(h1 & _M32, 8)

@@ -110,7 +110,7 @@ def _w8(off_expr: str) -> str:
     ) + ")"
 
 
-def rec_hash_ctes(p: str) -> str:
+def rec_hash_ctes(p: str, raw_hex: bool = False) -> str:
     """CTE definitions (splice into a ``WITH RECURSIVE``) computing
     Spark ``xxhash64`` over UTF-8 bytes with PER-ROW seeds.
 
@@ -118,13 +118,26 @@ def rec_hash_ctes(p: str) -> str:
     ``k`` the join-back key, ``tag`` a BIGINT label carried through
     (e.g. the hash-family index), ``seed`` the u64 HUGEINT seed, ``s``
     the string.  Emits ``{p}_out(k, tag, h, hsig)`` with ``h`` u64
-    HUGEINT and ``hsig`` Spark's signed BIGINT."""
-    inp = f"""{p}_inp AS (
-        SELECT k, tag, seed,
+    HUGEINT and ``hsig`` Spark's signed BIGINT.
+
+    ``raw_hex=True`` hashes arbitrary BYTES instead: ``s`` is then the
+    hex encoding of the payload (2 chars/byte, e.g. a substr of a
+    staged digest chain) — the path for BINARY-column fingerprints
+    whose bytes are not valid UTF-8."""
+    if raw_hex:
+        stage = """
+               s AS hx,
+               CAST(len(s) // 2 AS INT) AS n,
+               CAST(len(s) // 2 AS INT) // 8 AS nw,
+               CAST(len(s) // 2 AS INT) // 32 AS ns"""
+    else:
+        stage = """
                hex(encode(s)) AS hx,
                CAST(octet_length(encode(s)) AS INT) AS n,
                CAST(octet_length(encode(s)) AS INT) // 8 AS nw,
-               CAST(octet_length(encode(s)) AS INT) // 32 AS ns
+               CAST(octet_length(encode(s)) AS INT) // 32 AS ns"""
+    inp = f"""{p}_inp AS (
+        SELECT k, tag, seed,{stage}
         FROM {p}_src
     )"""
 

@@ -156,9 +156,62 @@ def _greedy_pack(iterator):
         yield out[["doc_id", "chunk_id", "n_tokens", "batch_id"]]
 
 
+
+
+def _pack_oracle() -> str:
+    """Exact DuckDB twin of ``pipeline_pack_training_batches`` (r4: was
+    rows-only). The physical partition id under repartition(8,
+    pmod(doc_id, 8)) is pmod(Murmur3(mod_class), 8) — replayed via the
+    validated pure-Python Murmur3 twin as CASE literals — and the
+    greedy first-fit walk is an integer recurrence per partition,
+    replayed with a recursive CTE in the same (doc_id, chunk_id)
+    order sortWithinPartitions pins."""
+    from ..functions.xxh64 import murmur3_long
+    from .text import _CHUNK_LEN, _CHUNK_STRIDE
+
+    pid_case = " ".join(
+        f"WHEN {m} THEN {(murmur3_long(m) % _PACK_PARTS + _PACK_PARTS) % _PACK_PARTS}"
+        for m in range(_PACK_PARTS)
+    )
+    return f"""
+        WITH RECURSIVE
+        chunks AS MATERIALIZED (
+            SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_id,
+                   CAST(least({_CHUNK_LEN}, len(words) - s.i * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+                   CASE doc_id % {_PACK_PARTS} {pid_case} END AS pid
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) toks,
+                 LATERAL (SELECT unnest(range(0, ((len(words) - 1) // {_CHUNK_STRIDE}) + 1)) AS i) s
+        ),
+        ordered AS MATERIALIZED (
+            SELECT *, row_number() OVER (PARTITION BY pid ORDER BY doc_id, chunk_id) AS rn
+            FROM chunks
+        ),
+        walk AS (
+            SELECT pid, 0::BIGINT AS rn, 0::BIGINT AS used, 0::BIGINT AS seq,
+                   CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+                   CAST(NULL AS BIGINT) AS n_tokens
+            FROM (SELECT DISTINCT pid FROM ordered)
+            UNION ALL
+            SELECT pid, rn,
+                   CASE WHEN reset THEN tok ELSE used + tok END,
+                   CASE WHEN reset THEN seq + 1 ELSE seq END,
+                   doc_id, chunk_id, tok
+            FROM (
+                SELECT o.pid AS pid, o.rn AS rn, o.doc_id AS doc_id,
+                       o.chunk_id AS chunk_id, o.n_tokens AS tok,
+                       w.used AS used, w.seq AS seq,
+                       (w.used > 0 AND w.used + o.n_tokens > {_PACK_BUDGET}) AS reset
+                FROM walk w JOIN ordered o ON o.pid = w.pid AND o.rn = w.rn + 1
+            )
+        )
+        SELECT doc_id, chunk_id, n_tokens,
+               printf('p%04d_b%06d', pid, seq) AS batch_id
+        FROM walk WHERE rn >= 1
+    """
+
 @register(
     "pipeline_pack_training_batches",
-    oracle=None,  # sequential bin-packing; invariants asserted in pytest
+    oracle=_pack_oracle(),  # + invariants asserted in pytest
     doc=(
         "Training-batch packing: greedy first-fit of document chunks "
         f"into <= {_PACK_BUDGET}-token batches. Sequential logic made "

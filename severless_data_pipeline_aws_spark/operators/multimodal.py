@@ -345,7 +345,7 @@ def multimodal_binary_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 CDC_MIN, CDC_AVG_BITS, CDC_MAX = 16, 6, 256  # ~64-byte average chunks
 
 CHUNK_SCHEMA = (
-    "doc_id bigint, chunk_idx int, offset int, length int, chunk_md5 string"
+    "doc_id bigint, chunk_idx int, offset int, length int, chunk_hash bigint"
 )
 
 
@@ -365,13 +365,20 @@ _MASK64 = (1 << 64) - 1
 _BOUNDARY_MASK = (1 << CDC_AVG_BITS) - 1
 
 
-def cdc_chunk_bytes(payload: bytes) -> list[tuple[int, int, str]]:
-    """Pure chunker: (offset, length, md5) per chunk. Boundaries where
-    the gear rolling hash masks to zero, bracketed by min/max sizes —
-    the construction whose boundaries RESYNCHRONIZE after an insertion,
-    which is what makes chunk-level dedup byte-shift-resistant (fixed-
-    size chunking loses every chunk after an edit)."""
-    import hashlib
+def cdc_chunk_bytes(payload: bytes) -> list[tuple[int, int, int]]:
+    """Pure chunker: (offset, length, fingerprint) per chunk. Boundaries
+    where the gear rolling hash masks to zero, bracketed by min/max
+    sizes — the construction whose boundaries RESYNCHRONIZE after an
+    insertion, which is what makes chunk-level dedup byte-shift-
+    resistant (fixed-size chunking loses every chunk after an edit).
+
+    The fingerprint is Spark-compatible xxhash64 over the chunk BYTES
+    (the pure-Python twin in functions/xxh64.py), which keeps the dedup
+    key 8 bytes AND lets the whole chunker be exact-oracled in DuckDB
+    SQL (r4) — production corpora whose chunk count approaches the
+    64-bit birthday bound would widen to a 128/256-bit digest, same
+    plan."""
+    from ..functions.xxh64 import hash_bytes
 
     chunks = []
     start = 0
@@ -382,14 +389,12 @@ def cdc_chunk_bytes(payload: bytes) -> list[tuple[int, int, str]]:
         h = ((h << 1) + _GEAR[payload[i]]) & _MASK64
         size = i - start + 1
         if (size >= CDC_MIN and (h & _BOUNDARY_MASK) == 0) or size >= CDC_MAX:
-            chunks.append(
-                (start, size, hashlib.md5(payload[start : i + 1]).hexdigest())
-            )
+            chunks.append((start, size, hash_bytes(payload[start : i + 1])))
             start = i + 1
             h = 0
         i += 1
     if start < n:
-        chunks.append((start, n - start, hashlib.md5(payload[start:]).hexdigest()))
+        chunks.append((start, n - start, hash_bytes(payload[start:])))
     return chunks
 
 
@@ -400,7 +405,7 @@ def _cdc_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for idx, (off, ln, h) in enumerate(cdc_chunk_bytes(bytes(r.payload))):
                 rows.append((int(r.doc_id), idx, off, ln, h))
         yield pd.DataFrame(
-            rows, columns=["doc_id", "chunk_idx", "offset", "length", "chunk_md5"]
+            rows, columns=["doc_id", "chunk_idx", "offset", "length", "chunk_hash"]
         )
 
 
@@ -417,9 +422,82 @@ def synthesize_blobs(spark: SparkSession, sf_dir: str, limit: int = 100) -> Data
     )
 
 
+def _cdc_chunks_oracle() -> str:
+    """Exact DuckDB twin of ``multimodal_cdc_chunks`` (r4: was
+    rows-only): the gear rolling hash is a per-byte integer recurrence
+    (recursive CTE over byte index, 512 steps x 100 docs), boundaries
+    close chunks exactly like the Python chunker, and each chunk's
+    xxhash64 fingerprint replays through the raw-hex mode of the
+    recursive XXH64 emitter. The 256 gear constants ride in as a
+    VALUES table pre-joined onto the byte stream."""
+    from ..functions.xxh64_sql import rec_hash_ctes
+
+    gear_rows = ", ".join(f"({b}, {g}::HUGEINT)" for b, g in enumerate(_GEAR))
+    body_hex = " || ".join(f"md5(text || {i})" for i in range(32))
+    m64 = _MASK64
+    bmask = _BOUNDARY_MASK
+    return f"""
+        WITH RECURSIVE
+        gear(b, g) AS (VALUES {gear_rows}),
+        blobs AS MATERIALIZED (
+            SELECT doc_id, {body_hex} AS bh
+            FROM documents WHERE doc_id < 100
+        ),
+        bytes AS MATERIALIZED (
+            SELECT d.doc_id, CAST(r.i AS INT) AS i, g.g
+            FROM blobs d
+            CROSS JOIN range(0, 512) r(i)
+            JOIN gear g
+              ON g.b = CAST(('0x' || substr(d.bh, CAST(2*r.i + 1 AS INT), 2)) AS INT)
+        ),
+        walk AS (
+            SELECT doc_id, -1 AS i, 0::HUGEINT AS h, 0 AS cstart, FALSE AS bnd,
+                   CAST(NULL AS INT) AS c_off, CAST(NULL AS INT) AS c_len
+            FROM blobs
+            UNION ALL
+            SELECT doc_id, i,
+                   CASE WHEN bnd2 THEN 0::HUGEINT ELSE h2 END,
+                   CASE WHEN bnd2 THEN i + 1 ELSE cstart END,
+                   bnd2,
+                   CASE WHEN bnd2 THEN cstart END,
+                   CASE WHEN bnd2 THEN i - cstart + 1 END
+            FROM (
+                SELECT q.*,
+                       ((q.i - q.cstart + 1 >= {CDC_MIN} AND (q.h2 & {bmask}) = 0)
+                        OR q.i - q.cstart + 1 >= {CDC_MAX}) AS bnd2
+                FROM (
+                    SELECT w.doc_id AS doc_id, b.i AS i, w.cstart AS cstart,
+                           ((w.h << 1) + b.g) & {m64} AS h2
+                    FROM walk w JOIN bytes b ON b.doc_id = w.doc_id AND b.i = w.i + 1
+                ) q
+            )
+        ),
+        closed AS (
+            SELECT doc_id, c_off AS off, c_len AS ln FROM walk WHERE bnd
+            UNION ALL
+            SELECT doc_id, cstart, 512 - cstart FROM walk
+            WHERE i = 511 AND cstart < 512
+        ),
+        ch_src AS (
+            SELECT c.doc_id || ':' || c.off AS k, c.doc_id AS tag, 42::HUGEINT AS seed,
+                   substr(d.bh, 2*c.off + 1, 2*c.ln) AS s
+            FROM closed c JOIN blobs d USING (doc_id)
+        ),
+        {rec_hash_ctes('ch', raw_hex=True)}
+        SELECT c.doc_id,
+               CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.off) - 1 AS INT)
+                   AS chunk_idx,
+               CAST(c.off AS INT) AS offset,
+               CAST(c.ln AS INT) AS length,
+               o.hsig AS chunk_hash
+        FROM closed c
+        JOIN ch_out o ON o.k = c.doc_id || ':' || c.off
+    """
+
+
 @register(
     "multimodal_cdc_chunks",
-    oracle=None,  # python rolling-hash chunker; invariants in pytest
+    oracle=_cdc_chunks_oracle(),  # + invariants in pytest
     doc=(
         "X5: content-defined chunking over binary payloads (the "
         "FastCDC/gear construction under every dedup storage system): "
@@ -431,7 +509,7 @@ def synthesize_blobs(spark: SparkSession, sf_dir: str, limit: int = 100) -> Data
         "chunking would store everything twice (shift-resistance "
         "asserted in pytest). Runs as mapInPandas over Arrow batches — "
         "map-only, no shuffle; chunk-level dedup is then the ordinary "
-        "hash-groupBy on chunk_md5."
+        "hash-groupBy on chunk_hash."
     ),
     tags=("multimodal", "dedup", "udf"),
 )
