@@ -313,7 +313,10 @@ def _lttb_downsample(pdf, n_out: int = _LTTB_N):
     per bucket, the point forming the largest triangle with the
     previously kept point and the NEXT bucket's centroid — the
     standard shape-preserving decimation for plotting large series.
-    Deterministic: ties resolve to the earliest point.
+    Deterministic: ties resolve to the earliest point, and the
+    centroid means use an explicit LEFT-TO-RIGHT fold (numpy's
+    pairwise summation is order-unstable across block sizes, which
+    would make the r4 DuckDB oracle unreplayable).
     """
     import numpy as np
 
@@ -325,12 +328,19 @@ def _lttb_downsample(pdf, n_out: int = _LTTB_N):
     y = pdf["value"].to_numpy(dtype="float64")
     # bucket boundaries over the interior points [1, n-1)
     edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+
+    def _seq_mean(a) -> float:
+        s = 0.0
+        for v in a.tolist():
+            s += v
+        return s / len(a)
+
     keep = [0]
     prev = 0
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
         nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (n - 1, n)
-        ax, ay = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        ax, ay = _seq_mean(x[nlo:nhi]), _seq_mean(y[nlo:nhi])
         area = np.abs(
             (x[prev] - ax) * (y[lo:hi] - y[prev]) - (x[prev] - x[lo:hi]) * (ay - y[prev])
         )
@@ -340,9 +350,98 @@ def _lttb_downsample(pdf, n_out: int = _LTTB_N):
     return pdf.iloc[keep]
 
 
+def _lttb_oracle() -> str:
+    """Exact DuckDB twin of ``dashboard_lttb_downsample`` (r4: was
+    rows-only). Every step of the per-series selection replays: the
+    np.linspace bucket edges (k*step+1 in float64, truncated, last
+    edge pinned to n-1), the left-to-right centroid means (ordered
+    list folds), the triangle areas in the identical IEEE order, and
+    np.argmax's exact tie/NaN policy — first NaN wins outright, else
+    greatest area with first-index ties (NOT EXISTS with an
+    isnan-stratified better-than predicate, since DuckDB orders NaN
+    ABOVE all values while numpy's scan never lets a later NaN lose).
+    The sequential pick chain is a 98-step recursion per series."""
+    area1 = "abs((w.xp - c.ax) * (p1.yv - w.yp) - (w.xp - p1.xv) * (c.ay - w.yp))"
+    area2 = "abs((w.xp - c.ax) * (p2.yv - w.yp) - (w.xp - p2.xv) * (c.ay - w.yp))"
+    nb = _LTTB_N - 1  # 99 edges, 98 interior buckets
+    return f"""
+        WITH RECURSIVE
+        base AS MATERIALIZED (
+            SELECT event_type, event_id, ts,
+                   COALESCE(value, 'NaN'::DOUBLE) AS yv,
+                   CAST(epoch_ns(ts) AS DOUBLE) AS xv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+            FROM events
+        ),
+        meta AS MATERIALIZED (
+            SELECT event_type, COUNT(*) AS n FROM base GROUP BY event_type
+        ),
+        edges AS MATERIALIZED (
+            SELECT m.event_type, k.k,
+                   CASE WHEN k.k = {nb - 1} THEN m.n - 1
+                        ELSE CAST(trunc(k.k * ((m.n - 2) / {nb - 1}.0) + 1) AS BIGINT) END AS e
+            FROM meta m CROSS JOIN range(0, {nb}) k(k)
+            WHERE m.n > {_LTTB_N}
+        ),
+        bk AS MATERIALIZED (
+            SELECT b.event_type, CAST(b.k AS INT) AS b, b.e AS lo, h.e AS hi,
+                   CASE WHEN b.k + 2 <= {nb - 1} THEN h.e ELSE m.n - 1 END AS nlo,
+                   CASE WHEN b.k + 2 <= {nb - 1} THEN n2.e ELSE m.n END AS nhi
+            FROM edges b
+            JOIN edges h ON h.event_type = b.event_type AND h.k = b.k + 1
+            LEFT JOIN edges n2 ON n2.event_type = b.event_type AND n2.k = b.k + 2
+            JOIN meta m ON m.event_type = b.event_type
+            WHERE b.k <= {nb - 2}
+        ),
+        cent AS MATERIALIZED (
+            SELECT bk.event_type, bk.b, bk.lo, bk.hi,
+                   list_reduce(list_prepend(0e0, list(p.xv ORDER BY p.idx)),
+                               (a, v) -> a + v) / (bk.nhi - bk.nlo) AS ax,
+                   list_reduce(list_prepend(0e0, list(p.yv ORDER BY p.idx)),
+                               (a, v) -> a + v) / (bk.nhi - bk.nlo) AS ay
+            FROM bk JOIN base p
+              ON p.event_type = bk.event_type AND p.idx >= bk.nlo AND p.idx < bk.nhi
+            GROUP BY bk.event_type, bk.b, bk.lo, bk.hi, bk.nhi, bk.nlo
+        ),
+        walk AS (
+            SELECT b0.event_type, -1 AS b, 0::BIGINT AS prev, b0.xv AS xp, b0.yv AS yp
+            FROM base b0 JOIN meta m ON m.event_type = b0.event_type
+            WHERE b0.idx = 0 AND m.n > {_LTTB_N}
+            UNION ALL
+            SELECT w.event_type, c.b, p1.idx, p1.xv, p1.yv
+            FROM walk w
+            JOIN cent c ON c.event_type = w.event_type AND c.b = w.b + 1
+            JOIN base p1
+              ON p1.event_type = w.event_type AND p1.idx >= c.lo AND p1.idx < c.hi
+            WHERE NOT EXISTS (
+                SELECT 1 FROM base p2
+                WHERE p2.event_type = w.event_type
+                  AND p2.idx >= c.lo AND p2.idx < c.hi
+                  AND (
+                    (isnan({area2}) AND NOT isnan({area1}))
+                    OR (isnan({area2}) = isnan({area1})
+                        AND ({area2} > {area1}
+                             OR ({area2} = {area1} AND p2.idx < p1.idx)))
+                  )
+            )
+        ),
+        kept AS (
+            SELECT event_type, prev AS idx FROM walk
+            UNION ALL
+            SELECT event_type, n - 1 FROM meta WHERE n > {_LTTB_N}
+            UNION ALL
+            SELECT b.event_type, b.idx
+            FROM base b JOIN meta m ON m.event_type = b.event_type
+            WHERE m.n <= {_LTTB_N}
+        )
+        SELECT b.event_type, b.event_id, b.ts, b.yv AS value
+        FROM kept k JOIN base b ON b.event_type = k.event_type AND b.idx = k.idx
+    """
+
+
 @register(
     "dashboard_lttb_downsample",
-    oracle=None,  # sequential geometric selection; invariants in pytest
+    oracle=_lttb_oracle(),  # + invariants in pytest
     doc=(
         "Shape-preserving time-series decimation (largest-triangle-"
         f"three-buckets) to {_LTTB_N} points per series — what a "
