@@ -131,3 +131,38 @@ def test_duckdb_udf_matches_python():
     longs = _LONGS
     got = [con.execute("SELECT spark_xxhash64_long(?)", [v]).fetchone()[0] for v in longs]
     assert got == [X.hash_long(v) for v in longs]
+
+
+def test_murmur3_long_matches_spark_hash(spark):
+    """The Murmur3 twin must equal F.hash (seed 42) — it replays
+    HashPartitioning partition ids inside oracles (batch packer)."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.functions.xxh64 import murmur3_long
+
+    vals = [0, 1, 2, 7, -1, 42, 2**62, -(2**62), 123456789123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for r in df.select("v", F.hash("v").alias("h")).collect():
+        assert r.h == murmur3_long(r.v)
+
+
+def test_sql_rec_hash_raw_hex_mode(con):
+    """raw_hex=True hashes arbitrary BYTES given their hex encoding —
+    the path for binary fingerprints (CDC chunk hashes)."""
+    import hashlib
+
+    payloads = [hashlib.md5(f"blob{i}".encode()).digest() * (i % 5 + 1) for i in range(12)]
+    payloads.append(b"")
+    rows = [(p.hex().upper(), i) for i, p in enumerate(payloads)]
+    con.execute(
+        "CREATE OR REPLACE TABLE xxh_b AS SELECT * FROM (VALUES "
+        + ",".join("(?, ?)" for _ in rows) + ") t(hx, tag)",
+        [x for r in rows for x in r],
+    )
+    q = f"""WITH RECURSIVE
+        rb_src AS (SELECT tag AS k, tag, 42::HUGEINT AS seed, hx AS s FROM xxh_b),
+        {XS.rec_hash_ctes('rb', raw_hex=True)}
+        SELECT k, hsig FROM rb_out"""
+    got = {r[0]: r[1] for r in con.execute(q).fetchall()}
+    for i, p in enumerate(payloads):
+        assert got[i] == X.hash_bytes(p), (i, len(p))
