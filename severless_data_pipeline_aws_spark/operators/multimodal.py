@@ -867,3 +867,165 @@ def multimodal_bmp_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bmp_resize_batches,
         "doc_id bigint, dst_w int, dst_h int, checksum bigint, out_valid boolean",
     )
+
+
+# -- real-sample audio tier: valid WAV files, genuine PCM decode -------------
+#
+# The audio analog of ``multimodal_bmp_resize_box`` (r4): payloads are
+# byte-VALID RIFF/WAVE files (canonical 44-byte PCM header + mono
+# 16-bit little-endian samples from md5 chains), the mapInPandas stage
+# performs a genuine parse (RIFF magic, fmt chunk, PCM/mono/16-bit
+# validation, signed LE sample unpack) and computes the standard audio
+# QC features — peak amplitude, total energy, zero-crossing count —
+# as exact integers, then re-encodes and round-trips the clip.  No
+# codec library required, and the whole pipeline is EXACTLY oracled:
+# the SQL twin re-derives each signed sample from the positional md5
+# bytes and replays the identical integer arithmetic.
+
+_WAV_N_SAMPLES = 64  # 128 PCM bytes = 8 md5 digests
+_WAV_RATE = 8000
+
+
+def _wav_header(n_samples: int) -> bytes:
+    import struct
+
+    data_size = n_samples * 2  # mono 16-bit
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def synthesize_wav_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
+    """(doc_id, payload): byte-valid mono 16-bit PCM WAV clips."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("doc_id") < limit)
+    pcm = [
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"|a{i}"))))
+        for i in range((_WAV_N_SAMPLES * 2) // 16)
+    ]
+    return d.select(
+        "doc_id",
+        F.concat(F.lit(_wav_header(_WAV_N_SAMPLES)), *pcm).alias("payload"),
+    )
+
+
+def wav_decode(payload: bytes):
+    """Real RIFF/WAVE parse -> int64 numpy sample vector.
+
+    Validates RIFF/WAVE magic, fmt chunk size, PCM format, mono,
+    16-bit, and the data chunk length; raises on any malformed byte —
+    this is a decoder, not a header sniffer."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:16] != b"WAVEfmt ":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_sz, audio_fmt, channels, rate, byte_rate, block, bits = struct.unpack(
+        "<IHHIIHH", payload[16:36]
+    )
+    if fmt_sz != 16 or audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV variant {fmt_sz}/{audio_fmt}/{channels}/{bits}")
+    if byte_rate != rate * block or block != 2:
+        raise ValueError("inconsistent fmt chunk")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    n = struct.unpack("<I", payload[40:44])[0]
+    body = payload[44 : 44 + n]
+    if len(body) != n:
+        raise ValueError("truncated data chunk")
+    return np.frombuffer(bytes(body), dtype="<i2").astype("int64")
+
+
+def _wav_encode(samples) -> bytes:
+    return _wav_header(len(samples)) + samples.astype("<i2").tobytes()
+
+
+def _wav_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "n_samples": [], "peak_abs": [],
+            "energy": [], "zero_crossings": [], "wav_valid": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = wav_decode(bytes(payload))
+            round_trip = wav_decode(_wav_encode(s))
+            nonneg = s >= 0
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(s))
+            out["peak_abs"].append(int(np.abs(s).max()))
+            out["energy"].append(int((s * s).sum()))
+            out["zero_crossings"].append(int((nonneg[:-1] != nonneg[1:]).sum()))
+            out["wav_valid"].append(bool((round_trip == s).all()))
+        yield pd.DataFrame(out)[
+            ["doc_id", "n_samples", "peak_abs", "energy", "zero_crossings", "wav_valid"]
+        ]
+
+
+def _wav_features_oracle() -> str:
+    """Positional md5 twin: signed LE int16 sample j lives at bytes
+    (2j, 2j+1) of the '|a{j//8}' digest chain; every feature is exact
+    integer arithmetic over those samples."""
+    lo = "CAST(('0x' || substr(md5(text || '|a' || CAST(j // 8 AS VARCHAR)), ((2 * j) % 16) * 2 + 1, 2)) AS BIGINT)"
+    hi = "CAST(('0x' || substr(md5(text || '|a' || CAST(j // 8 AS VARCHAR)), ((2 * j + 1) % 16) * 2 + 1, 2)) AS BIGINT)"
+    return f"""
+        WITH samp AS (
+            SELECT doc_id, j,
+                   ({lo}) + 256 * ({hi})
+                   - CASE WHEN ({hi}) >= 128 THEN 65536 ELSE 0 END AS s
+            FROM documents, range({_WAV_N_SAMPLES}) t(j)
+            WHERE doc_id < 200
+        ),
+        stepped AS (
+            SELECT doc_id, s,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev_s
+            FROM samp
+        )
+        SELECT doc_id,
+               CAST({_WAV_N_SAMPLES} AS INT) AS n_samples,
+               CAST(MAX(abs(s)) AS INT) AS peak_abs,
+               CAST(SUM(s * s) AS BIGINT) AS energy,
+               CAST(SUM(CASE WHEN prev_s IS NOT NULL
+                             AND (s >= 0) != (prev_s >= 0)
+                        THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+               TRUE AS wav_valid
+        FROM stepped
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_wav_pcm_features",
+    oracle=_wav_features_oracle(),
+    doc=(
+        "X5 real-sample audio tier (r4): payloads are byte-VALID "
+        "RIFF/WAVE files (canonical 44-byte PCM header, mono 16-bit "
+        "LE); the mapInPandas stage performs a genuine parse (magic, "
+        "fmt-chunk, PCM/mono/16-bit and data-length validation, signed "
+        "sample unpack) and computes the standard audio QC features — "
+        "peak amplitude, total energy, zero-crossing count — as exact "
+        "integers, then re-encodes and round-trips the clip. The "
+        "companion of multimodal_bmp_resize_box: together they close "
+        "the image+audio decode tiers as far as a codec-less container "
+        "allows. EXACTLY oracled — the SQL twin re-derives each signed "
+        "sample from positional md5 bytes and replays the identical "
+        "integer arithmetic. At 100 TB the plan shape is production "
+        "audio QC: bytes stay on executors, decode is Arrow-batched, "
+        "map-only, no shuffle."
+    ),
+    tags=("multimodal", "llm", "udf"),
+)
+def multimodal_wav_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_wav_media(spark, sf_dir)
+    return media.mapInPandas(
+        _wav_feature_batches,
+        "doc_id bigint, n_samples int, peak_abs int, energy bigint, "
+        "zero_crossings int, wav_valid boolean",
+    )
