@@ -1912,3 +1912,154 @@ def stats_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda num, den: f"(({num}) DIV ({den}))",
         )
     )
+
+
+# -- Shapley-value attribution (r4) ------------------------------------------
+#
+# Completes the attribution family (last-touch, time-decay, Markov
+# absorbing-chain, Markov removal-effect): the cooperative-game credit
+# split.  Characteristic function v(S) = number of converted users whose
+# pre-purchase channel set is contained in S; the Shapley value of
+# channel c is the factorially-weighted mean marginal contribution over
+# all coalitions.  With |channels| = 4 the coalition lattice has 16
+# nodes, so the WHOLE game collapses to a 16-row conversion-per-mask
+# table — the fact table is touched exactly twice (first-purchase agg +
+# touch agg, both keyed on user_id), and the Shapley fold is a
+# broadcast equi-join against a STATIC 64-row (mask, channel,
+# weight-sum) lookup precomputed in Python, never a subset cross join.
+# All arithmetic is integer until the single final division by 4! = 24.
+
+_SHAP_BITS = (("signup", 1), ("click", 2), ("view", 4), ("error", 8))
+_SHAP_FACT = {0: 6, 1: 2, 2: 2, 3: 6}  # |S|! * (4-|S|-1)!  (denominator 24)
+
+
+def _shapley_lookup_rows() -> list[tuple[int, str, int]]:
+    """Static (mask, channel, total_weight) rows: total_weight =
+    sum over coalitions S not containing c with mask <= S u {c} and
+    c in mask of |S|!(n-|S|-1)!."""
+    from itertools import combinations
+
+    out: dict[tuple[int, str], int] = {}
+    bits = dict(_SHAP_BITS)
+    for ch, cb in _SHAP_BITS:
+        others = [b for _, b in _SHAP_BITS if b != cb]
+        for r in range(len(others) + 1):
+            for combo in combinations(others, r):
+                smask = sum(combo)
+                w = _SHAP_FACT[r]
+                for m in range(16):
+                    if (m & ~(smask | cb)) == 0 and (m & cb):
+                        out[(m, ch)] = out.get((m, ch), 0) + w
+    return sorted((m, ch, w) for (m, ch), w in out.items())
+
+
+def _shapley_lookup_values() -> str:
+    return ", ".join(f"({m}, '{ch}', {w})" for m, ch, w in _shapley_lookup_rows())
+
+
+_SHAPLEY_MASK_SQL_SPARK = " + ".join(
+    f"MAX(CASE WHEN event_type = '{ch}' THEN {b} ELSE 0 END)" for ch, b in _SHAP_BITS
+)
+
+
+def _shapley_oracle() -> str:
+    mask_bits = " + ".join(
+        f"MAX(CASE WHEN t.event_type = '{ch}' THEN {b} ELSE 0 END)" for ch, b in _SHAP_BITS
+    )
+    return f"""
+        WITH fp1 AS (
+            SELECT user_id, MIN(ts) AS fp_ts
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        first_purchase AS (
+            SELECT e.user_id, f.fp_ts, MIN(e.event_id) AS fp_id
+            FROM events e JOIN fp1 f
+              ON e.user_id = f.user_id AND e.ts = f.fp_ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id, f.fp_ts
+        ),
+        touch AS (
+            SELECT f.user_id, {mask_bits} AS mask
+            FROM first_purchase f JOIN events t ON t.user_id = f.user_id
+            WHERE t.event_type != 'purchase'
+              AND (t.ts < f.fp_ts
+                   OR (t.ts = f.fp_ts AND t.event_id < f.fp_id))
+            GROUP BY f.user_id
+        ),
+        user_mask AS (
+            SELECT f.user_id, COALESCE(t.mask, 0) AS mask
+            FROM first_purchase f LEFT JOIN touch t ON f.user_id = t.user_id
+        ),
+        conv AS (
+            SELECT mask, COUNT(*) AS n_conv FROM user_mask GROUP BY mask
+        ),
+        lookup(mask, channel, wsum) AS (
+            VALUES {_shapley_lookup_values()}
+        )
+        SELECT l.channel,
+               CAST(SUM(c.n_conv * l.wsum) AS BIGINT) AS weighted_num,
+               CAST(SUM(c.n_conv * l.wsum) AS DOUBLE) / 24.0e0 AS shapley_conversions
+        FROM conv c JOIN lookup l ON c.mask = l.mask
+        GROUP BY l.channel
+        ORDER BY channel
+    """
+
+
+@register(
+    "funnel_shapley_attribution",
+    oracle=_shapley_oracle(),
+    doc=(
+        "A36 Shapley-value attribution (r4) — the cooperative-game "
+        "credit split that completes the attribution family: "
+        "v(S) = conversions whose pre-first-purchase channel set is "
+        "contained in S; credit(c) = factorially-weighted mean marginal "
+        "contribution. The fact table is reduced ONCE to a <=16-row "
+        "conversions-per-mask table (two user-keyed shuffles), and the "
+        "coalition fold is a broadcast equi-join against a static "
+        "64-row (mask, channel, weight) lookup precomputed in Python — "
+        "no subset cross join exists in the plan at any scale. Exact "
+        "integers until the single final division by 4!; 'strictly "
+        "before first purchase' is pinned by (ts, event_id) ordering "
+        "so equal-timestamp touches resolve identically on both "
+        "engines."
+    ),
+    tags=("funnel", "attribution", "agg", "llm"),
+)
+def funnel_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+        .select("user_id", F.col("fp.ts").alias("fp_ts"), F.col("fp.event_id").alias("fp_id"))
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(
+            (F.col("ts") < F.col("fp_ts"))
+            | ((F.col("ts") == F.col("fp_ts")) & (F.col("event_id") < F.col("fp_id")))
+        )
+        .groupBy("user_id")
+        .agg(F.expr(_SHAPLEY_MASK_SQL_SPARK).alias("mask"))
+    )
+    user_mask = fp.join(touches, "user_id", "left").select(
+        "user_id", F.coalesce(F.col("mask"), F.lit(0)).alias("mask")
+    )
+    conv = user_mask.groupBy("mask").agg(F.count(F.lit(1)).alias("n_conv"))
+    lookup = spark.createDataFrame(
+        _shapley_lookup_rows(), "mask int, channel string, wsum int"
+    )
+    return (
+        conv.join(F.broadcast(lookup), "mask")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("n_conv") * F.col("wsum")).cast("bigint").alias("weighted_num"),
+            (F.sum(F.col("n_conv") * F.col("wsum")).cast("double") / F.lit(24.0)).alias(
+                "shapley_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )

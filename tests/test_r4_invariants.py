@@ -1,0 +1,94 @@
+"""Round-4-continuation invariants: mathematical identities the oracle
+hash alone can't express for the new r4 operators, plus plan audits."""
+
+from __future__ import annotations
+
+from severless_data_pipeline_aws_spark import plans, registry
+
+SPECS = registry.load_all()
+
+
+def _rows(name, spark, sf_dir):
+    return SPECS[name].fn(spark, sf_dir).collect()
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """Sum of Shapley credits == v(N) - v(empty): total conversions
+    minus conversions with no pre-purchase touches (the game's
+    efficiency axiom — a direct check the per-channel hash can't see)."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    rows = _rows("funnel_shapley_attribution", spark, sf_dir)
+    assert len(rows) == 4
+    total_credit = sum(r["shapley_conversions"] for r in rows)
+
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    n_converted = fp.count()
+    # v(empty) = converted users with zero pre-purchase non-purchase touches
+    fp_cols = fp.select(
+        "user_id",
+        F.col("fp.ts").alias("fp_ts"),
+        F.col("fp.event_id").alias("fp_id"),
+    )
+    touched = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp_cols, "user_id")
+        .filter(
+            (F.col("ts") < F.col("fp_ts"))
+            | ((F.col("ts") == F.col("fp_ts")) & (F.col("event_id") < F.col("fp_id")))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    v_empty = n_converted - touched
+    assert abs(total_credit - (n_converted - v_empty)) < 1e-6
+
+
+def test_shapley_plan_broadcasts_lookup(spark, sf_dir):
+    df = SPECS["funnel_shapley_attribution"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wav_features_bounds(spark, sf_dir):
+    """Decoded PCM invariants: peak <= 32768, energy <= n * peak^2,
+    zero-crossings < n, and every clip round-trips."""
+    for r in _rows("multimodal_wav_pcm_features", spark, sf_dir):
+        assert r["wav_valid"] is True
+        assert 0 <= r["peak_abs"] <= 32768
+        assert r["energy"] <= r["n_samples"] * r["peak_abs"] ** 2
+        assert 0 <= r["zero_crossings"] < r["n_samples"]
+
+
+def test_wav_decoder_rejects_malformed():
+    """The WAV parse is a decoder, not a header sniffer: corrupt magic,
+    truncated data, and non-PCM formats must all raise."""
+    import struct
+
+    import pytest
+
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        _wav_header,
+        wav_decode,
+    )
+
+    good = _wav_header(4) + struct.pack("<4h", 1, -2, 3, -4)
+    assert list(wav_decode(good)) == [1, -2, 3, -4]
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFX" + good[4:])
+    with pytest.raises(ValueError):
+        wav_decode(good[:-2])  # truncated data chunk
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError):
+        wav_decode(bytes(bad_fmt))
