@@ -1499,3 +1499,138 @@ def dq_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- grid-bucketed nearest-hub spatial join (r4) -----------------------------
+
+_GEO_LAT_CELL, _GEO_LON_CELL = 3600, 7200  # centidegrees; 5x5 hub grid
+_GEO_GRID = 5
+
+
+def _geo_hubs() -> list[tuple[int, int, int]]:
+    """25 hubs at the centers of a 5x5 grid over the coordinate domain."""
+    return [
+        (
+            i * _GEO_GRID + j,
+            -9000 + _GEO_LAT_CELL * i + _GEO_LAT_CELL // 2,
+            -18000 + _GEO_LON_CELL * j + _GEO_LON_CELL // 2,
+        )
+        for i in range(_GEO_GRID)
+        for j in range(_GEO_GRID)
+    ]
+
+
+def _geo_service_rows() -> list[tuple[int, int, int, int, int]]:
+    """Static (cell_i, cell_j, hub_id, hub_lat, hub_lon) replication:
+    each cell is served by the hubs of its 3x3 neighborhood.  With hubs
+    at cell centers, any hub two cells away is at squared distance
+    >= (1.5 * cell)^2 = 29.16e6 while the own-cell hub is within
+    (cell/2)^2 + (cell)^2 = 16.2e6 < that, so the true nearest hub is
+    ALWAYS among these candidates — the brute-force oracle proves it."""
+    out = []
+    for hub_id, hlat, hlon in _geo_hubs():
+        i, j = hub_id // _GEO_GRID, hub_id % _GEO_GRID
+        for ci in range(max(0, i - 1), min(_GEO_GRID, i + 2)):
+            for cj in range(max(0, j - 1), min(_GEO_GRID, j + 2)):
+                out.append((ci, cj, hub_id, hlat, hlon))
+    return out
+
+
+_GEO_COORD_SQL = """
+    SELECT event_id,
+           ((user_id * 7919) % 18000 + (event_id % 21)) % 18000 - 9000 AS lat_centi,
+           ((user_id * 104729) % 36000 + (event_id % 17)) % 36000 - 18000 AS lon_centi
+    FROM events
+"""
+
+
+def _geo_nearest_oracle() -> str:
+    hubs = ", ".join(f"({h}, {la}, {lo})" for h, la, lo in _geo_hubs())
+    d2 = (
+        "(c.lat_centi - h.hub_lat) * (c.lat_centi - h.hub_lat)"
+        " + (c.lon_centi - h.hub_lon) * (c.lon_centi - h.hub_lon)"
+    )
+    return f"""
+        WITH coords AS ({_GEO_COORD_SQL}),
+        hubs(hub_id, hub_lat, hub_lon) AS (VALUES {hubs}),
+        ranked AS (
+            SELECT c.event_id, h.hub_id, h.hub_lat, h.hub_lon,
+                   {d2} AS d2,
+                   row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY {d2}, h.hub_id) AS rn
+            FROM coords c CROSS JOIN hubs h
+        )
+        SELECT hub_id, hub_lat, hub_lon,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(d2) AS BIGINT) AS sum_d2,
+               CAST(MIN(d2) AS BIGINT) AS min_d2,
+               CAST(MAX(d2) AS BIGINT) AS max_d2
+        FROM ranked WHERE rn = 1
+        GROUP BY hub_id, hub_lat, hub_lon
+        ORDER BY hub_id
+    """
+
+
+@register(
+    "geo_nearest_hub_grid",
+    oracle=_geo_nearest_oracle(),
+    doc=(
+        "Grid-bucketed nearest-neighbor spatial join (r4) — assign "
+        "every event to its nearest hub and roll up per-hub load "
+        "stats. The scalable form of the geofence/nearest-facility "
+        "join: each point equi-joins a BROADCAST static service table "
+        "(cell -> 3x3-neighborhood hubs, <=225 rows) instead of cross "
+        "joining all hubs; the per-point argmin collapses map-side "
+        "(min over <=9 candidates via partial aggregation) before one "
+        "keyed shuffle. Squared equirectangular centidegree distance "
+        "keeps everything integer-exact, and ties at cell boundaries "
+        "resolve by (d2, hub_id) identically on both engines. The "
+        "DuckDB oracle is the BRUTE-FORCE all-hubs ranking, so the "
+        "hash match PROVES the 3x3 candidate set always contains the "
+        "true nearest hub — the completeness guarantee every "
+        "grid-pruned spatial join rests on at 100 TB."
+    ),
+    tags=("dashboard", "geo", "join", "agg"),
+)
+def geo_nearest_hub_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    coords = t.events.select(
+        "event_id",
+        F.expr("((user_id * 7919) % 18000 + (event_id % 21)) % 18000 - 9000").alias(
+            "lat_centi"
+        ),
+        F.expr("((user_id * 104729) % 36000 + (event_id % 17)) % 36000 - 18000").alias(
+            "lon_centi"
+        ),
+    ).withColumns(
+        {
+            "ci": F.expr(f"CAST((lat_centi + 9000) / {_GEO_LAT_CELL} AS INT)"),
+            "cj": F.expr(f"CAST((lon_centi + 18000) / {_GEO_LON_CELL} AS INT)"),
+        }
+    )
+    service = spark.createDataFrame(
+        _geo_service_rows(), "ci int, cj int, hub_id int, hub_lat int, hub_lon int"
+    )
+    cand = coords.join(F.broadcast(service), ["ci", "cj"]).withColumn(
+        "d2",
+        (F.col("lat_centi") - F.col("hub_lat")) * (F.col("lat_centi") - F.col("hub_lat"))
+        + (F.col("lon_centi") - F.col("hub_lon")) * (F.col("lon_centi") - F.col("hub_lon")),
+    )
+    nearest = cand.groupBy("event_id").agg(
+        F.min(F.struct("d2", "hub_id", "hub_lat", "hub_lon")).alias("nh")
+    )
+    return (
+        nearest.groupBy(
+            F.col("nh.hub_id").alias("hub_id"),
+            F.col("nh.hub_lat").alias("hub_lat"),
+            F.col("nh.hub_lon").alias("hub_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("nh.d2").cast("bigint").alias("sum_d2"),
+            F.min("nh.d2").cast("bigint").alias("min_d2"),
+            F.max("nh.d2").cast("bigint").alias("max_d2"),
+        )
+        .orderBy("hub_id")
+    )

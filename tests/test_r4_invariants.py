@@ -92,3 +92,24 @@ def test_wav_decoder_rejects_malformed():
     bad_fmt[20] = 3  # audio_format = IEEE float
     with pytest.raises(ValueError):
         wav_decode(bytes(bad_fmt))
+
+
+def test_geo_nearest_plan_broadcasts_service_table(spark, sf_dir):
+    """The candidate join must be a broadcast hash equi-join on the
+    cell key — never a cartesian/BNLJ against the hub table."""
+    df = SPECS["geo_nearest_hub_grid"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_geo_nearest_partitions_all_points(spark, sf_dir):
+    """Every event is assigned to exactly one hub: per-hub counts sum
+    to the full event count."""
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    rows = _rows("geo_nearest_hub_grid", spark, sf_dir)
+    n_events = Tables(spark, sf_dir).events.count()
+    assert sum(r["n_points"] for r in rows) == n_events
+    assert all(r["min_d2"] <= r["max_d2"] for r in rows)
