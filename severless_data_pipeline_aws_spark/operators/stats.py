@@ -2604,3 +2604,98 @@ def stats_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums.createOrReplaceTempView(_COHENS_FROM)
     return spark.sql(_cohens_final(ddbl).format(src=_COHENS_FROM))
+
+
+@register(
+    "stats_brown_forsythe_levene",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        z AS (
+            SELECT e.event_type, abs(e.value - m.med) AS z
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            WHERE e.value IS NOT NULL
+        ),
+        g AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(z AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(z AS DECIMAL(38,8)) * z) AS VARCHAR) AS DOUBLE) AS s2
+            FROM z
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS DOUBLE) AS ntd,
+                   list_reduce(list(s1 ORDER BY event_type), (a, b) -> a + b) AS st1,
+                   list_reduce(list(s2 ORDER BY event_type), (a, b) -> a + b) AS st2,
+                   list_reduce(list(s1 * s1 / nd ORDER BY event_type),
+                               (a, b) -> a + b) AS sgm
+            FROM g
+        )
+        SELECT n_total, k,
+               sgm - st1 * st1 / ntd AS ss_between,
+               st2 - sgm AS ss_within,
+               ((sgm - st1 * st1 / ntd) / CAST(k - 1 AS DOUBLE))
+                 / ((st2 - sgm) / CAST(n_total - k AS DOUBLE)) AS w_stat
+        FROM tot
+    """,
+    doc=(
+        "ST31 Brown-Forsythe (median-centered Levene) test for "
+        "variance homogeneity across event types — the robustness "
+        "companion stats_anova_oneway needs before its equal-variance "
+        "assumption can be trusted: W = one-way ANOVA F computed on "
+        "z_ij = |x_ij - median_g|. Spark's percentile(value, 0.5) and "
+        "DuckDB's median share the interpolated definition bit-for-bit "
+        "(agg_median_interpolated precedent); the 5-row median table "
+        "broadcast-joins back onto the fact scan, and everything "
+        "downstream is the ANOVA machine: per-group DECIMAL power "
+        "sums, ORDER-PINNED cross-group folds, one shared closed form. "
+        "Two fact scans total (median pass + deviation pass), both "
+        "map-side-combined keyed aggs — no per-group sort survives at "
+        "100 TB."
+    ),
+    tags=("stats", "ab", "agg"),
+)
+def stats_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CAST(z AS DECIMAL(38,8))) AS DOUBLE)").alias("s1"),
+        F.expr("CAST(SUM(CAST(z AS DECIMAL(38,8)) * z) AS DOUBLE)").alias("s2"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(event_type, {v} AS x))),"
+        " s -> s.x), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("double").alias("ntd"),
+        F.expr(fold.format(v="s1")).alias("st1"),
+        F.expr(fold.format(v="s2")).alias("st2"),
+        F.expr(fold.format(v="s1 * s1 / nd")).alias("sgm"),
+    )
+    return tot.select(
+        "n_total",
+        "k",
+        F.expr("sgm - st1 * st1 / ntd").alias("ss_between"),
+        F.expr("st2 - sgm").alias("ss_within"),
+        F.expr(
+            "((sgm - st1 * st1 / ntd) / CAST(k - 1 AS DOUBLE))"
+            " / ((st2 - sgm) / CAST(n_total - k AS DOUBLE))"
+        ).alias("w_stat"),
+    )

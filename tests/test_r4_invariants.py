@@ -113,3 +113,12 @@ def test_geo_nearest_partitions_all_points(spark, sf_dir):
     n_events = Tables(spark, sf_dir).events.count()
     assert sum(r["n_points"] for r in rows) == n_events
     assert all(r["min_d2"] <= r["max_d2"] for r in rows)
+
+
+def test_brown_forsythe_nonnegative_and_decomposition(spark, sf_dir):
+    """W >= 0 and both sums of squares are nonnegative (the z-variable
+    ANOVA identity the single-row hash can't independently confirm)."""
+    (r,) = _rows("stats_brown_forsythe_levene", spark, sf_dir)
+    assert r["w_stat"] >= 0.0
+    assert r["ss_between"] >= 0.0 and r["ss_within"] >= 0.0
+    assert r["k"] == 5 and r["n_total"] > 0
