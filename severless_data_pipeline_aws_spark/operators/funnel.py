@@ -2063,3 +2063,113 @@ def funnel_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# -- windowed funnel levels (ClickHouse windowFunnel semantics, r4) ----------
+
+_WF_WINDOW_S = 3 * 24 * 3600  # chain must complete within 3 days of its start
+
+
+def _window_funnel_oracle() -> str:
+    return f"""
+        WITH v AS (
+            SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'
+        ),
+        c2 AS (
+            SELECT v.user_id, v.t1, MIN(c.ts) AS t2
+            FROM v JOIN events c
+              ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.t1
+             AND c.ts <= v.t1 + INTERVAL {_WF_WINDOW_S} SECONDS
+            GROUP BY v.user_id, v.t1
+        ),
+        done AS (
+            SELECT DISTINCT c2.user_id
+            FROM c2 JOIN events p
+              ON p.user_id = c2.user_id AND p.event_type = 'purchase'
+             AND p.ts > c2.t2
+             AND p.ts <= c2.t1 + INTERVAL {_WF_WINDOW_S} SECONDS
+        ),
+        lvl AS (
+            SELECT u.user_id,
+                   CASE WHEN d.user_id IS NOT NULL THEN 3
+                        WHEN c.user_id IS NOT NULL THEN 2
+                        WHEN v.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS level
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN (SELECT DISTINCT user_id FROM v) v ON u.user_id = v.user_id
+            LEFT JOIN (SELECT DISTINCT user_id FROM c2) c ON u.user_id = c.user_id
+            LEFT JOIN done d ON u.user_id = d.user_id
+        )
+        SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM lvl GROUP BY level ORDER BY level
+    """
+
+
+@register(
+    "funnel_window_funnel_levels",
+    oracle=_window_funnel_oracle(),
+    doc=(
+        "A37 windowed funnel (r4) — ClickHouse windowFunnel semantics: "
+        "per user, the deepest view -> later click -> later purchase "
+        "chain that COMPLETES within 3 days of its starting view, "
+        "evaluated over EVERY candidate start (a user whose first view "
+        "never converts still levels up via a later view). The greedy "
+        "reduction makes this declarative and exact: taking the "
+        "EARLIEST in-window click after each view maximizes the "
+        "remaining purchase window (exchange argument), so min-per-"
+        "start joins compute the true existential chain. All joins are "
+        "user-keyed equi-joins with time-range predicates; the per-"
+        "start fan-out is bounded by per-user activity (hub-user skew "
+        "at 100 TB routes through the documented salting remedy, or "
+        "the applyInPandasWithState sequential form for degenerate "
+        "keys). funnel_conversion_ordered is the unwindowed twin."
+    ),
+    tags=("analytics", "events", "funnel", "window"),
+)
+def funnel_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    win = F.expr(f"INTERVAL {_WF_WINDOW_S} SECONDS")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("t1"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    c2 = (
+        v.join(clicks, (F.col("user_id") == F.col("c_user"))
+               & (F.col("c_ts") > F.col("t1"))
+               & (F.col("c_ts") <= F.col("t1") + win))
+        .groupBy("user_id", "t1")
+        .agg(F.min("c_ts").alias("t2"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    done = (
+        c2.join(purchases, (F.col("user_id") == F.col("p_user"))
+                & (F.col("p_ts") > F.col("t2"))
+                & (F.col("p_ts") <= F.col("t1") + win))
+        .select("user_id")
+        .distinct()
+        .withColumn("lvl3", F.lit(True))
+    )
+    has_v = v.select("user_id").distinct().withColumn("lvl1", F.lit(True))
+    has_c = c2.select("user_id").distinct().withColumn("lvl2", F.lit(True))
+    lvl = (
+        ev.select("user_id").distinct()
+        .join(has_v, "user_id", "left")
+        .join(has_c, "user_id", "left")
+        .join(done, "user_id", "left")
+        .select(
+            F.when(F.col("lvl3"), 3)
+            .when(F.col("lvl2"), 2)
+            .when(F.col("lvl1"), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return (
+        lvl.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("level")
+    )

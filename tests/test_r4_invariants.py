@@ -122,3 +122,18 @@ def test_brown_forsythe_nonnegative_and_decomposition(spark, sf_dir):
     assert r["w_stat"] >= 0.0
     assert r["ss_between"] >= 0.0 and r["ss_within"] >= 0.0
     assert r["k"] == 5 and r["n_total"] > 0
+
+
+def test_window_funnel_partitions_users_and_nests_in_unwindowed(spark, sf_dir):
+    """Levels partition the user base, and the 3-day windowed level-3
+    count can never exceed the unwindowed ordered-funnel completions."""
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    rows = {r["level"]: r["n_users"] for r in _rows("funnel_window_funnel_levels", spark, sf_dir)}
+    n_users = Tables(spark, sf_dir).events.select("user_id").distinct().count()
+    assert sum(rows.values()) == n_users
+    assert all(0 <= lv <= 3 for lv in rows)
+    unwindowed = {
+        r["step"]: r["n_users"] for r in _rows("funnel_conversion_ordered", spark, sf_dir)
+    }
+    assert rows.get(3, 0) <= unwindowed["3_purchase"]
