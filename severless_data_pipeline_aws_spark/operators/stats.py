@@ -2699,3 +2699,111 @@ def stats_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((st2 - sgm) / CAST(n_total - k AS DOUBLE))"
         ).alias("w_stat"),
     )
+
+
+@register(
+    "stats_jackknife_ratio_se",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS r_dec,
+                   COUNT(*) AS n_i
+            FROM orders GROUP BY 1
+        ),
+        w AS (
+            SELECT day, r_dec, n_i,
+                   SUM(r_dec) OVER () AS r_tot,
+                   SUM(n_i) OVER () AS n_tot
+            FROM daily
+        ),
+        th AS (
+            SELECT day, r_tot, n_tot,
+                   CAST(CAST(r_tot - r_dec AS VARCHAR) AS DOUBLE)
+                     / CAST(n_tot - n_i AS DOUBLE) AS theta
+            FROM w
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(CAST(MAX(r_tot) AS VARCHAR) AS DOUBLE)
+                 / CAST(MAX(n_tot) AS DOUBLE) AS theta_all,
+               list_reduce(list(theta ORDER BY day), (a, b) -> a + b)
+                 / CAST(COUNT(*) AS DOUBLE) AS theta_loo_mean,
+               sqrt(greatest(0.0e0,
+                   (CAST(COUNT(*) AS DOUBLE) - 1.0e0) / CAST(COUNT(*) AS DOUBLE)
+                   * (list_reduce(list(theta * theta ORDER BY day), (a, b) -> a + b)
+                      - list_reduce(list(theta ORDER BY day), (a, b) -> a + b)
+                        * list_reduce(list(theta ORDER BY day), (a, b) -> a + b)
+                        / CAST(COUNT(*) AS DOUBLE)))) AS jk_se,
+               (CAST(COUNT(*) AS DOUBLE) - 1.0e0)
+                 * (list_reduce(list(theta ORDER BY day), (a, b) -> a + b)
+                      / CAST(COUNT(*) AS DOUBLE)
+                    - CAST(CAST(MAX(r_tot) AS VARCHAR) AS DOUBLE)
+                      / CAST(MAX(n_tot) AS DOUBLE)) AS jk_bias
+        FROM th
+    """,
+    doc=(
+        "ST32 delete-one-day jackknife (r4) — standard error and bias "
+        "of the RATIO statistic revenue-per-order, where the jackknife "
+        "is genuinely needed (a ratio's SE has no closed form the way "
+        "a mean's does). The fact table reduces ONCE to the per-day "
+        "(decimal revenue, order count) table; leave-one-out ratios "
+        "theta_(i) = (R - r_i)/(N - n_i) are exact decimal arithmetic "
+        "until one correctly-rounded division each, and the jackknife "
+        "variance uses the sum-of-squares identity so no scalar joins "
+        "back (single frameless window over the ~31-row day table + "
+        "one final aggregate with ORDER-PINNED double folds). "
+        "Complements sampling_poisson_bootstrap: deterministic "
+        "resampling vs randomized, both exact-oracled."
+    ),
+    tags=("stats", "agg", "resampling"),
+)
+def stats_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(38,8))")).alias("r_dec"),
+        F.count(F.lit(1)).alias("n_i"),
+    )
+    w = daily.select(
+        "day",
+        "r_dec",
+        "n_i",
+        F.sum("r_dec").over(W.partitionBy()).alias("r_tot"),
+        F.sum("n_i").over(W.partitionBy()).alias("n_tot"),
+    )
+    th = w.select(
+        "day",
+        "r_tot",
+        "n_tot",
+        (
+            F.expr("CAST(r_tot - r_dec AS DOUBLE)")
+            / F.expr("CAST(n_tot - n_i AS DOUBLE)")
+        ).alias("theta"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(day, {v} AS x))),"
+        " s -> s.x), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return th.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("CAST(MAX(r_tot) AS DOUBLE) / CAST(MAX(n_tot) AS DOUBLE)").alias(
+            "theta_all"
+        ),
+        F.expr(
+            f"{fold.format(v='theta')} / CAST(COUNT(1) AS DOUBLE)"
+        ).alias("theta_loo_mean"),
+        F.expr(
+            "sqrt(greatest(CAST(0.0 AS DOUBLE),"
+            " (CAST(COUNT(1) AS DOUBLE) - CAST(1.0 AS DOUBLE)) / CAST(COUNT(1) AS DOUBLE)"
+            f" * ({fold.format(v='theta * theta')}"
+            f"    - {fold.format(v='theta')} * {fold.format(v='theta')}"
+            "      / CAST(COUNT(1) AS DOUBLE))))"
+        ).alias("jk_se"),
+        F.expr(
+            "(CAST(COUNT(1) AS DOUBLE) - CAST(1.0 AS DOUBLE))"
+            f" * ({fold.format(v='theta')} / CAST(COUNT(1) AS DOUBLE)"
+            "    - CAST(MAX(r_tot) AS DOUBLE) / CAST(MAX(n_tot) AS DOUBLE))"
+        ).alias("jk_bias"),
+    )

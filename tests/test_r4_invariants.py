@@ -137,3 +137,12 @@ def test_window_funnel_partitions_users_and_nests_in_unwindowed(spark, sf_dir):
         r["step"]: r["n_users"] for r in _rows("funnel_conversion_ordered", spark, sf_dir)
     }
     assert rows.get(3, 0) <= unwindowed["3_purchase"]
+
+
+def test_jackknife_se_positive_and_mean_near_theta(spark, sf_dir):
+    """jk_se > 0 on real data, and the leave-one-out mean stays close
+    to the full-sample ratio (day contributions are ~1/n each)."""
+    (r,) = _rows("stats_jackknife_ratio_se", spark, sf_dir)
+    assert r["jk_se"] > 0.0
+    assert r["n_days"] >= 28
+    assert abs(r["theta_loo_mean"] - r["theta_all"]) < 0.05 * abs(r["theta_all"])
