@@ -1330,3 +1330,146 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("bigint").alias(c) for c in cats],
     )
+
+
+# -- SAX symbolic aggregate approximation (r4) -------------------------------
+
+#: alphabet-4 SAX breakpoints: standard normal quartiles, Python-
+#: precomputed e-notation literals (the transcendental-free policy —
+#: scipy.stats.norm.ppf([0.25, 0.5, 0.75]))
+_SAX_BP = ("-6.744897501960817e-1", "0.0e0", "6.744897501960817e-1")
+_SAX_SEG_DAYS = 5
+
+
+def _sax_symbol_sql(z: str) -> str:
+    return (
+        f"CASE WHEN {z} < {_SAX_BP[0]} THEN 'a' "
+        f"WHEN {z} < {_SAX_BP[1]} THEN 'b' "
+        f"WHEN {z} < {_SAX_BP[2]} THEN 'c' ELSE 'd' END"
+    )
+
+
+@register(
+    "timeseries_sax_symbolic",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                     / CAST(COUNT(value) AS DOUBLE) AS d
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, day, d,
+                   datediff('day', MIN(day) OVER (PARTITION BY event_type), day)
+                     // {_SAX_SEG_DAYS} AS seg
+            FROM daily
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   list_reduce(list(d ORDER BY day), (a, b) -> a + b)
+                     / CAST(COUNT(*) AS DOUBLE) AS mu,
+                   sqrt(greatest(0.0e0,
+                       list_reduce(list(d * d ORDER BY day), (a, b) -> a + b)
+                         / CAST(COUNT(*) AS DOUBLE)
+                       - (list_reduce(list(d ORDER BY day), (a, b) -> a + b)
+                          / CAST(COUNT(*) AS DOUBLE))
+                         * (list_reduce(list(d ORDER BY day), (a, b) -> a + b)
+                            / CAST(COUNT(*) AS DOUBLE)))) AS sigma
+            FROM idx GROUP BY event_type
+        ),
+        paa AS (
+            SELECT event_type, seg,
+                   list_reduce(list(d ORDER BY day), (a, b) -> a + b)
+                     / CAST(COUNT(*) AS DOUBLE) AS paa_val
+            FROM idx GROUP BY event_type, seg
+        ),
+        sym AS (
+            SELECT p.event_type, p.seg,
+                   {_sax_symbol_sql("(p.paa_val - s.mu) / s.sigma")} AS symbol
+            FROM paa p JOIN stats s ON p.event_type = s.event_type
+        )
+        SELECT s.event_type,
+               MAX(st.n_days) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               string_agg(s.symbol, '' ORDER BY s.seg) AS sax_word
+        FROM sym s JOIN stats st ON s.event_type = st.event_type
+        GROUP BY s.event_type
+        ORDER BY s.event_type
+    """,
+    doc=(
+        "SAX symbolic aggregate approximation (Lin/Keogh) over each "
+        "event type's daily-mean series: PAA into 5-day segments, "
+        "z-normalize against the series mean/std, bin into an "
+        "alphabet-4 word via standard-normal quartile breakpoints "
+        "(Python-precomputed e-notation literals — the transcendental-"
+        "free policy). The symbolic index that makes motif discovery / "
+        "similarity search on 100 TB of telemetry a STRING problem: "
+        "one keyed fact-scan agg to the per-(type, day) table, then "
+        "everything is metadata-scale with ORDER-PINNED folds (double "
+        "sums never accumulate in engine order). Segment/series stats "
+        "join on event_type — broadcast-size both sides."
+    ),
+    tags=("timeseries", "agg", "llm"),
+)
+def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(
+            (
+                F.expr("CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)")
+                / F.expr("CAST(COUNT(value) AS DOUBLE)")
+            ).alias("d")
+        )
+    )
+    idx = daily.withColumn(
+        "seg",
+        F.floor(
+            F.datediff(
+                F.col("day"), F.min("day").over(W.partitionBy("event_type"))
+            )
+            / _SAX_SEG_DAYS
+        ),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(day, {v} AS x))),"
+        " s -> s.x), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(f"{fold.format(v='d')} / CAST(COUNT(1) AS DOUBLE)").alias("mu"),
+        F.expr(
+            "sqrt(greatest(CAST(0.0 AS DOUBLE),"
+            f" {fold.format(v='d * d')} / CAST(COUNT(1) AS DOUBLE)"
+            f" - ({fold.format(v='d')} / CAST(COUNT(1) AS DOUBLE))"
+            f"   * ({fold.format(v='d')} / CAST(COUNT(1) AS DOUBLE))))"
+        ).alias("sigma"),
+    )
+    paa = idx.groupBy("event_type", "seg").agg(
+        F.expr(f"{fold.format(v='d')} / CAST(COUNT(1) AS DOUBLE)").alias("paa_val")
+    )
+    sym = paa.join(stats, "event_type").select(
+        "event_type",
+        "seg",
+        "n_days",
+        F.expr(_sax_symbol_sql("(paa_val - mu) / sigma")).alias("symbol"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(seg, symbol"
+                " AS s))), p -> p.s), '')"
+            ).alias("sax_word"),
+        )
+        .orderBy("event_type")
+    )

@@ -146,3 +146,12 @@ def test_jackknife_se_positive_and_mean_near_theta(spark, sf_dir):
     assert r["jk_se"] > 0.0
     assert r["n_days"] >= 28
     assert abs(r["theta_loo_mean"] - r["theta_all"]) < 0.05 * abs(r["theta_all"])
+
+
+def test_sax_words_well_formed(spark, sf_dir):
+    """Every SAX word uses only the alphabet, has one symbol per
+    segment, and segments tile the observed days in 5-day blocks."""
+    for r in _rows("timeseries_sax_symbolic", spark, sf_dir):
+        assert len(r["sax_word"]) == r["n_segments"]
+        assert set(r["sax_word"]) <= set("abcd")
+        assert r["n_segments"] == -(-r["n_days"] // 5)  # ceil
