@@ -915,3 +915,90 @@ def sampling_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("rn").cast("bigint").alias("sample_rank"),
     )
+
+
+_PPS_K = 20  # target draws per pass
+
+#: document-keyed variant of the _HK pseudo-shuffle key
+_HKD_SPARK = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT)"
+_HKD_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)"
+
+
+@register(
+    "sampling_pps_systematic",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars, {_HKD_DUCK} AS hk FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_chars, hk,
+                   SUM(n_chars) OVER (ORDER BY hk, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_w,
+                   SUM(n_chars) OVER () AS w_tot
+            FROM keyed
+        ),
+        marked AS (
+            SELECT doc_id, n_chars, cum_w,
+                   w_tot // {_PPS_K} AS stride,
+                   (w_tot // {_PPS_K}) // 2 AS start_u,
+                   (cum_w - ((w_tot // {_PPS_K}) // 2) + (w_tot // {_PPS_K}))
+                     // (w_tot // {_PPS_K})
+                   - (cum_w - n_chars - ((w_tot // {_PPS_K}) // 2)
+                      + (w_tot // {_PPS_K}))
+                     // (w_tot // {_PPS_K}) AS n_hits
+            FROM cum
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS size_w,
+               CAST(cum_w AS BIGINT) AS cum_w,
+               CAST(n_hits AS BIGINT) AS n_hits
+        FROM marked WHERE n_hits >= 1
+    """,
+    doc=(
+        "X7f probability-proportional-to-size systematic sampling "
+        f"(r4): {_PPS_K} deterministic draws where a document's "
+        "inclusion count is proportional to its byte size — the "
+        "sampler behind size-weighted corpus audits (big docs checked "
+        "more often, every size stratum still reachable). Cumulative "
+        "size over the md5 pseudo-shuffle order comes from the "
+        "scalable.py bucket-offset running sum (no single-partition "
+        "sort at fact grain); a doc is drawn once per stride threshold "
+        "inside its (cum-w, cum+w] interval — pure integer floor "
+        "division, shifted (+stride) so no negative operand ever "
+        "reaches the engines' differing negative-division semantics. "
+        "Oracle = the single-window form; docs longer than the stride "
+        "carry n_hits > 1, the textbook PPS multiplicity."
+    ),
+    tags=("sampling", "window", "llm"),
+)
+def sampling_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_running_sum
+
+    t = Tables(spark, sf_dir)
+    keyed = t.documents.select("doc_id", "n_chars", F.expr(_HKD_SPARK).alias("hk"))
+    cum = bucketed_running_sum(
+        keyed,
+        F.expr("hk DIV 1099511627776"),  # 2^40 top-bit buckets
+        ["hk", "doc_id"],
+        "n_chars",
+        out="cum_w",
+    )
+    total = t.documents.agg(F.sum("n_chars").alias("w_tot"))
+    marked = cum.crossJoin(F.broadcast(total)).selectExpr(
+        "doc_id",
+        "n_chars",
+        "cum_w",
+        f"w_tot DIV {_PPS_K} AS stride",
+        f"(w_tot DIV {_PPS_K}) DIV 2 AS start_u",
+    ).selectExpr(
+        "doc_id",
+        "n_chars",
+        "cum_w",
+        "(cum_w - start_u + stride) DIV stride"
+        " - (cum_w - n_chars - start_u + stride) DIV stride AS n_hits",
+    )
+    return marked.filter(F.col("n_hits") >= 1).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("size_w"),
+        F.col("cum_w").cast("bigint").alias("cum_w"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+    )

