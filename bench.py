@@ -105,6 +105,14 @@ HEADLINE = [
     "setop_except_all",
     "multimodal_ahash_near_dup",
     "dedup_minhash_lsh",
+    # round-4 continuation: the 32-conditional-aggregate wide-agg pass
+    # (randomization test), the bloom semi-join reduction (tracks the
+    # pre-shuffle fact filter), the k-centroid distance fan-out, and the
+    # per-series sequential recurrence via applyInPandas (Arrow round-trip)
+    "stats_permutation_test_means",
+    "join_bloom_prefilter_semireduction",
+    "similarity_silhouette_centroid",
+    "timeseries_holt_winters_additive",
 ]
 
 

@@ -629,3 +629,252 @@ def graph_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> 
         .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
         .limit(_LINK_TOP)
     )
+
+
+_HITS_ITERS = 2
+
+#: one ordered-fold group sum: contributions fold in neighbor order so
+#: the double sum is bit-identical to the oracle's list_reduce
+_HITS_FOLD = (
+    "aggregate(transform(array_sort(collect_list(struct({key}, c))), "
+    "p -> p.c), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+#: one HITS half-step as a DuckDB CTE pair: raw = ordered fold of the
+#: opposite score over {join_col}, then L1 normalization by the
+#: node-ordered global fold (a scalar subquery — deterministic order)
+_HITS_RAW_SQL = """
+        SELECT co.{out} AS v,
+               list_reduce(list({prev}.s / 1 ORDER BY co.{inn}),
+                           (x, y) -> x + y) AS s
+        FROM co JOIN {prev} ON {prev}.v = co.{inn}
+        GROUP BY co.{out}
+"""
+_HITS_NORM_SQL = """
+        SELECT nodes.v,
+               COALESCE({raw}.s, CAST(0.0 AS DOUBLE))
+               / (SELECT list_reduce(list(s ORDER BY v), (x, y) -> x + y)
+                  FROM {raw}) AS s
+        FROM nodes LEFT JOIN {raw} ON {raw}.v = nodes.v
+"""
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=f"""
+        WITH co AS (
+            SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS a,
+                            CAST(s.s_nationkey AS BIGINT) AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000 AND c.c_nationkey <> s.s_nationkey
+        ),
+        nodes AS (
+            SELECT DISTINCT v FROM (
+                SELECT a AS v FROM co UNION ALL SELECT b FROM co
+            )
+        ),
+        h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+        a1r AS ({_HITS_RAW_SQL.format(prev="h0", inn="a", out="b")}),
+        a1 AS ({_HITS_NORM_SQL.format(raw="a1r")}),
+        h1r AS ({_HITS_RAW_SQL.format(prev="a1", inn="b", out="a")}),
+        h1 AS ({_HITS_NORM_SQL.format(raw="h1r")}),
+        a2r AS ({_HITS_RAW_SQL.format(prev="h1", inn="a", out="b")}),
+        a2 AS ({_HITS_NORM_SQL.format(raw="a2r")}),
+        h2r AS ({_HITS_RAW_SQL.format(prev="a2", inn="b", out="a")}),
+        h2 AS ({_HITS_NORM_SQL.format(raw="h2r")})
+        SELECT nodes.v AS nationkey,
+               a2.s AS authority,
+               h2.s AS hub
+        FROM nodes
+        JOIN a2 ON a2.v = nodes.v
+        JOIN h2 ON h2.v = nodes.v
+    """,
+    doc=(
+        "HITS hubs-and-authorities (Kleinberg) over the directed "
+        "nation co-trade graph, 2 full mutual-reinforcement rounds: "
+        "authority(v) = sum of hub scores over in-edges, hub(u) = sum "
+        "of authority scores over out-edges, each half-step L1-"
+        "normalized (sum-normalization instead of the textbook L2 — "
+        "same fixpoint direction, and it keeps every operation "
+        "+,/ on doubles so the oracle can be bit-exact; sqrt-free). "
+        "Per-node sums fold in neighbor order (array_sort(collect_"
+        "list) + sequential aggregate == the oracle's ordered "
+        "list_reduce) and the normalizing constant folds in node "
+        "order, so all four rounds are hash-exact, not just close. "
+        "The edge list is built once and persisted; every half-step "
+        "joins against it (the hash-partitioned edge index of any "
+        "Pregel round). Each normalization broadcasts a one-row "
+        "scalar (whitelisted BNLJ). The nation graph is metadata-"
+        "scale; on a billion-node graph the identical loop runs with "
+        "the edge list bucketed by node and plain sums (order-pinning "
+        "is an oracle-exactness device, not an algorithmic need)."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("a"),
+            F.col("s_nationkey").cast("bigint").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        co.select(F.col("a").alias("v"))
+        .union(co.select(F.col("b").alias("v")))
+        .distinct()
+        .persist()
+    )
+    if nodes.rdd.isEmpty():
+        return spark.createDataFrame(
+            [], "nationkey bigint, authority double, hub double"
+        )
+
+    def half_step(prev: DataFrame, inn: str, out: str) -> DataFrame:
+        """prev(v, s) -> normalized opposite score over co[inn]->co[out]."""
+        raw = (
+            co.join(prev, co[inn] == prev["v"])
+            .select(F.col(out).alias("dst"), F.col(inn).alias("src"), F.col("s").alias("c"))
+            .groupBy("dst")
+            .agg(F.expr(_HITS_FOLD.format(key="src")).alias("s"))
+        )
+        tot = raw.select(F.col("dst").alias("v"), "s").agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(v, s))), "
+                "p -> p.s), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("tot")
+        )
+        return (
+            nodes.join(raw, nodes["v"] == raw["dst"], "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "v",
+                F.expr(
+                    "coalesce(s, CAST(0.0 AS DOUBLE)) / tot"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    score = nodes.select("v", F.lit(1.0).cast("double").alias("s"))
+    for _ in range(_HITS_ITERS):
+        auth = half_step(score, "a", "b")
+        score = half_step(auth, "b", "a")
+    return (
+        nodes.join(auth.withColumnRenamed("s", "authority"), "v")
+        .join(score.withColumnRenamed("s", "hub"), "v")
+        .select(F.col("v").alias("nationkey"), "authority", "hub")
+    )
+
+
+_KCORE_K = 2       # minimum in-core degree
+_KCORE_ROUNDS = 4  # fixed unrolled peel rounds (fixpoint-tested)
+
+#: one peel round as a DuckDB CTE pair: survivors = nodes with degree
+#: >= k in the current subgraph; next subgraph = edges with BOTH
+#: endpoints surviving
+_KCORE_DEG_SQL = """
+        SELECT u, COUNT(*) AS deg FROM {g} GROUP BY u
+"""
+_KCORE_EDGE_SQL = """
+        SELECT g.u, g.v FROM {g} g
+        JOIN (SELECT u FROM {d} WHERE deg >= {k}) ku ON ku.u = g.u
+        JOIN (SELECT u FROM {d} WHERE deg >= {k}) kv ON kv.u = g.v
+"""
+
+
+@register(
+    "graph_kcore_decomposition",
+    oracle=f"""
+        WITH base AS (
+            SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS a,
+                            CAST(s.s_nationkey AS BIGINT) AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 450000 AND c.c_nationkey <> s.s_nationkey
+        ),
+        g0 AS (
+            SELECT a AS u, b AS v FROM base
+            UNION
+            SELECT b AS u, a AS v FROM base
+        ),
+        d0 AS ({_KCORE_DEG_SQL.format(g="g0")}),
+        g1 AS ({_KCORE_EDGE_SQL.format(g="g0", d="d0", k=_KCORE_K)}),
+        d1 AS ({_KCORE_DEG_SQL.format(g="g1")}),
+        g2 AS ({_KCORE_EDGE_SQL.format(g="g1", d="d1", k=_KCORE_K)}),
+        d2 AS ({_KCORE_DEG_SQL.format(g="g2")}),
+        g3 AS ({_KCORE_EDGE_SQL.format(g="g2", d="d2", k=_KCORE_K)}),
+        d3 AS ({_KCORE_DEG_SQL.format(g="g3")}),
+        g4 AS ({_KCORE_EDGE_SQL.format(g="g3", d="d3", k=_KCORE_K)}),
+        d4 AS ({_KCORE_DEG_SQL.format(g="g4")})
+        SELECT u AS nationkey, CAST(deg AS BIGINT) AS core_degree
+        FROM d4 WHERE deg >= {_KCORE_K}
+    """,
+    doc=(
+        f"k-core decomposition (k={_KCORE_K}) of the undirected nation "
+        "co-trade graph: iteratively peel nodes of degree < k until "
+        "only the k-core remains — the standard coreness filter for "
+        "'dense trading cluster' questions (and, on a document-link "
+        "graph, for isolating well-connected citation neighborhoods "
+        f"before expensive downstream passes). {_KCORE_ROUNDS} peel "
+        "rounds are unrolled IDENTICALLY on both engines (each round: "
+        "degree count -> survivor set -> edge restriction via two "
+        "semi-joins), and a pytest asserts the peel reaches its "
+        "fixpoint within the unroll at the test SFs, so the fixed "
+        "unroll IS the converged k-core, not an approximation. All "
+        "arithmetic is integer degree counting — hash-exact with no "
+        "float anywhere. Each Spark round re-derives degrees from the "
+        "persisted current edge set and localCheckpoints, the Pregel "
+        "peel; on a billion-node graph the same loop runs with edges "
+        "bucketed by endpoint (two shuffles per round) and the round "
+        "count bounded by the graph's degeneracy ordering depth."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.filter(F.col("o_totalprice") > 450000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("a"),
+            F.col("s_nationkey").cast("bigint").alias("b"),
+        )
+        .distinct()
+    )
+    g = (
+        base.selectExpr("a AS u", "b AS v")
+        .union(base.selectExpr("b AS u", "a AS v"))
+        .distinct()
+        .persist()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = g.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("u")
+        g = (
+            g.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        g.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .filter(F.col("core_degree") >= _KCORE_K)
+        .select(F.col("u").alias("nationkey"), "core_degree")
+    )

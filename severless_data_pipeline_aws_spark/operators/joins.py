@@ -685,3 +685,85 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(supp, cust["seg_key"].eqNullSafe(supp["seg_key"])).select(
         cust["seg_key"], "n_cust", "n_supp"
     )
+
+
+_BLOOM_BITS = 2048        # m: filter width (32 x 64-bit words)
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3              # hash functions per key
+_BLOOM_BAL = 9000.0       # dim selectivity: high-balance customers
+
+
+@register(
+    "join_bloom_prefilter_semireduction",
+    oracle=f"""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_acctbal
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_acctbal > {_BLOOM_BAL}
+    """,
+    doc=(
+        "Runtime bloom-filter semi-join reduction — the join-"
+        "optimization pattern behind Spark's own runtime row-group "
+        "filters, built explicitly so the plan is inspectable: the "
+        f"selective dim side (customers with acctbal > {_BLOOM_BAL}) "
+        f"is folded into a {_BLOOM_BITS}-bit Bloom bitmap "
+        f"({_BLOOM_K} xxhash64 probes per key, 32 bit_or word "
+        "aggregates -> ONE row), broadcast to the fact scan, and "
+        "orders failing any probe are dropped BEFORE the shuffle — "
+        "at 100 TB this is the difference between shuffling the "
+        "whole fact table and shuffling ~selectivity of it. False "
+        "positives pass the pre-filter and are removed by the real "
+        "equi-join that follows, so the result is EXACTLY the plain "
+        "join (the oracle) — the bloom stage is a pure bandwidth "
+        "optimization, invisible in the output, visible in the plan "
+        "(plan test pins the probe expressions on the fact side of "
+        "the join). The one-row bitmap broadcast is a whitelisted "
+        "BNLJ; memory is 256 bytes regardless of dim size at this "
+        "width, and m scales as ~10 bits/key for 1% FP."
+    ),
+    tags=("join", "scale", "bloom"),
+)
+def join_bloom_prefilter_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    dim = t.customer.filter(F.col("c_acctbal") > _BLOOM_BAL).select(
+        "c_custkey", "c_acctbal"
+    )
+
+    def positions(key: str) -> list[str]:
+        # k independent probes: xxhash64 over (key, seed-literal); the
+        # double-pmod keeps negative hashes in [0, m)
+        return [
+            f"pmod(pmod(xxhash64({key}, {s}), {_BLOOM_BITS}) + {_BLOOM_BITS},"
+            f" {_BLOOM_BITS})"
+            for s in range(_BLOOM_K)
+        ]
+
+    probe_rows = dim.selectExpr(
+        f"explode(array({', '.join(positions('c_custkey'))})) AS pos"
+    )
+    word_aggs = [
+        F.expr(
+            f"coalesce(bit_or(CASE WHEN pos DIV 64 = {w} THEN"
+            f" shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) END),"
+            " CAST(0 AS BIGINT))"
+        ).alias(f"w{w}")
+        for w in range(_BLOOM_WORDS)
+    ]
+    bloom = probe_rows.agg(*word_aggs).selectExpr(
+        "array(" + ", ".join(f"w{w}" for w in range(_BLOOM_WORDS)) + ") AS bw"
+    )
+
+    member = " AND ".join(
+        f"((bw[CAST(({p}) DIV 64 AS INT)] >> CAST(({p}) % 64 AS INT))"
+        " & CAST(1 AS BIGINT)) = CAST(1 AS BIGINT)"
+        for p in positions("o_custkey")
+    )
+    prefiltered = (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .crossJoin(F.broadcast(bloom))
+        .filter(F.expr(member))
+        .drop("bw")
+    )
+    return prefiltered.join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_acctbal")

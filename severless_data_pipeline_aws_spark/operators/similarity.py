@@ -2057,3 +2057,117 @@ def similarity_topk_cosine_matmul(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+@register(
+    "similarity_silhouette_centroid",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dims AS (
+            SELECT label, vec_id,
+                   unnest(list_transform(range(1, len(v) + 1),
+                          i -> struct_pack(dim := i, x := v[i]))) AS s
+            FROM e
+        ),
+        d2 AS (SELECT label, vec_id, s.dim AS dim, s.x AS x FROM dims),
+        cent AS (
+            SELECT label, dim,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+                       / COUNT(*) AS cx
+            FROM d2 GROUP BY label, dim
+        ),
+        cvec AS (
+            SELECT label AS clabel, list(cx ORDER BY dim) AS centroid
+            FROM cent GROUP BY label
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   sqrt(list_reduce(
+                       list_transform(range(1, len(e.v) + 1),
+                           i -> (e.v[i] - c.centroid[i])
+                              * (e.v[i] - c.centroid[i])),
+                       (a, b) -> a + b)) AS d
+            FROM e CROSS JOIN cvec c
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   MAX(CASE WHEN clabel = label THEN d END) AS a_dist,
+                   MIN(CASE WHEN clabel <> label THEN d END) AS b_dist
+            FROM dist GROUP BY vec_id, label
+        )
+        SELECT vec_id, label, a_dist, b_dist,
+               CASE WHEN greatest(a_dist, b_dist) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)
+               END AS silhouette
+        FROM ab
+    """,
+    doc=(
+        "Simplified (centroid-based) silhouette per vector: a = "
+        "euclidean distance to the OWN label centroid, b = distance "
+        "to the nearest OTHER centroid, s = (b-a)/max(a,b) — the "
+        "standard clustering-quality diagnostic at corpus scale, "
+        "where the classic all-pairs silhouette is quadratic and the "
+        "centroid form is the one actually computable (k centroids "
+        "instead of n neighbors per point). Centroids use the "
+        "posexplode per-dimension ordered-fold pattern (bit-identical "
+        "to the oracle's list_reduce in vec_id order); distances fold "
+        "dims left-to-right with one correctly-rounded sqrt, so the "
+        "whole query is hash-exact. The 10-row centroid table is a "
+        "whitelisted bounded broadcast; per-point work is k "
+        "fold-distances, map-side. Negative s flags points closer to "
+        "a foreign cluster — the dedup-representative and label-"
+        "audit signal."
+    ),
+    tags=("similarity", "llm", "stats"),
+)
+def similarity_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
+
+    dims = emb.select("label", "vec_id", F.posexplode("v").alias("dim0", "x")).select(
+        "label", "vec_id", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    centroids = (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, x))), "
+                "p -> p.x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / count(1)"
+            ).alias("cx")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.expr("transform(pairs, p -> p.cx)").alias("centroid"),
+        )
+    )
+    dist = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.expr("MAX(CASE WHEN clabel = label THEN d END)").alias("a_dist"),
+        F.expr("MIN(CASE WHEN clabel <> label THEN d END)").alias("b_dist"),
+    )
+    return ab.selectExpr(
+        "vec_id",
+        "label",
+        "a_dist",
+        "b_dist",
+        "CASE WHEN greatest(a_dist, b_dist) = 0 THEN CAST(0.0 AS DOUBLE)"
+        "     ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)"
+        " END AS silhouette",
+    )

@@ -2807,3 +2807,595 @@ def stats_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    - CAST(MAX(r_tot) AS DOUBLE) / CAST(MAX(n_tot) AS DOUBLE))"
         ).alias("jk_bias"),
     )
+
+
+_PERM_B = 16  # randomization replicates
+
+#: 16-bit Bernoulli(1/2) reassignment draws for the randomization
+#: test: 4-hex-char slices of TWO salted md5 digests per row (digest
+#: 'a' carries replicates 1-8, 'b' carries 9-16 — the same two-digest
+#: amortization as the Poisson bootstrap, with a ':p:' salt so the
+#: permutation draws are decorrelated from the bootstrap draws).
+_PH16 = (
+    "substr(md5(CAST(o_orderkey AS {st}) || ':p:' || "
+    "CASE WHEN b <= 8 THEN 'a' ELSE 'b' END), ((b - 1) % 8) * 4 + 1, 4)"
+)
+_PH_DUCK = "CAST(('0x' || " + _PH16.format(st="VARCHAR") + ") AS BIGINT)"
+
+
+@register(
+    "stats_permutation_test_means",
+    oracle=f"""
+        WITH obs AS (
+            SELECT COUNT(*) AS n_tot,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS s_tot,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                       AS n_urg,
+                   COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                       FILTER (WHERE o_orderpriority = '1-URGENT'),
+                       CAST(0 AS DECIMAL(38,8))) AS s_urg
+            FROM orders
+        ),
+        reps AS (
+            SELECT b,
+                   COUNT(*) FILTER (WHERE {_PH_DUCK} < 32768) AS n_a,
+                   COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                       FILTER (WHERE {_PH_DUCK} < 32768),
+                       CAST(0 AS DECIMAL(38,8))) AS s_a
+            FROM orders
+            CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) bs
+            GROUP BY b
+        ),
+        calc AS (
+            SELECT b, n_a, n_tot,
+                   CASE WHEN n_urg = 0 OR n_urg = n_tot THEN NULL
+                        ELSE CAST(CAST(s_urg AS VARCHAR) AS DOUBLE)
+                             / CAST(n_urg AS DOUBLE)
+                           - CAST(CAST(s_tot - s_urg AS VARCHAR) AS DOUBLE)
+                             / CAST(n_tot - n_urg AS DOUBLE)
+                   END AS obs_diff,
+                   CASE WHEN n_a = 0 OR n_a = n_tot THEN NULL
+                        ELSE CAST(CAST(s_a AS VARCHAR) AS DOUBLE)
+                             / CAST(n_a AS DOUBLE)
+                           - CAST(CAST(s_tot - s_a AS VARCHAR) AS DOUBLE)
+                             / CAST(n_tot - n_a AS DOUBLE)
+                   END AS perm_diff
+            FROM reps CROSS JOIN obs
+        )
+        SELECT CAST(b AS BIGINT) AS replicate,
+               CAST(n_a AS BIGINT) AS n_a,
+               obs_diff, perm_diff,
+               CASE WHEN obs_diff IS NULL OR perm_diff IS NULL THEN NULL
+                    ELSE abs(perm_diff) >= abs(obs_diff) END AS exceeds
+        FROM calc
+    """,
+    doc=(
+        "Fisher-style randomization test for the difference in mean "
+        "order value between URGENT and non-URGENT orders: 16 "
+        "deterministic label-reassignment replicates, each row "
+        "re-drawn into side A by a salted 16-bit md5 Bernoulli(1/2) "
+        "slice (the randomization-test relaxation of fixed-size "
+        "permutation — group sizes vary binomially, the null of "
+        "exchangeability is the same; exact on every engine, unlike "
+        "rand()). ONE pass over the fact: the 16 draws are 32 "
+        "conditional aggregates in a single wide agg (complement "
+        "side = grand totals minus side A — no second scan), stacked "
+        "to 16 rows after; the exchanged state is 2B+4 numbers per "
+        "task no matter the fact size. Sums accumulate in "
+        "DECIMAL(38,8) for shuffle-order independence; one double "
+        "division per side at the end. The fraction of replicates "
+        "with exceeds=true IS the Monte-Carlo p-value; 16 replicates "
+        "bound it coarsely (demo B — the same plan carries B=1000 by "
+        "widening the stack)."
+    ),
+    tags=("stats", "agg", "sampling"),
+)
+def stats_permutation_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def h_expr(b: int) -> str:
+        half = "ha" if b <= 8 else "hb"
+        pos = ((b - 1) % 8) * 4 + 1
+        return f"CAST(conv(substr({half}, {pos}, 4), 16, 10) AS BIGINT)"
+
+    base = t.orders.selectExpr(
+        "o_totalprice",
+        "o_orderpriority = '1-URGENT' AS is_urg",
+        "md5(CAST(o_orderkey AS STRING) || ':p:' || 'a') AS ha",
+        "md5(CAST(o_orderkey AS STRING) || ':p:' || 'b') AS hb",
+    )
+    aggs = [
+        F.expr("COUNT(*)").alias("n_tot"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,8)))").alias("s_tot"),
+        F.expr("SUM(CASE WHEN is_urg THEN 1 ELSE 0 END)").alias("n_urg"),
+        F.expr(
+            "coalesce(SUM(CASE WHEN is_urg THEN"
+            " CAST(o_totalprice AS DECIMAL(38,8)) END),"
+            " CAST(0 AS DECIMAL(38,8)))"
+        ).alias("s_urg"),
+    ]
+    for b in range(1, _PERM_B + 1):
+        h = h_expr(b)
+        aggs.append(
+            F.expr(f"SUM(CASE WHEN ({h}) < 32768 THEN 1 ELSE 0 END)").alias(f"na{b}")
+        )
+        aggs.append(
+            F.expr(
+                f"coalesce(SUM(CASE WHEN ({h}) < 32768 THEN"
+                " CAST(o_totalprice AS DECIMAL(38,8)) END),"
+                " CAST(0 AS DECIMAL(38,8)))"
+            ).alias(f"sa{b}")
+        )
+    wide = base.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), na{b}, sa{b}" for b in range(1, _PERM_B + 1)
+    )
+    return (
+        wide.selectExpr(
+            "n_tot", "s_tot", "n_urg", "s_urg",
+            f"stack({_PERM_B}, {stack}) AS (replicate, n_a, s_a)",
+        )
+        # empty input: the wide agg still emits one all-NULL row and
+        # stack would fabricate 16 NULL replicates
+        .filter("n_tot IS NOT NULL AND n_tot > 0")
+        .selectExpr(
+            "replicate",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CASE WHEN n_urg = 0 OR n_urg = n_tot THEN NULL"
+            "     ELSE CAST(s_urg AS DOUBLE) / CAST(n_urg AS DOUBLE)"
+            "        - CAST(s_tot - s_urg AS DOUBLE)"
+            "          / CAST(n_tot - n_urg AS DOUBLE) END AS obs_diff",
+            "CASE WHEN n_a = 0 OR n_a = n_tot THEN NULL"
+            "     ELSE CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            "        - CAST(s_tot - s_a AS DOUBLE)"
+            "          / CAST(n_tot - n_a AS DOUBLE) END AS perm_diff",
+        )
+        .selectExpr(
+            "replicate", "n_a", "obs_diff", "perm_diff",
+            "CASE WHEN obs_diff IS NULL OR perm_diff IS NULL THEN NULL"
+            "     ELSE abs(perm_diff) >= abs(obs_diff) END AS exceeds",
+        )
+    )
+
+
+@register(
+    "stats_hodges_lehmann_shift",
+    oracle="""
+        WITH dx AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        dy AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        diffs AS (
+            SELECT CAST(dx.x - dy.y AS BIGINT) AS diff
+            FROM dx CROSS JOIN dy
+        ),
+        ranked AS (
+            SELECT diff,
+                   row_number() OVER (ORDER BY diff) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM diffs
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN rn = (n + 1) // 2
+                             OR rn = n // 2 + 1 THEN diff END) AS DOUBLE)
+               / CAST(COUNT(CASE WHEN rn = (n + 1) // 2
+                                 OR rn = n // 2 + 1 THEN 1 END) AS DOUBLE)
+                   AS hl_shift
+        FROM ranked
+    """,
+    doc=(
+        "Hodges-Lehmann estimator of the location shift between the "
+        "daily click-count and daily view-count distributions: the "
+        "median of ALL pairwise differences X_i - Y_j — the estimator "
+        "behind the Mann-Whitney test's confidence interval, 29% "
+        "breakdown, no normality assumption. The pair space is day x "
+        "day over the CALENDAR-GRAIN rollups (bounded by the span, "
+        "never by event volume — a year is ~133k pairs at any corpus "
+        "size), the same documented-bounded contract as Theil-Sen. "
+        "Diffs are exact integers; the median is rank-based with the "
+        "standard two-middle interpolation (exact because integer "
+        "halves are dyadic). The rank runs as the bucket-offset "
+        "construction (bucket = diff DIV 8) so a long horizon never "
+        "single-partitions the pair table; the only single-partition "
+        "window is the metadata-scale offsets prefix."
+    ),
+    tags=("stats", "robust", "window"),
+)
+def stats_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_row_number
+
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    dx = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dy = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("ts").cast("date").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    diffs = dx.crossJoin(F.broadcast(dy)).select(
+        (F.col("x") - F.col("y")).cast("bigint").alias("diff")
+    )
+    total = diffs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = bucketed_row_number(
+        diffs, F.expr("diff DIV 8"), ["diff"], out="rn"
+    ).crossJoin(F.broadcast(total))
+    mid = "rn = (n + 1) DIV 2 OR rn = n DIV 2 + 1"
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN {mid} THEN diff END) AS DOUBLE)"
+            f" / CAST(COUNT(CASE WHEN {mid} THEN 1 END) AS DOUBLE)"
+        ).alias("hl_shift"),
+    )
+
+
+@register(
+    "stats_hellinger_category_drift",
+    oracle="""
+        WITH cnt AS (
+            SELECT event_type,
+                   COUNT(*) FILTER (
+                       WHERE CAST(datediff('day', DATE '1970-01-01',
+                                           CAST(ts AS DATE)) AS BIGINT)
+                             % 2 = 0) AS ce,
+                   COUNT(*) FILTER (
+                       WHERE CAST(datediff('day', DATE '1970-01-01',
+                                           CAST(ts AS DATE)) AS BIGINT)
+                             % 2 = 1) AS co
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(ce) AS BIGINT) AS ne,
+                   CAST(SUM(co) AS BIGINT) AS no
+            FROM cnt
+        ),
+        bc AS (
+            SELECT list_reduce(
+                       list(sqrt((CAST(ce AS DOUBLE) / CAST(t.ne AS DOUBLE))
+                                 * (CAST(co AS DOUBLE) / CAST(t.no AS DOUBLE)))
+                            ORDER BY event_type),
+                       (x, y) -> x + y) AS v
+            FROM cnt CROSS JOIN tot t
+        )
+        SELECT ne AS n_even, no AS n_odd,
+               CASE WHEN ne IS NULL OR ne = 0 OR no = 0 THEN NULL
+                    ELSE bc.v END AS bhattacharyya,
+               CASE WHEN ne IS NULL OR ne = 0 OR no = 0 THEN NULL
+                    ELSE 1 - bc.v END AS hellinger_sq
+        FROM tot CROSS JOIN bc
+    """,
+    doc=(
+        "Hellinger-squared drift between the event-type distributions "
+        "of even- vs odd-numbered days: H^2 = 1 - BC where BC = sum_t "
+        "sqrt(p_t q_t) is the Bhattacharyya coefficient — the LOG-FREE "
+        "divergence tier next to the TVD monitor (PSI/KL need ln(), "
+        "never bit-reproducible across engines; sqrt is a correctly-"
+        "rounded IEEE op, so this one is hash-exact). The even/odd "
+        "day split is a deterministic self-join-free A/B axis (no "
+        "scalar date subquery, no broadcast). One pass: per-type "
+        "conditional counts collapse map-side to |types| rows; the "
+        "5-term BC folds in event_type order on both engines. 0 <= "
+        "H^2 <= 1, with 0 = identical distributions; an alerting "
+        "threshold of ~0.01 catches mix shifts the count trend "
+        "monitor misses."
+    ),
+    tags=("stats", "drift", "agg"),
+)
+def stats_hellinger_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cnt = (
+        t.events.groupBy("event_type")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN CAST(datediff(CAST(ts AS DATE),"
+                " DATE '1970-01-01') AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)"
+            ).alias("ce"),
+            F.expr(
+                "SUM(CASE WHEN CAST(datediff(CAST(ts AS DATE),"
+                " DATE '1970-01-01') AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END)"
+            ).alias("co"),
+        )
+    )
+    wide = cnt.agg(
+        F.expr("CAST(SUM(ce) AS BIGINT)").alias("n_even"),
+        F.expr("CAST(SUM(co) AS BIGINT)").alias("n_odd"),
+        F.expr("array_sort(collect_list(struct(event_type, ce, co)))").alias(
+            "terms"
+        ),
+    )
+    return wide.selectExpr(
+        "n_even",
+        "n_odd",
+        "CASE WHEN n_even IS NULL OR n_even = 0 OR n_odd = 0 THEN NULL"
+        "     ELSE aggregate(terms, CAST(0.0 AS DOUBLE), (acc, p) -> acc"
+        "          + sqrt((CAST(p.ce AS DOUBLE) / CAST(n_even AS DOUBLE))"
+        "               * (CAST(p.co AS DOUBLE) / CAST(n_odd AS DOUBLE))))"
+        " END AS bhattacharyya",
+    ).selectExpr(
+        "n_even",
+        "n_odd",
+        "bhattacharyya",
+        "1 - bhattacharyya AS hellinger_sq",
+    )
+
+
+@register(
+    "stats_mcnemar_paired",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'error'
+                            AND CAST(datediff('day', DATE '1970-01-01',
+                                              CAST(ts AS DATE)) AS BIGINT)
+                                % 2 = 0 THEN 1 ELSE 0 END) AS x,
+                   MAX(CASE WHEN event_type = 'error'
+                            AND CAST(datediff('day', DATE '1970-01-01',
+                                              CAST(ts AS DATE)) AS BIGINT)
+                                % 2 = 1 THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM per_user
+        )
+        SELECT n_users, b, c,
+               CASE WHEN b + c = 0 THEN NULL ELSE
+                   CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                   / CAST(b + c AS DOUBLE) END AS mcnemar_chi2
+        FROM cells
+    """,
+    doc=(
+        "McNemar's test with continuity correction over paired binary "
+        "outcomes: per user, 'saw an error on an even-numbered day' "
+        "vs 'on an odd-numbered day' — the paired-proportions test "
+        "for before/after questions where the same subjects appear "
+        "on both sides (two-proportion z is WRONG there; only the "
+        "discordant pairs b and c carry information). Everything is "
+        "integer until the single closing division — (|b-c|-1)^2 / "
+        "(b+c) — so the oracle is hash-exact. One groupBy(user) pass "
+        "with conditional MAX collapses map-side; the 2x2 cell "
+        "counts are one more tiny agg. Compare chi2 against 3.84 "
+        "(95%, 1 df). At 100 TB the user-grain agg is the only "
+        "shuffle and it partial-aggregates."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    day = "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+    per_user = t.events.groupBy("user_id").agg(
+        F.expr(
+            f"MAX(CASE WHEN event_type = 'error' AND {day} % 2 = 0"
+            " THEN 1 ELSE 0 END)"
+        ).alias("x"),
+        F.expr(
+            f"MAX(CASE WHEN event_type = 'error' AND {day} % 2 = 1"
+            " THEN 1 ELSE 0 END)"
+        ).alias("y"),
+    )
+    cells = per_user.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_users"),
+        F.expr(
+            "CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("c"),
+    )
+    return cells.selectExpr(
+        "n_users",
+        "b",
+        "c",
+        "CASE WHEN b + c = 0 THEN NULL ELSE"
+        " CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)"
+        " / CAST(b + c AS DOUBLE) END AS mcnemar_chi2",
+    )
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+        WITH k_all AS (
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+        ),
+        cell AS (
+            SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        complete AS (
+            SELECT c.d FROM cell c CROSS JOIN k_all
+            GROUP BY c.d, k_all.k HAVING COUNT(*) = MAX(k_all.k)
+        ),
+        ranked AS (
+            SELECT c.d, c.event_type,
+                   CAST(rank() OVER (PARTITION BY c.d ORDER BY c.y)
+                        AS DOUBLE)
+                   + (CAST(COUNT(*) OVER (PARTITION BY c.d, c.y)
+                           AS DOUBLE) - 1.0) / 2.0 AS r
+            FROM cell c JOIN complete USING (d)
+        ),
+        rsums AS (
+            SELECT event_type, SUM(r) AS rj,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ranked GROUP BY event_type
+        ),
+        calc AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+                   (SELECT MAX(k) FROM k_all) AS k,
+                   SUM(rj * rj) AS s
+            FROM rsums
+        )
+        SELECT n_blocks, k,
+               CASE WHEN n_blocks = 0 THEN NULL ELSE
+                   (12.0 * s) / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                                 * (CAST(k AS DOUBLE) + 1.0))
+                   - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+               END AS q_stat
+        FROM calc
+    """,
+    doc=(
+        "Friedman rank test over day-blocked event-type counts: do "
+        "the k event types keep the same volume ORDERING across days "
+        "(the nonparametric repeated-measures ANOVA — robust where "
+        "per-day volume shifts would wreck a raw-count ANOVA)? "
+        "Blocks = days where all k types occur (complete blocks, the "
+        "textbook requirement); within each block the counts take "
+        "MID-RANKS — rank() + (ties-1)/2, exact multiples of 0.5, so "
+        "every rank, rank sum, and squared sum is a dyadic rational "
+        "and the float arithmetic is EXACT (order-insensitive) until "
+        "the single closing division: Q = 12S/(nk(k+1)) - 3n(k+1), "
+        "uncorrected for ties (documented; the mid-ranks themselves "
+        "are tie-correct). One day-grain window pass + a k-row "
+        "aggregate; the global type count is a one-row broadcast "
+        "(whitelisted). Compare Q against chi2(k-1)."
+    ),
+    tags=("stats", "window", "agg"),
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    k_all = t.events.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    cell = t.events.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("y"))
+    complete = (
+        cell.crossJoin(F.broadcast(k_all))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.max("k").alias("k"),
+        )
+        .filter(F.col("nt") == F.col("k"))
+        .select("d")
+    )
+    ranked = cell.join(complete, "d").select(
+        "d",
+        "event_type",
+        (
+            F.rank().over(W.partitionBy("d").orderBy("y")).cast("double")
+            + (
+                F.count(F.lit(1))
+                .over(W.partitionBy("d", "y"))
+                .cast("double")
+                - F.lit(1.0)
+            )
+            / F.lit(2.0)
+        ).alias("r"),
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rj"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    calc = rsums.crossJoin(F.broadcast(k_all)).agg(
+        F.max("n").cast("bigint").alias("n_blocks"),
+        F.max("k").cast("bigint").alias("k"),
+        F.sum(F.expr("rj * rj")).alias("s"),
+    )
+    return calc.selectExpr(
+        "n_blocks",
+        "k",
+        "CASE WHEN n_blocks = 0 THEN NULL ELSE"
+        " (12.0 * s) / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)"
+        "               * (CAST(k AS DOUBLE) + 1.0))"
+        " - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)"
+        " END AS q_stat",
+    )
+
+
+@register(
+    "stats_grubbs_max_outlier",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {dsum_double_sql('y')} AS sy,
+                   {dsum_double_sql('y * y')} AS syy
+            FROM daily
+        ),
+        forms AS (
+            SELECT n, sy / CAST(n AS DOUBLE) AS mean_y,
+                   sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))) AS sd_y
+            FROM s WHERE n >= 3
+        ),
+        dev AS (
+            SELECT d.d, d.y, f.n, f.mean_y, f.sd_y,
+                   abs(CAST(d.y AS DOUBLE) - f.mean_y) / f.sd_y AS g
+            FROM daily d CROSS JOIN forms f
+            WHERE f.sd_y > 0
+        )
+        SELECT n AS n_days, mean_y, sd_y,
+               d AS outlier_day, y AS outlier_value, g AS g_stat
+        FROM dev ORDER BY g DESC, d LIMIT 1
+    """,
+    doc=(
+        "Grubbs' max-studentized-deviation statistic over the daily "
+        "purchase-count series: G = max_t |y_t - mean| / sd, plus the "
+        "day that attains it — the single-outlier screening test "
+        "(compare G against the t-based critical value for the chosen "
+        "alpha; the statistic itself is the distribution-free part "
+        "and is what the engine computes). Day-grain sums accumulate "
+        "in DECIMAL (order-independent) and collapse to one (n, sum, "
+        "sumsq) row; mean and sd evaluate through one shared double "
+        "closed form (sqrt correctly rounded), each day's deviation "
+        "is one further shared expression, and the argmax breaks "
+        "ties by day — hash-exact end to end. The one-row stats "
+        "broadcast is whitelisted; series under 3 days (or zero "
+        "variance) emit nothing on both engines."
+    ),
+    tags=("stats", "anomaly", "agg"),
+)
+def stats_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum_double("y").alias("sy"),
+        dsum_double("y * y").alias("syy"),
+    )
+    forms = s.filter(F.col("n") >= 3).selectExpr(
+        "n",
+        "sy / CAST(n AS DOUBLE) AS mean_y",
+        "sqrt((CAST(n AS DOUBLE) * syy - sy * sy)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_y",
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(forms))
+        .filter(F.col("sd_y") > 0)
+        .selectExpr(
+            "d", "y", "n", "mean_y", "sd_y",
+            "abs(CAST(y AS DOUBLE) - mean_y) / sd_y AS g",
+        )
+    )
+    # top-1 via orderBy+limit plans as TakeOrderedAndProject — the
+    # distributed per-partition top-k merge, no single-partition window
+    return (
+        dev.orderBy(F.desc("g"), F.asc("d"))
+        .limit(1)
+        .selectExpr(
+            "n AS n_days", "mean_y", "sd_y",
+            "d AS outlier_day", "y AS outlier_value", "g AS g_stat",
+        )
+    )

@@ -1334,3 +1334,151 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums.createOrReplaceTempView(_BOLL_FROM)
     return spark.sql(_bollinger_final(ddbl).format(src=_BOLL_FROM))
+
+
+_HW_M = 7  # season length (weekly)
+
+#: the three recurrence expressions, templated so the repeated
+#: sub-expressions (DuckDB can't reference sibling SELECT aliases)
+#: round identically everywhere they appear. All smoothing constants
+#: are DYADIC (0.5, 0.25, 0.75) — exactly representable doubles, so
+#: both engines do the same IEEE ops in the same order.
+_HW_Y = "CAST(b.y AS DOUBLE)"
+_HW_LVL = f"0.5 * ({_HW_Y} - r.sl[1]) + 0.5 * (r.lvl + r.tr)"
+_HW_TR = f"0.25 * (({_HW_LVL}) - r.lvl) + 0.75 * r.tr"
+_HW_SNEW = f"0.25 * ({_HW_Y} - ({_HW_LVL})) + 0.75 * r.sl[1]"
+
+
+@register(
+    "timeseries_holt_winters_additive",
+    oracle=f"""
+        WITH RECURSIVE daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) - 1 AS t
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        init AS (
+            SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY t) AS ys
+            FROM daily WHERE t < {2 * _HW_M}
+            GROUP BY event_type
+            HAVING COUNT(*) >= {2 * _HW_M}
+        ),
+        sums AS (
+            SELECT event_type,
+                   list_reduce(ys[1:{_HW_M}], (x, y) -> x + y) AS s1,
+                   list_reduce(ys[{_HW_M + 1}:{2 * _HW_M}],
+                               (x, y) -> x + y) AS s2,
+                   ys
+            FROM init
+        ),
+        seed AS (
+            SELECT event_type,
+                   s1 / {float(_HW_M)} AS lvl,
+                   (s2 - s1) / {float(_HW_M * _HW_M)} AS tr,
+                   list_transform(ys[1:{_HW_M}],
+                                  v -> v - s1 / {float(_HW_M)}) AS sl
+            FROM sums
+        ),
+        r AS (
+            SELECT event_type, {_HW_M - 1} AS t, lvl, tr, sl,
+                   CAST(NULL AS DATE) AS d, CAST(NULL AS BIGINT) AS y,
+                   CAST(NULL AS DOUBLE) AS seasonal,
+                   CAST(NULL AS DOUBLE) AS fitted
+            FROM seed
+            UNION ALL
+            SELECT b.event_type, b.t,
+                   {_HW_LVL} AS lvl,
+                   {_HW_TR} AS tr,
+                   r.sl[2:{_HW_M}] || [{_HW_SNEW}] AS sl,
+                   b.d, b.y,
+                   {_HW_SNEW} AS seasonal,
+                   r.lvl + r.tr + r.sl[1] AS fitted
+            FROM daily b
+            JOIN r ON b.event_type = r.event_type AND b.t = r.t + 1
+        )
+        SELECT event_type, d, y, lvl AS level, tr AS trend,
+               seasonal, fitted
+        FROM r WHERE y IS NOT NULL
+    """,
+    doc=(
+        "Additive Holt-Winters (triple exponential smoothing, weekly "
+        "season m=7, alpha=0.5 beta=0.25 gamma=0.25) over each event "
+        "type's daily count series — level + trend + seasonal state "
+        "with one-step-ahead fitted values, the batch companion of "
+        "the streaming Holt forecaster. The recurrence is inherently "
+        "sequential in t, so it runs as applyInPandas per event type: "
+        "serial within a series, parallel across series, the same "
+        "calendar-bounded contract as the EWMA smoother (a series is "
+        "days long, never fact-grain). All smoothing constants are "
+        "DYADIC doubles and every expression is parenthesized "
+        "identically in the pandas loop and the oracle's recursive "
+        "CTE (which carries the 7-slot seasonal state as a LIST "
+        "column), so the two engines execute the same IEEE additions "
+        "and multiplies in the same order — hash-exact, not "
+        "approximately equal. Init: level = mean of week 1, trend = "
+        "(sum week 2 - sum week 1)/m^2, seasonals = week-1 residuals; "
+        "types with under 2m observed days emit nothing on both "
+        "engines."
+    ),
+    tags=("timeseries", "window", "custom"),
+)
+def timeseries_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+
+    schema = (
+        "event_type string, d date, y bigint, level double,"
+        " trend double, seasonal double, fitted double"
+    )
+    m = _HW_M
+
+    def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2 * m:
+            return pd.DataFrame(
+                columns=["event_type", "d", "y", "level", "trend", "seasonal", "fitted"]
+            )
+        y = [float(v) for v in pdf["y"]]
+        s1 = 0.0
+        for i in range(m):
+            s1 = s1 + y[i]
+        s2 = 0.0
+        for i in range(m, 2 * m):
+            s2 = s2 + y[i]
+        lvl = s1 / float(m)
+        tr = (s2 - s1) / float(m * m)
+        season = [y[i] - s1 / float(m) for i in range(m)]
+        out = []
+        for tt in range(m, n):
+            s0 = season[tt - m]
+            fitted = lvl + tr + s0
+            new_lvl = 0.5 * (y[tt] - s0) + 0.5 * (lvl + tr)
+            new_tr = 0.25 * (new_lvl - lvl) + 0.75 * tr
+            new_s = 0.25 * (y[tt] - new_lvl) + 0.75 * s0
+            season.append(new_s)
+            out.append(
+                (
+                    pdf["event_type"].iloc[tt],
+                    pdf["d"].iloc[tt],
+                    int(pdf["y"].iloc[tt]),
+                    new_lvl,
+                    new_tr,
+                    new_s,
+                    fitted,
+                )
+            )
+            lvl, tr = new_lvl, new_tr
+        return pd.DataFrame(
+            out,
+            columns=["event_type", "d", "y", "level", "trend", "seasonal", "fitted"],
+        )
+
+    return daily.groupBy("event_type").applyInPandas(_hw, schema=schema)

@@ -57,6 +57,13 @@ REPRESENTATIVE = [
     "stats_cusum_drift_detector",
     "cdc_upsert_with_deletes",
     "join_null_safe_eq",
+    # r4 continuation: wide-agg + stack replicates, calendar-pair median,
+    # iterative graph loops, log-free divergence
+    "stats_permutation_test_means",
+    "stats_hodges_lehmann_shift",
+    "graph_hits_hubs_authorities",
+    "graph_kcore_decomposition",
+    "stats_hellinger_category_drift",
     "similarity_pca_top_component",
     "similarity_kmeans_lloyd",
     "timeseries_interpolate_linear",
@@ -139,6 +146,9 @@ _ALLOW_ONE_ROW = {
     "stats_cramers_v",
     "stats_cohens_d_effect_size",
     "stats_logrank_two_arm",
+    # r4: global aggregates that keep their one NULL-field row on empty
+    "stats_hodges_lehmann_shift",
+    "stats_hellinger_category_drift",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

@@ -600,6 +600,9 @@ _SCALABLE_WINDOW_CAPS = {
     # r4: the Theil-Sen slope-median rank (VERDICT #7 long-horizon
     # hardening) — bucket = floor(slope*8), offsets prefix only
     "stats_theil_sen_daily_trend": 1,
+    # r4: Hodges-Lehmann pairwise-diff median — bucket = diff DIV 8,
+    # offsets prefix only (same calendar-bounded contract as Theil-Sen)
+    "stats_hodges_lehmann_shift": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -674,6 +677,12 @@ _BNLJ_BOUNDED_OK = {
     "timeseries_dow_seasonal_index", "tpch_q11_important_part_value",
     "tpch_q22_dormant_customers", "stats_theil_sen_daily_trend",
     "iot_flatten_wide", "iot_generated_readings",
+    # (graph_hits_hubs_authorities broadcasts one-row normalization
+    # scalars too, but each half-step localCheckpoints eagerly, so the
+    # final plan shows only checkpoint scans — no BNLJ to whitelist)
+    "stats_hodges_lehmann_shift",
+    "join_bloom_prefilter_semireduction", "similarity_silhouette_centroid",
+    "stats_friedman_test", "stats_grubbs_max_outlier",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",

@@ -166,3 +166,171 @@ def test_pps_systematic_draw_count_and_weighting(spark, sf_dir):
 
     assert sum(r["n_hits"] for r in rows) == _PPS_K
     assert all(r["n_hits"] >= 1 for r in rows)
+
+
+def test_permutation_test_structure(spark, sf_dir):
+    """16 replicates, binomially-balanced reassignment, and obs_diff
+    equal across replicates and matching a direct group-by diff."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.stats import _PERM_B
+
+    rows = _rows("stats_permutation_test_means", spark, sf_dir)
+    assert len(rows) == _PERM_B
+    assert {r["replicate"] for r in rows} == set(range(1, _PERM_B + 1))
+    obs = {r["obs_diff"] for r in rows}
+    assert len(obs) == 1
+
+    t = Tables(spark, sf_dir)
+    g = (
+        t.orders.groupBy((F.col("o_orderpriority") == "1-URGENT").alias("u"))
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    )
+    means = {r["u"]: r["m"] for r in g}
+    direct = means[True] - means[False]
+    assert abs(next(iter(obs)) - direct) < 1e-6
+    n_tot = t.orders.count()
+    for r in rows:  # Bernoulli(1/2): crude 5-sigma binomial envelope
+        assert abs(r["n_a"] - n_tot / 2) < 5 * (n_tot ** 0.5) / 2 + 1
+
+
+def test_hodges_lehmann_bounds(spark, sf_dir):
+    """n_pairs = |click days| x |view days|; the shift lies inside the
+    pairwise-diff range."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    (r,) = _rows("stats_hodges_lehmann_shift", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    days = (
+        t.events.groupBy("event_type")
+        .agg(F.countDistinct(F.col("ts").cast("date")).alias("d"))
+        .collect()
+    )
+    d = {x["event_type"]: x["d"] for x in days}
+    assert r["n_pairs"] == d["click"] * d["view"]
+    lo_hi = (
+        t.events.groupBy(F.col("ts").cast("date"), "event_type")
+        .count()
+        .groupBy("event_type")
+        .agg(F.min("count").alias("lo"), F.max("count").alias("hi"))
+        .collect()
+    )
+    m = {x["event_type"]: x for x in lo_hi}
+    assert m["click"]["lo"] - m["view"]["hi"] <= r["hl_shift"] <= m["click"]["hi"] - m["view"]["lo"]
+
+
+def test_hits_l1_normalized(spark, sf_dir):
+    """Both score vectors are L1-normalized (each half-step divides by
+    the global sum) and strictly inside [0, 1]."""
+    rows = _rows("graph_hits_hubs_authorities", spark, sf_dir)
+    assert rows, "empty HITS output on non-empty graph"
+    sa = sum(r["authority"] for r in rows)
+    sh = sum(r["hub"] for r in rows)
+    assert abs(sa - 1.0) < 1e-9
+    assert abs(sh - 1.0) < 1e-9
+    assert all(0.0 <= r["authority"] <= 1.0 and 0.0 <= r["hub"] <= 1.0 for r in rows)
+
+
+def test_kcore_fixpoint_within_unroll(spark, sf_dir):
+    """The unrolled peel must CONVERGE at the test SF: every node in
+    the round-4 output has core degree >= k (k-core property), and one
+    more peel round changes nothing — so the fixed unroll is the true
+    k-core, not a truncation."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.operators.graphs import (
+        _KCORE_K,
+        graph_kcore_decomposition,
+    )
+
+    out = graph_kcore_decomposition(spark, sf_dir)
+    rows = {(r["nationkey"], r["core_degree"]) for r in out.collect()}
+    assert rows, "empty k-core at test SF"
+    assert all(d >= _KCORE_K for _, d in rows)
+    # converged <=> the recorded degrees equal the degrees of the base
+    # graph INDUCED on the output node set alone. If the unroll had
+    # stopped early, some output node would still count edges to a
+    # node that a further round peels, and its induced degree would
+    # come out smaller than core_degree.
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    t = Tables(spark, sf_dir)
+    base = (
+        t.orders.filter(F.col("o_totalprice") > 450000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .selectExpr("CAST(c_nationkey AS BIGINT) a", "CAST(s_nationkey AS BIGINT) b")
+        .distinct()
+        .collect()
+    )
+    survivors = {n for n, _ in rows}
+    und = {(r["a"], r["b"]) for r in base} | {(r["b"], r["a"]) for r in base}
+    induced = {}
+    for u, v in und:
+        if u in survivors and v in survivors:
+            induced[u] = induced.get(u, 0) + 1
+    assert {(n, d) for n, d in induced.items() if d >= _KCORE_K} == rows
+    assert all(d >= _KCORE_K for d in induced.values())
+
+
+def test_bloom_prefilter_in_plan_and_reduces(spark, sf_dir):
+    """The bloom probe must run on the FACT side before the equi-join
+    (visible as xxhash64 probes in a Filter), the final join must be
+    a broadcast hash join (no shuffle of the reduced fact), and the
+    pre-filter must genuinely reduce: passed rows <= orders rows,
+    >= true matches."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.joins import (
+        _BLOOM_BAL,
+        join_bloom_prefilter_semireduction,
+    )
+
+    df = join_bloom_prefilter_semireduction(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    t = Tables(spark, sf_dir)
+    n_result = df.count()
+    true_keys = t.customer.filter(F.col("c_acctbal") > _BLOOM_BAL).select(
+        F.col("c_custkey").alias("k")
+    )
+    n_true = (
+        t.orders.join(true_keys, F.col("o_custkey") == F.col("k")).count()
+    )
+    assert n_result == n_true  # bloom FPs removed by the real join
+    sel = true_keys.count() / max(t.customer.count(), 1)
+    assert sel < 0.5, "dim filter is not selective; test premise broken"
+
+
+def test_holt_winters_row_contract(spark, sf_dir):
+    """Each event type with >= 2m observed days emits exactly
+    n_days - m smoothed rows; types under 2m emit none."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.windows import _HW_M
+
+    rows = _rows("timeseries_holt_winters_additive", spark, sf_dir)
+    got = {}
+    for r in rows:
+        got[r["event_type"]] = got.get(r["event_type"], 0) + 1
+
+    t = Tables(spark, sf_dir)
+    days = (
+        t.events.groupBy("event_type")
+        .agg(F.countDistinct(F.col("ts").cast("date")).alias("nd"))
+        .collect()
+    )
+    for d in days:
+        expect = d["nd"] - _HW_M if d["nd"] >= 2 * _HW_M else 0
+        assert got.get(d["event_type"], 0) == expect, d["event_type"]
