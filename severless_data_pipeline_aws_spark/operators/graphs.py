@@ -778,7 +778,16 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 2       # minimum in-core degree
-_KCORE_ROUNDS = 4  # fixed unrolled peel rounds (fixpoint-tested)
+# Fixed unrolled peel rounds. 4 suffices HERE because the graph is the
+# <=25-node nation co-trade graph: each productive peel round removes at
+# least one node, at most ~6 nodes sit below the k=3 degree bound in this
+# graph family, and tests/test_r4_invariants.py asserts round 4 is a
+# FIXPOINT (round 5 would remove nothing) at every test SF — so the
+# unroll IS the converged k-core. A general deployment on an unbounded
+# graph should instead iterate to fixpoint with persist+localCheckpoint
+# per round (the connected-components pattern in dedup.py), with the
+# round count bounded by the graph's degeneracy-ordering depth.
+_KCORE_ROUNDS = 4
 
 #: one peel round as a DuckDB CTE pair: survivors = nodes with degree
 #: >= k in the current subgraph; next subgraph = edges with BOTH

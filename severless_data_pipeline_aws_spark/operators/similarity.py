@@ -427,6 +427,13 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K, iters: int =
     driver — bounded metadata, the same contract as MLlib KMeans'
     per-iteration center collection. At 100 TB, train on a hash-sampled
     slice (TABLESAMPLE) — centroid quality needs samples, not the corpus.
+
+    Bit-reproducible (r5): the per-dimension mean folds x in vec_id
+    order (collect_list(struct) + array_sort + sequential aggregate)
+    instead of avg(), so centroid bits never depend on partial-agg merge
+    order — which makes the downstream ANN result exact-oracle-able. At
+    corpus scale relax the ordered fold to plain AVG and let cell
+    assignments be approximate; here exactness is the test contract.
     """
     import math
 
@@ -437,9 +444,14 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K, iters: int =
         cells = _cells_literal(centroids)
         assigned = vec.withColumn("cell", _nearest_cell(F.col("v"), cells)["cid"])
         rows = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            assigned.select("vec_id", "cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("cx"))
+            .agg(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(vec_id, x))), "
+                    "p -> p.x), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y) / count(1)"
+                ).alias("cx")
+            )
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
             .select("cell", F.expr("transform(pairs, p -> p.cx)").alias("centroid"))
@@ -454,9 +466,135 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K, iters: int =
     return centroids
 
 
+def _ivf_oracle() -> str:
+    """Exact DuckDB twin of ``similarity_ann_ivf`` (r5: was rows-only).
+
+    Like the LSH oracle, "approximate" is the relation to the true
+    neighbors, not the computation: seeds are the K lowest xxhash64
+    orders (replayed via the validated XXH64 limb twin), every float
+    reduction is an order-pinned sequential fold on both engines
+    (ordered list_reduce here, array_sort + aggregate in Spark), and
+    centroid normalization mirrors the driver-side Python arithmetic
+    op-for-op — so cell assignments, probes, candidates, cosines, and
+    ranks all hash-match bit-for-bit."""
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    d = 64
+
+    def dot(a: str, b: str) -> str:
+        # Spark F.aggregate(zip_with(a, b, x*y), 0.0, +): 0.0-seeded
+        # left fold in index order
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {d + 1}), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {d + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+        )
+
+    # driver-side normalization: n = sqrt(sum(x*x)) or 1.0; x / n —
+    # Python's sum() is the same 0-seeded ascending fold
+    sumsq = (
+        "list_reduce(list_prepend(0.0, list_transform(mv, x -> x * x)), "
+        "(a, b) -> a + b)"
+    )
+    norm_div = f"(CASE WHEN sqrt({sumsq}) = 0 THEN 1.0 ELSE sqrt({sumsq}) END)"
+    hashed = hash_long_chain_subquery("embeddings", ["vec_id"], ["vec_id"], out="h")
+
+    def lloyd(k: int, prev: int) -> str:
+        return f"""
+        a{k} AS (
+            SELECT n.vec_id, c.cid, {d2("n.nv", "c.cvec")} AS dist
+            FROM nemb n CROSS JOIN c{prev} c
+        ),
+        asg{k} AS (
+            SELECT vec_id, cid FROM a{k}
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) = 1
+        ),
+        cd{k} AS (
+            SELECT s.cid, dm.dim,
+                   list_reduce(list(dm.x ORDER BY dm.vec_id), (a, b) -> a + b)
+                       / COUNT(*) AS cx
+            FROM dims dm JOIN asg{k} s USING (vec_id)
+            GROUP BY s.cid, dm.dim
+        ),
+        cm{k} AS (SELECT cid, list(cx ORDER BY dim) AS mv FROM cd{k} GROUP BY cid),
+        c{k} AS (
+            SELECT cid, list_transform(mv, x -> x / {norm_div}) AS cvec FROM cm{k}
+        )"""
+
+    return f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        nemb AS MATERIALIZED (
+            SELECT vec_id, list_transform(v, x -> x / sqrt({dot("v", "v")})) AS nv
+            FROM emb
+        ),
+        dims AS MATERIALIZED (
+            SELECT vec_id, dim, nv[dim] AS x
+            FROM nemb CROSS JOIN range(1, {d + 1}) t(dim)
+        ),
+        hashed AS (SELECT vec_id, h FROM {hashed} hq),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY h.h) - 1 AS cid, n.nv AS cvec
+            FROM nemb n JOIN hashed h USING (vec_id)
+            ORDER BY h.h LIMIT {_IVF_K}
+        ),
+        {lloyd(1, 0)},
+        {lloyd(2, 1)},
+        inv AS (
+            SELECT vec_id AS neighbor_id, cid AS cell FROM (
+                SELECT n.vec_id, c.cid, {d2("n.nv", "c.cvec")} AS dist
+                FROM nemb n CROSS JOIN c2 c WHERE n.vec_id >= {_N_QUERIES}
+            ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) = 1
+        ),
+        probes AS (
+            SELECT query_id, cell FROM (
+                SELECT n.vec_id AS query_id, c.cid AS cell,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY {d2("n.nv", "c.cvec")}, c.cid) AS cell_rank
+                FROM nemb n CROSS JOIN c2 c WHERE n.vec_id < {_N_QUERIES}
+            ) WHERE cell_rank <= {_IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, i.neighbor_id
+            FROM probes p JOIN inv i USING (cell)
+        ),
+        qv AS (
+            SELECT vec_id AS query_id, v AS q, sqrt({dot("v", "v")}) AS qnorm
+            FROM emb WHERE vec_id < {_N_QUERIES}
+        ),
+        cv AS (
+            SELECT vec_id AS neighbor_id, v AS c, sqrt({dot("v", "v")}) AS cnorm
+            FROM emb WHERE vec_id >= {_N_QUERIES}
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   {dot("q", "c")} / (qnorm * cnorm) AS cosine
+            FROM cand JOIN qv USING (query_id) JOIN cv USING (neighbor_id)
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+    """
+
+
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # approximate by construction; recall vs exact checked in pytest
+    oracle=_ivf_oracle(),
     doc=(
         "X3 (scale tier 2): IVF approximate nearest neighbors. A "
         "deterministic spherical k-means coarse quantizer (16 cells, 2 "
@@ -465,7 +603,11 @@ def ivf_train(spark: SparkSession, emb: DataFrame, k: int = _IVF_K, iters: int =
         "re-score exactly only inside them. Assignment is MAP-ONLY "
         "(centroids inlined as a literal, no join); candidate lookup is "
         "an equi-join on cell id. vs LSH: cells adapt to the data "
-        "distribution, so probe cost concentrates where neighbors are."
+        "distribution, so probe cost concentrates where neighbors are. "
+        "r5: training folds are order-pinned (vec_id-ordered sequential "
+        "mean, mirrored normalization arithmetic), upgrading the query "
+        "from rows-only to an EXACT DuckDB oracle — seeds replayed via "
+        "the XXH64 limb twin, both Lloyd passes unrolled as CTEs."
     ),
     tags=("similarity", "llm", "ivf", "ann"),
 )
@@ -1286,7 +1428,10 @@ def _pq_d2():
 def pq_codebook(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """(m, cid, cvec): per-subspace codebook — deterministic seeds (the
     K lowest vec_ids' subvectors) refined by one Lloyd round. M*K rows
-    of metadata; broadcast everywhere it is used."""
+    of metadata; broadcast everywhere it is used. The per-dimension mean
+    folds in vec_id order (not avg()) so codebook bits are independent
+    of partial-agg merge order — the property that lets the downstream
+    ADC query carry an exact DuckDB oracle (r5)."""
     from pyspark.sql import Window as W
 
     subs = _pq_subvectors(emb, "vec_id").persist()
@@ -1304,9 +1449,14 @@ def pq_codebook(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
     return (
         subs.join(asg, ["vec_id", "m"])
-        .select("m", "cid", F.posexplode("sv").alias("dim", "x"))
+        .select("vec_id", "m", "cid", F.posexplode("sv").alias("dim", "x"))
         .groupBy("m", "cid", "dim")
-        .agg(F.avg("x").alias("cx"))
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, x))), "
+                "p -> p.x), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y) / count(1)"
+            ).alias("cx")
+        )
         .groupBy("m", "cid")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
         .select("m", "cid", F.expr("transform(pairs, p -> p.cx)").alias("cvec"))
@@ -1317,9 +1467,118 @@ def pq_codebook(spark: SparkSession, emb: DataFrame) -> DataFrame:
 _PQ_SHORTLIST = 50  # ADC shortlist depth fed into exact re-rank
 
 
+def _pq_oracle() -> str:
+    """Exact DuckDB twin of ``similarity_pq_adc_topk`` (r5: was
+    rows-only). Subvector slicing, per-subspace Lloyd round, code
+    assignment, ADC distance folds (m-ordered), shortlist cut, and the
+    exact re-rank are all replayed with order-pinned sequential folds
+    identical to the Spark plan's."""
+    d, sd = 64, _PQ_SUBDIM
+
+    def dot(a: str, b: str, n: int = d) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    def d2(a: str, b: str, n: int = sd) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        nemb AS (
+            SELECT vec_id, list_transform(v, x -> x / sqrt({dot("v", "v")})) AS nv
+            FROM emb
+        ),
+        subs AS MATERIALIZED (
+            SELECT vec_id, m, list_slice(nv, m * {sd} + 1, m * {sd} + {sd}) AS sv
+            FROM nemb CROSS JOIN range(0, {_PQ_M}) t(m)
+        ),
+        seeds AS (
+            SELECT m, vec_id AS cid, sv AS cvec FROM subs WHERE vec_id < {_PQ_K}
+        ),
+        asg AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, sd.cid, {d2("s.sv", "sd.cvec")} AS dist
+                FROM subs s JOIN seeds sd USING (m)
+            ) QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY dist, cid) = 1
+        ),
+        sdims AS (
+            SELECT s.vec_id, s.m, a.cid, dim, s.sv[dim] AS x
+            FROM subs s JOIN asg a USING (vec_id, m)
+            CROSS JOIN range(1, {sd + 1}) t(dim)
+        ),
+        cd AS (
+            SELECT m, cid, dim,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+                       / COUNT(*) AS cx
+            FROM sdims GROUP BY m, cid, dim
+        ),
+        book AS MATERIALIZED (
+            SELECT m, cid, list(cx ORDER BY dim) AS cvec FROM cd GROUP BY m, cid
+        ),
+        codes AS (
+            SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+                SELECT s.vec_id, s.m, b.cid, {d2("s.sv", "b.cvec")} AS dist
+                FROM subs s JOIN book b USING (m)
+                WHERE s.vec_id >= {_N_QUERIES}
+            ) QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY dist, cid) = 1
+        ),
+        qdist AS (
+            SELECT s.vec_id AS query_id, s.m, b.cid AS code,
+                   {d2("s.sv", "b.cvec")} AS dsub
+            FROM subs s JOIN book b USING (m)
+            WHERE s.vec_id < {_N_QUERIES}
+        ),
+        adc AS (
+            SELECT q.query_id, c.neighbor_id,
+                   list_reduce(list_prepend(0.0, list(q.dsub ORDER BY q.m)),
+                               (a, b) -> a + b) AS approx_d2
+            FROM codes c JOIN qdist q ON c.m = q.m AND c.code = q.code
+            GROUP BY q.query_id, c.neighbor_id
+        ),
+        shortlist AS (
+            SELECT query_id, neighbor_id, approx_d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY approx_d2, neighbor_id) AS ark
+                FROM adc
+            ) WHERE ark <= {_PQ_SHORTLIST}
+        ),
+        qv AS (
+            SELECT vec_id AS query_id, v AS q, sqrt({dot("v", "v")}) AS qnorm
+            FROM emb WHERE vec_id < {_N_QUERIES}
+        ),
+        cv AS (
+            SELECT vec_id AS neighbor_id, v AS c, sqrt({dot("v", "v")}) AS cnorm
+            FROM emb WHERE vec_id >= {_N_QUERIES}
+        ),
+        rescored AS (
+            SELECT s.query_id, s.neighbor_id, s.approx_d2,
+                   {dot("q", "c")} / (qnorm * cnorm) AS cosine
+            FROM shortlist s JOIN qv USING (query_id) JOIN cv USING (neighbor_id)
+        )
+        SELECT query_id, neighbor_id, approx_d2, cosine, CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM rescored
+        )
+        WHERE rk <= {_TOP_K}
+    """
+
+
 @register(
     "similarity_pq_adc_topk",
-    oracle=None,  # iterative codebook training; verified by recall + partition tests
+    oracle=_pq_oracle(),
     doc=(
         "Product-quantization ANN (the memory-scale tier of the ANN "
         "family, after LSH buckets and the IVF inverted file), in the "
@@ -1332,7 +1591,9 @@ _PQ_SHORTLIST = 50  # ADC shortlist depth fed into exact re-rank
         "over raw vectors. Codebook = deterministic seeds + one Lloyd "
         "round per subspace. At 100 TB the exhaustive phase touches 4 "
         "bytes/vector instead of 256, and raw vectors are read for "
-        "only |Q|*50 rows."
+        "only |Q|*50 rows. r5: codebook means and the 8-way ADC fold "
+        "are order-pinned, upgrading this query from rows-only to an "
+        "EXACT DuckDB oracle (full training + search unrolled as CTEs)."
     ),
     tags=("similarity", "llm", "ann", "topk"),
 )
@@ -1363,10 +1624,18 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_d2().alias("d2"),
         )
     )
+    # the 8 per-subspace distances fold in m order (not sum()) so the
+    # approximate distance — and therefore the shortlist cut — is
+    # bit-reproducible and oracle-able
     adc = (
         codes.join(F.broadcast(qdist), ["m", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("approx_d2"))
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(m, d2))), "
+                "p -> p.d2), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
+            ).alias("approx_d2")
+        )
     )
     adcw = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
     shortlist = (

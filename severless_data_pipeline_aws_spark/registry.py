@@ -85,13 +85,51 @@ def load_all() -> dict[str, QuerySpec]:
     an import failure *inside* an existing module is re-raised — silently
     dropping its queries would shrink the advertised surface without a
     trace.
+
+    Ordering: the returned dict is INTERLEAVED round-robin across the
+    source modules (flagship first). The driver's correctness gate
+    samples the first N registry entries; plain registration order put
+    the entire sample inside the relational head, so the driver's hard
+    signal never reached the dedup/similarity/text/stats/windows/
+    graphs/multimodal tiers (round-4 verdict #1). Round-robin makes any
+    prefix of the registry span every operator family.
     """
     for mod in _QUERY_MODULES:
         if importlib.util.find_spec(mod) is None:
             warnings.warn(f"query module {mod} not built yet — skipped", stacklevel=2)
             continue
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    return _interleaved(_REGISTRY)
+
+
+#: kept first so the driver's smoke check always exercises it
+_FLAGSHIP = "flagship_revenue_by_status_year"
+
+
+def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Round-robin the registry across source modules, flagship first.
+
+    Within a module, registration order is preserved; modules cycle in
+    ``_QUERY_MODULES`` order (a query whose module is not listed —
+    impossible today — would sort after all listed ones). Deterministic:
+    depends only on module list + registration order, never on hashing.
+    """
+    mod_rank = {m: i for i, m in enumerate(_QUERY_MODULES)}
+    buckets: dict[str, list[QuerySpec]] = {}
+    for spec in reg.values():
+        buckets.setdefault(spec.fn.__module__, []).append(spec)
+    ordered_mods = sorted(buckets, key=lambda m: mod_rank.get(m, len(mod_rank)))
+    out: dict[str, QuerySpec] = {}
+    if _FLAGSHIP in reg:
+        out[_FLAGSHIP] = reg[_FLAGSHIP]
+    depth = max(len(b) for b in buckets.values()) if buckets else 0
+    for i in range(depth):
+        for mod in ordered_mods:
+            bucket = buckets[mod]
+            if i < len(bucket) and bucket[i].name not in out:
+                out[bucket[i].name] = bucket[i]
+    assert len(out) == len(reg)
+    return out
 
 
 def queries() -> dict[str, QueryFn]:
