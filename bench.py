@@ -113,6 +113,12 @@ HEADLINE = [
     "join_bloom_prefilter_semireduction",
     "similarity_silhouette_centroid",
     "timeseries_holt_winters_additive",
+    # round-5 additions: the prefix-filtered similarity join (tracks the
+    # candidate-space reduction vs the full inverted-index join) and the
+    # bucket-offset stratified splitter (tracks the de-serialized
+    # per-stratum rank path)
+    "dedup_allpairs_prefix_jaccard",
+    "sampling_train_val_test_exact",
 ]
 
 

@@ -32,37 +32,46 @@ from severless_data_pipeline_aws_spark.plans.inspect import (
 )
 from severless_data_pipeline_aws_spark.session import get_spark
 
-#: heavy headline queries swept alongside the window-gated set
-_HEAVY = [
-    "text_ngram_novelty_score",
-    "text_char_trigram_profile",
-    "sampling_poisson_bootstrap",
-    "dedup_decontaminate_eval_overlap",
-    "text_rake_keyword_extraction",
-    "tpch_q9_product_type_profit",
-    "tpch_q18_large_volume_orders",
-    "funnel_market_basket_lift",
-    "similarity_topk_cosine_exact",
-    "dedup_exact_keep_first",
-    "pricing_summary",
-    "funnel_cohort_retention",
-    "window_cumulative_distinct",
-    "anomaly_mad_robust",
-]
+#: reference scale for the scaling-exponent column: each query is timed
+#: at BOTH sf0.1 and the 10x dir in the same process, same host window —
+#: exponent = log10(t_10x / t_sf0.1) for a 10x data step (1.0 = linear)
+_REF_DIR = "/root/testdata/sf0.1"
+
+#: flag threshold: a >10^1.15x (~14x) blow-up on a 10x data step means
+#: super-linear work beyond agg/sort logarithms — investigate or justify
+_SUPERLINEAR = 1.15
+
+
+def _headline() -> list[str]:
+    """The full bench headline set (r4 verdict #7: the sweep covered 29
+    of 50 — every headline query now gets a 10x point + exponent)."""
+    import importlib
+
+    return list(importlib.import_module("bench").HEADLINE)
 
 
 def main() -> None:
+    import math
+
     data_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_HERE, "localdata", "sf1x")
-    rnd = sys.argv[2] if len(sys.argv) > 2 else "04"
+    rnd = sys.argv[2] if len(sys.argv) > 2 else "05"
     from tests.test_plans import _BUCKETED, _SCALABLE_WINDOW_CAPS
 
     spark = get_spark(app_name="scale-sweep")
     specs = registry.load_all()
-    names = list(_SCALABLE_WINDOW_CAPS) + [n for n in _HEAVY if n in specs]
+    seen: set[str] = set()
+    names = [
+        n
+        for n in list(_SCALABLE_WINDOW_CAPS) + _headline()
+        if n in specs and not (n in seen or seen.add(n))
+    ]
 
     timings: dict[str, float] = {}
+    ref_timings: dict[str, float] = {}
+    exponents: dict[str, float] = {}
     caps_report: dict[str, dict] = {}
     failures: list[str] = []
+    superlinear: list[str] = []
     for name in names:
         df = specs[name].fn(spark, data_dir)
         if name in _SCALABLE_WINDOW_CAPS:
@@ -78,11 +87,32 @@ def main() -> None:
                                  "bucket_window_in_plan": bucketed}
             if got > cap or bucketed is False:
                 failures.append(name)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        # Timing must INCLUDE fn() construction on both sides: iterative
+        # queries (pagerank, k-means, BFS) materialize work during
+        # construction via localCheckpoint, so a write-only timer reads
+        # near-zero for them. Symmetric min-of-2 at each scale shaves
+        # one-off codegen/Arrow warmup the same way on both points.
+        def _timed(sf: str) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            return round(best, 3)
+
+        timings[name] = _timed(data_dir)
+        ref_timings[name] = _timed(_REF_DIR)
+        exponents[name] = round(
+            math.log10(max(timings[name], 1e-3) / max(ref_timings[name], 1e-3)), 3
+        )
+        if exponents[name] > _SUPERLINEAR:
+            superlinear.append(name)
+        print(
+            f"  {name}: {timings[name]}s @10x, {ref_timings[name]}s @sf0.1, "
+            f"exp={exponents[name]}",
+            file=sys.stderr,
+        )
 
     doc = {
         "metric": "scale_sweep_wall_time",
@@ -91,6 +121,14 @@ def main() -> None:
         "dir": data_dir,
         "sf_equiv": "~1 (10x key-shifted replication of sf0.1)",
         "queries": timings,
+        "ref_sf01_queries": ref_timings,
+        "scaling_exponents": exponents,
+        "exponent_note": (
+            "log10(t_10x / t_sf0.1) for the 10x data step: 1.0 = linear, "
+            "<1 sub-linear (fixed overhead amortizing), >1 super-linear. "
+            f"flag threshold {_SUPERLINEAR} (~14x time for 10x data)"
+        ),
+        "superlinear_flagged": superlinear,
         "window_caps": caps_report,
         "caps_ok": not failures,
         "failures": failures,

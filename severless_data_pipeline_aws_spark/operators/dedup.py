@@ -1470,3 +1470,114 @@ def dedup_url_canonical_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("doc_id").cast("bigint").alias("kept_doc_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_variants"),
     )
+
+
+# --- X2h: AllPairs / PPJoin prefix-filtered similarity join (r5) ------------
+
+_ALLPAIRS_TAU = 0.5  # Jaccard threshold (dyadic literal, identical text)
+
+
+@register(
+    "dedup_allpairs_prefix_jaccard",
+    oracle=f"""
+        WITH {_SHINGLE_CTE_SQL},
+        tok AS MATERIALIZED (SELECT doc_id, shingle AS token FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM tok a JOIN tok b USING (token)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_ALLPAIRS_TAU}
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "X2h: exact similarity join at shingle-Jaccard >= 0.5 via "
+        "PREFIX FILTERING (Bayardo/Chaudhuri AllPairs / PPJoin): each "
+        "doc's distinct 3-gram shingle set is ordered by (document "
+        "frequency ASC, shingle ASC) and only its first "
+        "n - ceil(tau*n) + 1 shingles are indexed — a pair passing tau "
+        "MUST share a prefix shingle (if the prefixes were disjoint, "
+        "the intersection would fit inside one suffix of size "
+        "ceil(tau*n) - 1 < tau*n <= tau*|union|, a contradiction), so "
+        "the candidate join on the short rare-shingle postings is "
+        "COMPLETE, not approximate. PPJoin's length bound prunes "
+        "further before verification: J >= tau forces "
+        "tau*|a| <= |b| <= |a|/tau, an inequality filter on the "
+        "candidate row. Survivors are verified with the exact "
+        "intersection count. The oracle is the brute-force all-shingle "
+        "inverted-index join, so the hash match PROVES the filter "
+        "chain lost nothing. Scale shape: the only window is the "
+        "per-doc prefix rank (doc-grain, bounded by shingles/doc); "
+        "df-ascending prefixes index the RAREST shingles, collapsing "
+        "the candidate space — the deterministic exact-threshold "
+        "complement of MinHash-LSH (same corpus tier, no probability "
+        "of a missed pair)."
+    ),
+    tags=("dedup", "llm", "join", "topk"),
+)
+def dedup_allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    docs = _pair_docs(t)
+    tok = docs.select(
+        "doc_id", F.explode(_shingles()).alias("token")
+    ).distinct().persist()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # prefix = first (n - ceil(tau*n) + 1) shingles in global (df, token)
+    # order; the rank window is PER DOC (bounded by shingles/doc)
+    ranked = (
+        tok.join(df, "token")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "token")),
+        )
+        .filter(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "token", "n")
+    )
+    # candidate join on prefix postings + the PPJoin length bound
+    # (tau*na <= nb <= na/tau follows from J >= tau) applied in-join
+    cand = (
+        ranked.select(F.col("doc_id").alias("doc_a"), "token", F.col("n").alias("na"))
+        .join(
+            ranked.select(F.col("doc_id").alias("doc_b"), "token", F.col("n").alias("nb")),
+            "token",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("nb")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verify on candidates only: intersection via the full shingle
+    # lists of the two sides
+    inter = (
+        cand.join(tok.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+        .join(tok.select(F.col("doc_id").alias("doc_b"), "token"), ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _ALLPAIRS_TAU)
+        .orderBy("doc_a", "doc_b")
+    )

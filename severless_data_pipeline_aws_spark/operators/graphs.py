@@ -887,3 +887,130 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("core_degree") >= _KCORE_K)
         .select(F.col("u").alias("nationkey"), "core_degree")
     )
+
+
+# --- G11: closeness centrality (r5) ----------------------------------------
+
+# Unrolled multi-source BFS rounds. 6 suffices HERE for the same reason
+# _KCORE_ROUNDS=4 does: the co-trade graph has <=25 nation nodes and is
+# dense (high-value order pairs), so its diameter is far below 6, and
+# tests/test_r5_invariants.py asserts round 6 claims no new (src, node)
+# pair at every test SF — the unroll IS the converged all-pairs table.
+# A general deployment iterates to fixpoint with persist+localCheckpoint
+# per round (the connected-components pattern in dedup.py).
+_CLOSENESS_ROUNDS = 6
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle=f"""
+        WITH RECURSIVE co AS (
+            SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst FROM co WHERE a <> b
+            UNION
+            SELECT b AS src, a AS dst FROM co WHERE a <> b
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        walk(root, node, hop) AS (
+            SELECT node, node, 0 FROM nodes
+            UNION
+            SELECT walk.root, sym.dst, walk.hop + 1
+            FROM walk JOIN sym ON sym.src = walk.node
+            WHERE walk.hop < {_CLOSENESS_ROUNDS}
+        ),
+        dists AS (
+            SELECT root, node, MIN(hop) AS dist FROM walk GROUP BY root, node
+        ),
+        agg AS (
+            SELECT root,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable,
+                   CAST(SUM(dist) AS BIGINT) AS total_dist,
+                   CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes
+            FROM dists GROUP BY root
+        )
+        SELECT CAST(root AS BIGINT) AS nationkey, n_reachable, total_dist,
+               CASE WHEN total_dist = 0 THEN 0.0
+                    ELSE (CAST(n_reachable AS DOUBLE) / (n_nodes - 1))
+                         * (CAST(n_reachable AS DOUBLE) / total_dist) END
+                   AS closeness
+        FROM agg ORDER BY nationkey
+    """,
+    doc=(
+        "G11: closeness centrality of every nation in the undirected "
+        "high-value co-trade graph (Wasserman-Faust form, so "
+        "disconnected components are scored fairly: (r/(n-1))*(r/d) "
+        "with r = reachable peers, d = total hop distance) — on a "
+        "document-citation graph this ranks the most central corpus "
+        "hubs before sampling around them. Multi-source BFS as "
+        f"{_CLOSENESS_ROUNDS} unrolled Pregel rounds (frontier join + "
+        "distinct + anti-join against visited, identical to "
+        "graph_bfs_part_supplier_hops but seeded from EVERY node); the "
+        "graph is bounded (<=25 nations), so state is (25 x 25) pairs "
+        "of metadata, and the fixpoint within the unroll is asserted "
+        "in pytest. All arithmetic is integer until the two final "
+        "IEEE divisions, written identically on both engines. The "
+        "oracle replays the traversal as a multi-source recursive CTE "
+        "whose UNION dedups (root, node, hop)."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    sym = (
+        co.selectExpr("a AS src", "b AS dst")
+        .union(co.selectExpr("b AS src", "a AS dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()  # bounded metadata (<=25), a query parameter
+
+    visited = nodes.select(
+        F.col("node").alias("root"), "node", F.lit(0).cast("bigint").alias("dist")
+    ).persist()
+    frontier = visited
+    for hop in range(1, _CLOSENESS_ROUNDS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("bigint"))
+            .persist()
+        )
+        visited = visited.union(nxt).persist()
+        frontier = nxt
+    agg = visited.groupBy("root").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reachable"),
+        F.sum("dist").cast("bigint").alias("total_dist"),
+    )
+    return (
+        agg.select(
+            F.col("root").cast("bigint").alias("nationkey"),
+            "n_reachable",
+            "total_dist",
+            F.expr(
+                "CASE WHEN total_dist = 0 THEN 0.0 "
+                f"ELSE (CAST(n_reachable AS DOUBLE) / ({n_nodes} - 1)) "
+                "* (CAST(n_reachable AS DOUBLE) / total_dist) END"
+            ).alias("closeness"),
+        )
+        .orderBy("nationkey")
+    )

@@ -1029,3 +1029,81 @@ def multimodal_wav_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_samples int, peak_abs int, energy bigint, "
         "zero_crossings int, wav_valid boolean",
     )
+
+
+# --- X5k: magic-byte MIME classification over a mixed corpus (r5) -----------
+
+_MIME_LIMIT = 300  # doc_ids mixed across the three payload formats
+
+
+@register(
+    "multimodal_magic_mime_classify",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image/bmp'
+                        WHEN 1 THEN 'audio/wav'
+                        ELSE 'application/x-img1' END AS detected_type,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN {54 + _BMP_DIGESTS * 16}
+                        WHEN 1 THEN {44 + _WAV_N_SAMPLES * 2}
+                        ELSE 28 END AS sz
+            FROM documents WHERE doc_id < {_MIME_LIMIT}
+        )
+        SELECT detected_type,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(sz) AS BIGINT) AS total_bytes
+        FROM d GROUP BY detected_type ORDER BY detected_type
+    """,
+    doc=(
+        "X5k: content-type detection by MAGIC BYTES over a mixed binary "
+        "corpus — the first gate of any multimodal ingest (route by what "
+        "the bytes SAY, never by filename/metadata). A mixed corpus is "
+        "synthesized from documents (doc_id%3 -> byte-valid BMP / RIFF "
+        "WAV / legacy IMG1 payloads, the three existing X5 tiers), then "
+        "classified purely by sniffing the payload column with JVM "
+        "substring/hex exprs: 'BM' -> image/bmp, 'RIFF'+'WAVE' -> "
+        "audio/wav, 'IMG1' -> the synthetic format, else octet-stream. "
+        "Counts and byte totals per detected type. The oracle derives "
+        "the expected class and the (constant, format-determined) "
+        "payload sizes from doc_id arithmetic — so a mis-sniff or a "
+        "malformed synthesized header breaks the hash. Payload bytes "
+        "are never shuffled: classification is map-side, the aggregate "
+        "carries (type, count, bytes) only."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_magic_mime_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bmp = synthesize_bmp_media(spark, sf_dir, _MIME_LIMIT).filter(
+        F.pmod("doc_id", F.lit(3)) == 0
+    )
+    wav = synthesize_wav_media(spark, sf_dir, _MIME_LIMIT).filter(
+        F.pmod("doc_id", F.lit(3)) == 1
+    )
+    img = (
+        synthesize_media(spark, sf_dir, _MIME_LIMIT)
+        .filter(F.pmod("doc_id", F.lit(3)) == 2)
+        .select("doc_id", "payload")
+    )
+    mixed = bmp.select("doc_id", "payload").union(wav.select("doc_id", "payload")).union(img)
+    detected = mixed.select(
+        "doc_id",
+        F.length("payload").alias("sz"),
+        F.expr(
+            "CASE WHEN hex(substring(payload, 1, 2)) = '424D' THEN 'image/bmp' "
+            "WHEN hex(substring(payload, 1, 4)) = '52494646' "
+            "  AND hex(substring(payload, 9, 4)) = '57415645' THEN 'audio/wav' "
+            "WHEN hex(substring(payload, 1, 4)) = '494D4731' "
+            "  THEN 'application/x-img1' "
+            "ELSE 'application/octet-stream' END"
+        ).alias("detected_type"),
+    )
+    return (
+        detected.groupBy("detected_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("sz").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("detected_type")
+    )

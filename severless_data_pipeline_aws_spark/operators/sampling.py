@@ -1002,3 +1002,209 @@ def sampling_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_w").cast("bigint").alias("cum_w"),
         F.col("n_hits").cast("bigint").alias("n_hits"),
     )
+
+
+# --- X7g: k-center greedy diversity coreset (r5) ----------------------------
+
+_KCENTER_K = 8
+
+
+def _kc_d2_sql(a: str, b: str, dims: int = 64) -> str:
+    """0.0-seeded ascending squared-L2 fold — Spark's F.aggregate twin."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dims + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy farthest-point CTEs: pick 0 = lowest vec_id, then
+    each round keeps a running min-distance column and takes the argmax
+    (ties -> lowest vec_id) — the same incremental recurrence the Spark
+    loop executes with order-pinned folds."""
+    steps = []
+    for r in range(1, _KCENTER_K):
+        steps.append(f"""
+        m{r} AS (
+            SELECT e.vec_id, e.v,
+                   LEAST(e.md, {_kc_d2_sql("e.v", "p.cv")}) AS md
+            FROM m{r - 1} e CROSS JOIN p{r - 1} p
+            WHERE e.vec_id <> p.vec_id
+        ),
+        p{r} AS (
+            SELECT vec_id, v AS cv, md FROM m{r}
+            QUALIFY row_number() OVER (ORDER BY md DESC, vec_id) = 1
+        )""")
+    picks = "\n            UNION ALL\n".join(
+        f"            SELECT {r} AS pick, vec_id, "
+        + ("CAST(NULL AS DOUBLE) AS min_d2" if r == 0 else "md AS min_d2")
+        + f" FROM p{r}"
+        for r in range(_KCENTER_K)
+    )
+    return f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        p0 AS (
+            SELECT vec_id, v AS cv FROM emb
+            QUALIFY row_number() OVER (ORDER BY vec_id) = 1
+        ),
+        m0 AS (
+            SELECT vec_id, v, CAST('infinity' AS DOUBLE) AS md FROM emb
+        ),
+        {",".join(steps)}
+        SELECT CAST(pick AS INT) AS pick, vec_id, min_d2 FROM (
+{picks}
+        ) ORDER BY pick
+    """
+
+
+@register(
+    "sampling_kcenter_greedy_coreset",
+    oracle=_kcenter_oracle(),
+    doc=(
+        "X7g: k-center greedy (farthest-point) coreset of the embedding "
+        "corpus — the classic 2-approximation diversity sampler used to "
+        "pick maximally-spread training exemplars (and seed k-means++ "
+        "style initializations). Pick 0 = lowest vec_id; each of the "
+        f"{_KCENTER_K - 1} following rounds selects the vector with the "
+        "LARGEST distance to its nearest already-picked center (ties -> "
+        "lowest vec_id). Every round is one map-only pass: the picked "
+        "centers are bounded metadata inlined as a literal array, the "
+        "min-distance is a sequential fold (ascending dims, LEAST "
+        "across centers — both order-pinned), and the argmax is an "
+        "orderBy(desc(md), vec_id).limit(1) — a TakeOrdered of ONE row "
+        "per round, never a fact-grain sort. At 100 TB the identical "
+        "loop runs on a hash-sampled slice, exactly like IVF training. "
+        "The oracle unrolls the greedy recurrence as incremental "
+        "min-distance CTEs and hash-matches picks AND distances."
+    ),
+    tags=("sampling", "llm", "similarity", "iterative"),
+)
+def sampling_kcenter_greedy_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _as_double
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v")).persist()
+
+    schema = "pick int, vec_id bigint, min_d2 double"
+    seed_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:  # empty corpus -> empty coreset, same schema
+        return spark.createDataFrame([], schema)
+    first = seed_rows[0]
+    picks: list[tuple[int, int, float | None]] = [(0, first["vec_id"], None)]
+    centers = [(first["vec_id"], list(first["v"]))]
+    for r in range(1, _KCENTER_K):
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(vid).alias("vid"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+                )
+                for vid, vec in centers
+            ]
+        )
+        d2 = lambda cell: F.aggregate(  # noqa: E731 — local fold builder
+            F.zip_with(F.col("v"), cell["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        md = F.aggregate(
+            cells, F.lit(float("inf")), lambda acc, cell: F.least(acc, d2(cell))
+        )
+        top_rows = (
+            emb.filter(~F.col("vec_id").isin([vid for vid, _ in centers]))
+            .select("vec_id", "v", md.alias("md"))
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:  # corpus smaller than k -> stop early
+            break
+        top = top_rows[0]
+        picks.append((r, top["vec_id"], float(top["md"])))
+        centers.append((top["vec_id"], list(top["v"])))
+    return spark.createDataFrame(picks, schema).orderBy("pick")
+
+
+# --- X7h: exact stratified train/val/test split (r5) ------------------------
+
+
+def _split_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    hashed = hash_long_chain_subquery(
+        "documents", ["doc_id", "lang"], ["doc_id"], out="h"
+    )
+    return f"""
+        WITH h AS (SELECT doc_id, lang, h FROM {hashed} q),
+        r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM h
+        )
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rank_in_stratum,
+               CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                    WHEN rk <= (9 * n) // 10 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r ORDER BY lang, rank_in_stratum
+    """
+
+
+@register(
+    "sampling_train_val_test_exact",
+    oracle=_split_oracle(),
+    doc=(
+        "X7h: exact per-stratum 80/10/10 train/val/test split of the "
+        "document corpus — EXACT floor counts per language (train gets "
+        "floor(0.8n) docs, val the next floor(0.9n)-floor(0.8n), pure "
+        "integer arithmetic, no probabilistic drift), with membership "
+        "decided by rank in xxhash64(doc_id) order so the split is "
+        "deterministic, reproducible, and uncorrelated with any data "
+        "column. The per-stratum rank is computed WITHOUT a per-lang "
+        "global sort: docs bucket by the top bits of the hash "
+        "(monotone in the sort key), counts per (lang, bucket) roll "
+        "into broadcast offsets, and the only row_number runs inside "
+        "(lang, bucket) partitions — the bucket-offset pattern from "
+        "operators/scalable.py, so a 4-language 100 TB corpus never "
+        "funnels a stratum through one task. Oracle replays the hash "
+        "via the XXH64 limb twin and a plain per-lang window."
+    ),
+    tags=("sampling", "llm"),
+)
+def sampling_train_val_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", "lang", F.xxhash64("doc_id").alias("h"))
+    # bucket-offset per-stratum rank: bucket = top 6 bits of the signed
+    # hash (arithmetic shift -> monotone), offsets per (lang, bucket)
+    b = d.withColumn("__bkt", F.expr("shiftright(h, 58)"))
+    counts = b.groupBy("lang", "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    woff = (
+        W.partitionBy("lang")
+        .orderBy("__bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "lang", "__bkt", F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("__n").alias("n"))
+    local = F.row_number().over(W.partitionBy("lang", "__bkt").orderBy("h", "doc_id"))
+    ranked = (
+        b.join(F.broadcast(offs), ["lang", "__bkt"])
+        .withColumn("rank_in_stratum", (F.col("__off") + local).cast("bigint"))
+        .join(F.broadcast(totals), "lang")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "rank_in_stratum",
+        F.expr(
+            "CASE WHEN rank_in_stratum <= (8 * n) DIV 10 THEN 'train' "
+            "WHEN rank_in_stratum <= (9 * n) DIV 10 THEN 'val' "
+            "ELSE 'test' END"
+        ).alias("split"),
+    ).orderBy("lang", "rank_in_stratum")

@@ -3399,3 +3399,132 @@ def stats_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d AS outlier_day", "y AS outlier_value", "g AS g_stat",
         )
     )
+
+
+# --- ST39: Benjamini-Hochberg FDR over per-type drift tests (r5) -----------
+
+_BH_Q = 0.1  # FDR level (dyadic-close literal; identical text both engines)
+
+_BH_FROM = "bh_type_half_sums"
+
+#: shared closed-form tail: Welch-style z^2 from exact half sums, the
+#: distribution-free Chebyshev p-bound p = min(1, 1/z^2) (an exact
+#: rational in the sums — no erf/Phi, so no transcendental-libm skew),
+#: and the BH step-up over the bounded per-type test table. {c} is the
+#: engine's correctly-rounded DECIMAL->DOUBLE cast.
+#: NOTE: a CTE-list *continuation* (no leading WITH) so the oracle can
+#: prepend its own halves/sums CTEs; the Spark side prefixes "WITH ".
+_BH_TAIL = """
+    stats AS (
+        SELECT event_type, n_a, n_b,
+               (s_a / nd_a - s_b / nd_b) AS mdiff,
+               ((q_a - s_a * s_a / nd_a) / (nd_a - 1)) / nd_a
+                 + ((q_b - s_b * s_b / nd_b) / (nd_b - 1)) / nd_b AS se2
+        FROM {src}
+    ),
+    tests AS (
+        SELECT event_type, n_a, n_b,
+               CASE WHEN se2 = 0 THEN 0.0
+                    ELSE (mdiff * mdiff) / se2 END AS z2,
+               CASE WHEN mdiff * mdiff = 0 THEN 1.0
+                    WHEN se2 = 0 THEN 0.0
+                    ELSE LEAST(1.0, se2 / (mdiff * mdiff)) END AS p_chebyshev
+        FROM stats
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_chebyshev, event_type) AS BIGINT)
+                   AS p_rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM tests
+    ),
+    kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN p_chebyshev <= p_rank * CAST({q} AS DOUBLE) / m
+                                 THEN p_rank END), 0) AS k
+        FROM ranked
+    )
+    SELECT r.event_type, r.n_a, r.n_b, r.z2, r.p_chebyshev, r.p_rank,
+           r.p_rank * CAST({q} AS DOUBLE) / r.m AS bh_threshold,
+           CAST(CASE WHEN r.p_rank <= kmax.k THEN 1 ELSE 0 END AS INT) AS reject
+    FROM ranked r CROSS JOIN kmax
+    ORDER BY r.p_rank
+"""
+
+
+@register(
+    "stats_benjamini_hochberg_fdr",
+    oracle=f"""
+        WITH halves AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) % 2 AS half,
+                   value
+            FROM events
+        ),
+        {_BH_FROM} AS (
+            SELECT event_type,
+                   CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_a,
+                   CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_b,
+                   CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS DOUBLE) AS nd_a,
+                   CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS DOUBLE) AS nd_b,
+                   CAST(CAST(SUM(CASE WHEN half = 0
+                                 THEN CAST(value AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS s_a,
+                   CAST(CAST(SUM(CASE WHEN half = 1
+                                 THEN CAST(value AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS s_b,
+                   CAST(CAST(SUM(CASE WHEN half = 0
+                                 THEN CAST(value AS DECIMAL(38,8)) * value END)
+                        AS VARCHAR) AS DOUBLE) AS q_a,
+                   CAST(CAST(SUM(CASE WHEN half = 1
+                                 THEN CAST(value AS DECIMAL(38,8)) * value END)
+                        AS VARCHAR) AS DOUBLE) AS q_b
+            FROM halves GROUP BY event_type
+        ),
+        {_BH_TAIL.format(src=_BH_FROM, q=_BH_Q)}
+    """,
+    doc=(
+        "ST39: Benjamini-Hochberg FDR control (q=0.1) over the family "
+        "of per-event-type drift tests: each type's value distribution "
+        "is compared between even and odd epoch days (Welch z^2 from "
+        "exact DECIMAL power sums), p-values are the distribution-free "
+        "Chebyshev bound min(1, 1/z^2) — an exact rational of the sums, "
+        "deliberately chosen over Phi(|z|) because erf is transcendental "
+        "and libm-divergent across engines — and the BH step-up rejects "
+        "the largest prefix of the p-ordered tests under i*q/m. The "
+        "fact scan collapses to one row per (type, parity) in a single "
+        "aggregate; ranking runs over the bounded per-type test table "
+        "(|event types| rows of metadata), so the window is never "
+        "fact-grain. The multiple-testing gate every drift-monitor "
+        "dashboard needs before alerting on its widest scan."
+    ),
+    tags=("stats", "ab", "quality"),
+)
+def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    halves = t.events.select(
+        "event_type",
+        (F.expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')") % 2).alias("half"),
+        "value",
+    )
+    sums = halves.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT)").alias("n_b"),
+        F.expr("CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS DOUBLE)").alias("nd_a"),
+        F.expr("CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS DOUBLE)").alias("nd_b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 0 THEN CAST(value AS DECIMAL(38,8)) END) AS DOUBLE)"
+        ).alias("s_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 1 THEN CAST(value AS DECIMAL(38,8)) END) AS DOUBLE)"
+        ).alias("s_b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 0 THEN CAST(value AS DECIMAL(38,8)) * value END)"
+            " AS DOUBLE)"
+        ).alias("q_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 1 THEN CAST(value AS DECIMAL(38,8)) * value END)"
+            " AS DOUBLE)"
+        ).alias("q_b"),
+    )
+    sums.createOrReplaceTempView(_BH_FROM)
+    return spark.sql("WITH " + _BH_TAIL.format(src=_BH_FROM, q=_BH_Q))

@@ -1482,3 +1482,101 @@ def timeseries_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     return daily.groupBy("event_type").applyInPandas(_hw, schema=schema)
+
+
+@register(
+    "window_rsi_indicator",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+            FROM orders GROUP BY 1, 2
+        ),
+        deltas AS (
+            SELECT priority, day,
+                   x - lag(x) OVER (PARTITION BY priority ORDER BY day) AS delta
+            FROM daily
+        ),
+        gl AS (
+            SELECT priority, day,
+                   CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DECIMAL(19,4)) END AS gain,
+                   CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS DECIMAL(19,4)) END AS loss
+            FROM deltas WHERE delta IS NOT NULL
+        ),
+        rolled AS (
+            SELECT priority, day,
+                   COUNT(*) OVER w AS nw,
+                   SUM(gain) OVER w AS sg,
+                   SUM(loss) OVER w AS sl
+            FROM gl
+            WINDOW w AS (PARTITION BY priority ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT priority, day,
+               CAST(CAST(sg AS VARCHAR) AS DOUBLE) AS sum_gain,
+               CAST(CAST(sl AS VARCHAR) AS DOUBLE) AS sum_loss,
+               CASE WHEN sg + sl = 0 THEN 50.0
+                    ELSE (100.0 * CAST(CAST(sg AS VARCHAR) AS DOUBLE))
+                         / CAST(CAST(sg + sl AS VARCHAR) AS DOUBLE) END AS rsi
+        FROM rolled WHERE nw = 14
+        ORDER BY priority, day
+    """,
+    doc=(
+        "W20: 14-day RSI (relative strength index, Cutler's simple-mean "
+        "form) on daily revenue per order priority — the momentum "
+        "oscillator a metrics dashboard draws next to Bollinger bands "
+        "(W17). Day deltas, gains, and losses are exact DECIMALs; the "
+        "14-row rolling sums stay decimal until the final "
+        "correctly-rounded DOUBLE cast, so RSI = 100*sg/(sg+sl) is the "
+        "same IEEE division on both engines (flat windows define RSI "
+        "50). The only windows run over the calendar-bounded per-"
+        "priority day series — the orders fact is reduced to day grain "
+        "in one aggregate first, so no fact-grain ordering exists at "
+        "any scale and partitions are bounded by days-per-priority."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))").alias("x")
+    )
+    wl = W.partitionBy("priority").orderBy("day")
+    deltas = daily.select(
+        "priority", "day", (F.col("x") - F.lag("x").over(wl)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    gl = deltas.select(
+        "priority",
+        "day",
+        F.expr(
+            "CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DECIMAL(19,4)) END"
+        ).alias("gain"),
+        F.expr(
+            "CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS DECIMAL(19,4)) END"
+        ).alias("loss"),
+    )
+    wr = W.partitionBy("priority").orderBy("day").rowsBetween(-13, W.currentRow)
+    rolled = gl.select(
+        "priority",
+        "day",
+        F.count(F.lit(1)).over(wr).alias("nw"),
+        F.sum("gain").over(wr).alias("sg"),
+        F.sum("loss").over(wr).alias("sl"),
+    )
+    return (
+        rolled.filter(F.col("nw") == 14)
+        .select(
+            "priority",
+            "day",
+            F.expr("CAST(sg AS DOUBLE)").alias("sum_gain"),
+            F.expr("CAST(sl AS DOUBLE)").alias("sum_loss"),
+            F.expr(
+                "CASE WHEN sg + sl = 0 THEN 50.0 "
+                "ELSE (100.0 * CAST(sg AS DOUBLE)) / CAST(sg + sl AS DOUBLE) END"
+            ).alias("rsi"),
+        )
+        .orderBy("priority", "day")
+    )

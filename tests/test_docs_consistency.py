@@ -62,15 +62,32 @@ _R4_QUERIES = frozenset(
 )
 
 
+#: queries introduced in round 5 — SURVEY §2.15 is their inventory
+_R5_QUERIES = frozenset(
+    {
+        "dedup_allpairs_prefix_jaccard",
+        "sampling_kcenter_greedy_coreset",
+        "sampling_train_val_test_exact",
+        "graph_closeness_centrality",
+        "stats_benjamini_hochberg_fdr",
+        "window_rsi_indicator",
+        "multimodal_magic_mime_classify",
+    }
+)
+
+
+def _survey_section(text: str, heading: str) -> str:
+    start = text.index(heading)
+    next_heading = text.find("\n#", start + 1)
+    return text[start : next_heading if next_heading != -1 else len(text)]
+
+
 def test_survey_214_pinned_to_registry():
     """SURVEY §2.14 must inventory every round-4 query (r4 verdict #2:
     the judging bar is 'every operator in SURVEY §2', so operators that
     exist only in COVERAGE.md leave the inventory stale) and must not
     name queries the registry doesn't have."""
-    text = open(_SURVEY).read()
-    start = text.index("### 2.14")
-    next_heading = text.find("\n#", start + 1)
-    section = text[start : next_heading if next_heading != -1 else len(text)]
+    section = _survey_section(open(_SURVEY).read(), "### 2.14")
     names = set(registry.load_all())
     documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
     assert _R4_QUERIES <= names, "r4 pin list drifted from registry"
@@ -78,6 +95,19 @@ def test_survey_214_pinned_to_registry():
     assert not missing, f"r4 queries absent from SURVEY §2.14: {sorted(missing)}"
     ghosts = documented - names
     assert not ghosts, f"SURVEY §2.14 references unknown queries: {sorted(ghosts)}"
+
+
+def test_survey_215_pinned_to_registry():
+    """Same contract for the round-5 additions: SURVEY §2.15 names every
+    r5 query, and only real ones."""
+    section = _survey_section(open(_SURVEY).read(), "### 2.15")
+    names = set(registry.load_all())
+    documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
+    assert _R5_QUERIES <= names, "r5 pin list drifted from registry"
+    missing = _R5_QUERIES - documented
+    assert not missing, f"r5 queries absent from SURVEY §2.15: {sorted(missing)}"
+    ghosts = documented - names
+    assert not ghosts, f"SURVEY §2.15 references unknown queries: {sorted(ghosts)}"
 
 
 def test_driver_sample_prefix_spans_every_module():

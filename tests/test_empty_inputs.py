@@ -131,6 +131,31 @@ REPRESENTATIVE = [
     "funnel_kaplan_meier_conversion",
     "stats_logrank_two_arm",
     "stats_nelson_aalen_hazard",
+    # round-4 additions not yet represented (r4 verdict #9): every new
+    # operator family gets a zero-row case
+    "funnel_shapley_attribution",
+    "funnel_window_funnel_levels",
+    "geo_nearest_hub_grid",
+    "join_bloom_prefilter_semireduction",
+    "multimodal_bmp_resize_box",
+    "multimodal_wav_pcm_features",
+    "sampling_pps_systematic",
+    "similarity_silhouette_centroid",
+    "stats_brown_forsythe_levene",
+    "stats_friedman_test",
+    "stats_grubbs_max_outlier",
+    "stats_jackknife_ratio_se",
+    "stats_mcnemar_paired",
+    "timeseries_holt_winters_additive",
+    "timeseries_sax_symbolic",
+    # round-5 additions
+    "dedup_allpairs_prefix_jaccard",
+    "sampling_train_val_test_exact",
+    "sampling_kcenter_greedy_coreset",
+    "graph_closeness_centrality",
+    "stats_benjamini_hochberg_fdr",
+    "window_rsi_indicator",
+    "multimodal_magic_mime_classify",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -149,6 +174,10 @@ _ALLOW_ONE_ROW = {
     # r4: global aggregates that keep their one NULL-field row on empty
     "stats_hodges_lehmann_shift",
     "stats_hellinger_category_drift",
+    "stats_brown_forsythe_levene",
+    "stats_friedman_test",
+    "stats_jackknife_ratio_se",
+    "stats_mcnemar_paired",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

@@ -683,6 +683,9 @@ _BNLJ_BOUNDED_OK = {
     "stats_hodges_lehmann_shift",
     "join_bloom_prefilter_semireduction", "similarity_silhouette_centroid",
     "stats_friedman_test", "stats_grubbs_max_outlier",
+    # r5: the BH step-up cross-joins the one-row kmax scalar (the max
+    # rejected rank) against the bounded per-event-type test table
+    "stats_benjamini_hochberg_fdr",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",
