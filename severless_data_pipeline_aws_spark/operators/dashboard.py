@@ -1634,3 +1634,171 @@ def geo_nearest_hub_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hub_id")
     )
+
+
+#: FK edges of the star/snowflake schema: (edge label, child table,
+#: child key, parent table, parent key).  Parent keys are primary keys,
+#: so the orphan check is a plain existence test.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+#: dims small enough to broadcast to every executor at ANY scale factor
+_FK_BROADCAST_PARENTS = {"nation", "region", "supplier", "part"}
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{label}' AS fk_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphans,
+               CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+        FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+          ON c.{ck} = p.{pk}""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_referential_integrity_audit",
+    oracle=_fk_oracle(),
+    doc=(
+        "Referential-integrity audit over every FK edge of the schema "
+        "(lineitem->orders/part/supplier, orders->customer, customer/"
+        "supplier->nation, nation->region): child row count, orphan "
+        "count (child key with no parent row), orphan rate. THE first "
+        "report to run on any newly-landed snapshot — silent FK rot is "
+        "how joins start dropping revenue rows without any job failing. "
+        "Each edge is a left join against the DISTINCT parent keys "
+        "counting null hits in one aggregate: dims (nation, region, "
+        "supplier, part) broadcast so five of seven edges are "
+        "shuffle-free on the probe side; orders/customer edges shuffle "
+        "on the key they'd join on anyway. The seven per-edge "
+        "one-row aggregates union into the report — counts are exact "
+        "integers, the rate is one double division."
+    ),
+    tags=("dq", "join", "agg"),
+)
+def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    out = None
+    for label, child, ck, parent, pk in _FK_EDGES:
+        par = getattr(t, parent).select(pk).distinct()
+        if parent in _FK_BROADCAST_PARENTS:
+            par = F.broadcast(par)
+        joined = getattr(t, child).select(ck).join(
+            par, on=F.col(ck) == F.col(pk), how="left"
+        )
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_orphans"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE)"
+            ).alias("orphan_rate"),
+        ).select(F.lit(label).alias("fk_edge"), "n_child", "n_orphans", "orphan_rate")
+        out = agg if out is None else out.unionAll(agg)
+    return out
+
+
+_DRIFT_SPLIT = "DATE '2024-01-16'"  # snapshot A = before, B = on/after
+_DRIFT_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+def _drift_oracle() -> str:
+    parts = []
+    for c in _DRIFT_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               CAST(SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN snap = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN snap = 'A' AND {c} IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                 / CAST(SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS null_rate_a,
+               CAST(SUM(CASE WHEN snap = 'B' AND {c} IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                 / CAST(SUM(CASE WHEN snap = 'B' THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS null_rate_b,
+               CAST(COUNT(DISTINCT CASE WHEN snap = 'A' THEN {c} END) AS BIGINT)
+                 AS n_distinct_a,
+               CAST(COUNT(DISTINCT CASE WHEN snap = 'B' THEN {c} END) AS BIGINT)
+                 AS n_distinct_b
+        FROM (SELECT CASE WHEN CAST(ts AS DATE) < {_DRIFT_SPLIT}
+                          THEN 'A' ELSE 'B' END AS snap, *
+              FROM events)""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_schema_drift_two_snapshots",
+    oracle=_drift_oracle(),
+    doc=(
+        "Column-level profile drift between two snapshots of the same "
+        "table (events split at 2024-01-16: A = first half-month, B = "
+        "second): per column, row counts, null rates, and distinct "
+        "cardinalities side by side — the check a landing pipeline "
+        "runs when yesterday's load 'succeeded' but a producer quietly "
+        "started emitting nulls or collapsed an enum. One scan tags "
+        "each row with its snapshot, then per-column conditional "
+        "aggregates (null counts are map-side combinable; the distinct "
+        "counts are exact COUNT(DISTINCT CASE ...) — at petabyte grain "
+        "swap those two columns for HLL sketches, which is why they sit "
+        "last in the row). Counts and rates are exact integers and "
+        "single divisions, hash-exact on both engines."
+    ),
+    tags=("dq", "agg"),
+)
+def dq_schema_drift_two_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tagged = t.events.withColumn(
+        "snap",
+        F.expr(f"CASE WHEN CAST(ts AS DATE) < {_DRIFT_SPLIT} THEN 'A' ELSE 'B' END"),
+    )
+    out = None
+    for c in _DRIFT_COLS:
+        agg = tagged.agg(
+            F.expr("CAST(SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "n_a"
+            ),
+            F.expr("CAST(SUM(CASE WHEN snap = 'B' THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "n_b"
+            ),
+            F.expr(
+                f"CAST(SUM(CASE WHEN snap = 'A' AND {c} IS NULL THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / CAST(SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END)"
+                " AS DOUBLE)"
+            ).alias("null_rate_a"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN snap = 'B' AND {c} IS NULL THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / CAST(SUM(CASE WHEN snap = 'B' THEN 1 ELSE 0 END)"
+                " AS DOUBLE)"
+            ).alias("null_rate_b"),
+            F.expr(
+                f"CAST(COUNT(DISTINCT CASE WHEN snap = 'A' THEN {c} END) AS BIGINT)"
+            ).alias("n_distinct_a"),
+            F.expr(
+                f"CAST(COUNT(DISTINCT CASE WHEN snap = 'B' THEN {c} END) AS BIGINT)"
+            ).alias("n_distinct_b"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_a",
+            "n_b",
+            "null_rate_a",
+            "null_rate_b",
+            "n_distinct_a",
+            "n_distinct_b",
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out

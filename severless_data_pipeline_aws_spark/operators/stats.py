@@ -3528,3 +3528,577 @@ def stats_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums.createOrReplaceTempView(_BH_FROM)
     return spark.sql("WITH " + _BH_TAIL.format(src=_BH_FROM, q=_BH_Q))
+
+
+# ---------------------------------------------------------------------------
+# round 5: ln-free sequential-diagnostics battery.  Spark's JVM log/exp do
+# NOT bit-match DuckDB's libm (measured: ~1.5-10% of inputs differ in the
+# last ulp), so every statistic below is built from +,-,*,/ and sqrt only —
+# IEEE-deterministic given exact integer/decimal inputs — which is why
+# Durbin-Watson / Ljung-Box / Cochran-Armitage / Cliff's delta / Cohen's
+# kappa made the cut and Bartlett (needs ln of variances) did not.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stats_durbin_watson",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS x,
+                   lag(CAST(round(value * 10000) AS BIGINT))
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS xp
+            FROM events WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx_d,
+                   CAST(CAST(SUM(CASE WHEN xp IS NOT NULL
+                                      THEN CAST((x - xp) * (x - xp) AS DECIMAL(38,0))
+                                      END) AS VARCHAR) AS DOUBLE) AS d2_d
+            FROM base GROUP BY event_type
+        )
+        SELECT event_type, n,
+               (nd * d2_d) / (nd * sxx_d - sx_d * sx_d) AS durbin_watson
+        FROM s
+    """,
+    doc=(
+        "Durbin-Watson serial-correlation diagnostic per event_type "
+        "stream (DW ~ 2 = white noise, -> 0 = positive autocorrelation, "
+        "-> 4 = alternation): DW = sum((x_t - x_{t-1})^2) / sum((x_t - "
+        "mean)^2), the residual-vs-mean-model form. One window pass "
+        "pairs each 1e-4 fixed-point value with its predecessor (ts, "
+        "event_id order), squared first differences and power sums "
+        "accumulate as DECIMAL(38,0) integers (d^2 <= 1.1e13 per term, "
+        "BIGINT-safe; sums decimal-safe past 1e19), and the denominator "
+        "n*Sxx - Sx^2 = n^2 * centered-SS keeps the mean exact by "
+        "scaling through rather than dividing early. The final ratio is "
+        "ONE double expression over identically-cast inputs — bit-exact "
+        "on both engines. One shuffle for the window, map-side combine "
+        "for the sums; no Python, no collect."
+    ),
+    tags=("stats", "window", "timeseries"),
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    base = (
+        t.events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+        )
+        .withColumn("xp", F.lag("x").over(w))
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx_d"),
+        F.expr("CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE)").alias("sxx_d"),
+        F.expr(
+            "CAST(SUM(CASE WHEN xp IS NOT NULL"
+            " THEN CAST((x - xp) * (x - xp) AS DECIMAL(38,0)) END) AS DOUBLE)"
+        ).alias("d2_d"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr("(nd * d2_d) / (nd * sxx_d - sx_d * sx_d)").alias("durbin_watson"),
+    )
+
+
+_LB_LAGS = 5
+
+#: shared rho_k / Q formulas (identical expression TREE on both engines —
+#: doubles from exact integer sums, so every rounding happens identically)
+_LB_RHO = (
+    "(spp{k}_d - (sx_d / nd) * (sh{k}_d + st{k}_d)"
+    " + (nd - {k}.0) * (sx_d / nd) * (sx_d / nd))"
+    " / (sxx_d - sx_d * sx_d / nd)"
+)
+_LB_Q = "nd * (nd + 2.0) * (" + " + ".join(
+    f"rho{k} * rho{k} / (nd - {k}.0)" for k in range(1, _LB_LAGS + 1)
+) + ")"
+
+
+def _lb_oracle() -> str:
+    lag_cols = ",\n                   ".join(
+        f"lag(CAST(round(value * 10000) AS BIGINT), {k})"
+        f" OVER (PARTITION BY event_type ORDER BY ts, event_id) AS xk{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    sums = ",\n                   ".join(
+        f"CAST(CAST(SUM(CASE WHEN xk{k} IS NOT NULL"
+        f" THEN CAST(x * xk{k} AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) AS spp{k}_d,\n"
+        f"                   CAST(CAST(SUM(CASE WHEN xk{k} IS NOT NULL"
+        f" THEN CAST(x AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) AS sh{k}_d,\n"
+        f"                   CAST(CAST(SUM(CAST(xk{k} AS DECIMAL(38,0)))"
+        f" AS VARCHAR) AS DOUBLE) AS st{k}_d"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    rhos = ",\n               ".join(
+        _LB_RHO.format(k=k) + f" AS rho{k}" for k in range(1, _LB_LAGS + 1)
+    )
+    rho_names = ", ".join(f"rho{k}" for k in range(1, _LB_LAGS + 1))
+    return f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS x,
+                   {lag_cols}
+            FROM events WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx_d,
+                   {sums}
+            FROM base GROUP BY event_type
+        ),
+        r AS (
+            SELECT event_type, n, nd,
+               {rhos}
+            FROM s
+        )
+        SELECT event_type, n, {rho_names}, {_LB_Q} AS q_lb FROM r
+    """
+
+
+@register(
+    "stats_ljung_box",
+    oracle=_lb_oracle(),
+    doc=(
+        "Ljung-Box portmanteau test statistic per event_type (lags 1-5): "
+        "Q = n(n+2) * sum_k rho_k^2/(n-k), the standard 'is this series "
+        "white noise' gate run before fitting any forecaster. Sample "
+        "autocorrelations rho_k use the full-series mean and the c_0 "
+        "denominator; expanding the centered cross-products keeps every "
+        "accumulated quantity an exact integer (1e-4 fixed-point values; "
+        "per-lag pair-product, head and tail sums in DECIMAL(38,0)) and "
+        "defers the mean to the shared double formula (_LB_RHO / _LB_Q), "
+        "evaluated with the identical expression tree on both engines. "
+        "ONE window pass produces all five lags (five lag() calls over "
+        "the same sort — Spark plans a single Window node), one map-side-"
+        "combined groupBy reduces 17 sums per type, and rho_1..rho_5 are "
+        "materialized before Q so the statistic reuses the identical "
+        "rounded doubles. No ln, no libm divergence risk, no Python."
+    ),
+    tags=("stats", "window", "timeseries"),
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    base = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+    )
+    for k in range(1, _LB_LAGS + 1):
+        base = base.withColumn(f"xk{k}", F.lag("x", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx_d"),
+        F.expr("CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE)").alias("sxx_d"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CASE WHEN xk{k} IS NOT NULL"
+                f" THEN CAST(x * xk{k} AS DECIMAL(38,0)) END) AS DOUBLE)"
+            ).alias(f"spp{k}_d")
+        )
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CASE WHEN xk{k} IS NOT NULL"
+                f" THEN CAST(x AS DECIMAL(38,0)) END) AS DOUBLE)"
+            ).alias(f"sh{k}_d")
+        )
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CAST(xk{k} AS DECIMAL(38,0))) AS DOUBLE)"
+            ).alias(f"st{k}_d")
+        )
+    s = base.groupBy("event_type").agg(*aggs)
+    r = s.select(
+        "event_type",
+        "n",
+        "nd",
+        *[
+            F.expr(_LB_RHO.format(k=k)).alias(f"rho{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    return r.select(
+        "event_type",
+        "n",
+        *[f"rho{k}" for k in range(1, _LB_LAGS + 1)],
+        F.expr(_LB_Q).alias("q_lb"),
+    )
+
+
+_CA_Z = (
+    "((nd * t1_d - rd * t2_d) / nd)"
+    " / sqrt((rd / nd) * (1.0 - rd / nd) * (t3_d - t2_d * t2_d / nd))"
+)
+
+
+@register(
+    "stats_cochran_armitage_trend",
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+                        AS BIGINT) AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS resp
+            FROM events
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(resp) AS BIGINT) AS r,
+                   CAST(CAST(SUM(resp) AS BIGINT) AS DOUBLE) AS rd,
+                   CAST(CAST(SUM(CAST(score * resp AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) AS t1_d,
+                   CAST(CAST(SUM(CAST(score AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) AS t2_d,
+                   CAST(CAST(SUM(CAST(score * score AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) AS t3_d
+            FROM g
+        )
+        SELECT n, r, (nd * t1_d - rd * t2_d) / nd AS trend_t, {_CA_Z} AS z_score
+        FROM s
+    """,
+    doc=(
+        "Cochran-Armitage test for trend: is the purchase rate drifting "
+        "monotonically across the five ISO weeks of the event window? "
+        "The dose-response test behind 'is conversion degrading over "
+        "time' release gates — more powerful than chi-square when the "
+        "alternative is ordered. T = sum_i s_i (r_i - n_i R/N) with "
+        "integer week scores s_i; everything accumulates as exact "
+        "integers at ROW grain (score*resp, score, score^2 — no "
+        "per-week pre-aggregation needed, the group sums telescope), "
+        "then T and Var(T) = p(1-p)[sum s^2 n - (sum s n)^2/N] evaluate "
+        "in one shared double expression (_CA_Z) ending in an "
+        "IEEE-exact sqrt. Single map-side-combined global aggregate — "
+        "the cheapest possible shape."
+    ),
+    tags=("stats", "ab", "timeseries"),
+)
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    g = t.events.select(
+        F.expr(
+            "CAST(floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7.0) AS BIGINT)"
+        ).alias("score"),
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias("resp"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("resp").cast("bigint").alias("r"),
+        F.sum("resp").cast("bigint").cast("double").alias("rd"),
+        F.expr("CAST(SUM(CAST(score * resp AS DECIMAL(38,0))) AS DOUBLE)").alias("t1_d"),
+        F.expr("CAST(SUM(CAST(score AS DECIMAL(38,0))) AS DOUBLE)").alias("t2_d"),
+        F.expr("CAST(SUM(CAST(score * score AS DECIMAL(38,0))) AS DOUBLE)").alias("t3_d"),
+    )
+    return s.select(
+        "n",
+        "r",
+        F.expr("(nd * t1_d - rd * t2_d) / nd").alias("trend_t"),
+        F.expr(_CA_Z).alias("z_score"),
+    )
+
+
+_CLIFF_DELTA = "2.0 * ((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2)" \
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) - 1.0"
+_CLIFF_BAND = (
+    "CASE WHEN abs({d}) < 0.147 THEN 'negligible'"
+    " WHEN abs({d}) < 0.33 THEN 'small'"
+    " WHEN abs({d}) < 0.474 THEN 'medium'"
+    " ELSE 'large' END"
+)
+
+
+@register(
+    "stats_cliffs_delta",
+    oracle=f"""
+        WITH pooled AS (
+            SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS grp,
+                   value
+            FROM events
+            WHERE event_type IN ('view', 'signup') AND value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT grp,
+                   2 * rank() OVER (ORDER BY value)
+                     + COUNT(*) OVER (PARTITION BY value) - 1 AS rank2
+            FROM pooled
+        ),
+        sums AS (
+            SELECT
+                CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN grp = 1 THEN rank2 ELSE 0 END) AS BIGINT) AS r1x2
+            FROM ranked
+        )
+        SELECT n1, n2, {_CLIFF_DELTA} AS cliffs_delta,
+               {_CLIFF_BAND.format(d=_CLIFF_DELTA)} AS magnitude
+        FROM sums
+    """,
+    doc=(
+        "Cliff's delta ordinal effect size between the 'view' and "
+        "'signup' value distributions: delta = P(X>Y) - P(X<Y) = "
+        "2U/(n1*n2) - 1 — the assumption-free companion to Mann-Whitney "
+        "that answers 'HOW different, not just significantly different' "
+        "(the number a metrics review should quote instead of a bare "
+        "p-value). Reuses the doubled-midrank machinery (integer tie "
+        "handling: rank2 = 2*cnt_less + cnt_eq + 1 at distinct-value "
+        "grain via operators/scalable.py value_rank_table — bucketed "
+        "prefix sums, no global row-grain window), so U and delta are "
+        "exact; the Romano magnitude bands (0.147/0.33/0.474) label the "
+        "result. Same scale shape as stats_mann_whitney_u: one "
+        "distinct-value reduction + one broadcast-joined prefix pass."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import value_rank_table
+
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin("view", "signup") & F.col("value").isNotNull()
+    ).select(
+        F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 2 END").alias("grp"),
+        "value",
+    )
+    vr = value_rank_table(pooled, "value", F.floor(F.col("value")).cast("bigint"))
+    per_vg = pooled.groupBy("value", "grp").agg(F.count(F.lit(1)).alias("k"))
+    ranked = per_vg.join(vr, "value").select(
+        "grp", "k", (2 * F.col("cnt_less") + F.col("cnt_eq") + 1).alias("rank2")
+    )
+    sums = ranked.agg(
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN k ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(CASE WHEN grp = 2 THEN k ELSE 0 END) AS BIGINT)").alias("n2"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 THEN k * rank2 ELSE 0 END) AS BIGINT)"
+        ).alias("r1x2"),
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.expr(_CLIFF_DELTA).alias("cliffs_delta"),
+        F.expr(_CLIFF_BAND.format(d=_CLIFF_DELTA)).alias("magnitude"),
+    )
+
+
+_KAPPA_GUESS = (
+    "CASE WHEN list_contains(string_split(text, ' '), 'the')"
+    " OR list_contains(string_split(text, ' '), 'a') THEN 'en'"
+    " WHEN list_contains(string_split(text, ' '), 'le')"
+    " OR list_contains(string_split(text, ' '), 'de') THEN 'fr'"
+    " WHEN list_contains(string_split(text, ' '), 'el')"
+    " OR list_contains(string_split(text, ' '), 'la') THEN 'es'"
+    " ELSE 'und' END"
+)
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle=f"""
+        WITH rated AS (
+            SELECT lang AS a, {_KAPPA_GUESS} AS b
+            FROM documents
+        ),
+        marg_a AS (SELECT a AS cat, CAST(COUNT(*) AS BIGINT) AS ra FROM rated GROUP BY a),
+        marg_b AS (SELECT b AS cat, CAST(COUNT(*) AS BIGINT) AS cb FROM rated GROUP BY b),
+        chance AS (
+            SELECT CAST(SUM(ma.ra * mb.cb) AS BIGINT) AS s
+            FROM marg_a ma JOIN marg_b mb ON ma.cat = mb.cat
+        ),
+        agree AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS diag
+            FROM rated
+        )
+        SELECT n, diag,
+               CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+               CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_expected,
+               (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 AS cohens_kappa
+        FROM agree, chance
+    """,
+    doc=(
+        "Cohen's kappa inter-rater agreement between the labeled lang "
+        "column and the stopword-cascade language guesser (the same "
+        "rule set as text_langid_heuristic) over ALL documents: kappa = "
+        "(p_o - p_e)/(1 - p_e), chance-corrected agreement — the "
+        "quality-assurance statistic for ANY pair of labelers in a "
+        "training-data pipeline (heuristic vs model, annotator vs "
+        "annotator). Marginals and the diagonal are integer counts; the "
+        "chance term sum(row_c * col_c) joins the two marginal tables "
+        "on category (|langs|+1 rows — broadcast, trivially), so the "
+        "final kappa is one shared double expression over five exact "
+        "integers. Two map-side-combined aggregates over one scan shape."
+    ),
+    tags=("stats", "text", "llm"),
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    has = lambda w: F.array_contains(words, w)  # noqa: E731
+    rated = t.documents.select(
+        F.col("lang").alias("a"),
+        F.when(has("the") | has("a"), "en")
+        .when(has("le") | has("de"), "fr")
+        .when(has("el") | has("la"), "es")
+        .otherwise("und")
+        .alias("b"),
+    )
+    marg_a = rated.groupBy(F.col("a").alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ra")
+    )
+    marg_b = rated.groupBy(F.col("b").alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    chance = (
+        marg_a.join(marg_b, "cat")
+        .agg(F.expr("CAST(SUM(ra * cb) AS BIGINT)").alias("s"))
+    )
+    agree = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)").alias("diag"),
+    )
+    return agree.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "diag",
+        F.expr("CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)").alias("p_observed"),
+        F.expr(
+            "CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+        ).alias("p_expected"),
+        F.expr(
+            "(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+            " / (1.0 - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+        ).alias("cohens_kappa"),
+    )
+
+
+_PH_DELTA_FIX = 500  # drift allowance delta = 0.05 in 1e-4 fixed point
+_PH_LAMBDA = 20.0  # alarm threshold on the PH statistic
+
+
+@register(
+    "stats_page_hinkley_drift",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(round(value * 10000) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+            FROM base GROUP BY event_type
+        ),
+        y AS (
+            SELECT b.event_type, b.event_id, b.ts,
+                   b.x * t.n - t.sx - t.n * {_PH_DELTA_FIX} AS yv, t.n AS n
+            FROM base b JOIN tot t USING (event_type)
+        ),
+        p AS (
+            SELECT event_type, event_id, ts, n,
+                   CAST(SUM(yv) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pt
+            FROM y
+        ),
+        m AS (
+            SELECT event_type, event_id, n, pt,
+                   MIN(pt) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS mt
+            FROM p
+        )
+        SELECT event_type, event_id,
+               CAST(CAST(pt - mt AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE)) AS ph_stat,
+               CAST(CAST(pt - mt AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE)) > {_PH_LAMBDA}
+                   AS alarm
+        FROM m
+    """,
+    doc=(
+        "Page-Hinkley change detector per event_type: m_t = "
+        "sum_i(x_i - mean - delta), PH_t = m_t - min_(i<=t) m_i, alarm "
+        "when PH_t > lambda — the sequential drift monitor (delta = "
+        "0.05 drift allowance, lambda = 20) used by online-learning "
+        "pipelines to trigger model retraining. Same max-plus rewrite "
+        "as stats_cusum_drift_detector: scale the deviations through "
+        "by n (y = n*x - sum(x) - n*delta_fix, all BIGINT in 1e-4 "
+        "fixed point) so the prefix sum AND the prefix min are exact "
+        "integers on one sorted window pass — no per-row recurrence, "
+        "no Python — and the single double division plus threshold "
+        "compare evaluate identically on both engines. The difference "
+        "from CUSUM: PH subtracts the running minimum INCLUDING the "
+        "current row (min can't exceed pt, so PH >= 0 without a "
+        "clamp), and the delta term biases against benign wander so "
+        "lambda survives long stationary streams."
+    ),
+    tags=("stats", "window", "timeseries", "anomaly"),
+)
+def stats_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    base = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    y = base.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        (
+            F.col("x") * F.col("n") - F.col("sx") - F.col("n") * F.lit(_PH_DELTA_FIX)
+        ).alias("yv"),
+        "n",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = y.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "n",
+        F.sum("yv").over(w).cast("bigint").alias("pt"),
+    )
+    m = p.select(
+        "event_type", "event_id", "n", "pt", F.min("pt").over(w).alias("mt")
+    )
+    ph = "CAST(pt - mt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE))"
+    return m.select(
+        "event_type",
+        "event_id",
+        F.expr(ph).alias("ph_stat"),
+        F.expr(f"{ph} > {_PH_LAMBDA}").alias("alarm"),
+    )

@@ -72,6 +72,14 @@ _R5_QUERIES = frozenset(
         "stats_benjamini_hochberg_fdr",
         "window_rsi_indicator",
         "multimodal_magic_mime_classify",
+        "stats_durbin_watson",
+        "stats_ljung_box",
+        "stats_cochran_armitage_trend",
+        "stats_cliffs_delta",
+        "stats_cohens_kappa",
+        "stats_page_hinkley_drift",
+        "dq_referential_integrity_audit",
+        "dq_schema_drift_two_snapshots",
     }
 )
 
