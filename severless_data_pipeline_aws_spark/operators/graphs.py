@@ -1014,3 +1014,173 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+_LPA_ROUNDS = 3
+
+_LPA_STEP_SQL = """
+            SELECT v, lbl FROM (
+                SELECT s.src AS v, l.lbl,
+                       row_number() OVER (PARTITION BY s.src
+                                          ORDER BY COUNT(*) DESC, l.lbl)
+                           AS rn
+                FROM sym s JOIN {prev} l ON l.v = s.dst
+                GROUP BY s.src, l.lbl
+            ) WHERE rn = 1
+"""
+
+
+@register(
+    "graph_label_propagation_communities",
+    oracle=f"""
+        WITH co AS (
+            SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS a,
+                            CAST(s.s_nationkey AS BIGINT) AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000 AND c.c_nationkey <> s.s_nationkey
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst FROM co
+            UNION
+            SELECT b AS src, a AS dst FROM co
+        ),
+        l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+        l1 AS ({_LPA_STEP_SQL.format(prev="l0")}),
+        l2 AS ({_LPA_STEP_SQL.format(prev="l1")}),
+        l3 AS ({_LPA_STEP_SQL.format(prev="l2")})
+        SELECT v AS nationkey, lbl AS community FROM l3
+    """,
+    doc=(
+        "Label-propagation community detection (synchronous, "
+        f"{_LPA_ROUNDS} rounds) over the undirected high-value nation "
+        "co-trade graph: every node adopts its neighborhood's most "
+        "frequent label each round, ties broken by MINIMUM label — the "
+        "near-linear-time community algorithm (Raghavan et al.) that "
+        "needs no modularity objective or cluster count. The "
+        "deterministic tie-break makes synchronous LPA a pure integer "
+        "fixpoint — each Spark round is one edges-to-labels equi-join "
+        "+ per-(node,label) count + a row_number pick, the identical "
+        "plan at any graph size (on a billion-node graph: edge list "
+        "hash-partitioned by dst once, every round reuses it; "
+        "localCheckpoint cuts lineage like connected components). "
+        "Rounds are unrolled in the oracle as chained CTEs; all "
+        "quantities are integers, so the hash match is exact. The "
+        "nation graph converges within 3 rounds (cf. _KCORE_ROUNDS' "
+        "bound note); a general deployment iterates until no label "
+        "changes."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("a"),
+            F.col("s_nationkey").cast("bigint").alias("b"),
+        )
+        .distinct()
+    )
+    sym = (
+        co.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(co.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    w = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("v").alias("nationkey"), F.col("lbl").alias("community"))
+
+
+_RA_TOP = 25
+_RA_SCALE = 1_000_000_000_000  # 1e12 fixed-point for the 1/deg terms
+
+
+@register(
+    "graph_resource_allocation_link_prediction",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+            FROM lineitem
+        ),
+        pdeg AS (
+            SELECT part, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY part
+        )
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS common_parts,
+               CAST(CAST(SUM({_RA_SCALE} // pd.d) AS VARCHAR) AS DOUBLE)
+                   / CAST({_RA_SCALE} AS DOUBLE) AS ra_score
+        FROM edges a
+        JOIN edges b ON a.part = b.part AND a.supp < b.supp
+        JOIN pdeg pd ON pd.part = a.part
+        GROUP BY a.supp, b.supp
+        ORDER BY ra_score DESC, supp_a, supp_b
+        LIMIT {_RA_TOP}
+    """,
+    doc=(
+        "Resource-allocation link prediction over the supplier-part "
+        "bipartite graph: score supplier pairs by sum over common "
+        "parts z of 1/deg(z) — RA weights RARE shared neighbors high "
+        "where common-neighbor Jaccard counts a ubiquitous hub part "
+        "the same as an exclusive one (Zhou/Lu/Zhang 2009; the "
+        "deliberately ln-free cousin of Adamic-Adar, whose 1/ln(deg) "
+        "needs a libm ln that measurably diverges between the JVM and "
+        "DuckDB). Each 1/deg term is quantized to 1e-12 by exact "
+        "integer division (1e12 DIV d — floor semantics pinned on "
+        "both engines; never round(double)), so the per-pair sum is "
+        "an exact BIGINT and the final score one shared division. "
+        "Candidates come from the part->suppliers inverted index "
+        "with the degree broadcast-joined at part grain; the hub "
+        "fan-out caveat and its salting remedy are the same as the "
+        "Jaccard variant's."
+    ),
+    tags=("graph", "similarity", "topk"),
+)
+def graph_resource_allocation_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = t.lineitem.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    pdeg = edges.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    b = edges.select(F.col("supp").alias("supp_b"), "part")
+    return (
+        a.join(b, ["part"])
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .join(F.broadcast(pdeg), "part")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+            F.expr(
+                f"CAST(SUM({_RA_SCALE} DIV d) AS DOUBLE)"
+                f" / CAST({_RA_SCALE} AS DOUBLE)"
+            ).alias("ra_score"),
+        )
+        .orderBy(F.desc("ra_score"), "supp_a", "supp_b")
+        .limit(_RA_TOP)
+    )

@@ -2440,3 +2440,81 @@ def similarity_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFram
         "     ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)"
         " END AS silhouette",
     )
+
+
+_COS_HIST_BLOCK = 48  # sample block: 48*47/2 = 1128 pairs — diagnostic-sized
+_COS_HIST_BINS = 20
+
+
+@register(
+    "similarity_pairwise_cosine_histogram",
+    oracle=f"""
+        WITH s AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {_COS_HIST_BLOCK}
+        ),
+        n AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM s
+        ),
+        pairs AS (
+            SELECT LEAST(CAST(floor((list_dot_product(a.v, b.v)
+                                     / (a.nrm * b.nrm) + 1.0) * 10.0)
+                              AS BIGINT), {_COS_HIST_BINS - 1}) AS bucket
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT bucket,
+               CAST(bucket AS DOUBLE) / 10.0 - 1.0 AS cos_lo,
+               CAST(bucket + 1 AS DOUBLE) / 10.0 - 1.0 AS cos_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY bucket
+    """,
+    doc=(
+        "Pairwise-cosine histogram over a deterministic sample block "
+        "(first 48 vectors, 1128 pairs; 20 bins on [-1, 1]): the "
+        "embedding-space GEOMETRY diagnostic — a healthy corpus puts "
+        "mass near 0 with a thin positive tail; a collapsed encoder "
+        "(anisotropy, the classic contrastive-training failure) piles "
+        "everything above 0.8, and that shows up here before any "
+        "downstream ANN recall mysteriously saturates. Cosines use the "
+        "same order-deterministic zip_with fold as the exact top-k "
+        "tier, norms precomputed per side; the bucket index is "
+        "floor((cos+1)*10) — floor, never CAST(double AS BIGINT), "
+        "whose round-half-even vs truncate semantics differ between "
+        "engines — clamped so cos = 1.0 lands in the top bin. The "
+        "all-pairs join is bounded by the block constant (a DIAGNOSTIC "
+        "on a sample, like the silhouette op — at 100 TB you histogram "
+        "a per-partition sample union, not the corpus); the histogram "
+        "itself reduces to <= 20 rows map-side."
+    ),
+    tags=("similarity", "llm", "quality"),
+)
+def similarity_pairwise_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    s = t.embeddings.filter(F.col("vec_id") < _COS_HIST_BLOCK).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    n = s.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = n.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(
+            F.least(
+                F.floor((cos + F.lit(1.0)) * F.lit(10.0)).cast("bigint"),
+                F.lit(_COS_HIST_BINS - 1),
+            ).alias("bucket")
+        )
+    )
+    return pairs.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).select(
+        "bucket",
+        F.expr("CAST(bucket AS DOUBLE) / 10.0 - 1.0").alias("cos_lo"),
+        F.expr("CAST(bucket + 1 AS DOUBLE) / 10.0 - 1.0").alias("cos_hi"),
+        "n_pairs",
+    )

@@ -1638,3 +1638,111 @@ def text_rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+#: Gopher quality-rule thresholds (Rae et al. 2021, Table A1 subset),
+#: adapted to the synthetic corpus: the stopword list uses this
+#: corpus's function words (the canonical list is {the, be, to, of,
+#: and, that, have, with}).
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_STOPWORDS = ("the", "a", "data", "key", "row")
+_GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / len(words) AS mean_word_len,
+                   CAST(len(list_filter(words, x -> x IN
+                        {tuple(_GOPHER_STOPWORDS)!r})) AS BIGINT)
+                       AS n_stopwords,
+                   CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS DOUBLE) / len(words) AS alpha_word_frac
+            FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, n_stopwords, alpha_word_frac,
+               n_words >= {_GOPHER_MIN_WORDS}
+                   AND n_words <= {_GOPHER_MAX_WORDS} AS pass_word_count,
+               mean_word_len >= {_GOPHER_MIN_MWL}
+                   AND mean_word_len <= {_GOPHER_MAX_MWL} AS pass_mean_word_len,
+               alpha_word_frac >= 0.8 AS pass_alpha_frac,
+               n_stopwords >= {_GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+               n_words >= {_GOPHER_MIN_WORDS}
+                   AND n_words <= {_GOPHER_MAX_WORDS}
+                   AND mean_word_len >= {_GOPHER_MIN_MWL}
+                   AND mean_word_len <= {_GOPHER_MAX_MWL}
+                   AND alpha_word_frac >= 0.8
+                   AND n_stopwords >= {_GOPHER_MIN_STOPWORDS} AS keep
+        FROM m
+    """,
+    doc=(
+        "Gopher-style document quality rules (Rae et al. 2021): the "
+        "rule battery every LLM pretraining pipeline runs before "
+        "anything expensive — word-count bounds [50, 100k], mean word "
+        "length [3, 10], fraction of words containing an alphabetic "
+        "character >= 0.8, and >= 2 stopwords (list adapted to this "
+        "corpus's function words; the symbol-ratio and bullet-line "
+        "rules of the full battery are vacuous on single-line "
+        "symbol-free synthetic text and omitted rather than asserted "
+        "trivially). All metrics are row-local higher-order array "
+        "functions — zero shuffle, whole-stage-codegen, linear scan; "
+        "the mean-word-length division is the only float op and both "
+        "engines divide the same exact integers. Emits per-rule pass "
+        "flags AND the conjunctive keep verdict so downstream sampling "
+        "can weight by failure mode instead of just dropping."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("bigint")
+    mwl = (
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / F.size(words)
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*_GOPHER_STOPWORDS))
+    ).cast("bigint")
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / F.size(words)
+    )
+    m = t.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        alpha_frac.alias("alpha_word_frac"),
+    )
+    pass_wc = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= _GOPHER_MAX_WORDS
+    )
+    pass_mwl = (F.col("mean_word_len") >= _GOPHER_MIN_MWL) & (
+        F.col("mean_word_len") <= _GOPHER_MAX_MWL
+    )
+    pass_alpha = F.col("alpha_word_frac") >= 0.8
+    pass_stop = F.col("n_stopwords") >= _GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        "alpha_word_frac",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_alpha.alias("pass_alpha_frac"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_alpha & pass_stop).alias("keep"),
+    )

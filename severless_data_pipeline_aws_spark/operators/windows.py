@@ -1580,3 +1580,306 @@ def window_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "day")
     )
+
+
+#: MACD recurrence expressions, templated like Holt-Winters so every
+#: repeated sub-expression rounds identically wherever it appears.
+#: Constants are runtime divisions (2.0/13.0 etc.) — the SAME double on
+#: both engines, and (1.0 - a) is constant-folded to the identical
+#: value Python computes once in the pandas loop.
+_MACD_E12 = "(2.0/13.0) * b.x + (1.0 - 2.0/13.0) * r.e12"
+_MACD_E26 = "(2.0/27.0) * b.x + (1.0 - 2.0/27.0) * r.e26"
+_MACD_LINE = f"({_MACD_E12}) - ({_MACD_E26})"
+_MACD_SIG = f"0.2 * ({_MACD_LINE}) + 0.8 * r.sig"
+_MACD_HIST = f"({_MACD_LINE}) - ({_MACD_SIG})"
+
+
+@register(
+    "timeseries_macd_crossover",
+    oracle=f"""
+        WITH RECURSIVE daily AS MATERIALIZED (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS VARCHAR) AS DOUBLE) AS x,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY CAST(o_orderdate AS DATE)) AS rn
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+            GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+        ),
+        r AS (
+            SELECT o_orderpriority, day, rn, x,
+                   x AS e12, x AS e26,
+                   CAST(0.0 AS DOUBLE) AS macd_line,
+                   CAST(0.0 AS DOUBLE) AS sig,
+                   CAST(0.0 AS DOUBLE) AS hist,
+                   FALSE AS crossover
+            FROM daily WHERE rn = 1
+            UNION ALL
+            SELECT b.o_orderpriority, b.day, b.rn, b.x,
+                   {_MACD_E12} AS e12,
+                   {_MACD_E26} AS e26,
+                   {_MACD_LINE} AS macd_line,
+                   {_MACD_SIG} AS sig,
+                   {_MACD_HIST} AS hist,
+                   (({_MACD_HIST}) > 0.0) <> (r.hist > 0.0) AS crossover
+            FROM daily b
+            JOIN r ON b.o_orderpriority = r.o_orderpriority
+                  AND b.rn = r.rn + 1
+        )
+        SELECT o_orderpriority, day, x AS revenue, macd_line,
+               sig AS signal_line, hist AS histogram, crossover
+        FROM r
+    """,
+    doc=(
+        "MACD momentum indicator (12/26-day EMAs, 9-day signal, "
+        "histogram, crossover flags) on each order priority's daily "
+        "1995 revenue — the trend-following diagnostic a metrics "
+        "dashboard runs beside RSI and Bollinger. The fact table "
+        "reduces to day grain in ONE distributed exact-DECIMAL "
+        "aggregate (the scale-bearing step); the three chained EMA "
+        "recurrences are inherently order-sequential in t, so they run "
+        "as applyInPandas over the <=365-row day series per priority — "
+        "serial within a series, parallel across series, the EWMA/"
+        "Holt-Winters contract. EMA constants are runtime divisions "
+        "(2/13, 2/27, 1/5) evaluated identically on both engines, and "
+        "every derived quantity (macd = e12-e26, signal, histogram, "
+        "the sign-flip crossover) reuses the templated expressions "
+        "(_MACD_*) so the pandas loop and the recursive-CTE oracle "
+        "execute the same IEEE ops in the same order — hash-exact."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def timeseries_macd_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_orderpriority", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("x")
+        )
+    )
+
+    schema = (
+        "o_orderpriority string, day date, revenue double, macd_line double,"
+        " signal_line double, histogram double, crossover boolean"
+    )
+    a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 0.2
+    b12, b26, b9 = 1.0 - a12, 1.0 - a26, 1.0 - a9
+
+    def _macd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day", kind="mergesort")
+        out = []
+        e12 = e26 = sig = hist = None
+        for _, row in pdf.iterrows():
+            x = row["x"]
+            if e12 is None:
+                e12, e26, macd, sig, hist, cross = x, x, 0.0, 0.0, 0.0, False
+            else:
+                e12 = a12 * x + b12 * e12
+                e26 = a26 * x + b26 * e26
+                macd = e12 - e26
+                sig = a9 * macd + b9 * sig
+                prev_hist = hist
+                hist = macd - sig
+                cross = (hist > 0.0) != (prev_hist > 0.0)
+            out.append((row["o_orderpriority"], row["day"], x, macd, sig, hist, cross))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "o_orderpriority", "day", "revenue", "macd_line",
+                "signal_line", "histogram", "crossover",
+            ],
+        )
+
+    return daily.groupBy("o_orderpriority").applyInPandas(_macd, schema=schema)
+
+
+#: Croston recurrences — dyadic alpha=0.25 (exactly representable), so
+#: both engines execute identical IEEE multiply-adds.
+_CROSTON_Z = "0.25 * CAST(b.q AS DOUBLE) + 0.75 * r.z"
+_CROSTON_P = "0.25 * CAST(b.gap AS DOUBLE) + 0.75 * r.p"
+
+
+@register(
+    "timeseries_croston_intermittent",
+    oracle=f"""
+        WITH RECURSIVE nz AS MATERIALIZED (
+            SELECT user_id, day, q,
+                   datediff('day', lag(day) OVER (PARTITION BY user_id
+                                                  ORDER BY day), day) AS gap,
+                   row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+            FROM (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS q
+                FROM events
+                WHERE event_type = 'purchase' AND user_id <= 20
+                GROUP BY user_id, CAST(ts AS DATE)
+            )
+        ),
+        r AS (
+            SELECT user_id, day, rn, q,
+                   CAST(q AS DOUBLE) AS z, CAST(1.0 AS DOUBLE) AS p
+            FROM nz WHERE rn = 1
+            UNION ALL
+            SELECT b.user_id, b.day, b.rn, b.q,
+                   {_CROSTON_Z} AS z,
+                   {_CROSTON_P} AS p
+            FROM nz b
+            JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        )
+        SELECT user_id, day, q AS demand, z AS size_smooth,
+               p AS interval_smooth, z / p AS croston_forecast
+        FROM r
+    """,
+    doc=(
+        "Croston's method for intermittent demand per user (daily "
+        "purchase counts, most days zero — the spare-parts/long-tail "
+        "regime where plain EWMA systematically underforecasts): "
+        "separate exponential smoothers on the nonzero demand SIZES "
+        "(z) and the INTER-DEMAND intervals (p, seeded at 1), "
+        "forecast = z/p demand per day. Only nonzero-demand days "
+        "enter the recurrence — the series is |purchase days| long "
+        "(<= 30 here), never fact- or calendar-grain, so the "
+        "sequential part is metadata-sized while the day-grain "
+        "reduction and the lag() gap computation stay distributed. "
+        "Dyadic alpha = 0.25 and the templated recurrences "
+        "(_CROSTON_Z/_CROSTON_P) make the pandas loop and the "
+        "recursive-CTE oracle bit-identical; the final z/p is one "
+        "shared IEEE division."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def timeseries_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    nz = (
+        t.events.filter((F.col("event_type") == "purchase") & (F.col("user_id") <= 20))
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("q"))
+    )
+
+    schema = (
+        "user_id bigint, day date, demand bigint, size_smooth double,"
+        " interval_smooth double, croston_forecast double"
+    )
+
+    def _croston(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day", kind="mergesort")
+        out = []
+        z = p = prev_day = None
+        for _, row in pdf.iterrows():
+            q, day = row["q"], row["day"]
+            if z is None:
+                z, p = float(q), 1.0
+            else:
+                gap = float((day - prev_day).days)
+                z = 0.25 * float(q) + 0.75 * z
+                p = 0.25 * gap + 0.75 * p
+            prev_day = day
+            out.append((row["user_id"], day, q, z, p, z / p))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "day", "demand", "size_smooth",
+                "interval_smooth", "croston_forecast",
+            ],
+        )
+
+    return nz.groupBy("user_id").applyInPandas(_croston, schema=schema)
+
+
+#: Kalman local-level recurrences (process noise Q=0.25, measurement
+#: noise R=1.0 — dyadic). DuckDB can't reference sibling aliases, so
+#: the gain/posterior template strings recompute sub-expressions —
+#: recomputation of the same IEEE ops yields the same doubles.
+_KAL_PP = "(r.p + 0.25)"
+_KAL_K = f"({_KAL_PP} / ({_KAL_PP} + 1.0))"
+_KAL_X = f"(r.x + {_KAL_K} * (b.z - r.x))"
+_KAL_P = f"((1.0 - {_KAL_K}) * {_KAL_PP})"
+
+
+@register(
+    "timeseries_kalman_filter_1d",
+    oracle=f"""
+        WITH RECURSIVE base AS MATERIALIZED (
+            SELECT user_id, event_id, ts, value AS z,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id <= 20 AND value IS NOT NULL
+        ),
+        r AS (
+            SELECT user_id, event_id, ts, rn, z,
+                   z AS x, CAST(1.0 AS DOUBLE) AS p,
+                   CAST(0.0 AS DOUBLE) AS gain
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.user_id, b.event_id, b.ts, b.rn, b.z,
+                   {_KAL_X} AS x,
+                   {_KAL_P} AS p,
+                   {_KAL_K} AS gain
+            FROM base b
+            JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, ts, z AS value, x AS x_filtered,
+               p AS p_var, gain
+        FROM r
+    """,
+    doc=(
+        "1-D Kalman filter (local-level model, Q=0.25 process / R=1.0 "
+        "measurement noise) over each user's event-value stream: the "
+        "optimal recursive denoiser whose gain ADAPTS per step — early "
+        "observations move the estimate a lot, later ones a little, "
+        "converging to a steady-state smoother (what EWMA hard-codes). "
+        "Predict/update recurrences (p+Q, K = pp/(pp+R), x += K*(z-x), "
+        "p = (1-K)*pp) are order-sequential, so they run as "
+        "applyInPandas per user — serial within a stream, parallel "
+        "across streams, same contract and key bound as the EWMA "
+        "smoother. Dyadic noise constants and the templated recurrence "
+        "strings (_KAL_*) keep the pandas loop and the recursive-CTE "
+        "oracle on identical IEEE op sequences — the filtered state, "
+        "variance, and gain all hash-exact."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def timeseries_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    base = t.events.filter((F.col("user_id") <= 20) & F.col("value").isNotNull()).select(
+        "user_id", "event_id", "ts", F.col("value").alias("z")
+    )
+
+    schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double,"
+        " x_filtered double, p_var double, gain double"
+    )
+
+    def _kalman(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out = []
+        x = p = None
+        for _, row in pdf.iterrows():
+            z = row["z"]
+            if x is None:
+                x, p, k = z, 1.0, 0.0
+            else:
+                pp = p + 0.25
+                k = pp / (pp + 1.0)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            out.append((row["user_id"], row["event_id"], row["ts"], z, x, p, k))
+        return pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts", "value", "x_filtered", "p_var", "gain"],
+        )
+
+    return base.groupBy("user_id").applyInPandas(_kalman, schema=schema)

@@ -80,6 +80,13 @@ _R5_QUERIES = frozenset(
         "stats_page_hinkley_drift",
         "dq_referential_integrity_audit",
         "dq_schema_drift_two_snapshots",
+        "timeseries_macd_crossover",
+        "timeseries_croston_intermittent",
+        "timeseries_kalman_filter_1d",
+        "graph_label_propagation_communities",
+        "graph_resource_allocation_link_prediction",
+        "text_gopher_quality_rules",
+        "similarity_pairwise_cosine_histogram",
     }
 )
 
