@@ -1068,9 +1068,12 @@ _LPA_STEP_SQL = """
         "localCheckpoint cuts lineage like connected components). "
         "Rounds are unrolled in the oracle as chained CTEs; all "
         "quantities are integers, so the hash match is exact. The "
-        "nation graph converges within 3 rounds (cf. _KCORE_ROUNDS' "
-        "bound note); a general deployment iterates until no label "
-        "changes."
+        "round count is a deliberate CAP, not a convergence claim: "
+        "synchronous LPA can 2-cycle on dense graphs (this one does — "
+        "rounds 3 and 5 agree, pinned in tests/test_r5_invariants.py), "
+        "which is the textbook caveat; production deployments either "
+        "cap rounds exactly like this or serialize updates "
+        "(semi-synchronous coloring) to force convergence."
     ),
     tags=("graph", "join", "iterative"),
 )

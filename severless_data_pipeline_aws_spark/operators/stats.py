@@ -4102,3 +4102,222 @@ def stats_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ph).alias("ph_stat"),
         F.expr(f"{ph} > {_PH_LAMBDA}").alias("alarm"),
     )
+
+
+_WSR_Z = (
+    "(wp_d - nd * (nd + 1.0) / 4.0)"
+    " / sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0)"
+)
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 10000) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT)
+                 - CAST(SUM(CASE WHEN event_type = 'view'
+                                 THEN CAST(round(value * 10000) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS diff
+            FROM events WHERE event_type IN ('purchase', 'view')
+            GROUP BY CAST(ts AS DATE)
+        ),
+        nz AS (SELECT day, diff, abs(diff) AS ad FROM daily WHERE diff <> 0),
+        ranked AS (
+            SELECT diff,
+                   2 * rank() OVER (ORDER BY ad)
+                     + COUNT(*) OVER (PARTITION BY ad) - 1 AS rank2
+            FROM nz
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(CASE WHEN diff > 0 THEN rank2 ELSE 0 END)
+                        AS DOUBLE) / 2.0 AS wp_d,
+                   CAST(SUM(CASE WHEN diff < 0 THEN rank2 ELSE 0 END)
+                        AS DOUBLE) / 2.0 AS wm_d
+            FROM ranked
+        )
+        SELECT n, wp_d AS w_plus, wm_d AS w_minus, {_WSR_Z} AS z_score
+        FROM s
+    """,
+    doc=(
+        "Wilcoxon signed-rank test on the paired daily revenue "
+        "difference (purchase minus view, 1e-4 fixed point, zero "
+        "differences dropped per the classical procedure): the "
+        "nonparametric paired test — 'did the intervention shift the "
+        "per-day delta' without normality. Midrank ties use the "
+        "doubled-rank integer trick (rank2 = 2*rank + ties - 1, so "
+        "tie handling never touches floats; W+ = sum(rank2)/2 halves "
+        "exactly because rank2 sums are even over complete tie "
+        "groups... and /2.0 is an exact binary scale regardless). "
+        "The pairing reduces facts to day grain in one distributed "
+        "aggregate; ranks run over the <=31-row day table. z uses the "
+        "exact-integer normal approximation in one shared double "
+        "formula (_WSR_Z) ending in IEEE sqrt."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.expr(
+                    "CAST(SUM(CASE WHEN event_type = 'purchase'"
+                    " THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)"
+                )
+                - F.expr(
+                    "CAST(SUM(CASE WHEN event_type = 'view'"
+                    " THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)"
+                )
+            ).alias("diff")
+        )
+    )
+    nz = daily.filter(F.col("diff") != 0).select("diff", F.abs("diff").alias("ad"))
+    ranked = nz.select(
+        "diff",
+        (
+            2 * F.rank().over(W.orderBy("ad"))
+            + F.count(F.lit(1)).over(W.partitionBy("ad"))
+            - 1
+        ).alias("rank2"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr(
+            "CAST(SUM(CASE WHEN diff > 0 THEN rank2 ELSE 0 END) AS DOUBLE) / 2.0"
+        ).alias("wp_d"),
+        F.expr(
+            "CAST(SUM(CASE WHEN diff < 0 THEN rank2 ELSE 0 END) AS DOUBLE) / 2.0"
+        ).alias("wm_d"),
+    )
+    return s.select(
+        "n",
+        F.col("wp_d").alias("w_plus"),
+        F.col("wm_d").alias("w_minus"),
+        F.expr(_WSR_Z).alias("z_score"),
+    )
+
+
+_CHOW_SPLIT = 15  # day index of the candidate structural break
+_CHOW_SEGS = {"f": "TRUE", "a": f"x < {_CHOW_SPLIT}", "b": f"x >= {_CHOW_SPLIT}"}
+
+#: residual sum of squares of the per-segment OLS line, from exact
+#: integer power sums — shared double expression per segment suffix
+_CHOW_RSS = (
+    "((syy_{s} - sy_{s} * sy_{s} / n_{s})"
+    " - (sxy_{s} - sx_{s} * sy_{s} / n_{s}) * (sxy_{s} - sx_{s} * sy_{s} / n_{s})"
+    " / (sxx_{s} - sx_{s} * sx_{s} / n_{s}))"
+)
+_CHOW_F = (
+    f"(({_CHOW_RSS.format(s='f')} - ({_CHOW_RSS.format(s='a')}"
+    f" + {_CHOW_RSS.format(s='b')})) / 2.0)"
+    f" / (({_CHOW_RSS.format(s='a')} + {_CHOW_RSS.format(s='b')})"
+    f" / (n_f - 4.0))"
+)
+
+
+def _chow_sums_sql() -> str:
+    cols = []
+    for s, cond in _CHOW_SEGS.items():
+        cols.append(f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) AS n_{s}")
+        for name, expr in (
+            ("sx", "x"),
+            ("sy", "y"),
+            ("sxx", "x * x"),
+            ("sxy", "x * y"),
+            ("syy", "y * y"),
+        ):
+            cols.append(
+                f"CAST(CAST(SUM(CASE WHEN {cond}"
+                f" THEN CAST({expr} AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE)"
+                f" AS {name}_{s}"
+            )
+    return ",\n                   ".join(cols)
+
+
+@register(
+    "stats_chow_structural_break",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS x,
+                   CAST(round(value * 10000) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type,
+                   {_chow_sums_sql()}
+            FROM base GROUP BY event_type
+        )
+        SELECT event_type, CAST(n_f AS BIGINT) AS n,
+               {_CHOW_RSS.format(s='f')} AS rss_full,
+               {_CHOW_RSS.format(s='a')} AS rss_pre,
+               {_CHOW_RSS.format(s='b')} AS rss_post,
+               {_CHOW_F} AS f_stat
+        FROM s
+    """,
+    doc=(
+        "Chow test for a structural break at mid-month (day 15) in "
+        "each event type's value-vs-time regression: F = ((RSS_pooled "
+        "- RSS_1 - RSS_2)/k) / ((RSS_1 + RSS_2)/(n - 2k)) — the "
+        "econometric 'did the relationship CHANGE at this date' test "
+        "behind deploy-impact and regime-shift audits, sharper than "
+        "comparing means because it detects slope changes too. Each "
+        "segment's OLS residual sum collapses to five exact integer "
+        "power sums (1e-4 fixed-point y, day-index x; conditional "
+        "CASE aggregation computes full/pre/post in the SAME single "
+        "pass — no second scan, no join); RSS and F evaluate via the "
+        "shared templated expression (_CHOW_RSS/_CHOW_F) so both "
+        "engines round identically. One map-side-combined groupBy on "
+        "a five-key table; the cheapest possible distributed shape."
+    ),
+    tags=("stats", "timeseries", "ab"),
+)
+def stats_chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("y"),
+    )
+    aggs = []
+    for s, cond in _CHOW_SEGS.items():
+        aggs.append(
+            F.expr(f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)").alias(
+                f"n_{s}"
+            )
+        )
+        for name, expr in (
+            ("sx", "x"),
+            ("sy", "y"),
+            ("sxx", "x * x"),
+            ("sxy", "x * y"),
+            ("syy", "y * y"),
+        ):
+            aggs.append(
+                F.expr(
+                    f"CAST(SUM(CASE WHEN {cond}"
+                    f" THEN CAST({expr} AS DECIMAL(38,0)) END) AS DOUBLE)"
+                ).alias(f"{name}_{s}")
+            )
+    s = base.groupBy("event_type").agg(*aggs)
+    return s.select(
+        "event_type",
+        F.col("n_f").cast("bigint").alias("n"),
+        F.expr(_CHOW_RSS.format(s="f")).alias("rss_full"),
+        F.expr(_CHOW_RSS.format(s="a")).alias("rss_pre"),
+        F.expr(_CHOW_RSS.format(s="b")).alias("rss_post"),
+        F.expr(_CHOW_F).alias("f_stat"),
+    )

@@ -1883,3 +1883,75 @@ def timeseries_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return base.groupBy("user_id").applyInPandas(_kalman, schema=schema)
+
+
+@register(
+    "window_anchored_vwap",
+    oracle="""
+        WITH daily AS (
+            SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,0)))
+                        AS DECIMAL(38,2)) AS pv,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
+                        AS DECIMAL(38,0)) AS v
+            FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+        ),
+        cum AS (
+            SELECT l_returnflag, day,
+                   SUM(pv) OVER (PARTITION BY l_returnflag ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS cpv,
+                   SUM(v) OVER (PARTITION BY l_returnflag ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS cv
+            FROM daily
+        )
+        SELECT l_returnflag, day,
+               CAST(CAST(cpv AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(cv AS VARCHAR) AS DOUBLE) AS vwap
+        FROM cum
+    """,
+    doc=(
+        "Anchored VWAP per return flag: cumulative sum(price*qty) / "
+        "cumulative sum(qty) from the series anchor onward — the "
+        "volume-weighted benchmark against which execution quality is "
+        "judged (and, in pipeline terms, the running cost-per-unit "
+        "any spend dashboard needs). The fact table reduces to day "
+        "grain in ONE exact-DECIMAL aggregate (price*qty products are "
+        "exact at (18,2)x(18,0); running sums stay DECIMAL so no "
+        "float accumulation order exists); the two cumulative windows "
+        "run over the calendar-bounded per-flag day table, and the "
+        "single division per output row is the only double op — "
+        "VARCHAR-hopped on the oracle side per the DECIMAL->DOUBLE "
+        "double-rounding rule. No fact-grain window at any scale."
+    ),
+    tags=("window", "timeseries", "agg"),
+)
+def window_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.lineitem.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(38,2))"
+        ).alias("pv"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(38,0))").alias(
+            "v"
+        ),
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = daily.select(
+        "l_returnflag",
+        "day",
+        F.sum("pv").over(w).alias("cpv"),
+        F.sum("v").over(w).alias("cv"),
+    )
+    return cum.select(
+        "l_returnflag",
+        "day",
+        F.expr("CAST(cpv AS DOUBLE) / CAST(cv AS DOUBLE)").alias("vwap"),
+    )

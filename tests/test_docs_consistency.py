@@ -87,6 +87,9 @@ _R5_QUERIES = frozenset(
         "graph_resource_allocation_link_prediction",
         "text_gopher_quality_rules",
         "similarity_pairwise_cosine_histogram",
+        "stats_wilcoxon_signed_rank",
+        "stats_chow_structural_break",
+        "window_anchored_vwap",
     }
 )
 

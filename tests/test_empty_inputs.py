@@ -156,6 +156,26 @@ REPRESENTATIVE = [
     "stats_benjamini_hochberg_fdr",
     "window_rsi_indicator",
     "multimodal_magic_mime_classify",
+    # round-5 continuation: ln-free diagnostics, recurrence forecasters,
+    # graph/text/similarity/dq families
+    "stats_durbin_watson",
+    "stats_ljung_box",
+    "stats_cochran_armitage_trend",
+    "stats_cliffs_delta",
+    "stats_cohens_kappa",
+    "stats_page_hinkley_drift",
+    "stats_wilcoxon_signed_rank",
+    "stats_chow_structural_break",
+    "dq_referential_integrity_audit",
+    "dq_schema_drift_two_snapshots",
+    "timeseries_macd_crossover",
+    "timeseries_croston_intermittent",
+    "timeseries_kalman_filter_1d",
+    "graph_label_propagation_communities",
+    "graph_resource_allocation_link_prediction",
+    "text_gopher_quality_rules",
+    "similarity_pairwise_cosine_histogram",
+    "window_anchored_vwap",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -178,6 +198,11 @@ _ALLOW_ONE_ROW = {
     "stats_friedman_test",
     "stats_jackknife_ratio_se",
     "stats_mcnemar_paired",
+    # r5: global aggregates that keep their one NULL-field row on empty
+    "stats_cochran_armitage_trend",
+    "stats_cliffs_delta",
+    "stats_cohens_kappa",
+    "stats_wilcoxon_signed_rank",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
@@ -191,6 +216,10 @@ _ALLOW_SCHEMA_SHAPED = {
     "funnel_markov_removal_attribution": 4,
     # one summary row per monitored column
     "dq_null_rate_drift": 4,
+    # one audit row per FK edge of the schema — still correct on empty
+    "dq_referential_integrity_audit": 7,
+    # one profile row per monitored column
+    "dq_schema_drift_two_snapshots": 5,
 }
 
 

@@ -179,3 +179,156 @@ def test_bh_reject_set_is_rank_prefix(spark, sf_dir):
             assert r["p_chebyshev"] <= r["bh_threshold"] + 1e-18 or any(
                 s["p_rank"] > r["p_rank"] and s["reject"] == 1 for s in rows
             )
+
+
+def test_durbin_watson_bounds(spark, sf_dir):
+    """DW is algebraically confined to [0, 4] (Cauchy-Schwarz on the
+    difference form) — a value outside means the fixed-point algebra
+    broke, not the data."""
+    rows = _df("stats_durbin_watson", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["durbin_watson"] <= 4.0
+
+
+def test_lpa_period_two_dynamics(spark, sf_dir):
+    """Synchronous LPA on this dense graph 2-cycles (the documented
+    cap rationale): two further synchronous rounds from the round-3
+    state must land BACK on the round-3 labels — which also holds
+    trivially if the process converged. A drift to some third state
+    would falsify the docstring's dynamics claim."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .selectExpr("CAST(c_nationkey AS BIGINT) AS a", "CAST(s_nationkey AS BIGINT) AS b")
+        .distinct()
+    )
+    sym = (
+        co.selectExpr("a AS src", "b AS dst")
+        .union(co.selectExpr("b AS src", "a AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = _df("graph_label_propagation_communities", spark, sf_dir).selectExpr(
+        "nationkey AS v", "community AS lbl"
+    )
+    w = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    cur = labels
+    for _ in range(2):
+        votes = (
+            sym.join(cur.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cur = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("v", "lbl")
+        )
+    drifted = (
+        cur.withColumnRenamed("lbl", "lbl_plus2")
+        .join(labels, "v")
+        .filter(F.col("lbl_plus2") != F.col("lbl"))
+        .count()
+    )
+    assert drifted == 0, "round-5 state differs from round-3: not a 2-cycle"
+
+
+def test_kalman_gain_decreasing_to_steady_state(spark, sf_dir):
+    """The local-level Kalman gain must lie in (0, 1) after the first
+    observation, approach the steady state monotonically, and land on
+    K* = (P* + Q)/(P* + Q + R) where P* solves the Riccati fixpoint
+    P = (P + Q) R / (P + Q + R), i.e. P* = (sqrt(Q^2 + 4QR) - Q)/2."""
+    import math
+
+    rows = _df("timeseries_kalman_filter_1d", spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["gain"])
+    q, rr = 0.25, 1.0
+    p_star = (math.sqrt(q * q + 4.0 * q * rr) - q) / 2.0
+    k_star = (p_star + q) / (p_star + q + rr)
+    for gains in by_user.values():
+        assert gains[0] == 0.0  # init row carries no correction
+        for g in gains[1:]:
+            assert 0.0 < g < 1.0
+        for a, b in zip(gains[1:], gains[2:]):
+            assert b <= a + 1e-15  # monotone approach from above
+        if len(gains) > 10:
+            assert abs(gains[-1] - k_star) < 1e-6
+
+
+def test_macd_emits_crossovers(spark, sf_dir):
+    """A 365-day revenue series that never crosses its own signal line
+    would mean the indicator is degenerate — require at least one
+    crossover and the first row of each priority to be the neutral
+    init (macd = signal = 0)."""
+    rows = _df("timeseries_macd_crossover", spark, sf_dir).collect()
+    assert rows
+    assert any(r["crossover"] for r in rows)
+    firsts = {}
+    for r in sorted(rows, key=lambda r: (r["o_orderpriority"], r["day"])):
+        firsts.setdefault(r["o_orderpriority"], r)
+    for r in firsts.values():
+        assert r["macd_line"] == 0.0 and r["signal_line"] == 0.0 and not r["crossover"]
+
+
+def test_croston_forecast_between_bounds(spark, sf_dir):
+    """Croston's z is a convex combination of observed demands and p of
+    observed intervals (seeded at 1), so z <= max demand and p >= 1 is
+    impossible to violate without a recurrence bug; forecast <= z."""
+    rows = _df("timeseries_croston_intermittent", spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["day"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        max_d = max(r["demand"] for r in seq)
+        for r in seq:
+            assert r["size_smooth"] <= max_d + 1e-12
+            assert r["interval_smooth"] >= 1.0 - 1e-12
+            assert r["croston_forecast"] <= r["size_smooth"] + 1e-12
+
+
+def test_referential_integrity_clean_on_testdata(spark, sf_dir):
+    """The generated TPC-H-ish tables are referentially intact — every
+    edge must audit to zero orphans (a nonzero rate here means the
+    audit join itself is wrong, since the generator guarantees FKs)."""
+    rows = _df("dq_referential_integrity_audit", spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["n_orphans"] == 0 and r["orphan_rate"] == 0.0, r["fk_edge"]
+
+
+def test_gopher_rules_discriminate(spark, sf_dir):
+    """The battery is useless if a rule set passes or fails EVERYTHING:
+    require both keep=true and keep=false docs to exist, and the
+    word-count rule specifically to fire both ways."""
+    df = _df("text_gopher_quality_rules", spark, sf_dir)
+    agg = df.agg(
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pass_word_count").cast("int")).alias("wc_pass"),
+    ).first()
+    assert 0 < agg["kept"] < agg["n"]
+    assert 0 < agg["wc_pass"] < agg["n"]
+
+
+def test_cosine_histogram_masses(spark, sf_dir):
+    """Bucket masses must sum to exactly C(block, 2) pairs and every
+    bucket index must be a valid bin."""
+    from severless_data_pipeline_aws_spark.operators import similarity as S
+
+    rows = _df("similarity_pairwise_cosine_histogram", spark, sf_dir).collect()
+    n = S._COS_HIST_BLOCK
+    assert sum(r["n_pairs"] for r in rows) == n * (n - 1) // 2
+    for r in rows:
+        assert 0 <= r["bucket"] < S._COS_HIST_BINS
+        assert abs(r["cos_hi"] - r["cos_lo"] - 0.1) < 1e-12
