@@ -119,6 +119,14 @@ HEADLINE = [
     # per-stratum rank path)
     "dedup_allpairs_prefix_jaccard",
     "sampling_train_val_test_exact",
+    # round-5 continuation: the five-lag single-window 17-sum pass, the
+    # 7-edge join-audit union (semi-join-reduction-shaped fact scans),
+    # the DECIMAL cumulative-window day series, and the inverted-index
+    # pair join with broadcast degree weighting
+    "stats_ljung_box",
+    "dq_referential_integrity_audit",
+    "window_anchored_vwap",
+    "graph_resource_allocation_link_prediction",
 ]
 
 
