@@ -129,6 +129,16 @@ def main() -> None:
             f"flag threshold {_SUPERLINEAR} (~14x time for 10x data)"
         ),
         "superlinear_flagged": superlinear,
+        # a time exponent alone can't distinguish "the plan degrades"
+        # from "the ANSWER is bigger" — for each flagged query, count
+        # output rows at both scales and report output-normalized
+        # scaling (a similarity self-join on 10x-replicated data has
+        # ~100x more TRUE near-dup pairs; time growing slower than the
+        # output is sub-linear work per result row, not a plan defect)
+        "superlinear_details": {
+            name: _output_scaling(specs[name].fn, spark, data_dir)
+            for name in superlinear
+        },
         "window_caps": caps_report,
         "caps_ok": not failures,
         "failures": failures,
@@ -140,6 +150,25 @@ def main() -> None:
     spark.stop()
     if failures:
         raise SystemExit(f"scale sweep FAILED window caps: {failures}")
+
+
+def _output_scaling(fn, spark, data_dir: str) -> dict:
+    """Output row counts at both scales for a superlinear-flagged
+    query, so the artifact records whether time tracked the answer
+    size (benign) or outran it (plan defect)."""
+    out_10x = fn(spark, data_dir).count()
+    out_ref = fn(spark, _REF_DIR).count()
+    ratio = round(out_10x / max(out_ref, 1), 1)
+    return {
+        "out_rows_sf01": out_ref,
+        "out_rows_10x": out_10x,
+        "output_ratio": ratio,
+        "verdict": (
+            "time sub-linear in output size (benign: the answer grew "
+            "faster than the work)" if ratio > 10 else
+            "output grew <=10x for 10x data — investigate the plan"
+        ),
+    }
 
 
 if __name__ == "__main__":

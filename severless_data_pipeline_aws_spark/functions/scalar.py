@@ -977,3 +977,99 @@ def scalar_collation_lcase_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_raw_variants",
         )
     )
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_BITS = 15  # per axis -> 30 interleaved bits -> 6 base32 chars
+_GEOHASH_CAP = 5000  # bounded output slice for the per-event encode
+
+
+def _geohash_exprs() -> tuple[str, str, str]:
+    """(u_lat, u_lon, interleaved) integer expressions shared by both
+    engines; only integer *, DIV-style floor division, shifts, masks."""
+    u_lat = f"(lat_centi + 9000) * {1 << _GEOHASH_BITS} {{div}} 18000"
+    u_lon = f"(lon_centi + 18000) * {1 << _GEOHASH_BITS} {{div}} 36000"
+    terms = []
+    for k in range(_GEOHASH_BITS):
+        terms.append(f"((u_lon >> {k}) & 1) * {1 << (2 * k + 1)}")
+        terms.append(f"((u_lat >> {k}) & 1) * {1 << (2 * k)}")
+    return u_lat, u_lon, " + ".join(terms)
+
+
+def _geohash_chars(col: str) -> str:
+    """6 base32 chars from the 30-bit interleave — identical substr
+    arithmetic on both engines (1-based substring, alphabet literal)."""
+    parts = [
+        f"substring('{_GEOHASH_ALPHABET}', "
+        f"CAST((({col} >> {25 - 5 * j}) & 31) + 1 AS INT), 1)"
+        for j in range(6)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "scalar_geohash_encode",
+    oracle=f"""
+        WITH coords AS (
+            SELECT event_id,
+                   ((user_id * 7919) % 18000
+                     + (event_id % 21)) % 18000 - 9000 AS lat_centi,
+                   ((user_id * 104729) % 36000
+                     + (event_id % 17)) % 36000 - 18000 AS lon_centi
+            FROM events WHERE event_id <= {_GEOHASH_CAP}
+        ),
+        u AS (
+            SELECT event_id, lat_centi, lon_centi,
+                   {_geohash_exprs()[0].format(div='//')} AS u_lat,
+                   {_geohash_exprs()[1].format(div='//')} AS u_lon
+            FROM coords
+        ),
+        v AS (
+            SELECT event_id, lat_centi, lon_centi,
+                   {_geohash_exprs()[2]} AS iv
+            FROM u
+        )
+        SELECT event_id, lat_centi, lon_centi,
+               {_geohash_chars('iv')} AS geohash6
+        FROM v
+    """,
+    doc=(
+        "Geohash encoding (precision 6, ~1.2 km cells) of the "
+        "deterministic event coordinates (same derivation as "
+        "geo_grid_hotspots): quantize each axis to 15 bits by exact "
+        "integer floor division, interleave lon/lat bits (lon takes "
+        "the even positions from the MSB — the geohash convention), "
+        "and emit 6 base32 characters by substring arithmetic over "
+        "the standard alphabet. Every step is integer multiply/"
+        "shift/mask — no floats anywhere, so the string is bit-exact "
+        "by construction on both engines. Geohashes are the "
+        "PREFIX-JOINABLE spatial key: equality on a 4-char prefix is "
+        "a ~39 km cell match, which turns radius-ish joins into "
+        "equi-joins (the same trick the nearest-hub grid join uses "
+        "with explicit cells). Row-local, zero shuffle, codegen."
+    ),
+    tags=("scalar", "geo"),
+)
+def scalar_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    u_lat, u_lon, inter = _geohash_exprs()
+    coords = t.events.filter(F.col("event_id") <= _GEOHASH_CAP).select(
+        "event_id",
+        F.expr(
+            "((user_id * 7919) % 18000 + (event_id % 21)) % 18000 - 9000"
+        ).alias("lat_centi"),
+        F.expr(
+            "((user_id * 104729) % 36000 + (event_id % 17)) % 36000 - 18000"
+        ).alias("lon_centi"),
+    )
+    u = coords.select(
+        "event_id",
+        "lat_centi",
+        "lon_centi",
+        F.expr(u_lat.format(div="DIV")).alias("u_lat"),
+        F.expr(u_lon.format(div="DIV")).alias("u_lon"),
+    )
+    v = u.select("event_id", "lat_centi", "lon_centi", F.expr(inter).alias("iv"))
+    return v.select(
+        "event_id", "lat_centi", "lon_centi", F.expr(_geohash_chars("iv")).alias("geohash6")
+    )

@@ -1802,3 +1802,105 @@ def dq_schema_drift_two_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+_LUHN_CAP = 20000  # bounded output slice
+_LUHN_TAMPER_POS = 3  # payload digit flipped in the tampered variant
+
+
+def _luhn_sum(pan_col: str, n_digits: int) -> str:
+    """Luhn weighted digit sum over a left-padded digit string: double
+    every digit at ODD left index (== even distance from the check
+    digit), subtract 9 on overflow. Identical 1-based substring +
+    integer CASE arithmetic on both engines."""
+    terms = []
+    for i in range(1, n_digits + 1):
+        d = f"CAST(substring({pan_col}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"(2 * {d} - CASE WHEN {d} >= 5 THEN 9 ELSE 0 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def _luhn_sql() -> str:
+    tamper_d = f"CAST(substring(pan15, {_LUHN_TAMPER_POS}, 1) AS INT)"
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 15, '0') AS pan15
+            FROM orders WHERE o_orderkey <= {_LUHN_CAP}
+        ),
+        chk AS (
+            SELECT o_orderkey, pan15,
+                   (10 - ({_luhn_sum('pan15', 15)}) % 10) % 10 AS check_digit,
+                   o_orderkey % 7 = 0 AS tampered
+            FROM base
+        ),
+        pan AS (
+            SELECT o_orderkey, check_digit, tampered,
+                   CASE WHEN tampered THEN
+                        substring(pan15, 1, {_LUHN_TAMPER_POS - 1})
+                        || CAST(({tamper_d} + 1) % 10 AS VARCHAR)
+                        || substring(pan15, {_LUHN_TAMPER_POS + 1},
+                                     {15 - _LUHN_TAMPER_POS})
+                        ELSE pan15 END || CAST(check_digit AS VARCHAR) AS pan16
+            FROM chk
+        )
+        SELECT o_orderkey, pan16, CAST(check_digit AS INT) AS check_digit, tampered,
+               ({_luhn_sum('pan16', 16)}) % 10 = 0 AS luhn_valid
+        FROM pan
+    """
+
+
+@register(
+    "dq_luhn_checksum_audit",
+    oracle=_luhn_sql(),
+    doc=(
+        "Luhn (mod-10) checksum audit — the validity gate for "
+        "card-number-, IMEI- and account-id-shaped columns, and the "
+        "single cheapest PII-quality signal a landing zone can "
+        "compute: synthesize a 16-digit PAN per order (15-digit "
+        "zero-padded payload + computed Luhn check digit), tamper "
+        "with one payload digit on every 7th key AFTER the check "
+        "digit is fixed, then re-validate. A single-digit flip always "
+        "breaks Luhn (that is the code's design guarantee), so "
+        "luhn_valid == NOT tampered exactly — making the oracle hash "
+        "a proof the doubled-digit arithmetic is right, not just "
+        "reproducible. The weighted sum is an unrolled 15/16-term "
+        "integer expression over substring digits (shared generator "
+        "_luhn_sum), fully codegen, zero shuffle, row-local."
+    ),
+    tags=("dq", "scalar", "quality"),
+)
+def dq_luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderkey") <= _LUHN_CAP).select(
+        "o_orderkey",
+        F.expr("lpad(CAST(o_orderkey AS STRING), 15, '0')").alias("pan15"),
+    )
+    chk = base.select(
+        "o_orderkey",
+        "pan15",
+        F.expr(f"(10 - ({_luhn_sum('pan15', 15)}) % 10) % 10").alias("check_digit"),
+        F.expr("o_orderkey % 7 = 0").alias("tampered"),
+    )
+    tamper_d = f"CAST(substring(pan15, {_LUHN_TAMPER_POS}, 1) AS INT)"
+    pan = chk.select(
+        "o_orderkey",
+        "check_digit",
+        "tampered",
+        F.expr(
+            f"CASE WHEN tampered THEN"
+            f" substring(pan15, 1, {_LUHN_TAMPER_POS - 1})"
+            f" || CAST(({tamper_d} + 1) % 10 AS STRING)"
+            f" || substring(pan15, {_LUHN_TAMPER_POS + 1}, {15 - _LUHN_TAMPER_POS})"
+            f" ELSE pan15 END || CAST(check_digit AS STRING)"
+        ).alias("pan16"),
+    )
+    return pan.select(
+        "o_orderkey",
+        "pan16",
+        F.col("check_digit").cast("int").alias("check_digit"),
+        "tampered",
+        F.expr(f"({_luhn_sum('pan16', 16)}) % 10 = 0").alias("luhn_valid"),
+    )

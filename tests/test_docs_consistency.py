@@ -90,6 +90,9 @@ _R5_QUERIES = frozenset(
         "stats_wilcoxon_signed_rank",
         "stats_chow_structural_break",
         "window_anchored_vwap",
+        "scalar_geohash_encode",
+        "graph_degree_assortativity",
+        "dq_luhn_checksum_audit",
     }
 )
 

@@ -176,6 +176,9 @@ REPRESENTATIVE = [
     "text_gopher_quality_rules",
     "similarity_pairwise_cosine_histogram",
     "window_anchored_vwap",
+    "scalar_geohash_encode",
+    "graph_degree_assortativity",
+    "dq_luhn_checksum_audit",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -203,6 +206,7 @@ _ALLOW_ONE_ROW = {
     "stats_cliffs_delta",
     "stats_cohens_kappa",
     "stats_wilcoxon_signed_rank",
+    "graph_degree_assortativity",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

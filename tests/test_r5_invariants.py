@@ -332,3 +332,37 @@ def test_cosine_histogram_masses(spark, sf_dir):
     for r in rows:
         assert 0 <= r["bucket"] < S._COS_HIST_BINS
         assert abs(r["cos_hi"] - r["cos_lo"] - 0.1) < 1e-12
+
+
+def test_luhn_valid_iff_untampered(spark, sf_dir):
+    """The operator's design guarantee: a single-digit flip always
+    breaks the mod-10 checksum, so luhn_valid must equal NOT tampered
+    on every row (and both classes must be populated)."""
+    rows = _df("dq_luhn_checksum_audit", spark, sf_dir).collect()
+    assert rows
+    assert any(r["tampered"] for r in rows) and any(not r["tampered"] for r in rows)
+    for r in rows:
+        assert r["luhn_valid"] == (not r["tampered"]), r["o_orderkey"]
+        assert len(r["pan16"]) == 16 and r["pan16"].isdigit()
+        assert 0 <= r["check_digit"] <= 9
+
+
+def test_geohash_wellformed_and_prefix_locality(spark, sf_dir):
+    """Every geohash is 6 chars over the standard base32 alphabet, and
+    two events in the same 1-degree grid cell (the hotspot op's bin)
+    share at least the leading character — the prefix-locality property
+    that makes geohash a joinable spatial key."""
+    rows = _df("scalar_geohash_encode", spark, sf_dir).collect()
+    assert rows
+    alphabet = set("0123456789bcdefghjkmnpqrstuvwxyz")
+    cells = {}
+    for r in rows:
+        g = r["geohash6"]
+        assert len(g) == 6 and set(g) <= alphabet
+        cell = (r["lat_centi"] // 100, r["lon_centi"] // 100)
+        cells.setdefault(cell, set()).add(g[0])
+    multi = [c for c, firsts in cells.items() if len(firsts) > 1]
+    # a 1-degree cell can straddle a geohash-1 boundary (45x45-degree
+    # cells at precision 1 — boundaries every 45 degrees), so allow the
+    # straddlers but require the overwhelming majority to agree
+    assert len(multi) <= max(1, len(cells) // 10), (len(multi), len(cells))
