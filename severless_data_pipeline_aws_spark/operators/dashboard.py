@@ -1712,13 +1712,13 @@ def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
-_DRIFT_SPLIT = "DATE '2024-01-16'"  # snapshot A = before, B = on/after
-_DRIFT_COLS = ("event_id", "user_id", "event_type", "value", "props")
+_SNAPDRIFT_SPLIT = "DATE '2024-01-16'"  # snapshot A = before, B = on/after
+_SNAPDRIFT_COLS = ("event_id", "user_id", "event_type", "value", "props")
 
 
 def _drift_oracle() -> str:
     parts = []
-    for c in _DRIFT_COLS:
+    for c in _SNAPDRIFT_COLS:
         parts.append(f"""
         SELECT '{c}' AS column_name,
                CAST(SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -1735,7 +1735,7 @@ def _drift_oracle() -> str:
                  AS n_distinct_a,
                CAST(COUNT(DISTINCT CASE WHEN snap = 'B' THEN {c} END) AS BIGINT)
                  AS n_distinct_b
-        FROM (SELECT CASE WHEN CAST(ts AS DATE) < {_DRIFT_SPLIT}
+        FROM (SELECT CASE WHEN CAST(ts AS DATE) < {_SNAPDRIFT_SPLIT}
                           THEN 'A' ELSE 'B' END AS snap, *
               FROM events)""")
     return " UNION ALL ".join(parts)
@@ -1764,10 +1764,10 @@ def dq_schema_drift_two_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame
     t = Tables(spark, sf_dir)
     tagged = t.events.withColumn(
         "snap",
-        F.expr(f"CASE WHEN CAST(ts AS DATE) < {_DRIFT_SPLIT} THEN 'A' ELSE 'B' END"),
+        F.expr(f"CASE WHEN CAST(ts AS DATE) < {_SNAPDRIFT_SPLIT} THEN 'A' ELSE 'B' END"),
     )
     out = None
-    for c in _DRIFT_COLS:
+    for c in _SNAPDRIFT_COLS:
         agg = tagged.agg(
             F.expr("CAST(SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS BIGINT)").alias(
                 "n_a"
