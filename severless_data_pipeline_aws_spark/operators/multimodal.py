@@ -1107,3 +1107,141 @@ def multimodal_magic_mime_classify(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("detected_type")
     )
+
+
+# --- GIF89a logical-screen-descriptor parsing -------------------------
+# Third real container format next to BMP and WAV: byte-valid GIF89a
+# headers (signature + logical screen descriptor + global color table +
+# trailer; no image data block — LZW payloads need a codec, and this
+# operator's contract is HEADER/palette parsing, the metadata-extraction
+# stage of an image ingest pipeline). The Spark side parses the actual
+# payload BYTES (hex/conv substring arithmetic); the oracle predicts
+# every field from doc_id arithmetic and re-derives the palette bytes
+# from the positional md5 chain — so a mis-parse of any byte breaks the
+# hash, exactly like the MIME-sniff and WAV tiers.
+
+_GIF_LIMIT = 200
+
+
+def _gif_bval(pos) -> str:
+    """Unsigned value of payload byte at 1-based position (SQL expr)."""
+    return f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS INT)"
+
+
+def synthesize_gif_media(spark: SparkSession, sf_dir: str, limit: int = _GIF_LIMIT) -> DataFrame:
+    """(doc_id, payload): byte-valid GIF89a header + global palette.
+
+    width = 16 + doc_id % 240, height = 16 + (doc_id * 7) % 200,
+    palette size field N = doc_id % 4 -> 2^(N+1) entries (6..48 bytes
+    from the '|g{i}' md5 digest chain), packed = 0xF0 | N (global
+    table present, color resolution 7)."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        "text",
+        "CAST(16 + doc_id % 240 AS INT) AS w",
+        "CAST(16 + (doc_id * 7) % 200 AS INT) AS h",
+        "CAST(doc_id % 4 AS INT) AS nfield",
+    )
+    le16 = lambda c: (  # noqa: E731
+        f"unhex(lpad(hex({c} % 256), 2, '0')) "
+        f"|| unhex(lpad(hex({c} DIV 256), 2, '0'))"
+    )
+    palette_full = " || ".join(
+        f"unhex(md5(text || '|g{i}'))" for i in range(3)
+    )  # 48 bytes >= 3 * 2^(N+1) for N <= 3
+    return d.selectExpr(
+        "doc_id",
+        f"""CAST('GIF89a' AS BINARY)
+            || {le16('w')} || {le16('h')}
+            || unhex(lpad(hex(240 + nfield), 2, '0'))
+            || unhex('00') || unhex('00')
+            || substring({palette_full}, 1, 3 * shiftleft(1, nfield + 1))
+            || unhex('3b') AS payload""",
+    )
+
+
+def _gif_oracle() -> str:
+    """Predict every parsed field from doc_id arithmetic; palette bytes
+    re-derived from the '|g{k//16}' md5 chain at position k%16."""
+    byte_k = (
+        "CAST(('0x' || substr(md5(text || '|g' || CAST(k // 16 AS VARCHAR)),"
+        " (k % 16) * 2 + 1, 2)) AS BIGINT)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   16 + doc_id % 240 AS width,
+                   16 + (doc_id * 7) % 200 AS height,
+                   CAST(doc_id % 4 AS INT) AS nfield
+            FROM documents WHERE doc_id < {_GIF_LIMIT}
+        ),
+        pal AS (
+            SELECT doc_id, CAST(SUM({byte_k}) AS BIGINT) AS palette_sum
+            FROM base, range(48) t(k)
+            WHERE k < 3 * (1 << (nfield + 1))
+            GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               'GIF89a' AS signature,
+               CAST(b.width AS INT) AS width,
+               CAST(b.height AS INT) AS height,
+               CAST(1 << (b.nfield + 1) AS INT) AS palette_entries,
+               CAST(3 * (1 << (b.nfield + 1)) AS INT) AS palette_bytes,
+               p.palette_sum,
+               CAST(14 + 3 * (1 << (b.nfield + 1)) AS INT) AS total_len,
+               TRUE AS wellformed
+        FROM base b JOIN pal p USING (doc_id)
+    """
+
+
+@register(
+    "multimodal_gif_header_parse",
+    oracle=_gif_oracle(),
+    doc=(
+        "GIF89a header + global-color-table parse over byte-valid "
+        "synthesized payloads: signature check, little-endian logical "
+        "screen dimensions, packed-field bit unpack (palette-present "
+        "flag, size exponent N -> 2^(N+1) entries), a sequential fold "
+        "over the variable-length palette for its exact byte sum, and "
+        "a structural wellformedness check (total length == 13-byte "
+        "header + palette + trailer). The Spark side parses the REAL "
+        "payload bytes — hex/conv substring arithmetic plus an "
+        "aggregate() fold with dynamic positions, all codegen, "
+        "payload bytes never shuffled (metadata out only); the oracle "
+        "PREDICTS each field from the doc_id synthesis arithmetic and "
+        "re-derives palette bytes from the positional md5 chain, so "
+        "any mis-parsed byte anywhere breaks the hash. Third real "
+        "container tier after BMP pixels and WAV samples — the "
+        "metadata-extraction stage every image ingest runs before "
+        "deciding what to decode."
+    ),
+    tags=("multimodal", "llm", "scalar"),
+)
+def multimodal_gif_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_gif_media(spark, sf_dir)
+    b = _gif_bval
+    packed = b(11)
+    n_field = f"({packed}) % 8"
+    entries = f"shiftleft(1, ({n_field}) + 1)"
+    pal_bytes = f"3 * ({entries})"
+    pal_sum = (
+        f"aggregate(sequence(14, 13 + {pal_bytes}), 0L, "
+        f"(acc, x) -> acc + CAST(conv(hex(substring(payload, x, 1)), 16, 10) AS BIGINT))"
+    )
+    return media.selectExpr(
+        "doc_id",
+        "CAST(substring(payload, 1, 6) AS STRING) AS signature",
+        f"CAST({b(7)} + 256 * {b(8)} AS INT) AS width",
+        f"CAST({b(9)} + 256 * {b(10)} AS INT) AS height",
+        f"CAST({entries} AS INT) AS palette_entries",
+        f"CAST({pal_bytes} AS INT) AS palette_bytes",
+        f"CAST({pal_sum} AS BIGINT) AS palette_sum",
+        "CAST(length(payload) AS INT) AS total_len",
+        f"CAST(({packed}) >= 128 AS BOOLEAN) AS palette_present",
+    ).selectExpr(
+        "doc_id", "signature", "width", "height", "palette_entries",
+        "palette_bytes", "palette_sum", "total_len",
+        """signature = 'GIF89a' AND palette_present
+           AND total_len = 14 + palette_bytes AS wellformed""",
+    )

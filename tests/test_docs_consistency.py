@@ -93,6 +93,7 @@ _R5_QUERIES = frozenset(
         "scalar_geohash_encode",
         "graph_degree_assortativity",
         "dq_luhn_checksum_audit",
+        "multimodal_gif_header_parse",
     }
 )
 

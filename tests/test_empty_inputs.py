@@ -179,6 +179,7 @@ REPRESENTATIVE = [
     "scalar_geohash_encode",
     "graph_degree_assortativity",
     "dq_luhn_checksum_audit",
+    "multimodal_gif_header_parse",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
