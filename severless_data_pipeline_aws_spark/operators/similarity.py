@@ -69,9 +69,9 @@ def similarity_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_topk_cosine_exact",
-    oracle=f"""
+#: shared with similarity_ann_recall_report, which composes this text
+#: with the LSH oracle to measure recall inside pure SQL
+_TOPK_EXACT_ORACLE = f"""
         WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id < {_N_QUERIES}),
         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -89,7 +89,12 @@ def similarity_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
         FROM ranked WHERE rank <= {_TOP_K}
-    """,
+"""
+
+
+@register(
+    "similarity_topk_cosine_exact",
+    oracle=_TOPK_EXACT_ORACLE,
     doc=(
         "X3 (exact tier): brute-force top-k cosine — broadcast query "
         "vectors, double-precision sequential fold per pair, per-query "
@@ -2517,4 +2522,63 @@ def similarity_pairwise_cosine_histogram(spark: SparkSession, sf_dir: str) -> Da
         F.expr("CAST(bucket AS DOUBLE) / 10.0 - 1.0").alias("cos_lo"),
         F.expr("CAST(bucket + 1 AS DOUBLE) / 10.0 - 1.0").alias("cos_hi"),
         "n_pairs",
+    )
+
+
+@register(
+    "similarity_ann_recall_report",
+    oracle=f"""
+        WITH ex AS (SELECT * FROM ({_TOPK_EXACT_ORACLE})),
+        lsh AS (SELECT * FROM ({{lsh}})),
+        hits AS (
+            SELECT e.query_id,
+                   CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits
+            FROM ex e
+            LEFT JOIN lsh l
+              ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id, n_hits,
+               CAST(n_hits AS DOUBLE) / {_TOP_K}.0 AS recall_at_k
+        FROM hits
+    """.format(lsh=_ann_lsh_oracle()),
+    doc=(
+        "ANN quality evaluation as an OPERATOR: per-query recall@k of "
+        "the LSH tier against the exact brute-force top-k (ground "
+        "truth) — the measurement every vector-index deployment runs "
+        "before trusting approximate retrieval, here productized "
+        "instead of living only in pytest. Spark side composes the two "
+        "registered retrieval plans and left-joins exact->approx on "
+        "(query, neighbor); the oracle nests BOTH tiers' full oracle "
+        "SQL (the exact text and the embedded-hyperplane LSH twin) as "
+        "subqueries and replays the same join — so the recall numbers "
+        "are themselves hash-exact, not just plausible. The join is "
+        "bounded by |queries| x k rows; at corpus scale the exact arm "
+        "runs on a sampled query set (as here: the 5-query block) "
+        "because ground truth is the expensive side."
+    ),
+    tags=("similarity", "llm", "ann", "quality"),
+)
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk_cosine_exact(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("got_id")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["got_id"]),
+            "left",
+        )
+        .select(exact["query_id"], "got_id")
+        .groupBy("query_id")
+        .agg(F.count("got_id").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(_TOP_K))).alias("recall_at_k"),
     )

@@ -4321,3 +4321,211 @@ def stats_chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CHOW_RSS.format(s="b")).alias("rss_post"),
         F.expr(_CHOW_F).alias("f_stat"),
     )
+
+
+#: Ansari-Bradley normal approximation: parity-dependent exact moments
+#: (no-ties form, documented as the approximation it is), one shared
+#: CASE expression — pure rational arithmetic + IEEE sqrt.
+_AB_Z = (
+    "(ab_d - CASE WHEN n % 2 = 0"
+    " THEN n1d * (nd + 2.0) / 4.0"
+    " ELSE n1d * (nd + 1.0) * (nd + 1.0) / (4.0 * nd) END)"
+    " / sqrt(CASE WHEN n % 2 = 0"
+    " THEN n1d * n2d * (nd + 2.0) * (nd - 2.0) / (48.0 * (nd - 1.0))"
+    " ELSE n1d * n2d * (nd + 1.0) * (3.0 + nd * nd) / (48.0 * nd * nd) END)"
+)
+
+
+@register(
+    "stats_ansari_bradley",
+    oracle=f"""
+        WITH pooled AS (
+            SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+                   value
+            FROM events
+            WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT grp,
+                   2 * rank() OVER (ORDER BY value)
+                     + COUNT(*) OVER (PARTITION BY value) - 1 AS rank2,
+                   COUNT(*) OVER () AS n
+            FROM pooled
+        ),
+        scored AS (
+            SELECT grp, n,
+                   LEAST(rank2, 2 * (n + 1) - rank2) AS score2
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MAX(n) AS DOUBLE) AS nd,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1d,
+                   CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2d,
+                   CAST(SUM(CASE WHEN grp = 1 THEN score2 ELSE 0 END) AS DOUBLE)
+                       / 2.0 AS ab_d
+            FROM scored
+        )
+        SELECT n, n1, ab_d AS ab_stat, {_AB_Z} AS z_score
+        FROM s
+    """,
+    doc=(
+        "Ansari-Bradley dispersion test (click vs error values): ranks "
+        "fold inward from both ends — min(rank, N+1-rank) — so the "
+        "statistic compares SPREAD, not location; the nonparametric "
+        "answer to 'same median, but is one stream more volatile?' "
+        "that Levene/Brown-Forsythe answer parametrically. Doubled "
+        "midranks keep tie handling integer (score2 = min(rank2, "
+        "2(N+1)-rank2) is exact integer folding of the midrank); the "
+        "normal approximation uses the classical parity-dependent "
+        "moments (no-ties form — stated as an approximation, like "
+        "every rank test's z here) in one shared CASE expression "
+        "(_AB_Z). One global-order rank pass at distinct-value grain; "
+        "same scale shape as Mann-Whitney."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import value_rank_table
+
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin("click", "error") & F.col("value").isNotNull()
+    ).select(
+        F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 2 END").alias("grp"),
+        "value",
+    )
+    vr = value_rank_table(pooled, "value", F.floor(F.col("value")).cast("bigint"))
+    per_vg = pooled.groupBy("value", "grp").agg(F.count(F.lit(1)).alias("k"))
+    ranked = per_vg.join(vr, "value").select(
+        "grp", "k", (2 * F.col("cnt_less") + F.col("cnt_eq") + 1).alias("rank2")
+    )
+    tot = ranked.agg(F.sum("k").alias("n_all")).first()["n_all"] or 0  # 0 on empty input
+    scored = ranked.select(
+        "grp",
+        "k",
+        F.least(F.col("rank2"), F.lit(2 * (tot + 1)) - F.col("rank2")).alias("score2"),
+    )
+    s = scored.agg(
+        F.lit(tot).cast("bigint").alias("n"),
+        F.lit(tot).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN k ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN k ELSE 0 END) AS DOUBLE)").alias("n1d"),
+        F.expr("CAST(SUM(CASE WHEN grp = 2 THEN k ELSE 0 END) AS DOUBLE)").alias("n2d"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 THEN k * score2 ELSE 0 END) AS DOUBLE) / 2.0"
+        ).alias("ab_d"),
+    )
+    return s.select("n", "n1", F.col("ab_d").alias("ab_stat"), F.expr(_AB_Z).alias("z_score"))
+
+
+_MOOD_CHI2 = (
+    "nd * (ad * dd - bd * cd) * (ad * dd - bd * cd)"
+    " / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))"
+)
+
+
+@register(
+    "stats_mood_median_test",
+    oracle=f"""
+        WITH pooled AS (
+            SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS grp,
+                   value
+            FROM events
+            WHERE event_type IN ('view', 'error') AND value IS NOT NULL
+        ),
+        med AS (
+            SELECT MIN(value) AS m FROM (
+                SELECT pv AS value,
+                       SUM(c) OVER (ORDER BY pv
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                       (SELECT COUNT(*) FROM pooled) AS n
+                FROM (SELECT value AS pv, COUNT(*) AS c FROM pooled GROUP BY value)
+            ) WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+        ),
+        counts AS (
+            SELECT
+                CAST(SUM(CASE WHEN grp = 1 AND value > (SELECT m FROM med)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN grp = 2 AND value > (SELECT m FROM med)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN grp = 1 AND value <= (SELECT m FROM med)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN grp = 2 AND value <= (SELECT m FROM med)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM pooled
+        )
+        SELECT (SELECT m FROM med) AS pooled_median, a, b, c, d,
+               CAST(a + b + c + d AS DOUBLE) * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                 / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                    * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                    * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                    * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))) AS chi2
+        FROM counts
+    """,
+    doc=(
+        "Mood's median test (view vs error): split both samples at the "
+        "POOLED lower median, form the 2x2 above/at-or-below table, "
+        "and compute the 1-df chi-square with the closed 2x2 form "
+        "N(ad-bc)^2 / (row and column margins) — the coarse-but-robust "
+        "location test that survives heavy ties and censoring where "
+        "rank tests lose power. The pooled median comes from the "
+        "distinct-value cumulative-count table (first value whose "
+        "cumulative count reaches ceil(N/2) — integer rank bound, no "
+        "percentile interpolation, so both engines pick the identical "
+        "value); the 2x2 counts are one conditional aggregate; chi2 is "
+        "a single shared expression over four exact integers."
+    ),
+    tags=("stats", "ab", "agg"),
+)
+def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin("view", "error") & F.col("value").isNotNull()
+    ).select(
+        F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 2 END").alias("grp"),
+        "value",
+    )
+    per_val = pooled.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    n_total = pooled.count()  # scalar query parameter
+    med = (
+        per_val.select("value", F.sum("c").over(w).alias("cum"))
+        .filter(F.col("cum") >= -(-n_total // 2))
+        .agg(F.min("value").alias("m"))
+    )
+    counts = pooled.crossJoin(F.broadcast(med)).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 AND value > m THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 2 AND value > m THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 AND value <= m THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("c"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 2 AND value <= m THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("d"),
+        F.first("m").alias("pooled_median"),
+    )
+    chi2 = (
+        "CAST(a + b + c + d AS DOUBLE) * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+        " - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+        " - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+        " / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))"
+        " * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))"
+        " * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)))"
+    )
+    return counts.select(
+        "pooled_median", "a", "b", "c", "d", F.expr(chi2).alias("chi2")
+    )

@@ -1955,3 +1955,107 @@ def window_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.expr("CAST(cpv AS DOUBLE) / CAST(cv AS DOUBLE)").alias("vwap"),
     )
+
+
+_ATR_DAYS = 14
+
+
+@register(
+    "window_true_range_atr",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(round(value * 10000) AS BIGINT) AS x,
+                   row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE value IS NOT NULL
+        ),
+        bars AS (
+            SELECT event_type, day,
+                   CAST(MAX(x) AS BIGINT) AS h,
+                   CAST(MIN(x) AS BIGINT) AS l,
+                   CAST(MAX(CASE WHEN rn = 1 THEN x END) AS BIGINT) AS c
+            FROM pts GROUP BY event_type, day
+        ),
+        tr AS (
+            SELECT event_type, day, h, l, c,
+                   GREATEST(h - l,
+                            abs(h - lag(c) OVER w),
+                            abs(l - lag(c) OVER w)) AS true_range
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day,
+               CAST(h AS DOUBLE) / 10000.0 AS high,
+               CAST(l AS DOUBLE) / 10000.0 AS low,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(true_range AS DOUBLE) / 10000.0 AS true_range,
+               CAST(SUM(true_range) OVER (PARTITION BY event_type ORDER BY day
+                                          ROWS BETWEEN {_ATR_DAYS - 1} PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE)
+                 / (CAST(COUNT(true_range) OVER (PARTITION BY event_type ORDER BY day
+                                           ROWS BETWEEN {_ATR_DAYS - 1} PRECEDING
+                                           AND CURRENT ROW) AS DOUBLE)
+                    * 10000.0) AS atr
+        FROM tr
+        WHERE true_range IS NOT NULL
+    """,
+    doc=(
+        "True range + {0}-day ATR per event type's daily bar series: "
+        "TR = max(high-low, |high-prev_close|, |low-prev_close|) — the "
+        "gap-aware volatility measure (a pure high-low range misses "
+        "overnight jumps) — and ATR as its simple rolling mean, the "
+        "denominator every volatility-normalized alert threshold "
+        "wants. Bars reduce the fact table to day grain in one "
+        "aggregate (close = arg_max by (ts, event_id) — deterministic, "
+        "tie-free on the unique event key); TR and the rolling sum "
+        "run over the calendar-bounded per-type day table. All "
+        "quantities are 1e-4 fixed-point integers until the final "
+        "shared divisions; the rolling mean divides an exact integer "
+        "window sum by an exact window count, so partial windows at "
+        "the series head are handled identically on both engines. "
+        "First day drops (no prev close), per the classical "
+        "definition.".format(_ATR_DAYS)
+    ),
+    tags=("window", "timeseries", "anomaly"),
+)
+def window_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fixed = "CAST(round(value * 10000) AS BIGINT)"
+    bars = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(f"CAST(MAX({fixed}) AS BIGINT)").alias("h"),
+            F.expr(f"CAST(MIN({fixed}) AS BIGINT)").alias("l"),
+            F.expr(
+                f"CAST(max_by({fixed}, struct(ts, event_id)) AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    tr = bars.select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        "c",
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.lag("c").over(w)),
+            F.abs(F.col("l") - F.lag("c").over(w)),
+        ).alias("true_range"),
+    ).filter(F.col("true_range").isNotNull())
+    wa = w.rowsBetween(-(_ATR_DAYS - 1), W.currentRow)
+    return tr.select(
+        "event_type",
+        "day",
+        (F.col("h").cast("double") / 10000.0).alias("high"),
+        (F.col("l").cast("double") / 10000.0).alias("low"),
+        (F.col("c").cast("double") / 10000.0).alias("close"),
+        (F.col("true_range").cast("double") / 10000.0).alias("true_range"),
+        (
+            F.sum("true_range").over(wa).cast("double")
+            / (F.count("true_range").over(wa).cast("double") * F.lit(10000.0))
+        ).alias("atr"),
+    )

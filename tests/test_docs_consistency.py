@@ -94,6 +94,10 @@ _R5_QUERIES = frozenset(
         "graph_degree_assortativity",
         "dq_luhn_checksum_audit",
         "multimodal_gif_header_parse",
+        "similarity_ann_recall_report",
+        "stats_ansari_bradley",
+        "stats_mood_median_test",
+        "window_true_range_atr",
     }
 )
 

@@ -180,6 +180,10 @@ REPRESENTATIVE = [
     "graph_degree_assortativity",
     "dq_luhn_checksum_audit",
     "multimodal_gif_header_parse",
+    "similarity_ann_recall_report",
+    "stats_ansari_bradley",
+    "stats_mood_median_test",
+    "window_true_range_atr",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -208,6 +212,8 @@ _ALLOW_ONE_ROW = {
     "stats_cohens_kappa",
     "stats_wilcoxon_signed_rank",
     "graph_degree_assortativity",
+    "stats_ansari_bradley",
+    "stats_mood_median_test",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
