@@ -4529,3 +4529,107 @@ def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "pooled_median", "a", "b", "c", "d", F.expr(chi2).alias("chi2")
     )
+
+
+#: CUPED adjusted variance, all from six exact sums; theta and the
+#: variance identities evaluate in one shared expression tree
+_CUPED_THETA = "(nd * sxy_d - sx_d * sy_d) / (nd * sxx_d - sx_d * sx_d)"
+_CUPED_VARY = "(nd * syy_d - sy_d * sy_d) / (nd * (nd - 1.0))"
+_CUPED_VARADJ = (
+    "((nd * syy_d - sy_d * sy_d)"
+    " - (nd * sxy_d - sx_d * sy_d) * (nd * sxy_d - sx_d * sy_d)"
+    " / (nd * sxx_d - sx_d * sx_d)) / (nd * (nd - 1.0))"
+)
+
+#: overflow-safe exact product sum: per-user totals fit DECIMAL(19,0),
+#: the product DECIMAL(37,0) <= both engines' 38-digit ceiling
+_CUPED_PSUM = (
+    "CAST(SUM(CAST(CAST({a} AS DECIMAL(19,0)) * CAST({b} AS DECIMAL(18,0))"
+    " AS DECIMAL(38,0))) AS {t}) "
+)
+
+
+@register(
+    "stats_cuped_variance_reduction",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                            THEN CAST(round(value * 10000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                            THEN CAST(round(value * 10000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL
+            GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy_d,
+                   CAST(CAST({_CUPED_PSUM.format(a='x', b='y', t='VARCHAR')} AS VARCHAR) AS DOUBLE) AS sxy_d,
+                   CAST(CAST({_CUPED_PSUM.format(a='x', b='x', t='VARCHAR')} AS VARCHAR) AS DOUBLE) AS sxx_d,
+                   CAST(CAST({_CUPED_PSUM.format(a='y', b='y', t='VARCHAR')} AS VARCHAR) AS DOUBLE) AS syy_d
+            FROM per_user
+        )
+        SELECT n AS n_users,
+               {_CUPED_THETA} AS theta,
+               {_CUPED_VARY} AS var_y,
+               {_CUPED_VARADJ} AS var_y_adjusted,
+               100.0 * (1.0 - ({_CUPED_VARADJ}) / ({_CUPED_VARY}))
+                   AS variance_reduction_pct
+        FROM s
+    """,
+    doc=(
+        "CUPED variance reduction (Deng et al. 2013 — the A/B-platform "
+        "standard): adjust each user's experiment-period metric Y by "
+        "their PRE-period covariate X (first vs second half-month "
+        "here), theta = cov(X,Y)/var(X), and report how much metric "
+        "variance the adjustment removes — var(Y_adj) = var(Y)(1-rho^2)"
+        ", i.e. experiment sensitivity bought with data you already "
+        "had. Per-user period totals are exact 1e-4 fixed-point BIGINTs "
+        "from one conditional aggregate; cross-products go through "
+        "DECIMAL(19)x DECIMAL(18) -> DECIMAL(37) (overflow-safe where "
+        "a raw BIGINT product dies at ~1e19 at corpus scale), and "
+        "theta/variances evaluate in shared expression templates — "
+        "hash-exact. One user-keyed shuffle + one map-side global "
+        "reduce; the exact shape a 100 TB experimentation pipeline "
+        "runs nightly."
+    ),
+    tags=("stats", "ab", "agg"),
+)
+def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_user = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'"
+                " THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'"
+                " THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx_d"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy_d"),
+        F.expr(_CUPED_PSUM.format(a="x", b="y", t="DOUBLE")).alias("sxy_d"),
+        F.expr(_CUPED_PSUM.format(a="x", b="x", t="DOUBLE")).alias("sxx_d"),
+        F.expr(_CUPED_PSUM.format(a="y", b="y", t="DOUBLE")).alias("syy_d"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.expr(_CUPED_THETA).alias("theta"),
+        F.expr(_CUPED_VARY).alias("var_y"),
+        F.expr(_CUPED_VARADJ).alias("var_y_adjusted"),
+        F.expr(
+            f"100.0 * (1.0 - ({_CUPED_VARADJ}) / ({_CUPED_VARY}))"
+        ).alias("variance_reduction_pct"),
+    )

@@ -1746,3 +1746,91 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_stop.alias("pass_stopwords"),
         (pass_wc & pass_mwl & pass_alpha & pass_stop).alias("keep"),
     )
+
+
+_KN_D = 0.75  # absolute discount — dyadic, exactly representable
+_KN_TOP = 20
+
+#: interpolated Kneser-Ney bigram probability — shared double formula
+#: over five exact integer counts (c(u,w), c(u), N1+(u.), N1+(.w), T)
+_KN_P = (
+    "greatest(CAST(cuw AS DOUBLE) - 0.75, 0.0) / CAST(cu AS DOUBLE)"
+    " + (0.75 * CAST(n1u AS DOUBLE) / CAST(cu AS DOUBLE))"
+    " * (CAST(n1w AS DOUBLE) / CAST(tt AS DOUBLE))"
+)
+
+
+@register(
+    "text_kneser_ney_bigram_lm",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> struct_pack(u := t[i], w := t[i + 1]))) AS s
+            FROM toks
+        ),
+        pairs AS (SELECT s.u AS u, s.w AS w FROM bg WHERE s.w IS NOT NULL),
+        cuw AS (
+            SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cuw
+            FROM pairs GROUP BY u, w
+        ),
+        cu AS (SELECT u, CAST(SUM(cuw) AS BIGINT) AS cu,
+                      CAST(COUNT(*) AS BIGINT) AS n1u
+               FROM cuw GROUP BY u),
+        cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM cuw GROUP BY w),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM cuw)
+        SELECT c.u, c.w, c.cuw, cu.cu, cu.n1u, cw.n1w,
+               {_KN_P} AS p_kn
+        FROM cuw c JOIN cu USING (u) JOIN cw USING (w), tt
+        ORDER BY p_kn DESC, c.u, c.w
+        LIMIT {_KN_TOP}
+    """,
+    doc=(
+        "Interpolated Kneser-Ney bigram language model over the corpus "
+        "— THE n-gram smoothing method (the strongest count-based LM, "
+        "and the quality-filter scorer of choice before neural "
+        "perplexity): P(w|u) = max(c(u,w)-d, 0)/c(u) + d*N1+(u.)/c(u) "
+        "* N1+(.w)/|types|, where the continuation probability counts "
+        "how many CONTEXTS a word follows rather than how often it "
+        "occurs (the insight that fixes 'San Francisco' inflating "
+        "P(Francisco)). Discount d = 0.75 is dyadic and every input is "
+        "an exact integer count from three cascading aggregates over "
+        "the bigram-type table (each strictly smaller), so the shared "
+        "formula (_KN_P) is hash-exact — NO ln/exp anywhere, which is "
+        "what makes this the one LM this engine can oracle exactly. "
+        "Top-20 by probability is a TakeOrdered; at corpus scale the "
+        "type tables shard by u/w hash like any n-gram count job."
+    ),
+    tags=("text", "llm", "ngram"),
+)
+def text_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = t.documents.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> named_struct('u', split(text, ' ')[i],"
+                " 'w', split(text, ' ')[i + 1]))"
+                " ELSE array() END"
+            )
+        ).alias("s")
+    ).select(F.col("s.u").alias("u"), F.col("s.w").alias("w"))
+    cuw = pairs.groupBy("u", "w").agg(F.count(F.lit(1)).cast("bigint").alias("cuw"))
+    cu = cuw.groupBy("u").agg(
+        F.sum("cuw").cast("bigint").alias("cu"),
+        F.count(F.lit(1)).cast("bigint").alias("n1u"),
+    )
+    cw = cuw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1w"))
+    tt = cuw.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    return (
+        cuw.join(cu, "u")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tt))
+        .select("u", "w", "cuw", "cu", "n1u", "n1w", F.expr(_KN_P).alias("p_kn"))
+        .orderBy(F.desc("p_kn"), "u", "w")
+        .limit(_KN_TOP)
+    )

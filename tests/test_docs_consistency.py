@@ -98,6 +98,8 @@ _R5_QUERIES = frozenset(
         "stats_ansari_bradley",
         "stats_mood_median_test",
         "window_true_range_atr",
+        "text_kneser_ney_bigram_lm",
+        "stats_cuped_variance_reduction",
     }
 )
 

@@ -184,6 +184,8 @@ REPRESENTATIVE = [
     "stats_ansari_bradley",
     "stats_mood_median_test",
     "window_true_range_atr",
+    "text_kneser_ney_bigram_lm",
+    "stats_cuped_variance_reduction",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -214,6 +216,7 @@ _ALLOW_ONE_ROW = {
     "graph_degree_assortativity",
     "stats_ansari_bradley",
     "stats_mood_median_test",
+    "stats_cuped_variance_reduction",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
