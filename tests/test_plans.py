@@ -686,6 +686,13 @@ _BNLJ_BOUNDED_OK = {
     # r5: the BH step-up cross-joins the one-row kmax scalar (the max
     # rejected rank) against the bounded per-event-type test table
     "stats_benjamini_hochberg_fdr",
+    # r5 continuation: one-row scalar broadcasts (Cohen's kappa chance
+    # term, Mood's pooled median, Kneser-Ney's bigram-type count) and
+    # block-bounded broadcasts (the 48-vector cosine-histogram side;
+    # the recall report inherits the exact-topk query-block shape)
+    "stats_cohens_kappa", "stats_mood_median_test",
+    "text_kneser_ney_bigram_lm", "similarity_pairwise_cosine_histogram",
+    "similarity_ann_recall_report",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",
