@@ -127,6 +127,9 @@ HEADLINE = [
     "dq_referential_integrity_audit",
     "window_anchored_vwap",
     "graph_resource_allocation_link_prediction",
+    # the cascading bigram-type-table LM (three strictly-shrinking
+    # aggregates + two broadcast joins — the n-gram count-job shape)
+    "text_kneser_ney_bigram_lm",
 ]
 
 

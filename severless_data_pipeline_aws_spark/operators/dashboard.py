@@ -1904,3 +1904,83 @@ def dq_luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tampered",
         F.expr(f"({_luhn_sum('pan16', 16)}) % 10 = 0").alias("luhn_valid"),
     )
+
+
+_RECON_TOP = 15
+
+
+@register(
+    "dq_order_total_reconciliation",
+    oracle=f"""
+        WITH li AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                            * CAST(round((1 + l_tax) * 100) AS BIGINT))
+                        AS BIGINT) AS computed_e6
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+                       AS stated_e6,
+                   li.computed_e6,
+                   abs(CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+                       - li.computed_e6) AS abs_diff_e6
+            FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderkey,
+               CAST(stated_e6 AS DOUBLE) / 1000000.0 AS stated_total,
+               CAST(computed_e6 AS DOUBLE) / 1000000.0 AS computed_total,
+               CAST(abs_diff_e6 AS DOUBLE) / 1000000.0 AS abs_diff
+        FROM j
+        ORDER BY abs_diff_e6 DESC, o_orderkey
+        LIMIT {_RECON_TOP}
+    """,
+    doc=(
+        "Cross-table financial reconciliation: recompute each order's "
+        "total from its line items (extendedprice x (1-discount) x "
+        "(1+tax), the TPC-H pricing identity) in exact 1e-6 fixed "
+        "point and rank the largest absolute discrepancies against "
+        "the stated o_totalprice — the audit that catches silent "
+        "drift between a fact table and its denormalized rollup "
+        "(double-posted lines, missed updates, rounding-policy "
+        "mismatches between producers). Price carries 2 decimals and "
+        "the two rate factors 2 each, so the per-line product is an "
+        "exact integer at 1e-6 scale (<= 1e13 per term, BIGINT-safe; "
+        "order sums far below 2^63); the comparison is integer "
+        "subtraction, the output a single exact scaling division. One "
+        "orderkey-grain aggregate + one join on the key both tables "
+        "already shard by; top-15 discrepancies via TakeOrdered."
+    ),
+    tags=("dq", "join", "agg"),
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.groupBy("l_orderkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * CAST(round((1 - l_discount) * 100) AS BIGINT)"
+            " * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("computed_e6")
+    )
+    j = t.orders.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) * 10000").alias("stated_e6"),
+        "computed_e6",
+        F.expr(
+            "abs(CAST(round(o_totalprice * 100) AS BIGINT) * 10000 - computed_e6)"
+        ).alias("abs_diff_e6"),
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            F.expr("CAST(stated_e6 AS DOUBLE) / 1000000.0").alias("stated_total"),
+            F.expr("CAST(computed_e6 AS DOUBLE) / 1000000.0").alias("computed_total"),
+            F.expr("CAST(abs_diff_e6 AS DOUBLE) / 1000000.0").alias("abs_diff"),
+            "abs_diff_e6",
+        )
+        .orderBy(F.desc("abs_diff_e6"), "o_orderkey")
+        .limit(_RECON_TOP)
+        .drop("abs_diff_e6")
+    )

@@ -1834,3 +1834,80 @@ def text_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_kn"), "u", "w")
         .limit(_KN_TOP)
     )
+
+
+_BURST_TOP = 25
+_BURST_MIN_DOCS = 20  # a word must appear in >= this many docs to rank
+
+
+@register(
+    "text_token_burstiness",
+    oracle=f"""
+        WITH counts AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        s AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS tf,
+                   CAST(SUM(c * c) AS BIGINT) AS tf2
+            FROM counts GROUP BY w
+        )
+        SELECT w AS word, df, tf,
+               ((CAST(n_docs AS DOUBLE) * CAST(tf2 AS DOUBLE)
+                 - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE))
+                / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0)))
+               / (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS fano_factor
+        FROM s, nd
+        WHERE df >= {_BURST_MIN_DOCS}
+        ORDER BY fano_factor DESC, w
+        LIMIT {_BURST_TOP}
+    """,
+    doc=(
+        "Token burstiness via the Fano factor (variance-to-mean ratio "
+        "of per-document counts, zeros included): content words CLUMP "
+        "— once a document mentions a topic word it repeats it — "
+        "while function words spread Poisson-like (Fano ~ 1); the "
+        "statistic behind burstiness-aware retrieval weighting and a "
+        "cheap topical-vs-boilerplate detector for corpus audits. "
+        "Per-(doc, word) counts reduce map-side; per-word df, tf and "
+        "sum-of-squares are exact integers (zero-count docs enter the "
+        "moments through the closed form n*sum(c^2) - tf^2 without "
+        "being materialized — the variance expansion handles the "
+        "sparse zeros analytically); the Fano ratio is one shared "
+        "double expression per surviving word, top-25 by TakeOrdered. "
+        "Min-df {0} gate keeps one-doc flukes out of the ranking."
+        .format(_BURST_MIN_DOCS)
+    ),
+    tags=("text", "llm", "stats"),
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    counts = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nd = t.documents.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    s = counts.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("tf"),
+        F.expr("CAST(SUM(c * c) AS BIGINT)").alias("tf2"),
+    )
+    fano = (
+        "((CAST(n_docs AS DOUBLE) * CAST(tf2 AS DOUBLE)"
+        " - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE))"
+        " / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0)))"
+        " / (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    )
+    return (
+        s.filter(F.col("df") >= _BURST_MIN_DOCS)
+        .crossJoin(F.broadcast(nd))
+        .select(F.col("w").alias("word"), "df", "tf", F.expr(fano).alias("fano_factor"))
+        .orderBy(F.desc("fano_factor"), "word")
+        .limit(_BURST_TOP)
+    )

@@ -100,6 +100,8 @@ _R5_QUERIES = frozenset(
         "window_true_range_atr",
         "text_kneser_ney_bigram_lm",
         "stats_cuped_variance_reduction",
+        "text_token_burstiness",
+        "dq_order_total_reconciliation",
     }
 )
 

@@ -186,6 +186,8 @@ REPRESENTATIVE = [
     "window_true_range_atr",
     "text_kneser_ney_bigram_lm",
     "stats_cuped_variance_reduction",
+    "text_token_burstiness",
+    "dq_order_total_reconciliation",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
