@@ -693,6 +693,8 @@ _BNLJ_BOUNDED_OK = {
     "stats_cohens_kappa", "stats_mood_median_test",
     "text_kneser_ney_bigram_lm", "similarity_pairwise_cosine_histogram",
     "similarity_ann_recall_report",
+    # one-row corpus-size scalar broadcast into the Fano ratio
+    "text_token_burstiness",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",
