@@ -1208,3 +1208,92 @@ def sampling_train_val_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             "ELSE 'test' END"
         ).alias("split"),
     ).orderBy("lang", "rank_in_stratum")
+
+
+@register(
+    "pipeline_preference_pairs",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS score
+            FROM documents
+        ),
+        best AS (
+            SELECT lang, doc_id, score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY score DESC, doc_id) AS r,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM scored
+        ),
+        worst AS (
+            SELECT lang, doc_id, score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY score ASC, doc_id DESC) AS r
+            FROM scored
+        )
+        SELECT b.lang, CAST(b.r AS BIGINT) AS pair_rank,
+               b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+               b.score AS chosen_score, w.score AS rejected_score,
+               b.score - w.score AS margin
+        FROM best b
+        JOIN worst w ON w.lang = b.lang AND w.r = b.r
+        WHERE b.r <= b.n // 2 AND b.score > w.score
+    """,
+    doc=(
+        "Preference-pair construction for reward-model / DPO training "
+        "data: within each language stratum, rank documents by a "
+        "deterministic quality score (distinct-token count — swap in "
+        "any scorer), then pair the i-th best with the i-th worst and "
+        "emit (chosen, rejected, margin), keeping only pairs with a "
+        "strictly positive margin — the standard best-vs-worst mining "
+        "that maximizes preference signal per pair (adjacent-rank "
+        "pairs carry almost none). Both rankings are integer "
+        "row_numbers with doc_id tie-breaks (the DESC/ASC pair uses "
+        "OPPOSITE doc_id orders so a fully-tied stratum pairs "
+        "distinct docs rather than a doc with itself); the join is "
+        "rank-to-rank within the stratum. Per-lang windows are "
+        "stratum-bounded here; at corpus scale the rank swaps to the "
+        "bucket-offset pattern the exact train/val/test splitter "
+        "already uses. All columns integer — hash-exact trivially."
+    ),
+    tags=("sampling", "llm", "pipeline"),
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("score"),
+    )
+    wb = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    ww = W.partitionBy("lang").orderBy(F.asc("score"), F.desc("doc_id"))
+    wn = W.partitionBy("lang")
+    best = scored.select(
+        "lang",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score").alias("chosen_score"),
+        F.row_number().over(wb).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    worst = scored.select(
+        "lang",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score").alias("rejected_score"),
+        F.row_number().over(ww).alias("r"),
+    )
+    return (
+        best.join(worst, ["lang", "r"])
+        .filter((F.col("r") <= F.expr("n DIV 2")) & (F.col("chosen_score") > F.col("rejected_score")))
+        .select(
+            "lang",
+            F.col("r").cast("bigint").alias("pair_rank"),
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

@@ -4633,3 +4633,180 @@ def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFram
             f"100.0 * (1.0 - ({_CUPED_VARADJ}) / ({_CUPED_VARY}))"
         ).alias("variance_reduction_pct"),
     )
+
+
+#: Dickey-Fuller regression Delta x_t = alpha + rho * x_{t-1} + eps:
+#: rho-hat, its standard error, and the DF t-statistic, all from six
+#: exact sums over (y = Delta x, x = lag) pairs — shared templates.
+_DF_RHO = "(nd * sxy_d - sx_d * sy_d) / (nd * sxx_d - sx_d * sx_d)"
+_DF_RSS = (
+    "(syy_d - sy_d * sy_d / nd)"
+    " - (sxy_d - sx_d * sy_d / nd) * (sxy_d - sx_d * sy_d / nd)"
+    " / (sxx_d - sx_d * sx_d / nd)"
+)
+_DF_T = (
+    f"({_DF_RHO}) / sqrt((({_DF_RSS}) / (nd - 2.0))"
+    f" / (sxx_d - sx_d * sx_d / nd))"
+)
+
+
+@register(
+    "stats_dickey_fuller_unit_root",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        pairs AS (
+            SELECT event_type,
+                   v - lag(v) OVER w AS y,
+                   lag(v) OVER w AS x
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy_d,
+                   CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                        * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) AS sxy_d,
+                   CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                        * CAST(x AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) AS sxx_d,
+                   CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+                        * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) AS syy_d
+            FROM pairs WHERE x IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n, {_DF_RHO} AS rho_hat, {_DF_T} AS df_t_stat,
+               {_DF_T} < -2.88 AS reject_unit_root
+        FROM s
+    """,
+    doc=(
+        "Dickey-Fuller unit-root test on each event type's daily total "
+        "series: regress the first difference on the lagged level "
+        "(with intercept) and report rho-hat and the DF t-statistic — "
+        "the stationarity gate run before fitting ANY forecaster "
+        "(differencing decisions, mean-reversion claims, spurious-"
+        "regression protection). The -2.88 line is the classical 5% "
+        "tau-mu critical value (n~50 table row) — a reference "
+        "threshold, not a computed p-value. Facts reduce to day grain "
+        "distributedly; the lag pairs and six power sums come from one "
+        "window + one aggregate; cross-products route through "
+        "DECIMAL(19)xDECIMAL(18) (daily totals overflow raw BIGINT "
+        "squares at corpus scale); rho, RSS, and t evaluate in shared "
+        "templates (_DF_*) — hash-exact, ln-free."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr("CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)").alias("v")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        (F.col("v") - F.lag("v").over(w)).alias("y"),
+        F.lag("v").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    psum = (
+        "CAST(SUM(CAST(CAST({a} AS DECIMAL(19,0)) * CAST({b} AS DECIMAL(18,0))"
+        " AS DECIMAL(38,0))) AS DOUBLE)"
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx_d"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy_d"),
+        F.expr(psum.format(a="x", b="y")).alias("sxy_d"),
+        F.expr(psum.format(a="x", b="x")).alias("sxx_d"),
+        F.expr(psum.format(a="y", b="y")).alias("syy_d"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr(_DF_RHO).alias("rho_hat"),
+        F.expr(_DF_T).alias("df_t_stat"),
+        F.expr(f"{_DF_T} < -2.88").alias("reject_unit_root"),
+    )
+
+
+#: Euler-Mascheroni constant and the Gumbel moment identities: both
+#: engines parse the identical decimal literals into the same doubles,
+#: and pi() is the correctly-rounded double of pi on both.
+_GUMBEL_BETA = "sqrt(6.0 * (nd * sxx_d - sx_d * sx_d) / (nd * (nd - 1.0))) / pi()"
+_GUMBEL_MU = f"sx_d / nd - 0.5772156649015329 * ({_GUMBEL_BETA})"
+
+
+@register(
+    "stats_gumbel_block_maxima",
+    oracle=f"""
+        WITH maxima AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(MAX(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS m
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(SUM(CAST(m * m AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx_d
+            FROM maxima GROUP BY event_type
+        )
+        SELECT event_type, n_blocks,
+               ({_GUMBEL_MU}) / 10000.0 AS gumbel_mu,
+               ({_GUMBEL_BETA}) / 10000.0 AS gumbel_beta
+        FROM s
+    """,
+    doc=(
+        "Extreme-value analysis by block maxima: take each event "
+        "type's DAILY maximum (the Fisher-Tippett block), then fit a "
+        "Gumbel distribution by the method of moments — beta = "
+        "sqrt(6)*s/pi, mu = mean - gamma*beta (Euler-Mascheroni "
+        "gamma) — the capacity-planning primitive behind 'how bad is "
+        "a 1-in-N-day spike'. Moment fitting is deliberately chosen "
+        "over maximum likelihood: MLE needs exp/ln iterations that "
+        "bit-diverge across engines, while the moment identities are "
+        "mean/variance arithmetic + IEEE sqrt + the shared pi() and "
+        "gamma literals — hash-exact. (Return-level quantiles need "
+        "ln(-ln p) and are left to the caller, same ln boundary as "
+        "the rest of the battery.) Two cascading aggregates: fact -> "
+        "day-max (map-side combinable), day-max -> moments."
+    ),
+    tags=("stats", "timeseries", "anomaly"),
+)
+def stats_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    maxima = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr("CAST(MAX(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)").alias("m")
+        )
+    )
+    s = maxima.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DOUBLE)").alias("sx_d"),
+        F.expr("CAST(SUM(CAST(m * m AS DECIMAL(38,0))) AS DOUBLE)").alias("sxx_d"),
+    )
+    return s.select(
+        "event_type",
+        "n_blocks",
+        F.expr(f"({_GUMBEL_MU}) / 10000.0").alias("gumbel_mu"),
+        F.expr(f"({_GUMBEL_BETA}) / 10000.0").alias("gumbel_beta"),
+    )

@@ -1911,3 +1911,82 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fano_factor"), "word")
         .limit(_BURST_TOP)
     )
+
+
+#: per-word Bhattacharyya term, quantized to 1e-6 by floor so the sum
+#: is an exact BIGINT (sum order free) — the quantized form IS the spec
+_BC_TERM = "CAST(floor(1000000.0 * sqrt(CAST(cp AS DOUBLE) * CAST(cq AS DOUBLE))) AS BIGINT)"
+
+
+@register(
+    "text_bhattacharyya_source_overlap",
+    oracle=f"""
+        WITH words AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        src AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cp
+            FROM words GROUP BY source, w
+        ),
+        corpus AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cq FROM words GROUP BY w
+        ),
+        norms AS (
+            SELECT source, CAST(SUM(cp) AS BIGINT) AS np FROM src GROUP BY source
+        ),
+        total AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM words),
+        terms AS (
+            SELECT s.source, CAST(SUM({_BC_TERM}) AS BIGINT) AS bc_int
+            FROM src s JOIN corpus USING (w)
+            GROUP BY s.source
+        )
+        SELECT t.source, n.np AS n_tokens,
+               CAST(t.bc_int AS DOUBLE)
+                   / (1000000.0 * sqrt(CAST(n.np AS DOUBLE) * CAST(tot.nq AS DOUBLE)))
+                   AS bhattacharyya_coef
+        FROM terms t JOIN norms n USING (source), total tot
+    """,
+    doc=(
+        "Bhattacharyya coefficient between each source's word "
+        "distribution and the corpus-wide distribution: BC = sum_w "
+        "sqrt(p_w * q_w) in [0, 1] — the distribution-overlap audit "
+        "that flags an off-topic or degenerate source BEFORE it "
+        "poisons a training mixture (the sqrt-based sibling of the "
+        "Hellinger drift op: H^2 = 1 - BC). The per-word term is "
+        "quantized to 1e-6 by floor(1e6 * sqrt(cp*cq)) so the "
+        "accumulated sum is an exact BIGINT — order-free, hence "
+        "hash-exact without any ordered-fold machinery — and the "
+        "quantized definition is stated as the operator's spec (error "
+        "<= 1e-6 per word). Word counts reduce map-side; the "
+        "source-vocab x corpus-vocab equi-join is the inverted-index "
+        "shape; one broadcast of the 20-row norm table."
+    ),
+    tags=("text", "llm", "stats", "quality"),
+)
+def text_bhattacharyya_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = t.documents.select("source", F.explode(F.split("text", " ")).alias("w"))
+    src = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cp")
+    )
+    corpus = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+    norms = src.groupBy("source").agg(F.sum("cp").cast("bigint").alias("np"))
+    total = words.agg(F.count(F.lit(1)).cast("bigint").alias("nq"))
+    terms = (
+        src.join(corpus, "w")
+        .groupBy("source")
+        .agg(F.expr(f"CAST(SUM({_BC_TERM}) AS BIGINT)").alias("bc_int"))
+    )
+    return (
+        terms.join(F.broadcast(norms), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.col("np").alias("n_tokens"),
+            F.expr(
+                "CAST(bc_int AS DOUBLE)"
+                " / (1000000.0 * sqrt(CAST(np AS DOUBLE) * CAST(nq AS DOUBLE)))"
+            ).alias("bhattacharyya_coef"),
+        )
+    )

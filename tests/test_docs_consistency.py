@@ -102,6 +102,11 @@ _R5_QUERIES = frozenset(
         "stats_cuped_variance_reduction",
         "text_token_burstiness",
         "dq_order_total_reconciliation",
+        "stats_dickey_fuller_unit_root",
+        "stats_gumbel_block_maxima",
+        "graph_clustering_coefficient",
+        "text_bhattacharyya_source_overlap",
+        "pipeline_preference_pairs",
     }
 )
 

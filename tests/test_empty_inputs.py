@@ -188,6 +188,11 @@ REPRESENTATIVE = [
     "stats_cuped_variance_reduction",
     "text_token_burstiness",
     "dq_order_total_reconciliation",
+    "stats_dickey_fuller_unit_root",
+    "stats_gumbel_block_maxima",
+    "graph_clustering_coefficient",
+    "text_bhattacharyya_source_overlap",
+    "pipeline_preference_pairs",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -219,6 +224,7 @@ _ALLOW_ONE_ROW = {
     "stats_ansari_bradley",
     "stats_mood_median_test",
     "stats_cuped_variance_reduction",
+    "graph_clustering_coefficient",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

@@ -695,6 +695,9 @@ _BNLJ_BOUNDED_OK = {
     "similarity_ann_recall_report",
     # one-row corpus-size scalar broadcast into the Fano ratio
     "text_token_burstiness",
+    # one-row scalar broadcasts: triad count (transitivity denominator)
+    # and the corpus token total (Bhattacharyya normalizer)
+    "graph_clustering_coefficient", "text_bhattacharyya_source_overlap",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",
