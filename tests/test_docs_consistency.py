@@ -107,6 +107,7 @@ _R5_QUERIES = frozenset(
         "graph_clustering_coefficient",
         "text_bhattacharyya_source_overlap",
         "pipeline_preference_pairs",
+        "stats_wasserstein_1d_emd",
     }
 )
 

@@ -193,6 +193,7 @@ REPRESENTATIVE = [
     "graph_clustering_coefficient",
     "text_bhattacharyya_source_overlap",
     "pipeline_preference_pairs",
+    "stats_wasserstein_1d_emd",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -225,6 +226,7 @@ _ALLOW_ONE_ROW = {
     "stats_mood_median_test",
     "stats_cuped_variance_reduction",
     "graph_clustering_coefficient",
+    "stats_wasserstein_1d_emd",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

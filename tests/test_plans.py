@@ -698,6 +698,8 @@ _BNLJ_BOUNDED_OK = {
     # one-row scalar broadcasts: triad count (transitivity denominator)
     # and the corpus token total (Bhattacharyya normalizer)
     "graph_clustering_coefficient", "text_bhattacharyya_source_overlap",
+    # one-row (nx, ny) totals broadcast into the CDF cross-multiply
+    "stats_wasserstein_1d_emd",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",

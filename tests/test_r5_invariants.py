@@ -366,3 +366,24 @@ def test_geohash_wellformed_and_prefix_locality(spark, sf_dir):
     # cells at precision 1 — boundaries every 45 degrees), so allow the
     # straddlers but require the overwhelming majority to agree
     assert len(multi) <= max(1, len(cells) // 10), (len(multi), len(cells))
+
+
+def test_wasserstein_lower_bound(spark, sf_dir):
+    """W1 between two distributions is bounded below by the absolute
+    difference of their means (Jensen via the coupling definition) —
+    a wrong CDF cross-multiply would typically violate this."""
+    from severless_data_pipeline_aws_spark.io import Tables
+
+    r = _df("stats_wasserstein_1d_emd", spark, sf_dir).first()
+    t = Tables(spark, sf_dir)
+    means = (
+        t.events.filter(
+            F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    )
+    m = {row["event_type"]: row["m"] for row in means}
+    assert r["wasserstein_1d"] >= abs(m["click"] - m["view"]) - 1e-9
+    assert r["wasserstein_1d"] >= 0.0
