@@ -4908,3 +4908,118 @@ def stats_wasserstein_1d_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.select(
         "nx", "ny", F.expr("emd_num / (nxd * nyd * 10000.0)").alias("wasserstein_1d")
     )
+
+
+@register(
+    "stats_energy_distance_two_sample",
+    oracle="""
+        WITH pooled AS (
+            SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_y
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        ),
+        per_val AS (
+            SELECT v, CAST(SUM(is_x) AS BIGINT) AS cx,
+                   CAST(SUM(is_y) AS BIGINT) AS cy
+            FROM pooled GROUP BY v
+        ),
+        tot AS (
+            SELECT CAST(SUM(cx) AS BIGINT) AS nx, CAST(SUM(cy) AS BIGINT) AS ny
+            FROM per_val
+        ),
+        steps AS (
+            SELECT CAST(SUM(cx) OVER w AS BIGINT) AS fx2,
+                   CAST(SUM(cy) OVER w AS BIGINT) AS fy2,
+                   lead(v) OVER (ORDER BY v) - v AS gap
+            FROM per_val
+            WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        ),
+        sums AS (
+            SELECT
+                CAST(CAST(SUM(CAST((s.fx2 * (t.ny - s.fy2)
+                     + s.fy2 * (t.nx - s.fx2)) * s.gap AS DECIMAL(38,0)))
+                     AS VARCHAR) AS DOUBLE) AS sxy,
+                CAST(CAST(SUM(CAST(s.fx2 * (t.nx - s.fx2) * s.gap
+                     AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+                CAST(CAST(SUM(CAST(s.fy2 * (t.ny - s.fy2) * s.gap
+                     AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy,
+                CAST(MAX(t.nx) AS DOUBLE) AS nxd,
+                CAST(MAX(t.ny) AS DOUBLE) AS nyd,
+                CAST(MAX(t.nx) AS BIGINT) AS nx,
+                CAST(MAX(t.ny) AS BIGINT) AS ny
+            FROM steps s, tot t WHERE s.gap IS NOT NULL
+        )
+        SELECT nx, ny,
+               (2.0 * sxy / (nxd * nyd)
+                - 2.0 * sxx / (nxd * nxd)
+                - 2.0 * syy / (nyd * nyd)) / 10000.0 AS energy_distance
+        FROM sums
+    """,
+    doc=(
+        "Energy distance between the click and view value samples: "
+        "D = 2E|X-Y| - E|X-X'| - E|Y-Y'| (Szekely-Rizzo) — the modern "
+        "kernel two-sample statistic, zero iff the distributions are "
+        "identical, sensitive to ANY difference (location, scale, "
+        "shape) where t-tests see only means. In 1-D every pairwise "
+        "expectation is a CDF-step integral: sum of |x_i - y_j| = "
+        "integral Fx(ny-Fy) + Fy(nx-Fx) dt over pooled gaps, and "
+        "likewise within-sample — all integer products times integer "
+        "gaps, accumulated in DECIMAL(38) (order-free), three shared "
+        "double divisions at the end. Same distinct-value cumulative "
+        "machinery as the Wasserstein op (one window at value grain, "
+        "bucket-offset swap at corpus scale); no pair join ever "
+        "materializes despite the statistic being defined over all "
+        "nx*ny pairs."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_energy_distance_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    ).select(
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v"),
+        F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END").alias("is_x"),
+        F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END").alias("is_y"),
+    )
+    per_val = pooled.groupBy("v").agg(
+        F.sum("is_x").cast("bigint").alias("cx"),
+        F.sum("is_y").cast("bigint").alias("cy"),
+    )
+    tot = per_val.agg(
+        F.sum("cx").cast("bigint").alias("nx"), F.sum("cy").cast("bigint").alias("ny")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    steps = per_val.select(
+        F.sum("cx").over(w).cast("bigint").alias("fx2"),
+        F.sum("cy").over(w).cast("bigint").alias("fy2"),
+        (F.lead("v").over(W.orderBy("v")) - F.col("v")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    sums = steps.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(SUM(CAST((fx2 * (ny - fy2) + fy2 * (nx - fx2)) * gap"
+            " AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(SUM(CAST(fx2 * (nx - fx2) * gap AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(fy2 * (ny - fy2) * gap AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("syy"),
+        F.expr("CAST(MAX(nx) AS DOUBLE)").alias("nxd"),
+        F.expr("CAST(MAX(ny) AS DOUBLE)").alias("nyd"),
+        F.max("nx").cast("bigint").alias("nx"),
+        F.max("ny").cast("bigint").alias("ny"),
+    )
+    return sums.select(
+        "nx",
+        "ny",
+        F.expr(
+            "(2.0 * sxy / (nxd * nyd) - 2.0 * sxx / (nxd * nxd)"
+            " - 2.0 * syy / (nyd * nyd)) / 10000.0"
+        ).alias("energy_distance"),
+    )

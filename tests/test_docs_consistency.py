@@ -108,6 +108,7 @@ _R5_QUERIES = frozenset(
         "text_bhattacharyya_source_overlap",
         "pipeline_preference_pairs",
         "stats_wasserstein_1d_emd",
+        "stats_energy_distance_two_sample",
     }
 )
 

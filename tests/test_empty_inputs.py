@@ -194,6 +194,7 @@ REPRESENTATIVE = [
     "text_bhattacharyya_source_overlap",
     "pipeline_preference_pairs",
     "stats_wasserstein_1d_emd",
+    "stats_energy_distance_two_sample",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -227,6 +228,7 @@ _ALLOW_ONE_ROW = {
     "stats_cuped_variance_reduction",
     "graph_clustering_coefficient",
     "stats_wasserstein_1d_emd",
+    "stats_energy_distance_two_sample",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

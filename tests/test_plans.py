@@ -699,7 +699,7 @@ _BNLJ_BOUNDED_OK = {
     # and the corpus token total (Bhattacharyya normalizer)
     "graph_clustering_coefficient", "text_bhattacharyya_source_overlap",
     # one-row (nx, ny) totals broadcast into the CDF cross-multiply
-    "stats_wasserstein_1d_emd",
+    "stats_wasserstein_1d_emd", "stats_energy_distance_two_sample",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",
