@@ -643,3 +643,71 @@ def streaming_session_emit_on_timeout(spark: SparkSession, sf_dir: str) -> DataF
     out = _run_to_memory(stateful.session_walk(stream), "append")
     return out.filter(F.col("user_id") >= 0)
 
+
+
+def _page_hinkley_oracle() -> str:
+    delta = _flit(stateful._PH_ONLINE_DELTA)
+    lam = _flit(stateful._PH_ONLINE_LAMBDA)
+    return f"""
+        WITH RECURSIVE
+        base AS MATERIALIZED (
+            SELECT event_type, event_id, value AS v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE value IS NOT NULL
+        ),
+        walk AS (
+            SELECT event_type, 0::BIGINT AS rn, 0::BIGINT AS n,
+                   0e0 AS s, 0e0 AS m, 0e0 AS mn,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS DOUBLE) AS ph_stat,
+                   CAST(NULL AS VARCHAR) AS alarm
+            FROM (SELECT DISTINCT event_type FROM base)
+            UNION ALL
+            SELECT event_type, rn, n, s2 AS s, m2 AS m,
+                   LEAST(mn, m2) AS mn, event_id, vv,
+                   m2 - LEAST(mn, m2) AS ph_stat,
+                   CASE WHEN m2 - LEAST(mn, m2) > {lam} THEN 'Y' ELSE 'N' END
+            FROM (
+                SELECT q.*, q.m + ((q.vv - q.s2 / q.n) - {delta}) AS m2
+                FROM (
+                    SELECT w.event_type AS event_type, b.rn AS rn,
+                           w.n + 1 AS n, w.s + b.v AS s2, w.m AS m,
+                           w.mn AS mn, b.event_id AS event_id, b.v AS vv
+                    FROM walk w
+                    JOIN base b ON b.event_type = w.event_type
+                               AND b.rn = w.rn + 1
+                ) q
+            )
+        )
+        SELECT event_type, event_id, value, ph_stat, alarm
+        FROM walk WHERE rn >= 1
+    """
+
+
+@register(
+    "streaming_page_hinkley",
+    oracle=_page_hinkley_oracle(),  # + replay-equivalence in tests/test_streaming.py
+    doc=(
+        "Seventh custom stateful operator: ONLINE Page-Hinkley drift "
+        "detection per event_type via applyInPandasWithState — the "
+        "running-mean form (m += (x - running_mean) - delta, PH = m - "
+        "min m, alarm past lambda), which is what an unbounded stream "
+        "permits with O(1) state: FOUR scalars per key (n, sum, m, "
+        "min). Complements the batch stats_page_hinkley_drift, whose "
+        "two-pass GLOBAL mean a stream cannot know — the pair "
+        "documents exactly what moving from batch to streaming costs "
+        "(the deviation basis). Every float op's rounding order is "
+        "pinned and mirrored in the recursive-CTE oracle (s += v; "
+        "mean = s/n; m += (v - mean) - delta; min fold), so the "
+        "statistic is hash-exact on top of the stream == imperative-"
+        "replay equivalence test."
+    ),
+    tags=("streaming", "stateful", "anomaly"),
+)
+def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "event_id", "ts", "value")
+    return _run_to_memory(stateful.page_hinkley_walk(stream), "append")

@@ -662,3 +662,102 @@ def session_walk(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 7: online Page-Hinkley drift detector
+# ---------------------------------------------------------------------------
+
+PH_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ph_stat", DoubleType()),
+        StructField("alarm", StringType()),  # 'Y'/'N', as in the z-score op
+    ]
+)
+
+#: (n, running_sum, cum_deviation m, running_min M) per key
+PH_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("m", DoubleType()),
+        StructField("mn", DoubleType()),
+    ]
+)
+
+_PH_ONLINE_DELTA = 0.0625  # drift allowance (dyadic)
+_PH_ONLINE_LAMBDA = 50.0  # alarm threshold
+
+
+def page_hinkley_steps(
+    state: tuple[int, float, float, float] | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple[int, float, float, float]]:
+    """Pure per-key ONLINE Page-Hinkley walk (running-mean form, as in
+    streaming drift literature — the batch op stats_page_hinkley_drift
+    uses the two-pass global mean instead; the running mean is what an
+    unbounded stream permits with O(1) state). Each float op's order is
+    pinned and mirrored by the recursive-CTE oracle:
+        s += v; mean = s / n; m += (v - mean) - delta; M = min(M, m).
+    Shared verbatim by the state function and the batch replay."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    n, s, m, mn = state if state is not None else (0, 0.0, 0.0, 0.0)
+    stats: list[float] = []
+    flags: list[str] = []
+    for row in pdf.itertuples(index=False):
+        v = float(row.value)
+        n += 1
+        s = s + v
+        mean = s / n
+        m = m + ((v - mean) - _PH_ONLINE_DELTA)
+        mn = min(mn, m)
+        ph = m - mn
+        stats.append(ph)
+        flags.append("Y" if ph > _PH_ONLINE_LAMBDA else "N")
+    out = pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].values,
+            "event_id": pdf["event_id"].values,
+            "value": pdf["value"].values,
+            "ph_stat": pd.array(stats, dtype="float64"),
+            "alarm": flags,
+        }
+    )
+    return out, (n, s, m, mn)
+
+
+def _apply_page_hinkley(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = page_hinkley_steps(st, pdf)
+        yield out
+    state.update((int(st[0]), float(st[1]), float(st[2]), float(st[3])))
+
+
+def page_hinkley_walk(events: DataFrame) -> DataFrame:
+    """Streaming per-event_type online Page-Hinkley drift detector
+    (applyInPandasWithState): FOUR scalars of state per key however
+    much data streams through. Batch twin: ``page_hinkley_batch_replay``;
+    tests assert stream == replay."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_page_hinkley,
+        outputStructType=PH_OUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def page_hinkley_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = page_hinkley_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

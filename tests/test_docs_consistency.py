@@ -109,6 +109,7 @@ _R5_QUERIES = frozenset(
         "pipeline_preference_pairs",
         "stats_wasserstein_1d_emd",
         "stats_energy_distance_two_sample",
+        "streaming_page_hinkley",
     }
 )
 

@@ -934,3 +934,37 @@ def test_socket_wire_ingest(spark, sf_dir, tmp_path):
         srv.close()
     want = {(r["event_id"], r["user_id"], r["event_type"], r["value"]) for r in rows}
     assert got == want
+
+
+def test_streaming_page_hinkley_equals_batch_replay(spark, sf_dir):
+    """The streamed online Page-Hinkley walk must equal the
+    single-process imperative replay bit-for-bit — same pure step
+    function, same per-key order, 4-scalar state carried across Arrow
+    chunks without loss — and the statistic must be non-negative by
+    construction (m - running min m)."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        page_hinkley_batch_replay,
+    )
+
+    got = {
+        r["event_id"]: (r["ph_stat"], r["alarm"])
+        for r in load_all()["streaming_page_hinkley"].fn(spark, sf_dir).collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+        .toPandas()
+    )
+    want_pdf = page_hinkley_batch_replay(events_pdf)
+    want = {
+        int(r.event_id): (float(r.ph_stat), r.alarm)
+        for r in want_pdf.itertuples(index=False)
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+    assert all(ph >= 0.0 for ph, _ in got.values())
