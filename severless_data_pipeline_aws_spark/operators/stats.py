@@ -5023,3 +5023,164 @@ def stats_energy_distance_two_sample(spark: SparkSession, sf_dir: str) -> DataFr
             " - 2.0 * syy / (nyd * nyd)) / 10000.0"
         ).alias("energy_distance"),
     )
+
+
+@register(
+    "stats_somers_d",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        pairs AS (
+            SELECT
+                CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                              OR (a.x > b.x AND a.y > b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                              OR (a.x > b.x AND a.y < b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(SUM(CASE WHEN a.x <> b.x AND a.y = b.y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ty
+            FROM daily a JOIN daily b ON a.day < b.day
+        )
+        SELECT c AS concordant, d AS discordant, ty AS ties_y_only,
+               CAST(c - d AS DOUBLE) / CAST(c + d + ty AS DOUBLE) AS somers_d
+        FROM pairs
+    """,
+    doc=(
+        "Somers' D of daily purchase count on daily click count: the "
+        "ASYMMETRIC rank association (do purchase-heavier days follow "
+        "click-heavier days?) — (C - D)/(C + D + T_y), penalizing "
+        "only ties in the DEPENDENT variable, which is what makes it "
+        "the standard for ordinal prediction quality (it equals the "
+        "Gini coefficient of a binary classifier, 2*AUC - 1). "
+        "Complements the symmetric Kendall tau-b already in the "
+        "battery. Facts reduce to day grain distributedly; the "
+        "all-pairs comparison runs over the calendar-bounded day "
+        "table (435 pairs for a month — at corpus scale the pair "
+        "counts come from the rank-table identities like tau-b's, "
+        "documented trade). Concordant/discordant/tie counts are "
+        "exact integers; one shared final division."
+    ),
+    tags=("stats", "agg", "timeseries"),
+)
+def stats_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("y"),
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("concordant"),
+        F.expr(
+            "CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("discordant"),
+        F.expr(
+            "CAST(SUM(CASE WHEN xa <> xb AND ya = yb THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("ties_y_only"),
+    )
+    return pairs.select(
+        "concordant",
+        "discordant",
+        "ties_y_only",
+        F.expr(
+            "CAST(concordant - discordant AS DOUBLE)"
+            " / CAST(concordant + discordant + ties_y_only AS DOUBLE)"
+        ).alias("somers_d"),
+    )
+
+
+_THEIL_LAG = 7  # seasonal-naive baseline: same weekday last week
+
+
+@register(
+    "stats_theil_u2_forecast_skill",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        preds AS (
+            SELECT event_type, day, y,
+                   lag(y, 1) OVER w AS naive1,
+                   lag(y, {_THEIL_LAG}) OVER w AS snaive
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(CAST(SUM(CAST((y - snaive) * (y - snaive)
+                        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sse_model,
+                   CAST(CAST(SUM(CAST((y - naive1) * (y - naive1)
+                        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sse_naive
+            FROM preds
+            WHERE snaive IS NOT NULL AND naive1 IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n_scored,
+               sqrt(sse_model / sse_naive) AS theil_u2,
+               sqrt(sse_model / sse_naive) < 1.0 AS beats_naive
+        FROM s
+    """,
+    doc=(
+        "Theil's U2 forecast-skill ratio per event type: RMSE of the "
+        "seasonal-naive forecaster (same weekday last week) over RMSE "
+        "of the random-walk naive (yesterday) on daily counts — THE "
+        "honest first question of any forecasting effort ('does my "
+        "model beat copying yesterday?', U2 < 1 = yes), and the "
+        "benchmark statistic the seasonal-naive backtest op produces "
+        "errors for. Both squared-error sums are exact DECIMAL "
+        "integers over the same scored rows (both lags non-null, so "
+        "the comparison is apples-to-apples on the identical day "
+        "set); the ratio and sqrt are one shared double expression — "
+        "hash-exact, ln-free. One day-grain reduction, one window "
+        "with two lags, one aggregate."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_theil_u2_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    preds = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("naive1"),
+        F.lag("y", _THEIL_LAG).over(w).alias("snaive"),
+    ).filter(F.col("snaive").isNotNull() & F.col("naive1").isNotNull())
+    s = preds.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.expr(
+            "CAST(SUM(CAST((y - snaive) * (y - snaive) AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("sse_model"),
+        F.expr(
+            "CAST(SUM(CAST((y - naive1) * (y - naive1) AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("sse_naive"),
+    )
+    return s.select(
+        "event_type",
+        "n_scored",
+        F.expr("sqrt(sse_model / sse_naive)").alias("theil_u2"),
+        F.expr("sqrt(sse_model / sse_naive) < 1.0").alias("beats_naive"),
+    )

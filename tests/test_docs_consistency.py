@@ -110,6 +110,8 @@ _R5_QUERIES = frozenset(
         "stats_wasserstein_1d_emd",
         "stats_energy_distance_two_sample",
         "streaming_page_hinkley",
+        "stats_somers_d",
+        "stats_theil_u2_forecast_skill",
     }
 )
 

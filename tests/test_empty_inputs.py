@@ -195,6 +195,8 @@ REPRESENTATIVE = [
     "pipeline_preference_pairs",
     "stats_wasserstein_1d_emd",
     "stats_energy_distance_two_sample",
+    "stats_somers_d",
+    "stats_theil_u2_forecast_skill",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -229,6 +231,7 @@ _ALLOW_ONE_ROW = {
     "graph_clustering_coefficient",
     "stats_wasserstein_1d_emd",
     "stats_energy_distance_two_sample",
+    "stats_somers_d",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

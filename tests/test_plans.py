@@ -700,6 +700,8 @@ _BNLJ_BOUNDED_OK = {
     "graph_clustering_coefficient", "text_bhattacharyya_source_overlap",
     # one-row (nx, ny) totals broadcast into the CDF cross-multiply
     "stats_wasserstein_1d_emd", "stats_energy_distance_two_sample",
+    # calendar-bounded day-pair theta join (<= 435 pairs per month)
+    "stats_somers_d",
     # bounded parameter tables (query sets / centroids / grids / caps)
     "dq_benford_first_digit", "dq_null_rate_drift",
     "funnel_pareto_revenue_concentration", "funnel_rfm_segmentation",
