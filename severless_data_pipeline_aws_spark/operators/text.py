@@ -37,7 +37,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
     oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
                COUNT(DISTINCT source) AS n_sources
         FROM documents

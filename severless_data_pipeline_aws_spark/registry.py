@@ -105,15 +105,54 @@ def load_all() -> dict[str, QuerySpec]:
 #: kept first so the driver's smoke check always exercises it
 _FLAGSHIP = "flagship_revenue_by_status_year"
 
+#: entries the driver samples per module cycle before moving on —
+#: roughly sample_size / n_modules (50 / ~25); the per-round bucket
+#: rotation advances by this stride so consecutive rounds sample
+#: disjoint prefix entries from every large-enough module.
+_ROTATION_STRIDE = 2
+
+
+def _round_number() -> int:
+    """Current build round, inferred from the committed driver ledgers.
+
+    The driver writes ``CORRECTNESS_r{N}.json`` at the END of round N,
+    so during round N the newest ledger on disk is N-1.  Deterministic
+    within a round (the files are committed); overridable for tests via
+    ``SPARK_GRAFT_ROTATION``."""
+    import os
+    import re as _re
+
+    env = os.environ.get("SPARK_GRAFT_ROTATION")
+    if env is not None:
+        return int(env)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [0]
+    try:
+        for f in os.listdir(root):
+            m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+            if m:
+                rounds.append(int(m.group(1)))
+    except OSError:
+        pass
+    return max(rounds) + 1
+
 
 def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Round-robin the registry across source modules, flagship first.
+    """Round-robin the registry across source modules, flagship first,
+    with a per-round bucket rotation.
 
-    Within a module, registration order is preserved; modules cycle in
+    Within a module, registration order is preserved up to a rotation:
+    round N starts each module's cycle at entry ``(N * stride) % len``,
+    so the driver's first-50 sample (≈ stride entries per module)
+    lands on a different slice of every module each round — 373 of 423
+    queries had never accrued a driver-green row under the static
+    interleave (round-5 verdict #4).  Modules cycle in
     ``_QUERY_MODULES`` order (a query whose module is not listed —
-    impossible today — would sort after all listed ones). Deterministic:
-    depends only on module list + registration order, never on hashing.
+    impossible today — would sort after all listed ones).
+    Deterministic: depends only on module list, registration order, and
+    the committed CORRECTNESS ledger count — never on hashing or time.
     """
+    rot = _round_number() * _ROTATION_STRIDE
     mod_rank = {m: i for i, m in enumerate(_QUERY_MODULES)}
     buckets: dict[str, list[QuerySpec]] = {}
     for spec in reg.values():
@@ -126,8 +165,10 @@ def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     for i in range(depth):
         for mod in ordered_mods:
             bucket = buckets[mod]
-            if i < len(bucket) and bucket[i].name not in out:
-                out[bucket[i].name] = bucket[i]
+            if i < len(bucket):
+                spec = bucket[(i + rot) % len(bucket)]
+                if spec.name not in out:
+                    out[spec.name] = spec
     assert len(out) == len(reg)
     return out
 

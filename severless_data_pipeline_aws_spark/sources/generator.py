@@ -250,12 +250,19 @@ def flatten_readings(df: DataFrame) -> DataFrame:
         "declarative plan (hash-uniform randomness, window-cumsum drift, "
         "clamp/round, sparse sensor maps, weighted status, 1% anomalies, "
         "98% report gate). Invariants (range, precision, battery "
-        "monotonicity, subset sizes) asserted in tests/test_generator.py."
+        "monotonicity, subset sizes) asserted in tests/test_generator.py. "
+        "Wire format (r5 verdict #3): the nested coordinates struct and "
+        "readings map are emitted as to_json strings so the driver's "
+        "pandas canonicalizer can sort/hash the rows — the nested "
+        "DataFrame stays the library API (generate_readings)."
     ),
     tags=("generator", "source"),
 )
 def iot_generated_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return generate_readings(spark, n_devices=10, n_ticks=60).drop("tick")
+    nested = generate_readings(spark, n_devices=10, n_ticks=60).drop("tick")
+    return nested.withColumn("coordinates", F.to_json("coordinates")).withColumn(
+        "readings", F.to_json(F.map_entries("readings"))
+    )
 
 
 @register(

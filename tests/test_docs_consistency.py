@@ -155,15 +155,57 @@ def test_driver_sample_prefix_spans_every_module():
     entries; registry.load_all() interleaves round-robin across source
     modules so that prefix spans every operator family (r4 verdict #1 —
     plain registration order starved windows/stats/dedup/similarity/
-    text/graphs/multimodal of driver-green rows). Pin it."""
+    text/graphs/multimodal of driver-green rows). Pin it — for every
+    rotation, not just the current round's."""
+    for rot in (0, 1, 6, 7, 23):
+        os.environ["SPARK_GRAFT_ROTATION"] = str(rot)
+        try:
+            specs = registry.load_all()
+        finally:
+            del os.environ["SPARK_GRAFT_ROTATION"]
+        names = list(specs)
+        assert names[0] == "flagship_revenue_by_status_year"
+        all_mods = {s.fn.__module__ for s in specs.values()}
+        first50_mods = {specs[n].fn.__module__ for n in names[:50]}
+        assert first50_mods == all_mods, (
+            f"rot={rot}: driver sample misses modules: {sorted(all_mods - first50_mods)}"
+        )
+
+
+def test_driver_sample_rotates_each_round():
+    """r5 verdict #4: the static interleave re-sampled the SAME 50
+    queries forever, leaving 373 queries with no driver-green row.
+    Consecutive rounds must sample (nearly) disjoint prefixes — overlap
+    is allowed only for the flagship and for modules too small to
+    rotate out of (len(bucket) < 2 * stride)."""
+    from severless_data_pipeline_aws_spark.registry import _ROTATION_STRIDE
+
+    def first50(rot: int) -> list[str]:
+        os.environ["SPARK_GRAFT_ROTATION"] = str(rot)
+        try:
+            return list(registry.load_all())[:50]
+        finally:
+            del os.environ["SPARK_GRAFT_ROTATION"]
+
     specs = registry.load_all()
-    names = list(specs)
-    assert names[0] == "flagship_revenue_by_status_year"
-    all_mods = {s.fn.__module__ for s in specs.values()}
-    first50_mods = {specs[n].fn.__module__ for n in names[:50]}
-    assert first50_mods == all_mods, (
-        f"driver sample misses modules: {sorted(all_mods - first50_mods)}"
-    )
+    sizes: dict[str, int] = {}
+    for s in specs.values():
+        sizes[s.fn.__module__] = sizes.get(s.fn.__module__, 0) + 1
+    small_mods = {m for m, n in sizes.items() if n < 2 * _ROTATION_STRIDE}
+
+    a, b = set(first50(6)), set(first50(7))
+    overlap = a & b
+    unexpected = {
+        n
+        for n in overlap
+        if n != "flagship_revenue_by_status_year"
+        and specs[n].fn.__module__ not in small_mods
+    }
+    assert not unexpected, f"consecutive-round sample overlap: {sorted(unexpected)}"
+
+    # the current (env-less) rotation must differ from the previous round's
+    cur_round = registry._round_number()
+    assert set(first50(cur_round)) == set(list(registry.load_all())[:50])
 
 
 def test_query_counts_pinned_to_registry():
