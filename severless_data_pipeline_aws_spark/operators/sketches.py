@@ -50,18 +50,10 @@ def sketch_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_approx_count_distinct",
-    oracle=None,  # HLL++ estimates are implementation-defined; bounded in pytest
-    doc=(
-        "X6: HyperLogLog++ distinct counts over events — fixed-size "
-        "mergeable state, map-side partials, no distinct-expand shuffle. "
-        "rsd=0.01; relative error vs exact asserted <5% in pytest."
-    ),
-    tags=("sketch", "llm", "approx"),
-)
-def sketch_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
+def approx_count_distinct_estimates(t: Tables) -> DataFrame:
+    """Production path: HLL++ estimates only — fixed-size mergeable
+    state, map-side partials, no distinct-expand shuffle. The registered
+    query below is the driver-verifiable AUDIT twin of this plan."""
     return t.events.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.approx_count_distinct("event_type", rsd=0.01).alias("approx_types"),
@@ -70,21 +62,97 @@ def sketch_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_approx_count_distinct",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_types,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_ids,
+               TRUE AS users_within_5pct,
+               TRUE AS types_within_5pct,
+               TRUE AS ids_within_5pct
+        FROM events
+    """,
+    doc=(
+        "X6: HyperLogLog++ distinct counts over events. Driver-green "
+        "verdict form (r5 verdict #5): the output is the EXACT counts "
+        "plus deterministic within-5%% booleans computed Spark-side "
+        "(the oracle asserts TRUE from the exact counts — a sketch "
+        "estimate outside its bound hash-mismatches). The estimate-only "
+        "production plan (one pass, no distinct-expand shuffle) is "
+        "``approx_count_distinct_estimates``; this audit twin "
+        "deliberately also pays the exact distinct so the bound is a "
+        "checkable row, the pattern for validating sketches before "
+        "trusting them at 100 TB."
+    ),
+    tags=("sketch", "llm", "approx"),
+)
+def sketch_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    agg = t.events.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_type").alias("exact_types"),
+        F.countDistinct("event_id").alias("exact_ids"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("a_users"),
+        F.approx_count_distinct("event_type", rsd=0.01).alias("a_types"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("a_ids"),
+    )
+    def ok(a: str, e: str) -> F.Column:
+        return (F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e))
+    return agg.select(
+        "exact_users",
+        "exact_types",
+        "exact_ids",
+        ok("a_users", "exact_users").alias("users_within_5pct"),
+        ok("a_types", "exact_types").alias("types_within_5pct"),
+        ok("a_ids", "exact_ids").alias("ids_within_5pct"),
+    )
+
+
+@register(
     "sketch_approx_quantiles",
-    oracle=None,  # GK-sketch outputs are implementation-defined; bounded in pytest
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS p50_rank_ok,
+               TRUE AS p90_rank_ok,
+               TRUE AS p99_rank_ok
+        FROM events
+        WHERE value IS NOT NULL
+    """,
     doc=(
         "X6: approximate percentiles of events.value via the "
-        "Greenwald-Khanna sketch (accuracy 10000) — mergeable, one pass. "
-        "Absolute error vs exact asserted in pytest."
+        "Greenwald-Khanna sketch (accuracy 10000) — mergeable, one "
+        "pass. Driver-green verdict form: the GK guarantee is a RANK "
+        "bound (|rank(est) - q*n| <= n/accuracy), so the query re-scans "
+        "once to count values <= each estimate and emits booleans "
+        "checking the rank landed within q ± 1%% (100x the sketch's "
+        "own bound); the oracle asserts TRUE + the exact row count. "
+        "The one-row estimate broadcast is a documented-bounded BNLJ."
     ),
     tags=("sketch", "llm", "approx"),
 )
 def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return t.events.filter(F.col("value").isNotNull()).agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    vals = t.events.filter(F.col("value").isNotNull()).select("value")
+    est = vals.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+    ranked = vals.crossJoin(F.broadcast(est)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)).alias("c50"),
+        F.sum(F.when(F.col("value") <= F.col("p90"), 1).otherwise(0)).alias("c90"),
+        F.sum(F.when(F.col("value") <= F.col("p99"), 1).otherwise(0)).alias("c99"),
+    )
+    def rank_ok(c: str, q: float) -> F.Column:
+        lo = (q - 0.01) * F.col("n")
+        hi = (q + 0.01) * F.col("n") + 1
+        return (F.col(c) >= lo) & (F.col(c) <= hi)
+    return ranked.select(
+        "n",
+        rank_ok("c50", 0.5).alias("p50_rank_ok"),
+        rank_ok("c90", 0.9).alias("p90_rank_ok"),
+        rank_ok("c99", 0.99).alias("p99_rank_ok"),
     )
 
 
@@ -194,38 +262,62 @@ def sketch_countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_freq_items",
-    oracle=None,  # Karp-style freqItems output is implementation-defined
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(COUNT(*)) OVER () AS total
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n, TRUE AS in_freq_items
+        FROM c WHERE n > 0.1 * total
+        ORDER BY event_type
+    """,
     doc=(
         "X6: approximate frequent items (Karp et al. via "
         "df.stat.freqItems, support=0.1) over event_type — single pass, "
-        "bounded state; every item with true frequency > support is "
-        "guaranteed present (recall asserted in pytest)."
+        "bounded state. Driver-green verdict form: freqItems' guarantee "
+        "is RECALL (every item with true frequency > support is "
+        "present), so the query emits one row per truly-frequent item "
+        "with a boolean asserting membership in the sketch output; the "
+        "oracle derives the same rows from exact counts and asserts "
+        "TRUE. The one-row freqItems array broadcast is a "
+        "documented-bounded BNLJ."
     ),
     tags=("sketch", "approx"),
 )
 def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     t = Tables(spark, sf_dir)
-    return t.events.select("event_type").stat.freqItems(["event_type"], support=0.1)
+    freq = (
+        t.events.select("event_type")
+        .stat.freqItems(["event_type"], support=0.1)
+        .select(F.col("event_type_freqItems").alias("sketch_items"))
+    )
+    counts = (
+        t.events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    return (
+        counts.filter(F.col("n") > 0.1 * F.col("total"))
+        .crossJoin(F.broadcast(freq))
+        .select(
+            "event_type",
+            "n",
+            F.array_contains(F.col("sketch_items"), F.col("event_type")).alias(
+                "in_freq_items"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
-@register(
-    "sketch_hll_mergeable",
-    oracle=None,  # DataSketches HLL has no DuckDB twin; error bound in pytest
-    doc=(
-        "X6 (mergeability — the property that makes sketches the 100 TB "
-        "distinct-count answer): build one DataSketches HLL sketch of "
-        "user_id per event_type (partial aggregation, one pass), then "
-        "union the per-type sketches with hll_union_agg into a global "
-        "cardinality WITHOUT rescanning the input — how per-day/per-"
-        "partition sketches roll up to any grain. Output: one row per "
-        "event_type plus an ALL row from the sketch union. Estimates "
-        "are within ~2% rel. error at lgConfigK=12 (asserted vs exact "
-        "counts in pytest)."
-    ),
-    tags=("sketch", "approx", "hll"),
-)
-def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
+def hll_mergeable_estimates(t: Tables) -> DataFrame:
+    """Production path: per-type DataSketches HLL sketches rolled up to
+    a global cardinality via ``hll_union_agg`` WITHOUT rescanning the
+    input — how per-day/per-partition sketches roll up to any grain.
+    The registered query below is the driver-verifiable AUDIT twin."""
     per_type = t.events.groupBy("event_type").agg(
         F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk")
     )
@@ -240,23 +332,63 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sketch_hll_intersection_estimate",
-    oracle=None,  # sketch estimate; error bound vs exact in pytest
+    "sketch_hll_mergeable",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+        FROM events
+        ORDER BY event_type
+    """,
     doc=(
-        "X6 extension: audience-intersection estimate from HLL sketches "
-        "by inclusion-exclusion — |A∩B| ≈ est(A) + est(B) - est(A∪B) — "
-        "for every pair of event types, WITHOUT any pairwise join of "
-        "the raw user sets. One scan builds the per-type sketches; the "
-        "pair table is |types|^2 rows of sketch merges (driver-trivial "
-        "metadata). This is how overlap matrices are computed at 100 TB "
-        "when funnel_audience_overlap_jaccard's exact self-join is too "
-        "expensive to run daily; error vs the exact intersection is "
-        "bounded in pytest."
+        "X6 (mergeability — the property that makes sketches the 100 TB "
+        "distinct-count answer): one DataSketches HLL sketch of user_id "
+        "per event_type (partial aggregation, one pass), per-type "
+        "sketches unioned with hll_union_agg into a global cardinality "
+        "without rescanning. Driver-green verdict form (r5 verdict #5): "
+        "output is exact distinct counts per type + ALL, each with a "
+        "boolean asserting the sketch estimate (incl. the MERGED one) "
+        "landed within 5%% (lgConfigK=12 ≈ 1.6%% SE); the oracle "
+        "asserts TRUE from exact counts. Estimate-only production plan: "
+        "``hll_mergeable_estimates``."
     ),
-    tags=("sketch", "approx", "hll", "setops"),
+    tags=("sketch", "approx", "hll"),
 )
-def sketch_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    est = hll_mergeable_estimates(t)
+    exact_typed = t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = t.events.agg(F.countDistinct("user_id").alias("exact_users")).select(
+        F.lit("ALL").alias("event_type"), "exact_users"
+    )
+    exact = exact_typed.unionByName(exact_all)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_intersection_estimates(t: Tables) -> DataFrame:
+    """Production path: audience-intersection estimates from HLL
+    sketches by inclusion-exclusion — |A∩B| ≈ est(A) + est(B) -
+    est(A∪B) — for every pair of event types, WITHOUT any pairwise join
+    of the raw user sets. One scan builds the per-type sketches; the
+    pair table is |types|^2 rows of sketch merges (driver-trivial
+    metadata). The registered query below is the driver-verifiable
+    AUDIT twin."""
     per_type = t.events.groupBy("event_type").agg(
         F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk")
     )
@@ -270,11 +402,62 @@ def sketch_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     return pairs.select(
         "type_a",
         "type_b",
-        F.hll_sketch_estimate("sk_a").alias("est_a"),
-        F.hll_sketch_estimate("sk_b").alias("est_b"),
         (
             F.hll_sketch_estimate("sk_a")
             + F.hll_sketch_estimate("sk_b")
             - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
         ).alias("est_intersection"),
+    )
+
+
+@register(
+    "sketch_hll_intersection_estimate",
+    oracle="""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_intersection,
+               TRUE AS within_5pct
+        FROM d a JOIN d b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        ORDER BY type_a, type_b
+    """,
+    doc=(
+        "X6 extension: audience-intersection estimate from HLL sketches "
+        "by inclusion-exclusion for every pair of event types, without "
+        "any pairwise join of the raw user sets (the 100 TB overlap-"
+        "matrix pattern when funnel_audience_overlap_jaccard's exact "
+        "self-join is too expensive to run daily). Driver-green verdict "
+        "form: output is the EXACT pairwise intersection (equi-join on "
+        "user_id at audit scale) + a boolean asserting the sketch "
+        "estimate landed within 5%%; the oracle asserts TRUE from the "
+        "exact counts. Estimate-only production plan: "
+        "``hll_intersection_estimates``."
+    ),
+    tags=("sketch", "approx", "hll", "setops"),
+)
+def sketch_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    est = hll_intersection_estimates(t)
+    d = t.events.select("event_type", "user_id").distinct()
+    a = d.select(F.col("event_type").alias("type_a"), "user_id")
+    b = d.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_intersection",
+            (
+                F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+                <= 0.05 * F.col("exact_intersection")
+            ).alias("within_5pct"),
+        )
+        .orderBy("type_a", "type_b")
     )

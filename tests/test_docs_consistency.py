@@ -225,3 +225,18 @@ def test_query_counts_pinned_to_registry():
         f"COVERAGE.md says {got}, registry has "
         f"({n_total}, {n_oracled}, {n_total - n_oracled})"
     )
+
+
+def test_readme_headline_pinned_to_registry():
+    """README's 'N of M queries exact-oracled' headline drifted two
+    rounds in a row (r5 verdict #6) — pin it like COVERAGE.md's."""
+    text = open(os.path.join(os.path.dirname(_COVERAGE), "README.md")).read()
+    m = re.search(r"(\d+) of (\d+) queries exact-oracled", text)
+    assert m, "README.md lost its 'N of M queries exact-oracled' headline"
+    specs = registry.load_all()
+    n_total = len(specs)
+    n_oracled = sum(1 for s in specs.values() if s.oracle is not None)
+    got = tuple(int(g) for g in m.groups())
+    assert got == (n_oracled, n_total), (
+        f"README says {got}, registry has ({n_oracled}, {n_total})"
+    )

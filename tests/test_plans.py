@@ -700,6 +700,9 @@ _BNLJ_BOUNDED_OK = {
     "graph_clustering_coefficient", "text_bhattacharyya_source_overlap",
     # one-row (nx, ny) totals broadcast into the CDF cross-multiply
     "stats_wasserstein_1d_emd", "stats_energy_distance_two_sample",
+    # r6 verdict-oracle sketch audits: one-row GK-estimate broadcast
+    # (rank re-count) and one-row freqItems-array broadcast (membership)
+    "sketch_approx_quantiles", "sketch_freq_items",
     # calendar-bounded day-pair theta join (<= 435 pairs per month)
     "stats_somers_d",
     # bounded parameter tables (query sets / centroids / grids / caps)
