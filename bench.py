@@ -187,6 +187,7 @@ def main() -> None:
         # can never ride along on a new number (round-4 verdict #10).
         "regression_notes": notes,
         "stale_notes_dropped": dropped,
+        "r01_drift_note": _R01_DRIFT_NOTE,
         "scale_sweep": _scale_sweep_summary(),
     }
     # The driver captures stdout with a length limit that truncated the
@@ -217,7 +218,31 @@ _NOTE_CANDIDATES = {
         "at 10x data (~3.6x scaling, sub-linear in pair space) — round-to-round "
         "deltas at bench SF are this host's +-50 percent shared-CPU variance"
     ),
+    "window_cumulative_distinct": (
+        "r5 flagged 0.50->0.71s (1.43x, the round's only >1.4x mover) on an "
+        "unchanged plan; r6 re-bench min-of-5 at sf0.1: [1.16, 0.64, 0.59, "
+        "0.52, 0.53] -> 0.52s, back at the r4 level. Watch closed as host "
+        "variance (r5 verdict #7)."
+    ),
 }
+
+#: r5 verdict #8 — the r1-comparable 5-query total crept 1.71 -> 1.98 ->
+#: 2.18 -> 2.43s across r2-r5, three rounds monotone. Round-6 isolated
+#: min-of-5 re-run of exactly those 5 queries (fresh session, nothing
+#: else timed): flagship [1.53,1.15,1.07,1.18,1.05] + the other four ->
+#: total 1.85s, right back inside the r2-r3 band. The drift was not a
+#: per-round fixed overhead (the r01 queries run FIRST in the suite and
+#: their plans are unchanged); it is the min-of-3 estimator under this
+#: host's +-50% shared-CPU noise — 3 reps sample the noise floor too
+#: coarsely, and the suite-embedded minima drift upward as neighboring
+#: rounds land on busier hosts. Closed as variance, with this field as
+#: the committed evidence; if a future round's in-suite r01 total
+#: exceeds 2.6s, re-run scripts/ drift probe before believing it.
+_R01_DRIFT_NOTE = (
+    "r2-r5 monotone creep 1.71->1.98->2.18->2.43s closed as min-of-3 "
+    "sampling noise: r6 isolated min-of-5 of the same 5 queries = 1.85s "
+    "(flagship 1.05s), inside the r2-r3 band; plans unchanged."
+)
 
 
 def _current_notes(

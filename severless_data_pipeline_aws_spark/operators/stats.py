@@ -5184,3 +5184,469 @@ def stats_theil_u2_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("sqrt(sse_model / sse_naive)").alias("theil_u2"),
         F.expr("sqrt(sse_model / sse_naive) < 1.0").alias("beats_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions (SURVEY §2.16): Jarque-Bera, Mann-Kendall, Bowley,
+# Dixon's Q, exact unbinned two-sample KS — all ln-free (integer power
+# sums / rank counts / fixed-point quantization + shared IEEE closed
+# forms), same exactness discipline as the r5 sequential battery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_jarque_bera",
+    oracle="""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(q) AS DOUBLE) AS s1,
+                   CAST(SUM(q * q) AS DOUBLE) AS s2,
+                   CAST(SUM(q * q * q) AS DOUBLE) AS s3,
+                   CAST(SUM(q * q * q * q) AS DOUBLE) AS s4
+            FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        ),
+        raw AS (
+            SELECT l_returnflag, n, nd, s1 / nd AS mean,
+                   s2 / nd AS r2, s3 / nd AS r3, s4 / nd AS r4
+            FROM sums
+        ),
+        cm AS (
+            SELECT l_returnflag, n, nd, mean,
+                   r2 - mean * mean AS m2,
+                   r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+                   r4 - 4 * mean * r3 + 6 * mean * mean * r2
+                      - 3 * mean * mean * mean * mean AS m4
+            FROM raw
+        ),
+        sk AS (
+            SELECT l_returnflag, n, nd,
+                   m3 / (m2 * sqrt(m2)) AS s,
+                   m4 / (m2 * m2) - 3 AS k
+            FROM cm
+        )
+        SELECT l_returnflag, n,
+               (nd / 6.0) * (s * s + (k * k) / 4.0) AS jb_stat,
+               (nd / 6.0) * (s * s + (k * k) / 4.0)
+                   <= 5.991464547107979 AS normal_at_5pct
+        FROM sk
+        ORDER BY l_returnflag
+    """,
+    doc=(
+        "Jarque-Bera normality test per returnflag, composed from the "
+        "same exact BIGINT power sums as stats_skewness_kurtosis_exact "
+        "(one map-side-combined shuffle; built-in skewness()/kurtosis() "
+        "stream central moments in accumulation order and are not "
+        "cross-engine reproducible): JB = n/6 * (S^2 + K^2/4) with the "
+        "chi-square(2) 95%% critical value 5.9915 as a verdict column. "
+        "Every step after the integer sums is one shared IEEE "
+        "expression tree — hash-exact, ln-free, no pow()."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.lineitem.select(
+        "l_returnflag", F.expr("CAST(l_quantity AS BIGINT)").alias("q")
+    )
+    sums = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("q").cast("double").alias("s1"),
+        F.expr("CAST(SUM(q * q) AS DOUBLE)").alias("s2"),
+        F.expr("CAST(SUM(q * q * q) AS DOUBLE)").alias("s3"),
+        F.expr("CAST(SUM(q * q * q * q) AS DOUBLE)").alias("s4"),
+    )
+    raw = sums.select(
+        "l_returnflag", "n", "nd",
+        F.expr("s1 / nd").alias("mean"),
+        F.expr("s2 / nd").alias("r2"),
+        F.expr("s3 / nd").alias("r3"),
+        F.expr("s4 / nd").alias("r4"),
+    )
+    cm = raw.select(
+        "l_returnflag", "n", "nd", "mean",
+        F.expr("r2 - mean * mean").alias("m2"),
+        F.expr("r3 - 3 * mean * r2 + 2 * mean * mean * mean").alias("m3"),
+        F.expr(
+            "r4 - 4 * mean * r3 + 6 * mean * mean * r2"
+            " - 3 * mean * mean * mean * mean"
+        ).alias("m4"),
+    )
+    sk = cm.select(
+        "l_returnflag", "n", "nd",
+        F.expr("m3 / (m2 * sqrt(m2))").alias("s"),
+        F.expr("m4 / (m2 * m2) - 3").alias("k"),
+    )
+    return sk.select(
+        "l_returnflag",
+        "n",
+        F.expr("(nd / 6.0) * (s * s + (k * k) / 4.0)").alias("jb_stat"),
+        F.expr(
+            "(nd / 6.0) * (s * s + (k * k) / 4.0) <= 5.991464547107979"
+        ).alias("normal_at_5pct"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "stats_mann_kendall_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM daily a
+            JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ),
+        nn AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                       AS tie_term
+            FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM daily GROUP BY event_type, y) g
+            WHERE t > 1
+            GROUP BY event_type
+        ),
+        v AS (
+            SELECT nn.event_type, nn.n, p.s,
+                   nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                       - COALESCE(t.tie_term, 0) AS var18
+            FROM nn JOIN pairs p ON p.event_type = nn.event_type
+            LEFT JOIN ties t ON t.event_type = nn.event_type
+        )
+        SELECT event_type, n AS n_days, s AS s_stat, var18 AS var_s_x18,
+               CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    ELSE 0.0 END AS z_mk
+        FROM v
+        ORDER BY event_type
+    """,
+    doc=(
+        "Mann-Kendall trend test on each event type's daily-count "
+        "series: S = sum over day pairs of sign(y_j - y_i), the "
+        "distribution-free monotone-trend detector (the hypothesis "
+        "test behind stats_theil_sen_daily_trend's slope estimate), "
+        "with the tie-corrected variance n(n-1)(2n+5) - sum t(t-1)"
+        "(2t+5) kept as an exact x18 integer and the continuity-"
+        "corrected Z one shared sqrt expression. Facts reduce to day "
+        "grain distributedly; the pair comparison runs over the "
+        "calendar-bounded per-type day table (the somers_d trade: "
+        "435 pairs/month — at long horizons the pair sums fold from "
+        "the rank-table identities). S, n, and the variance are exact "
+        "integers — hash-exact, ln-free."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    a = daily.select("event_type", F.col("day").alias("day_a"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(pairs, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            F.expr(
+                "n * (n - 1) * (2 * n + 5) - COALESCE(tie_term, 0)"
+            ).alias("var18"),
+        )
+    )
+    return v.select(
+        F.col("event_type"),
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.col("var18").alias("var_s_x18"),
+        F.expr(
+            "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+            " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+            " ELSE 0.0 END"
+        ).alias("z_mk"),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_bowley_quartile_skew",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(l_quantity, 0.25) AS q1,
+               quantile_cont(l_quantity, 0.5) AS q2,
+               quantile_cont(l_quantity, 0.75) AS q3,
+               (quantile_cont(l_quantity, 0.75) + quantile_cont(l_quantity, 0.25)
+                - 2 * quantile_cont(l_quantity, 0.5))
+               / (quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25))
+                   AS bowley_skew
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc=(
+        "Bowley (quartile) skewness per returnflag: (Q3 + Q1 - 2*Q2) / "
+        "(Q3 - Q1) — the outlier-robust companion to the moment "
+        "skewness in stats_skewness_kurtosis_exact (a single wild "
+        "value moves the third moment arbitrarily but no quartile). "
+        "l_quantity is integral, so the quarter-fraction linear "
+        "interpolation is bit-identical in both engines (the "
+        "sketch_exact_quantiles contract); the skew is one shared "
+        "IEEE expression over the three quartiles."
+    ),
+    tags=("stats", "quantile"),
+)
+def stats_bowley_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q2"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+    return q.select(
+        "l_returnflag",
+        "n",
+        "q1",
+        "q2",
+        "q3",
+        F.expr("(q3 + q1 - 2 * q2) / (q3 - q1)").alias("bowley_skew"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "stats_dixon_q_outlier",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS x
+            FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+        ),
+        ranked AS (
+            SELECT priority, x,
+                   row_number() OVER (PARTITION BY priority
+                                      ORDER BY x, day) AS ra,
+                   row_number() OVER (PARTITION BY priority
+                                      ORDER BY x DESC, day DESC) AS rd
+            FROM daily
+        ),
+        ext AS (
+            SELECT priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN ra = 1 THEN x END) AS BIGINT) AS x_min,
+                   CAST(MAX(CASE WHEN ra = 2 THEN x END) AS BIGINT) AS x_min2,
+                   CAST(MAX(CASE WHEN rd = 2 THEN x END) AS BIGINT) AS x_max2,
+                   CAST(MAX(CASE WHEN rd = 1 THEN x END) AS BIGINT) AS x_max
+            FROM ranked GROUP BY priority
+        )
+        SELECT priority, n, x_min, x_max,
+               CAST(x_min2 - x_min AS DOUBLE)
+                   / CAST(x_max - x_min AS DOUBLE) AS q_low,
+               CAST(x_max - x_max2 AS DOUBLE)
+                   / CAST(x_max - x_min AS DOUBLE) AS q_high
+        FROM ext
+        ORDER BY priority
+    """,
+    doc=(
+        "Dixon's Q ratios per priority over the daily-revenue series: "
+        "q_low = (x(2)-x(1))/(x(n)-x(1)) and q_high = (x(n)-x(n-1))/"
+        "(x(n)-x(1)) — the small-sample single-outlier screen (is the "
+        "most extreme day a different population?) that complements "
+        "Grubbs' variance-based test already in the battery. Revenue "
+        "is exact integer cents; the four order statistics come from "
+        "two row_number passes over the calendar-bounded per-priority "
+        "day table (deterministic day tiebreak), so both gap ratios "
+        "are single shared divisions of exact integers."
+    ),
+    tags=("stats", "anomaly"),
+)
+def stats_dixon_q_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "x"
+        )
+    )
+    ranked = daily.select(
+        "priority",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("priority").orderBy(F.col("x"), F.col("day")))
+        .alias("ra"),
+        F.row_number()
+        .over(
+            W.partitionBy("priority").orderBy(F.col("x").desc(), F.col("day").desc())
+        )
+        .alias("rd"),
+    )
+    ext = ranked.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(MAX(CASE WHEN ra = 1 THEN x END) AS BIGINT)").alias("x_min"),
+        F.expr("CAST(MAX(CASE WHEN ra = 2 THEN x END) AS BIGINT)").alias("x_min2"),
+        F.expr("CAST(MAX(CASE WHEN rd = 2 THEN x END) AS BIGINT)").alias("x_max2"),
+        F.expr("CAST(MAX(CASE WHEN rd = 1 THEN x END) AS BIGINT)").alias("x_max"),
+    )
+    return ext.select(
+        "priority",
+        "n",
+        "x_min",
+        "x_max",
+        F.expr(
+            "CAST(x_min2 - x_min AS DOUBLE) / CAST(x_max - x_min AS DOUBLE)"
+        ).alias("q_low"),
+        F.expr(
+            "CAST(x_max - x_max2 AS DOUBLE) / CAST(x_max - x_min AS DOUBLE)"
+        ).alias("q_high"),
+    ).orderBy("priority")
+
+
+@register(
+    "stats_ks_exact_two_sample",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(round(value * 10000) AS BIGINT) AS x,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ic,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS iv
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ),
+        vg AS (
+            SELECT x, CAST(SUM(ic) AS BIGINT) AS cc, CAST(SUM(iv) AS BIGINT) AS cv
+            FROM pts GROUP BY x
+        ),
+        cum AS (
+            SELECT x,
+                   CAST(SUM(cc) OVER (ORDER BY x) AS BIGINT) AS c1,
+                   CAST(SUM(cv) OVER (ORDER BY x) AS BIGINT) AS c2
+            FROM vg
+        ),
+        tot AS (
+            SELECT CAST(SUM(cc) AS BIGINT) AS n1, CAST(SUM(cv) AS BIGINT) AS n2
+            FROM vg
+        )
+        SELECT n1 AS n_click, n2 AS n_view,
+               CAST(MAX(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_sup_num,
+               CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat
+        FROM cum, tot
+        GROUP BY n1, n2
+    """,
+    doc=(
+        "EXACT (unbinned) two-sample Kolmogorov-Smirnov D between the "
+        "click and view value distributions — the zero-approximation "
+        "companion to stats_ks_two_sample_binned: D = sup |F1 - F2| "
+        "evaluated at every distinct value. Values quantize to 1e-4 "
+        "fixed-point integers; the ECDFs are cumulative integer counts "
+        "at DISTINCT-VALUE grain (map-side combinable), cumulated with "
+        "the scalable.py bucket-offset construction (bucket = x DIV "
+        "65536; the only single-partition window is the metadata-scale "
+        "per-bucket prefix pass, and the one-row (n1, n2) totals "
+        "broadcast is a documented-bounded BNLJ). The sup is the max "
+        "of exact integer cross-products |c1*n2 - c2*n1|; one shared "
+        "final division. At 100 TB the distinct-value table is what "
+        "shuffles — never the fact rows."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_ks_exact_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+    ).select(
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ic"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("iv"),
+    )
+    vg = pts.groupBy("x").agg(
+        F.sum("ic").cast("bigint").alias("cc"),
+        F.sum("iv").cast("bigint").alias("cv"),
+    )
+    b = vg.withColumn("__bkt", F.expr("x DIV 65536"))
+    bt = b.groupBy("__bkt").agg(
+        F.sum("cc").alias("bc"), F.sum("cv").alias("bv")
+    )
+    wo = W.partitionBy().orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bt.select(
+        "__bkt",
+        F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("oc"),
+        F.coalesce(F.sum("bv").over(wo), F.lit(0)).alias("ov"),
+    )
+    tot = vg.agg(
+        F.sum("cc").cast("bigint").alias("n1"),
+        F.sum("cv").cast("bigint").alias("n2"),
+    )
+    wl = W.partitionBy("__bkt").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = b.join(F.broadcast(offs), "__bkt").select(
+        (F.col("oc") + F.sum("cc").over(wl)).cast("bigint").alias("c1"),
+        (F.col("ov") + F.sum("cv").over(wl)).cast("bigint").alias("c2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("ks_sup_num")
+        )
+        .select(
+            F.col("n1").alias("n_click"),
+            F.col("n2").alias("n_view"),
+            "ks_sup_num",
+            F.expr(
+                "CAST(ks_sup_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+            ).alias("d_stat"),
+        )
+    )

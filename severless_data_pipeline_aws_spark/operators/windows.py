@@ -2059,3 +2059,347 @@ def window_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("true_range").over(wa).cast("double") * F.lit(10000.0))
         ).alias("atr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions (SURVEY §2.16): the remaining classical technical-
+# analysis window family — stochastic oscillator, Donchian channel
+# breakouts, on-balance volume, Aroon — all on the same day-grain
+# fixed-point bar construction as RSI/MACD/ATR (facts reduce to
+# calendar-bounded per-type day bars in ONE aggregate; every window
+# partitions by event_type; integers until one shared final division).
+# ---------------------------------------------------------------------------
+
+_BARS_SQL = """
+        pts AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(round(value * 10000) AS BIGINT) AS x,
+                   row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE value IS NOT NULL
+        ),
+        bars AS (
+            SELECT event_type, day,
+                   CAST(MAX(x) AS BIGINT) AS h,
+                   CAST(MIN(x) AS BIGINT) AS l,
+                   CAST(MAX(CASE WHEN rn = 1 THEN x END) AS BIGINT) AS c,
+                   CAST(COUNT(*) AS BIGINT) AS vol
+            FROM pts GROUP BY event_type, day
+        )
+"""
+
+
+def _bars(t: Tables) -> DataFrame:
+    """Daily (h, l, c, vol) bars per event type, 1e-4 fixed-point — the
+    shared reduction under the r6 technical-analysis windows (same
+    construction as window_true_range_atr's; close = max_by on the
+    unique (ts, event_id) key, so it is deterministic and tie-free)."""
+    fixed = "CAST(round(value * 10000) AS BIGINT)"
+    return (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(f"CAST(MAX({fixed}) AS BIGINT)").alias("h"),
+            F.expr(f"CAST(MIN({fixed}) AS BIGINT)").alias("l"),
+            F.expr(f"CAST(max_by({fixed}, struct(ts, event_id)) AS BIGINT)").alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("vol"),
+        )
+    )
+
+
+@register(
+    "window_stochastic_oscillator",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        win AS (
+            SELECT event_type, day, c,
+                   MIN(l) OVER w AS l14,
+                   MAX(h) OVER w AS h14,
+                   COUNT(*) OVER w AS nw
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CASE WHEN h14 = l14 THEN 50.0
+                    ELSE 100.0 * CAST(c - l14 AS DOUBLE)
+                         / CAST(h14 - l14 AS DOUBLE) END AS pct_k,
+               CASE WHEN h14 = l14 THEN 50.0
+                    ELSE 100.0 * CAST(c - l14 AS DOUBLE)
+                         / CAST(h14 - l14 AS DOUBLE) END > 80.0 AS overbought,
+               CASE WHEN h14 = l14 THEN 50.0
+                    ELSE 100.0 * CAST(c - l14 AS DOUBLE)
+                         / CAST(h14 - l14 AS DOUBLE) END < 20.0 AS oversold
+        FROM win WHERE nw = 14
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W26: 14-day stochastic oscillator %K per event type's daily "
+        "bars: 100 * (close - L14) / (H14 - L14) — where does today "
+        "close inside the recent range (the mean-reversion companion "
+        "to RSI's momentum). Bars are 1e-4 fixed-point integers; %K is "
+        "one shared division of exact integer differences (flat "
+        "windows define %K = 50); overbought/oversold verdicts at the "
+        "classical 80/20 bands. Only full 14-row windows emit (the RSI "
+        "contract). Calendar-bounded per-type day table — no "
+        "fact-grain window at any scale."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, W.currentRow)
+    )
+    win = _bars(t).select(
+        "event_type",
+        "day",
+        "c",
+        F.min("l").over(w).alias("l14"),
+        F.max("h").over(w).alias("h14"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    pct_k = (
+        "CASE WHEN h14 = l14 THEN 50.0"
+        " ELSE 100.0 * CAST(c - l14 AS DOUBLE) / CAST(h14 - l14 AS DOUBLE) END"
+    )
+    return (
+        win.filter(F.col("nw") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+            F.expr(pct_k).alias("pct_k"),
+            F.expr(f"{pct_k} > 80.0").alias("overbought"),
+            F.expr(f"{pct_k} < 20.0").alias("oversold"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_donchian_breakout",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        win AS (
+            SELECT event_type, day, c,
+                   MAX(h) OVER w AS ch_hi,
+                   MIN(l) OVER w AS ch_lo,
+                   COUNT(*) OVER w AS nw
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(ch_hi AS DOUBLE) / 10000.0 AS channel_high,
+               CAST(ch_lo AS DOUBLE) / 10000.0 AS channel_low,
+               c > ch_hi AS breakout_up,
+               c < ch_lo AS breakout_down
+        FROM win WHERE nw = 20
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W27: 20-day Donchian channel breakouts per event type: the "
+        "channel is the prior-20-day high/low EXCLUDING today (ROWS "
+        "20 PRECEDING .. 1 PRECEDING — including today would make a "
+        "breakout definitionally impossible), and today breaks out "
+        "when its close exceeds either band — the classic turtle "
+        "entry signal and the simplest regime-change detector. Pure "
+        "integer comparisons on the fixed-point bars; only full "
+        "20-row channels emit. Calendar-bounded per-type day table."
+    ),
+    tags=("window", "timeseries", "anomaly"),
+)
+def window_donchian_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-20, -1)
+    win = _bars(t).select(
+        "event_type",
+        "day",
+        "c",
+        F.max("h").over(w).alias("ch_hi"),
+        F.min("l").over(w).alias("ch_lo"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 20)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+            F.expr("CAST(ch_hi AS DOUBLE) / 10000.0").alias("channel_high"),
+            F.expr("CAST(ch_lo AS DOUBLE) / 10000.0").alias("channel_low"),
+            (F.col("c") > F.col("ch_hi")).alias("breakout_up"),
+            (F.col("c") < F.col("ch_lo")).alias("breakout_down"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_obv_cumulative",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        d AS (
+            SELECT event_type, day, vol,
+                   CASE WHEN c > lag(c) OVER w THEN vol
+                        WHEN c < lag(c) OVER w THEN -vol
+                        ELSE 0 END AS delta
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, vol AS volume,
+               CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS obv
+        FROM d
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W28: on-balance volume per event type — the cumulative sum of "
+        "daily volume signed by the close-to-close direction (volume "
+        "flows 'into' rising days, 'out of' falling days; divergence "
+        "between OBV and price is the classical accumulation signal). "
+        "Volume is an exact row count, the sign a pure integer "
+        "comparison on fixed-point closes, OBV an exact BIGINT "
+        "cumulative sum; day 1 contributes 0 (no prior close). "
+        "Calendar-bounded per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_obv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    d = _bars(t).select(
+        "event_type",
+        "day",
+        "vol",
+        F.when(F.col("c") > F.lag("c").over(wl), F.col("vol"))
+        .when(F.col("c") < F.lag("c").over(wl), -F.col("vol"))
+        .otherwise(F.lit(0))
+        .alias("delta"),
+    )
+    wc = wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return d.select(
+        "event_type",
+        "day",
+        F.col("vol").alias("volume"),
+        F.sum("delta").over(wc).cast("bigint").alias("obv"),
+    ).orderBy("event_type", "day")
+
+
+_AROON_N = 13  # lookback days; periods-since in [0, 13]
+
+
+@register(
+    "window_aroon_indicator",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        db AS (
+            SELECT event_type, day,
+                   CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS d,
+                   h, l, c
+            FROM bars
+        ),
+        win AS (
+            SELECT event_type, day, d, c,
+                   MAX(h) OVER w AS hmax,
+                   MIN(l) OVER w AS lmin,
+                   COUNT(*) OVER w AS nw
+            FROM db
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         RANGE BETWEEN {_AROON_N} PRECEDING AND CURRENT ROW)
+        ),
+        full_win AS (SELECT * FROM win WHERE nw = {_AROON_N + 1}),
+        arg AS (
+            SELECT b.event_type, b.day, b.d, b.c, b.hmax, b.lmin,
+                   MAX(CASE WHEN a.h = b.hmax THEN a.d END) AS d_high,
+                   MAX(CASE WHEN a.l = b.lmin THEN a.d END) AS d_low
+            FROM full_win b
+            JOIN db a ON a.event_type = b.event_type
+                     AND a.d BETWEEN b.d - {_AROON_N} AND b.d
+            GROUP BY b.event_type, b.day, b.d, b.c, b.hmax, b.lmin
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(d - d_high AS BIGINT) AS days_since_high,
+               CAST(d - d_low AS BIGINT) AS days_since_low,
+               100.0 * CAST({_AROON_N} - (d - d_high) AS DOUBLE)
+                   / {_AROON_N}.0 AS aroon_up,
+               100.0 * CAST({_AROON_N} - (d - d_low) AS DOUBLE)
+                   / {_AROON_N}.0 AS aroon_down
+        FROM arg
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W29: {0}-day Aroon indicator per event type: aroon_up = 100 * "
+        "(N - days since the N-day high) / N (and _down for the low) — "
+        "trend-freshness from the POSITION of the extreme, not its "
+        "size, so it is immune to the magnitude outliers that move "
+        "every price-delta oscillator. The RANGE window (calendar "
+        "days over the integer day number) defines the lookback; the "
+        "arg-extreme day comes from an interval self-join of the "
+        "calendar-bounded per-type day table (latest tied day wins — "
+        "deterministic MAX), never a fact-grain pass. Ratios are one "
+        "shared division of exact integer day gaps.".format(_AROON_N)
+    ),
+    tags=("window", "timeseries"),
+)
+def window_aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    db = _bars(t).select(
+        "event_type",
+        "day",
+        F.expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)").alias("d"),
+        "h",
+        "l",
+        "c",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-_AROON_N, W.currentRow)
+    )
+    win = db.select(
+        "event_type",
+        "day",
+        "d",
+        "c",
+        F.max("h").over(w).alias("hmax"),
+        F.min("l").over(w).alias("lmin"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == _AROON_N + 1)
+    a = db.select(
+        F.col("event_type"),
+        F.col("d").alias("ad"),
+        F.col("h").alias("ah"),
+        F.col("l").alias("al"),
+    )
+    arg = (
+        win.join(a, "event_type")
+        .filter(
+            (F.col("ad") >= F.col("d") - _AROON_N) & (F.col("ad") <= F.col("d"))
+        )
+        .groupBy("event_type", "day", "d", "c", "hmax", "lmin")
+        .agg(
+            F.max(F.when(F.col("ah") == F.col("hmax"), F.col("ad"))).alias("d_high"),
+            F.max(F.when(F.col("al") == F.col("lmin"), F.col("ad"))).alias("d_low"),
+        )
+    )
+    return arg.select(
+        "event_type",
+        "day",
+        F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+        F.expr("CAST(d - d_high AS BIGINT)").alias("days_since_high"),
+        F.expr("CAST(d - d_low AS BIGINT)").alias("days_since_low"),
+        F.expr(
+            f"100.0 * CAST({_AROON_N} - (d - d_high) AS DOUBLE) / {_AROON_N}.0"
+        ).alias("aroon_up"),
+        F.expr(
+            f"100.0 * CAST({_AROON_N} - (d - d_low) AS DOUBLE) / {_AROON_N}.0"
+        ).alias("aroon_down"),
+    ).orderBy("event_type", "day")

@@ -116,6 +116,22 @@ _R5_QUERIES = frozenset(
 )
 
 
+#: queries introduced in round 6 — SURVEY §2.16 is their inventory
+_R6_QUERIES = frozenset(
+    {
+        "stats_jarque_bera",
+        "stats_mann_kendall_trend",
+        "stats_bowley_quartile_skew",
+        "stats_dixon_q_outlier",
+        "stats_ks_exact_two_sample",
+        "window_stochastic_oscillator",
+        "window_donchian_breakout",
+        "window_obv_cumulative",
+        "window_aroon_indicator",
+    }
+)
+
+
 def _survey_section(text: str, heading: str) -> str:
     start = text.index(heading)
     next_heading = text.find("\n#", start + 1)
@@ -148,6 +164,20 @@ def test_survey_215_pinned_to_registry():
     assert not missing, f"r5 queries absent from SURVEY §2.15: {sorted(missing)}"
     ghosts = documented - names
     assert not ghosts, f"SURVEY §2.15 references unknown queries: {sorted(ghosts)}"
+
+
+def test_survey_216_pinned_to_registry():
+    """Same contract for the round-6 additions: SURVEY §2.16 names every
+    r6 query, and only real ones (r5 verdict #9: the inventory lands in
+    the same commit that registers the queries)."""
+    section = _survey_section(open(_SURVEY).read(), "### 2.16")
+    names = set(registry.load_all())
+    documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
+    assert _R6_QUERIES <= names, "r6 pin list drifted from registry"
+    missing = _R6_QUERIES - documented
+    assert not missing, f"r6 queries absent from SURVEY §2.16: {sorted(missing)}"
+    ghosts = documented - names
+    assert not ghosts, f"SURVEY §2.16 references unknown queries: {sorted(ghosts)}"
 
 
 def test_driver_sample_prefix_spans_every_module():

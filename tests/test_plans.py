@@ -603,6 +603,9 @@ _SCALABLE_WINDOW_CAPS = {
     # r4: Hodges-Lehmann pairwise-diff median — bucket = diff DIV 8,
     # offsets prefix only (same calendar-bounded contract as Theil-Sen)
     "stats_hodges_lehmann_shift": 1,
+    # r6: exact unbinned KS — ECDFs cumulate at distinct-value grain via
+    # bucket-offset (bucket = x DIV 65536), prefix pass is metadata-scale
+    "stats_ks_exact_two_sample": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -703,6 +706,9 @@ _BNLJ_BOUNDED_OK = {
     # r6 verdict-oracle sketch audits: one-row GK-estimate broadcast
     # (rank re-count) and one-row freqItems-array broadcast (membership)
     "sketch_approx_quantiles", "sketch_freq_items",
+    # r6: one-row (n1, n2) sample totals broadcast into the KS
+    # cross-multiply sup
+    "stats_ks_exact_two_sample",
     # calendar-bounded day-pair theta join (<= 435 pairs per month)
     "stats_somers_d",
     # bounded parameter tables (query sets / centroids / grids / caps)
