@@ -1984,3 +1984,158 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(_RECON_TOP)
         .drop("abs_diff_e6")
     )
+
+
+@register(
+    "dq_temporal_order_audit",
+    oracle="""
+        WITH j AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS od,
+                   CAST(l.l_shipdate AS DATE) AS sd
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN sd < od THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_ship_before_order,
+                   CAST(SUM(CASE WHEN datediff('day', od, sd) > 180
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_lag_over_180d,
+                   CAST(SUM(CASE WHEN od IS NULL OR sd IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_null_date
+            FROM j
+        )
+        SELECT 'ship_before_order' AS check_name, n AS n_checked,
+               v_ship_before_order AS n_violations,
+               CAST(v_ship_before_order AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS violation_rate
+        FROM agg
+        UNION ALL
+        SELECT 'ship_lag_over_180d', n, v_lag_over_180d,
+               CAST(v_lag_over_180d AS DOUBLE) / CAST(n AS DOUBLE) FROM agg
+        UNION ALL
+        SELECT 'null_order_or_ship_date', n, v_null_date,
+               CAST(v_null_date AS DOUBLE) / CAST(n AS DOUBLE) FROM agg
+        ORDER BY check_name
+    """,
+    doc=(
+        "DQ12: temporal-ordering audit across the order->lineitem "
+        "lifecycle — a shipment must not precede its order, must not "
+        "lag it absurdly (>180d), and both dates must exist. The dbt-"
+        "style 'event sequence sanity' test every warehouse runs "
+        "before trusting latency metrics. ONE fact join + one "
+        "conditional aggregate produce all three checks (no per-check "
+        "rescan); the three-row report unpivots from that single row. "
+        "Exact integer counts, one shared rate division."
+    ),
+    tags=("dq", "audit"),
+)
+def dq_temporal_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li, o = t.lineitem, t.orders
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("sd") < F.col("od"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_ship_before_order"),
+        F.sum(F.when(F.datediff(F.col("sd"), F.col("od")) > 180, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_lag_over_180d"),
+        F.sum(F.when(F.col("od").isNull() | F.col("sd").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_null_date"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+            'ship_before_order', v_ship_before_order,
+            'ship_lag_over_180d', v_lag_over_180d,
+            'null_order_or_ship_date', v_null_date
+        ) AS (check_name, n_violations)""",
+        "n AS n_checked",
+    ).select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.expr("CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE)").alias(
+            "violation_rate"
+        ),
+    ).orderBy("check_name")
+
+
+_ACCEPTED = (
+    ("orders.o_orderstatus", "orders", "o_orderstatus", ("O", "F", "P")),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag", ("A", "N", "R")),
+    ("lineitem.l_linestatus", "lineitem", "l_linestatus", ("O", "F")),
+    (
+        "events.event_type",
+        "events",
+        "event_type",
+        ("click", "error", "purchase", "signup", "view"),
+    ),
+    ("documents.lang", "documents", "lang", ("de", "en", "es", "fr", "zh")),
+)
+
+
+def _accepted_values_oracle() -> str:
+    parts = []
+    for label, table, col, vals in _ACCEPTED:
+        inlist = ", ".join(f"'{v}'" for v in vals)
+        parts.append(
+            f"""
+            SELECT '{label}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {col} IS NULL
+                                 OR {col} NOT IN ({inlist})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct
+            FROM {table}"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register(
+    "dq_accepted_values_audit",
+    oracle=_accepted_values_oracle(),
+    doc=(
+        "DQ13: accepted-values conformance audit (the dbt "
+        "accepted_values test) over every enum-like column in the "
+        "schema — order status, return flag, line status, event type, "
+        "document language — one row per column with row count, "
+        "violation count (NULL counts as a violation: an enum column "
+        "must be populated), and observed distinct cardinality (a "
+        "cheap drift tripwire even while violations are zero). Each "
+        "column is one map-side-combined aggregate over its own table; "
+        "the report is their union — five metadata-scale rows."
+    ),
+    tags=("dq", "audit"),
+)
+def dq_accepted_values_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    outs = []
+    for label, table, col, vals in _ACCEPTED:
+        df = getattr(t, table)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col(col).isNull() | ~F.col(col).isin(*vals), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_violations"),
+                F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            ).select(
+                F.lit(label).alias("column_name"),
+                "n_rows",
+                "n_violations",
+                "n_distinct",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("column_name")

@@ -2173,3 +2173,71 @@ def funnel_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("level")
     )
+
+
+_PATHS_TOP = 20
+
+
+@register(
+    "funnel_top_paths_3step",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+                   MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+                   MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+            FROM ranked WHERE rn <= 3
+            GROUP BY user_id
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM paths
+        WHERE e3 IS NOT NULL
+        GROUP BY e1 || '>' || e2 || '>' || e3
+        ORDER BY n_users DESC, path
+        LIMIT {_PATHS_TOP}
+    """,
+    doc=(
+        "A38: top opening paths — each user's first three events "
+        "(ordered by (ts, event_id), the unique tie-free key) joined "
+        "into a path string, counted, top-{0} — the Sankey/flow query "
+        "behind every onboarding dashboard and the empirical prior "
+        "under the Markov attribution chain already in the battery. "
+        "The ranking window partitions by user (never global); rn <= 3 "
+        "caps the carried rows before the path fold; top-k plans as "
+        "TakeOrderedAndProject with the path tiebreak. Users with "
+        "fewer than three events drop (no partial paths)."
+        .format(_PATHS_TOP)
+    ),
+    tags=("funnel", "topk"),
+)
+def funnel_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ranked = t.events.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+    )
+    return (
+        paths.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATHS_TOP)
+    )

@@ -1355,3 +1355,85 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n_connected_triples AS DOUBLE)"
         ).alias("global_clustering_coefficient"),
     )
+
+
+_JC_TOP = 25
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+            FROM lineitem
+        ),
+        sdeg AS (
+            SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY supp
+        ),
+        pairs AS (
+            SELECT a.supp AS supp_a, b.supp AS supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS common_parts
+            FROM edges a
+            JOIN edges b ON a.part = b.part AND a.supp < b.supp
+            GROUP BY a.supp, b.supp
+        )
+        SELECT p.supp_a, p.supp_b, p.common_parts,
+               da.d AS deg_a, db.d AS deg_b,
+               CAST(p.common_parts AS DOUBLE)
+                   / CAST(da.d + db.d - p.common_parts AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN sdeg da ON da.supp = p.supp_a
+        JOIN sdeg db ON db.supp = p.supp_b
+        ORDER BY jaccard DESC, supp_a, supp_b
+        LIMIT {_JC_TOP}
+    """,
+    doc=(
+        "G16: Jaccard link prediction over the supplier-part bipartite "
+        "graph: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| per supplier pair — the "
+        "degree-NORMALIZED completion of the raw common-neighbor count "
+        "(graph_link_prediction_common_neighbors), which RA (1/deg "
+        "weighting) and this normalization bracket from both sides. "
+        "Candidates come from the part->suppliers inverted index "
+        "(equi-join, never all-pairs); supplier degrees broadcast; "
+        "the score is one shared division of exact integers "
+        "(union = deg_a + deg_b - common by inclusion-exclusion). "
+        "Top-{0} plans as TakeOrderedAndProject with the (supp_a, "
+        "supp_b) tiebreak, so the limit is deterministic. The hub "
+        "fan-out caveat + salting remedy match the RA variant's."
+        .format(_JC_TOP)
+    ),
+    tags=("graph", "similarity", "topk"),
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = t.lineitem.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    b = edges.select(F.col("supp").alias("supp_b"), "part")
+    pairs = (
+        a.join(b, ["part"])
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_parts"))
+    )
+    da = sdeg.select(F.col("supp").alias("supp_a"), F.col("d").alias("deg_a"))
+    db = sdeg.select(F.col("supp").alias("supp_b"), F.col("d").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_parts",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(common_parts AS DOUBLE)"
+                " / CAST(deg_a + deg_b - common_parts AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
+        .limit(_JC_TOP)
+    )

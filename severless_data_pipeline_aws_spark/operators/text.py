@@ -1990,3 +1990,118 @@ def text_bhattacharyya_source_overlap(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("bhattacharyya_coef"),
         )
     )
+
+
+@register(
+    "text_lexical_diversity_ttr",
+    oracle="""
+        WITH wc AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+        FROM wc
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X4: per-document lexical diversity — type-token ratio and "
+        "hapax-legomenon ratio, the two cheapest repetition/template "
+        "detectors a quality pipeline runs before the zlib ratio "
+        "(templated spam has low TTR; fresh prose has a high hapax "
+        "share). explode -> (doc, word) hash agg with map-side "
+        "combine -> per-doc fold; all counts exact BIGINTs, the two "
+        "ratios shared single divisions. The (doc, word) table shards "
+        "by hash at corpus scale — never a per-doc collect."
+    ),
+    tags=("text", "llm"),
+)
+def text_lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wc = (
+        t.documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)").alias("ttr"),
+            F.expr("CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)").alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_word_length_histogram",
+    oracle="""
+        WITH wl AS (
+            SELECT CAST(length(w) AS BIGINT) AS wlen,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY length(w)
+        )
+        SELECT wlen, n, n_distinct_words,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        FROM wl
+        ORDER BY wlen
+    """,
+    doc=(
+        "X4: corpus word-length histogram with per-length distinct "
+        "vocabulary — the tokenizer-diagnostics profile (a byte-pair "
+        "vocabulary budget is planned off exactly this distribution, "
+        "and a sudden mass at extreme lengths is a crawl-junk signal). "
+        "explode -> single hash agg keyed by length (map-side "
+        "combinable); the share denominator is a window over the "
+        "~30-row histogram itself — metadata-scale, like the survival "
+        "curve's 31-row grid. Counts exact; one shared division."
+    ),
+    tags=("text", "llm", "histogram"),
+)
+def text_word_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    wl = (
+        t.documents.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy(F.length("w").cast("bigint").alias("wlen"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct_words"),
+        )
+    )
+    return (
+        wl.withColumn("_tot", F.sum("n").over(W.partitionBy()).cast("bigint"))
+        .select(
+            "wlen",
+            "n",
+            "n_distinct_words",
+            F.expr("CAST(n AS DOUBLE) / CAST(_tot AS DOUBLE)").alias("share"),
+        )
+        .orderBy("wlen")
+    )

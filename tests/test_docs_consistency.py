@@ -128,6 +128,12 @@ _R6_QUERIES = frozenset(
         "window_donchian_breakout",
         "window_obv_cumulative",
         "window_aroon_indicator",
+        "graph_jaccard_link_prediction",
+        "dq_temporal_order_audit",
+        "dq_accepted_values_audit",
+        "text_lexical_diversity_ttr",
+        "text_word_length_histogram",
+        "funnel_top_paths_3step",
     }
 )
 

@@ -606,11 +606,17 @@ _SCALABLE_WINDOW_CAPS = {
     # r6: exact unbinned KS — ECDFs cumulate at distinct-value grain via
     # bucket-offset (bucket = x DIV 65536), prefix pass is metadata-scale
     "stats_ks_exact_two_sample": 1,
+    # r6: word-length share denominator — one window over the ~30-row
+    # length histogram itself (bounded grid, like survival's 31 rows)
+    "text_word_length_histogram": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
 # pass (survival's is the 31-row grid instead, so it is exempt)
-_BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {"funnel_survival_curve"}
+_BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
+    "funnel_survival_curve",
+    "text_word_length_histogram",  # bounded-grid window, no bucket pass
+}
 
 
 def test_no_fact_grain_single_partition_windows(spark, sf_dir):
