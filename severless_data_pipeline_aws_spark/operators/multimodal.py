@@ -1245,3 +1245,114 @@ def multimodal_gif_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         """signature = 'GIF89a' AND palette_present
            AND total_len = 14 + palette_bytes AS wellformed""",
     )
+
+
+# --- PNG signature + IHDR chunk parsing --------------------------------
+# Fourth real container format next to BMP, WAV, and GIF89a: byte-valid
+# PNG files (8-byte signature + IHDR chunk with REAL CRC-32 + empty
+# IEND chunk; no IDAT — zlib image data needs a codec, and this
+# operator's contract is header parsing + chunk-CRC validation, the
+# integrity-check stage of an image ingest pipeline). Unlike the GIF
+# tier, PNG chunks carry CRCs, so this tier adds genuine checksum
+# VALIDATION: synthesis stamps the true CRC-32 of (type || data) via
+# Spark's crc32(), and the parser independently recomputes it from the
+# payload bytes and compares against the stored big-endian word.
+
+_PNG_LIMIT = 200
+
+
+def synthesize_png_media(spark: SparkSession, sf_dir: str, limit: int = _PNG_LIMIT) -> DataFrame:
+    """(doc_id, payload): byte-valid PNG = signature + IHDR (real CRC)
+    + IEND. width = 16 + doc_id % 1024, height = 16 + (doc_id*11) % 768,
+    bit depth 8, color type in {0, 2, 6} by doc_id % 3, interlace =
+    doc_id % 2."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        "CAST(16 + doc_id % 1024 AS BIGINT) AS w",
+        "CAST(16 + (doc_id * 11) % 768 AS BIGINT) AS h",
+        "CAST(element_at(array(0, 2, 6), CAST(doc_id % 3 AS INT) + 1) AS BIGINT)"
+        " AS ctype",
+        "CAST(doc_id % 2 AS BIGINT) AS ilace",
+    )
+    be32 = lambda c: f"unhex(lpad(hex({c}), 8, '0'))"  # noqa: E731
+    be8 = lambda c: f"unhex(lpad(hex({c}), 2, '0'))"  # noqa: E731
+    ihdr = (
+        f"CAST('IHDR' AS BINARY) || {be32('w')} || {be32('h')}"
+        f" || {be8('8')} || {be8('ctype')} || {be8('0')} || {be8('0')}"
+        f" || {be8('ilace')}"
+    )
+    return d.selectExpr(
+        "doc_id",
+        f"""unhex('89504E470D0A1A0A')
+            || {be32('13')} || {ihdr} || {be32(f'crc32({ihdr})')}
+            || unhex('0000000049454E44AE426082') AS payload""",
+    )
+
+
+def _png_oracle() -> str:
+    """Predict every parsed field from the doc_id synthesis arithmetic;
+    the CRC and structural checks are TRUE by construction, so a
+    mis-parse (or a broken CRC recomputation) on the Spark side breaks
+    the hash."""
+    return f"""
+        SELECT doc_id,
+               CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+               CAST(16 + (doc_id * 11) % 768 AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2
+                    ELSE 6 END AS BIGINT) AS color_type,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                    ELSE 4 END AS BIGINT) AS channels,
+               CAST(doc_id % 2 AS BIGINT) AS interlace,
+               TRUE AS crc_ok,
+               TRUE AS wellformed,
+               CAST(45 AS BIGINT) AS total_len
+        FROM documents WHERE doc_id < {_PNG_LIMIT}
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "multimodal_png_header_parse",
+    oracle=_png_oracle(),
+    doc=(
+        "PNG signature + IHDR parse WITH CRC-32 chunk validation over "
+        "byte-valid synthesized payloads: 8-byte signature check, "
+        "big-endian chunk length + dimensions, the five IHDR scalar "
+        "fields, channels derived from color type, and — the part the "
+        "other container tiers don't have — an independent CRC-32 "
+        "recomputation over the chunk bytes (type || data) compared "
+        "against the stored big-endian CRC word, plus an IEND "
+        "structural check. The Spark side parses the REAL payload "
+        "bytes (hex/conv substring arithmetic + the crc32() builtin, "
+        "all codegen; payload bytes never shuffled — metadata out "
+        "only); the oracle predicts every field from the synthesis "
+        "arithmetic and asserts the checks TRUE, so a mis-parsed byte "
+        "OR a CRC mismatch anywhere breaks the hash. Fourth real "
+        "container tier (BMP pixels, WAV samples, GIF palette, PNG "
+        "CRC) — the integrity gate an image ingest runs before "
+        "handing bytes to a decoder."
+    ),
+    tags=("multimodal", "llm", "scalar"),
+)
+def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_png_media(spark, sf_dir)
+    be = lambda pos, n: f"CAST(conv(hex(substring(payload, {pos}, {n})), 16, 10) AS BIGINT)"  # noqa: E731
+    return media.selectExpr(
+        "doc_id",
+        f"{be(17, 4)} AS width",
+        f"{be(21, 4)} AS height",
+        f"{be(25, 1)} AS bit_depth",
+        f"{be(26, 1)} AS color_type",
+        f"""CAST(CASE {be(26, 1)} WHEN 0 THEN 1 WHEN 2 THEN 3
+             WHEN 6 THEN 4 END AS BIGINT) AS channels""",
+        f"{be(29, 1)} AS interlace",
+        f"crc32(substring(payload, 13, 17)) = {be(30, 4)} AS crc_ok",
+        f"""hex(substring(payload, 1, 8)) = '89504E470D0A1A0A'
+            AND {be(9, 4)} = 13
+            AND hex(substring(payload, 13, 4)) = '49484452'
+            AND hex(substring(payload, 34, 12))
+                = '0000000049454E44AE426082' AS wellformed""",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+    ).orderBy("doc_id")

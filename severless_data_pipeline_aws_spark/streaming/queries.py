@@ -711,3 +711,44 @@ def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     ).select("event_type", "event_id", "ts", "value")
     return _run_to_memory(stateful.page_hinkley_walk(stream), "append")
+
+
+@register(
+    "streaming_running_extrema",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, event_id, ts, value
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, event_id, value,
+               MIN(value) OVER w AS running_min,
+               MAX(value) OVER w AS running_max,
+               CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.5
+                    ELSE (value - MIN(value) OVER w)
+                         / (MAX(value) OVER w - MIN(value) OVER w)
+               END AS pos_in_range
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "Eighth custom stateful operator: online min-max normalizer "
+        "per event_type via applyInPandasWithState — TWO scalars of "
+        "state (running min, running max) however much data streams "
+        "through, emitting each event's position inside the range "
+        "seen SO FAR (0.5 while degenerate) — the O(1)-state feature "
+        "normalizer for streaming ML when batch extrema are "
+        "unknowable. Unlike the recurrence ops (Holt, Page-Hinkley), "
+        "extrema are SELECTIONS with no accumulation rounding, so the "
+        "oracle is a plain cumulative MIN/MAX window — no recursive "
+        "CTE — and the position is one shared IEEE expression: "
+        "hash-exact on top of the stream == imperative-replay "
+        "equivalence test (tests/test_streaming.py)."
+    ),
+    tags=("streaming", "stateful"),
+)
+def streaming_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "event_id", "ts", "value")
+    return _run_to_memory(stateful.running_extrema_walk(stream), "append")

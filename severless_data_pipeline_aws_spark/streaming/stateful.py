@@ -761,3 +761,102 @@ def page_hinkley_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = page_hinkley_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 8: online min-max extrema normalizer
+# ---------------------------------------------------------------------------
+
+RX_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("running_min", DoubleType()),
+        StructField("running_max", DoubleType()),
+        StructField("pos_in_range", DoubleType()),
+    ]
+)
+
+#: (has_seen flag, running_min, running_max) per key
+RX_STATE_SCHEMA = StructType(
+    [
+        StructField("seen", LongType()),
+        StructField("mn", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def running_extrema_steps(
+    state: tuple[int, float, float] | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple[int, float, float]]:
+    """Pure per-key online min-max walk: TWO scalars of state however
+    much data streams through — the O(1)-state feature normalizer a
+    streaming ML pipeline runs when the batch min/max are unknowable.
+    pos_in_range = (v - running_min) / (running_max - running_min),
+    0.5 while the range is degenerate (first event / all-equal prefix).
+    Extrema are SELECTIONS (no accumulation rounding), so the SQL twin
+    is a plain cumulative MIN/MAX window — no recursion needed; the
+    position is one shared IEEE expression. Shared verbatim by the
+    state function and the batch replay."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    seen, mn, mx = state if state is not None else (0, 0.0, 0.0)
+    mins: list[float] = []
+    maxs: list[float] = []
+    pos: list[float] = []
+    for row in pdf.itertuples(index=False):
+        v = float(row.value)
+        if not seen:
+            seen, mn, mx = 1, v, v
+        else:
+            mn = min(mn, v)
+            mx = max(mx, v)
+        mins.append(mn)
+        maxs.append(mx)
+        pos.append(0.5 if mx == mn else (v - mn) / (mx - mn))
+    out = pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].values,
+            "event_id": pdf["event_id"].values,
+            "value": pdf["value"].values,
+            "running_min": pd.array(mins, dtype="float64"),
+            "running_max": pd.array(maxs, dtype="float64"),
+            "pos_in_range": pd.array(pos, dtype="float64"),
+        }
+    )
+    return out, (seen, mn, mx)
+
+
+def _apply_running_extrema(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = running_extrema_steps(st, pdf)
+        yield out
+    state.update((int(st[0]), float(st[1]), float(st[2])))
+
+
+def running_extrema_walk(events: DataFrame) -> DataFrame:
+    """Streaming per-event_type online min-max normalizer
+    (applyInPandasWithState). Batch twin:
+    ``running_extrema_batch_replay``; tests assert stream == replay."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_running_extrema,
+        outputStructType=RX_OUT_SCHEMA,
+        stateStructType=RX_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_extrema_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = running_extrema_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

@@ -134,6 +134,8 @@ _R6_QUERIES = frozenset(
         "text_lexical_diversity_ttr",
         "text_word_length_histogram",
         "funnel_top_paths_3step",
+        "streaming_running_extrema",
+        "multimodal_png_header_parse",
     }
 )
 

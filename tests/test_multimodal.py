@@ -149,3 +149,27 @@ def test_bmp_decoder_matches_pil_box_filter(spark, sf_dir):
         # PIL BOX uses float accumulation + rounding; floor-mean may
         # differ by at most 1 count per channel
         assert np.abs(np.asarray(pil).astype(int) - ours.astype(int)).max() <= 1
+
+
+def test_png_payloads_are_byte_valid_with_independent_crc(spark, sf_dir):
+    """The synthesized PNGs must be REAL PNG bytes: signature, IHDR
+    length, and — validated with Python's zlib.crc32, independent of
+    Spark's crc32() — the stored chunk CRC. A drift in either engine's
+    CRC or in the byte layout fails here, not just at the oracle."""
+    import struct
+    import zlib
+
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        synthesize_png_media,
+    )
+
+    rows = synthesize_png_media(spark, sf_dir, 20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        p = bytes(r["payload"])
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        assert struct.unpack(">I", p[8:12])[0] == 13
+        chunk = p[12:29]  # type (4) + IHDR data (13)
+        stored = struct.unpack(">I", p[29:33])[0]
+        assert zlib.crc32(chunk) & 0xFFFFFFFF == stored
+        assert p[33:] == b"\x00\x00\x00\x00IEND\xaeB`\x82"

@@ -968,3 +968,42 @@ def test_streaming_page_hinkley_equals_batch_replay(spark, sf_dir):
     assert len(got) == len(want) > 0
     assert got == want
     assert all(ph >= 0.0 for ph, _ in got.values())
+
+
+def test_streaming_running_extrema_equals_batch_replay(spark, sf_dir):
+    """The streamed online min-max normalizer must equal the
+    single-process imperative replay bit-for-bit — same pure step
+    function, same per-key order, 2-scalar state carried across Arrow
+    chunks — and the position must lie in [0, 1] with the running
+    extrema monotone by construction."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        running_extrema_batch_replay,
+    )
+
+    got = {
+        r["event_id"]: (r["running_min"], r["running_max"], r["pos_in_range"])
+        for r in load_all()["streaming_running_extrema"].fn(spark, sf_dir).collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+        .toPandas()
+    )
+    want_pdf = running_extrema_batch_replay(events_pdf)
+    want = {
+        int(r.event_id): (
+            float(r.running_min),
+            float(r.running_max),
+            float(r.pos_in_range),
+        )
+        for r in want_pdf.itertuples(index=False)
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+    assert all(0.0 <= p <= 1.0 for _, _, p in got.values())
+    assert all(mn <= mx for mn, mx, _ in got.values())
