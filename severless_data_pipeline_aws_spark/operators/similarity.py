@@ -2582,3 +2582,119 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / F.lit(float(_TOP_K))).alias("recall_at_k"),
     )
+
+
+@register(
+    "similarity_centroid_drift_split",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS half,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT label, half, vec_id,
+                   unnest(list_transform(range(1, len(v) + 1),
+                          i -> struct_pack(dim := i, x := v[i]))) AS s
+            FROM e
+        ),
+        d2 AS (SELECT label, half, vec_id, s.dim AS dim, s.x AS x FROM dims),
+        cent AS (
+            SELECT label, half, dim,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+                       / COUNT(*) AS cx,
+                   COUNT(*) AS n
+            FROM d2 GROUP BY label, half, dim
+        ),
+        cvec AS (
+            SELECT label, half, list(cx ORDER BY dim) AS centroid,
+                   MAX(n) AS n
+            FROM cent GROUP BY label, half
+        ),
+        paired AS (
+            SELECT a.label, a.n AS n_even, b.n AS n_odd,
+                   a.centroid AS ca, b.centroid AS cb
+            FROM cvec a JOIN cvec b ON a.label = b.label
+                                   AND a.half = 0 AND b.half = 1
+        )
+        SELECT label, CAST(n_even AS BIGINT) AS n_even,
+               CAST(n_odd AS BIGINT) AS n_odd,
+               sqrt(list_dot_product(ca, ca) - 2 * list_dot_product(ca, cb)
+                    + list_dot_product(cb, cb)) AS l2_drift,
+               list_dot_product(ca, cb)
+                   / (sqrt(list_dot_product(ca, ca))
+                      * sqrt(list_dot_product(cb, cb))) AS cosine_sim
+        FROM paired
+        ORDER BY label
+    """,
+    doc=(
+        "X3: embedding-centroid drift between two deterministic halves "
+        "of each label (vec_id parity = the two-snapshot stand-in) — "
+        "the monitoring query an embedding pipeline runs when the "
+        "encoder is retrained or the corpus refreshes: has each "
+        "class's centroid MOVED (L2 drift) or ROTATED (cosine)? "
+        "Centroids reuse the scalable dense-centroid pattern "
+        "(per-dimension posexplode, one shuffle on (label, half, "
+        "dim)) with the vec_id-ordered sequential fold instead of "
+        "avg(), so every mean is bit-identical to the oracle's "
+        "ordered list_reduce; the L2 uses the expanded "
+        "a.a - 2a.b + b.b form so both engines evaluate the same "
+        "three dot products. Hash-exact, like the label-centroid "
+        "agreement query this extends."
+    ),
+    tags=("similarity", "llm", "drift"),
+)
+def similarity_centroid_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.expr("CAST(vec_id % 2 AS INT)").alias("half"),
+        _as_double("embedding").alias("v"),
+    )
+    dims = emb.select(
+        "label", "half", "vec_id", F.posexplode("v").alias("dim0", "x")
+    ).select("label", "half", "vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+    cent = (
+        dims.groupBy("label", "half", "dim")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, x))), "
+                "p -> p.x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / count(1)"
+            ).alias("cx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("label", "half")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "label", "half", F.expr("transform(pairs, p -> p.cx)").alias("centroid"), "n"
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", F.col("centroid").alias("ca"), F.col("n").alias("n_even")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", F.col("centroid").alias("cb"), F.col("n").alias("n_odd")
+    )
+    paired = a.join(b, "label")
+    dot = _dot
+    return paired.select(
+        "label",
+        F.col("n_even").cast("bigint").alias("n_even"),
+        F.col("n_odd").cast("bigint").alias("n_odd"),
+        F.sqrt(
+            dot(F.col("ca"), F.col("ca"))
+            - 2 * dot(F.col("ca"), F.col("cb"))
+            + dot(F.col("cb"), F.col("cb"))
+        ).alias("l2_drift"),
+        (
+            dot(F.col("ca"), F.col("cb"))
+            / (
+                F.sqrt(dot(F.col("ca"), F.col("ca")))
+                * F.sqrt(dot(F.col("cb"), F.col("cb")))
+            )
+        ).alias("cosine_sim"),
+    ).orderBy("label")

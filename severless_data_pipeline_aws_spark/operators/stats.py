@@ -5650,3 +5650,78 @@ def stats_ks_exact_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_stat"),
         )
     )
+
+
+@register(
+    "stats_sign_test_paired",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                   CAST(SUM(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+            FROM daily
+        )
+        SELECT n_pos, n_neg, n_tie,
+               CAST(n_pos - n_neg AS DOUBLE)
+                   / sqrt(CAST(n_pos + n_neg AS DOUBLE)) AS z_sign,
+               abs(CAST(n_pos - n_neg AS DOUBLE)
+                   / sqrt(CAST(n_pos + n_neg AS DOUBLE))) > 1.959963984540054
+                   AS significant_at_5pct
+        FROM s
+    """,
+    doc=(
+        "Paired sign test on daily click vs view counts: the "
+        "assumption-free location test (are click-heavier days more "
+        "common than view-heavier days?) that needs ONLY the sign of "
+        "each day's difference — the coarse, unbreakable sibling of "
+        "the Wilcoxon signed-rank test already in the battery (which "
+        "additionally ranks the magnitudes). Ties drop, per the "
+        "classical definition; the normal-approximation z = "
+        "(P - N)/sqrt(P + N) and the two-sided 5%% verdict (|z| > "
+        "z_0.975) are one shared IEEE expression over exact integer "
+        "counts. Facts reduce to day grain distributedly; everything "
+        "after is metadata-scale."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = daily.agg(
+        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("x") == F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tie"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.expr(
+            "CAST(n_pos - n_neg AS DOUBLE) / sqrt(CAST(n_pos + n_neg AS DOUBLE))"
+        ).alias("z_sign"),
+        F.expr(
+            "abs(CAST(n_pos - n_neg AS DOUBLE)"
+            " / sqrt(CAST(n_pos + n_neg AS DOUBLE))) > 1.959963984540054"
+        ).alias("significant_at_5pct"),
+    )

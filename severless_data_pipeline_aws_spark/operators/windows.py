@@ -2403,3 +2403,58 @@ def window_aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"100.0 * CAST({_AROON_N} - (d - d_low) AS DOUBLE) / {_AROON_N}.0"
         ).alias("aroon_down"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "window_pivot_points",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        prev AS (
+            SELECT event_type, day,
+                   lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(c) OVER w AS pc
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day,
+               CAST(ph + pl + pc AS DOUBLE) / 30000.0 AS pivot,
+               CAST(2 * (ph + pl + pc) - 3 * ph AS DOUBLE) / 30000.0 AS s1,
+               CAST(2 * (ph + pl + pc) - 3 * pl AS DOUBLE) / 30000.0 AS r1,
+               CAST((ph + pl + pc) + 3 * (ph - pl) AS DOUBLE) / 30000.0 AS r2,
+               CAST((ph + pl + pc) - 3 * (ph - pl) AS DOUBLE) / 30000.0 AS s2
+        FROM prev
+        WHERE ph IS NOT NULL
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W30: classical floor-trader pivot points per event type from "
+        "the PRIOR day's bar: P = (H+L+C)/3, R1 = 2P-L, S1 = 2P-H, "
+        "R2 = P+(H-L), S2 = P-(H-L) — the support/resistance grid "
+        "drawn before each session, and the last member of the r6 "
+        "technical-analysis window family (stochastic, Donchian, OBV, "
+        "Aroon). All five levels are kept as exact integer "
+        "combinations of the 1e-4 fixed-point bar values (P scaled x3 "
+        "so the thirds never divide early: 2P-L = (2(H+L+C) - 3L)/3), "
+        "each emitted by ONE shared division by 30000 — hash-exact "
+        "with zero rounding drift. First day drops (no prior bar)."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    prev = _bars(t).select(
+        "event_type",
+        "day",
+        F.lag("h").over(wl).alias("ph"),
+        F.lag("l").over(wl).alias("pl"),
+        F.lag("c").over(wl).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    return prev.select(
+        "event_type",
+        "day",
+        F.expr("CAST(ph + pl + pc AS DOUBLE) / 30000.0").alias("pivot"),
+        F.expr("CAST(2 * (ph + pl + pc) - 3 * ph AS DOUBLE) / 30000.0").alias("s1"),
+        F.expr("CAST(2 * (ph + pl + pc) - 3 * pl AS DOUBLE) / 30000.0").alias("r1"),
+        F.expr("CAST((ph + pl + pc) + 3 * (ph - pl) AS DOUBLE) / 30000.0").alias("r2"),
+        F.expr("CAST((ph + pl + pc) - 3 * (ph - pl) AS DOUBLE) / 30000.0").alias("s2"),
+    ).orderBy("event_type", "day")

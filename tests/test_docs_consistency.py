@@ -136,6 +136,9 @@ _R6_QUERIES = frozenset(
         "funnel_top_paths_3step",
         "streaming_running_extrema",
         "multimodal_png_header_parse",
+        "window_pivot_points",
+        "stats_sign_test_paired",
+        "similarity_centroid_drift_split",
     }
 )
 
