@@ -1193,6 +1193,83 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
+def _bpe_oracle() -> str:
+    """Exact DuckDB twin of the 3-round BPE trainer (r5 verdict #10 —
+    this was the last structurally-rows-only text op with deterministic
+    output). Each round unrolls as CTEs: pair counts from the current
+    symbol tables, the (total DESC, a, b) argmax, then the
+    non-overlapping left-to-right rewrite WITHOUT recursion — for
+    a != b two adjacent positions can never both match, and for a == b
+    the fold's "just-merged token never re-pairs" rule is exactly
+    run-parity: within each maximal run of consecutive matches
+    (gaps-and-islands rid = i - row_number), positions at even offset
+    from the run start merge and the following position is consumed.
+    A lag() marks consumed positions; list(... ORDER BY i) rebuilds
+    the arrays. Any divergence in pair counting, tie-break, or fold
+    semantics breaks the hash."""
+    parts = ["""
+        w0 AS MATERIALIZED (
+            SELECT w AS wid, CAST(COUNT(*) AS BIGINT) AS wn,
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, i, 1)) AS sym
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        )"""]
+    prev = "w0"
+    tops = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+        pc{r} AS (
+            SELECT sym[i] AS a, sym[i + 1] AS b,
+                   CAST(SUM(wn) AS BIGINT) AS total
+            FROM (SELECT sym, wn, unnest(range(1, len(sym))) AS i
+                  FROM {prev} WHERE len(sym) > 1)
+            GROUP BY sym[i], sym[i + 1]
+        ),
+        top{r} AS (
+            SELECT a, b, a || b AS m, total FROM pc{r}
+            ORDER BY total DESC, a, b LIMIT 1
+        ),
+        pos{r} AS (
+            SELECT q.wid, q.wn, q.i, q.sym[q.i] AS cur, tp.m,
+                   (q.i < len(q.sym) AND q.sym[q.i] = tp.a
+                    AND q.sym[q.i + 1] = tp.b) AS mt
+            FROM (SELECT wid, wn, sym, unnest(range(1, len(sym) + 1)) AS i
+                  FROM {prev}) q
+            CROSS JOIN top{r} tp
+        ),
+        runs{r} AS (
+            SELECT *, CASE WHEN mt THEN i - row_number()
+                   OVER (PARTITION BY wid, mt ORDER BY i) END AS rid
+            FROM pos{r}
+        ),
+        mf{r} AS (
+            SELECT *, mt AND ((i - MIN(i) OVER (PARTITION BY wid, rid)) % 2 = 0)
+                   AS mg
+            FROM runs{r}
+        ),
+        cf{r} AS (
+            SELECT *, COALESCE(lag(mg) OVER (PARTITION BY wid ORDER BY i),
+                               FALSE) AS consumed
+            FROM mf{r}
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT wid, wn,
+                   list(CASE WHEN mg THEN m ELSE cur END ORDER BY i) AS sym
+            FROM cf{r} WHERE NOT consumed
+            GROUP BY wid, wn
+        )""")
+        tops.append(
+            f'SELECT CAST({r} AS INT) AS "round", a AS "left", b AS "right",'
+            f" m AS merged, total AS pair_count FROM top{r}"
+        )
+        prev = f"w{r}"
+    return (
+        "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(tops)
+        + '\nORDER BY "round"'
+    )
+
+
 def _bpe_merge_fold(a: str, b: str):
     """Left-to-right non-overlapping merge of adjacent (a, b) -> a+b via
     a sequential array fold — the just-merged token never re-pairs as
@@ -1208,7 +1285,7 @@ def _bpe_merge_fold(a: str, b: str):
 
 @register(
     "text_bpe_train_merges",
-    oracle=None,  # iterative argmax-and-rewrite; verified by exact Python replay
+    oracle=_bpe_oracle(),  # r6: the full 3-round train unrolled as CTEs
     doc=(
         "BPE vocabulary induction, the tokenizer-training core: start "
         "from the word-frequency table with words as character arrays, "
@@ -1224,7 +1301,10 @@ def _bpe_merge_fold(a: str, b: str):
         "collapses to its word-count table in one shuffle and every "
         "round after that is vocabulary-sized. Output = the learned "
         "merge table; exact equality with a pure-Python BPE replayed "
-        "on the same corpus is pytest-asserted."
+        "on the same corpus is pytest-asserted, and since r6 the whole "
+        "train also replays as an unrolled DuckDB CTE (pair counts -> "
+        "argmax -> parity-rule rewrite) — hash-exact, no longer "
+        "rows-only."
     ),
     tags=("text", "llm", "tokenizer", "iterative"),
 )
