@@ -5725,3 +5725,204 @@ def stats_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / sqrt(CAST(n_pos + n_neg AS DOUBLE))) > 1.959963984540054"
         ).alias("significant_at_5pct"),
     )
+
+
+#: shared closed forms for the 1-lag Granger regression — centered
+#: second moments from exact integer sums, then Cramer's-rule OLS.
+#: Restricted model: y_t ~ 1 + y_{t-1}; unrestricted adds x_{t-1}.
+_GRANGER_MOMENTS = """
+    CAST(n AS DOUBLE) AS nd,
+    CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS caa,
+    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+    CAST(sax AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cax,
+    CAST(say AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cay,
+    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+"""
+
+_GRANGER_FINAL = """
+    SELECT n AS n_obs,
+           cyy - cay * cay / caa AS sse_restricted,
+           cyy - ((cay * cxx - cxy * cax) / (caa * cxx - cax * cax)) * cay
+               - ((cxy * caa - cay * cax) / (caa * cxx - cax * cax)) * cxy
+               AS sse_unrestricted,
+           ((cyy - cay * cay / caa)
+            - (cyy - ((cay * cxx - cxy * cax) / (caa * cxx - cax * cax)) * cay
+                   - ((cxy * caa - cay * cax) / (caa * cxx - cax * cax)) * cxy))
+           * (nd - 3.0)
+           / (cyy - ((cay * cxx - cxy * cax) / (caa * cxx - cax * cax)) * cay
+                  - ((cxy * caa - cay * cax) / (caa * cxx - cax * cax)) * cxy)
+               AS f_stat,
+           ((cyy - cay * cay / caa)
+            - (cyy - ((cay * cxx - cxy * cax) / (caa * cxx - cax * cax)) * cay
+                   - ((cxy * caa - cay * cax) / (caa * cxx - cax * cax)) * cxy))
+           * (nd - 3.0)
+           / (cyy - ((cay * cxx - cxy * cax) / (caa * cxx - cax * cax)) * cay
+                  - ((cxy * caa - cay * cax) / (caa * cxx - cax * cax)) * cxy)
+               > 3.841458820694124 AS clicks_granger_cause_purchases
+    FROM m
+"""
+
+
+@register(
+    "stats_granger_causality_1lag",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS xc,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS yc
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        lagd AS (
+            SELECT yc AS y,
+                   lag(yc) OVER (ORDER BY day) AS a,
+                   lag(xc) OVER (ORDER BY day) AS x
+            FROM daily
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(a) AS BIGINT) AS sa,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(a * a) AS BIGINT) AS saa,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(a * y) AS BIGINT) AS say,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(a * x) AS BIGINT) AS sax
+            FROM lagd WHERE a IS NOT NULL
+        ),
+        m AS (SELECT n, {_GRANGER_MOMENTS} FROM sums)
+        {_GRANGER_FINAL}
+    """,
+    doc=(
+        "ST63: 1-lag Granger causality — do yesterday's clicks improve "
+        "today's purchase forecast beyond yesterday's purchases alone? "
+        "Restricted OLS (y_t ~ 1 + y_(t-1)) vs unrestricted (+ "
+        "x_(t-1)), F = (SSE_r - SSE_u)(n-3)/SSE_u with the F(1,inf) "
+        "95%% critical value as the verdict. Everything reduces to ten "
+        "exact BIGINT sums over the day-grain series (counts are "
+        "integers, so every product and sum is exact); the centered "
+        "moments, Cramer's-rule 2x2 solve, and F are ONE shared IEEE "
+        "expression tree on both engines — regression-family inference "
+        "with zero accumulation drift, the same discipline as "
+        "stats_corr_regression_exact. The single-partition lag runs "
+        "over the calendar-bounded day table."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_granger_causality_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("xc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("yc"),
+    )
+    wl = W.partitionBy().orderBy("day")
+    lagd = daily.select(
+        F.col("yc").alias("y"),
+        F.lag("yc").over(wl).alias("a"),
+        F.lag("xc").over(wl).alias("x"),
+    ).filter(F.col("a").isNotNull())
+    sums = lagd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.expr("CAST(SUM(y * y) AS BIGINT)").alias("syy"),
+        F.expr("CAST(SUM(a * a) AS BIGINT)").alias("saa"),
+        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(SUM(a * y) AS BIGINT)").alias("say"),
+        F.expr("CAST(SUM(x * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(a * x) AS BIGINT)").alias("sax"),
+    )
+    sums.createOrReplaceTempView("__granger_sums")
+    return spark.sql(
+        f"WITH m AS (SELECT n, {_GRANGER_MOMENTS} FROM __granger_sums)"
+        f" {_GRANGER_FINAL}"
+    )
+
+
+@register(
+    "stats_f_test_variance_ratio",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(q * q) AS BIGINT) AS s2
+            FROM (SELECT event_type,
+                         CAST(round(value * 10000) AS BIGINT) AS q
+                  FROM events WHERE value IS NOT NULL
+                    AND event_type IN ('click', 'view'))
+            GROUP BY event_type
+        ),
+        v AS (
+            SELECT event_type, n,
+                   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var
+            FROM s
+        )
+        SELECT a.n AS n_click, b.n AS n_view,
+               a.var / 100000000.0 AS var_click,
+               b.var / 100000000.0 AS var_view,
+               a.var / b.var AS f_ratio,
+               a.var / b.var > 1.0 AS click_more_dispersed
+        FROM v a, v b
+        WHERE a.event_type = 'click' AND b.event_type = 'view'
+    """,
+    doc=(
+        "ST64: classical F-test variance ratio between the click and "
+        "view value distributions — the parametric dispersion "
+        "comparison that Ansari-Bradley and Mood's median test "
+        "(rank-based, already in the battery) replace when normality "
+        "is doubtful; shipping all three documents the trade. Values "
+        "quantize to 1e-4 fixed-point so the power sums are exact "
+        "BIGINTs; each sample variance and the ratio are one shared "
+        "IEEE expression (the 1e8 descale cancels in the ratio and is "
+        "applied only to the reported per-sample variances)."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_f_test_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    s = (
+        t.events.filter(
+            F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            "event_type", F.expr("CAST(round(value * 10000) AS BIGINT)").alias("q")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("s1"),
+            F.expr("CAST(SUM(q * q) AS BIGINT)").alias("s2"),
+        )
+    )
+    v = s.selectExpr(
+        "event_type",
+        "n",
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var",
+    )
+    a = v.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"), F.col("var").alias("va")
+    )
+    b = v.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"), F.col("var").alias("vb")
+    )
+    return a.crossJoin(b).selectExpr(
+        "n_click",
+        "n_view",
+        "va / 100000000.0 AS var_click",
+        "vb / 100000000.0 AS var_view",
+        "va / vb AS f_ratio",
+        "va / vb > 1.0 AS click_more_dispersed",
+    )

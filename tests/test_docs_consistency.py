@@ -139,6 +139,8 @@ _R6_QUERIES = frozenset(
         "window_pivot_points",
         "stats_sign_test_paired",
         "similarity_centroid_drift_split",
+        "stats_granger_causality_1lag",
+        "stats_f_test_variance_ratio",
     }
 )
 

@@ -609,6 +609,9 @@ _SCALABLE_WINDOW_CAPS = {
     # r6: word-length share denominator — one window over the ~30-row
     # length histogram itself (bounded grid, like survival's 31 rows)
     "text_word_length_histogram": 1,
+    # r6: the 1-lag shift over the calendar-bounded day series (the
+    # somers_d/day-pair contract: day tables are metadata at any SF)
+    "stats_granger_causality_1lag": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -616,6 +619,7 @@ _SCALABLE_WINDOW_CAPS = {
 _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "funnel_survival_curve",
     "text_word_length_histogram",  # bounded-grid window, no bucket pass
+    "stats_granger_causality_1lag",  # calendar-day lag, no bucket pass
 }
 
 
@@ -713,8 +717,8 @@ _BNLJ_BOUNDED_OK = {
     # (rank re-count) and one-row freqItems-array broadcast (membership)
     "sketch_approx_quantiles", "sketch_freq_items",
     # r6: one-row (n1, n2) sample totals broadcast into the KS
-    # cross-multiply sup
-    "stats_ks_exact_two_sample",
+    # cross-multiply sup; one-row x one-row variance join for the F test
+    "stats_ks_exact_two_sample", "stats_f_test_variance_ratio",
     # calendar-bounded day-pair theta join (<= 435 pairs per month)
     "stats_somers_d",
     # bounded parameter tables (query sets / centroids / grids / caps)
