@@ -2241,3 +2241,74 @@ def funnel_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATHS_TOP)
     )
+
+
+#: power-of-two padding buckets: n_chars in (2^(k-1), 2^k] pads to 2^k
+_PAD_BUCKETS = [(1 << k, (1 << (k - 1)) + 1, 1 << k) for k in range(1, 22)]
+_PAD_BUCKETS[0] = (2, 1, 2)  # fold n = 1 into the smallest bucket
+
+
+def _pad_bucket_values_sql() -> str:
+    return ", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in _PAD_BUCKETS)
+
+
+@register(
+    "pipeline_length_bucket_padding_waste",
+    oracle=f"""
+        WITH buckets(pad_to, lo, hi) AS (VALUES {_pad_bucket_values_sql()}),
+        assigned AS (
+            SELECT b.pad_to, d.n_chars
+            FROM documents d JOIN buckets b
+              ON d.n_chars BETWEEN b.lo AND b.hi
+        )
+        SELECT CAST(pad_to AS BIGINT) AS pad_to,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(*) * pad_to AS BIGINT) AS padded_chars,
+               1.0 - CAST(SUM(n_chars) AS DOUBLE)
+                   / CAST(COUNT(*) * pad_to AS DOUBLE) AS waste_ratio
+        FROM assigned
+        GROUP BY pad_to
+        ORDER BY pad_to
+    """,
+    doc=(
+        "X7j: sequence-length bucketing report — assign each document "
+        "to its power-of-two padding bucket (n in (2^(k-1), 2^k] pads "
+        "to 2^k) and report per-bucket document count, real characters, "
+        "padded characters, and the padding waste ratio: the batching "
+        "diagnostic that decides between fixed-length padding and "
+        "sequence packing (pipeline_pack_training_batches) before a "
+        "training run, since waste is GPU-hours at scale. The bucket "
+        "table is a 21-row literal broadcast range-join (each doc "
+        "matches exactly one bucket); counts and char sums are exact "
+        "BIGINTs, the waste ratio one shared division."
+    ),
+    tags=("pipeline", "llm", "sampling"),
+)
+def pipeline_length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    buckets = spark.createDataFrame(_PAD_BUCKETS, "pad_to LONG, lo LONG, hi LONG")
+    assigned = t.documents.join(
+        F.broadcast(buckets),
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")),
+    )
+    return (
+        assigned.groupBy("pad_to")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.count(F.lit(1)) * F.col("pad_to").cast("bigint"))
+            .cast("bigint")
+            .alias("padded_chars"),
+        )
+        .select(
+            F.col("pad_to").cast("bigint").alias("pad_to"),
+            "n_docs",
+            "total_chars",
+            "padded_chars",
+            F.expr(
+                "1.0 - CAST(total_chars AS DOUBLE) / CAST(padded_chars AS DOUBLE)"
+            ).alias("waste_ratio"),
+        )
+        .orderBy("pad_to")
+    )

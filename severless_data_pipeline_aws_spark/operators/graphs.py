@@ -1437,3 +1437,100 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
         .limit(_JC_TOP)
     )
+
+
+@register(
+    "graph_katz_centrality_bounded",
+    oracle="""
+        WITH co AS (
+            SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000
+        ),
+        e AS (
+            SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+            FROM co WHERE a <> b GROUP BY 1, 2
+        ),
+        se AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        p1 AS (
+            SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS c1 FROM se GROUP BY u
+        ),
+        p2 AS (
+            SELECT se.u AS node, CAST(SUM(p1.c1) AS BIGINT) AS c2
+            FROM se JOIN p1 ON p1.node = se.v GROUP BY se.u
+        ),
+        p3 AS (
+            SELECT se.u AS node, CAST(SUM(p2.c2) AS BIGINT) AS c3
+            FROM se JOIN p2 ON p2.node = se.v GROUP BY se.u
+        )
+        SELECT p1.node, p1.c1 AS paths_1, p2.c2 AS paths_2, p3.c3 AS paths_3,
+               CAST(p1.c1 AS DOUBLE) / 8.0 + CAST(p2.c2 AS DOUBLE) / 64.0
+                   + CAST(p3.c3 AS DOUBLE) / 512.0 AS katz_score
+        FROM p1 JOIN p2 USING (node) JOIN p3 USING (node)
+        ORDER BY node
+    """,
+    doc=(
+        "G17: 3-hop truncated Katz centrality over the nation co-trade "
+        "graph (the triangle/k-core edge basis): katz(i) = sum_L "
+        "beta^L * (walks of length L from i), beta = 1/8 (dyadic, so "
+        "every term is an exact integer divided by a power of two — "
+        "no pow(), no drift), truncated at L=3 — the standard bounded "
+        "approximation when the full (I - beta*A)^-1 resolvent is a "
+        "solver job, and the walk-counting completion of the degree "
+        "(L=1) and neighbor-degree views. Each hop is one equi-join "
+        "of the symmetric edge list against the previous hop's count "
+        "vector (the Pregel-shaped message sum); the final score is "
+        "one shared IEEE expression over three exact BIGINT walk "
+        "counts."
+    ),
+    tags=("graph",),
+)
+def graph_katz_centrality_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    e = (
+        co.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    se = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    p1 = se.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    p2 = (
+        se.join(p1.select(F.col("node").alias("v"), "c1"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("c1").cast("bigint").alias("c2"))
+    )
+    p3 = (
+        se.join(p2.select(F.col("node").alias("v"), "c2"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("c2").cast("bigint").alias("c3"))
+    )
+    return (
+        p1.join(p2, "node")
+        .join(p3, "node")
+        .select(
+            "node",
+            F.col("c1").alias("paths_1"),
+            F.col("c2").alias("paths_2"),
+            F.col("c3").alias("paths_3"),
+            F.expr(
+                "CAST(c1 AS DOUBLE) / 8.0 + CAST(c2 AS DOUBLE) / 64.0"
+                " + CAST(c3 AS DOUBLE) / 512.0"
+            ).alias("katz_score"),
+        )
+        .orderBy("node")
+    )

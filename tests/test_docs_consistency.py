@@ -141,6 +141,8 @@ _R6_QUERIES = frozenset(
         "similarity_centroid_drift_split",
         "stats_granger_causality_1lag",
         "stats_f_test_variance_ratio",
+        "graph_katz_centrality_bounded",
+        "pipeline_length_bucket_padding_waste",
     }
 )
 

@@ -734,6 +734,8 @@ _BNLJ_BOUNDED_OK = {
     "similarity_two_stage_rerank", "stats_kendall_tau_daily",
     "stats_power_analysis_proportions", "text_bigram_lift_topk",
     "text_bm25_topk", "join_cross_bounded",
+    # r6: 21-row power-of-two padding-bucket literal, broadcast range join
+    "pipeline_length_bucket_padding_waste",
 }
 
 
