@@ -130,6 +130,15 @@ HEADLINE = [
     # the cascading bigram-type-table LM (three strictly-shrinking
     # aggregates + two broadcast joins — the n-gram count-job shape)
     "text_kneser_ney_bigram_lm",
+    # round-6 additions: the distinct-value-grain bucket-offset ECDF
+    # (exact KS), the RANGE-window + day-table-broadcast argmax join
+    # (Aroon), the inverted-index pair join with two broadcast degree
+    # vectors (Jaccard link prediction), and the explode-heavy
+    # (doc, word) double aggregate (lexical diversity)
+    "stats_ks_exact_two_sample",
+    "window_aroon_indicator",
+    "graph_jaccard_link_prediction",
+    "text_lexical_diversity_ttr",
 ]
 
 
