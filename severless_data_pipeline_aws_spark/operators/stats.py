@@ -5926,3 +5926,161 @@ def stats_f_test_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "va / vb AS f_ratio",
         "va / vb > 1.0 AS click_more_dispersed",
     )
+
+
+@register(
+    "stats_mcc_matthews_binary",
+    oracle="""
+        WITH pred AS (
+            SELECT (lang = 'en') AS is_en,
+                   (list_contains(string_split(text, ' '), 'the')
+                    OR list_contains(string_split(text, ' '), 'a')) AS pred_en
+            FROM documents
+        ),
+        c AS (
+            SELECT
+              CAST(SUM(CASE WHEN is_en AND pred_en THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(SUM(CASE WHEN NOT is_en AND pred_en THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(SUM(CASE WHEN is_en AND NOT pred_en THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(SUM(CASE WHEN NOT is_en AND NOT pred_en THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM pred
+        )
+        SELECT tp, fp, fn, tn,
+               (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+               / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                      * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                      * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                      * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) AS mcc
+        FROM c
+    """,
+    doc=(
+        "ST65: Matthews correlation coefficient of the en-vs-rest "
+        "stopword language guesser — the single-number binary-"
+        "classifier summary that stays honest under class imbalance "
+        "where accuracy and even F1 mislead (it is the phi coefficient "
+        "of the 2x2 confusion table), completing the per-class "
+        "precision/recall/F1 report (text_langid_eval_confusion). One "
+        "conditional aggregate produces the four confusion cells as "
+        "exact BIGINTs; MCC is one shared expression (products in "
+        "double, a single sqrt)."
+    ),
+    tags=("stats", "text", "eval"),
+)
+def stats_mcc_matthews_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pred = t.documents.select(
+        (F.col("lang") == "en").alias("is_en"),
+        (
+            F.array_contains(F.split(F.col("text"), " "), "the")
+            | F.array_contains(F.split(F.col("text"), " "), "a")
+        ).alias("pred_en"),
+    )
+    c = pred.agg(
+        F.sum(F.when(F.col("is_en") & F.col("pred_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(~F.col("is_en") & F.col("pred_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("is_en") & ~F.col("pred_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("is_en") & ~F.col("pred_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+            " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+            " / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))"
+            " * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))"
+            " * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))"
+            " * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))"
+        ).alias("mcc"),
+    )
+
+
+@register(
+    "stats_odds_ratio_relative_risk",
+    oracle="""
+        WITH assign AS (
+            SELECT (user_id % 2 = 0) AS exposed,
+                   (event_type = 'purchase') AS converted
+            FROM events
+        ),
+        c AS (
+            SELECT
+              CAST(SUM(CASE WHEN exposed AND converted THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(SUM(CASE WHEN exposed AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              CAST(SUM(CASE WHEN NOT exposed AND converted THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              CAST(SUM(CASE WHEN NOT exposed AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM assign
+        )
+        SELECT a, b, c, d,
+               (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS odds_ratio,
+               (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+                   / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))
+                   AS relative_risk,
+               CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                   - CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                   AS risk_difference
+        FROM c
+    """,
+    doc=(
+        "ST66: odds ratio, relative risk, and risk difference of "
+        "purchase conversion under the deterministic user_id-parity "
+        "A/B assignment — the three effect measures an experimentation "
+        "readout reports next to the Wilson interval and the "
+        "two-proportion z already in the battery (OR for logistic "
+        "comparability, RR for interpretability, RD for absolute "
+        "impact; the log-CI boundary is the documented ln ceiling). "
+        "One conditional aggregate -> exact 2x2 BIGINT cells -> three "
+        "shared divisions."
+    ),
+    tags=("stats", "agg", "ab"),
+)
+def stats_odds_ratio_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    assign = t.events.select(
+        (F.col("user_id") % 2 == 0).alias("exposed"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    cells = assign.agg(
+        F.sum(F.when(F.col("exposed") & F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("exposed") & ~F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("exposed") & F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("exposed") & ~F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE))"
+            " / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+        ).alias("odds_ratio"),
+        F.expr(
+            "(CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))"
+            " / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))"
+        ).alias("relative_risk"),
+        F.expr(
+            "CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))"
+            " - CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))"
+        ).alias("risk_difference"),
+    )

@@ -2458,3 +2458,65 @@ def window_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((ph + pl + pc) + 3 * (ph - pl) AS DOUBLE) / 30000.0").alias("r2"),
         F.expr("CAST((ph + pl + pc) - 3 * (ph - pl) AS DOUBLE) / 30000.0").alias("s2"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "window_month_over_month_revenue",
+    oracle="""
+        WITH monthly AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders
+            GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+        ),
+        lagged AS (
+            SELECT priority, month, cents,
+                   lag(cents) OVER (PARTITION BY priority ORDER BY month)
+                       AS prev_cents
+            FROM monthly
+        )
+        SELECT priority, month,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               CASE WHEN prev_cents IS NULL THEN NULL
+                    ELSE 100.0 * CAST(cents - prev_cents AS DOUBLE)
+                         / CAST(prev_cents AS DOUBLE) END AS mom_pct
+        FROM lagged
+        ORDER BY priority, month
+    """,
+    doc=(
+        "W31: month-over-month revenue growth per order priority — the "
+        "single most common dashboard window (period grain + lag + "
+        "percent change). Revenue aggregates to exact integer cents at "
+        "month grain in one map-side-combined pass (never a running "
+        "sum of doubles); the growth rate is one shared division of "
+        "exact integer differences, first month NULL. The lag window "
+        "runs over the calendar-bounded per-priority month table."
+    ),
+    tags=("window", "timeseries", "agg"),
+)
+def window_month_over_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(
+        F.expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    wl = W.partitionBy("priority").orderBy("month")
+    lagged = monthly.select(
+        "priority", "month", "cents", F.lag("cents").over(wl).alias("prev_cents")
+    )
+    return lagged.select(
+        "priority",
+        "month",
+        F.expr("CAST(cents AS DOUBLE) / 100.0").alias("revenue"),
+        F.expr(
+            "CASE WHEN prev_cents IS NULL THEN NULL"
+            " ELSE 100.0 * CAST(cents - prev_cents AS DOUBLE)"
+            " / CAST(prev_cents AS DOUBLE) END"
+        ).alias("mom_pct"),
+    ).orderBy("priority", "month")

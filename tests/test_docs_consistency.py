@@ -143,6 +143,9 @@ _R6_QUERIES = frozenset(
         "stats_f_test_variance_ratio",
         "graph_katz_centrality_bounded",
         "pipeline_length_bucket_padding_waste",
+        "stats_mcc_matthews_binary",
+        "stats_odds_ratio_relative_risk",
+        "window_month_over_month_revenue",
     }
 )
 
