@@ -1297,3 +1297,88 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         )
     )
+
+
+_EPOCHS = 3
+_EPOCH_SHARDS = 8
+
+
+def _epoch_shuffle_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    base = (
+        "(SELECT d.doc_id, d.n_chars, e.epoch FROM documents d CROSS JOIN "
+        "(VALUES " + ", ".join(f"({k}::BIGINT)" for k in range(_EPOCHS))
+        + ") e(epoch))"
+    )
+    hashed = hash_long_chain_subquery(
+        base, ["doc_id", "n_chars", "epoch"], ["doc_id", "epoch"], out="h"
+    )
+    return f"""
+        WITH assigned AS (
+            SELECT epoch, n_chars,
+                   ((h % {_EPOCH_SHARDS}) + {_EPOCH_SHARDS}) % {_EPOCH_SHARDS}
+                       AS shard
+            FROM {hashed}
+        ),
+        g AS (
+            SELECT epoch, CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM assigned GROUP BY epoch, shard
+        )
+        SELECT epoch, shard, n_docs, total_chars,
+               CAST(n_docs AS DOUBLE)
+                   / CAST(SUM(n_docs) OVER (PARTITION BY epoch) AS DOUBLE)
+                   AS share_of_epoch
+        FROM g
+        ORDER BY epoch, shard
+    """
+
+
+@register(
+    "pipeline_epoch_shuffle_plan",
+    oracle=_epoch_shuffle_oracle(),
+    doc=(
+        "X7k: deterministic epoch-wise shuffle plan — shard = "
+        "pmod(xxhash64(doc_id, epoch), {0}) re-deals the corpus into a "
+        "DIFFERENT balanced {0}-way split every training epoch with "
+        "zero state (no permutation table, no RNG checkpoint: any "
+        "worker can recompute any epoch's assignment from the key "
+        "alone — how large-scale training re-shuffles 100 TB between "
+        "epochs without materializing an order). Output per (epoch, "
+        "shard): document count, character budget, and within-epoch "
+        "share (window over the {0}-row per-epoch grid). The oracle "
+        "replays Spark's xxhash64 long-chain bit-for-bit via the "
+        "pure-SQL XXH64 emitter, so the assignment itself is "
+        "hash-verified, not just the balance."
+        .format(_EPOCH_SHARDS)
+    ),
+    tags=("pipeline", "llm", "sampling"),
+)
+def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    epochs = F.array(*[F.lit(k).cast("long") for k in range(_EPOCHS)])
+    assigned = t.documents.select(
+        "doc_id", "n_chars", F.explode(epochs).alias("epoch")
+    ).select(
+        "epoch",
+        "n_chars",
+        F.pmod(F.xxhash64(F.col("doc_id"), F.col("epoch")), F.lit(_EPOCH_SHARDS))
+        .cast("bigint")
+        .alias("shard"),
+    )
+    g = assigned.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return (
+        g.withColumn(
+            "share_of_epoch",
+            F.expr("CAST(n_docs AS DOUBLE)")
+            / F.sum("n_docs").over(W.partitionBy("epoch")).cast("double"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -2520,3 +2520,110 @@ def window_month_over_month_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             " / CAST(prev_cents AS DOUBLE) END"
         ).alias("mom_pct"),
     ).orderBy("priority", "month")
+
+
+_CCI_N = 13  # RANGE lookback days; 14 calendar days per window
+
+
+@register(
+    "window_cci_commodity_channel",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        db AS (
+            SELECT event_type, day,
+                   CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS d,
+                   h + l + c AS tp3
+            FROM bars
+        ),
+        win AS (
+            SELECT event_type, day, d, tp3,
+                   CAST(SUM(tp3) OVER w AS BIGINT) AS s3,
+                   COUNT(*) OVER w AS nw
+            FROM db
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         RANGE BETWEEN {_CCI_N} PRECEDING AND CURRENT ROW)
+        ),
+        full_win AS (SELECT * FROM win WHERE nw = {_CCI_N + 1}),
+        md AS (
+            SELECT b.event_type, b.day, b.tp3, b.s3,
+                   CAST(SUM(abs({_CCI_N + 1} * a.tp3 - b.s3)) AS BIGINT)
+                       AS abs_dev_sum
+            FROM full_win b
+            JOIN db a ON a.event_type = b.event_type
+                     AND a.d BETWEEN b.d - {_CCI_N} AND b.d
+            GROUP BY b.event_type, b.day, b.tp3, b.s3
+        )
+        SELECT event_type, day,
+               CAST(tp3 AS DOUBLE) / 30000.0 AS typical_price,
+               CASE WHEN abs_dev_sum = 0 THEN NULL
+                    ELSE {_CCI_N + 1}.0
+                         * CAST({_CCI_N + 1} * tp3 - s3 AS DOUBLE)
+                         / (0.015 * CAST(abs_dev_sum AS DOUBLE)) END AS cci
+        FROM md
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W32: {0}-day Commodity Channel Index per event type: CCI = "
+        "(TP - SMA(TP)) / (0.015 * mean deviation) on the typical "
+        "price (H+L+C)/3. The mean deviation is the classic exactness "
+        "trap — it subtracts a computed mean inside a second "
+        "aggregation — solved here by multiplying through: with S = "
+        "window sum of x3-scaled typical prices, dev_i = N*tp3_i - S "
+        "is an exact BIGINT, so CCI = N*(N*tp3 - S)/(0.015 * "
+        "sum|N*tp3_i - S|) has ONE shared float expression and zero "
+        "accumulation drift (every fixed-point scale cancels). The "
+        "per-row deviation sum needs the CURRENT row's S applied "
+        "across its window, which no single window pass expresses — "
+        "it comes from the same calendar-bounded day-table interval "
+        "self-join as Aroon's arg-extreme. Flat windows yield NULL."
+        .format(_CCI_N + 1)
+    ),
+    tags=("window", "timeseries", "anomaly"),
+)
+def window_cci_commodity_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    db = _bars(t).select(
+        "event_type",
+        "day",
+        F.expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)").alias("d"),
+        F.expr("h + l + c").alias("tp3"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-_CCI_N, W.currentRow)
+    )
+    win = db.select(
+        "event_type",
+        "day",
+        "d",
+        "tp3",
+        F.sum("tp3").over(w).cast("bigint").alias("s3"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == _CCI_N + 1)
+    a = db.select(
+        F.col("event_type"),
+        F.col("d").alias("ad"),
+        F.col("tp3").alias("atp3"),
+    )
+    n1 = _CCI_N + 1
+    md = (
+        win.join(a, "event_type")
+        .filter((F.col("ad") >= F.col("d") - _CCI_N) & (F.col("ad") <= F.col("d")))
+        .groupBy("event_type", "day", "tp3", "s3")
+        .agg(
+            F.sum(F.abs(F.lit(n1) * F.col("atp3") - F.col("s3")))
+            .cast("bigint")
+            .alias("abs_dev_sum")
+        )
+    )
+    return md.select(
+        "event_type",
+        "day",
+        F.expr("CAST(tp3 AS DOUBLE) / 30000.0").alias("typical_price"),
+        F.expr(
+            f"CASE WHEN abs_dev_sum = 0 THEN NULL"
+            f" ELSE {n1}.0 * CAST({n1} * tp3 - s3 AS DOUBLE)"
+            f" / (0.015 * CAST(abs_dev_sum AS DOUBLE)) END"
+        ).alias("cci"),
+    ).orderBy("event_type", "day")

@@ -146,6 +146,8 @@ _R6_QUERIES = frozenset(
         "stats_mcc_matthews_binary",
         "stats_odds_ratio_relative_risk",
         "window_month_over_month_revenue",
+        "window_cci_commodity_channel",
+        "pipeline_epoch_shuffle_plan",
     }
 )
 
