@@ -6084,3 +6084,266 @@ def stats_odds_ratio_relative_risk(spark: SparkSession, sf_dir: str) -> DataFram
             " - CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))"
         ).alias("risk_difference"),
     )
+
+
+@register(
+    "stats_pettitt_change_point",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ranked AS (
+            SELECT day, y,
+                   CAST(2 * (SELECT COUNT(*) FROM daily d2 WHERE d2.y < d.y)
+                        + (SELECT COUNT(*) FROM daily d2 WHERE d2.y = d.y)
+                        + 1 AS BIGINT) AS r2,
+                   row_number() OVER (ORDER BY day) AS t,
+                   CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n
+            FROM daily d
+        ),
+        u AS (
+            SELECT day, t, n,
+                   CAST(SUM(r2) OVER (ORDER BY day) - t * (n + 1) AS BIGINT)
+                       AS u2_t
+            FROM ranked
+        )
+        SELECT day AS change_day, t AS t_index, n AS n_days,
+               u2_t AS u_stat_x2,
+               CAST(abs(u2_t) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      / 3.0) AS u_normalized
+        FROM u
+        ORDER BY abs(u2_t) DESC, day
+        LIMIT 1
+    """,
+    doc=(
+        "ST67: Pettitt change-point test on the daily event-count "
+        "series — the rank-based (distribution-free) single change "
+        "point, complementing the mean-shift detectors already in the "
+        "battery (CUSUM, Page-Hinkley, Chow): U_t = 2*sum_(i<=t) r_i "
+        "- t(n+1), maximized over t, locates the most likely split "
+        "WITHOUT assuming normality or a known break date. Doubled "
+        "midranks (2*cnt_less + cnt_eq + 1 — the Mann-Whitney "
+        "machinery) keep U_t an exact integer under ties; the argmax "
+        "is a deterministic (|U| DESC, day) top-1. Day-grain "
+        "reduction first; ranks and the prefix sum run over the "
+        "calendar-bounded day table."
+    ),
+    tags=("stats", "timeseries", "anomaly"),
+)
+def stats_pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    # doubled midranks at value grain, then joined back (exact under ties)
+    vals = daily.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wv = W.partitionBy().orderBy("y").rowsBetween(W.unboundedPreceding, -1)
+    rank_tbl = vals.select(
+        "y",
+        "cnt",
+        (2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0)) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    n_w = W.partitionBy()
+    wd = W.partitionBy().orderBy("day")
+    ranked = (
+        daily.join(F.broadcast(rank_tbl.select("y", "r2")), "y")
+        .withColumn("t", F.row_number().over(wd).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(n_w).cast("bigint"))
+    )
+    u = ranked.select(
+        "day",
+        "t",
+        "n",
+        (
+            F.sum("r2").over(wd.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - F.col("t") * (F.col("n") + 1)
+        )
+        .cast("bigint")
+        .alias("u2_t"),
+    )
+    return (
+        u.select(
+            F.col("day").alias("change_day"),
+            F.col("t").alias("t_index"),
+            F.col("n").alias("n_days"),
+            F.col("u2_t").alias("u_stat_x2"),
+            F.expr(
+                "CAST(abs(u2_t) AS DOUBLE) / (CAST(n AS DOUBLE)"
+                " * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / 3.0)"
+            ).alias("u_normalized"),
+        )
+        .orderBy(F.abs(F.col("u_stat_x2")).desc(), "change_day")
+        .limit(1)
+    )
+
+
+@register(
+    "stats_cramer_von_mises_two_sample",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(round(value * 10000) AS BIGINT) AS x,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ic,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS iv
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ),
+        vg AS (
+            SELECT x, CAST(SUM(ic) AS BIGINT) AS cc, CAST(SUM(iv) AS BIGINT) AS cv
+            FROM pts GROUP BY x
+        ),
+        cum AS (
+            SELECT x, cc + cv AS cnt,
+                   CAST(SUM(cc) OVER (ORDER BY x) AS BIGINT) AS c1,
+                   CAST(SUM(cv) OVER (ORDER BY x) AS BIGINT) AS c2
+            FROM vg
+        ),
+        tot AS (
+            SELECT CAST(SUM(cc) AS BIGINT) AS n1, CAST(SUM(cv) AS BIGINT) AS n2
+            FROM vg
+        )
+        SELECT n1 AS n_click, n2 AS n_view,
+               CAST(CAST(SUM(CAST(cnt AS HUGEINT)
+                    * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
+                    * CAST(c1 * n2 - c2 * n1 AS HUGEINT)) AS VARCHAR)
+                    AS DOUBLE)
+                   / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cvm_t
+        FROM cum, tot
+        GROUP BY n1, n2
+    """,
+    doc=(
+        "ST68: two-sample Cramer-von Mises T between the click and "
+        "view value distributions — the INTEGRATED squared ECDF gap, "
+        "sensitive to distributed differences the KS sup misses "
+        "(KS sees one point of maximal divergence; CvM accumulates "
+        "all of them): T = sum over pooled observations of "
+        "(F1-F2)^2 * n1*n2/(n1+n2)^2. Reuses the exact-KS machinery: "
+        "distinct-value-grain cumulative integer counts, the gap as "
+        "the cross-product c1*n2 - c2*n1, and the weighted square "
+        "summed as an exact 128-bit integer (DECIMAL on the Spark "
+        "side, HUGEINT in DuckDB with the VARCHAR-hop double cast) — "
+        "one shared final division. Same bucket-offset scale posture "
+        "as stats_ks_exact_two_sample."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_cramer_von_mises_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+    ).select(
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ic"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("iv"),
+    )
+    vg = pts.groupBy("x").agg(
+        F.sum("ic").cast("bigint").alias("cc"),
+        F.sum("iv").cast("bigint").alias("cv"),
+    )
+    b = vg.withColumn("__bkt", F.expr("x DIV 65536"))
+    bt = b.groupBy("__bkt").agg(F.sum("cc").alias("bc"), F.sum("cv").alias("bv"))
+    wo = W.partitionBy().orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bt.select(
+        "__bkt",
+        F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("oc"),
+        F.coalesce(F.sum("bv").over(wo), F.lit(0)).alias("ov"),
+    )
+    tot = vg.agg(
+        F.sum("cc").cast("bigint").alias("n1"),
+        F.sum("cv").cast("bigint").alias("n2"),
+    )
+    wl = W.partitionBy("__bkt").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = b.join(F.broadcast(offs), "__bkt").select(
+        (F.col("cc") + F.col("cv")).alias("cnt"),
+        (F.col("oc") + F.sum("cc").over(wl)).cast("bigint").alias("c1"),
+        (F.col("ov") + F.sum("cv").over(wl)).cast("bigint").alias("c2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(cnt AS DECIMAL(38,0))"
+                " * CAST(c1 * n2 - c2 * n1 AS DECIMAL(19,0))"
+                " * CAST(c1 * n2 - c2 * n1 AS DECIMAL(19,0)))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("wsum")
+        )
+        .select(
+            F.col("n1").alias("n_click"),
+            F.col("n2").alias("n_view"),
+            F.expr(
+                "wsum / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+                " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+                " * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+            ).alias("cvm_t"),
+        )
+    )
+
+
+@register(
+    "stats_srm_sample_ratio_mismatch",
+    oracle="""
+        WITH c AS (
+            SELECT
+              CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM (SELECT DISTINCT user_id FROM events)
+        )
+        SELECT n_a, n_b,
+               CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE) AS chi2,
+               CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124
+                   AS srm_detected
+        FROM c
+    """,
+    doc=(
+        "ST69: sample-ratio-mismatch check for the user-parity A/B "
+        "assignment — the FIRST gate of any experiment readout (a "
+        "biased split invalidates every downstream effect estimate "
+        "before it is computed): chi-square of the observed unit "
+        "split against 50/50, which for two equal-probability cells "
+        "reduces to (n_a - n_b)^2 / (n_a + n_b), with the "
+        "chi-square(1) 95%% verdict. Units are DISTINCT users (the "
+        "randomization grain — counting events would overweight "
+        "active users); counts exact, one shared expression."
+    ),
+    tags=("stats", "ab", "dq"),
+)
+def stats_srm_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = (
+        t.events.select("user_id")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE)"
+        ).alias("chi2"),
+        F.expr(
+            "CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124"
+        ).alias("srm_detected"),
+    )

@@ -148,6 +148,9 @@ _R6_QUERIES = frozenset(
         "window_month_over_month_revenue",
         "window_cci_commodity_channel",
         "pipeline_epoch_shuffle_plan",
+        "stats_pettitt_change_point",
+        "stats_cramer_von_mises_two_sample",
+        "stats_srm_sample_ratio_mismatch",
     }
 )
 

@@ -612,6 +612,11 @@ _SCALABLE_WINDOW_CAPS = {
     # r6: the 1-lag shift over the calendar-bounded day series (the
     # somers_d/day-pair contract: day tables are metadata at any SF)
     "stats_granger_causality_1lag": 1,
+    # r6: CvM shares the KS bucket-offset ECDF machinery
+    "stats_cramer_von_mises_two_sample": 1,
+    # r6: Pettitt — value-grain midrank prefix + day-grain row_number/
+    # prefix-sum/count windows, all over the calendar-bounded day table
+    "stats_pettitt_change_point": 4,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -620,6 +625,7 @@ _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "funnel_survival_curve",
     "text_word_length_histogram",  # bounded-grid window, no bucket pass
     "stats_granger_causality_1lag",  # calendar-day lag, no bucket pass
+    "stats_pettitt_change_point",  # calendar-day ranks, no bucket pass
 }
 
 
@@ -719,6 +725,7 @@ _BNLJ_BOUNDED_OK = {
     # r6: one-row (n1, n2) sample totals broadcast into the KS
     # cross-multiply sup; one-row x one-row variance join for the F test
     "stats_ks_exact_two_sample", "stats_f_test_variance_ratio",
+    "stats_cramer_von_mises_two_sample",
     # calendar-bounded day-pair theta join (<= 435 pairs per month)
     "stats_somers_d",
     # bounded parameter tables (query sets / centroids / grids / caps)
