@@ -273,3 +273,131 @@ def iot_generated_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def iot_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_readings(generate_readings(spark, n_devices=10, n_ticks=60))
+
+
+@register(
+    "iot_generator_invariants_audit",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('battery_monotone_nonincreasing', TRUE),
+            ('coordinate_jitter_within_1e4', TRUE),
+            ('report_rate_in_95_100pct', TRUE),
+            ('sensor_subset_4_to_6', TRUE),
+            ('status_in_reference_set', TRUE),
+            ('units_match_sensor_metadata', TRUE),
+            ('values_match_precision', TRUE),
+            ('values_within_sensor_ranges', TRUE)
+        ) t(check_name, ok)
+        ORDER BY check_name
+    """,
+    doc=(
+        "S1 verdict audit (the sketch-verdict pattern applied to the "
+        "generator): every reference invariant of the synthetic IoT "
+        "stream — per-sensor clamp ranges and rounding precision "
+        "(iot-data-stream.py:169-172), battery monotone decay "
+        "(:161-163), 4-6 sensor subsets (:234-236), weighted status "
+        "membership (:110-111), GPS jitter <= 1e-4 (:202-203), and "
+        "the 98%% report gate (:254) — computed Spark-side over the "
+        "actual generated stream as one boolean per check; the oracle "
+        "asserts the literal expectations, so a generator regression "
+        "hash-mismatches AT THE DRIVER instead of only in pytest. The "
+        "full value-level replay stays out of SQL by design: the "
+        "drift walk ends in round(double, precision), whose half-ULP "
+        "tie behavior is engine-specific — the documented boundary "
+        "that keeps the two wire queries rows-only."
+    ),
+    tags=("generator", "dq", "audit"),
+)
+def iot_generator_invariants_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gen = generate_readings(spark, n_devices=10, n_ticks=60)
+    n_expected = 10 * 60
+
+    meta = spark.createDataFrame(
+        [(s, m["unit"], m["min"], m["max"], m["precision"]) for s, m in SENSOR_TYPES.items()],
+        "sensor string, exp_unit string, lo double, hi double, prec int",
+    )
+    per_sensor = gen.select(
+        "device_id",
+        "tick",
+        F.explode("readings").alias("sensor", "rv"),
+    ).select(
+        "device_id",
+        "tick",
+        "sensor",
+        F.col("rv.value").alias("value"),
+        F.col("rv.unit").alias("unit"),
+    ).join(F.broadcast(meta), "sensor")
+
+    sensor_checks = per_sensor.agg(
+        F.min(
+            (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+        ).alias("values_within_sensor_ranges"),
+        F.min(F.col("unit") == F.col("exp_unit")).alias("units_match_sensor_metadata"),
+        F.min(
+            F.col("value")
+            == F.expr(
+                "CASE WHEN prec = 0 THEN round(value, 0) ELSE round(value, 1) END"
+            )
+        ).alias("values_match_precision"),
+    )
+
+    from pyspark.sql import Window as W
+
+    # anomalies snap battery to the exact extremes (0/100) mid-walk;
+    # monotonicity holds on the non-anomalous subsequence (the same
+    # tolerance the pytest invariant uses), so extremes drop BEFORE the
+    # per-device lag
+    wb = W.partitionBy("device_id").orderBy("tick")
+    battery = (
+        per_sensor.filter(
+            (F.col("sensor") == "battery_level")
+            & ~F.col("value").isin(0.0, 100.0)
+        )
+        .select(
+            "device_id",
+            "tick",
+            (
+                F.col("value")
+                <= F.coalesce(F.lag("value").over(wb), F.col("value")) + 1e-9
+            ).alias("mono"),
+        )
+        .agg(F.min("mono").alias("battery_monotone_nonincreasing"))
+    )
+
+    loc = spark.createDataFrame(
+        LOCATIONS, "location_id string, ln string, base_lat double, base_lon double"
+    ).select("location_id", "base_lat", "base_lon")
+    record_checks = (
+        gen.join(F.broadcast(loc), "location_id")
+        .select(
+            (F.size("readings").between(4, 6)).alias("nsens_ok"),
+            F.col("status").isin(*STATUSES).alias("status_ok"),
+            (
+                (F.abs(F.col("coordinates.latitude") - F.col("base_lat")) <= 1.0001e-4)
+                & (F.abs(F.col("coordinates.longitude") - F.col("base_lon")) <= 1.0001e-4)
+            ).alias("jitter_ok"),
+        )
+        .agg(
+            F.min("nsens_ok").alias("sensor_subset_4_to_6"),
+            F.min("status_ok").alias("status_in_reference_set"),
+            F.min("jitter_ok").alias("coordinate_jitter_within_1e4"),
+            (
+                (F.count(F.lit(1)) >= F.lit(int(0.95 * n_expected)))
+                & (F.count(F.lit(1)) <= F.lit(n_expected))
+            ).alias("report_rate_in_95_100pct"),
+        )
+    )
+
+    wide = sensor_checks.crossJoin(battery).crossJoin(record_checks)
+    return wide.selectExpr(
+        """stack(8,
+            'battery_monotone_nonincreasing', battery_monotone_nonincreasing,
+            'coordinate_jitter_within_1e4', coordinate_jitter_within_1e4,
+            'report_rate_in_95_100pct', report_rate_in_95_100pct,
+            'sensor_subset_4_to_6', sensor_subset_4_to_6,
+            'status_in_reference_set', status_in_reference_set,
+            'units_match_sensor_metadata', units_match_sensor_metadata,
+            'values_match_precision', values_match_precision,
+            'values_within_sensor_ranges', values_within_sensor_ranges
+        ) AS (check_name, ok)"""
+    ).orderBy("check_name")

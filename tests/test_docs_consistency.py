@@ -151,6 +151,7 @@ _R6_QUERIES = frozenset(
         "stats_pettitt_change_point",
         "stats_cramer_von_mises_two_sample",
         "stats_srm_sample_ratio_mismatch",
+        "iot_generator_invariants_audit",
     }
 )
 
