@@ -6347,3 +6347,108 @@ def stats_srm_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFra
             " / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124"
         ).alias("srm_detected"),
     )
+
+
+@register(
+    "stats_kpss_stationarity",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        pref AS (
+            SELECT day, y,
+                   CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS ps,
+                   row_number() OVER (ORDER BY day) AS t
+            FROM daily
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM daily
+        ),
+        num AS (
+            SELECT CAST(CAST(SUM(CAST(n * ps - t * sy AS HUGEINT)
+                       * CAST(n * ps - t * sy AS HUGEINT)) AS VARCHAR)
+                       AS DOUBLE) AS t2sum,
+                   MAX(n) AS n, MAX(sy) AS sy, MAX(syy) AS syy
+            FROM pref, tot
+        )
+        SELECT n AS n_days,
+               t2sum
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS kpss_eta,
+               t2sum
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   > 0.463 AS reject_stationarity_5pct
+        FROM num
+    """,
+    doc=(
+        "ST70: KPSS level-stationarity test on the daily event-count "
+        "series — the COMPLEMENT of the Dickey-Fuller unit-root test "
+        "already in the battery (DF's null is a unit root, KPSS's "
+        "null is stationarity; running both is the standard way to "
+        "classify a series before differencing it): eta = n^-2 * "
+        "sum_t S_t^2 / sigma^2 with S_t the partial sums of "
+        "demeaned values. Exactness: multiply through by n — "
+        "T_t = n*PS_t - t*SY is an exact integer, sum T_t^2 "
+        "accumulates in 128-bit (DECIMAL / HUGEINT, VARCHAR-hop cast), "
+        "and eta = sum T_t^2 / (n^2 * (n*SYY - SY^2)) is ONE shared "
+        "division — the same zero-drift discipline as CCI's mean "
+        "deviation. Short-run variance correction (Newey-West "
+        "bandwidth) is the documented boundary — the iid form is what "
+        "the integer algebra supports exactly. Day-grain reduction "
+        "first; the prefix sum runs over the calendar-bounded day "
+        "table (caps-gated)."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    wd = W.partitionBy().orderBy("day")
+    pref = daily.select(
+        "y",
+        F.sum("y").over(wd.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("ps"),
+        F.row_number().over(wd).cast("bigint").alias("t"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.expr("CAST(SUM(y * y) AS BIGINT)").alias("syy"),
+    )
+    num = (
+        pref.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(n * ps - t * sy AS DECIMAL(38,0))"
+                " * CAST(n * ps - t * sy AS DECIMAL(19,0)))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("t2sum"),
+            F.max("n").alias("n"),
+            F.max("sy").alias("sy"),
+            F.max("syy").alias("syy"),
+        )
+    )
+    eta = (
+        "t2sum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return num.select(
+        F.col("n").alias("n_days"),
+        F.expr(eta).alias("kpss_eta"),
+        F.expr(f"{eta} > 0.463").alias("reject_stationarity_5pct"),
+    )

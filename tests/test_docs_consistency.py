@@ -152,6 +152,7 @@ _R6_QUERIES = frozenset(
         "stats_cramer_von_mises_two_sample",
         "stats_srm_sample_ratio_mismatch",
         "iot_generator_invariants_audit",
+        "stats_kpss_stationarity",
     }
 )
 

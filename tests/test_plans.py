@@ -617,6 +617,8 @@ _SCALABLE_WINDOW_CAPS = {
     # r6: Pettitt — value-grain midrank prefix + day-grain row_number/
     # prefix-sum/count windows, all over the calendar-bounded day table
     "stats_pettitt_change_point": 4,
+    # r6: KPSS — day-grain prefix sum + row_number (calendar-bounded)
+    "stats_kpss_stationarity": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -626,6 +628,7 @@ _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "text_word_length_histogram",  # bounded-grid window, no bucket pass
     "stats_granger_causality_1lag",  # calendar-day lag, no bucket pass
     "stats_pettitt_change_point",  # calendar-day ranks, no bucket pass
+    "stats_kpss_stationarity",  # calendar-day prefix, no bucket pass
 }
 
 
@@ -725,7 +728,7 @@ _BNLJ_BOUNDED_OK = {
     # r6: one-row (n1, n2) sample totals broadcast into the KS
     # cross-multiply sup; one-row x one-row variance join for the F test
     "stats_ks_exact_two_sample", "stats_f_test_variance_ratio",
-    "stats_cramer_von_mises_two_sample",
+    "stats_cramer_von_mises_two_sample", "stats_kpss_stationarity",
     # calendar-bounded day-pair theta join (<= 435 pairs per month)
     "stats_somers_d",
     # bounded parameter tables (query sets / centroids / grids / caps)
