@@ -197,6 +197,33 @@ REPRESENTATIVE = [
     "stats_energy_distance_two_sample",
     "stats_somers_d",
     "stats_theil_u2_forecast_skill",
+    # round-6 additions: verdict-oracle sketches, TA windows, exact KS/CvM,
+    # day-series tests, link prediction, audits, pipeline reports
+    "sketch_approx_count_distinct",
+    "sketch_approx_quantiles",
+    "sketch_freq_items",
+    "stats_jarque_bera",
+    "stats_mann_kendall_trend",
+    "stats_ks_exact_two_sample",
+    "stats_cramer_von_mises_two_sample",
+    "stats_granger_causality_1lag",
+    "stats_sign_test_paired",
+    "stats_srm_sample_ratio_mismatch",
+    "stats_pettitt_change_point",
+    "stats_kpss_stationarity",
+    "window_stochastic_oscillator",
+    "window_aroon_indicator",
+    "window_cci_commodity_channel",
+    "graph_jaccard_link_prediction",
+    "graph_katz_centrality_bounded",
+    "funnel_top_paths_3step",
+    "dq_temporal_order_audit",
+    "dq_accepted_values_audit",
+    "text_lexical_diversity_ttr",
+    "pipeline_length_bucket_padding_waste",
+    "pipeline_epoch_shuffle_plan",
+    "multimodal_png_header_parse",
+    "iot_generator_invariants_audit",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -232,6 +259,13 @@ _ALLOW_ONE_ROW = {
     "stats_wasserstein_1d_emd",
     "stats_energy_distance_two_sample",
     "stats_somers_d",
+    # r6: global aggregates that keep their one NULL-field row on empty
+    "sketch_approx_count_distinct",
+    "sketch_approx_quantiles",
+    "stats_granger_causality_1lag",
+    "stats_sign_test_paired",
+    "stats_srm_sample_ratio_mismatch",
+    "stats_kpss_stationarity",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
@@ -243,6 +277,11 @@ _ALLOW_SCHEMA_SHAPED = {
     "stats_cramers_v": 2,
     # one all-zero row per (fixed) attribution channel
     "funnel_markov_removal_attribution": 4,
+    # r6: fixed-shape audit reports (one row per check) and the
+    # table-independent generator audit (spark.range source)
+    "dq_temporal_order_audit": 3,
+    "dq_accepted_values_audit": 5,
+    "iot_generator_invariants_audit": 8,
     # one summary row per monitored column
     "dq_null_rate_drift": 4,
     # one audit row per FK edge of the schema — still correct on empty

@@ -729,6 +729,9 @@ _BNLJ_BOUNDED_OK = {
     # cross-multiply sup; one-row x one-row variance join for the F test
     "stats_ks_exact_two_sample", "stats_f_test_variance_ratio",
     "stats_cramer_von_mises_two_sample", "stats_kpss_stationarity",
+    # r6: three one-row check aggregates cross-assembled into the
+    # 8-row generator verdict report
+    "iot_generator_invariants_audit",
     # calendar-bounded day-pair theta join (<= 435 pairs per month)
     "stats_somers_d",
     # bounded parameter tables (query sets / centroids / grids / caps)
