@@ -2185,3 +2185,69 @@ def text_word_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wlen")
     )
+
+
+@register(
+    "text_frequency_spectrum_good_turing",
+    oracle="""
+        WITH wc AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        ),
+        spec AS (
+            SELECT CASE WHEN c <= 10 THEN c ELSE 11 END AS freq_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM wc
+            GROUP BY CASE WHEN c <= 10 THEN c ELSE 11 END
+        )
+        SELECT freq_bucket, n_types, n_tokens,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+        FROM spec
+        ORDER BY freq_bucket
+    """,
+    doc=(
+        "X4: word frequency-of-frequencies spectrum (types occurring "
+        "exactly k times, k = 1..10 plus an 11+ tail bucket) — the "
+        "Good-Turing input table: N_1/N estimates the unseen-mass "
+        "probability, and the N_k curve is what every count-based LM "
+        "smoother (including the Kneser-Ney variant already in the "
+        "battery) is fit against; it is also the corpus-growth "
+        "diagnostic behind Heaps'-law monitoring. Two cascading hash "
+        "aggregates, each strictly smaller (corpus -> vocabulary -> "
+        "<= 11 rows); the share window runs over the 11-row spectrum "
+        "itself. All counts exact BIGINTs; one shared division."
+    ),
+    tags=("text", "llm", "histogram"),
+)
+def text_frequency_spectrum_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    wc = (
+        t.documents.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    spec = wc.groupBy(
+        F.when(F.col("c") <= 10, F.col("c")).otherwise(F.lit(11)).alias("freq_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        spec.withColumn(
+            "_tot", F.sum("n_tokens").over(W.partitionBy()).cast("bigint")
+        )
+        .select(
+            "freq_bucket",
+            "n_types",
+            "n_tokens",
+            F.expr("CAST(n_tokens AS DOUBLE) / CAST(_tot AS DOUBLE)").alias(
+                "token_share"
+            ),
+        )
+        .orderBy("freq_bucket")
+    )

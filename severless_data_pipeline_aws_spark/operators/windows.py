@@ -2627,3 +2627,99 @@ def window_cci_commodity_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (0.015 * CAST(abs_dev_sum AS DOUBLE)) END"
         ).alias("cci"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "window_chande_momentum",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS x
+            FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+        ),
+        deltas AS (
+            SELECT priority, day,
+                   x - lag(x) OVER (PARTITION BY priority ORDER BY day) AS d
+            FROM daily
+        ),
+        gl AS (
+            SELECT priority, day,
+                   CASE WHEN d > 0 THEN d ELSE 0 END AS gain,
+                   CASE WHEN d < 0 THEN -d ELSE 0 END AS loss
+            FROM deltas WHERE d IS NOT NULL
+        ),
+        rolled AS (
+            SELECT priority, day,
+                   COUNT(*) OVER w AS nw,
+                   CAST(SUM(gain) OVER w AS BIGINT) AS sg,
+                   CAST(SUM(loss) OVER w AS BIGINT) AS sl
+            FROM gl
+            WINDOW w AS (PARTITION BY priority ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT priority, day,
+               CASE WHEN sg + sl = 0 THEN 0.0
+                    ELSE 100.0 * CAST(sg - sl AS DOUBLE)
+                         / CAST(sg + sl AS DOUBLE) END AS cmo
+        FROM rolled WHERE nw = 14
+        ORDER BY priority, day
+    """,
+    doc=(
+        "W33: 14-day Chande Momentum Oscillator on daily revenue per "
+        "priority: CMO = 100 * (sum gains - sum losses) / (sum gains + "
+        "sum losses) — unlike RSI's 0..100 ratio-of-ratios this is a "
+        "SIGNED -100..+100 net-momentum measure whose symmetric zero "
+        "line makes divergence reading direct (completes the momentum "
+        "pair with window_rsi_indicator, which shares the same "
+        "gain/loss reduction). Deltas and rolling sums are exact "
+        "integer cents end-to-end; one shared final division (flat "
+        "windows define CMO = 0). Calendar-bounded per-priority day "
+        "table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "x"
+        )
+    )
+    wl = W.partitionBy("priority").orderBy("day")
+    gl = (
+        daily.select(
+            "priority", "day", (F.col("x") - F.lag("x").over(wl)).alias("d")
+        )
+        .filter(F.col("d").isNotNull())
+        .select(
+            "priority",
+            "day",
+            F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0)).alias("gain"),
+            F.when(F.col("d") < 0, -F.col("d")).otherwise(F.lit(0)).alias("loss"),
+        )
+    )
+    wa = wl.rowsBetween(-13, W.currentRow)
+    rolled = gl.select(
+        "priority",
+        "day",
+        F.count(F.lit(1)).over(wa).alias("nw"),
+        F.sum("gain").over(wa).cast("bigint").alias("sg"),
+        F.sum("loss").over(wa).cast("bigint").alias("sl"),
+    )
+    return (
+        rolled.filter(F.col("nw") == 14)
+        .select(
+            "priority",
+            "day",
+            F.expr(
+                "CASE WHEN sg + sl = 0 THEN 0.0"
+                " ELSE 100.0 * CAST(sg - sl AS DOUBLE)"
+                " / CAST(sg + sl AS DOUBLE) END"
+            ).alias("cmo"),
+        )
+        .orderBy("priority", "day")
+    )

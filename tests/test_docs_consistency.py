@@ -153,6 +153,8 @@ _R6_QUERIES = frozenset(
         "stats_srm_sample_ratio_mismatch",
         "iot_generator_invariants_audit",
         "stats_kpss_stationarity",
+        "window_chande_momentum",
+        "text_frequency_spectrum_good_turing",
     }
 )
 

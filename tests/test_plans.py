@@ -619,6 +619,8 @@ _SCALABLE_WINDOW_CAPS = {
     "stats_pettitt_change_point": 4,
     # r6: KPSS — day-grain prefix sum + row_number (calendar-bounded)
     "stats_kpss_stationarity": 1,
+    # r6: token-share denominator over the 11-row frequency spectrum
+    "text_frequency_spectrum_good_turing": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -629,6 +631,7 @@ _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "stats_granger_causality_1lag",  # calendar-day lag, no bucket pass
     "stats_pettitt_change_point",  # calendar-day ranks, no bucket pass
     "stats_kpss_stationarity",  # calendar-day prefix, no bucket pass
+    "text_frequency_spectrum_good_turing",  # 11-row grid, no bucket pass
 }
 
 
