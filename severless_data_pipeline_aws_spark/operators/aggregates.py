@@ -1473,3 +1473,53 @@ def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_weekday_hour_heatmap",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                        AS BIGINT) AS dow_epoch,
+                   CAST(hour(ts) AS BIGINT) AS hh,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT dow_epoch, hh AS hour_of_day, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        FROM cells
+        ORDER BY dow_epoch, hour_of_day
+    """,
+    doc=(
+        "A39: weekday x hour activity heatmap — the canonical traffic-"
+        "seasonality dashboard grid (when do events happen?), one hash "
+        "aggregate to a <= 168-cell table plus a share window over the "
+        "grid itself. The weekday key is computed as days-since-epoch "
+        "mod 7 (0 = Thursday) rather than either engine's dayofweek() "
+        "— Spark and DuckDB disagree on week-start numbering (the "
+        "documented gotcha), while integer date arithmetic is "
+        "identical everywhere. Counts exact; one shared division."
+    ),
+    tags=("agg", "timeseries", "histogram"),
+)
+def agg_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    cells = t.events.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7 AS BIGINT)"
+        ).alias("dow_epoch"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        cells.withColumn("_tot", F.sum("n").over(W.partitionBy()).cast("bigint"))
+        .select(
+            "dow_epoch",
+            "hour_of_day",
+            "n",
+            F.expr("CAST(n AS DOUBLE) / CAST(_tot AS DOUBLE)").alias("share"),
+        )
+        .orderBy("dow_epoch", "hour_of_day")
+    )

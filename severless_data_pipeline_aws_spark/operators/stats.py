@@ -6452,3 +6452,79 @@ def stats_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(eta).alias("kpss_eta"),
         F.expr(f"{eta} > 0.463").alias("reject_stationarity_5pct"),
     )
+
+
+@register(
+    "stats_page_trend_test",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS block,
+                   CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                        AS BIGINT) AS cond,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT block, cond, y,
+                   CAST(2 * (SELECT COUNT(*) FROM cells c2
+                             WHERE c2.block = c.block AND c2.y < c.y)
+                        + (SELECT COUNT(*) FROM cells c2
+                           WHERE c2.block = c.block AND c2.y = c.y)
+                        + 1 AS BIGINT) AS r2
+            FROM cells c
+        )
+        SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
+               CAST(COUNT(DISTINCT cond) AS BIGINT) AS n_conditions,
+               CAST(SUM((cond + 1) * r2) AS BIGINT) AS page_l_x2
+        FROM ranked
+    """,
+    doc=(
+        "ST71: Page's L trend test for ordered alternatives — do "
+        "within-block ranks increase monotonically across ordered "
+        "conditions? Blocks = event types, conditions = epoch-weekday "
+        "0..6 (the same engine-neutral dow arithmetic as the heatmap), "
+        "response = cell count: L = sum_j j * R_j with R_j the rank of "
+        "condition j within its block, summed over blocks — the "
+        "ordered-alternative refinement of the Friedman test already "
+        "in the battery (Friedman asks 'any difference?', Page asks "
+        "'a MONOTONE difference?'). Doubled midranks (the Mann-Whitney "
+        "machinery) keep L an exact x2 integer under ties; within-"
+        "block ranks are correlated-subquery counts over the bounded "
+        "(block, condition) grid (7 cells per block — metadata at any "
+        "scale). Facts reduce to the grid in one aggregate."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    cells = t.events.groupBy(
+        F.col("event_type").alias("block"),
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7 AS BIGINT)"
+        ).alias("cond"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    # doubled midranks within block: 2*cnt_less + cnt_eq + 1 over the
+    # 7-cell per-block grid. cnt_less = rank() - 1 (NOT a ROWS-frame
+    # count, which under ties depends on the nondeterministic order of
+    # tied rows); cnt_eq = partition count at the tied value.
+    wb = W.partitionBy("block").orderBy("y")
+    weq = W.partitionBy("block", "y")
+    ranked = cells.select(
+        "block",
+        "cond",
+        (
+            2 * (F.rank().over(wb) - 1)
+            + F.count(F.lit(1)).over(weq)
+            + 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return ranked.agg(
+        F.countDistinct("block").cast("bigint").alias("n_blocks"),
+        F.countDistinct("cond").cast("bigint").alias("n_conditions"),
+        F.sum((F.col("cond") + 1) * F.col("r2")).cast("bigint").alias("page_l_x2"),
+    )

@@ -155,6 +155,8 @@ _R6_QUERIES = frozenset(
         "stats_kpss_stationarity",
         "window_chande_momentum",
         "text_frequency_spectrum_good_turing",
+        "agg_weekday_hour_heatmap",
+        "stats_page_trend_test",
     }
 )
 

@@ -621,6 +621,8 @@ _SCALABLE_WINDOW_CAPS = {
     "stats_kpss_stationarity": 1,
     # r6: token-share denominator over the 11-row frequency spectrum
     "text_frequency_spectrum_good_turing": 1,
+    # r6: heatmap share over the <=168-cell grid
+    "agg_weekday_hour_heatmap": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -632,6 +634,7 @@ _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "stats_pettitt_change_point",  # calendar-day ranks, no bucket pass
     "stats_kpss_stationarity",  # calendar-day prefix, no bucket pass
     "text_frequency_spectrum_good_turing",  # 11-row grid, no bucket pass
+    "agg_weekday_hour_heatmap",  # 168-cell grid, no bucket pass
 }
 
 
