@@ -805,9 +805,9 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM freq
         )
         SELECT c.c_custkey, c.c_mktsegment, i.seg_index,
-               list_transform(range(1, k + 1),
-                              j -> CASE WHEN j = seg_index THEN 1 ELSE 0 END)
-                 AS onehot
+               CAST(to_json(list_transform(range(1, k + 1),
+                            j -> CASE WHEN j = seg_index THEN 1 ELSE 0 END))
+                    AS VARCHAR) AS onehot
         FROM customer c JOIN idx i USING (c_mktsegment)
         WHERE c.c_custkey <= 50
     """,
@@ -818,7 +818,10 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency ordering ML pipelines use so index 1 is always the "
         "modal class — then a dense 0/1 vector built row-locally from "
         "the broadcast index. The index table is category-cardinality-"
-        "sized; the fact scan does one broadcast join, zero shuffles."
+        "sized; the fact scan does one broadcast join, zero shuffles. "
+        "Wire format: the one-hot vector crosses the driver boundary "
+        "as a to_json string (r6 verdict #1/#2 — raw array columns "
+        "crash the driver's pandas canonicalizer)."
     ),
     tags=("scalar", "ml", "encode"),
 )
@@ -842,8 +845,10 @@ def scalar_onehot_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             "seg_index",
-            F.expr(
-                "transform(sequence(1, k), j -> CASE WHEN j = seg_index THEN 1 ELSE 0 END)"
+            F.to_json(
+                F.expr(
+                    "transform(sequence(1, k), j -> CASE WHEN j = seg_index THEN 1 ELSE 0 END)"
+                )
             ).alias("onehot"),
         )
     )

@@ -182,9 +182,9 @@ def _quantize_batches(batches):
             FROM m
         )
         SELECT vec_id,
-               list_transform(
+               CAST(to_json(list_transform(
                    v, e -> CAST(least(greatest(round(e / scale), -127.0), 127.0) AS TINYINT)
-               ) AS q_embedding,
+               )) AS VARCHAR) AS q_embedding,
                scale
         FROM s
     """,
@@ -194,11 +194,22 @@ def _quantize_batches(batches):
         "(no Series materialization; one numpy pass over the flat "
         "values buffer per batch). The storage-shrink op an embedding "
         "corpus needs before ANN at 100 TB: 4x smaller, dequantization "
-        "error bounded by scale/2 per component (asserted in pytest)."
+        "error bounded by scale/2 per component (asserted in pytest). "
+        "Wire format: the int8 vector crosses the driver boundary as a "
+        "to_json string (r6 verdict #1/#2 — raw array columns crash "
+        "the driver's pandas canonicalizer); ``quantize_embeddings`` "
+        "keeps the typed array as the library API."
     ),
     tags=("udf", "arrow", "llm", "similarity"),
 )
 def udf_map_in_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_embeddings(spark, sf_dir).withColumn(
+        "q_embedding", F.to_json("q_embedding")
+    )
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: quantized vectors as ``array<tinyint>``."""
     t = Tables(spark, sf_dir)
     out_schema = "vec_id bigint, q_embedding array<tinyint>, scale double"
     return (

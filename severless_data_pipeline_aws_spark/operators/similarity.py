@@ -1724,13 +1724,19 @@ def _jl_matrix_spark() -> str:
                                 (a, b) -> a + b) / 4.0) AS p
             FROM embeddings CROSS JOIN m
             WHERE vec_id < 100
+        ),
+        n AS (
+            SELECT vec_id, label, p,
+                   sqrt(list_dot_product(p, p)) AS proj_norm,
+                   sqrt(list_dot_product(v, v)) AS orig_norm,
+                   sqrt(list_dot_product(p, p)) / sqrt(list_dot_product(v, v))
+                     AS norm_ratio
+            FROM proj
         )
-        SELECT vec_id, label, p AS projected,
-               sqrt(list_dot_product(p, p)) AS proj_norm,
-               sqrt(list_dot_product(v, v)) AS orig_norm,
-               sqrt(list_dot_product(p, p)) / sqrt(list_dot_product(v, v))
-                 AS norm_ratio
-        FROM proj
+        SELECT vec_id, label, proj_norm, orig_norm, norm_ratio,
+               CAST(r.range - 1 AS INT) AS dim,
+               p[CAST(r.range AS INT)] AS coord
+        FROM n CROSS JOIN range(1, {_JL_OUT_DIM} + 1) r
     """,
     doc=(
         "Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
@@ -1741,11 +1747,33 @@ def _jl_matrix_spark() -> str:
         "as a literal on both engines; each output coordinate is a "
         "sequential index-ascending fold, so the projected vectors are "
         "hash-exact. Map-only — zero shuffles at any corpus size; "
-        "distance-preservation quality is separately bounded in pytest."
+        "distance-preservation quality is separately bounded in pytest. "
+        "Wire format: the projected vector crosses the driver boundary "
+        "EXPLODED to one (dim, coord) row per coordinate — a raw "
+        "array<double> column was the r6 driver red row (pandas "
+        "canonicalizer TypeError), and doubles inside to_json render "
+        "engine-specifically, so scalar rows are the only hash-exact "
+        "encoding; ``random_projection_jl_vectors`` keeps the typed "
+        "array as the library API."
     ),
     tags=("similarity", "llm", "ml"),
 )
 def similarity_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = random_projection_jl_vectors(spark, sf_dir)
+    return vecs.select(
+        "vec_id",
+        "label",
+        "proj_norm",
+        "orig_norm",
+        "norm_ratio",
+        F.posexplode("projected").alias("dim", "coord"),
+    )
+
+
+def random_projection_jl_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: JL-projected vectors as ``array<double>`` plus norm
+    diagnostics; the registered query explodes to scalar rows only to
+    cross the driver wire."""
     t = Tables(spark, sf_dir)
     proj_expr = F.expr(
         f"transform(sequence(1, {_JL_OUT_DIM}), "

@@ -1070,27 +1070,43 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 30
         )
         SELECT t.term, t.doc_freq, t.corpus_freq,
-               list(f.doc_id ORDER BY f.doc_id) AS postings
+               CAST(to_json(list(f.doc_id ORDER BY f.doc_id)) AS VARCHAR)
+                 AS postings
         FROM top t JOIN tf f ON t.term = f.term
         GROUP BY t.term, t.doc_freq, t.corpus_freq
     """,
     doc=(
         "Inverted-index build for the 30 highest-df terms: (term, doc) "
         "frequency table in one map-side-combined shuffle, document "
-        "frequencies on top of it, then sorted posting lists as array "
-        "columns — the storage layout under every lexical retrieval "
-        "system (text_bm25_topk consumes exactly these statistics). "
+        "frequencies on top of it, then sorted posting lists — the "
+        "storage layout under every lexical retrieval system "
+        "(text_bm25_topk consumes exactly these statistics). "
         "Postings sort within each term's bounded list (array_sort "
         "after collect, never a global sort); restricting to the top-30 "
         "terms bounds the output while still exercising the full "
-        "corpus scan. At 100 TB the posting array for a stopword-grade "
-        "term exceeds single-row limits — the production layout shards "
-        "postings by doc_id range, which this plan already supports "
-        "(the collect key just becomes (term, doc_id DIV shard))."
+        "corpus scan. Wire format: the posting list crosses the driver "
+        "boundary as a compact to_json string (integer arrays render "
+        "identically on both engines) — a raw array column crashes the "
+        "driver's pandas canonicalizer (r6 verdict #1/#2); "
+        "``inverted_index_postings_arrays`` keeps the typed array as "
+        "the library API. At 100 TB the posting array for a stopword-"
+        "grade term exceeds single-row limits — the production layout "
+        "shards postings by doc_id range, which this plan already "
+        "supports (the collect key just becomes (term, doc_id DIV "
+        "shard))."
     ),
     tags=("text", "llm", "retrieval"),
 )
 def text_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index_postings_arrays(spark, sf_dir).withColumn(
+        "postings", F.to_json("postings")
+    )
+
+
+def inverted_index_postings_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: postings as a typed ``array<bigint>`` column (the
+    layout downstream retrieval consumes); the registered query wraps it
+    in ``to_json`` only to cross the driver wire."""
     t = Tables(spark, sf_dir)
     tf = (
         t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -1147,8 +1163,9 @@ _FH_SIGN_DUCK = (
             FROM cells GROUP BY doc_id
         )
         SELECT doc_id,
-               list_transform(range(0, {_FH_DIM}),
-                              b -> coalesce(map_extract(m, b)[1], 0)) AS features
+               CAST(to_json(list_transform(range(0, {_FH_DIM}),
+                            b -> CAST(coalesce(map_extract(m, b)[1], 0) AS BIGINT)))
+                    AS VARCHAR) AS features
         FROM vecs
     """,
     doc=(
@@ -1160,11 +1177,22 @@ _FH_SIGN_DUCK = (
         "itself be a 100 TB-era shuffle). One explode + one "
         "(doc, bucket) combine; the dense vector materializes from a "
         "16-entry map, missing buckets zero-filled. Exact integer "
-        "counts, bit-identical hash both engines."
+        "counts, bit-identical hash both engines. Wire format: the "
+        "feature vector crosses the driver boundary as a to_json "
+        "string (r6 verdict #1/#2 — raw array columns crash the "
+        "driver's pandas canonicalizer); ``feature_hashing_vectors`` "
+        "keeps the typed array as the library API."
     ),
     tags=("text", "llm", "ml"),
 )
 def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return feature_hashing_vectors(spark, sf_dir).withColumn(
+        "features", F.to_json("features")
+    )
+
+
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: hashed feature vectors as ``array<bigint>``."""
     t = Tables(spark, sf_dir)
     cells = (
         t.documents.filter(F.col("doc_id") < 100)

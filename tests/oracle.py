@@ -94,10 +94,19 @@ def _canon_cell(v):
         return ("bytes", bytes(v))
     if isinstance(v, str):
         return ("str", v)
-    if isinstance(v, (np.ndarray, list, tuple)):
-        return ("list", tuple(_canon_cell(x) for x in v))
-    if isinstance(v, dict):
-        return ("map", tuple(sorted((str(k), _canon_cell(x)) for k, x in v.items())))
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        # r6 verdict #2: the driver's canonicalizer CRASHES on list/map
+        # cells (pdf.sort_values -> factorize -> "unhashable type") —
+        # canonicalizing them to hashable tuples here made this gate
+        # lenient exactly where the driver is strict, hiding five
+        # guaranteed driver red rows. Fail loudly instead: a registered
+        # query's driver-facing output must be scalar-only (to_json or
+        # explode at the wire; typed arrays stay in library APIs).
+        raise TypeError(
+            f"complex cell {type(v).__name__} reached the oracle canon — "
+            "the driver's pandas canonicalizer would crash on this column; "
+            "emit to_json(...) or explode to scalar rows at the wire"
+        )
     return ("other", str(v))
 
 

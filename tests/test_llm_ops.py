@@ -195,8 +195,13 @@ def test_freq_items_recall(spark, sf_dir):
 
 
 def test_arrow_quantize_roundtrip_error_bound(spark, sf_dir):
-    """int8 quantization must reconstruct within scale/2 per component."""
-    q = {r["vec_id"]: r for r in SPECS["udf_map_in_arrow_quantize"].fn(spark, sf_dir).collect()}
+    """int8 quantization must reconstruct within scale/2 per component.
+
+    Uses the typed-array library API (the registered query wraps
+    q_embedding in to_json for the driver wire — r6 verdict #1)."""
+    from severless_data_pipeline_aws_spark.functions.udf import quantize_embeddings
+
+    q = {r["vec_id"]: r for r in quantize_embeddings(spark, sf_dir).collect()}
     orig = {r["vec_id"]: r["embedding"] for r in Tables(spark, sf_dir).embeddings.collect()}
     assert set(q) == set(orig)
     for vid, row in q.items():
@@ -474,7 +479,11 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     stays within [0.7, 1.4] and no ratio collapses to ~0."""
     import math
 
-    rows = SPECS["similarity_random_projection_jl"].fn(spark, sf_dir).collect()
+    from severless_data_pipeline_aws_spark.operators.similarity import (
+        random_projection_jl_vectors,
+    )
+
+    rows = random_projection_jl_vectors(spark, sf_dir).collect()
     assert len(rows) == 100
     from severless_data_pipeline_aws_spark.io import Tables
 

@@ -37,8 +37,8 @@ def test_uncast_integer_sum_fails(spark, sf_dir):
 
 def test_benign_shapes_still_match(spark, sf_dir):
     """Dates (Spark date object vs DuckDB midnight Timestamp), real
-    timestamps (ns vs us pandas units), NULLs in every family, arrays,
-    and exact doubles must all canon equal."""
+    timestamps (ns vs us pandas units), NULLs in every family, JSON-
+    encoded arrays, and exact doubles must all canon equal."""
     from severless_data_pipeline_aws_spark.io import register_views
 
     register_views(spark, sf_dir)
@@ -50,10 +50,12 @@ def test_benign_shapes_still_match(spark, sf_dir):
                CAST(NULL AS VARCHAR) AS ns,
                1.5 AS f,
                7 AS i,
-               [1, 2, 3] AS arr
+               CAST(to_json([1, 2, 3]) AS VARCHAR) AS arr
     """
     df = spark.sql(
-        sql.replace("[1, 2, 3]", "ARRAY(1, 2, 3)").replace(
+        sql.replace(
+            "CAST(to_json([1, 2, 3]) AS VARCHAR)", "to_json(ARRAY(1, 2, 3))"
+        ).replace(
             "CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)"
         )
         # Spark has no bare-decimal literal semantics mismatch here:
@@ -71,6 +73,30 @@ def test_benign_shapes_still_match(spark, sf_dir):
             ),
         )
         assert not errs, errs
+    finally:
+        con.close()
+
+
+def test_complex_cells_rejected_loudly(spark, sf_dir):
+    """r6 verdict #2: the driver CRASHES on list/map cells
+    (pdf.sort_values -> factorize -> unhashable) — a harness that
+    quietly canonicalizes them to tuples is lenient exactly where the
+    driver is strict (five latent red rows shipped that way). A scratch
+    query returning a raw array column must now fail this gate loudly,
+    and the same schema predicate the registry-wide plan sweep uses
+    must flag it."""
+    import pytest
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = spark.sql("SELECT ARRAY(1, 2, 3) AS arr")
+    assert any(
+        isinstance(f.dataType, (ArrayType, MapType, StructType))
+        for f in df.schema.fields
+    ), "schema predicate must flag a raw array output column"
+    con = duckdb_connect(sf_dir)
+    try:
+        with pytest.raises(TypeError, match="complex cell"):
+            compare(df, con, "SELECT [1, 2, 3] AS arr")
     finally:
         con.close()
 

@@ -760,16 +760,35 @@ _BNLJ_BOUNDED_OK = {
 
 def test_registry_wide_no_cartesian_and_bnlj_whitelist(spark, sf_dir):
     """Full-registry scale gate: no CartesianProduct anywhere; every
-    BroadcastNestedLoopJoin is on the documented-bounded whitelist."""
+    BroadcastNestedLoopJoin is on the documented-bounded whitelist.
+
+    Piggybacked on the same DataFrame builds (r6 verdict #2): NO
+    registered query may emit an Array/Map/Struct column in its
+    driver-facing output — the driver's pandas canonicalizer crashes on
+    list cells (``pdf.sort_values`` -> factorize -> "unhashable type:
+    'list'", the r6 red row). Complex values cross the wire as to_json
+    strings or exploded scalar rows; typed arrays stay in library APIs
+    (``random_projection_jl_vectors`` et al.)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     cart, stray_bnlj, unused = [], [], set(_BNLJ_BOUNDED_OK)
+    complex_out = []
     for name, spec in sorted(SPECS.items()):
-        s = plans.explain_str(spec.fn(spark, sf_dir))
+        df = spec.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                complex_out.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+        s = plans.explain_str(df)
         if "CartesianProduct" in s:
             cart.append(name)
         if "BroadcastNestedLoopJoin" in s:
             unused.discard(name)
             if name not in _BNLJ_BOUNDED_OK:
                 stray_bnlj.append(name)
+    assert not complex_out, (
+        "complex-typed driver-facing output (the driver canonicalizer "
+        f"crashes on these): {complex_out}"
+    )
     assert not cart, f"CartesianProduct in: {cart}"
     assert not stray_bnlj, (
         "BroadcastNestedLoopJoin outside the documented-bounded "
