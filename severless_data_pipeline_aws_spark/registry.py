@@ -112,20 +112,24 @@ _FLAGSHIP = "flagship_revenue_by_status_year"
 _ROTATION_STRIDE = 2
 
 
-def _round_number() -> int:
+def _round_number(root: str | None = None) -> int:
     """Current build round, inferred from the committed driver ledgers.
 
     The driver writes ``CORRECTNESS_r{N}.json`` at the END of round N,
     so during round N the newest ledger on disk is N-1.  Deterministic
     within a round (the files are committed); overridable for tests via
-    ``SPARK_GRAFT_ROTATION``."""
+    ``SPARK_GRAFT_ROTATION``.  A deployment with NO ledgers alongside
+    the package (fresh source-only clone, installed wheel) silently
+    resetting to round 1 would sample a prefix that no longer matches
+    the committed verification evidence — warn loudly (ADVICE r6)."""
     import os
     import re as _re
 
     env = os.environ.get("SPARK_GRAFT_ROTATION")
     if env is not None:
         return int(env)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [0]
     try:
         for f in os.listdir(root):
@@ -134,39 +138,87 @@ def _round_number() -> int:
                 rounds.append(int(m.group(1)))
     except OSError:
         pass
+    if len(rounds) == 1:
+        warnings.warn(
+            "no CORRECTNESS_r*.json ledgers found next to the package — "
+            "registry rotation defaults to round 1, which matches the "
+            "committed verification evidence only in a full repo checkout "
+            "(set SPARK_GRAFT_ROTATION to pin the round explicitly)",
+            stacklevel=2,
+        )
     return max(rounds) + 1
+
+
+def _ever_sampled() -> frozenset[str]:
+    """Query names that ever appeared in a committed driver ledger.
+
+    The driver's correctness gate records every sampled query as a key
+    of ``CORRECTNESS_r{N}.json``; the union across rounds is the set of
+    queries that already carry driver evidence.  Deterministic within a
+    round (this round's ledger lands only after the round ends)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            if isinstance(doc, dict):
+                out.update(doc)
+        except (OSError, ValueError):
+            continue
+    return frozenset(out)
+
+
+def _rotated(lst: list, rot: int) -> list:
+    if not lst:
+        return []
+    k = rot % len(lst)
+    return lst[k:] + lst[:k]
 
 
 def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Round-robin the registry across source modules, flagship first,
-    with a per-round bucket rotation.
+    never-driver-sampled queries leading each module bucket, with a
+    per-round rotation inside each sub-list.
 
-    Within a module, registration order is preserved up to a rotation:
-    round N starts each module's cycle at entry ``(N * stride) % len``,
-    so the driver's first-50 sample (≈ stride entries per module)
-    lands on a different slice of every module each round — 373 of 423
-    queries had never accrued a driver-green row under the static
-    interleave (round-5 verdict #4).  Modules cycle in
-    ``_QUERY_MODULES`` order (a query whose module is not listed —
-    impossible today — would sort after all listed ones).
+    r6 verdict #3: blind striding re-sampled 13 of 50 names between
+    consecutive rounds while 320 of 461 queries had never been driver-
+    checked.  Each module bucket now orders its NEVER-SAMPLED queries
+    (absent from every committed CORRECTNESS_r*.json ledger) before the
+    ever-sampled ones, so the driver's first-50 prefix is almost all
+    fresh evidence; within each sub-list, round N rotates the start by
+    ``N * stride`` so re-runs of the same round stay deterministic and
+    consecutive rounds stay disjoint even before the new ledger lands.
+    Modules cycle in ``_QUERY_MODULES`` order (a query whose module is
+    not listed — impossible today — would sort after all listed ones).
     Deterministic: depends only on module list, registration order, and
-    the committed CORRECTNESS ledger count — never on hashing or time.
+    the committed CORRECTNESS ledgers — never on hashing or time.
     """
     rot = _round_number() * _ROTATION_STRIDE
+    sampled = _ever_sampled()
     mod_rank = {m: i for i, m in enumerate(_QUERY_MODULES)}
     buckets: dict[str, list[QuerySpec]] = {}
     for spec in reg.values():
         buckets.setdefault(spec.fn.__module__, []).append(spec)
     ordered_mods = sorted(buckets, key=lambda m: mod_rank.get(m, len(mod_rank)))
+    ordered_buckets: dict[str, list[QuerySpec]] = {}
+    for mod, bucket in buckets.items():
+        fresh = [s for s in bucket if s.name not in sampled]
+        seen = [s for s in bucket if s.name in sampled]
+        ordered_buckets[mod] = _rotated(fresh, rot) + _rotated(seen, rot)
     out: dict[str, QuerySpec] = {}
     if _FLAGSHIP in reg:
         out[_FLAGSHIP] = reg[_FLAGSHIP]
     depth = max(len(b) for b in buckets.values()) if buckets else 0
     for i in range(depth):
         for mod in ordered_mods:
-            bucket = buckets[mod]
+            bucket = ordered_buckets[mod]
             if i < len(bucket):
-                spec = bucket[(i + rot) % len(bucket)]
+                spec = bucket[i]
                 if spec.name not in out:
                     out[spec.name] = spec
     assert len(out) == len(reg)

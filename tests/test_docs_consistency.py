@@ -235,8 +235,10 @@ def test_driver_sample_rotates_each_round():
     """r5 verdict #4: the static interleave re-sampled the SAME 50
     queries forever, leaving 373 queries with no driver-green row.
     Consecutive rounds must sample (nearly) disjoint prefixes — overlap
-    is allowed only for the flagship and for modules too small to
-    rotate out of (len(bucket) < 2 * stride)."""
+    is allowed only for the flagship and for modules whose NEVER-
+    SAMPLED pool is too small to rotate out of (r6 verdict #3: the
+    rotation now leads with never-sampled queries, so the rotating
+    sub-list is the fresh pool, not the whole bucket)."""
     from severless_data_pipeline_aws_spark.registry import _ROTATION_STRIDE
 
     def first50(rot: int) -> list[str]:
@@ -247,10 +249,13 @@ def test_driver_sample_rotates_each_round():
             del os.environ["SPARK_GRAFT_ROTATION"]
 
     specs = registry.load_all()
-    sizes: dict[str, int] = {}
+    sampled = registry._ever_sampled()
+    fresh_sizes: dict[str, int] = {}
     for s in specs.values():
-        sizes[s.fn.__module__] = sizes.get(s.fn.__module__, 0) + 1
-    small_mods = {m for m, n in sizes.items() if n < 2 * _ROTATION_STRIDE}
+        fresh_sizes.setdefault(s.fn.__module__, 0)
+        if s.name not in sampled:
+            fresh_sizes[s.fn.__module__] += 1
+    small_mods = {m for m, n in fresh_sizes.items() if n < 2 * _ROTATION_STRIDE}
 
     a, b = set(first50(6)), set(first50(7))
     overlap = a & b
@@ -265,6 +270,44 @@ def test_driver_sample_rotates_each_round():
     # the current (env-less) rotation must differ from the previous round's
     cur_round = registry._round_number()
     assert set(first50(cur_round)) == set(list(registry.load_all())[:50])
+
+
+def test_driver_sample_prefers_never_sampled():
+    """r6 verdict #3: 320 of 461 queries had never been driver-checked
+    while rotation kept re-sampling old names.  Pin the fix — an ever-
+    sampled name may appear in the driver's first-50 prefix only when
+    its module's never-sampled pool is exhausted at that depth (the
+    flagship is always first by contract)."""
+    specs = registry.load_all()
+    sampled = registry._ever_sampled()
+    assert sampled, "committed CORRECTNESS ledgers must be readable"
+    fresh_count: dict[str, int] = {}
+    for s in specs.values():
+        fresh_count.setdefault(s.fn.__module__, 0)
+        if s.name not in sampled:
+            fresh_count[s.fn.__module__] += 1
+    taken: dict[str, int] = {}
+    bad = []
+    for n in list(specs)[:50]:
+        if n == "flagship_revenue_by_status_year":
+            continue
+        m = specs[n].fn.__module__
+        taken[m] = taken.get(m, 0) + 1
+        if n in sampled and taken[m] <= fresh_count[m]:
+            bad.append(n)
+    assert not bad, f"ever-sampled names shadow fresh ones in the prefix: {bad}"
+
+
+def test_round_number_warns_without_ledgers(tmp_path, monkeypatch):
+    """ADVICE r6: a deployment without the committed CORRECTNESS
+    ledgers must not silently reset the rotation to round 1."""
+    import warnings as _w
+
+    monkeypatch.delenv("SPARK_GRAFT_ROTATION", raising=False)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert registry._round_number(root=str(tmp_path)) == 1
+    assert any("no CORRECTNESS" in str(c.message) for c in caught)
 
 
 def test_query_counts_pinned_to_registry():
