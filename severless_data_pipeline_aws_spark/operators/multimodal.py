@@ -204,12 +204,31 @@ def resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_resize_stub",
-    oracle=None,  # resize runs through the Python stub; invariants in pytest
+    # r7 (r6 verdict #5): the resize output is fully deterministic —
+    # header dims rewritten to 32x32, body bytes (the md5 of the text)
+    # preserved — so the Python mapInPandas path is EXACT-oracled
+    # byte-for-byte, the same closure the decode/frame-sample stubs got
+    # in r4. The real-pixel tier lives in multimodal_bmp_resize_box.
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                    ELSE 'audio/wav' END AS media_type,
+               CAST(doc_id % 64 + 16 AS INT) AS src_w,
+               CAST((doc_id * 7) % 64 + 16 AS INT) AS src_h,
+               CAST(32 AS INT) AS dst_w,
+               CAST(32 AS INT) AS dst_h,
+               ('IMG1'::BLOB || unhex('0000002000000020') || unhex(md5(text)))
+                 AS payload
+        FROM documents WHERE doc_id < 200
+    """,
     doc=(
         "X5: the resize stage — binary payloads through an Arrow-batched "
-        "mapInPandas resizer (stubbed: no codecs in this container). "
+        "mapInPandas resizer (header-rewrite tier: no codecs in this "
+        "container; multimodal_bmp_resize_box is the real-pixel tier). "
         "Header dims rewritten to the 32x32 target, body bytes preserved "
-        "executor-side; invariants pinned in tests/test_multimodal.py."
+        "executor-side; byte-exact DuckDB oracle over the reconstructed "
+        "payload, invariants pinned in tests/test_multimodal.py."
     ),
     tags=("multimodal", "llm", "udf"),
 )

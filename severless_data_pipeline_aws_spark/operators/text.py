@@ -1399,23 +1399,60 @@ def _compression_ratios(texts: "pd.Series") -> "pd.Series":
 
 @register(
     "text_compression_ratio_quality",
-    oracle=None,  # zlib has no DuckDB twin; behavior invariants in pytest
+    # r7 (r6 verdict #8): zlib DEFLATE has no SQL twin, so the PER-DOC
+    # ratios stay a library API (compression_ratio_per_doc) — but the
+    # registered query is now a verdict audit in the sketch pattern:
+    # exact SQL-twinned aggregates plus deterministic within-bound
+    # booleans the oracle asserts literally TRUE. An out-of-bound ratio
+    # or a nondeterministic zlib pass hash-mismatches at the driver
+    # instead of hiding behind no_oracle.
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               TRUE AS ratios_in_bounds,
+               TRUE AS mean_ratio_in_bounds,
+               TRUE AS deterministic_across_runs
+        FROM documents
+    """,
     doc=(
         "Compression-ratio quality signal (the Gopher/RefinedWeb-era "
         "boilerplate detector: highly compressible text is repetitive "
         "text): zlib-compress each document in an Arrow-batched pandas "
-        "UDF at a pinned level and emit compressed/raw byte ratio plus "
-        "a low-information flag under 0.45. The UDF is the legitimate "
-        "Python-path case — no JVM zlib surface in Spark SQL — and "
-        "stays vectorized per Arrow batch; the scan is map-only with "
-        "zero shuffles. pytest pins the invariants: repetitive text "
-        "compresses below random text, ratios bounded (zlib header "
-        "overhead can push tiny docs slightly over 1.0), deterministic "
-        "across runs."
+        "UDF at a pinned level. The UDF is the legitimate Python-path "
+        "case — no JVM zlib surface in Spark SQL — and stays vectorized "
+        "per Arrow batch; the scan is map-only with zero shuffles. "
+        "Registered form is a verdict audit (exact doc/char totals + "
+        "ratio-bound + two-pass determinism booleans, oracle-asserted "
+        "TRUE); compression_ratio_per_doc is the per-document library "
+        "API, with invariants pinned in tests/test_llm_ops.py."
     ),
     tags=("text", "llm", "quality", "udf"),
 )
 def text_compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    t = Tables(spark, sf_dir)
+    # two DISTINCT UDF objects so Catalyst cannot common-subexpression
+    # them away — the determinism boolean needs two genuine zlib passes
+    u1 = pandas_udf(_compression_ratios, "double")
+    u2 = pandas_udf(lambda s: _compression_ratios(s), "double")
+    per = t.documents.select(
+        "n_chars", u1("text").alias("r1"), u2("text").alias("r2")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        ((F.min("r1") > 0.0) & (F.max("r1") <= 1.25)).alias("ratios_in_bounds"),
+        ((F.avg("r1") >= 0.2) & (F.avg("r1") <= 1.1)).alias("mean_ratio_in_bounds"),
+        (F.max(F.abs(F.col("r1") - F.col("r2"))) == 0.0).alias(
+            "deterministic_across_runs"
+        ),
+    )
+
+
+def compression_ratio_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: per-document zlib compression ratio + the <0.45
+    low-information flag (the production quality column)."""
     from pyspark.sql.functions import pandas_udf
 
     t = Tables(spark, sf_dir)

@@ -457,10 +457,19 @@ def test_compression_ratio_invariants(spark, sf_dir):
     repetitive string compresses harder than a high-entropy one."""
     import zlib
 
-    from severless_data_pipeline_aws_spark.operators.text import _compression_ratios
+    from severless_data_pipeline_aws_spark.operators.text import (
+        _compression_ratios,
+        compression_ratio_per_doc,
+    )
 
-    rows1 = SPECS["text_compression_ratio_quality"].fn(spark, sf_dir).collect()
-    rows2 = SPECS["text_compression_ratio_quality"].fn(spark, sf_dir).collect()
+    rows1 = compression_ratio_per_doc(spark, sf_dir).collect()
+    rows2 = compression_ratio_per_doc(spark, sf_dir).collect()
+    # and the registered verdict audit must report all booleans TRUE
+    verdict = SPECS["text_compression_ratio_quality"].fn(spark, sf_dir).collect()
+    assert len(verdict) == 1
+    assert verdict[0]["ratios_in_bounds"]
+    assert verdict[0]["mean_ratio_in_bounds"]
+    assert verdict[0]["deterministic_across_runs"]
     assert len(rows1) == len(rows2) > 0
     r1 = {r["doc_id"]: r["compression_ratio"] for r in rows1}
     r2 = {r["doc_id"]: r["compression_ratio"] for r in rows2}
