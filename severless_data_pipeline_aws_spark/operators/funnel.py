@@ -2246,10 +2246,18 @@ def funnel_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: power-of-two padding buckets: n_chars in (2^(k-1), 2^k] pads to 2^k
 _PAD_BUCKETS = [(1 << k, (1 << (k - 1)) + 1, 1 << k) for k in range(1, 22)]
 _PAD_BUCKETS[0] = (2, 1, 2)  # fold n = 1 into the smallest bucket
+#: ADVICE r6: the inner range join silently dropped n_chars = 0 and
+#: n_chars > 2^21 — catch both with sentinel buckets (pad_to 0 = empty/
+#: invalid, pad_to -1 = over-max, padding undefined) so the report
+#: always accounts for every document
+_PAD_BUCKETS_ALL = _PAD_BUCKETS + [
+    (0, -(1 << 62), 0),
+    (-1, (1 << 21) + 1, 1 << 62),
+]
 
 
 def _pad_bucket_values_sql() -> str:
-    return ", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in _PAD_BUCKETS)
+    return ", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in _PAD_BUCKETS_ALL)
 
 
 @register(
@@ -2264,9 +2272,12 @@ def _pad_bucket_values_sql() -> str:
         SELECT CAST(pad_to AS BIGINT) AS pad_to,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               CAST(COUNT(*) * pad_to AS BIGINT) AS padded_chars,
-               1.0 - CAST(SUM(n_chars) AS DOUBLE)
-                   / CAST(COUNT(*) * pad_to AS DOUBLE) AS waste_ratio
+               CASE WHEN pad_to > 0
+                    THEN CAST(COUNT(*) * pad_to AS BIGINT) END AS padded_chars,
+               CASE WHEN pad_to > 0
+                    THEN 1.0 - CAST(SUM(n_chars) AS DOUBLE)
+                             / CAST(COUNT(*) * pad_to AS DOUBLE)
+               END AS waste_ratio
         FROM assigned
         GROUP BY pad_to
         ORDER BY pad_to
@@ -2279,15 +2290,18 @@ def _pad_bucket_values_sql() -> str:
         "diagnostic that decides between fixed-length padding and "
         "sequence packing (pipeline_pack_training_batches) before a "
         "training run, since waste is GPU-hours at scale. The bucket "
-        "table is a 21-row literal broadcast range-join (each doc "
-        "matches exactly one bucket); counts and char sums are exact "
-        "BIGINTs, the waste ratio one shared division."
+        "table is a 23-row literal broadcast range-join (each doc "
+        "matches exactly one bucket — two sentinel buckets catch "
+        "n_chars <= 0 and n_chars > 2^21, ADVICE r6, so no document "
+        "silently vanishes from the report); counts and char sums are "
+        "exact BIGINTs, the waste ratio one shared division (NULL for "
+        "the sentinel buckets, where padding is undefined)."
     ),
     tags=("pipeline", "llm", "sampling"),
 )
 def pipeline_length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    buckets = spark.createDataFrame(_PAD_BUCKETS, "pad_to LONG, lo LONG, hi LONG")
+    buckets = spark.createDataFrame(_PAD_BUCKETS_ALL, "pad_to LONG, lo LONG, hi LONG")
     assigned = t.documents.join(
         F.broadcast(buckets),
         (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")),
@@ -2297,9 +2311,10 @@ def pipeline_length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> Da
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            (F.count(F.lit(1)) * F.col("pad_to").cast("bigint"))
-            .cast("bigint")
-            .alias("padded_chars"),
+            F.when(
+                F.col("pad_to") > 0,
+                (F.count(F.lit(1)) * F.col("pad_to").cast("bigint")).cast("bigint"),
+            ).alias("padded_chars"),
         )
         .select(
             F.col("pad_to").cast("bigint").alias("pad_to"),
@@ -2307,7 +2322,9 @@ def pipeline_length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> Da
             "total_chars",
             "padded_chars",
             F.expr(
-                "1.0 - CAST(total_chars AS DOUBLE) / CAST(padded_chars AS DOUBLE)"
+                "CASE WHEN pad_to > 0 THEN"
+                " 1.0 - CAST(total_chars AS DOUBLE) / CAST(padded_chars AS DOUBLE)"
+                " END"
             ).alias("waste_ratio"),
         )
         .orderBy("pad_to")

@@ -5576,8 +5576,12 @@ def stats_dixon_q_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM vg
         )
         SELECT n1 AS n_click, n2 AS n_view,
-               CAST(MAX(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_sup_num,
-               CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+               CAST(CAST(MAX(abs(CAST(c1 AS HUGEINT) * n2
+                                 - CAST(c2 AS HUGEINT) * n1)) AS VARCHAR)
+                    AS DOUBLE) AS ks_sup_num,
+               CAST(CAST(MAX(abs(CAST(c1 AS HUGEINT) * n2
+                                 - CAST(c2 AS HUGEINT) * n1)) AS VARCHAR)
+                    AS DOUBLE)
                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat
         FROM cum, tot
         GROUP BY n1, n2
@@ -5593,7 +5597,9 @@ def stats_dixon_q_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "65536; the only single-partition window is the metadata-scale "
         "per-bucket prefix pass, and the one-row (n1, n2) totals "
         "broadcast is a documented-bounded BNLJ). The sup is the max "
-        "of exact integer cross-products |c1*n2 - c2*n1|; one shared "
+        "of exact integer cross-products |c1*n2 - c2*n1|, computed in "
+        "DECIMAL(38,0)/HUGEINT so n1*n2 past 2^63 cannot wrap "
+        "(ADVICE r6), STRING-hopped to the exact double; one shared "
         "final division. At 100 TB the distinct-value table is what "
         "shuffles — never the fact rows."
     ),
@@ -5637,16 +5643,22 @@ def stats_ks_exact_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
-            .cast("bigint")
-            .alias("ks_sup_num")
+            # ADVICE r6: the cross-multiply in BIGINT would wrap
+            # silently at n1*n2 > 2^63 under non-ANSI Spark — compute
+            # it in DECIMAL(38,0) (128-bit-exact like DuckDB's
+            # HUGEINT) and hop through STRING for the exact double
+            F.expr(
+                "CAST(CAST(MAX(abs(CAST(c1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))"
+                " - CAST(c2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0))))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("ks_sup_num")
         )
         .select(
             F.col("n1").alias("n_click"),
             F.col("n2").alias("n_view"),
             "ks_sup_num",
             F.expr(
-                "CAST(ks_sup_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+                "ks_sup_num / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
             ).alias("d_stat"),
         )
     )
@@ -6210,8 +6222,9 @@ def stats_pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n1 AS n_click, n2 AS n_view,
                CAST(CAST(SUM(CAST(cnt AS HUGEINT)
-                    * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
-                    * CAST(c1 * n2 - c2 * n1 AS HUGEINT)) AS VARCHAR)
+                    * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+                    * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1))
+                    AS VARCHAR)
                     AS DOUBLE)
                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
@@ -6272,10 +6285,16 @@ def stats_cramer_von_mises_two_sample(spark: SparkSession, sf_dir: str) -> DataF
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
+            # ADVICE r6: the ECDF gap cross-multiply in BIGINT would
+            # wrap silently at n1*n2 > 2^63 under non-ANSI Spark —
+            # compute it in DECIMAL (exact; the remaining ceiling is
+            # the DECIMAL(38,0) weighted-square SUM, ~1e38)
             F.expr(
                 "CAST(CAST(SUM(CAST(cnt AS DECIMAL(38,0))"
-                " * CAST(c1 * n2 - c2 * n1 AS DECIMAL(19,0))"
-                " * CAST(c1 * n2 - c2 * n1 AS DECIMAL(19,0)))"
+                " * (CAST(c1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))"
+                "    - CAST(c2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)))"
+                " * (CAST(c1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))"
+                "    - CAST(c2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0))))"
                 " AS STRING) AS DOUBLE)"
             ).alias("wsum")
         )
