@@ -6547,3 +6547,717 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cond").cast("bigint").alias("n_conditions"),
         F.sum((F.col("cond") + 1) * F.col("r2")).cast("bigint").alias("page_l_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions (SURVEY §2.17): six more of the classical battery —
+# Spearman rank correlation, the Wald-Wolfowitz runs test, McNemar's
+# paired test, Cochran's Q, Kendall's W concordance, and Brown-Forsythe
+# robust variance homogeneity. Same exactness posture as the r5/r6
+# tiers: doubled midranks / doubled medians keep rank machinery in
+# BIGINT, group sums pivot to ONE row so every float composition is a
+# single shared IEEE expression tree, ln-free throughout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_spearman_daily_corr",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ranked AS (
+            SELECT
+              2 * rank() OVER (ORDER BY x)
+                + COUNT(*) OVER (PARTITION BY x) - 1 AS drx,
+              2 * rank() OVER (ORDER BY y)
+                + COUNT(*) OVER (PARTITION BY y) - 1 AS dry
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(drx) AS BIGINT) AS sx,
+                   CAST(SUM(dry) AS BIGINT) AS sy,
+                   CAST(SUM(drx * dry) AS BIGINT) AS sxy,
+                   CAST(SUM(drx * drx) AS BIGINT) AS sxx,
+                   CAST(SUM(dry * dry) AS BIGINT) AS syy
+            FROM ranked
+        )
+        SELECT n AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho,
+               abs(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                   * sqrt(CAST(n AS DOUBLE) - 1.0) > 1.959963984540054
+                   AS significant_at_5pct
+        FROM s
+    """,
+    doc=(
+        "ST71: Spearman rank correlation between the daily click and "
+        "view counts — the monotone-association companion to the "
+        "Pearson and Kendall tiers already in the battery, robust to "
+        "outlier days. Tie-corrected exactly by computing Pearson on "
+        "DOUBLED midranks (dr = 2*rank + ties - 1 is always an exact "
+        "BIGINT; the doubling cancels in the correlation), so every "
+        "aggregate is an exact integer sum and rho plus its normal-"
+        "approximation 5%% verdict (|rho|*sqrt(n-1) > z_.975) are one "
+        "shared IEEE expression. Facts reduce to day grain "
+        "distributedly; the 30-row rank pass is metadata-scale."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    ranked = daily.select(
+        (
+            2 * F.rank().over(W.orderBy("x"))
+            + F.count(F.lit(1)).over(W.partitionBy("x"))
+            - 1
+        ).alias("drx"),
+        (
+            2 * F.rank().over(W.orderBy("y"))
+            + F.count(F.lit(1)).over(W.partitionBy("y"))
+            - 1
+        ).alias("dry"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("drx").cast("bigint").alias("sx"),
+        F.sum("dry").cast("bigint").alias("sy"),
+        F.sum(F.col("drx") * F.col("dry")).cast("bigint").alias("sxy"),
+        F.sum(F.col("drx") * F.col("drx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dry") * F.col("dry")).cast("bigint").alias("syy"),
+    )
+    rho = (
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.expr(rho).alias("spearman_rho"),
+        F.expr(
+            f"abs({rho}) * sqrt(CAST(n AS DOUBLE) - 1.0) > 1.959963984540054"
+        ).alias("significant_at_5pct"),
+    )
+
+
+@register(
+    "stats_runs_test_wald_wolfowitz",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ordered AS (
+            SELECT x, row_number() OVER (ORDER BY x, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        ),
+        med AS (
+            SELECT CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                                 THEN x END) AS BIGINT)
+                   * (CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 2 ELSE 1 END)
+                     AS m2
+            FROM ordered GROUP BY n
+        ),
+        signs AS (
+            SELECT day,
+                   CASE WHEN 2 * x > m2 THEN 1
+                        WHEN 2 * x < m2 THEN -1 ELSE 0 END AS s
+            FROM daily CROSS JOIN med
+        ),
+        nz AS (
+            SELECT day, s,
+                   lag(s) OVER (ORDER BY day) AS s_prev
+            FROM signs WHERE s <> 0
+        ),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(1 + SUM(CASE WHEN s_prev IS NOT NULL AND s <> s_prev
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM nz
+        )
+        SELECT n1 AS n_above, n2 AS n_below, runs,
+               (CAST(runs AS DOUBLE)
+                - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+                 AS z_runs,
+               abs((CAST(runs AS DOUBLE)
+                - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))
+                 <= 1.959963984540054 AS random_at_5pct
+        FROM agg
+    """,
+    doc=(
+        "ST72: Wald-Wolfowitz runs test on the daily event-count "
+        "series — are above-median and below-median days randomly "
+        "interleaved, or do they clump (regime persistence the "
+        "mean-based tests cannot see)? The median is the DOUBLED "
+        "order-statistic sum (x_(k) + x_(k+1)), always an exact "
+        "BIGINT, so the three-way sign classification is pure integer "
+        "comparison; median-equal days drop per the classical "
+        "definition. Runs count = 1 + sign changes over the day-"
+        "ordered lag; z and the 5%% randomness verdict are one shared "
+        "IEEE expression of the three integer counts. Day-grain "
+        "reduction first — nothing fact-grain is windowed."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_runs_test_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    ordered = daily.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "day")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    med = ordered.groupBy("n").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rn").isin(
+                        F.expr("(n + 1) DIV 2"), F.expr("(n + 2) DIV 2")
+                    ),
+                    F.col("x"),
+                )
+            )
+            * F.expr("CASE WHEN (n + 1) DIV 2 = (n + 2) DIV 2 THEN 2 ELSE 1 END")
+        )
+        .cast("bigint")
+        .alias("m2")
+    ).select("m2")
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(2 * F.col("x") > F.col("m2"), 1)
+        .when(2 * F.col("x") < F.col("m2"), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    nz = signs.filter(F.col("s") != 0).select(
+        "s", F.lag("s").over(W.orderBy("day")).alias("s_prev")
+    )
+    agg = nz.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("s_prev").isNotNull() & (F.col("s") != F.col("s_prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    z = (
+        "(CAST(runs AS DOUBLE)"
+        " - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))"
+        " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))"
+        " / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+        " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+        " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))"
+    )
+    return agg.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "runs",
+        F.expr(z).alias("z_runs"),
+        F.expr(f"abs({z}) <= 1.959963984540054").alias("random_at_5pct"),
+    )
+
+
+@register(
+    "stats_mcnemar_paired_activity",
+    oracle="""
+        WITH act AS (
+            SELECT user_id,
+                   MAX(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                            THEN 1 ELSE 0 END) AS a,
+                   MAX(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                            THEN 1 ELSE 0 END) AS b
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(a * b) AS BIGINT) AS n_both,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n_first_only,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n_second_only
+            FROM act
+        )
+        SELECT n_users, n_both, n_first_only, n_second_only,
+               CASE WHEN n_first_only + n_second_only = 0 THEN 0.0
+                    ELSE CAST(n_first_only - n_second_only AS DOUBLE)
+                         * CAST(n_first_only - n_second_only AS DOUBLE)
+                         / CAST(n_first_only + n_second_only AS DOUBLE) END
+                 AS mcnemar_chi2,
+               CASE WHEN n_first_only + n_second_only = 0 THEN 0.0
+                    ELSE CAST(n_first_only - n_second_only AS DOUBLE)
+                         * CAST(n_first_only - n_second_only AS DOUBLE)
+                         / CAST(n_first_only + n_second_only AS DOUBLE) END
+                 > 3.841458820694124 AS churn_shift_at_5pct
+        FROM cells
+    """,
+    doc=(
+        "ST73: McNemar's paired test on per-user activity between the "
+        "first and second half of the month — did the population of "
+        "active users SHIFT (churn vs activation), as opposed to "
+        "merely change size? The paired design uses only the "
+        "discordant cells: chi2 = (b - c)^2 / (b + c) over exact "
+        "BIGINT user counts, with the chi-square(1) 95%% verdict — "
+        "one shared expression, ln-free. The user table is one hash "
+        "agg over the fact scan (two conditional MAXes); everything "
+        "after is a one-row fold."
+    ),
+    tags=("stats", "funnel"),
+)
+def stats_mcnemar_paired_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    act = t.events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("ts").cast("date") <= F.lit("2024-01-15").cast("date"), 1)
+            .otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("ts").cast("date") > F.lit("2024-01-15").cast("date"), 1)
+            .otherwise(0)
+        ).alias("b"),
+    )
+    cells = act.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n_both"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n_first_only"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n_second_only"),
+    )
+    chi2 = (
+        "CASE WHEN n_first_only + n_second_only = 0 THEN 0.0"
+        " ELSE CAST(n_first_only - n_second_only AS DOUBLE)"
+        " * CAST(n_first_only - n_second_only AS DOUBLE)"
+        " / CAST(n_first_only + n_second_only AS DOUBLE) END"
+    )
+    return cells.select(
+        "n_users",
+        "n_both",
+        "n_first_only",
+        "n_second_only",
+        F.expr(chi2).alias("mcnemar_chi2"),
+        F.expr(f"{chi2} > 3.841458820694124").alias("churn_shift_at_5pct"),
+    )
+
+
+@register(
+    "stats_cochran_q_binary",
+    oracle="""
+        WITH x AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(c) AS BIGINT) AS g_click,
+                   CAST(SUM(v) AS BIGINT) AS g_view,
+                   CAST(SUM(p) AS BIGINT) AS g_purchase,
+                   CAST(SUM(c + v + p) AS BIGINT) AS tot,
+                   CAST(SUM((c + v + p) * (c + v + p)) AS BIGINT) AS sl2
+            FROM x
+        )
+        SELECT n_users, g_click, g_view, g_purchase,
+               CASE WHEN 3 * tot - sl2 = 0 THEN 0.0
+                    ELSE 2.0 * CAST(3 * (g_click * g_click + g_view * g_view
+                                         + g_purchase * g_purchase)
+                                    - tot * tot AS DOUBLE)
+                         / CAST(3 * tot - sl2 AS DOUBLE) END AS q_stat,
+               CASE WHEN 3 * tot - sl2 = 0 THEN 0.0
+                    ELSE 2.0 * CAST(3 * (g_click * g_click + g_view * g_view
+                                         + g_purchase * g_purchase)
+                                    - tot * tot AS DOUBLE)
+                         / CAST(3 * tot - sl2 AS DOUBLE) END
+                 > 5.991464547107979 AS differs_at_5pct
+        FROM s
+    """,
+    doc=(
+        "ST74: Cochran's Q over the three binary per-user engagement "
+        "indicators (ever clicked / viewed / purchased) — the k-"
+        "treatment generalization of McNemar: do the three actions "
+        "have the same per-user success rate? Q = (k-1)(k*sum G_j^2 - "
+        "N^2) / (k*N - sum L_i^2) is rational in exact BIGINT row/"
+        "column sums, so the statistic and its chi-square(2) 95%% "
+        "verdict are one shared expression (users who did all three "
+        "or none contribute nothing, per the test's definition — the "
+        "degenerate all-same corpus pins Q = 0). One hash agg over "
+        "the fact scan; one-row fold after."
+    ),
+    tags=("stats", "funnel"),
+)
+def stats_cochran_q_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    x = t.events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("g_click"),
+        F.sum("v").cast("bigint").alias("g_view"),
+        F.sum("p").cast("bigint").alias("g_purchase"),
+        F.sum(F.col("c") + F.col("v") + F.col("p")).cast("bigint").alias("tot"),
+        F.sum(
+            (F.col("c") + F.col("v") + F.col("p"))
+            * (F.col("c") + F.col("v") + F.col("p"))
+        )
+        .cast("bigint")
+        .alias("sl2"),
+    )
+    q = (
+        "CASE WHEN 3 * tot - sl2 = 0 THEN 0.0"
+        " ELSE 2.0 * CAST(3 * (g_click * g_click + g_view * g_view"
+        " + g_purchase * g_purchase)"
+        " - tot * tot AS DOUBLE)"
+        " / CAST(3 * tot - sl2 AS DOUBLE) END"
+    )
+    return s.select(
+        "n_users",
+        "g_click",
+        "g_view",
+        "g_purchase",
+        F.expr(q).alias("q_stat"),
+        F.expr(f"{q} > 5.991464547107979").alias("differs_at_5pct"),
+    )
+
+
+@register(
+    "stats_kendall_w_concordance",
+    oracle="""
+        WITH days_ AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        types_ AS (SELECT DISTINCT event_type FROM events),
+        cnt AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        ),
+        grid AS (
+            SELECT d.day, t.event_type, COALESCE(c.c, 0) AS c
+            FROM days_ d CROSS JOIN types_ t
+            LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type
+        ),
+        ranked AS (
+            SELECT day, event_type,
+                   2 * rank() OVER (PARTITION BY day ORDER BY c)
+                     + COUNT(*) OVER (PARTITION BY day, c) - 1 AS dr
+            FROM grid
+        ),
+        rj AS (
+            SELECT event_type, CAST(SUM(dr) AS BIGINT) AS r2j
+            FROM ranked GROUP BY event_type
+        ),
+        ties AS (
+            SELECT CAST(SUM(t3t) AS BIGINT) AS tt
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) * COUNT(*) * COUNT(*)
+                       - COUNT(*) AS t3t
+                FROM grid GROUP BY day, c
+            )
+        ),
+        dims AS (
+            SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS m,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n
+            FROM grid
+        ),
+        s AS (
+            SELECT CAST(SUM(r2j * r2j) AS BIGINT) AS sr2 FROM rj
+        )
+        SELECT m AS m_days, n AS n_items,
+               CAST(3 * sr2 - 3 * m * m * n * (n + 1) * (n + 1) AS DOUBLE)
+                   / CAST(m * m * n * (n * n - 1) - m * tt AS DOUBLE)
+                 AS kendall_w,
+               CAST(m AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                   * (CAST(3 * sr2 - 3 * m * m * n * (n + 1) * (n + 1) AS DOUBLE)
+                      / CAST(m * m * n * (n * n - 1) - m * tt AS DOUBLE))
+                 > 9.487729036781154 AS concordant_at_5pct
+        FROM s CROSS JOIN dims CROSS JOIN ties
+    """,
+    doc=(
+        "ST75: Kendall's coefficient of concordance W — do the days "
+        "AGREE on how the event types rank by traffic (a stable "
+        "product mix), or does the daily ranking churn? Judges = days, "
+        "items = event types on the zero-filled day x type grid; "
+        "doubled midranks keep the tie-corrected machinery in exact "
+        "BIGINTs (12*sum R^2 becomes 3*sum R'^2), the tie term T = "
+        "sum(t^3 - t) folds per (day, count) group, and W plus its "
+        "chi-square(n-1) 95%% verdict (chi2 = m(n-1)W) are one shared "
+        "division. Facts reduce to (day, type) grain in one hash agg; "
+        "the 150-cell grid is metadata-scale."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    days_ = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    types_ = ev.select("event_type").distinct()
+    cnt = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        days_.crossJoin(F.broadcast(types_))
+        .join(cnt, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    ranked = grid.select(
+        "day",
+        "event_type",
+        (
+            2 * F.rank().over(W.partitionBy("day").orderBy("c"))
+            + F.count(F.lit(1)).over(W.partitionBy("day", "c"))
+            - 1
+        ).alias("dr"),
+    )
+    rj = ranked.groupBy("event_type").agg(F.sum("dr").cast("bigint").alias("r2j"))
+    ties = (
+        grid.groupBy("day", "c")
+        .agg(
+            (
+                F.count(F.lit(1)).cast("bigint")
+                * F.count(F.lit(1))
+                * F.count(F.lit(1))
+                - F.count(F.lit(1))
+            ).alias("t3t")
+        )
+        .agg(F.sum("t3t").cast("bigint").alias("tt"))
+    )
+    dims = grid.agg(
+        F.countDistinct("day").cast("bigint").alias("m"),
+        F.countDistinct("event_type").cast("bigint").alias("n"),
+    )
+    s = rj.agg(F.sum(F.col("r2j") * F.col("r2j")).cast("bigint").alias("sr2"))
+    w_expr = (
+        "CAST(3 * sr2 - 3 * m * m * n * (n + 1) * (n + 1) AS DOUBLE)"
+        " / CAST(m * m * n * (n * n - 1) - m * tt AS DOUBLE)"
+    )
+    return (
+        s.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("m").alias("m_days"),
+            F.col("n").alias("n_items"),
+            F.expr(w_expr).alias("kendall_w"),
+            F.expr(
+                f"CAST(m AS DOUBLE) * CAST(n - 1 AS DOUBLE) * ({w_expr})"
+                " > 9.487729036781154"
+            ).alias("concordant_at_5pct"),
+        )
+    )
+
+
+#: the five event types, pinned alphabetically — the Brown-Forsythe
+#: pivot emits one column triple (n, s, q) per type so the F statistic
+#: composes as ONE shared expression with a deterministic term order
+_BF_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _bf_f_expr() -> str:
+    """Shared Brown-Forsythe F expression over the pivoted one-row
+    group sums (identical string on both engines — term order is the
+    written order, so the float folds agree bit-for-bit)."""
+    k = len(_BF_TYPES)
+    n_tot = " + ".join(f"n_{t}" for t in _BF_TYPES)
+    s_tot = " + ".join(f"s_{t}" for t in _BF_TYPES)
+    sb = " + ".join(
+        f"CAST(s_{t} AS DOUBLE) * CAST(s_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE)"
+        for t in _BF_TYPES
+    )
+    qs = " + ".join(f"q_{t}" for t in _BF_TYPES)
+    ssb = (
+        f"(({sb}) - CAST({s_tot} AS DOUBLE) * CAST({s_tot} AS DOUBLE)"
+        f" / CAST({n_tot} AS DOUBLE))"
+    )
+    ssw = f"(({qs}) - ({sb}))"
+    return (
+        f"CASE WHEN {ssw} <= 0.0 THEN NULL"
+        f" ELSE ({ssb} / {k - 1}.0)"
+        f" / ({ssw} / (CAST({n_tot} AS DOUBLE) - {k}.0)) END"
+    )
+
+
+def _bf_oracle() -> str:
+    pivot = ",\n                   ".join(
+        f"CAST(MAX(CASE WHEN event_type = '{t}' THEN {c} END) AS "
+        + ("DOUBLE" if c == "q" else "BIGINT")
+        + f") AS {c}_{t}"
+        for t in _BF_TYPES
+        for c in ("n", "s", "q")
+    )
+    f_expr = _bf_f_expr()
+    n_tot = " + ".join(f"n_{t}" for t in _BF_TYPES)
+    return f"""
+        WITH pts AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 10000) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY x, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS ng
+            FROM pts
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rn IN ((ng + 1) // 2, (ng + 2) // 2)
+                                 THEN x END) AS BIGINT)
+                   * (CASE WHEN (ng + 1) // 2 = (ng + 2) // 2 THEN 2 ELSE 1 END)
+                     AS m2
+            FROM ranked GROUP BY event_type, ng
+        ),
+        z AS (
+            SELECT p.event_type, abs(2 * p.x - m.m2) AS z
+            FROM pts p JOIN med m ON p.event_type = m.event_type
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(z) AS BIGINT) AS s,
+                   CAST(CAST(SUM(CAST(z AS HUGEINT) * z) AS VARCHAR) AS DOUBLE)
+                     AS q
+            FROM z GROUP BY event_type
+        ),
+        piv AS (
+            SELECT {pivot}
+            FROM g
+        )
+        SELECT CAST({n_tot} AS BIGINT) AS n_total,
+               CAST({len(_BF_TYPES)} AS BIGINT) AS k_groups,
+               {f_expr} AS f_stat,
+               COALESCE({f_expr} > 2.3719, FALSE) AS heteroscedastic_at_5pct
+        FROM piv
+    """
+
+
+@register(
+    "stats_brown_forsythe_variance",
+    oracle=_bf_oracle(),
+    doc=(
+        "ST76: Brown-Forsythe robust variance-homogeneity test across "
+        "the five event types' value distributions — one-way ANOVA on "
+        "absolute deviations from each GROUP MEDIAN (the median-based "
+        "Levene variant, robust where the F-ratio test already in the "
+        "battery assumes normality). Doubled group medians (x_(k) + "
+        "x_(k+1)) keep z = |2x - median*2| an exact BIGINT; per-group "
+        "(n, sum z, sum z^2) pivot to ONE row (the 5-type grid is "
+        "pinned in _BF_TYPES) so SSB/SSW/F and the F(4, inf) 95%% "
+        "verdict (2.3719) compose as one shared expression with a "
+        "written term order — no float aggregation-order hazard. The "
+        "z^2 sum is 128-bit exact (DECIMAL/HUGEINT, VARCHAR-hopped). "
+        "Two fact passes (median rank, deviation fold), both at "
+        "event grain with per-type partitioning."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+    )
+    ranked = pts.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("x", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("ng"),
+    )
+    med = ranked.groupBy("event_type", "ng").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rn").isin(
+                        F.expr("(ng + 1) DIV 2"), F.expr("(ng + 2) DIV 2")
+                    ),
+                    F.col("x"),
+                )
+            )
+            * F.expr("CASE WHEN (ng + 1) DIV 2 = (ng + 2) DIV 2 THEN 2 ELSE 1 END")
+        )
+        .cast("bigint")
+        .alias("m2")
+    ).select("event_type", "m2")
+    z = pts.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("x") - F.col("m2")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(z AS DECIMAL(19,0)) * z) AS STRING) AS DOUBLE)"
+        ).alias("q"),
+    )
+    piv = g.agg(
+        *[
+            F.expr(
+                f"CAST(MAX(CASE WHEN event_type = '{ty}' THEN {c} END) AS "
+                + ("DOUBLE" if c == "q" else "BIGINT")
+                + f") AS {c}_{ty}"
+            )
+            for ty in _BF_TYPES
+            for c in ("n", "s", "q")
+        ]
+    )
+    f_expr = _bf_f_expr()
+    n_tot = " + ".join(f"n_{ty}" for ty in _BF_TYPES)
+    return piv.select(
+        F.expr(f"CAST({n_tot} AS BIGINT)").alias("n_total"),
+        F.lit(len(_BF_TYPES)).cast("bigint").alias("k_groups"),
+        F.expr(f_expr).alias("f_stat"),
+        F.expr(f"COALESCE({f_expr} > 2.3719, FALSE)").alias(
+            "heteroscedastic_at_5pct"
+        ),
+    )

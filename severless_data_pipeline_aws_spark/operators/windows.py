@@ -2723,3 +2723,455 @@ def window_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions (SURVEY §2.17): five more classical TA windows on the
+# shared day-bar reduction — Williams %R, Money Flow Index, the Vortex
+# indicator, the Force index, and a Keltner channel (SMA variant). Same
+# posture as the r6 family: facts reduce once to calendar-bounded
+# per-type fixed-point day bars, every window partitions by event_type,
+# integer sums until one shared final division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_williams_pct_r",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        win AS (
+            SELECT event_type, day, c,
+                   MIN(l) OVER w AS l14,
+                   MAX(h) OVER w AS h14,
+                   COUNT(*) OVER w AS nw
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CASE WHEN h14 = l14 THEN -50.0
+                    ELSE -100.0 * CAST(h14 - c AS DOUBLE)
+                         / CAST(h14 - l14 AS DOUBLE) END AS pct_r,
+               CASE WHEN h14 = l14 THEN -50.0
+                    ELSE -100.0 * CAST(h14 - c AS DOUBLE)
+                         / CAST(h14 - l14 AS DOUBLE) END > -20.0 AS overbought,
+               CASE WHEN h14 = l14 THEN -50.0
+                    ELSE -100.0 * CAST(h14 - c AS DOUBLE)
+                         / CAST(h14 - l14 AS DOUBLE) END < -80.0 AS oversold
+        FROM win WHERE nw = 14
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W34: 14-day Williams %R per event type's daily bars: "
+        "-100 * (H14 - close) / (H14 - L14) — the inverted twin of the "
+        "stochastic %K (it measures distance from the HIGH instead of "
+        "the low, on the -100..0 scale with -20/-80 bands). One shared "
+        "division of exact fixed-point integer differences; flat "
+        "windows pin %R = -50; only full 14-row windows emit. "
+        "Calendar-bounded per-type day table — no fact-grain window."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_williams_pct_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-13, W.currentRow)
+    win = _bars(t).select(
+        "event_type",
+        "day",
+        "c",
+        F.min("l").over(w).alias("l14"),
+        F.max("h").over(w).alias("h14"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    pct_r = (
+        "CASE WHEN h14 = l14 THEN -50.0"
+        " ELSE -100.0 * CAST(h14 - c AS DOUBLE) / CAST(h14 - l14 AS DOUBLE) END"
+    )
+    return (
+        win.filter(F.col("nw") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+            F.expr(pct_r).alias("pct_r"),
+            F.expr(f"{pct_r} > -20.0").alias("overbought"),
+            F.expr(f"{pct_r} < -80.0").alias("oversold"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_money_flow_index",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        tp AS (
+            SELECT event_type, day,
+                   h + l + c AS tp3,
+                   (h + l + c) * vol AS flow3,
+                   lag(h + l + c) OVER (PARTITION BY event_type ORDER BY day)
+                     AS tp3_prev
+            FROM bars
+        ),
+        fl AS (
+            SELECT event_type, day,
+                   CASE WHEN tp3 > tp3_prev THEN flow3 ELSE 0 END AS pos,
+                   CASE WHEN tp3 < tp3_prev THEN flow3 ELSE 0 END AS neg
+            FROM tp WHERE tp3_prev IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day,
+                   CAST(SUM(pos) OVER w AS BIGINT) AS sp,
+                   CAST(SUM(neg) OVER w AS BIGINT) AS sn,
+                   COUNT(*) OVER w AS nw
+            FROM fl
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day, sp AS pos_flow3, sn AS neg_flow3,
+               CASE WHEN sp + sn = 0 THEN 50.0
+                    ELSE 100.0 * CAST(sp AS DOUBLE)
+                         / CAST(sp + sn AS DOUBLE) END AS mfi
+        FROM win WHERE nw = 14
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W35: 14-day Money Flow Index per event type — the volume-"
+        "weighted RSI: raw money flow = typical price x volume, split "
+        "into up/down days by the typical-price direction, MFI = "
+        "100 * pos / (pos + neg). The x3-scaled typical price (h+l+c) "
+        "keeps every flow an exact BIGINT (the pivot-point trick), so "
+        "both 14-day flow sums are exact integers and the index is one "
+        "shared division (flat flow pins MFI = 50). Unchanged-tp days "
+        "contribute to neither side, per the classical definition; the "
+        "first day of each series (no direction) drops. Calendar-"
+        "bounded per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_money_flow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    tp = _bars(t).select(
+        "event_type",
+        "day",
+        (F.col("h") + F.col("l") + F.col("c")).alias("tp3"),
+        ((F.col("h") + F.col("l") + F.col("c")) * F.col("vol")).alias("flow3"),
+        F.lag(F.col("h") + F.col("l") + F.col("c")).over(wl).alias("tp3_prev"),
+    )
+    fl = tp.filter(F.col("tp3_prev").isNotNull()).select(
+        "event_type",
+        "day",
+        F.when(F.col("tp3") > F.col("tp3_prev"), F.col("flow3"))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+        F.when(F.col("tp3") < F.col("tp3_prev"), F.col("flow3"))
+        .otherwise(F.lit(0))
+        .alias("neg"),
+    )
+    wa = wl.rowsBetween(-13, W.currentRow)
+    win = fl.select(
+        "event_type",
+        "day",
+        F.sum("pos").over(wa).cast("bigint").alias("sp"),
+        F.sum("neg").over(wa).cast("bigint").alias("sn"),
+        F.count(F.lit(1)).over(wa).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.col("sp").alias("pos_flow3"),
+            F.col("sn").alias("neg_flow3"),
+            F.expr(
+                "CASE WHEN sp + sn = 0 THEN 50.0"
+                " ELSE 100.0 * CAST(sp AS DOUBLE) / CAST(sp + sn AS DOUBLE) END"
+            ).alias("mfi"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_vortex_indicator",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        lagged AS (
+            SELECT event_type, day, h, l,
+                   lag(h) OVER w AS h_prev,
+                   lag(l) OVER w AS l_prev,
+                   lag(c) OVER w AS c_prev
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        vm AS (
+            SELECT event_type, day,
+                   abs(h - l_prev) AS vmp,
+                   abs(l - h_prev) AS vmn,
+                   greatest(h - l, abs(h - c_prev), abs(l - c_prev)) AS tr
+            FROM lagged WHERE c_prev IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day,
+                   CAST(SUM(vmp) OVER w AS BIGINT) AS svp,
+                   CAST(SUM(vmn) OVER w AS BIGINT) AS svn,
+                   CAST(SUM(tr) OVER w AS BIGINT) AS str14,
+                   COUNT(*) OVER w AS nw
+            FROM vm
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CASE WHEN str14 = 0 THEN NULL
+                    ELSE CAST(svp AS DOUBLE) / CAST(str14 AS DOUBLE) END
+                 AS vi_plus,
+               CASE WHEN str14 = 0 THEN NULL
+                    ELSE CAST(svn AS DOUBLE) / CAST(str14 AS DOUBLE) END
+                 AS vi_minus,
+               svp > svn AS uptrend
+        FROM win WHERE nw = 14
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W36: 14-day Vortex indicator per event type — VI+ = "
+        "sum|high - low_prev| / sum(TR), VI- = sum|low - high_prev| / "
+        "sum(TR): the trend-direction oscillator built from the same "
+        "true-range denominator as ATR. Both vortex movements and the "
+        "true range are exact fixed-point integer differences, so each "
+        "14-day sum is an exact BIGINT and VI+/VI- are two shared "
+        "divisions (degenerate all-flat windows emit NULL); the "
+        "uptrend verdict (VI+ > VI-) compares the integer numerators "
+        "directly. First day of each series drops (no prior bar). "
+        "Calendar-bounded per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_vortex_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = _bars(t).select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        F.lag("h").over(wl).alias("h_prev"),
+        F.lag("l").over(wl).alias("l_prev"),
+        F.lag("c").over(wl).alias("c_prev"),
+    )
+    vm = lagged.filter(F.col("c_prev").isNotNull()).select(
+        "event_type",
+        "day",
+        F.abs(F.col("h") - F.col("l_prev")).alias("vmp"),
+        F.abs(F.col("l") - F.col("h_prev")).alias("vmn"),
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("c_prev")),
+            F.abs(F.col("l") - F.col("c_prev")),
+        ).alias("tr"),
+    )
+    wa = wl.rowsBetween(-13, W.currentRow)
+    win = vm.select(
+        "event_type",
+        "day",
+        F.sum("vmp").over(wa).cast("bigint").alias("svp"),
+        F.sum("vmn").over(wa).cast("bigint").alias("svn"),
+        F.sum("tr").over(wa).cast("bigint").alias("str14"),
+        F.count(F.lit(1)).over(wa).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CASE WHEN str14 = 0 THEN NULL"
+                " ELSE CAST(svp AS DOUBLE) / CAST(str14 AS DOUBLE) END"
+            ).alias("vi_plus"),
+            F.expr(
+                "CASE WHEN str14 = 0 THEN NULL"
+                " ELSE CAST(svn AS DOUBLE) / CAST(str14 AS DOUBLE) END"
+            ).alias("vi_minus"),
+            (F.col("svp") > F.col("svn")).alias("uptrend"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_force_index_sma",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        lagged AS (
+            SELECT event_type, day, c, vol,
+                   lag(c) OVER (PARTITION BY event_type ORDER BY day) AS c_prev
+            FROM bars
+        ),
+        fi AS (
+            SELECT event_type, day, (c - c_prev) * vol AS f
+            FROM lagged WHERE c_prev IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day, f,
+                   CAST(SUM(f) OVER w AS BIGINT) AS sf,
+                   COUNT(*) OVER w AS nw
+            FROM fi
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(f AS DOUBLE) / 10000.0 AS force_index,
+               CAST(sf AS DOUBLE) / 130000.0 AS force_sma13,
+               sf > 0 AS buying_pressure
+        FROM win WHERE nw = 13
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W37: Force index with a 13-day SMA per event type — "
+        "(close - close_prev) x volume, Elder's price-move-weighted-"
+        "by-participation signal. The raw force is an exact BIGINT "
+        "(fixed-point close delta x integer volume), the 13-day sum "
+        "stays integer, and both emitted doubles are single shared "
+        "divisions by constant scale factors (10000, 13 x 10000); the "
+        "buying-pressure verdict compares the integer sum to zero. "
+        "First day of each series drops; only full 13-row windows "
+        "emit. Calendar-bounded per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_force_index_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = _bars(t).select(
+        "event_type", "day", "c", "vol", F.lag("c").over(wl).alias("c_prev")
+    )
+    fi = lagged.filter(F.col("c_prev").isNotNull()).select(
+        "event_type",
+        "day",
+        ((F.col("c") - F.col("c_prev")) * F.col("vol")).alias("f"),
+    )
+    wa = wl.rowsBetween(-12, W.currentRow)
+    win = fi.select(
+        "event_type",
+        "day",
+        "f",
+        F.sum("f").over(wa).cast("bigint").alias("sf"),
+        F.count(F.lit(1)).over(wa).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 13)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(f AS DOUBLE) / 10000.0").alias("force_index"),
+            F.expr("CAST(sf AS DOUBLE) / 130000.0").alias("force_sma13"),
+            (F.col("sf") > 0).alias("buying_pressure"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_keltner_channel_sma",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        lagged AS (
+            SELECT event_type, day, h, l, c,
+                   lag(c) OVER (PARTITION BY event_type ORDER BY day) AS c_prev
+            FROM bars
+        ),
+        rows_ AS (
+            SELECT event_type, day, c,
+                   h + l + c AS tp3,
+                   greatest(h - l, abs(h - c_prev), abs(l - c_prev)) AS tr
+            FROM lagged WHERE c_prev IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day, c,
+                   CAST(SUM(tp3) OVER w AS BIGINT) AS stp3,
+                   CAST(SUM(tr) OVER w AS BIGINT) AS str10,
+                   COUNT(*) OVER w AS nw
+            FROM rows_
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ),
+        bands AS (
+            SELECT event_type, day, c,
+                   CAST(stp3 AS DOUBLE) / 300000.0 AS midline,
+                   2.0 * CAST(str10 AS DOUBLE) / 100000.0 AS band_width
+            FROM win WHERE nw = 10
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               midline,
+               midline + band_width AS upper_band,
+               midline - band_width AS lower_band,
+               CAST(c AS DOUBLE) / 10000.0 > midline + band_width
+                 AS above_upper,
+               CAST(c AS DOUBLE) / 10000.0 < midline - band_width
+                 AS below_lower
+        FROM bands
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W38: 10-day Keltner channel (SMA variant) per event type — "
+        "midline = SMA(typical price), bands at ±2 x SMA(true range): "
+        "the volatility envelope whose width tracks ATR instead of "
+        "standard deviation (the Bollinger sibling already in the "
+        "battery). The x3-scaled typical price and the true range are "
+        "exact integers, each 10-day sum an exact BIGINT; midline and "
+        "band width are single divisions by constant scales (3x10x1e4, "
+        "10x1e4), and upper/lower compose those two shared doubles "
+        "identically on both engines. First day drops (TR needs the "
+        "prior close); only full 10-row windows emit."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_keltner_channel_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = _bars(t).select(
+        "event_type", "day", "h", "l", "c", F.lag("c").over(wl).alias("c_prev")
+    )
+    rows_ = lagged.filter(F.col("c_prev").isNotNull()).select(
+        "event_type",
+        "day",
+        "c",
+        (F.col("h") + F.col("l") + F.col("c")).alias("tp3"),
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("c_prev")),
+            F.abs(F.col("l") - F.col("c_prev")),
+        ).alias("tr"),
+    )
+    wa = wl.rowsBetween(-9, W.currentRow)
+    win = rows_.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("tp3").over(wa).cast("bigint").alias("stp3"),
+        F.sum("tr").over(wa).cast("bigint").alias("str10"),
+        F.count(F.lit(1)).over(wa).alias("nw"),
+    )
+    bands = win.filter(F.col("nw") == 10).select(
+        "event_type",
+        "day",
+        "c",
+        F.expr("CAST(stp3 AS DOUBLE) / 300000.0").alias("midline"),
+        F.expr("2.0 * CAST(str10 AS DOUBLE) / 100000.0").alias("band_width"),
+    )
+    return bands.select(
+        "event_type",
+        "day",
+        F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+        "midline",
+        (F.col("midline") + F.col("band_width")).alias("upper_band"),
+        (F.col("midline") - F.col("band_width")).alias("lower_band"),
+        (F.expr("CAST(c AS DOUBLE) / 10000.0") > F.col("midline") + F.col("band_width")).alias(
+            "above_upper"
+        ),
+        (F.expr("CAST(c AS DOUBLE) / 10000.0") < F.col("midline") - F.col("band_width")).alias(
+            "below_lower"
+        ),
+    ).orderBy("event_type", "day")

@@ -160,6 +160,22 @@ _R6_QUERIES = frozenset(
     }
 )
 
+_R7_QUERIES = frozenset(
+    {
+        "window_williams_pct_r",
+        "window_money_flow_index",
+        "window_vortex_indicator",
+        "window_force_index_sma",
+        "window_keltner_channel_sma",
+        "stats_spearman_daily_corr",
+        "stats_runs_test_wald_wolfowitz",
+        "stats_mcnemar_paired_activity",
+        "stats_cochran_q_binary",
+        "stats_kendall_w_concordance",
+        "stats_brown_forsythe_variance",
+    }
+)
+
 
 def _survey_section(text: str, heading: str) -> str:
     start = text.index(heading)
@@ -207,6 +223,20 @@ def test_survey_216_pinned_to_registry():
     assert not missing, f"r6 queries absent from SURVEY §2.16: {sorted(missing)}"
     ghosts = documented - names
     assert not ghosts, f"SURVEY §2.16 references unknown queries: {sorted(ghosts)}"
+
+
+def test_survey_217_pinned_to_registry():
+    """SURVEY §2.17 must document every round-7 query, and only real
+    ones (the r5 #9 discipline: the inventory lands in the same commit
+    that registers the queries)."""
+    section = _survey_section(open(_SURVEY).read(), "### 2.17")
+    names = set(registry.load_all())
+    documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
+    assert _R7_QUERIES <= names, "r7 pin list drifted from registry"
+    missing = _R7_QUERIES - documented
+    assert not missing, f"r7 queries absent from SURVEY §2.17: {sorted(missing)}"
+    ghosts = documented - names
+    assert not ghosts, f"SURVEY §2.17 references unknown queries: {sorted(ghosts)}"
 
 
 def test_driver_sample_prefix_spans_every_module():
