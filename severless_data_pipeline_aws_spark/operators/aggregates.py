@@ -1523,3 +1523,213 @@ def agg_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_epoch", "hour_of_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions (SURVEY §2.17): the product-analytics activity tier —
+# DAU/WAU/MAU stickiness, new-vs-returning splits, and the Lorenz
+# concentration curve. All reduce facts to (user, day) / (customer)
+# grain in one hash agg; the day-grid joins are 30-row broadcasts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dau_wau_mau_stickiness",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        days_ AS (SELECT DISTINCT day FROM ud),
+        win AS (
+            SELECT d.day,
+                   COUNT(DISTINCT CASE WHEN u.day = d.day
+                                       THEN u.user_id END) AS dau,
+                   COUNT(DISTINCT CASE WHEN u.day >= d.day - INTERVAL 6 DAY
+                                       THEN u.user_id END) AS wau,
+                   COUNT(DISTINCT u.user_id) AS mau
+            FROM days_ d
+            JOIN ud u ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+            GROUP BY d.day
+        )
+        SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+               CAST(mau AS BIGINT) AS mau,
+               CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS dau_over_wau,
+               CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS dau_over_mau
+        FROM win
+        ORDER BY day
+    """,
+    doc=(
+        "A40: DAU / trailing-7-day WAU / trailing-30-day MAU per day "
+        "with the stickiness ratios (DAU/WAU, DAU/MAU) — the retention "
+        "pulse of every product dashboard. Facts reduce once to the "
+        "DISTINCT (user, day) table (the only fact-grain shuffle); the "
+        "30-row day grid then range-joins it broadcast-side, so each "
+        "day's three activity sets are counted in one pass. Counts "
+        "exact; the ratios two shared divisions (WAU/MAU >= DAU > 0 "
+        "by construction on active days, so no zero guard is needed)."
+    ),
+    tags=("agg", "funnel", "timeseries"),
+)
+def agg_dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ud = t.events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days_ = ud.select("day").distinct().withColumnRenamed("day", "d")
+    win = (
+        F.broadcast(days_)
+        .join(
+            ud,
+            F.expr("day BETWEEN date_sub(d, 29) AND d"),
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.expr("day >= date_sub(d, 6)"), F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+    )
+    return win.select(
+        F.col("d").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.expr("CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)").alias("dau_over_wau"),
+        F.expr("CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)").alias("dau_over_mau"),
+    ).orderBy("day")
+
+
+@register(
+    "agg_new_vs_returning_daily",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        first_ AS (
+            SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+        )
+        SELECT u.day,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN f.first_day = u.day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN f.first_day < u.day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning,
+               CAST(SUM(CASE WHEN f.first_day = u.day THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS new_share
+        FROM ud u JOIN first_ f ON u.user_id = f.user_id
+        GROUP BY u.day
+        ORDER BY u.day
+    """,
+    doc=(
+        "A41: daily new-vs-returning active-user split — the "
+        "acquisition/retention decomposition under every growth "
+        "report. First-seen day per user is one MIN fold over the "
+        "distinct (user, day) table; the split is a conditional "
+        "aggregate after an equi-join on user_id (at 100 TB the "
+        "first-seen table is user-cardinality metadata that "
+        "broadcast-joins the day grain). Counts exact BIGINT, the "
+        "share one shared division."
+    ),
+    tags=("agg", "funnel", "timeseries"),
+)
+def agg_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ud = t.events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first_ = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first_, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("first_day") < F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            "n_returning",
+            F.expr("CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE)").alias(
+                "new_share"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_lorenz_curve_deciles",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT cents,
+                   ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+            FROM spend
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS decile_cents
+            FROM tiled GROUP BY decile
+        )
+        SELECT decile, n_customers, decile_cents,
+               CAST(SUM(decile_cents) OVER (ORDER BY decile) AS DOUBLE)
+                   / CAST(SUM(decile_cents) OVER () AS DOUBLE)
+                 AS cum_revenue_share
+        FROM per
+        ORDER BY decile
+    """,
+    doc=(
+        "A42: Lorenz concentration curve — customers tiled into spend "
+        "deciles (deterministic (cents, custkey) tiebreak), cumulative "
+        "revenue share per decile: the 10-point curve under the Gini "
+        "coefficient already in the battery (reading: 'the top decile "
+        "holds X%% of revenue'). Spend folds to exact integer cents "
+        "per customer in one hash agg; the NTILE pass ranks customer-"
+        "cardinality metadata, and the 10-row cumulative share is one "
+        "shared division per point."
+    ),
+    tags=("agg", "funnel"),
+)
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    spend = t.orders.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    tiled = spend.select(
+        "cents", F.ntile(10).over(W.orderBy("cents", "o_custkey")).alias("decile")
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy()
+    return per.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (
+            F.sum("decile_cents").over(wc).cast("double")
+            / F.sum("decile_cents").over(wt).cast("double")
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")

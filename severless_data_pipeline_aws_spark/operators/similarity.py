@@ -2726,3 +2726,108 @@ def similarity_centroid_drift_split(spark: SparkSession, sf_dir: str) -> DataFra
             )
         ).alias("cosine_sim"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 addition (SURVEY §2.17 X3s): 1-bit (sign) embedding
+# quantization + exact Hamming top-k over the packed signatures.
+# ---------------------------------------------------------------------------
+
+_SIGN_Q = 8  # query block: vec_id < 8, the exact-topk precedent
+_SIGN_K = 10
+
+
+def _sign_word_spark(lo: int, hi: int) -> str:
+    """Spark expr: pack dims lo..hi (1-based, inclusive) into a BIGINT."""
+    return (
+        f"aggregate(transform(sequence({lo}, {hi}), "
+        f"i -> IF(element_at(v, i) > CAST(0.0 AS DOUBLE), "
+        f"shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def _sign_word_duck(lo: int, hi: int) -> str:
+    return (
+        f"list_reduce(list_transform(range({lo}, {hi} + 1), "
+        f"i -> CASE WHEN (CAST(embedding AS DOUBLE[]))[CAST(i AS INT)] > 0.0 "
+        f"THEN (1::BIGINT << CAST(i - {lo} AS INT)) ELSE 0::BIGINT END), "
+        "(a, b) -> a + b)"
+    )
+
+
+@register(
+    "similarity_sign_hamming_topk",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   {_sign_word_duck(1, 32)} AS w_lo,
+                   {_sign_word_duck(33, 64)} AS w_hi
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi
+              FROM sig WHERE vec_id < {_SIGN_Q}),
+        d AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   CAST(bit_count(xor(q_lo, w_lo))
+                        + bit_count(xor(q_hi, w_hi)) AS BIGINT) AS hamming
+            FROM q JOIN sig ON vec_id <> query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, neighbor_id) AS rank
+            FROM d
+        )
+        SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {_SIGN_K}
+        ORDER BY query_id, rank
+    """,
+    doc=(
+        "X3s: 1-bit sign quantization + Hamming-distance top-k — the "
+        "64x storage cut below even int8 quantization: each embedding "
+        "packs to two 32-bit sign words (the array-of-words signature "
+        "layout; a 64-bit word would overflow DuckDB's shift), and "
+        "candidate distance is two XOR popcounts — the retrieval "
+        "pattern behind binary-embedding ANN at 100 TB, where the "
+        "signature table fits in memory 64x earlier than the floats. "
+        "Query block broadcast (vec_id < 8, the exact-topk precedent); "
+        "top-10 per query with the (hamming, neighbor_id) tiebreak. "
+        "Bit-exact on both engines; sign(0) pins to the zero bit."
+    ),
+    tags=("similarity", "llm", "approx", "topk"),
+)
+def similarity_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    sig = t.embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).select(
+        "vec_id",
+        F.expr(_sign_word_spark(1, 32)).alias("w_lo"),
+        F.expr(_sign_word_spark(33, 64)).alias("w_hi"),
+    )
+    q = sig.filter(F.col("vec_id") < _SIGN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    d = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr("bit_count(q_lo ^ w_lo)") + F.expr("bit_count(q_hi ^ w_hi)")
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        d.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _SIGN_K)
+        .orderBy("query_id", "rank")
+    )

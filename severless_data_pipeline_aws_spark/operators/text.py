@@ -2316,3 +2316,150 @@ def text_frequency_spectrum_good_turing(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("freq_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions (SURVEY §2.17): Zipf rank-frequency profile and the
+# cross-language vocabulary-overlap matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_rank_frequency",
+    oracle="""
+        WITH wc AS (
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        ),
+        top AS (
+            SELECT word, freq,
+                   row_number() OVER (ORDER BY freq DESC, word) AS rank
+            FROM wc
+            ORDER BY freq DESC, word
+            LIMIT 30
+        )
+        SELECT rank, word, freq,
+               CAST(rank * freq AS BIGINT) AS rank_x_freq,
+               CAST(freq AS DOUBLE)
+                   / CAST(lead(freq) OVER (ORDER BY rank) AS DOUBLE)
+                 AS ratio_to_next
+        FROM top
+        ORDER BY rank
+    """,
+    doc=(
+        "X4x: Zipf rank-frequency profile of the corpus vocabulary — "
+        "the top-30 words with rank, frequency, the rank x frequency "
+        "product (constant under an ideal Zipf law, the eyeball "
+        "diagnostic), and the frequency ratio to the next rank. One "
+        "map-side-combined word count, a TakeOrdered top-30, then "
+        "30-row metadata windows; exact integers plus one shared "
+        "division (ln-free — the classical log-log slope needs ln, so "
+        "the profile emits the raw curve instead). Deterministic "
+        "(freq DESC, word) tiebreak."
+    ),
+    tags=("text", "llm", "topk"),
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    wc = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = (
+        wc.orderBy(F.desc("freq"), "word")
+        .limit(30)
+        .select(
+            "word",
+            "freq",
+            F.row_number().over(W.orderBy(F.desc("freq"), "word")).alias("rank"),
+        )
+    )
+    return top.select(
+        "rank",
+        "word",
+        "freq",
+        (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_x_freq"),
+        (
+            F.col("freq").cast("double")
+            / F.lead("freq").over(W.orderBy("rank")).cast("double")
+        ).alias("ratio_to_next"),
+    ).orderBy("rank")
+
+
+@register(
+    "text_vocab_overlap_langs",
+    oracle="""
+        WITH lv AS (
+            SELECT DISTINCT lang, w AS word
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+        ),
+        sizes AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab FROM lv GROUP BY lang
+        ),
+        inter AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM lv a JOIN lv b ON a.word = b.word AND a.lang < b.lang
+            GROUP BY a.lang, b.lang
+        )
+        SELECT i.lang_a, i.lang_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+               i.n_shared,
+               CAST(i.n_shared AS DOUBLE)
+                   / CAST(sa.vocab + sb.vocab - i.n_shared AS DOUBLE)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.lang = i.lang_a
+        JOIN sizes sb ON sb.lang = i.lang_b
+        ORDER BY lang_a, lang_b
+    """,
+    doc=(
+        "X4y: cross-language vocabulary-overlap matrix — exact Jaccard "
+        "between each language pair's distinct word sets: the signal "
+        "that catches mislabeled-language and code-switched documents "
+        "before language-targeted filtering (a high en/fr overlap "
+        "means the langid column lies). The per-lang vocabulary is one "
+        "distinct fold; pair intersections come from the INVERTED "
+        "equi-join on word (never a lang x lang cross of word sets) — "
+        "the same candidates-from-shared-tokens shape as the dedup "
+        "tier, linear in posting sizes at 100 TB. Counts exact, "
+        "Jaccard one shared inclusion-exclusion division."
+    ),
+    tags=("text", "llm", "dq"),
+)
+def text_vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    lv = t.documents.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    sizes = lv.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    a = lv.select(F.col("lang").alias("lang_a"), "word")
+    b = lv.select(F.col("lang").alias("lang_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared AS DOUBLE)"
+                " / CAST(vocab_a + vocab_b - n_shared AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -173,6 +173,17 @@ _R7_QUERIES = frozenset(
         "stats_cochran_q_binary",
         "stats_kendall_w_concordance",
         "stats_brown_forsythe_variance",
+        "agg_dau_wau_mau_stickiness",
+        "agg_new_vs_returning_daily",
+        "agg_lorenz_curve_deciles",
+        "text_zipf_rank_frequency",
+        "text_vocab_overlap_langs",
+        "similarity_sign_hamming_topk",
+        "graph_reciprocity_density",
+        "graph_rich_club_coefficient",
+        "sampling_temporal_holdout_split",
+        "join_interval_blackout_anti",
+        "multimodal_mp4_box_parse",
     }
 )
 

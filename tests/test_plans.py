@@ -755,6 +755,19 @@ _BNLJ_BOUNDED_OK = {
     "text_bm25_topk", "join_cross_bounded",
     # r6: 21-row power-of-two padding-bucket literal, broadcast range join
     "pipeline_length_bucket_padding_waste",
+    # r7 bounded broadcasts: one-row doubled-median scalar (runs test),
+    # one-row dims/ties scalars + the 5-type literal grid (Kendall W),
+    # the 30-row day grid range join (DAU/WAU/MAU), the 8-vector query
+    # block (sign-Hamming), one-row edge/node/reciprocity scalars
+    # (reciprocity), the 4-row threshold grid (rich club), and the
+    # 3-row blackout-window literal (interval anti)
+    "stats_runs_test_wald_wolfowitz",
+    "stats_kendall_w_concordance",
+    "agg_dau_wau_mau_stickiness",
+    "similarity_sign_hamming_topk",
+    "graph_reciprocity_density",
+    "graph_rich_club_coefficient",
+    "join_interval_blackout_anti",
 }
 
 
