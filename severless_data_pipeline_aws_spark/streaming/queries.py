@@ -752,3 +752,72 @@ def streaming_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     ).select("event_type", "event_id", "ts", "value")
     return _run_to_memory(stateful.running_extrema_walk(stream), "append")
+
+
+def _online_slope_oracle() -> str:
+    sx = "(n2 * (n2 + 1) // 2)"
+    sxx = "(n2 * (n2 + 1) * (2 * n2 + 1) // 6)"
+    return f"""
+        WITH RECURSIVE
+        base AS MATERIALIZED (
+            SELECT event_type, event_id, value AS v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE value IS NOT NULL
+        ),
+        walk AS (
+            SELECT event_type, 0::BIGINT AS rn, 0::BIGINT AS n,
+                   0e0 AS sy, 0e0 AS sxy,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS DOUBLE) AS slope
+            FROM (SELECT DISTINCT event_type FROM base)
+            UNION ALL
+            SELECT event_type, rn, n2 AS n, sy2 AS sy, sxy2 AS sxy,
+                   event_id, vv,
+                   CASE WHEN n2 < 2 THEN NULL
+                        ELSE (CAST(n2 AS DOUBLE) * sxy2
+                              - CAST({sx} AS DOUBLE) * sy2)
+                             / CAST(n2 * {sxx} - {sx} * {sx} AS DOUBLE)
+                   END
+            FROM (
+                SELECT w.event_type AS event_type, b.rn AS rn,
+                       w.n + 1 AS n2,
+                       w.sy + b.v AS sy2,
+                       w.sxy + CAST(w.n + 1 AS DOUBLE) * b.v AS sxy2,
+                       b.event_id AS event_id, b.v AS vv
+                FROM walk w
+                JOIN base b ON b.event_type = w.event_type
+                           AND b.rn = w.rn + 1
+            )
+        )
+        SELECT event_type, event_id, value, n, slope
+        FROM walk WHERE rn >= 1
+    """
+
+
+@register(
+    "streaming_online_regression_slope",
+    oracle=_online_slope_oracle(),  # + replay-equivalence in tests/test_streaming.py
+    doc=(
+        "Ninth custom stateful operator: online simple-regression "
+        "slope per event_type via applyInPandasWithState — THREE "
+        "scalars of state (n, sum y, sum i*y; the index sums are "
+        "closed forms of n), emitting after every event the OLS trend "
+        "of everything seen so far: the O(1)-state 'is this metric "
+        "drifting' detector, the streaming counterpart of the batch "
+        "rolling-trend and Theil-Sen tiers. Slope is NULL until two "
+        "points exist. The float fold order (sy += v, then "
+        "sxy += n*v, then the shared slope expression over exact "
+        "integer index sums) is pinned and mirrored verbatim by the "
+        "recursive-CTE oracle, so every emitted slope is hash-exact "
+        "on top of the stream == imperative-replay equivalence test "
+        "(tests/test_streaming.py)."
+    ),
+    tags=("streaming", "stateful", "timeseries"),
+)
+def streaming_online_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "event_id", "ts", "value")
+    return _run_to_memory(stateful.online_slope_walk(stream), "append")

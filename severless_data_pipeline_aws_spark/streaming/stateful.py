@@ -860,3 +860,101 @@ def running_extrema_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = running_extrema_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Ninth stateful operator (round 7): online simple-regression slope.
+# ---------------------------------------------------------------------------
+
+OLS_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n", LongType()),
+        StructField("slope", DoubleType()),
+    ]
+)
+
+#: (n, sum y, sum i*y) per key — sum i and sum i^2 are CLOSED FORMS of n
+OLS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sy", DoubleType()),
+        StructField("sxy", DoubleType()),
+    ]
+)
+
+
+def online_slope_steps(
+    state: tuple[int, float, float] | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple[int, float, float]]:
+    """Pure per-key online OLS-slope walk: THREE scalars of state (n,
+    sum y, sum i*y) — the index sums n(n+1)/2 and n(n+1)(2n+1)/6 are
+    closed forms, so the full regression lives in O(1) state however
+    much data streams through (the streaming trend detector under
+    every 'is this metric drifting' alert). slope over the first n
+    points = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), NULL until n = 2. The
+    float fold order (sy += v, then sxy += n*v, then the slope
+    expression) is pinned and mirrored verbatim by the recursive-CTE
+    oracle and the batch replay."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    n, sy, sxy = state if state is not None else (0, 0.0, 0.0)
+    ns: list[int] = []
+    slopes: list[float | None] = []
+    for row in pdf.itertuples(index=False):
+        v = float(row.value)
+        n += 1
+        sy += v
+        sxy += n * v
+        ns.append(n)
+        if n < 2:
+            slopes.append(None)
+        else:
+            sx = n * (n + 1) // 2
+            sxx = n * (n + 1) * (2 * n + 1) // 6
+            slopes.append((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    out = pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].values,
+            "event_id": pdf["event_id"].values,
+            "value": pdf["value"].values,
+            "n": pd.array(ns, dtype="int64"),
+            "slope": pd.array(slopes, dtype="float64"),
+        }
+    )
+    return out, (n, sy, sxy)
+
+
+def _apply_online_slope(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = online_slope_steps(st, pdf)
+        yield out
+    state.update((int(st[0]), float(st[1]), float(st[2])))
+
+
+def online_slope_walk(events: DataFrame) -> DataFrame:
+    """Streaming per-event_type online regression slope
+    (applyInPandasWithState). Batch twin:
+    ``online_slope_batch_replay``; tests assert stream == replay."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_online_slope,
+        outputStructType=OLS_OUT_SCHEMA,
+        stateStructType=OLS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def online_slope_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = online_slope_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

@@ -184,6 +184,7 @@ _R7_QUERIES = frozenset(
         "sampling_temporal_holdout_split",
         "join_interval_blackout_anti",
         "multimodal_mp4_box_parse",
+        "streaming_online_regression_slope",
     }
 )
 

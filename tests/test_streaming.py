@@ -1007,3 +1007,47 @@ def test_streaming_running_extrema_equals_batch_replay(spark, sf_dir):
     assert got == want
     assert all(0.0 <= p <= 1.0 for _, _, p in got.values())
     assert all(mn <= mx for mn, mx, _ in got.values())
+
+
+def test_streaming_online_slope_equals_batch_replay(spark, sf_dir):
+    """The streamed online regression slope must equal the single-
+    process imperative replay bit-for-bit — same pure step function,
+    same per-key order, 3-scalar state carried across Arrow chunks —
+    and the emitted n must count each key's events 1..n_k with slope
+    NULL exactly at n = 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        online_slope_batch_replay,
+    )
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return float(v)
+
+    got = {
+        r["event_id"]: (int(r["n"]), canon(r["slope"]))
+        for r in load_all()["streaming_online_regression_slope"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+        .toPandas()
+    )
+    want_pdf = online_slope_batch_replay(events_pdf)
+    want = {
+        int(r.event_id): (int(r.n), canon(r.slope))
+        for r in want_pdf.itertuples(index=False)
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+    assert all(s is None for n, s in got.values() if n == 1)
+    assert all(s is not None for n, s in got.values() if n >= 2)
