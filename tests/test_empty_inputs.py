@@ -224,6 +224,31 @@ REPRESENTATIVE = [
     "pipeline_epoch_shuffle_plan",
     "multimodal_png_header_parse",
     "iot_generator_invariants_audit",
+    # round-7 additions: TA windows, rank/concordance tests, activity
+    # aggregates, vocab overlap, sign-Hamming ANN, handoff graphs,
+    # holdout split, blackout anti-join, MP4 parse
+    "window_williams_pct_r",
+    "window_money_flow_index",
+    "window_vortex_indicator",
+    "window_force_index_sma",
+    "window_keltner_channel_sma",
+    "stats_spearman_daily_corr",
+    "stats_runs_test_wald_wolfowitz",
+    "stats_mcnemar_paired_activity",
+    "stats_cochran_q_binary",
+    "stats_kendall_w_concordance",
+    "stats_brown_forsythe_variance",
+    "agg_dau_wau_mau_stickiness",
+    "agg_new_vs_returning_daily",
+    "agg_lorenz_curve_deciles",
+    "text_zipf_rank_frequency",
+    "text_vocab_overlap_langs",
+    "similarity_sign_hamming_topk",
+    "graph_reciprocity_density",
+    "graph_rich_club_coefficient",
+    "sampling_temporal_holdout_split",
+    "join_interval_blackout_anti",
+    "multimodal_mp4_box_parse",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -266,6 +291,15 @@ _ALLOW_ONE_ROW = {
     "stats_sign_test_paired",
     "stats_srm_sample_ratio_mismatch",
     "stats_kpss_stationarity",
+    # r7: global aggregates that keep their one NULL-field row on empty
+    "stats_spearman_daily_corr",
+    "stats_runs_test_wald_wolfowitz",
+    "stats_mcnemar_paired_activity",
+    "stats_cochran_q_binary",
+    "stats_kendall_w_concordance",
+    "stats_brown_forsythe_variance",
+    "graph_reciprocity_density",
+    "sampling_temporal_holdout_split",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
