@@ -1700,8 +1700,10 @@ def agg_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue share per decile: the 10-point curve under the Gini "
         "coefficient already in the battery (reading: 'the top decile "
         "holds X%% of revenue'). Spend folds to exact integer cents "
-        "per customer in one hash agg; the NTILE pass ranks customer-"
-        "cardinality metadata, and the 10-row cumulative share is one "
+        "per customer in one hash agg; the decile assignment is the "
+        "bucket-offset global row number + the closed-form ANSI NTILE "
+        "(scalable.py — no global sort, no customer-grain single-"
+        "partition window), and the 10-row cumulative share is one "
         "shared division per point."
     ),
     tags=("agg", "funnel"),
@@ -1709,14 +1711,24 @@ def agg_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from .scalable import bucketed_row_number, ntile_from_rn
+
     t = Tables(spark, sf_dir)
     spend = t.orders.groupBy("o_custkey").agg(
         F.expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
             "cents"
         )
-    )
-    tiled = spend.select(
-        "cents", F.ntile(10).over(W.orderBy("cents", "o_custkey")).alias("decile")
+    ).localCheckpoint(eager=False)  # reused by the rank pass + the count
+    n = spend.agg(F.count(F.lit(1)).alias("n"))
+    tiled = (
+        bucketed_row_number(
+            spend,
+            F.expr("cents DIV 1048576"),
+            ["cents", "o_custkey"],
+            out="rn",
+        )
+        .crossJoin(F.broadcast(n))
+        .select("cents", ntile_from_rn("rn", "n", 10).alias("decile"))
     )
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -623,6 +623,9 @@ _SCALABLE_WINDOW_CAPS = {
     "text_frequency_spectrum_good_turing": 1,
     # r6: heatmap share over the <=168-cell grid
     "agg_weekday_hour_heatmap": 1,
+    # r7: Lorenz — bucket-offset NTILE prefix pass + the 10-row
+    # cum/total windows (bounded grid, like pareto's)
+    "agg_lorenz_curve_deciles": 3,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -768,6 +771,8 @@ _BNLJ_BOUNDED_OK = {
     "graph_reciprocity_density",
     "graph_rich_club_coefficient",
     "join_interval_blackout_anti",
+    # r7: one-row customer-count broadcast into the NTILE closed form
+    "agg_lorenz_curve_deciles",
 }
 
 
