@@ -1725,3 +1725,81 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_threshold")
     )
+
+
+@register(
+    "graph_bipartite_projection_topk",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+            FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.supp AS supp_a, b.supp AS supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_parts
+            FROM ps a JOIN ps b ON a.part = b.part AND a.supp < b.supp
+            GROUP BY a.supp, b.supp
+        ),
+        deg AS (
+            SELECT supp, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM ps GROUP BY supp
+        )
+        SELECT p.supp_a, p.supp_b, p.shared_parts,
+               da.n_parts AS parts_a, db.n_parts AS parts_b,
+               CAST(p.shared_parts AS DOUBLE)
+                   / CAST(da.n_parts + db.n_parts - p.shared_parts AS DOUBLE)
+                 AS overlap_jaccard
+        FROM pairs p
+        JOIN deg da ON da.supp = p.supp_a
+        JOIN deg db ON db.supp = p.supp_b
+        ORDER BY shared_parts DESC, supp_a, supp_b
+        LIMIT 25
+    """,
+    doc=(
+        "G20: weighted bipartite projection — collapse the part-"
+        "supplier graph onto suppliers, weighting each supplier pair "
+        "by shared-part count (the co-purchasing / co-occurrence "
+        "projection under supplier-substitution and recommendation "
+        "analyses), with the overlap Jaccard from broadcast per-"
+        "supplier degrees. Candidate pairs come from the INVERTED "
+        "equi-join on part (a part's supplier list is the posting — "
+        "pair space is sum of per-part list squares, never "
+        "|suppliers|^2); top-25 strongest pairs by the deterministic "
+        "(weight DESC, pair) order plan as TakeOrderedAndProject. "
+        "Exact integers + one shared division."
+    ),
+    tags=("graph", "join", "topk"),
+)
+def graph_bipartite_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ps = t.lineitem.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    a = ps.select("part", F.col("supp").alias("supp_a"))
+    b = ps.select("part", F.col("supp").alias("supp_b"))
+    pairs = (
+        a.join(b, "part")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_parts"))
+    )
+    deg = ps.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("n_parts").alias("parts_a"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("n_parts").alias("parts_b"))
+    return (
+        pairs.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_parts",
+            "parts_a",
+            "parts_b",
+            F.expr(
+                "CAST(shared_parts AS DOUBLE)"
+                " / CAST(parts_a + parts_b - shared_parts AS DOUBLE)"
+            ).alias("overlap_jaccard"),
+        )
+        .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
+        .limit(25)
+    )

@@ -7261,3 +7261,129 @@ def stats_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame
             "heteroscedastic_at_5pct"
         ),
     )
+
+
+#: the five order priorities, pinned — the Mantel-Haenszel pivot emits
+#: one 2x2 per stratum as columns (a=exposed-positive, b=exposed-
+#: negative, c=unexposed-positive, d=unexposed-negative, n=total) so
+#: the pooled estimator composes as ONE shared expression
+_MH_STRATA = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_MH_COLS = ("a", "b", "c", "d", "n")
+
+
+def _mh_or_expr() -> str:
+    """Pooled Mantel-Haenszel odds ratio over the pivoted one-row
+    strata — sum of per-stratum rationals in WRITTEN order (the
+    Brown-Forsythe determinism trick; a multiply-through common
+    denominator would overflow DECIMAL(38) past ~sf1)."""
+    num = " + ".join(
+        f"CAST(a_{i} AS DOUBLE) * CAST(d_{i} AS DOUBLE) / CAST(n_{i} AS DOUBLE)"
+        for i in range(len(_MH_STRATA))
+    )
+    den = " + ".join(
+        f"CAST(b_{i} AS DOUBLE) * CAST(c_{i} AS DOUBLE) / CAST(n_{i} AS DOUBLE)"
+        for i in range(len(_MH_STRATA))
+    )
+    return f"CASE WHEN ({den}) = 0.0 THEN NULL ELSE ({num}) / ({den}) END"
+
+
+def _mh_oracle() -> str:
+    pivot = ",\n                   ".join(
+        f"CAST(MAX(CASE WHEN o_orderpriority = '{s}' THEN {c} END) AS BIGINT)"
+        f" AS {c}_{i}"
+        for i, s in enumerate(_MH_STRATA)
+        for c in _MH_COLS
+    )
+    n_tot = " + ".join(f"n_{i}" for i in range(len(_MH_STRATA)))
+    return f"""
+        WITH cells AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                                  AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                                  AND o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                                  AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                                  AND o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+        ),
+        piv AS (SELECT {pivot} FROM cells)
+        SELECT CAST({n_tot} AS BIGINT) AS n_total,
+               CAST({len(_MH_STRATA)} AS BIGINT) AS k_strata,
+               {_mh_or_expr()} AS mh_odds_ratio
+        FROM piv
+    """
+
+
+@register(
+    "stats_mantel_haenszel_pooled_or",
+    oracle=_mh_oracle(),
+    doc=(
+        "ST78: Mantel-Haenszel pooled odds ratio — the stratified 2x2 "
+        "estimator (exposure = customer-key parity, outcome = order "
+        "total above the pinned 150k threshold, strata = the five "
+        "order priorities): does the exposure effect hold AFTER "
+        "controlling for the stratifying confounder, the workhorse of "
+        "every segmented A/B readout. Each stratum's 2x2 folds to "
+        "exact BIGINTs in one conditional aggregate; the five strata "
+        "pivot to ONE row (the pinned _MH_STRATA grid) so the pooled "
+        "sum-of-rationals has a WRITTEN term order — deterministic "
+        "float composition, no aggregation-order hazard, and no "
+        "DECIMAL-overflow from a common-denominator multiply-through. "
+        "One fact scan; everything after is a one-row fold."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_mantel_haenszel_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cells = t.orders.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when((F.col("o_custkey") % 2 == 0) & (F.col("o_totalprice") > 150000), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum(
+            F.when(
+                (F.col("o_custkey") % 2 == 0) & (F.col("o_totalprice") <= 150000), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("o_custkey") % 2 != 0) & (F.col("o_totalprice") > 150000), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("o_custkey") % 2 != 0) & (F.col("o_totalprice") <= 150000), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    piv = cells.agg(
+        *[
+            F.expr(
+                f"CAST(MAX(CASE WHEN o_orderpriority = '{s}' THEN {c} END)"
+                f" AS BIGINT) AS {c}_{i}"
+            )
+            for i, s in enumerate(_MH_STRATA)
+            for c in _MH_COLS
+        ]
+    )
+    n_tot = " + ".join(f"n_{i}" for i in range(len(_MH_STRATA)))
+    return piv.select(
+        F.expr(f"CAST({n_tot} AS BIGINT)").alias("n_total"),
+        F.lit(len(_MH_STRATA)).cast("bigint").alias("k_strata"),
+        F.expr(_mh_or_expr()).alias("mh_odds_ratio"),
+    )

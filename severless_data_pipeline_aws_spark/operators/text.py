@@ -2463,3 +2463,75 @@ def text_vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "text_code_like_score",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, n_chars,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[{}();=<>\\[\\]]', '', 'g'))
+                        AS BIGINT) AS n_code_chars,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS BIGINT) AS n_digits,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        AS BIGINT) AS n_spaces,
+                   CAST(length(text) AS BIGINT) AS n
+            FROM documents
+        )
+        SELECT doc_id, n_code_chars, n_digits,
+               CAST(n_code_chars AS DOUBLE) / CAST(n AS DOUBLE) AS code_char_ratio,
+               CAST(n_digits AS DOUBLE) / CAST(n AS DOUBLE) AS digit_ratio,
+               CAST(n_spaces AS DOUBLE) / CAST(n AS DOUBLE) AS space_ratio,
+               CAST(n_code_chars AS DOUBLE) / CAST(n AS DOUBLE) > 0.05
+                 AS code_like
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X4z: code-vs-prose heuristic per document — the ratio of "
+        "code-syntax characters ({}();=<> and brackets), digits, and "
+        "spaces to total length, with a code-like flag at the 5%% "
+        "syntax-char threshold: the cheap router that separates "
+        "natural-language from source-code documents before language-"
+        "specific quality filters (prose mis-scored by a code-trained "
+        "filter, and vice versa, is a classic curation bug). Pure "
+        "codegen column expressions — counts via regexp_replace "
+        "length deltas, identical POSIX classes on both engines; "
+        "map-only, zero shuffles."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_code_like_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = t.documents.select(
+        "doc_id",
+        F.expr(
+            "CAST(length(text)"
+            " - length(regexp_replace(text, '[{}();=<>\\\\[\\\\]]', ''))"
+            " AS BIGINT)"
+        ).alias("n_code_chars"),
+        F.expr(
+            "CAST(length(text) - length(regexp_replace(text, '[0-9]', ''))"
+            " AS BIGINT)"
+        ).alias("n_digits"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)"
+        ).alias("n_spaces"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("n"),
+    )
+    return m.select(
+        "doc_id",
+        "n_code_chars",
+        "n_digits",
+        F.expr("CAST(n_code_chars AS DOUBLE) / CAST(n AS DOUBLE)").alias(
+            "code_char_ratio"
+        ),
+        F.expr("CAST(n_digits AS DOUBLE) / CAST(n AS DOUBLE)").alias("digit_ratio"),
+        F.expr("CAST(n_spaces AS DOUBLE) / CAST(n AS DOUBLE)").alias("space_ratio"),
+        F.expr("CAST(n_code_chars AS DOUBLE) / CAST(n AS DOUBLE) > 0.05").alias(
+            "code_like"
+        ),
+    ).orderBy("doc_id")

@@ -3175,3 +3175,141 @@ def window_keltner_channel_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "below_lower"
         ),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "window_rolling_sharpe_ratio",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        lagged AS (
+            SELECT event_type, day, c,
+                   lag(c) OVER (PARTITION BY event_type ORDER BY day) AS c_prev
+            FROM bars
+        ),
+        rets AS (
+            SELECT event_type, day, c - c_prev AS r
+            FROM lagged WHERE c_prev IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day,
+                   CAST(SUM(r) OVER w AS BIGINT) AS s,
+                   CAST(SUM(r * r) OVER w AS BIGINT) AS q,
+                   COUNT(*) OVER w AS nw
+            FROM rets
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(s AS DOUBLE) / 140000.0 AS mean_return,
+               CASE WHEN 14 * q - s * s <= 0 THEN NULL
+                    ELSE CAST(s AS DOUBLE)
+                         / sqrt(CAST(14 * q - s * s AS DOUBLE) / 14.0) END
+                 AS sharpe_like
+        FROM win WHERE nw = 14
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W39: 14-day rolling Sharpe-like ratio per event type — mean "
+        "daily close change over its same-window standard deviation "
+        "(zero risk-free rate), the risk-adjusted-trend window that "
+        "complements the raw trend tier. Daily returns are exact "
+        "fixed-point integers, so the window mean and variance come "
+        "from two exact BIGINT power sums (S, Q) and the ratio "
+        "S / sqrt((n*Q - S^2)/n) is one shared IEEE expression "
+        "(constant-variance windows emit NULL). Only full 14-row "
+        "windows emit; first day of each series drops. Calendar-"
+        "bounded per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_rolling_sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = _bars(t).select(
+        "event_type", "day", "c", F.lag("c").over(wl).alias("c_prev")
+    )
+    rets = lagged.filter(F.col("c_prev").isNotNull()).select(
+        "event_type", "day", (F.col("c") - F.col("c_prev")).alias("r")
+    )
+    wa = wl.rowsBetween(-13, W.currentRow)
+    win = rets.select(
+        "event_type",
+        "day",
+        F.sum("r").over(wa).cast("bigint").alias("s"),
+        F.sum(F.col("r") * F.col("r")).over(wa).cast("bigint").alias("q"),
+        F.count(F.lit(1)).over(wa).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(s AS DOUBLE) / 140000.0").alias("mean_return"),
+            F.expr(
+                "CASE WHEN 14 * q - s * s <= 0 THEN NULL"
+                " ELSE CAST(s AS DOUBLE)"
+                " / sqrt(CAST(14 * q - s * s AS DOUBLE) / 14.0) END"
+            ).alias("sharpe_like"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_drawdown_from_peak",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        run AS (
+            SELECT event_type, day, c,
+                   MAX(c) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS peak
+            FROM bars
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(peak AS DOUBLE) / 10000.0 AS running_peak,
+               CAST(peak - c AS BIGINT) AS drawdown_fp,
+               CASE WHEN peak = 0 THEN NULL
+                    ELSE CAST(peak - c AS DOUBLE) / CAST(peak AS DOUBLE) END
+                 AS drawdown_pct,
+               c < peak AS underwater
+        FROM run
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W40: drawdown from the running peak per event type — how far "
+        "below its historical maximum each day closes, the risk metric "
+        "every monitoring dashboard derives from a cumulative series "
+        "(and the building block of max-drawdown/recovery-time "
+        "reports). The running peak is a cumulative MAX — a SELECTION, "
+        "not an accumulation, so it is exact on the fixed-point "
+        "integers at any length (the same property that made the "
+        "streaming extrema op oracle-able without recursion); the "
+        "integer gap and one shared division emit alongside the "
+        "underwater flag. One day-grain window per type."
+    ),
+    tags=("window", "timeseries", "anomaly"),
+)
+def window_drawdown_from_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = _bars(t).select(
+        "event_type", "day", "c", F.max("c").over(wc).alias("peak")
+    )
+    return run.select(
+        "event_type",
+        "day",
+        F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+        F.expr("CAST(peak AS DOUBLE) / 10000.0").alias("running_peak"),
+        (F.col("peak") - F.col("c")).cast("bigint").alias("drawdown_fp"),
+        F.expr(
+            "CASE WHEN peak = 0 THEN NULL"
+            " ELSE CAST(peak - c AS DOUBLE) / CAST(peak AS DOUBLE) END"
+        ).alias("drawdown_pct"),
+        (F.col("c") < F.col("peak")).alias("underwater"),
+    ).orderBy("event_type", "day")

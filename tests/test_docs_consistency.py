@@ -185,6 +185,11 @@ _R7_QUERIES = frozenset(
         "join_interval_blackout_anti",
         "multimodal_mp4_box_parse",
         "streaming_online_regression_slope",
+        "stats_mantel_haenszel_pooled_or",
+        "window_rolling_sharpe_ratio",
+        "window_drawdown_from_peak",
+        "text_code_like_score",
+        "graph_bipartite_projection_topk",
     }
 )
 
