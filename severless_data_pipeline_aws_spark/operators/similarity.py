@@ -2831,3 +2831,116 @@ def similarity_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SIGN_K)
         .orderBy("query_id", "rank")
     )
+
+
+_HAM_PREFILTER = 50  # stage-1 candidate pool per query
+
+
+@register(
+    "similarity_hamming_prefilter_rerank",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   {_sign_word_duck(1, 32)} AS w_lo,
+                   {_sign_word_duck(33, 64)} AS w_hi
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, w_lo AS q_lo, w_hi AS q_hi
+              FROM sig WHERE vec_id < {_SIGN_Q}),
+        d AS (
+            SELECT query_id, qv, vec_id AS neighbor_id, v AS cv,
+                   CAST(bit_count(xor(q_lo, w_lo))
+                        + bit_count(xor(q_hi, w_hi)) AS BIGINT) AS hamming
+            FROM q JOIN sig ON vec_id <> query_id
+        ),
+        pool AS (
+            SELECT query_id, neighbor_id, qv, cv, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, neighbor_id) AS hrank
+            FROM d
+        ),
+        rescored AS (
+            SELECT query_id, neighbor_id, hamming,
+                   list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))) AS cosine
+            FROM pool WHERE hrank <= {_HAM_PREFILTER}
+        )
+        SELECT query_id, neighbor_id, hamming, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id)
+                        AS rank
+            FROM rescored
+        )
+        WHERE rank <= {_SIGN_K}
+        ORDER BY query_id, rank
+    """,
+    doc=(
+        "X3t: two-stage retrieval with a 1-bit prefilter — stage 1 "
+        "ranks ALL candidates by packed-sign Hamming distance (two XOR "
+        "popcounts on the 64x-compressed signatures) and keeps a "
+        "50-candidate pool per query; stage 2 rescores ONLY the pool "
+        "with exact double-precision cosine and keeps the top-10: the "
+        "cheap-filter/exact-rerank cascade that makes binary "
+        "signatures production-useful at 100 TB (the float vectors are "
+        "touched for 50 rows per query, not the corpus). Both stages "
+        "deterministic ((hamming, id) and (cosine DESC, id) "
+        "tiebreaks), so the full cascade is hash-exact; the cosine "
+        "fold matches DuckDB's list_dot_product order like the exact "
+        "tier. Stage-1 recall vs the exact top-k is asserted in "
+        "tests/test_llm_ops.py."
+    ),
+    tags=("similarity", "llm", "approx", "topk"),
+)
+def similarity_hamming_prefilter_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    sig = t.embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).select(
+        "vec_id",
+        "v",
+        F.expr(_sign_word_spark(1, 32)).alias("w_lo"),
+        F.expr(_sign_word_spark(33, 64)).alias("w_hi"),
+    )
+    q = sig.filter(F.col("vec_id") < _SIGN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    d = sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qv",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        (F.expr("bit_count(q_lo ^ w_lo)") + F.expr("bit_count(q_hi ^ w_hi)"))
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    wh = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    pool = d.withColumn("hrank", F.row_number().over(wh)).filter(
+        F.col("hrank") <= _HAM_PREFILTER
+    )
+    rescored = pool.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            )
+        ).alias("cosine"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _SIGN_K)
+        .orderBy("query_id", "rank")
+    )

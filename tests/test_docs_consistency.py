@@ -190,6 +190,7 @@ _R7_QUERIES = frozenset(
         "window_drawdown_from_peak",
         "text_code_like_score",
         "graph_bipartite_projection_topk",
+        "similarity_hamming_prefilter_rerank",
     }
 )
 

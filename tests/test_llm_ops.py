@@ -560,3 +560,46 @@ def test_ivf_index_persist_reload_query(spark, sf_dir, tmp_path):
     # partition column — only probed cells' files are read
     plan = got1._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_hamming_prefilter_recall_vs_exact(spark, sf_dir):
+    """The 1-bit prefilter cascade must (a) only rescore candidates
+    that survived stage 1, (b) rank its pool by exact cosine, and (c)
+    recover a reasonable share of the float-exact top-k (>= 40% at
+    this SF — sign bits keep coarse direction, not magnitudes) for the
+    queries both tiers share."""
+    from severless_data_pipeline_aws_spark.operators.similarity import (
+        _N_QUERIES,
+        _SIGN_Q,
+    )
+
+    casc = SPECS["similarity_hamming_prefilter_rerank"].fn(spark, sf_dir).collect()
+    exact = SPECS["similarity_topk_cosine_exact"].fn(spark, sf_dir).collect()
+    shared_q = range(min(_N_QUERIES, _SIGN_Q))
+    got = {
+        q: {r["neighbor_id"] for r in casc if r["query_id"] == q} for q in shared_q
+    }
+    # exact tier excludes other query vectors from its candidate pool;
+    # mirror that here for a like-for-like recall
+    want = {
+        q: {
+            r["neighbor_id"]
+            for r in exact
+            if r["query_id"] == q and r["neighbor_id"] >= _N_QUERIES
+        }
+        for q in shared_q
+    }
+    recalls = []
+    for q in shared_q:
+        comparable = got[q] - set(range(_N_QUERIES))
+        if want[q]:
+            recalls.append(len(comparable & want[q]) / len(want[q]))
+    assert recalls and sum(recalls) / len(recalls) >= 0.4, recalls
+    # per-query cosine must be non-increasing with rank
+    by_q: dict = {}
+    for r in casc:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        cos = [c for _, c in pairs]
+        assert all(a >= b for a, b in zip(cos, cos[1:])), (q, cos)

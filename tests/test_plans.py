@@ -773,6 +773,8 @@ _BNLJ_BOUNDED_OK = {
     "join_interval_blackout_anti",
     # r7: one-row customer-count broadcast into the NTILE closed form
     "agg_lorenz_curve_deciles",
+    # r7: the same 8-vector query-block broadcast as sign-Hamming
+    "similarity_hamming_prefilter_rerank",
 }
 
 
