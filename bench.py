@@ -233,6 +233,7 @@ def main() -> None:
         "regression_notes": notes,
         "stale_notes_dropped": dropped,
         "r01_drift_note": _R01_DRIFT_NOTE,
+        "prefix_jaccard_closure_note": _PREFIX_JACCARD_CLOSURE_NOTE,
         "scale_sweep": _scale_sweep_summary(),
     }
     # The driver captures stdout with a length limit that truncated the
@@ -296,6 +297,20 @@ _R01_DRIFT_NOTE = (
     "r2-r5 monotone creep 1.71->1.98->2.18->2.43s closed as min-of-3 "
     "sampling noise: r6 isolated min-of-5 of the same 5 queries = 1.85s "
     "(flagship 1.05s), inside the r2-r3 band; plans unchanged."
+)
+
+#: r6 verdict #4 — the 2.89->4.42s (1.53x) flag shipped without a
+#: closure note. Closed in r7 with numbers: isolated min-of-5 at sf0.1
+#: = [14.06, 5.17, 5.09, 3.94, 3.88] -> 3.88s, in-suite r7 bench
+#: 3.25s (back inside the 1.4x band of every prior round, so the
+#: conditional _NOTE_CANDIDATES entry self-pruned as designed);
+#: dedup.py untouched since the query landed, sf1 sweep exponent
+#: 0.998 (sub-linear). Host variance, not a plan defect.
+_PREFIX_JACCARD_CLOSURE_NOTE = (
+    "r6 flagged 2.89->4.42s (1.53x) with no note; r7 isolated min-of-5 "
+    "= 3.88s and the in-suite run measured 3.25s — back inside every "
+    "prior round's 1.4x band (plan unchanged, sf1 exponent 0.998). "
+    "Watch closed."
 )
 
 
