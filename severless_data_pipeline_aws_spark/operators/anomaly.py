@@ -369,3 +369,107 @@ def anomaly_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers")
         )
     )
+
+
+@register(
+    "anomaly_iqr_tukey_fences",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        q AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_cont(x, 0.25) AS q1,
+                   quantile_cont(x, 0.75) AS q3
+            FROM pts GROUP BY event_type
+        ),
+        fences AS (
+            SELECT event_type, n, q1, q3,
+                   q1 - 1.5 * (q3 - q1) AS lo_fence,
+                   q3 + 1.5 * (q3 - q1) AS hi_fence
+            FROM q
+        )
+        SELECT f.event_type, f.n,
+               f.q1 / 10000.0 AS q1,
+               f.q3 / 10000.0 AS q3,
+               f.lo_fence / 10000.0 AS lo_fence,
+               f.hi_fence / 10000.0 AS hi_fence,
+               CAST(SUM(CASE WHEN p.x < f.lo_fence THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_outliers,
+               CAST(SUM(CASE WHEN p.x > f.hi_fence THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high_outliers,
+               CAST(SUM(CASE WHEN p.x < f.lo_fence OR p.x > f.hi_fence
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(f.n AS DOUBLE) AS outlier_rate
+        FROM pts p JOIN fences f ON p.event_type = f.event_type
+        GROUP BY f.event_type, f.n, f.q1, f.q3, f.lo_fence, f.hi_fence
+        ORDER BY f.event_type
+    """,
+    doc=(
+        "Tukey boxplot fences per event type: outliers beyond "
+        "[Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the distribution-free outlier "
+        "screen every monitoring system runs beside the z-score "
+        "(which assumes normality) and MAD (which this complements at "
+        "the quartile grain). Values quantize to 1e-4 fixed-point "
+        "integers so the quarter-fraction quantile interpolation is "
+        "bit-identical cross-engine (the Bowley contract); fences are "
+        "one shared expression, and the second fact pass counts "
+        "fence-crossers against the BROADCAST per-type fence table. "
+        "Exact counts, one shared rate division."
+    ),
+    tags=("anomaly", "stats", "quantile"),
+)
+def anomaly_iqr_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pts = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x")
+    )
+    q = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(x, 0.25)").alias("q1"),
+        F.expr("percentile(x, 0.75)").alias("q3"),
+    )
+    fences = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        F.expr("q1 - 1.5 * (q3 - q1)").alias("lo_fence"),
+        F.expr("q3 + 1.5 * (q3 - q1)").alias("hi_fence"),
+    )
+    return (
+        pts.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "n", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("lo_fence"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("x") > F.col("hi_fence"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_outliers"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("x") < F.col("lo_fence"))
+                        | (F.col("x") > F.col("hi_fence")),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.col("n").cast("double")
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr("q1 / 10000.0").alias("q1"),
+            F.expr("q3 / 10000.0").alias("q3"),
+            F.expr("lo_fence / 10000.0").alias("lo_fence"),
+            F.expr("hi_fence / 10000.0").alias("hi_fence"),
+            "n_low_outliers",
+            "n_high_outliers",
+            "outlier_rate",
+        )
+        .orderBy("event_type")
+    )

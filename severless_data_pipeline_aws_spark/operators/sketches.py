@@ -481,3 +481,107 @@ def sketch_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("type_a", "type_b")
     )
+
+
+_BLOOM_AUDIT_BITS = 65536  # m: 1024 x 64-bit words, map-backed
+_BLOOM_AUDIT_K = 3
+
+
+@register(
+    "sketch_bloom_membership_audit",
+    # verdict-oracle form (the r6 sketch pattern): exact member /
+    # non-member counts + deterministic booleans the oracle asserts
+    # literally TRUE — a bloom filter that ever false-negatives, or
+    # whose false-positive rate escapes the LOAD-AWARE bound,
+    # hash-mismatches at the driver instead of hiding behind no_oracle.
+    oracle="""
+        WITH u AS (SELECT DISTINCT user_id FROM events)
+        SELECT CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nonmembers,
+               TRUE AS no_false_negatives,
+               TRUE AS fp_rate_within_bound
+    FROM u
+    """,
+    doc=(
+        "X6 extension: bloom-filter membership audit — build a 65536-"
+        "bit, 3-probe xxhash64 bloom over the member user set "
+        "(user_id %% 3 = 0, a deterministic subset so non-members "
+        "exist at every SF; the same hand-rolled construction as "
+        "join_bloom_prefilter_semireduction), probe EVERY distinct "
+        "user, and verify the two guarantees that make blooms usable "
+        "as join prefilters at 100 TB: zero false negatives "
+        "(definitional — a FALSE means corrupt filter bits) and a "
+        "false-positive rate within the LOAD-AWARE bound 1.5 x "
+        "(1 - e^(-k n/m))^k + slack, computed from the exact member "
+        "count so the verdict tracks the sketch's actual guarantee at "
+        "any SF (the ADVICE-r6 lesson: hardcoded bounds flip on "
+        "bigger corpora). Filter words live in a broadcast MAP (one "
+        "row); probes are map-only bit tests."
+    ),
+    tags=("sketch", "approx", "join"),
+)
+def sketch_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, k = _BLOOM_AUDIT_BITS, _BLOOM_AUDIT_K
+    t = Tables(spark, sf_dir)
+    u = t.events.select("user_id").distinct()
+    members = u.filter(F.col("user_id") % 3 == 0)
+
+    def positions(key: str) -> list[str]:
+        return [
+            f"pmod(pmod(xxhash64({key}, {s}), {m}) + {m}, {m})"
+            for s in range(k)
+        ]
+
+    probe_rows = members.selectExpr(
+        f"explode(array({', '.join(positions('user_id'))})) AS pos"
+    )
+    words = (
+        probe_rows.select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bm")
+    )
+    hit = " AND ".join(
+        f"((coalesce(element_at(bm, CAST(({p}) DIV 64 AS INT)),"
+        f" CAST(0 AS BIGINT)) >> CAST(({p}) % 64 AS INT))"
+        " & CAST(1 AS BIGINT)) = CAST(1 AS BIGINT)"
+        for p in positions("user_id")
+    )
+    probed = u.crossJoin(F.broadcast(bloom)).select(
+        "user_id",
+        (F.col("user_id") % 3 == 0).alias("is_member"),
+        F.expr(hit).alias("hits"),
+    )
+    agg = probed.agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonmembers"),
+        F.coalesce(
+            F.expr("bool_and(NOT is_member OR hits)"), F.lit(True)
+        ).alias("no_false_negatives"),
+        F.sum(F.when(~F.col("is_member") & F.col("hits"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fp"),
+    )
+    return agg.select(
+        "n_members",
+        "n_nonmembers",
+        "no_false_negatives",
+        F.expr(
+            f"CAST(n_fp AS DOUBLE) <= 1.5 * pow(1.0 - exp(-{k}.0"
+            f" * CAST(n_members AS DOUBLE) / {m}.0), {k})"
+            " * CAST(n_nonmembers AS DOUBLE) + 5.0"
+        ).alias("fp_rate_within_bound"),
+    )

@@ -7387,3 +7387,90 @@ def stats_mantel_haenszel_pooled_or(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(len(_MH_STRATA)).cast("bigint").alias("k_strata"),
         F.expr(_mh_or_expr()).alias("mh_odds_ratio"),
     )
+
+
+@register(
+    "stats_trimmed_mean_comparison",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 10000) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY x, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS ng
+            FROM pts
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(MAX(ng) AS BIGINT) AS n,
+                   CAST(MAX(ng) - 2 * (MAX(ng) // 10) AS BIGINT) AS n_trimmed,
+                   CAST(SUM(x) AS BIGINT) AS s_all,
+                   CAST(SUM(CASE WHEN rn > ng // 10 AND rn <= ng - ng // 10
+                                 THEN x ELSE 0 END) AS BIGINT) AS s_trim
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n, n_trimmed,
+               CAST(s_all AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+                 AS raw_mean,
+               CAST(s_trim AS DOUBLE) / (CAST(n_trimmed AS DOUBLE) * 10000.0)
+                 AS trimmed_mean,
+               CAST(s_all AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+                 - CAST(s_trim AS DOUBLE) / (CAST(n_trimmed AS DOUBLE) * 10000.0)
+                 AS tail_pull
+        FROM agg
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST79: 10%% two-sided trimmed mean vs the raw mean per event "
+        "type — the robust-location diagnostic whose GAP (tail_pull) "
+        "quantifies how much the tails drag the mean, the cheap test "
+        "for 'is my average a tail artifact' before winsorization "
+        "picks a clip. Values quantize to fixed-point integers; the "
+        "per-type rank pass uses the deterministic (x, event_id) "
+        "order, trim bounds are integer floor-divisions, and the "
+        "three emitted doubles are shared single divisions of exact "
+        "BIGINT sums (tail_pull composes the two written-order). One "
+        "windowed fact pass partitioned by type, one hash agg."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_trimmed_mean_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+    )
+    ranked = pts.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("x", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("ng"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("ng").cast("bigint").alias("n"),
+        F.expr("CAST(MAX(ng) - 2 * (MAX(ng) DIV 10) AS BIGINT)").alias("n_trimmed"),
+        F.sum("x").cast("bigint").alias("s_all"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rn > ng DIV 10 AND rn <= ng - ng DIV 10"
+            " THEN x ELSE 0 END) AS BIGINT)"
+        ).alias("s_trim"),
+    )
+    raw = "CAST(s_all AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)"
+    trm = "CAST(s_trim AS DOUBLE) / (CAST(n_trimmed AS DOUBLE) * 10000.0)"
+    return agg.select(
+        "event_type",
+        "n",
+        "n_trimmed",
+        F.expr(raw).alias("raw_mean"),
+        F.expr(trm).alias("trimmed_mean"),
+        F.expr(f"{raw} - {trm}").alias("tail_pull"),
+    ).orderBy("event_type")

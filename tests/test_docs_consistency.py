@@ -191,6 +191,9 @@ _R7_QUERIES = frozenset(
         "text_code_like_score",
         "graph_bipartite_projection_topk",
         "similarity_hamming_prefilter_rerank",
+        "stats_trimmed_mean_comparison",
+        "anomaly_iqr_tukey_fences",
+        "sketch_bloom_membership_audit",
     }
 )
 

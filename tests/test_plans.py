@@ -775,6 +775,8 @@ _BNLJ_BOUNDED_OK = {
     "agg_lorenz_curve_deciles",
     # r7: the same 8-vector query-block broadcast as sign-Hamming
     "similarity_hamming_prefilter_rerank",
+    # r7: one-row map-backed bloom-words broadcast into the probe scan
+    "sketch_bloom_membership_audit",
 }
 
 
