@@ -249,6 +249,15 @@ REPRESENTATIVE = [
     "sampling_temporal_holdout_split",
     "join_interval_blackout_anti",
     "multimodal_mp4_box_parse",
+    "stats_mantel_haenszel_pooled_or",
+    "window_rolling_sharpe_ratio",
+    "window_drawdown_from_peak",
+    "text_code_like_score",
+    "graph_bipartite_projection_topk",
+    "similarity_hamming_prefilter_rerank",
+    "stats_trimmed_mean_comparison",
+    "anomaly_iqr_tukey_fences",
+    "sketch_bloom_membership_audit",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -300,6 +309,8 @@ _ALLOW_ONE_ROW = {
     "stats_brown_forsythe_variance",
     "graph_reciprocity_density",
     "sampling_temporal_holdout_split",
+    "stats_mantel_haenszel_pooled_or",
+    "sketch_bloom_membership_audit",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
