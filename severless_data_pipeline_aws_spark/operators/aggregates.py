@@ -1745,3 +1745,90 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("decile_cents").over(wt).cast("double")
         ).alias("cum_revenue_share"),
     ).orderBy("decile")
+
+
+@register(
+    "agg_growth_accounting_daily",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        first_ AS (
+            SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+        ),
+        tagged AS (
+            SELECT u.user_id, u.day, f.first_day,
+                   EXISTS (SELECT 1 FROM ud p
+                           WHERE p.user_id = u.user_id
+                             AND p.day = u.day - INTERVAL 1 DAY)
+                     AS active_yday
+            FROM ud u JOIN first_ f ON u.user_id = f.user_id
+        )
+        SELECT day,
+               CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN first_day < day AND active_yday
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN first_day < day AND NOT active_yday
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM tagged
+        GROUP BY day
+        ORDER BY day
+    """,
+    doc=(
+        "A43: daily growth accounting — every active user classified "
+        "as NEW (first-ever day), RETAINED (also active yesterday) or "
+        "RESURRECTED (returning after a gap): the decomposition "
+        "(active_t = new + retained + resurrected, with churn as "
+        "yesterday's actives minus today's retained) that turns a "
+        "flat DAU line into a growth diagnosis. The distinct "
+        "(user, day) table self-joins on (user, day-1) — an equi-join "
+        "on the activity key, never a window over user history — plus "
+        "the first-seen MIN fold; all counts exact BIGINT from one "
+        "conditional aggregate."
+    ),
+    tags=("agg", "funnel", "timeseries"),
+)
+def agg_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ud = t.events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first_ = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    prev = ud.select(
+        "user_id", F.expr("date_add(day, 1)").alias("day"), F.lit(True).alias("ay")
+    )
+    tagged = (
+        ud.join(first_, "user_id")
+        .join(prev, ["user_id", "day"], "left")
+        .select(
+            "day",
+            "first_day",
+            F.coalesce(F.col("ay"), F.lit(False)).alias("active_yday"),
+        )
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(
+                F.when(
+                    (F.col("first_day") < F.col("day")) & F.col("active_yday"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(
+                F.when(
+                    (F.col("first_day") < F.col("day")) & ~F.col("active_yday"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        )
+        .orderBy("day")
+    )

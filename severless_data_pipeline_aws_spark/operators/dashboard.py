@@ -2139,3 +2139,75 @@ def dq_accepted_values_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("column_name")
+
+
+#: (table, pk column) pairs audited for uniqueness — the schema's
+#: declared primary keys
+_PK_AUDIT = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+@register(
+    "dq_primary_key_uniqueness_audit",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{tbl}' AS table_name, '{col}' AS pk_column,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               COUNT(*) = COUNT(DISTINCT {col})
+                 AND SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) = 0
+                 AS pk_valid
+        FROM {tbl}"""
+        for tbl, col in _PK_AUDIT
+    )
+    + "\n        ORDER BY table_name",
+    doc=(
+        "DQ14: primary-key uniqueness audit across all nine keyed "
+        "tables — row count vs distinct-key count vs null-key count "
+        "with a per-table validity verdict: the dbt `unique` + "
+        "`not_null` test pair as one nine-row report, the first gate "
+        "of any warehouse load (a duplicated or null PK silently "
+        "corrupts every downstream join). Each table contributes one "
+        "hash aggregate (count-distinct at key grain — the only "
+        "shuffle, per table); lineitem is deliberately absent (its "
+        "key is the composite (orderkey, linenumber), audited by "
+        "dq_referential_integrity_audit)."
+    ),
+    tags=("dq", "agg"),
+)
+def dq_primary_key_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    parts = []
+    for tbl, col in _PK_AUDIT:
+        parts.append(
+            getattr(t, tbl).agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("pk_column"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(col).cast("bigint").alias("n_distinct"),
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null"),
+                (
+                    (F.count(F.lit(1)) == F.countDistinct(col))
+                    & (
+                        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)) == 0
+                    )
+                ).alias("pk_valid"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")

@@ -2535,3 +2535,56 @@ def text_code_like_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_like"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_sentence_length_stats",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, '.', '')) + 1
+                        AS BIGINT) AS n_sentences,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_words
+            FROM documents
+        )
+        SELECT doc_id, n_sentences, n_words,
+               CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                 AS words_per_sentence,
+               CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                 BETWEEN 3.0 AND 80.0 AS sentence_length_sane
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X4aa: sentence-length profile per document — sentence count "
+        "(period-delimited), word count, and words-per-sentence with "
+        "a sanity band (3..80): the readability-grain quality rule "
+        "that catches run-on boilerplate (one 5000-word 'sentence') "
+        "and fragment spam (every word its own 'sentence'), both of "
+        "which pass length filters while being garbage — the Gopher "
+        "rule family's missing grain. Counts are replace-length "
+        "deltas (pure codegen, identical on both engines); the ratio "
+        "and its band verdict are one shared expression. Map-only."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = t.documents.select(
+        "doc_id",
+        F.expr(
+            "CAST(length(text) - length(replace(text, '.', '')) + 1 AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        ).alias("n_words"),
+    )
+    ratio = "CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)"
+    return m.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        F.expr(ratio).alias("words_per_sentence"),
+        F.expr(f"{ratio} BETWEEN 3.0 AND 80.0").alias("sentence_length_sane"),
+    ).orderBy("doc_id")

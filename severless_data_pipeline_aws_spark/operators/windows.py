@@ -3313,3 +3313,126 @@ def window_drawdown_from_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drawdown_pct"),
         (F.col("c") < F.col("peak")).alias("underwater"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "window_directional_movement_dx",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        lagged AS (
+            SELECT event_type, day, h, l,
+                   lag(h) OVER w AS h_prev,
+                   lag(l) OVER w AS l_prev,
+                   lag(c) OVER w AS c_prev
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        dm AS (
+            SELECT event_type, day,
+                   CASE WHEN h - h_prev > l_prev - l AND h - h_prev > 0
+                        THEN h - h_prev ELSE 0 END AS pdm,
+                   CASE WHEN l_prev - l > h - h_prev AND l_prev - l > 0
+                        THEN l_prev - l ELSE 0 END AS ndm,
+                   greatest(h - l, abs(h - c_prev), abs(l - c_prev)) AS tr
+            FROM lagged WHERE c_prev IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day,
+                   CAST(SUM(pdm) OVER w AS BIGINT) AS spdm,
+                   CAST(SUM(ndm) OVER w AS BIGINT) AS sndm,
+                   CAST(SUM(tr) OVER w AS BIGINT) AS str14,
+                   COUNT(*) OVER w AS nw
+            FROM dm
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CASE WHEN str14 = 0 THEN NULL
+                    ELSE 100.0 * CAST(spdm AS DOUBLE) / CAST(str14 AS DOUBLE)
+               END AS di_plus,
+               CASE WHEN str14 = 0 THEN NULL
+                    ELSE 100.0 * CAST(sndm AS DOUBLE) / CAST(str14 AS DOUBLE)
+               END AS di_minus,
+               CASE WHEN spdm + sndm = 0 THEN 0.0
+                    ELSE 100.0 * CAST(abs(spdm - sndm) AS DOUBLE)
+                         / CAST(spdm + sndm AS DOUBLE) END AS dx,
+               spdm > sndm AS bullish
+        FROM win WHERE nw = 14
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W41: 14-day directional movement (+DI / -DI / DX, the SMA "
+        "variant of Wilder's system) per event type — how much of the "
+        "true range is DIRECTED movement, the trend-strength reading "
+        "under ADX (the recursive Wilder smoothing of DX belongs to "
+        "the applyInPandas recurrence tier like Holt/Kalman; DX "
+        "itself is window-exact). Directional movements and true "
+        "range are exact fixed-point integer selections, the 14-day "
+        "sums exact BIGINTs; the DIs and DX are shared divisions "
+        "(DX = 100|+DM14 - -DM14|/(+DM14 + -DM14) cancels the TR "
+        "denominator, so it is one division of integer sums); the "
+        "bullish verdict compares integer numerators. Calendar-"
+        "bounded per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_directional_movement_dx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = _bars(t).select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        F.lag("h").over(wl).alias("h_prev"),
+        F.lag("l").over(wl).alias("l_prev"),
+        F.lag("c").over(wl).alias("c_prev"),
+    )
+    dm = lagged.filter(F.col("c_prev").isNotNull()).select(
+        "event_type",
+        "day",
+        F.expr(
+            "CASE WHEN h - h_prev > l_prev - l AND h - h_prev > 0"
+            " THEN h - h_prev ELSE 0 END"
+        ).alias("pdm"),
+        F.expr(
+            "CASE WHEN l_prev - l > h - h_prev AND l_prev - l > 0"
+            " THEN l_prev - l ELSE 0 END"
+        ).alias("ndm"),
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("c_prev")),
+            F.abs(F.col("l") - F.col("c_prev")),
+        ).alias("tr"),
+    )
+    wa = wl.rowsBetween(-13, W.currentRow)
+    win = dm.select(
+        "event_type",
+        "day",
+        F.sum("pdm").over(wa).cast("bigint").alias("spdm"),
+        F.sum("ndm").over(wa).cast("bigint").alias("sndm"),
+        F.sum("tr").over(wa).cast("bigint").alias("str14"),
+        F.count(F.lit(1)).over(wa).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CASE WHEN str14 = 0 THEN NULL"
+                " ELSE 100.0 * CAST(spdm AS DOUBLE) / CAST(str14 AS DOUBLE) END"
+            ).alias("di_plus"),
+            F.expr(
+                "CASE WHEN str14 = 0 THEN NULL"
+                " ELSE 100.0 * CAST(sndm AS DOUBLE) / CAST(str14 AS DOUBLE) END"
+            ).alias("di_minus"),
+            F.expr(
+                "CASE WHEN spdm + sndm = 0 THEN 0.0"
+                " ELSE 100.0 * CAST(abs(spdm - sndm) AS DOUBLE)"
+                " / CAST(spdm + sndm AS DOUBLE) END"
+            ).alias("dx"),
+            (F.col("spdm") > F.col("sndm")).alias("bullish"),
+        )
+        .orderBy("event_type", "day")
+    )

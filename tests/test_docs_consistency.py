@@ -194,6 +194,10 @@ _R7_QUERIES = frozenset(
         "stats_trimmed_mean_comparison",
         "anomaly_iqr_tukey_fences",
         "sketch_bloom_membership_audit",
+        "window_directional_movement_dx",
+        "agg_growth_accounting_daily",
+        "dq_primary_key_uniqueness_audit",
+        "text_sentence_length_stats",
     }
 )
 
