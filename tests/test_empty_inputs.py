@@ -258,6 +258,10 @@ REPRESENTATIVE = [
     "stats_trimmed_mean_comparison",
     "anomaly_iqr_tukey_fences",
     "sketch_bloom_membership_audit",
+    "window_directional_movement_dx",
+    "agg_growth_accounting_daily",
+    "text_sentence_length_stats",
+    "dq_primary_key_uniqueness_audit",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -333,6 +337,8 @@ _ALLOW_SCHEMA_SHAPED = {
     "dq_referential_integrity_audit": 7,
     # one profile row per monitored column
     "dq_schema_drift_two_snapshots": 5,
+    # r7: one audit row per keyed table — still correct on empty
+    "dq_primary_key_uniqueness_audit": 9,
 }
 
 
