@@ -1581,3 +1581,57 @@ def dedup_allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("jaccard") >= _ALLPAIRS_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_cluster_size_spectrum",
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL},
+        clusters AS (
+            SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS k
+            FROM corpus GROUP BY md5(text)
+        )
+        SELECT k AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * k AS BIGINT) AS n_docs,
+               CAST(COUNT(*) * (k - 1) AS BIGINT) AS n_removable
+        FROM clusters
+        GROUP BY k
+        ORDER BY k
+    """,
+    doc=(
+        "X1 extension: duplicate-cluster size spectrum — how many "
+        "exact-duplicate clusters exist at each size k, with the doc "
+        "mass and the removable-copy count per size: the dedup "
+        "PLANNING report (is duplication a long tail of pairs or a "
+        "few mega-clusters? the answer decides keep-first vs "
+        "down-weighting, and sizes the shuffle the dedup itself will "
+        "pay). Two cascading hash aggregates over the dup-injected "
+        "corpus (text-hash clusters, then sizes of sizes — the "
+        "Good-Turing shape on clusters instead of tokens); all "
+        "counts exact BIGINT."
+    ),
+    tags=("dedup", "llm", "agg"),
+)
+def dedup_cluster_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    clusters = (
+        duplicated_corpus(t)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    return (
+        clusters.groupBy(F.col("k").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1803,3 +1803,66 @@ def graph_bipartite_projection_topk(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
         .limit(25)
     )
+
+
+@register(
+    "graph_edge_triangle_support",
+    oracle=f"""
+        WITH {_HANDOFF_SQL},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges
+        ),
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        sup AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support
+            FROM (
+                SELECT x AS u, y AS v FROM tri
+                UNION ALL SELECT y, z FROM tri
+                UNION ALL SELECT x, z FROM tri
+            )
+            GROUP BY u, v
+        )
+        SELECT u, v, support
+        FROM sup
+        ORDER BY support DESC, u, v
+        LIMIT 20
+    """,
+    doc=(
+        "G21: per-edge triangle support over the undirected handoff "
+        "graph — how many triangles each edge participates in, the "
+        "quantity under k-truss decomposition and the strongest "
+        "tie-strength signal short of it (an edge with high support "
+        "sits inside a dense community; a zero-support edge is a "
+        "bridge). Triangles enumerate once via the ordered-edge "
+        "3-join (u < v everywhere, the graph_triangle_count shape), "
+        "then each triangle contributes to its three edges through a "
+        "UNION ALL explode + one hash agg — never a per-edge "
+        "neighborhood join. Top-20 by (support DESC, edge) plans as "
+        "TakeOrderedAndProject."
+    ),
+    tags=("graph", "join", "topk"),
+)
+def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = _handoff_edges(t)
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    sup = (
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return sup.orderBy(F.desc("support"), "u", "v").limit(20)

@@ -1451,3 +1451,93 @@ def sampling_temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFra
             < F.min(F.when(~F.col("is_train"), F.col("day")))
         ).alias("no_leakage"),
     )
+
+
+_SOURCE_CAP = 120  # max docs kept per source
+_SOURCE_CAP_SALT = 4235640763196857468
+
+
+def _source_cap_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    hashed = hash_long_chain_subquery(
+        "(SELECT source, doc_id, n_chars FROM documents)",
+        ["source", "doc_id", "n_chars"],
+        ["doc_id"],
+        out="h",
+    )
+    return f"""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY xor(h, {_SOURCE_CAP_SALT}::BIGINT), doc_id)
+                     AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n_source
+            FROM {hashed}
+        )
+        SELECT source,
+               CAST(MAX(n_source) AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register(
+    "sampling_source_cap_enforce",
+    oracle=_source_cap_oracle(),
+    doc=(
+        "X7m: per-source document cap — keep at most {0} docs per "
+        "source by a deterministic hash order (xxhash64(doc_id) XOR a "
+        "fixed salt, doc_id tiebreak): the head-source diversity cap "
+        "every mixture pipeline enforces before weighting (one crawl "
+        "dump must not BE the corpus, and a hash order caps without "
+        "the bias a quality order would compound). Rank windows "
+        "partition by source — never global; the report emits exact "
+        "before/kept/dropped counts and the kept char mass per "
+        "source. The oracle replays the hash order bit-for-bit via "
+        "the pure-SQL XXH64 emitter (driver-safe: no Python UDF)."
+        .format(_SOURCE_CAP)
+    ),
+    tags=("sampling", "llm"),
+)
+def sampling_source_cap_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ranked = t.documents.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.expr("xxhash64(doc_id) ^ 4235640763196857468"), "doc_id"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_source"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n_source").cast("bigint").alias("n_before"),
+            F.sum(F.when(F.col("rn") <= _SOURCE_CAP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= _SOURCE_CAP, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("rn") <= _SOURCE_CAP, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

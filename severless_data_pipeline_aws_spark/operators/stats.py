@@ -7474,3 +7474,85 @@ def stats_trimmed_mean_comparison(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(trm).alias("trimmed_mean"),
         F.expr(f"{raw} - {trm}").alias("tail_pull"),
     ).orderBy("event_type")
+
+
+@register(
+    "stats_goodman_kruskal_gamma",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS pr,
+                   CAST(least(floor(o_totalprice / 100000), 3) AS INT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT CAST(SUM(CASE WHEN (b.pr > a.pr AND b.band > a.band)
+                                   OR (b.pr < a.pr AND b.band < a.band)
+                                 THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(SUM(CASE WHEN (b.pr > a.pr AND b.band < a.band)
+                                   OR (b.pr < a.pr AND b.band > a.band)
+                                 THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d2
+            FROM cells a CROSS JOIN cells b
+        )
+        SELECT CAST(c2 // 2 AS BIGINT) AS n_concordant,
+               CAST(d2 // 2 AS BIGINT) AS n_discordant,
+               CASE WHEN c2 + d2 = 0 THEN NULL
+                    ELSE CAST(c2 - d2 AS DOUBLE) / CAST(c2 + d2 AS DOUBLE) END
+                 AS gamma
+        FROM pairs
+    """,
+    doc=(
+        "ST80: Goodman-Kruskal gamma between order priority (ordinal "
+        "1..5) and the price band (ordinal 0..3) — the ordinal-ordinal "
+        "association measure that ignores ties entirely, completing "
+        "the Kendall/Somers'-D family (gamma = (C-D)/(C+D) over "
+        "concordant/discordant pairs ONLY). The fact table reduces to "
+        "the <=20-cell contingency grid in one hash agg; pair counts "
+        "come from the bounded grid's self-cross (metadata-scale, "
+        "every ordered pair counted twice then halved — exact BIGINT "
+        "products of cell counts, never a row-pair join); gamma is "
+        "one shared division. DuckDB's // and Spark's DIV agree on "
+        "the even halves."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cells = t.orders.groupBy(
+        F.expr("CAST(substr(o_orderpriority, 1, 1) AS INT)").alias("pr"),
+        F.expr("CAST(least(floor(o_totalprice / 100000), 3) AS INT)").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = cells.select(
+        F.col("pr").alias("apr"), F.col("band").alias("aband"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("pr").alias("bpr"), F.col("band").alias("bband"), F.col("n").alias("bn")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                ((F.col("bpr") > F.col("apr")) & (F.col("bband") > F.col("aband")))
+                | ((F.col("bpr") < F.col("apr")) & (F.col("bband") < F.col("aband"))),
+                F.col("an") * F.col("bn"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(
+            F.when(
+                ((F.col("bpr") > F.col("apr")) & (F.col("bband") < F.col("aband")))
+                | ((F.col("bpr") < F.col("apr")) & (F.col("bband") > F.col("aband"))),
+                F.col("an") * F.col("bn"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d2"),
+    )
+    return pairs.select(
+        F.expr("c2 DIV 2").alias("n_concordant"),
+        F.expr("d2 DIV 2").alias("n_discordant"),
+        F.expr(
+            "CASE WHEN c2 + d2 = 0 THEN NULL"
+            " ELSE CAST(c2 - d2 AS DOUBLE) / CAST(c2 + d2 AS DOUBLE) END"
+        ).alias("gamma"),
+    )

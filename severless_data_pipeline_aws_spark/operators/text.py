@@ -2588,3 +2588,47 @@ def text_sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ratio).alias("words_per_sentence"),
         F.expr(f"{ratio} BETWEEN 3.0 AND 80.0").alias("sentence_length_sane"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_length_profile_by_lang",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               quantile_cont(n_chars, 0.25) AS q1_chars,
+               quantile_cont(n_chars, 0.5) AS median_chars,
+               quantile_cont(n_chars, 0.75) AS q3_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc=(
+        "X4ab: document-length five-number profile per language — the "
+        "distribution every per-language quality threshold must be "
+        "calibrated against (a 50-char cutoff that is noise for "
+        "English removes half of Chinese, where characters carry "
+        "words): min / quartiles / max / total chars per lang in ONE "
+        "hash aggregate. n_chars is integral so the quarter-fraction "
+        "quantile interpolation is bit-identical cross-engine (the "
+        "Bowley contract); everything else is exact BIGINT."
+    ),
+    tags=("text", "llm", "quality", "quantile"),
+)
+def text_length_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.expr("percentile(n_chars, 0.25)").alias("q1_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+            F.expr("percentile(n_chars, 0.75)").alias("q3_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -198,6 +198,11 @@ _R7_QUERIES = frozenset(
         "agg_growth_accounting_daily",
         "dq_primary_key_uniqueness_audit",
         "text_sentence_length_stats",
+        "stats_goodman_kruskal_gamma",
+        "graph_edge_triangle_support",
+        "dedup_cluster_size_spectrum",
+        "sampling_source_cap_enforce",
+        "text_length_profile_by_lang",
     }
 )
 

@@ -777,6 +777,8 @@ _BNLJ_BOUNDED_OK = {
     "similarity_hamming_prefilter_rerank",
     # r7: one-row map-backed bloom-words broadcast into the probe scan
     "sketch_bloom_membership_audit",
+    # r7: the <=20-cell contingency grid self-cross (metadata-scale)
+    "stats_goodman_kruskal_gamma",
 }
 
 
