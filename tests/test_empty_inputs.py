@@ -262,6 +262,11 @@ REPRESENTATIVE = [
     "agg_growth_accounting_daily",
     "text_sentence_length_stats",
     "dq_primary_key_uniqueness_audit",
+    "stats_goodman_kruskal_gamma",
+    "graph_edge_triangle_support",
+    "dedup_cluster_size_spectrum",
+    "sampling_source_cap_enforce",
+    "text_length_profile_by_lang",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -315,6 +320,7 @@ _ALLOW_ONE_ROW = {
     "sampling_temporal_holdout_split",
     "stats_mantel_haenszel_pooled_or",
     "sketch_bloom_membership_audit",
+    "stats_goodman_kruskal_gamma",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
