@@ -139,6 +139,20 @@ HEADLINE = [
     "window_aroon_indicator",
     "graph_jaccard_link_prediction",
     "text_lexical_diversity_ttr",
+    # round-7 rotation names, folded in (ledger pattern): the interval
+    # anti-join, SAX symbolization, RSI, INTERSECT, TPC-H q3/q16, the
+    # null-scalar battery, the language-balanced mixture sampler, the
+    # 3-step path miner, and the incremental MV refresh
+    "join_interval_blackout_anti",
+    "timeseries_sax_symbolic",
+    "window_rsi_indicator",
+    "setop_intersect",
+    "tpch_q3_shipping_priority",
+    "tpch_q16_supplier_part_counts",
+    "null_scalar_battery",
+    "sampling_lang_balanced_mixture",
+    "funnel_top_paths_3step",
+    "cdc_incremental_mv_refresh",
 ]
 
 
@@ -156,18 +170,43 @@ _ROTATION_ADDS = 10
 
 
 def _ever_benched() -> set[str]:
+    """Every query name that ever carried a bench timing.
+
+    Reads the committed-complete BENCH_FULL_r{N}.json snapshots FIRST
+    (the r8 fix — the truncated BENCH_r*.json driver captures hid r7's
+    rotation names, so r8 initially re-picked the same 10 instead of 10
+    fresh ones), then falls back to the driver captures, salvaging
+    clipped ``tail`` fragments the same way _prior_timings does."""
     import glob
+    import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     _top_level = {"value", "sf", "r01_comparable_total", "n_queries", "n", "rc", "cpus"}
     out: set[str] = set(HEADLINE)
+    for path in glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
+        try:
+            with open(path) as fh:
+                out.update(json.load(fh).get("queries") or {})
+        except Exception:
+            continue
+    try:
+        run = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if run.returncode == 0:
+            out.update(json.loads(run.stdout).get("queries") or {})
+    except Exception:
+        pass
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as fh:
                 doc = json.load(fh)
         except Exception:
             continue
-        queries = (doc.get("parsed") or doc).get("queries") or {}
+        queries = (doc.get("parsed") or doc).get("queries") or _salvage_tail(doc)
         out.update(k for k in queries if k not in _top_level)
     return out
 
@@ -224,6 +263,10 @@ def main() -> None:
         # rotation, r6 verdict #6) — first-time entries, no prior to
         # ratchet against
         "rotation_queries": rotation,
+        # how many complete prior timings the ratchet saw (r7 verdict
+        # wrong#1: the truncated BENCH_r*.json tails covered only ~1/3
+        # of the headline set; the BENCH_FULL_r{N} snapshots cover all)
+        "prior_n_queries": len(prior),
         "regressions": _regressions(timings, prior),
         # context for known round-over-round deltas, so a flagged
         # regression is read against its cause (see EXPLAIN.md). Notes
@@ -234,6 +277,7 @@ def main() -> None:
         "stale_notes_dropped": dropped,
         "r01_drift_note": _R01_DRIFT_NOTE,
         "prefix_jaccard_closure_note": _PREFIX_JACCARD_CLOSURE_NOTE,
+        "r7_ratchet_gap_note": _R7_RATCHET_GAP_NOTE,
         "scale_sweep": _scale_sweep_summary(),
     }
     # The driver captures stdout with a length limit that truncated the
@@ -245,6 +289,17 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
+    # per-round complete snapshot — the regression ratchet's prior
+    # source (r7 verdict wrong#1). Overwriting within a round is fine
+    # (last run is the round's record); _prior_timings excludes the
+    # current round's own snapshot.
+    try:
+        snap = "BENCH_FULL_r%02d.json" % registry._round_number(here)
+        with open(os.path.join(here, snap), "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+    except Exception:
+        pass
     print(json.dumps(doc))
     spark.stop()
 
@@ -279,6 +334,45 @@ _NOTE_CANDIDATES = {
         "is this host's +-50% shared-CPU variance on a 3-9s query, not a "
         "plan defect. Watch closed with numbers."
     ),
+    "tpch_q21_sole_returned_supplier": (
+        "r7 moved 0.84->1.61s (1.93x) unseen by the then-truncated "
+        "ratchet prior (r7 verdict wrong#1); r8 isolated min-of-5 at "
+        "sf0.1: [1.85, 1.50, 1.25, 1.13, 1.06] -> 1.06s, back inside "
+        "the 0.80-1.17s band this query has held over six rounds on an "
+        "unchanged plan (tpch_suite.py untouched in r7/r8). Host "
+        "variance; watch closed with numbers."
+    ),
+    "text_chunk_sliding_windows": (
+        "r7 moved 0.30->0.46s (1.55x) unseen by the then-truncated "
+        "ratchet prior (r7 verdict wrong#1); r8 isolated min-of-5 at "
+        "sf0.1: [0.53, 0.36, 0.42, 0.40, 0.41] -> 0.36s, back inside "
+        "the prior band on an unchanged explode-heavy plan (text.py "
+        "chunker untouched in r7/r8). Host variance; watch closed."
+    ),
+    "cdc_upsert_orders_snapshot": (
+        "r8's now-complete ratchet flagged 0.349->0.53s (1.53x); "
+        "isolated min-of-5: [1.11, 0.81, 0.70, 0.61, 0.58] -> 0.58s. "
+        "Multi-round envelope on an unchanged plan: 0.43, 0.42, 0.40, "
+        "0.349 (r4-r7) — the r7 prior was this query's fastest-ever "
+        "point, so the ratio is measured from the envelope floor. "
+        "cdc.py untouched in r8. Host variance vs a fast prior; "
+        "re-examine only if a future round exceeds 0.9s isolated."
+    ),
+    "timeseries_holt_winters_additive": (
+        "r8's now-complete ratchet flagged 0.281->0.43s (1.52x); "
+        "isolated min-of-5: [0.47, 0.46, 0.44, 0.49, 0.52] -> 0.44s, "
+        "exactly the r4 level (history 0.42, 0.39, 0.34, 0.28 across "
+        "r4-r7 — monotone-down priors make any reversion look like a "
+        "regression). Arrow applyInPandas plan untouched in r8. Host "
+        "variance within the historical envelope; watch closed."
+    ),
+    "dq_referential_integrity_audit": (
+        "r8's now-complete ratchet flagged 1.11->1.71s (1.54x); "
+        "isolated min-of-5: [1.84, 1.90, 1.85, 1.65, 1.77] -> 1.65s, "
+        "the exact r5 in-suite value (history 1.65, 1.43, 1.11 across "
+        "r5-r7). 7-edge join-audit union plan untouched in r8; the r7 "
+        "prior was the envelope floor. Host variance; watch closed."
+    ),
 }
 
 #: r5 verdict #8 — the r1-comparable 5-query total crept 1.71 -> 1.98 ->
@@ -311,6 +405,21 @@ _PREFIX_JACCARD_CLOSURE_NOTE = (
     "= 3.88s and the in-suite run measured 3.25s — back inside every "
     "prior round's 1.4x band (plan unchanged, sf1 exponent 0.998). "
     "Watch closed."
+)
+
+#: r7 verdict wrong#1 — the ratchet's prior source was the truncated
+#: BENCH_r*.json stdout captures, so tpch_q21 (0.84->1.61s, 1.93x) and
+#: text_chunk_sliding_windows (0.30->0.46s, 1.55x) crossed 1.5x with
+#: regressions={}. Fixed in r8: _prior_timings reads the committed
+#: per-round BENCH_FULL_r{N}.json snapshots (71/71 prior timings
+#: visible), and both missed movers got the standard isolated min-of-5
+#: closure (q21 1.06s, chunker 0.36s — both back in band, plans
+#: untouched; see _NOTE_CANDIDATES).
+_R7_RATCHET_GAP_NOTE = (
+    "ratchet prior now reads committed BENCH_FULL_r{N}.json snapshots "
+    "(all 71 prior timings) instead of truncated BENCH_r*.json tails; "
+    "both r7 missed movers re-benched min-of-5 and closed as host "
+    "variance (tpch_q21 1.06s, text_chunk_sliding_windows 0.36s)."
 )
 
 
@@ -371,19 +480,62 @@ def _scale_sweep_summary() -> dict | None:
 
 
 def _prior_timings() -> dict[str, float]:
-    """Per-query timings of the most recent recorded round.
+    """Per-query timings of the most recent COMPLETE recorded round.
 
-    Walks BENCH_r*.json newest -> oldest until one yields usable
-    timings. A damaged artifact (the driver's stdout capture clipped
-    BENCH_r04.json head) is salvaged from its ``tail`` fragment when
-    possible: the tail is the END of the JSON line, so re-opening the
-    object and keeping only the numeric query entries recovers every
-    timing the fragment contains.
+    Preference order (r7 verdict wrong#1 — the old walk read only the
+    truncated driver stdout captures, whose ``tail`` fragments keep the
+    END of the queries object, leaving ~2/3 of the headline set
+    invisible to the regression ratchet):
+
+    1. ``BENCH_FULL_r{N}.json`` snapshots (complete per-query records
+       committed once per round), newest PRIOR round first — the
+       current round's own snapshot is excluded so a second bench run
+       in the same round still ratchets against the previous round.
+    2. The committed ``BENCH_FULL.json`` as of git HEAD (survives a
+       local run overwriting the on-disk copy mid-round).
+    3. The truncated ``BENCH_r*.json`` driver captures, salvaging the
+       ``tail`` fragment when the head was clipped (legacy fallback —
+       rounds before the r08 snapshot discipline).
     """
     import glob
+    import re as _re
+    import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    _top_level = {"value", "sf", "r01_comparable_total", "n_queries", "n", "rc", "cpus"}
+    try:
+        current = registry._round_number(here)
+    except Exception:
+        current = None
+    snaps = []
+    for path in glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
+        m = _re.fullmatch(r"BENCH_FULL_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            continue
+        n = int(m.group(1))
+        if current is not None and n >= current:
+            continue
+        snaps.append((n, path))
+    for _, path in sorted(snaps, reverse=True):
+        try:
+            with open(path) as fh:
+                queries = json.load(fh).get("queries")
+            if queries:
+                return {k: float(v) for k, v in queries.items()}
+        except Exception:
+            continue
+    try:
+        run = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if run.returncode == 0:
+            queries = json.loads(run.stdout).get("queries")
+            if queries:
+                return {k: float(v) for k, v in queries.items()}
+    except Exception:
+        pass
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
         try:
             with open(path) as fh:
@@ -393,25 +545,37 @@ def _prior_timings() -> dict[str, float]:
         queries = (doc.get("parsed") or doc).get("queries")
         if queries:
             return dict(queries)
-        tail = doc.get("tail")
-        if isinstance(tail, str) and '": ' in tail:
-            # two clip points are possible: inside the "queries" object
-            # (wrap so the fragment re-opens doc + queries) or between
-            # top-level keys (wrap the doc only)
-            for prefix in ('{"queries": {"__clipped_', '{"__clipped_'):
-                try:
-                    salvaged = json.loads(prefix + tail.strip())
-                except Exception:
-                    continue
-                inner = salvaged.get("queries", salvaged)
-                out = {
-                    k: v
-                    for k, v in inner.items()
-                    if isinstance(v, (int, float)) and k not in _top_level
-                    and not k.startswith("__clipped_")
-                }
-                if out:
-                    return out
+        salvaged = _salvage_tail(doc)
+        if salvaged:
+            return salvaged
+    return {}
+
+
+def _salvage_tail(doc: dict) -> dict[str, float]:
+    """Recover per-query timings from a clipped driver capture.
+
+    The driver's stdout limit keeps the END of the JSON line in a
+    ``tail`` field; two clip points are possible — inside the "queries"
+    object (wrap so the fragment re-opens doc + queries) or between
+    top-level keys (wrap the doc only)."""
+    _top_level = {"value", "sf", "r01_comparable_total", "n_queries", "n", "rc", "cpus"}
+    tail = doc.get("tail")
+    if not (isinstance(tail, str) and '": ' in tail):
+        return {}
+    for prefix in ('{"queries": {"__clipped_', '{"__clipped_'):
+        try:
+            salvaged = json.loads(prefix + tail.strip())
+        except Exception:
+            continue
+        inner = salvaged.get("queries", salvaged)
+        out = {
+            k: v
+            for k, v in inner.items()
+            if isinstance(v, (int, float)) and k not in _top_level
+            and not k.startswith("__clipped_")
+        }
+        if out:
+            return out
     return {}
 
 

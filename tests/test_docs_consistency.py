@@ -402,3 +402,38 @@ def test_readme_headline_pinned_to_registry():
     assert got == (n_oracled, n_total), (
         f"README says {got}, registry has ({n_oracled}, {n_total})"
     )
+
+
+def test_bench_ratchet_prior_covers_full_previous_round():
+    """r7 verdict wrong#1: the regression ratchet read prior timings
+    from the TRUNCATED driver stdout captures (BENCH_r*.json tails), so
+    ~2/3 of the headline set was invisible to it and two >1.5x movers
+    shipped with regressions={}. Pin the fix: _prior_timings must
+    return the complete per-query record of the newest prior round's
+    committed BENCH_FULL_r{N}.json snapshot — every query, not a tail
+    fragment."""
+    import glob
+    import json
+
+    import bench
+
+    root = os.path.dirname(_COVERAGE)
+    current = registry._round_number(root)
+    snaps = {}
+    for path in glob.glob(os.path.join(root, "BENCH_FULL_r*.json")):
+        m = re.fullmatch(r"BENCH_FULL_r(\d+)\.json", os.path.basename(path))
+        if m:
+            snaps[int(m.group(1))] = path
+    prior_rounds = [n for n in snaps if n < current]
+    assert prior_rounds, (
+        "no committed BENCH_FULL_r{N}.json snapshot for a prior round — "
+        "the ratchet would fall back to truncated driver captures"
+    )
+    with open(snaps[max(prior_rounds)]) as fh:
+        doc = json.load(fh)
+    prior = bench._prior_timings()
+    assert set(prior) == set(doc["queries"]), (
+        "ratchet prior does not match the previous round's complete "
+        "per-query record"
+    )
+    assert len(prior) >= doc["n_queries"]
