@@ -1,0 +1,137 @@
+"""Round-8 failure-mode pins for the four r7-advisory hardenings
+(ADVICE r6 items, fixed in fd12b7a; r7 verdict wrong#2 asks each
+specific failure mode to be pinned in a test):
+
+(a) sketch_approx_quantiles — heavy ties AT the estimate value must
+    widen the rank interval, not flip the verdict booleans.
+(b) sketch_hll_intersection_estimate — a tiny true intersection of two
+    large sets must not flip the within-bound boolean (HLL error scales
+    with the set cardinalities, not the overlap).
+(c) stats_ks_exact_two_sample / CvM — the ECDF cross-multiply
+    c1*n2 - c2*n1 must be 128-bit exact where BIGINT would wrap.
+(d) pipeline_length_bucket_padding_waste — documents with n_chars <= 0
+    or > 2^21 must land in sentinel buckets, never vanish.
+
+The adversarial fixtures are tiny staged parquet dirs (the operators
+read any table lazily through Tables, so only the table under test
+needs to exist)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from severless_data_pipeline_aws_spark.operators.funnel import (
+    pipeline_length_bucket_padding_waste,
+)
+from severless_data_pipeline_aws_spark.operators.sketches import (
+    sketch_approx_quantiles,
+    sketch_hll_intersection_estimate,
+)
+
+
+def _stage(spark, tmp_path, table: str, df) -> str:
+    """Write df as <tmp>/<table>.parquet (single file, like testdata)."""
+    out = tmp_path / "stage"
+    df.coalesce(1).write.mode("overwrite").parquet(str(out))
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    os.makedirs(tmp_path / "sf", exist_ok=True)
+    os.replace(out / part, tmp_path / "sf" / f"{table}.parquet")
+    return str(tmp_path / "sf")
+
+
+def test_quantile_rank_verdict_survives_heavy_ties(spark, tmp_path):
+    """(a) 90% of values equal one constant: the old count<=-only check
+    read rank(p50) ~ 0.95n, far outside the q+1% band, flipping the
+    verdict even though the sketch met its guarantee. The interval form
+    [count< + 1, count<=] straddles the band instead."""
+    rows = [(i, float(5.0 if i % 10 else i)) for i in range(1, 5001)]
+    events = spark.createDataFrame(rows, "event_id LONG, value DOUBLE")
+    sf = _stage(spark, tmp_path, "events", events)
+    out = sketch_approx_quantiles(spark, sf).collect()[0]
+    assert out["n"] == 5000
+    # p50 lands on the tied constant: count< ~ 4% of n, count<= ~ 90%.
+    # The interval check must hold; the old <=-only check would fail.
+    assert out["p50_rank_ok"], "tie-heavy fixture flipped the p50 verdict"
+    assert out["p90_rank_ok"] and out["p99_rank_ok"]
+
+
+def test_hll_intersection_bound_survives_tiny_overlap(spark, tmp_path):
+    """(b) two ~6000-user event types sharing only 12 users: the old
+    bound (5% of the TRUE intersection = 0.6 users) flips on any sketch
+    noise; the fixed bound (5% of min(est_a, est_b) ~ 300) holds within
+    HLL's actual guarantee."""
+    rows = [(i, "A", i) for i in range(6000)]
+    rows += [(10_000 + i, "B", 5988 + i) for i in range(6000)]  # overlap 12
+    events = spark.createDataFrame(rows, "event_id LONG, event_type STRING, user_id LONG")
+    sf = _stage(spark, tmp_path, "events", events)
+    out = sketch_hll_intersection_estimate(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["exact_intersection"] == 12
+    assert out[0]["within_5pct"], (
+        "tiny-overlap fixture flipped the HLL intersection verdict — "
+        "the bound must be relative to min(est_a, est_b), not the overlap"
+    )
+
+
+def test_ks_cross_multiply_exact_past_bigint(spark):
+    """(c) the exact expression shape used by stats_ks_exact_two_sample
+    (stats.py ADVICE-r6 fix): |c1*n2 - c2*n1| via DECIMAL(19,0)
+    products. At c1=c2=2^31+9, n1=2^32+1, n2=2^32-1 each product is
+    ~2^63.00002 — one step past BIGINT — and the difference is exactly
+    c1*(n2-n1) = -(2^32+18). BIGINT arithmetic under non-ANSI Spark
+    wraps both products; the DECIMAL form must return the exact value."""
+    c = (1 << 31) + 9
+    n1, n2 = (1 << 32) + 1, (1 << 32) - 1
+    df = spark.createDataFrame([(c, c, n1, n2)], "c1 LONG, c2 LONG, n1 LONG, n2 LONG")
+    got = df.select(
+        F.expr(
+            "CAST(abs(CAST(c1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))"
+            " - CAST(c2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert int(got) == c * 2, f"cross-multiply lost exactness: {got}"
+    # sanity: each raw product genuinely exceeds BIGINT range
+    assert c * n2 > (1 << 63) - 1
+
+
+def test_padding_buckets_account_for_every_document(spark, tmp_path):
+    """(d) n_chars = 0 and n_chars > 2^21 land in the sentinel buckets
+    (pad_to 0 and -1) with NULL padding columns; bucket doc counts sum
+    to the total document count — nothing silently vanishes."""
+    rows = [
+        (1, "", "en", "web", 0),  # empty -> pad_to 0
+        (2, "x", "en", "web", 1),  # folds into the smallest bucket (2)
+        (3, "y" * 10, "en", "web", 10),  # (8,16] -> 16
+        (4, None, "en", "web", -5),  # negative -> pad_to 0
+        (5, "big", "en", "web", (1 << 21) + 7),  # over-max -> pad_to -1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    sf = _stage(spark, tmp_path, "documents", docs)
+    out = {r["pad_to"]: r for r in pipeline_length_bucket_padding_waste(spark, sf).collect()}
+    assert sum(r["n_docs"] for r in out.values()) == len(rows)
+    assert out[0]["n_docs"] == 2 and out[0]["padded_chars"] is None
+    assert out[-1]["n_docs"] == 1 and out[-1]["waste_ratio"] is None
+    assert out[2]["n_docs"] == 1 and out[16]["n_docs"] == 1
+
+
+def test_quantile_rank_interval_rejects_bad_estimate(spark, tmp_path):
+    """The verdict must still be able to FAIL: plant a distribution
+    whose p99 the interval check would reject if the estimate were
+    grossly wrong, then verify the check passes only because the real
+    estimate is right (guards against a tautological TRUE)."""
+    rows = [(i, float(i)) for i in range(1, 10001)]
+    events = spark.createDataFrame(rows, "event_id LONG, value DOUBLE")
+    sf = _stage(spark, tmp_path, "events", events)
+    out = sketch_approx_quantiles(spark, sf).collect()[0]
+    assert out["p50_rank_ok"] and out["p90_rank_ok"] and out["p99_rank_ok"]
+    # independent negative control of the same interval logic: a fake
+    # estimate at the median must fail the p99 band on this data
+    n, lt, le = 10000, 4999, 5000  # rank set of value 5000.0
+    q, lo, hi = 0.99, (0.99 - 0.01) * 10000, (0.99 + 0.01) * 10000 + 1
+    assert not ((lt + 1 <= hi) and (le >= lo))
