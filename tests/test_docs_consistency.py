@@ -437,3 +437,28 @@ def test_bench_ratchet_prior_covers_full_previous_round():
         "per-query record"
     )
     assert len(prior) >= doc["n_queries"]
+
+
+def test_survey_s2_operator_ids_unique():
+    """r7 verdict doc-nit: §2.10-§2.13 reused operator IDs across
+    continuation blocks (ST12, A20-A22, W16, D6 each denoted two
+    different operators), making the §2 operator count non-machine-
+    derivable. Renumbered in r8; pin uniqueness so a future block can't
+    re-introduce a collision. Scope: every single-token ID in the first
+    cell of a §2 table row (ranges like 'S1-S2' and suffixed families
+    are composite labels, not countable IDs)."""
+    from collections import Counter
+
+    survey = os.path.join(os.path.dirname(_COVERAGE), "SURVEY.md")
+    sec2 = open(survey).read().split("## 3.")[0]
+    ids = []
+    for line in sec2.splitlines():
+        m = re.match(r"^\|\s*([A-Za-z0-9✦†\-–, ]+?)\s*(?:✦|†)?\s*\|", line)
+        if not m:
+            continue
+        for tok in re.split(r"[,\s]+", m.group(1).strip()):
+            if re.fullmatch(r"[A-Z]{1,3}[0-9]+[a-z]?", tok):
+                ids.append(tok)
+    assert len(ids) > 150, "section-2 table parse broke"
+    dups = {k: v for k, v in Counter(ids).items() if v > 1}
+    assert not dups, f"duplicate SURVEY §2 operator IDs: {dups}"
