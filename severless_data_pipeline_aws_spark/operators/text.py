@@ -1235,6 +1235,20 @@ def _bpe_oracle() -> str:
     A lag() marks consumed positions; list(... ORDER BY i) rebuilds
     the arrays. Any divergence in pair counting, tie-break, or fold
     semantics breaks the hash."""
+    parts, tops, prev = _bpe_cte_parts()
+    return (
+        "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(tops)
+        + '\nORDER BY "round"'
+    )
+
+
+def _bpe_cte_parts() -> tuple[list[str], list[str], str]:
+    """The shared DuckDB CTE chain of the 3-round BPE train.
+
+    Returns (cte_parts, per-round top-merge selects, name of the final
+    word-symbol CTE) so both the trainer oracle (which unions the tops)
+    and the corpus-encoder oracle (which reads the final symbol arrays
+    off ``w3``) replay the IDENTICAL train."""
     parts = ["""
         w0 AS MATERIALIZED (
             SELECT w AS wid, CAST(COUNT(*) AS BIGINT) AS wn,
@@ -1292,10 +1306,7 @@ def _bpe_oracle() -> str:
             f" m AS merged, total AS pair_count FROM top{r}"
         )
         prev = f"w{r}"
-    return (
-        "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(tops)
-        + '\nORDER BY "round"'
-    )
+    return parts, tops, prev
 
 
 def _bpe_merge_fold(a: str, b: str):
@@ -1337,12 +1348,25 @@ def _bpe_merge_fold(a: str, b: str):
     tags=("text", "llm", "tokenizer", "iterative"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
+    _, merges = _bpe_train_words(Tables(spark, sf_dir))
+    return spark.createDataFrame(
+        merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_train_words(t: Tables):
+    """Run the 3-round BPE train; return (final word table, merges).
+
+    The word table keeps the original word string ``w`` alongside its
+    evolving symbol array so the corpus encoder can join tokenized
+    lengths back to the (doc, word) grain; the trainer itself only
+    consumes the merge list."""
     words = (
         t.documents.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wn"))
         .select(
+            "w",
             F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
                 "sym"
             ),
@@ -1376,10 +1400,80 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = top[0]
         merges.append((rnd, best["a"], best["b"], best["a"] + best["b"], int(best["total"])))
         words = words.select(
-            _bpe_merge_fold(best["a"], best["b"]).alias("sym"), "wn"
+            "w", _bpe_merge_fold(best["a"], best["b"]).alias("sym"), "wn"
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    return words, merges
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin of the corpus encoder: replay the identical 3-round
+    train (shared CTE chain), read tokens-per-word off the final symbol
+    table, and aggregate back to document grain."""
+    parts, _tops, final = _bpe_cte_parts()
+    return (
+        "WITH " + ",".join(parts) + f""",
+        enc AS (SELECT wid, CAST(len(sym) AS BIGINT) AS wtok FROM {final}),
+        dw AS (
+            SELECT doc_id, n_chars,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        SELECT dw.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(e.wtok) AS BIGINT) AS n_tokens,
+               CAST(ANY_VALUE(dw.n_chars) AS DOUBLE) / CAST(SUM(e.wtok) AS DOUBLE)
+                   AS chars_per_token
+        FROM dw JOIN enc e ON dw.w = e.wid
+        GROUP BY dw.doc_id
+        ORDER BY dw.doc_id"""
+    )
+
+
+@register(
+    "text_bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    doc=(
+        "X4/BPE: ENCODE the corpus with the trained tokenizer — the "
+        "actual 100 TB pipeline step after text_bpe_train_merges learns "
+        "the merge table (r7 verdict #6). Rank-ordered merge application "
+        "happens at VOCABULARY grain: train on the word-frequency table "
+        "(3 bounded argmax rounds, the k-means/PageRank metadata-"
+        "collect pattern), keep each distinct word's final symbol "
+        "array, and the per-word token count is just its length. "
+        "Tokenizing the corpus is then one explode to (doc, word) plus "
+        "an equi-join on the word string — the float-free, "
+        "shuffle-minimal shape: the heavy corpus side never re-folds "
+        "merges per occurrence, and the join key is the natural "
+        "co-partition key at 100 TB. Output per document: word count, "
+        "BPE token count, chars-per-token (one per-row division). "
+        "Oracle replays the identical train via the shared CTE chain "
+        "and encodes off the final symbol table — hash-exact."
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words, _merges = _bpe_train_words(t)
+    wtok = words.select("w", F.size("sym").cast("bigint").alias("wtok"))
+    dw = t.documents.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        dw.join(wtok, "w")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wtok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -269,6 +269,27 @@ def test_survey_217_pinned_to_registry():
     assert not ghosts, f"SURVEY §2.17 references unknown queries: {sorted(ghosts)}"
 
 
+_R8_QUERIES = frozenset(
+    {
+        "text_bpe_encode_corpus",
+    }
+)
+
+
+def test_survey_218_pinned_to_registry():
+    """SURVEY §2.18 must document every round-8 query, and only real
+    ones (the r5 #9 discipline: the inventory lands in the same commit
+    that registers the queries)."""
+    section = _survey_section(open(_SURVEY).read(), "### 2.18")
+    names = set(registry.load_all())
+    documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
+    assert _R8_QUERIES <= names, "r8 pin list drifted from registry"
+    missing = _R8_QUERIES - documented
+    assert not missing, f"r8 queries absent from SURVEY §2.18: {sorted(missing)}"
+    ghosts = documented - names
+    assert not ghosts, f"SURVEY §2.18 references unknown queries: {sorted(ghosts)}"
+
+
 def test_driver_sample_prefix_spans_every_module():
     """The driver's correctness gate checks the FIRST 50 registry
     entries; registry.load_all() interleaves round-robin across source
