@@ -2211,3 +2211,65 @@ def dq_primary_key_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFra
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("table_name")
+
+
+@register(
+    "dq_date_sequence_violations",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               CAST(SUM(CASE WHEN l.l_shipdate IS NULL OR o.o_orderdate IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS null_dates,
+               CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order,
+               CAST(SUM(CASE WHEN l.l_shipdate
+                               > o.o_orderdate + INTERVAL 180 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ship_lag_over_180d,
+               CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)))
+                    AS BIGINT) AS max_ship_lag_days,
+               CAST(SUM(CASE WHEN l.l_shipdate IS NULL OR o.o_orderdate IS NULL
+                              OR l.l_shipdate < o.o_orderdate
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_violating
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc=(
+        "DQ15: cross-field date-sequence audit — physical-causality "
+        "contracts a landing zone asserts before trusting dates across "
+        "a join: nothing ships before it is ordered, no date is NULL "
+        "on a shipped line, and a 180-day ship-lag fence localizes "
+        "stragglers; the max observed lag is reported so the fence can "
+        "be tuned from the audit itself. One fact-fact equi-join on "
+        "the order key plus one conditional aggregate — per-rule "
+        "counts localize a contract break to its rule without a second "
+        "scan. Complements dq_temporal_order_audit, which orders "
+        "WITHIN a key stream; this one checks BETWEEN columns."
+    ),
+    tags=("dq", "join"),
+)
+def dq_date_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.select("l_orderkey", "l_shipdate").join(
+        t.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        flag(F.col("l_shipdate").isNull() | F.col("o_orderdate").isNull()).alias(
+            "null_dates"
+        ),
+        flag(F.col("l_shipdate") < F.col("o_orderdate")).alias("ship_before_order"),
+        flag(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAY")
+        ).alias("ship_lag_over_180d"),
+        F.max(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        )
+        .cast("bigint")
+        .alias("max_ship_lag_days"),
+        flag(
+            F.col("l_shipdate").isNull()
+            | F.col("o_orderdate").isNull()
+            | (F.col("l_shipdate") < F.col("o_orderdate"))
+        ).alias("rows_violating"),
+    )

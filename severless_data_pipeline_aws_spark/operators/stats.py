@@ -7556,3 +7556,255 @@ def stats_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(c2 - d2 AS DOUBLE) / CAST(c2 + d2 AS DOUBLE) END"
         ).alias("gamma"),
     )
+
+
+@register(
+    "stats_cronbach_alpha_items",
+    oracle="""
+        WITH per_item AS (
+            SELECT event_type,
+                   CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s2
+            FROM (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY user_id, event_type)
+            GROUP BY event_type
+        ),
+        per_user AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n_users,
+                   CAST(SUM(t) AS DECIMAL(38,0)) AS t1,
+                   CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS t2
+            FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM events GROUP BY user_id)
+        ),
+        items AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_items,
+                   CAST(SUM(u.n_users * s2 - s1 * s1) AS DECIMAL(38,0)) AS sum_item_var
+            FROM per_item CROSS JOIN per_user u
+            GROUP BY u.n_users
+        )
+        SELECT i.k_items,
+               CAST(u.n_users AS BIGINT) AS n_users,
+               CAST(CAST(i.k_items AS DOUBLE) / CAST(i.k_items - 1 AS DOUBLE)
+                    * (1.0 - CAST(CAST(i.sum_item_var AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(u.n_users * u.t2 - u.t1 * u.t1 AS VARCHAR)
+                                    AS DOUBLE)) AS DOUBLE) AS cronbach_alpha
+        FROM items i CROSS JOIN per_user u
+    """,
+    doc=(
+        "ST82: Cronbach's alpha internal-consistency coefficient, with "
+        "event types as items and per-user event counts as scores — "
+        "the reliability check run before treating per-type activity "
+        "counts as one engagement scale. Zero-score cells need no "
+        "materialized user x item grid: a user absent from an item "
+        "contributes 0 to both of that item's power sums, so per-item "
+        "S1/S2 and per-user total T1/T2 aggregates (exact "
+        "DECIMAL(38,0) multiply-through variances, N*S2 - S1^2 form) "
+        "are the whole computation. alpha = k/(k-1) * (1 - sum_i "
+        "var_i / var_total) as one shared expression; the two scalar "
+        "cross joins are one-row broadcasts."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_cronbach_alpha_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ui = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_item = ui.groupBy("event_type").agg(
+        F.expr("CAST(SUM(c) AS DECIMAL(38,0))").alias("s1"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))").alias("s2"),
+    )
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n_users"),
+            F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("t1"),
+            F.expr("CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))").alias("t2"),
+        )
+    )
+    items = (
+        per_item.crossJoin(F.broadcast(per_user))
+        .groupBy("n_users", "t1", "t2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_items"),
+            F.expr("CAST(SUM(n_users * s2 - s1 * s1) AS DECIMAL(38,0))").alias(
+                "sum_item_var"
+            ),
+        )
+    )
+    return items.select(
+        "k_items",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.expr(
+            "CAST(CAST(k_items AS DOUBLE) / CAST(k_items - 1 AS DOUBLE)"
+            " * (1.0 - CAST(sum_item_var AS DOUBLE)"
+            "          / CAST(n_users * t2 - t1 * t1 AS DOUBLE)) AS DOUBLE)"
+        ).alias("cronbach_alpha"),
+    )
+
+
+@register(
+    "stats_intraclass_correlation",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                        AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(CAST(round(value * 10000) AS BIGINT)
+                                      AS DECIMAL(38,0))
+                                 * CAST(round(value * 10000) AS BIGINT))
+                        AS VARCHAR) AS DOUBLE) AS s2
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS a,
+                   CAST(SUM(n) AS DOUBLE) AS ntd,
+                   list_reduce(list(s1 ORDER BY event_type), (x, y) -> x + y) AS st1,
+                   list_reduce(list(s2 ORDER BY event_type), (x, y) -> x + y) AS st2,
+                   list_reduce(list(s1 * s1 / nd ORDER BY event_type),
+                               (x, y) -> x + y) AS sgm,
+                   list_reduce(list(nd * nd ORDER BY event_type),
+                               (x, y) -> x + y) AS sn2
+            FROM g
+        )
+        SELECT n_total, a,
+               (sgm - st1 * st1 / ntd) / CAST(a - 1 AS DOUBLE) AS ms_between,
+               (st2 - sgm) / CAST(n_total - a AS DOUBLE) AS ms_within,
+               (ntd - sn2 / ntd) / CAST(a - 1 AS DOUBLE) AS k0,
+               ((sgm - st1 * st1 / ntd) / CAST(a - 1 AS DOUBLE)
+                - (st2 - sgm) / CAST(n_total - a AS DOUBLE))
+               / ((sgm - st1 * st1 / ntd) / CAST(a - 1 AS DOUBLE)
+                  + ((ntd - sn2 / ntd) / CAST(a - 1 AS DOUBLE) - 1.0)
+                    * ((st2 - sgm) / CAST(n_total - a AS DOUBLE))) AS icc1
+        FROM tot
+    """,
+    doc=(
+        "ST83: intraclass correlation ICC(1,1) of sensor value within "
+        "event type (how much of the value variance is explained by "
+        "the type grouping) — one-way random-effects form with the "
+        "unbalanced-design group size k0 = (N - sum n_g^2 / N)/(a-1). "
+        "Values quantize to 1e-4 fixed point, per-group power sums are "
+        "exact integers (DECIMAL(38,0) squares, VARCHAR-hop double "
+        "casts), and the cross-group reductions reuse the ANOVA "
+        "battery's ORDER-PINNED list folds; ICC is one shared closed "
+        "form over MSB/MSW/k0."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_intraclass_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    g = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.expr(
+                "CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)"
+            ).alias("s1"),
+            F.expr(
+                "CAST(SUM(CAST(CAST(round(value * 10000) AS BIGINT) AS DECIMAL(38,0))"
+                " * CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)"
+            ).alias("s2"),
+        )
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(event_type, {v} AS x))),"
+        " s -> s.x), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+        F.sum("n").cast("double").alias("ntd"),
+        F.expr(fold.format(v="s1")).alias("st1"),
+        F.expr(fold.format(v="s2")).alias("st2"),
+        F.expr(fold.format(v="s1 * s1 / nd")).alias("sgm"),
+        F.expr(fold.format(v="nd * nd")).alias("sn2"),
+    )
+    msb = "(sgm - st1 * st1 / ntd) / CAST(a - 1 AS DOUBLE)"
+    msw = "(st2 - sgm) / CAST(n_total - a AS DOUBLE)"
+    k0 = "(ntd - sn2 / ntd) / CAST(a - 1 AS DOUBLE)"
+    return tot.select(
+        "n_total",
+        "a",
+        F.expr(msb).alias("ms_between"),
+        F.expr(msw).alias("ms_within"),
+        F.expr(k0).alias("k0"),
+        F.expr(
+            f"({msb} - {msw}) / ({msb} + ({k0} - 1.0) * ({msw}))"
+        ).alias("icc1"),
+    )
+
+
+@register(
+    "stats_lin_ccc_agreement",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+            FROM daily
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(CAST(2 * (n * sxy - sx * sy) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST((n * sxx - sx * sx) + (n * syy - sy * sy)
+                           + (sx - sy) * (sx - sy) AS VARCHAR) AS DOUBLE)
+                 AS lin_ccc
+        FROM s
+    """,
+    doc=(
+        "ST84: Lin's concordance correlation coefficient between daily "
+        "click and view counts — agreement with the 45-degree line, "
+        "not just linear association (penalizes scale and location "
+        "shifts Pearson ignores; the standard check when one metric "
+        "is supposed to REPRODUCE another). Multiply-through form "
+        "CCC = 2(n*Sxy - SxSy) / ((n*Sxx - Sx^2) + (n*Syy - Sy^2) + "
+        "(Sx - Sy)^2): every term an exact DECIMAL(38,0) integer from "
+        "one day-grain aggregate, one shared final division."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_lin_ccc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("y"),
+    )
+    s = daily.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))").alias("sxx"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))").alias("syy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            F.expr("CAST(2 * (n * sxy - sx * sy) AS DOUBLE)")
+            / F.expr(
+                "CAST((n * sxx - sx * sx) + (n * syy - sy * sy)"
+                " + (sx - sy) * (sx - sy) AS DOUBLE)"
+            )
+        ).alias("lin_ccc"),
+    )

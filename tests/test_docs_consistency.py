@@ -272,6 +272,10 @@ def test_survey_217_pinned_to_registry():
 _R8_QUERIES = frozenset(
     {
         "text_bpe_encode_corpus",
+        "stats_cronbach_alpha_items",
+        "stats_intraclass_correlation",
+        "stats_lin_ccc_agreement",
+        "dq_date_sequence_violations",
     }
 )
 

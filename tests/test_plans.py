@@ -779,6 +779,8 @@ _BNLJ_BOUNDED_OK = {
     "sketch_bloom_membership_audit",
     # r7: the <=20-cell contingency grid self-cross (metadata-scale)
     "stats_goodman_kruskal_gamma",
+    # r8: two one-row per-user-moment broadcasts into the item fold
+    "stats_cronbach_alpha_items",
 }
 
 
