@@ -1541,3 +1541,73 @@ def sampling_source_cap_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MANIFEST_SHARDS = 16
+
+
+def _shard_manifest_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    assign = hash_long_chain_subquery(
+        "documents", ["doc_id", "n_chars"], ["doc_id"], out="ha"
+    )
+    rowh = hash_long_chain_subquery(
+        f"(SELECT doc_id, n_chars, ha FROM {assign})",
+        ["doc_id", "n_chars", "ha"],
+        ["doc_id", "n_chars"],
+        out="hrow",
+    )
+    return f"""
+        SELECT CAST(((ha % {_MANIFEST_SHARDS}) + {_MANIFEST_SHARDS})
+                    % {_MANIFEST_SHARDS} AS INT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+               CAST(BIT_XOR(hrow) AS BIGINT) AS content_checksum
+        FROM {rowh}
+        GROUP BY shard
+        ORDER BY shard
+    """
+
+
+@register(
+    "pipeline_shard_manifest_checksums",
+    oracle=_shard_manifest_oracle(),
+    doc=(
+        "X7n: shard manifest with order-independent content checksums "
+        "— the artifact a training job writes next to its data so any "
+        "later reader can verify a shard without re-reading the "
+        "corpus. Shard = pmod(xxhash64(doc_id), 16) (the stateless "
+        "re-deal the epoch shuffler uses); per shard: doc count, "
+        "character budget, id range, and a checksum = BIT_XOR of "
+        "per-row xxhash64(doc_id, n_chars) — XOR commutes, so the "
+        "checksum is independent of row order and partitioning, "
+        "exactly what a distributed writer needs (any single flipped "
+        "row flips the checksum). One scan, one hash aggregate; the "
+        "oracle replays both hash chains via the pure-SQL XXH64 twin."
+    ),
+    tags=("pipeline", "llm", "sampling", "dq"),
+)
+def pipeline_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(_MANIFEST_SHARDS))
+            .cast("int")
+            .alias("shard"),
+            "doc_id",
+            "n_chars",
+            F.xxhash64("doc_id", "n_chars").alias("hrow"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.expr("BIT_XOR(hrow)").cast("bigint").alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )

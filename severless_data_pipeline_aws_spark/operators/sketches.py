@@ -585,3 +585,91 @@ def sketch_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             " * CAST(n_nonmembers AS DOUBLE) + 5.0"
         ).alias("fp_rate_within_bound"),
     )
+
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    hashed = hash_long_chain_subquery(
+        "(SELECT DISTINCT user_id FROM events)", ["user_id"], ["user_id"], out="h"
+    )
+    return f"""
+        WITH u64 AS (
+            SELECT CAST(h AS HUGEINT)
+                   + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT
+                          ELSE 0::HUGEINT END AS u
+            FROM {hashed}
+        ),
+        kmin AS (
+            SELECT MAX(u) AS kth, CAST(COUNT(*) AS BIGINT) AS k
+            FROM (SELECT u FROM u64 ORDER BY u LIMIT {_KMV_K})
+        ),
+        ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct
+               FROM (SELECT DISTINCT user_id FROM events))
+        SELECT CAST(k AS INT) AS k,
+               CAST(kth AS VARCHAR) AS kth_hash,
+               (CAST(k - 1 AS DOUBLE) * 18446744073709551616.0)
+                   / CAST(CAST(kth AS VARCHAR) AS DOUBLE) AS est_distinct,
+               exact_distinct,
+               ((CAST(k - 1 AS DOUBLE) * 18446744073709551616.0)
+                   / CAST(CAST(kth AS VARCHAR) AS DOUBLE)
+                - CAST(exact_distinct AS DOUBLE))
+                   / CAST(exact_distinct AS DOUBLE) AS rel_err
+        FROM kmin CROSS JOIN ex
+    """
+
+
+@register(
+    "sketch_kmv_distinct_estimate",
+    oracle=_kmv_oracle(),
+    doc=(
+        "X6g: K-minimum-values distinct-count sketch — keep the k "
+        "smallest xxhash64 values of the key and estimate "
+        "|distinct| = (k-1) * 2^64 / kth_min. Unlike HLL (whose "
+        "register layout is implementation-defined, hence the verdict "
+        "oracles), KMV is FULLY deterministic given the hash: the "
+        "oracle replays the hash via the pure-SQL XXH64 twin and "
+        "reproduces estimate, kth value, and relative error "
+        "bit-for-bit — the only exactly-replayable member of the "
+        "sketch tier. Plan: distinct fold (map-side combinable), then "
+        "a k-row TakeOrdered — local top-k per partition merged once, "
+        "never a global sort; sketches merge by keeping the k smallest "
+        "of a union, the same property HLL rollups rely on. The kth "
+        "hash crosses the wire as exact decimal digits (STRING)."
+    ),
+    tags=("sketch", "llm", "approx"),
+)
+def sketch_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.events.select("user_id").distinct()
+    u = d.select(
+        F.expr(
+            "CAST(xxhash64(user_id) AS DECIMAL(20,0))"
+            " + CASE WHEN xxhash64(user_id) < 0"
+            " THEN CAST(18446744073709551616 AS DECIMAL(20,0))"
+            " ELSE CAST(0 AS DECIMAL(20,0)) END"
+        ).alias("u")
+    )
+    kmin = (
+        u.orderBy("u")
+        .limit(_KMV_K)
+        .agg(F.max("u").alias("kth"), F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    ex = d.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    est = (
+        "(CAST(k - 1 AS DOUBLE) * 18446744073709551616.0D)"
+        " / CAST(CAST(kth AS STRING) AS DOUBLE)"
+    )
+    return kmin.crossJoin(F.broadcast(ex)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("kth").cast("string").alias("kth_hash"),
+        F.expr(est).alias("est_distinct"),
+        "exact_distinct",
+        F.expr(
+            f"({est} - CAST(exact_distinct AS DOUBLE))"
+            " / CAST(exact_distinct AS DOUBLE)"
+        ).alias("rel_err"),
+    )

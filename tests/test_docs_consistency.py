@@ -276,6 +276,8 @@ _R8_QUERIES = frozenset(
         "stats_intraclass_correlation",
         "stats_lin_ccc_agreement",
         "dq_date_sequence_violations",
+        "sketch_kmv_distinct_estimate",
+        "pipeline_shard_manifest_checksums",
     }
 )
 

@@ -781,6 +781,8 @@ _BNLJ_BOUNDED_OK = {
     "stats_goodman_kruskal_gamma",
     # r8: two one-row per-user-moment broadcasts into the item fold
     "stats_cronbach_alpha_items",
+    # r8: one-row exact-distinct scalar joined to the one-row KMV row
+    "sketch_kmv_distinct_estimate",
 }
 
 
