@@ -1078,3 +1078,54 @@ def scalar_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "event_id", "lat_centi", "lon_centi", F.expr(_geohash_chars("iv")).alias("geohash6")
     )
+
+
+@register(
+    "scalar_codec_digest_battery",
+    oracle="""
+        SELECT p_partkey,
+               to_base64(encode(p_name)) AS b64,
+               hex(encode(p_name)) AS hx,
+               md5(p_name) AS md5_hex,
+               sha256(p_name) AS sha256_hex,
+               decode(from_base64(to_base64(encode(p_name)))) = p_name
+                   AS b64_roundtrip_ok,
+               decode(from_hex(hex(encode(p_name)))) = p_name
+                   AS hex_roundtrip_ok
+        FROM part WHERE p_partkey <= 200
+        ORDER BY p_partkey
+    """,
+    doc=(
+        "Encoding/digest scalar battery — base64, hex, md5, sha-256 "
+        "plus decode round-trip proofs, the content-addressing surface "
+        "a manifest/cache layer is built on (all JVM codegen, map-"
+        "only). Cross-engine trap handled and documented: Spark's "
+        "base64 is the Java MIME encoder (wraps at 76 chars with CRLF) "
+        "while DuckDB never wraps — the battery strips CR LF on the "
+        "Spark side, which is also what any content-addressed store "
+        "must do before comparing digests of long payloads."
+    ),
+    tags=("scalar", "functions"),
+)
+def scalar_codec_digest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.expr(
+                "replace(base64(encode(p_name, 'utf-8')),"
+                " concat(char(13), char(10)), '')"
+            ).alias("b64"),
+            F.expr("hex(encode(p_name, 'utf-8'))").alias("hx"),
+            F.expr("md5(p_name)").alias("md5_hex"),
+            F.expr("sha2(p_name, 256)").alias("sha256_hex"),
+            F.expr(
+                "decode(unbase64(base64(encode(p_name, 'utf-8'))), 'utf-8') = p_name"
+            ).alias("b64_roundtrip_ok"),
+            F.expr(
+                "decode(unhex(hex(encode(p_name, 'utf-8'))), 'utf-8') = p_name"
+            ).alias("hex_roundtrip_ok"),
+        )
+        .orderBy("p_partkey")
+    )

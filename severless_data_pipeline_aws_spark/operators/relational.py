@@ -589,3 +589,56 @@ def sql_api_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name
         """
     )
+
+
+@register(
+    "sql_api_named_window_clause",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS running_cents,
+                   CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        )
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    doc=(
+        "Named WINDOW clause (the modern-SQL window sugar "
+        "both engines share): one window specification declared once "
+        "and referenced by three functions, with a rank<=3 filter on the "
+        "result. Catalyst folds the shared spec into ONE Window node "
+        "(a repeated inline OVER would too, but the named form is what "
+        "humans maintain). NOTE the filter cannot become a "
+        "WindowGroupLimit local-top-k here BY DESIGN: the same spec "
+        "also computes a running sum and lag over the FULL partition, "
+        "so pre-filtering would change their values — the plan-audited "
+        "top-k rewrite applies only to rank-only windows (QUALIFY "
+        "itself: DuckDB yes, Spark 4.1 not yet — the subquery filter "
+        "is the portable spelling). Running cents "
+        "are exact integers; identical text runs on both engines."
+    ),
+    tags=("relational", "sql-api", "window", "spark4"),
+)
+def sql_api_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS running_cents,
+                   CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        )
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+        """
+    )

@@ -2726,3 +2726,81 @@ def text_length_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_token_coverage_curve",
+    oracle="""
+        WITH vocab AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        ),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn
+            FROM vocab
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN rn <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS top100_tokens,
+               CAST(SUM(CASE WHEN rn <= 1000 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS top1000_tokens,
+               CAST(SUM(CASE WHEN rn <= 10000 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS top10000_tokens,
+               CAST(SUM(CASE WHEN rn <= 100 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(cnt) AS DOUBLE) AS coverage_100,
+               CAST(SUM(CASE WHEN rn <= 1000 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(cnt) AS DOUBLE) AS coverage_1000,
+               CAST(SUM(CASE WHEN rn <= 10000 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(cnt) AS DOUBLE) AS coverage_10000
+        FROM ranked
+    """,
+    doc=(
+        "X4ad: token coverage curve — what fraction of all corpus "
+        "tokens the top-100 / top-1k / top-10k vocabulary words cover: "
+        "the vocabulary-size budget question a tokenizer design "
+        "answers before BPE training (complements Heaps' growth and "
+        "the per-doc OOV rate, which measure the other two axes). The "
+        "corpus collapses to its word-count table in one shuffle; the "
+        "frequency rank uses the bucket-offset global row number on "
+        "the NEGATED count (no vocabulary-grain single-partition "
+        "sort), deterministic (cnt DESC, word) tie-break; one "
+        "conditional aggregate emits the whole curve."
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+def text_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_row_number
+
+    t = Tables(spark, sf_dir)
+    vocab = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ranked = bucketed_row_number(
+        vocab, F.expr("-(cnt DIV 64)"), [F.desc("cnt"), "w"], out="rn"
+    )
+    cov = lambda k: (  # noqa: E731
+        F.sum(F.when(F.col("rn") <= k, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias(f"top{k}_tokens")
+    )
+    out = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        cov(100),
+        cov(1000),
+        cov(10000),
+    )
+    return out.select(
+        "vocab_size",
+        "total_tokens",
+        "top100_tokens",
+        "top1000_tokens",
+        "top10000_tokens",
+        (F.col("top100_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("coverage_100"),
+        (F.col("top1000_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("coverage_1000"),
+        (F.col("top10000_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("coverage_10000"),
+    )

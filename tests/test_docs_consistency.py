@@ -278,6 +278,9 @@ _R8_QUERIES = frozenset(
         "dq_date_sequence_violations",
         "sketch_kmv_distinct_estimate",
         "pipeline_shard_manifest_checksums",
+        "sql_api_named_window_clause",
+        "scalar_codec_digest_battery",
+        "text_token_coverage_curve",
     }
 )
 
