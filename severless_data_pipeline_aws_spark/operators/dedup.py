@@ -1635,3 +1635,336 @@ def dedup_cluster_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def _minhash_sig_ctes() -> str:
+    """Shared oracle prefix: shingles -> distinct-shingle XXH64 under
+    all 32 seeds -> per-(doc, tag) MIN signature CTE ``sig`` (plus
+    ``shm``/``sizes`` for exact-Jaccard verification). Extracted from
+    ``_minhash_lsh_oracle`` so the estimate audit and the band-count
+    curve replay the IDENTICAL hash family."""
+    from ..functions.xxh64 import hash_str
+    from ..functions.xxh64_sql import rec_hash_ctes
+
+    seeds = ", ".join(
+        f"({i}, {hash_str(f's{i}') % (1 << 64)}::HUGEINT)" for i in range(_MINHASH_K)
+    )
+    return f"""{_SHINGLE_CTE_SQL},
+        shm AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
+        uq AS (SELECT DISTINCT shingle FROM shm),
+        mh_src AS (
+            SELECT shingle AS k, sd.tag, sd.seed, shingle AS s
+            FROM uq CROSS JOIN (VALUES {seeds}) sd(tag, seed)
+        ),
+        {rec_hash_ctes('mh')},
+        sig AS MATERIALIZED (
+            SELECT m.doc_id, o.tag, MIN(o.hsig) AS mh
+            FROM shm m JOIN mh_out o ON o.k = m.shingle
+            GROUP BY m.doc_id, o.tag
+        ),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM shm GROUP BY doc_id)"""
+
+
+def _band_cand_ctes(n_bands: int, rows: int, pfx: str) -> str:
+    """Candidate-pair CTEs for an (n_bands x rows) banding over ``sig``:
+    emits ``{pfx}cand(doc_a, doc_b)``."""
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    mins = ",\n                   ".join(
+        f"MIN(CASE WHEN r = {r} THEN mh END) AS m{r}" for r in range(rows)
+    )
+    bucket_sub = hash_long_chain_subquery(
+        f"{pfx}bandv", ["doc_id", "band"], [f"m{r}" for r in range(rows)], out="bucket"
+    )
+    return f"""{pfx}sigb AS (
+            SELECT doc_id, tag // {rows} AS band, tag % {rows} AS r, mh FROM sig
+        ),
+        {pfx}bandv AS (
+            SELECT doc_id, band,
+                   {mins}
+            FROM {pfx}sigb GROUP BY doc_id, band
+        ),
+        {pfx}bk AS MATERIALIZED (SELECT doc_id, band, bucket FROM {bucket_sub}),
+        {pfx}cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM {pfx}bk a JOIN {pfx}bk b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )"""
+
+
+def _minhash_estimate_audit_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_minhash_sig_ctes()},
+        {_band_cand_ctes(_LSH_BANDS, _LSH_ROWS, "q")},
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                       AS matches
+            FROM qcand c
+            JOIN sig a ON a.doc_id = c.doc_a
+            JOIN sig b ON b.doc_id = c.doc_b AND b.tag = a.tag
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM qcand c
+            JOIN shm a ON a.doc_id = c.doc_a
+            JOIN shm b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        err AS (
+            SELECT CAST(floor(abs(
+                       CAST(e.matches AS DOUBLE) / {_MINHASH_K}.0
+                       - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                         / (sa.n + sb.n - COALESCE(i.n_inter, 0))) * 20.0)
+                   AS INT) AS err_bucket
+            FROM est e
+            LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+            JOIN sizes sa ON sa.doc_id = e.doc_a
+            JOIN sizes sb ON sb.doc_id = e.doc_b
+        )
+        SELECT err_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM err GROUP BY err_bucket ORDER BY err_bucket
+    """
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle=_minhash_estimate_audit_oracle(),
+    doc=(
+        "X2h: MinHash ESTIMATOR quality audit — for every LSH candidate "
+        "pair, compare the signature-based Jaccard estimate "
+        "(matching positions / 32, an exact rational) against the true "
+        "shingle Jaccard, and report the |error| histogram in 0.05 "
+        "buckets: the calibration report that justifies trusting "
+        "signatures instead of re-reading documents at 100 TB. Both "
+        "quantities are deterministic doubles (the estimate is m/32, "
+        "the truth i/u), so the bucket boundary floor is engine-exact "
+        "— no verdict booleans needed, the histogram itself is "
+        "hash-exact. Candidates come from the same banded equi-join "
+        "as dedup_minhash_lsh; the only new work is one 32-row-per-"
+        "pair signature join over candidates only."
+    ),
+    tags=("dedup", "llm", "lsh", "eval"),
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = _pair_docs(t)
+    sig = minhash_signature(docs).select(
+        "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * _LSH_ROWS + r}") for r in range(_LSH_ROWS)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    candidates = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    matches_expr = " + ".join(
+        f"CASE WHEN a_mh_{s} = b_mh_{s} THEN 1 ELSE 0 END" for s in range(_MINHASH_K)
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{s}").alias(f"a_mh_{s}") for s in range(_MINHASH_K)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{s}").alias(f"b_mh_{s}") for s in range(_MINHASH_K)],
+    )
+    est = (
+        candidates.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", F.expr(f"CAST({matches_expr} AS BIGINT)").alias("matches"))
+    )
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        candidates.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")),
+            "doc_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    err = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            F.expr(
+                f"CAST(floor(abs(CAST(matches AS DOUBLE) / {_MINHASH_K}.0"
+                " - CAST(COALESCE(n_inter, 0) AS DOUBLE)"
+                " / (na + nb - COALESCE(n_inter, 0))) * 20.0) AS INT)"
+            ).alias("err_bucket")
+        )
+    )
+    return (
+        err.groupBy("err_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("err_bucket")
+    )
+
+
+_BAND_CURVE = [(4, 8), (8, 4), (16, 2)]  # (n_bands, rows_per_band), b*r = 32
+
+
+def _lsh_band_curve_oracle() -> str:
+    bandings = ",\n        ".join(
+        _band_cand_ctes(b, r, f"c{b}_") for b, r in _BAND_CURVE
+    )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {b} AS n_bands, {r} AS rows_per_band,
+                   doc_a, doc_b FROM c{b}_cand"""
+        for b, r in _BAND_CURVE
+    )
+    return f"""
+        WITH RECURSIVE {_minhash_sig_ctes()},
+        {bandings},
+        allc AS ({unions}),
+        upairs AS (SELECT DISTINCT doc_a, doc_b FROM allc),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM upairs c
+            JOIN shm a ON a.doc_id = c.doc_a
+            JOIN shm b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        jac AS (
+            SELECT u.doc_a, u.doc_b,
+                   CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                       / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS j
+            FROM upairs u
+            LEFT JOIN inter i ON i.doc_a = u.doc_a AND i.doc_b = u.doc_b
+            JOIN sizes sa ON sa.doc_id = u.doc_a
+            JOIN sizes sb ON sb.doc_id = u.doc_b
+        )
+        SELECT a.n_bands, a.rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_dups,
+               CAST(SUM(CASE WHEN j.j >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS precision_at_05
+        FROM allc a JOIN jac j ON j.doc_a = a.doc_a AND j.doc_b = a.doc_b
+        GROUP BY a.n_bands, a.rows_per_band
+        ORDER BY a.n_bands
+    """
+
+
+@register(
+    "dedup_lsh_band_candidate_curve",
+    oracle=_lsh_band_curve_oracle(),
+    doc=(
+        "X2i: LSH banding sensitivity curve — the SAME 32 minhashes "
+        "re-banded as 4x8, 8x4, and 16x2, reporting candidate-pair "
+        "count, true near-dups among them (exact Jaccard >= 0.5), and "
+        "precision per banding: the s-curve tuning report that picks "
+        "the banding BEFORE committing a 100 TB dedup run (more bands "
+        "= higher recall, quadratically more candidates to verify). "
+        "Signatures are computed once; each banding is one extra "
+        "bucket equi-join over them, and exact verification touches "
+        "only the UNION of candidate sets. Oracle replays all three "
+        "bandings through the shared XXH64 signature CTEs."
+    ),
+    tags=("dedup", "llm", "lsh", "eval"),
+)
+def dedup_lsh_band_candidate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = _pair_docs(t)
+    sig = minhash_signature(docs).select(
+        "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
+    )
+    curves = []
+    for n_bands, rows in _BAND_CURVE:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+        cand = (
+            bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+            .join(
+                bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .select(
+                F.lit(n_bands).alias("n_bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "doc_a",
+                "doc_b",
+            )
+        )
+        curves.append(cand)
+    allc = curves[0].unionAll(curves[1]).unionAll(curves[2])
+    upairs = allc.select("doc_a", "doc_b").distinct()
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        upairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")),
+            "doc_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        upairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(COALESCE(n_inter, 0) AS DOUBLE)"
+                " / (na + nb - COALESCE(n_inter, 0))"
+            ).alias("j"),
+        )
+    )
+    return (
+        allc.join(jac, ["doc_a", "doc_b"])
+        .groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_dups"),
+            (
+                F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("precision_at_05"),
+        )
+        .orderBy("n_bands")
+    )

@@ -281,6 +281,8 @@ _R8_QUERIES = frozenset(
         "sql_api_named_window_clause",
         "scalar_codec_digest_battery",
         "text_token_coverage_curve",
+        "dedup_minhash_estimate_audit",
+        "dedup_lsh_band_candidate_curve",
     }
 )
 
