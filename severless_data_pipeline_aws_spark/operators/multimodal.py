@@ -1451,3 +1451,156 @@ def multimodal_mp4_box_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND {u32(1)} + {u32(21)} = length(payload))
             AS structure_ok""",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18): X5o JPEG JFIF/SOF0 parse tier and
+# X5p windowed PCM energy envelope over the WAV tier.
+# ---------------------------------------------------------------------------
+
+_JPEG_LIMIT = 200
+
+
+def synthesize_jpeg_media(spark: SparkSession, sf_dir: str, limit: int = _JPEG_LIMIT) -> DataFrame:
+    """(doc_id, payload): minimal byte-valid JFIF streams — SOI, APP0
+    (JFIF 1.1, no thumbnail), SOF0 (8-bit, 3 components, 4:2:0
+    sampling), EOI; 41 bytes. height = 1 + doc_id % 480,
+    width = 1 + n_chars % 640."""
+    t = Tables(spark, sf_dir)
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        """unhex(concat(
+               'FFD8',
+               'FFE0', '0010', '4A46494600', '0101', '00',
+               '0001', '0001', '00', '00',
+               'FFC0', '0011', '08',
+               lpad(hex(1 + doc_id % 480), 4, '0'),
+               lpad(hex(1 + n_chars % 640), 4, '0'),
+               '03', '012200', '021101', '031101',
+               'FFD9')) AS payload""",
+    )
+
+
+@register(
+    "multimodal_jpeg_sof_parse",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(1 + doc_id % 480 AS BIGINT) AS height,
+               CAST(1 + n_chars % 640 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS precision_bits,
+               CAST(3 AS BIGINT) AS n_components,
+               CAST(2 AS BIGINT) AS luma_h_sampling,
+               CAST(2 AS BIGINT) AS luma_v_sampling,
+               TRUE AS jfif_ok,
+               TRUE AS wellformed,
+               CAST(41 AS BIGINT) AS total_len
+        FROM documents WHERE doc_id < {_JPEG_LIMIT}
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5o: JPEG JFIF/SOF0 header parse over byte-valid synthesized "
+        "streams — SOI marker, APP0 length + 'JFIF' identifier + "
+        "version, then the SOF0 frame header that actually matters to "
+        "a pipeline (bit precision, HEIGHT, WIDTH, component count, "
+        "luma subsampling factors — the fields a resize/filter stage "
+        "budgets memory from), and an EOI structural check. The Spark "
+        "side genuinely re-reads every field from the payload bytes "
+        "(hex/conv substring arithmetic, all codegen; bytes never "
+        "shuffle); the oracle predicts each from the synthesis "
+        "arithmetic and asserts the marker checks TRUE, so one "
+        "mis-parsed byte breaks the hash. Fifth real container tier "
+        "(BMP, WAV, GIF, PNG, MP4 — now JPEG)."
+    ),
+    tags=("multimodal", "llm", "scalar"),
+)
+def multimodal_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_jpeg_media(spark, sf_dir)
+    be = lambda pos, n: f"CAST(conv(hex(substring(payload, {pos}, {n})), 16, 10) AS BIGINT)"  # noqa: E731
+    return media.selectExpr(
+        "doc_id",
+        f"{be(26, 2)} AS height",
+        f"{be(28, 2)} AS width",
+        f"{be(25, 1)} AS precision_bits",
+        f"{be(30, 1)} AS n_components",
+        f"{be(32, 1)} DIV 16 AS luma_h_sampling",
+        f"{be(32, 1)} % 16 AS luma_v_sampling",
+        f"""hex(substring(payload, 3, 2)) = 'FFE0'
+            AND {be(5, 2)} = 16
+            AND hex(substring(payload, 7, 5)) = '4A46494600'
+            AND {be(12, 2)} = 257 AS jfif_ok""",
+        f"""hex(substring(payload, 1, 2)) = 'FFD8'
+            AND hex(substring(payload, 21, 2)) = 'FFC0'
+            AND {be(23, 2)} = 17
+            AND hex(substring(payload, length(payload) - 1, 2)) = 'FFD9'
+            AS wellformed""",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+    ).orderBy("doc_id")
+
+
+_RMS_WINDOW = 16  # samples per envelope window (64 samples -> 4 windows)
+
+
+def _audio_energy_windows_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "w": [], "n": [], "energy": [], "peak_abs": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = wav_decode(bytes(payload))
+            for w in range(len(s) // _RMS_WINDOW):
+                seg = s[w * _RMS_WINDOW : (w + 1) * _RMS_WINDOW]
+                out["doc_id"].append(doc_id)
+                out["w"].append(w)
+                out["n"].append(len(seg))
+                out["energy"].append(int((seg.astype("int64") ** 2).sum()))
+                out["peak_abs"].append(int(np.abs(seg).max()))
+        yield pd.DataFrame(out)[["doc_id", "w", "n", "energy", "peak_abs"]]
+
+
+def _audio_energy_windows_oracle() -> str:
+    lo = "CAST(('0x' || substr(md5(text || '|a' || CAST(j // 8 AS VARCHAR)), ((2 * j) % 16) * 2 + 1, 2)) AS BIGINT)"
+    hi = "CAST(('0x' || substr(md5(text || '|a' || CAST(j // 8 AS VARCHAR)), ((2 * j + 1) % 16) * 2 + 1, 2)) AS BIGINT)"
+    return f"""
+        WITH samp AS (
+            SELECT doc_id, j,
+                   ({lo}) + 256 * ({hi})
+                   - CASE WHEN ({hi}) >= 128 THEN 65536 ELSE 0 END AS s
+            FROM documents, range({_WAV_N_SAMPLES}) t(j)
+            WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(j // {_RMS_WINDOW} AS INT) AS w,
+               CAST(COUNT(*) AS INT) AS n,
+               CAST(SUM(s * s) AS BIGINT) AS energy,
+               CAST(MAX(abs(s)) AS INT) AS peak_abs
+        FROM samp
+        GROUP BY doc_id, j // {_RMS_WINDOW}
+        ORDER BY doc_id, w
+    """
+
+
+@register(
+    "multimodal_audio_energy_windows",
+    oracle=_audio_energy_windows_oracle(),
+    doc=(
+        "X5p: windowed PCM energy envelope — the per-clip loudness "
+        "profile (16-sample windows, exact integer energy + peak) a "
+        "speech pipeline uses to trim silence and segment long audio "
+        "before feature extraction, where the whole-clip aggregate "
+        "(multimodal_wav_pcm_features) is too coarse. Same genuine "
+        "RIFF decode in an Arrow-batched mapInPandas stage, bytes "
+        "never shuffle, output grain (doc, window); the SQL twin "
+        "re-derives every signed sample from positional md5 bytes and "
+        "replays the identical window arithmetic."
+    ),
+    tags=("multimodal", "llm", "udf"),
+)
+def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_wav_media(spark, sf_dir)
+    return (
+        media.mapInPandas(
+            _audio_energy_windows_batches,
+            "doc_id bigint, w int, n int, energy bigint, peak_abs int",
+        )
+        .orderBy("doc_id", "w")
+    )

@@ -283,6 +283,8 @@ _R8_QUERIES = frozenset(
         "text_token_coverage_curve",
         "dedup_minhash_estimate_audit",
         "dedup_lsh_band_candidate_curve",
+        "multimodal_jpeg_sof_parse",
+        "multimodal_audio_energy_windows",
     }
 )
 
