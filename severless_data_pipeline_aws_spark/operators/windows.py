@@ -2075,11 +2075,14 @@ _BARS_SQL = """
             SELECT event_type, CAST(ts AS DATE) AS day,
                    CAST(round(value * 10000) AS BIGINT) AS x,
                    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
-                                      ORDER BY ts DESC, event_id DESC) AS rn
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                      ORDER BY ts ASC, event_id ASC) AS rn_o
             FROM events WHERE value IS NOT NULL
         ),
         bars AS (
             SELECT event_type, day,
+                   CAST(MAX(CASE WHEN rn_o = 1 THEN x END) AS BIGINT) AS o,
                    CAST(MAX(x) AS BIGINT) AS h,
                    CAST(MIN(x) AS BIGINT) AS l,
                    CAST(MAX(CASE WHEN rn = 1 THEN x END) AS BIGINT) AS c,
@@ -2099,6 +2102,7 @@ def _bars(t: Tables) -> DataFrame:
         t.events.filter(F.col("value").isNotNull())
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(
+            F.expr(f"CAST(min_by({fixed}, struct(ts, event_id)) AS BIGINT)").alias("o"),
             F.expr(f"CAST(MAX({fixed}) AS BIGINT)").alias("h"),
             F.expr(f"CAST(MIN({fixed}) AS BIGINT)").alias("l"),
             F.expr(f"CAST(max_by({fixed}, struct(ts, event_id)) AS BIGINT)").alias("c"),
@@ -3434,5 +3438,113 @@ def window_directional_movement_dx(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("dx"),
             (F.col("spdm") > F.col("sndm")).alias("bullish"),
         )
+        .orderBy("event_type", "day")
+    )
+
+
+#: Heikin-Ashi recurrence templates — DuckDB can't reference sibling
+#: aliases, so ha_high/ha_low recompute the open/close expressions;
+#: identical IEEE ops give identical doubles (the Kalman trick).
+_HA_C = "(CAST(b.o + b.h + b.l + b.c AS DOUBLE) / 4.0)"
+_HA_O = "((r.ha_o + r.ha_c) / 2.0)"
+
+
+@register(
+    "window_heikin_ashi_candles",
+    oracle=f"""
+        WITH RECURSIVE {_BARS_SQL},
+        nb AS MATERIALIZED (
+            SELECT event_type, day, o, h, l, c,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM bars
+        ),
+        r AS (
+            SELECT event_type, day, rn, o, h, l, c,
+                   (CAST(o + c AS DOUBLE) / 2.0) AS ha_o,
+                   (CAST(o + h + l + c AS DOUBLE) / 4.0) AS ha_c,
+                   greatest(CAST(h AS DOUBLE), (CAST(o + c AS DOUBLE) / 2.0),
+                            (CAST(o + h + l + c AS DOUBLE) / 4.0)) AS ha_h,
+                   least(CAST(l AS DOUBLE), (CAST(o + c AS DOUBLE) / 2.0),
+                         (CAST(o + h + l + c AS DOUBLE) / 4.0)) AS ha_l
+            FROM nb WHERE rn = 1
+            UNION ALL
+            SELECT b.event_type, b.day, b.rn, b.o, b.h, b.l, b.c,
+                   {_HA_O} AS ha_o,
+                   {_HA_C} AS ha_c,
+                   greatest(CAST(b.h AS DOUBLE), {_HA_O}, {_HA_C}) AS ha_h,
+                   least(CAST(b.l AS DOUBLE), {_HA_O}, {_HA_C}) AS ha_l
+            FROM nb b JOIN r ON b.event_type = r.event_type
+                            AND b.rn = r.rn + 1
+        )
+        SELECT event_type, day,
+               ha_o / 10000.0 AS ha_open,
+               ha_h / 10000.0 AS ha_high,
+               ha_l / 10000.0 AS ha_low,
+               ha_c / 10000.0 AS ha_close,
+               ha_c > ha_o AS bullish
+        FROM r
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W43: Heikin-Ashi candles per event type's daily bars — the "
+        "trend-smoothing candle transform where each open is the "
+        "midpoint of the PREVIOUS HA candle (ha_o_t = (ha_o_{t-1} + "
+        "ha_c_{t-1})/2), making the series order-sequential: the "
+        "recurrence tier's contract (applyInPandas per type — serial "
+        "within a calendar-bounded day series, parallel across types; "
+        "same key bound as Kalman/Croston/MACD). ha_close is per-row "
+        "arithmetic on exact fixed-point bars; the recursive-CTE "
+        "oracle replays the identical IEEE op sequence via the "
+        "templated recurrences (_HA_O/_HA_C), and greatest/least of "
+        "the same doubles agree engine-to-engine. Uses the shared bar "
+        "reduction, now carrying the true session open (min_by twin "
+        "of the max_by close)."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def window_heikin_ashi_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    bars = _bars(t).select("event_type", "day", "o", "h", "l", "c")
+
+    schema = (
+        "event_type string, day date, ha_open double, ha_high double,"
+        " ha_low double, ha_close double, bullish boolean"
+    )
+
+    def _ha(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day", kind="mergesort")
+        out = []
+        ha_o = ha_c = None
+        for _, row in pdf.iterrows():
+            o, h, l, c = row["o"], row["h"], row["l"], row["c"]
+            if ha_o is None:
+                ha_o = (o + c) / 2.0
+            else:
+                ha_o = (ha_o + ha_c) / 2.0
+            ha_c = (o + h + l + c) / 4.0
+            ha_h = max(float(h), ha_o, ha_c)
+            ha_l = min(float(l), ha_o, ha_c)
+            out.append(
+                (
+                    row["event_type"], row["day"],
+                    ha_o / 10000.0, ha_h / 10000.0,
+                    ha_l / 10000.0, ha_c / 10000.0,
+                    ha_c > ha_o,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "ha_open", "ha_high",
+                "ha_low", "ha_close", "bullish",
+            ],
+        )
+
+    return (
+        bars.groupBy("event_type")
+        .applyInPandas(_ha, schema=schema)
         .orderBy("event_type", "day")
     )

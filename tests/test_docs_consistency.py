@@ -285,6 +285,7 @@ _R8_QUERIES = frozenset(
         "dedup_lsh_band_candidate_curve",
         "multimodal_jpeg_sof_parse",
         "multimodal_audio_energy_windows",
+        "window_heikin_ashi_candles",
     }
 )
 
