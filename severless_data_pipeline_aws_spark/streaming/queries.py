@@ -821,3 +821,54 @@ def streaming_online_regression_slope(spark: SparkSession, sf_dir: str) -> DataF
         F.col("value").isNotNull()
     ).select("event_type", "event_id", "ts", "value")
     return _run_to_memory(stateful.online_slope_walk(stream), "append")
+
+
+@register(
+    "streaming_misra_gries_heavy_hitters",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id % 16) AS BIGINT) AS n_shards,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Tenth custom stateful operator: Misra-Gries heavy hitters via "
+        "applyInPandasWithState — at most 16 (key, count) slots of "
+        "state per shard however much data streams through: THE "
+        "bounded-memory frequent-items sketch (the summary behind "
+        "topK/frequent-items at 100 TB/day stream rates, mergeable by "
+        "summing counters across shards). Events shard by "
+        "pmod(user_id, 16); each shard folds event types through the "
+        "MG update (increment / insert / all-decrement). The "
+        "registered run uses capacity 16 > |event types| = the EXACT "
+        "regime — per-batch snapshots are monotone, MAX per "
+        "(shard, type) is the final counter, and the shard-sum equals "
+        "plain GROUP BY counts, which the oracle asserts hash-exactly. "
+        "The decrement path and the MG undercount bound "
+        "(est >= true - n/(k+1)) are pinned by a k=2 unit test; "
+        "stream == imperative replay in tests/test_streaming.py."
+    ),
+    tags=("streaming", "stateful", "sketch"),
+)
+def streaming_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        _replay_events_stream(spark, sf_dir)
+        .select(
+            F.pmod(F.col("user_id"), F.lit(16)).cast("long").alias("shard"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+    )
+    snaps = _run_to_memory(stateful.mg_walk(stream), "append")
+    final = snaps.groupBy("shard", "event_type").agg(F.max("cnt").alias("cnt"))
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("cnt").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -958,3 +958,95 @@ def online_slope_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = online_slope_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 10: Misra-Gries heavy hitters (bounded-memory
+# frequent-items state per key)
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 16  # counter slots per shard; > |event_type| => exact regime
+
+MG_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("event_type", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+#: counters serialized as canonical JSON (sorted keys) — one string of
+#: state per shard; arrays/maps in the state struct are avoided so the
+#: Arrow state round-trip stays on scalar types
+MG_STATE_SCHEMA = StructType([StructField("counters_json", StringType())])
+
+
+def mg_steps(
+    state_json: str | None, pdf: pd.DataFrame, k: int = MG_CAPACITY
+) -> tuple[pd.DataFrame, str]:
+    """Pure per-shard Misra-Gries fold, shared by the streaming state
+    function and the batch replay oracle.
+
+    Classic bound: every tracked count is exact minus at most
+    total_rows/(k+1); with k >= |distinct keys| no decrement ever fires
+    and the counters are EXACT (the regime the registered query runs
+    in — the decrement path is pinned separately by a k=2 unit test).
+    Emits the post-batch counter snapshot."""
+    import json
+
+    counters: dict[str, int] = json.loads(state_json) if state_json else {}
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    for t in pdf["event_type"]:
+        t = str(t)
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            counters = {key: c - 1 for key, c in counters.items() if c > 1}
+    shard = int(pdf["shard"].iloc[0]) if len(pdf) else -1
+    items = sorted(counters.items())
+    out = pd.DataFrame(
+        {
+            "shard": [shard] * len(items),
+            "event_type": [t for t, _ in items],
+            "cnt": [c for _, c in items],
+        }
+    )
+    return out, json.dumps(counters, sort_keys=True)
+
+
+def _apply_mg(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        out, st = mg_steps(st, pdf)
+        yield out
+    state.update((st,))
+
+
+def mg_walk(events: DataFrame) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters per shard
+    (applyInPandasWithState): at most MG_CAPACITY counters of state per
+    key no matter how much data streams through — the bounded-memory
+    frequent-items sketch. Batch twin: ``mg_batch_replay``."""
+    return events.groupBy("shard").applyInPandasWithState(
+        _apply_mg,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def mg_batch_replay(events_pdf: pd.DataFrame, k: int = MG_CAPACITY) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle
+    (one batch per shard; snapshot = final counters)."""
+    outs = []
+    for _, grp in events_pdf.groupby("shard", sort=False):
+        out, _ = mg_steps(None, grp, k=k)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

@@ -286,6 +286,7 @@ _R8_QUERIES = frozenset(
         "multimodal_jpeg_sof_parse",
         "multimodal_audio_energy_windows",
         "window_heikin_ashi_candles",
+        "streaming_misra_gries_heavy_hitters",
     }
 )
 

@@ -1051,3 +1051,73 @@ def test_streaming_online_slope_equals_batch_replay(spark, sf_dir):
     assert got == want
     assert all(s is None for n, s in got.values() if n == 1)
     assert all(s is not None for n, s in got.values() if n >= 2)
+
+
+def test_streaming_misra_gries_equals_batch_replay(spark, sf_dir):
+    """The streamed Misra-Gries counters must equal the single-process
+    replay exactly — same pure fold, same per-shard order, JSON state
+    carried across Arrow chunks without loss. In the registered
+    capacity-16 regime the final snapshot is also the exact count."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        mg_batch_replay,
+    )
+
+    got = {
+        (r["event_type"]): (r["n_shards"], r["n"])
+        for r in load_all()["streaming_misra_gries_heavy_hitters"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.selectExpr(
+            "pmod(user_id, 16) AS shard", "event_type", "ts", "event_id"
+        )
+        .toPandas()
+    )
+    want_pdf = mg_batch_replay(events_pdf)
+    want = (
+        want_pdf.groupby("event_type")
+        .agg(n_shards=("shard", "nunique"), n=("cnt", "sum"))
+        .to_dict("index")
+    )
+    assert len(got) == len(want) > 0
+    for t, row in want.items():
+        assert got[t] == (row["n_shards"], row["n"]), (t, got[t], row)
+
+
+def test_misra_gries_decrement_path_and_bound():
+    """Capacity 2 over 3 keys forces the all-decrement branch: the fold
+    must stay deterministic and every surviving counter must satisfy
+    the MG guarantee true_count - n/(k+1) <= est <= true_count."""
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import mg_steps
+
+    seq = (["a"] * 7) + (["b"] * 5) + (["c"] * 3) + (["a"] * 2)
+    pdf = pd.DataFrame(
+        {
+            "shard": [0] * len(seq),
+            "event_type": seq,
+            "ts": range(len(seq)),
+            "event_id": range(len(seq)),
+        }
+    )
+    out, state_json = mg_steps(None, pdf, k=2)
+    true = {"a": 9, "b": 5, "c": 3}
+    n, k = len(seq), 2
+    est = dict(zip(out["event_type"], out["cnt"]))
+    assert est, "decrement run emptied the sketch entirely"
+    for t, c in est.items():
+        assert c <= true[t], (t, c)
+        assert c >= true[t] - n / (k + 1), (t, c)
+    # the dominant key must survive a decrement-heavy stream
+    assert "a" in est
+    # determinism: same input, same snapshot and state
+    out2, state2 = mg_steps(None, pdf.sample(frac=1.0, random_state=7), k=2)
+    assert state2 == state_json and list(out2["cnt"]) != [] and (
+        sorted(zip(out2["event_type"], out2["cnt"]))
+        == sorted(zip(out["event_type"], out["cnt"]))
+    )
