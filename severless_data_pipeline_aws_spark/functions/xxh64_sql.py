@@ -263,3 +263,20 @@ def hash_int_chain_subquery(
     steps += fx
     q = _layers(base, steps)
     return f"(SELECT {', '.join(passthrough)}, {_signed(fout)} AS {out} FROM {q})"
+
+
+def hash_long_seeded_subquery(
+    base: str, passthrough: list[str], long_expr: str, seed_u64_col: str,
+    out: str = "hl_sig",
+) -> str:
+    """Subquery over ``base`` computing ``hash_long(long_expr, seed)``
+    where the seed is an existing u64 HUGEINT column — the
+    ``xxhash64(string_cols..., long_col)`` tail (the 8-byte companion
+    of :func:`hash_int_chain_subquery`)."""
+    steps: list[tuple[str, str]] = [("s0h0", f"({seed_u64_col} + {P5} + 8) & {_M64}")]
+    s8, s8out = _step8("s0h0", u64(long_expr), "s0")
+    steps += s8
+    fx, fout = _fmix(s8out, "s0")
+    steps += fx
+    q = _layers(base, steps)
+    return f"(SELECT {', '.join(passthrough)}, {_signed(fout)} AS {out}, {fout} AS {out}_u64 FROM {q})"

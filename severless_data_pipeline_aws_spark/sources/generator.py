@@ -401,3 +401,365 @@ def iot_generator_invariants_audit(spark: SparkSession, sf_dir: str) -> DataFram
             'values_within_sensor_ranges', values_within_sensor_ranges
         ) AS (check_name, ok)"""
     ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 (r7 verdict #8): fixed-point generator variant — the drift
+# walk, clamp, rounding, anomaly snap, status draw, and report gate all
+# re-expressed on SCALED INTEGERS (1e-4 units) with integer threshold
+# comparisons, so the whole stream is hash-exact cross-engine: the
+# double-rounding tie (round(double, p), the documented rows-only
+# boundary of S1) never occurs because no double is ever rounded.
+# ---------------------------------------------------------------------------
+
+_FP_SCALE = 10_000  # 1e-4 fixed point
+_M31 = 1 << 31
+
+
+def _fp_consts() -> dict[str, dict]:
+    """Per-sensor integer constants (exact: every min/max/drift carries
+    <= 1 decimal digit)."""
+    out = {}
+    for i, (s, md) in enumerate(SENSOR_TYPES.items()):
+        lo = int(round(md["min"] * _FP_SCALE))
+        hi = int(round(md["max"] * _FP_SCALE))
+        d = int(round(md["drift"] * _FP_SCALE))
+        pdiv = _FP_SCALE // (10 ** md["precision"])  # 10^(4-p)
+        out[s] = {
+            "lo": lo,
+            "hi": hi,
+            "d": d,
+            "pdiv": pdiv,
+            "half": pdiv // 2,
+            "lop": lo // pdiv,  # exact: lo is a multiple of pdiv
+            "hip": hi // pdiv,
+            "idx": i,
+            "unit": md["unit"],
+            "p": md["precision"],
+            "decay": bool(md.get("decay")),
+        }
+    return out
+
+
+def _fp_cut(t: float) -> int:
+    """Integer cutoff c with  pmod(h, 2^31) < c  <=>  uniform < t,
+    where uniform = m / 2^31 and t is the exact binary double."""
+    import math
+    from fractions import Fraction
+
+    x = Fraction(t) * _M31
+    return int(x) if x.denominator == 1 else math.ceil(x)
+
+
+_FP_CUT_ANOM = _fp_cut(0.01)
+_FP_CUT_SPIKE = _fp_cut(0.5)
+_FP_CUT_REPORT = _fp_cut(0.98)
+_FP_CUT_STATUS = tuple(_fp_cut(t) for t in _STATUS_CUM[:3])
+
+
+def generate_readings_fixedpoint(
+    spark: SparkSession, n_devices: int = 10, n_ticks: int = 100
+) -> DataFrame:
+    """Long-form fixed-point reading stream: one row per reported
+    (device, sensor, tick) with the walked value as an exact scaled
+    integer plus its double rendering (one per-row division)."""
+    from pyspark.sql import Window as W
+
+    consts = _fp_consts()
+    devices = device_dimension(spark, n_devices)
+    ticks = spark.range(1, n_ticks + 1).select(F.col("id").alias("tick"))
+    rows = devices.select(
+        "device_id", "location_id", F.explode("sensors").alias("sensor")
+    ).join(ticks)
+
+    def cc(field: str) -> F.Column:
+        expr = F.when(F.col("sensor") == _SENSORS[0], F.lit(consts[_SENSORS[0]][field]))
+        for s in _SENSORS[1:]:
+            expr = expr.when(F.col("sensor") == s, F.lit(consts[s][field]))
+        return expr
+
+    m = lambda *cols: F.pmod(F.xxhash64(*cols), F.lit(_M31))  # noqa: E731
+
+    def idiv_m31(a: F.Column) -> F.Column:
+        """Exact a div 2^31 for non-negative a < 2^53: subtract the
+        remainder, then one exact double division (the ntile_from_rn
+        idiom — both engines agree bit-for-bit)."""
+        return ((a - a % F.lit(_M31)) / F.lit(_M31)).cast("bigint")
+
+    lo, hi, d = cc("lo"), cc("hi"), cc("d")
+    # integer step in [-D, D]: (m * 2D) div 2^31 - D — the dividend is
+    # non-negative, so the division is a true floor on both engines
+    m_step = m(F.col("device_id"), F.col("sensor"), F.col("tick"))
+    step = idiv_m31(m_step * (d * 2)) - d
+    is_decay = F.col("sensor") == "battery_level"
+    step = F.when(is_decay, -F.abs(step)).otherwise(step)
+
+    m_init = m(F.col("device_id"), F.col("sensor"), F.lit("init"))
+    init = lo + idiv_m31(m_init * (hi - lo))
+
+    walk = W.partitionBy("device_id", "sensor").orderBy("tick").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    v = F.least(F.greatest(init + F.sum(step).over(walk), lo), hi)
+
+    pdiv, half, lop, hip = cc("pdiv"), cc("half"), cc("lop"), cc("hip")
+    # round-half-up at the declared precision, entirely on integers:
+    # shift to non-negative, add half, exact divide by 10^(4-p)
+    shifted = v - lo + half
+    value_scaled = ((shifted - shifted % pdiv) / pdiv).cast("bigint") + lop
+
+    anom = m(F.col("device_id"), F.col("tick"), F.lit("anomaly")) < F.lit(_FP_CUT_ANOM)
+    pick = F.pmod(
+        F.xxhash64(F.col("device_id"), F.col("tick"), F.lit("pick")), F.lit(6)
+    )
+    spike = m(F.col("device_id"), F.col("tick"), F.lit("spike")) < F.lit(_FP_CUT_SPIKE)
+    value_scaled = F.when(
+        anom & (pick == cc("idx")), F.when(spike, hip).otherwise(lop)
+    ).otherwise(value_scaled)
+
+    value = F.when(cc("p") == 1, value_scaled / F.lit(10.0)).otherwise(
+        value_scaled.cast("double")
+    )
+
+    ms = m(F.col("device_id"), F.col("tick"), F.lit("status"))
+    status = (
+        F.when(ms < F.lit(_FP_CUT_STATUS[0]), STATUSES[0])
+        .when(ms < F.lit(_FP_CUT_STATUS[1]), STATUSES[1])
+        .when(ms < F.lit(_FP_CUT_STATUS[2]), STATUSES[2])
+        .otherwise(STATUSES[3])
+    )
+
+    # the report gate hides EMISSION only — the walk state advances on
+    # every tick (reference semantics: a device that skips a report
+    # still drifts), so the window cumsum must see unfiltered rows:
+    # project first, filter after
+    return (
+        rows.select(
+            "device_id",
+            "location_id",
+            "sensor",
+            "tick",
+            cc("unit").alias("unit"),
+            status.alias("status"),
+            value_scaled.alias("value_scaled"),
+            value.alias("value"),
+            (
+                m(F.col("device_id"), F.col("tick"), F.lit("report"))
+                < F.lit(_FP_CUT_REPORT)
+            ).alias("_reported"),
+        )
+        .filter(F.col("_reported"))
+        .drop("_reported")
+    )
+
+
+def _fixedpoint_oracle(n_devices: int = 10, n_ticks: int = 60) -> str:
+    """Complete DuckDB replay of the fixed-point generator: every
+    xxhash64 site (device location/sensor-count draws, sensor-subset
+    ranking, init, per-tick steps, anomaly/pick/spike/status/report)
+    is re-derived via the pure-SQL XXH64 twins, and the walk itself is
+    integer arithmetic — the whole stream hash-exact, closing the S1
+    rows-only boundary for this variant."""
+    from ..functions.xxh64 import SPARK_SEED
+    from ..functions.xxh64_sql import (
+        hash_long_chain_subquery,
+        hash_long_seeded_subquery,
+        rec_hash_ctes,
+    )
+
+    m64 = (1 << 64) - 1
+    locs = sorted(LOCATIONS)  # row_number ORDER BY location_id - 1
+    loc_values = ", ".join(
+        f"({i}, '{lid}')" for i, (lid, _name, _la, _lo) in enumerate(locs)
+    )
+    consts = _fp_consts()
+    sensor_values = ", ".join(
+        "({idx}, '{s}', {lo}, {hi}, {d}, {pdiv}, {half}, {lop}, {hip}, '{unit}', {p}, {dec})".format(
+            s=s, dec=str(c["decay"]).upper(), **c
+        )
+        for s, c in consts.items()
+    )
+    status_case = f"""CASE WHEN da_m_status < {_FP_CUT_STATUS[0]} THEN '{STATUSES[0]}'
+                  WHEN da_m_status < {_FP_CUT_STATUS[1]} THEN '{STATUSES[1]}'
+                  WHEN da_m_status < {_FP_CUT_STATUS[2]} THEN '{STATUSES[2]}'
+                  ELSE '{STATUSES[3]}' END"""
+
+    devh = hash_long_chain_subquery(
+        "dev0", ["device_num"], ["device_num"], out="hd"
+    )
+    steph = hash_long_seeded_subquery(
+        "stepsrc", ["device_num", "sensor_idx", "tick"], "tick", "sseed", out="hstep"
+    )
+    dth = hash_long_seeded_subquery(
+        "dtsrc", ["device_num", "tick"], "tick", "dseed", out="hdt"
+    )
+    return f"""
+        WITH RECURSIVE
+        dev0 AS (SELECT range AS device_num FROM range({n_devices})),
+        devh AS MATERIALIZED (
+            SELECT device_num, hd,
+                   CAST(hd AS HUGEINT)
+                   + CASE WHEN hd < 0 THEN 18446744073709551616::HUGEINT
+                          ELSE 0::HUGEINT END AS hd_u
+            FROM {devh}
+        ),
+        d1_src AS (
+            SELECT device_num AS k, t.tag, hd_u AS seed,
+                   CASE t.tag WHEN 0 THEN 'loc' ELSE 'nsens' END AS s
+            FROM devh CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT)) t(tag)
+        ),
+        {rec_hash_ctes('d1')},
+        devices AS MATERIALIZED (
+            SELECT d.device_num,
+                   'device_' || substr(md5(CAST(d.device_num AS VARCHAR)), 1, 8)
+                       AS device_id,
+                   lv.location_id,
+                   4 + ((ns.hsig % 3) + 3) % 3 AS n_sensors
+            FROM devh d
+            JOIN d1_out li ON li.k = d.device_num AND li.tag = 0
+            JOIN d1_out ns ON ns.k = d.device_num AND ns.tag = 1
+            JOIN (VALUES {loc_values}) lv(loc_idx, location_id)
+              ON lv.loc_idx = ((li.hsig % 5) + 5) % 5
+        ),
+        dv_src AS (
+            SELECT device_num AS k, 0::BIGINT AS tag,
+                   {SPARK_SEED & m64}::HUGEINT AS seed, device_id AS s
+            FROM devices
+        ),
+        {rec_hash_ctes('dv')},
+        sens(sensor_idx, sensor, lo, hi, d, pdiv, half, lop, hip, unit, p, decay)
+            AS (VALUES {sensor_values}),
+        ds_src AS (
+            SELECT d.device_num * 10 + s.sensor_idx AS k,
+                   s.sensor_idx AS tag, o.h AS seed, s.sensor AS s
+            FROM devices d
+            JOIN dv_out o ON o.k = d.device_num
+            CROSS JOIN sens s
+        ),
+        {rec_hash_ctes('ds')},
+        chosen AS MATERIALIZED (
+            SELECT d.device_num, d.device_id, d.location_id,
+                   s.sensor_idx, s.sensor, o.h AS sens_seed
+            FROM devices d
+            JOIN ds_out o ON o.k // 10 = d.device_num
+            JOIN sens s ON s.sensor_idx = o.tag
+            QUALIFY row_number() OVER (PARTITION BY d.device_num
+                                       ORDER BY o.hsig, s.sensor)
+                    <= d.n_sensors
+        ),
+        ini_src AS (
+            SELECT device_num * 10 + sensor_idx AS k, 0::BIGINT AS tag,
+                   sens_seed AS seed, 'init' AS s
+            FROM chosen
+        ),
+        {rec_hash_ctes('ini')},
+        stepsrc AS (
+            SELECT c.device_num, c.sensor_idx, t.range AS tick,
+                   c.sens_seed AS sseed
+            FROM chosen c CROSS JOIN range(1, {n_ticks + 1}) t
+        ),
+        steps AS MATERIALIZED (
+            SELECT device_num, sensor_idx, tick,
+                   ((hstep % {_M31}) + {_M31}) % {_M31} AS m_step
+            FROM {steph}
+        ),
+        dtsrc AS (
+            SELECT d.device_num, t.range AS tick, o.h AS dseed
+            FROM devices d
+            JOIN dv_out o ON o.k = d.device_num
+            CROSS JOIN range(1, {n_ticks + 1}) t
+        ),
+        dth AS MATERIALIZED (
+            SELECT device_num, tick, hdt_u64 FROM {dth}
+        ),
+        da_src AS (
+            SELECT device_num * 1000000 + tick AS k, t.tag, hdt_u64 AS seed,
+                   CASE t.tag WHEN 0 THEN 'anomaly' WHEN 1 THEN 'pick'
+                        WHEN 2 THEN 'spike' WHEN 3 THEN 'status'
+                        ELSE 'report' END AS s
+            FROM dth CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT),
+                                        (3::BIGINT), (4::BIGINT)) t(tag)
+        ),
+        {rec_hash_ctes('da')},
+        dt AS MATERIALIZED (
+            SELECT k // 1000000 AS device_num, k % 1000000 AS tick,
+                   ((MAX(CASE WHEN tag = 0 THEN hsig END) % {_M31}) + {_M31}) % {_M31}
+                       AS da_m_anom,
+                   ((MAX(CASE WHEN tag = 1 THEN hsig END) % 6) + 6) % 6 AS da_pick,
+                   ((MAX(CASE WHEN tag = 2 THEN hsig END) % {_M31}) + {_M31}) % {_M31}
+                       AS da_m_spike,
+                   ((MAX(CASE WHEN tag = 3 THEN hsig END) % {_M31}) + {_M31}) % {_M31}
+                       AS da_m_status,
+                   ((MAX(CASE WHEN tag = 4 THEN hsig END) % {_M31}) + {_M31}) % {_M31}
+                       AS da_m_report
+            FROM da_out GROUP BY k
+        ),
+        walked AS (
+            SELECT c.device_id, c.location_id, c.sensor, st.tick,
+                   c.device_num, c.sensor_idx,
+                   s.lo + (((((i.hsig % {_M31}) + {_M31}) % {_M31}) * (s.hi - s.lo))
+                           // {_M31})
+                   + SUM(CASE WHEN s.decay
+                              THEN -abs((st.m_step * (s.d * 2)) // {_M31} - s.d)
+                              ELSE (st.m_step * (s.d * 2)) // {_M31} - s.d END)
+                     OVER (PARTITION BY c.device_num, c.sensor_idx
+                           ORDER BY st.tick) AS raw
+            FROM chosen c
+            JOIN sens s ON s.sensor_idx = c.sensor_idx
+            JOIN ini_out i ON i.k = c.device_num * 10 + c.sensor_idx
+            JOIN steps st ON st.device_num = c.device_num
+                         AND st.sensor_idx = c.sensor_idx
+        ),
+        valued AS (
+            SELECT w.device_id, w.location_id, w.sensor, w.tick,
+                   w.device_num, s.unit, s.p,
+                   CASE WHEN d.da_m_anom < {_FP_CUT_ANOM}
+                             AND d.da_pick = w.sensor_idx
+                        THEN CASE WHEN d.da_m_spike < {_FP_CUT_SPIKE}
+                                  THEN s.hip ELSE s.lop END
+                        ELSE (least(greatest(w.raw, s.lo), s.hi) - s.lo + s.half)
+                             // s.pdiv + s.lop
+                   END AS value_scaled,
+                   {status_case} AS status,
+                   d.da_m_report
+            FROM walked w
+            JOIN sens s ON s.sensor_idx = w.sensor_idx
+            JOIN dt d ON d.device_num = w.device_num AND d.tick = w.tick
+        )
+        SELECT device_id, location_id, sensor, tick, unit, status,
+               CAST(value_scaled AS BIGINT) AS value_scaled,
+               CASE WHEN p = 1 THEN value_scaled / 10.0
+                    ELSE CAST(value_scaled AS DOUBLE) END AS value
+        FROM valued
+        WHERE da_m_report < {_FP_CUT_REPORT}
+        ORDER BY device_id, sensor, tick
+    """
+
+
+@register(
+    "iot_generated_readings_fixedpoint",
+    oracle=_fixedpoint_oracle(),
+    doc=(
+        "S1-FP (r7 verdict #8): the synthetic IoT stream re-expressed "
+        "on SCALED INTEGERS — drift steps (m*2D div 2^31 - D), init, "
+        "clamp, and round-half-up at the declared precision are all "
+        "exact integer arithmetic, and every stochastic draw compares "
+        "pmod(xxhash64, 2^31) against Python-precomputed integer "
+        "cutoffs (exact binary-double thresholds via Fraction), so NO "
+        "double is ever rounded: the round(double, p) half-ULP tie "
+        "that keeps the original S1 wire query rows-only cannot occur. "
+        "The DuckDB oracle replays the ENTIRE generator — md5 device "
+        "ids, location/sensor-count draws, hash-ranked sensor subsets, "
+        "init, all per-tick steps, anomaly snap, weighted status, 98%% "
+        "report gate — through the pure-SQL XXH64 twins (4 recursive "
+        "string passes + 2 seeded long-hash grids), making the "
+        "generated stream itself hash-exact end-to-end. Same "
+        "embarrassingly-parallel scale shape as S1: one keyed window "
+        "on (device, sensor), everything else stateless."
+    ),
+    tags=("generator", "source"),
+)
+def iot_generated_readings_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return generate_readings_fixedpoint(spark, n_devices=10, n_ticks=60).orderBy(
+        "device_id", "sensor", "tick"
+    )

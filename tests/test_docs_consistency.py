@@ -287,6 +287,7 @@ _R8_QUERIES = frozenset(
         "multimodal_audio_energy_windows",
         "window_heikin_ashi_candles",
         "streaming_misra_gries_heavy_hitters",
+        "iot_generated_readings_fixedpoint",
     }
 )
 

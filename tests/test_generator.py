@@ -108,3 +108,43 @@ def test_deterministic_across_runs(spark):
         "device_id", "tick", "status"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fixedpoint_generator_invariants(spark):
+    """S1-FP: the fixed-point variant must keep the reference
+    invariants (range clamp, precision grid, battery monotone decay)
+    AND be partition-invariant — plus its defining property: every
+    value is exactly value_scaled / 10^p, no double rounding anywhere."""
+    from severless_data_pipeline_aws_spark.sources.generator import (
+        SENSOR_TYPES,
+        generate_readings_fixedpoint,
+    )
+
+    df = generate_readings_fixedpoint(spark, n_devices=6, n_ticks=40)
+    rows = df.collect()
+    assert rows
+    by_series = {}
+    for r in rows:
+        md = SENSOR_TYPES[r["sensor"]]
+        assert md["min"] - 1e-9 <= r["value"] <= md["max"] + 1e-9
+        scale = 10 ** md["precision"]
+        assert r["value"] == r["value_scaled"] / scale
+        by_series.setdefault((r["device_id"], r["sensor"]), []).append(
+            (r["tick"], r["value_scaled"])
+        )
+    bat = [
+        sorted(v)
+        for (d, s), v in by_series.items()
+        if s == "battery_level"
+    ]
+    assert bat, "no battery series generated"
+    for series in bat:
+        vals = [v for _, v in series]
+        assert all(a >= b for a, b in zip(vals, vals[1:])), "battery must decay"
+    # partition invariance: the same stream under a different shuffle
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        again = sorted(map(tuple, generate_readings_fixedpoint(spark, 6, 40).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert sorted(map(tuple, rows)) == again

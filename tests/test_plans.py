@@ -783,6 +783,9 @@ _BNLJ_BOUNDED_OK = {
     "stats_cronbach_alpha_items",
     # r8: one-row exact-distinct scalar joined to the one-row KMV row
     "sketch_kmv_distinct_estimate",
+    # r8: the generator's device x tick axis cross (same bounded spec
+    # tables as iot_generated_readings)
+    "iot_generated_readings_fixedpoint",
 }
 
 
