@@ -2273,3 +2273,88 @@ def dq_date_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_shipdate") < F.col("o_orderdate"))
         ).alias("rows_violating"),
     )
+
+
+@register(
+    "dq_calendar_completeness_by_source",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+                   CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+            FROM events
+        ),
+        cal AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds
+        ),
+        present AS (
+            SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, cal.day
+            FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN cal
+        )
+        SELECT g.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days_expected,
+               CAST(SUM(CASE WHEN p.day IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_days_present,
+               CAST(SUM(CASE WHEN p.day IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_days_missing,
+               CAST(MIN(CASE WHEN p.day IS NULL THEN g.day END) AS DATE)
+                   AS first_missing_day,
+               CAST(SUM(CASE WHEN p.day IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS completeness
+        FROM grid g
+        LEFT JOIN present p ON p.event_type = g.event_type AND p.day = g.day
+        GROUP BY g.event_type
+        ORDER BY g.event_type
+    """,
+    doc=(
+        "DQ16: calendar completeness — every (event_type, day) cell of "
+        "the observed date range audited for presence: the partition-"
+        "completeness check a landing zone runs before declaring a "
+        "backfill done (a missing day in one stream is invisible to "
+        "row-count monitors when other streams are healthy that day). "
+        "The expected grid is |types| x |calendar days| — metadata "
+        "scale at any corpus size — LEFT-joined against the distinct "
+        "observed cells; per-type missing counts, the first gap date, "
+        "and the completeness ratio are exact."
+    ),
+    tags=("dq", "timeseries"),
+)
+def dq_calendar_completeness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = t.events.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal))
+    present = t.events.select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        grid.join(present.withColumn("hit", F.lit(1)), ["event_type", "day"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_expected"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_days_present"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_days_missing"),
+            F.min(F.when(F.col("hit").isNull(), F.col("day"))).alias(
+                "first_missing_day"
+            ),
+            (
+                F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("completeness"),
+        )
+        .orderBy("event_type")
+    )

@@ -7808,3 +7808,186 @@ def stats_lin_ccc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lin_ccc"),
     )
+
+
+@register(
+    "stats_bland_altman_agreement",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT)
+                   - CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sd1,
+                   CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sd2
+            FROM daily
+        ),
+        lim AS (
+            SELECT n, sd1,
+                   CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_diff,
+                   sqrt((CAST(n AS DOUBLE)
+                         * CAST(CAST(sd2 AS VARCHAR) AS DOUBLE)
+                         - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+            FROM s
+        )
+        SELECT n AS n_days, mean_diff,
+               mean_diff - 1.96 * sd AS loa_lower,
+               mean_diff + 1.96 * sd AS loa_upper,
+               (SELECT CAST(SUM(CASE WHEN CAST(d AS DOUBLE)
+                                          >= l.mean_diff - 1.96 * l.sd
+                                      AND CAST(d AS DOUBLE)
+                                          <= l.mean_diff + 1.96 * l.sd
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM daily) AS n_within_limits
+        FROM lim l
+    """,
+    doc=(
+        "ST85: Bland-Altman limits of agreement between daily click "
+        "and view counts — mean difference ± 1.96 sd plus the count of "
+        "days inside the limits: the method-comparison companion of "
+        "Lin's CCC (CCC scores agreement; Bland-Altman LOCATES the "
+        "disagreement band). Differences are exact integers, the sd is "
+        "one shared sqrt over DECIMAL-exact multiply-through sums, and "
+        "the within-limits comparison pits exact integers against the "
+        "same shared doubles on both engines. One day-grain aggregate "
+        "+ a one-row broadcast back over the 30-day table."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)"
+            " - CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("d")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd1"),
+        F.expr("CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))").alias("sd2"),
+    )
+    lim = s.select(
+        "n",
+        F.expr("CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean_diff"),
+        F.expr(
+            "sqrt((CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)"
+            " - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+        ).alias("sd"),
+    )
+    within = (
+        daily.crossJoin(F.broadcast(lim))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("d").cast("double") >= F.col("mean_diff") - 1.96 * F.col("sd"))
+                    & (F.col("d").cast("double") <= F.col("mean_diff") + 1.96 * F.col("sd")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_within_limits")
+        )
+    )
+    return lim.crossJoin(F.broadcast(within)).select(
+        F.col("n").alias("n_days"),
+        "mean_diff",
+        (F.col("mean_diff") - 1.96 * F.col("sd")).alias("loa_lower"),
+        (F.col("mean_diff") + 1.96 * F.col("sd")).alias("loa_upper"),
+        "n_within_limits",
+    )
+
+
+@register(
+    "stats_process_capability_cpk",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                        AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(CAST(CAST(round(value * 10000) AS BIGINT)
+                                 AS DECIMAL(38,0))
+                            * CAST(round(value * 10000) AS BIGINT))
+                        AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM(CASE WHEN value < 0.0 OR value > 100.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_spec
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n, n_out_of_spec,
+                   CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                       / CAST(n AS DOUBLE) / 10000.0 AS mu,
+                   sqrt((CAST(n AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   / 10000.0 AS sigma
+            FROM g
+        )
+        SELECT event_type, n, mu, sigma, n_out_of_spec,
+               (100.0 - 0.0) / (6.0 * sigma) AS cp,
+               least((100.0 - mu) / (3.0 * sigma),
+                     (mu - 0.0) / (3.0 * sigma)) AS cpk
+        FROM m
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST86: process capability indices Cp/Cpk of the value stream "
+        "per event type against the declared [0, 100] spec band — the "
+        "SPC question 'does this metric FIT its contract, centered?' "
+        "(Cpk < 1 means the process breaches spec even if no point has "
+        "yet). Mean and sigma come from 1e-4 fixed-point DECIMAL power "
+        "sums (VARCHAR-hop casts), out-of-spec counts are exact, and "
+        "Cp/Cpk are shared closed forms — one hash aggregate total."
+    ),
+    tags=("stats", "dq"),
+)
+def stats_process_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fixed = "CAST(round(value * 10000) AS BIGINT)"
+    g = (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(f"CAST(SUM({fixed}) AS DECIMAL(38,0))").alias("s1"),
+            F.expr(
+                f"CAST(SUM(CAST({fixed} AS DECIMAL(38,0)) * {fixed}) AS DECIMAL(38,0))"
+            ).alias("s2"),
+            F.expr(
+                "CAST(SUM(CASE WHEN value < 0.0 OR value > 100.0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_out_of_spec"),
+        )
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        "n_out_of_spec",
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0").alias("mu"),
+        F.expr(
+            "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 10000.0"
+        ).alias("sigma"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "mu",
+        "sigma",
+        "n_out_of_spec",
+        F.expr("(100.0 - 0.0) / (6.0 * sigma)").alias("cp"),
+        F.expr(
+            "least((100.0 - mu) / (3.0 * sigma), (mu - 0.0) / (3.0 * sigma))"
+        ).alias("cpk"),
+    ).orderBy("event_type")

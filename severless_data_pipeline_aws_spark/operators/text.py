@@ -2804,3 +2804,63 @@ def text_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("top1000_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("coverage_1000"),
         (F.col("top10000_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("coverage_10000"),
     )
+
+
+def _bpe_fertility_oracle() -> str:
+    parts, _tops, final = _bpe_cte_parts()
+    return (
+        "WITH " + ",".join(parts) + f""",
+        enc AS (SELECT wid, CAST(len(sym) AS BIGINT) AS wtok FROM {final}),
+        dw AS (
+            SELECT lang, n_chars,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        SELECT dw.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(e.wtok) AS BIGINT) AS n_tokens,
+               CAST(SUM(e.wtok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS fertility
+        FROM dw JOIN enc e ON dw.w = e.wid
+        GROUP BY dw.lang
+        ORDER BY dw.lang"""
+    )
+
+
+@register(
+    "text_bpe_fertility_by_lang",
+    oracle=_bpe_fertility_oracle(),
+    doc=(
+        "X4ae: tokenizer fertility by language — BPE tokens per word "
+        "for each lang under the trained merge table: THE fairness "
+        "metric for a multilingual tokenizer (a lang with fertility "
+        "2x pays 2x the context budget per word; the number quoted "
+        "when deciding per-lang vocab allocations). Rides the same "
+        "vocabulary-grain train + (doc, word) equi-join as "
+        "text_bpe_encode_corpus, aggregated at language grain; the "
+        "oracle replays the identical train via the shared CTE chain."
+    ),
+    tags=("text", "llm", "tokenizer", "eval"),
+)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words, _merges = _bpe_train_words(t)
+    wtok = words.select("w", F.size("sym").cast("bigint").alias("wtok"))
+    dw = t.documents.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        dw.join(wtok, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wtok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -3548,3 +3548,81 @@ def window_heikin_ashi_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_ha, schema=schema)
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "window_fractal_swing_points",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        ctx AS (
+            SELECT event_type, day, h, l,
+                   lag(h, 2) OVER w AS h_m2, lag(h, 1) OVER w AS h_m1,
+                   lead(h, 1) OVER w AS h_p1, lead(h, 2) OVER w AS h_p2,
+                   lag(l, 2) OVER w AS l_m2, lag(l, 1) OVER w AS l_m1,
+                   lead(l, 1) OVER w AS l_p1, lead(l, 2) OVER w AS l_p2
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day,
+               CAST(h AS DOUBLE) / 10000.0 AS high,
+               CAST(l AS DOUBLE) / 10000.0 AS low,
+               (h > h_m2 AND h > h_m1 AND h > h_p1 AND h > h_p2)
+                   AS fractal_high,
+               (l < l_m2 AND l < l_m1 AND l < l_p1 AND l < l_p2)
+                   AS fractal_low
+        FROM ctx
+        WHERE h_m2 IS NOT NULL AND h_p2 IS NOT NULL
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W44: Williams fractal swing points on the shared day bars — a "
+        "bar whose high strictly exceeds the two highs on each side is "
+        "a swing high (support/resistance anchor; the discrete extrema "
+        "detector under breakout and market-structure rules), dual for "
+        "swing lows. Pure lag/lead comparisons on exact fixed-point "
+        "integers inside the one per-type window — no new shuffle, no "
+        "arithmetic at all beyond the display division; interior bars "
+        "only (the first/last two days are undefined by construction)."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_fractal_swing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("day")
+    ctx = _bars(Tables(spark, sf_dir)).select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        F.lag("h", 2).over(w).alias("h_m2"),
+        F.lag("h", 1).over(w).alias("h_m1"),
+        F.lead("h", 1).over(w).alias("h_p1"),
+        F.lead("h", 2).over(w).alias("h_p2"),
+        F.lag("l", 2).over(w).alias("l_m2"),
+        F.lag("l", 1).over(w).alias("l_m1"),
+        F.lead("l", 1).over(w).alias("l_p1"),
+        F.lead("l", 2).over(w).alias("l_p2"),
+    )
+    return (
+        ctx.filter(F.col("h_m2").isNotNull() & F.col("h_p2").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            (F.col("h").cast("double") / 10000.0).alias("high"),
+            (F.col("l").cast("double") / 10000.0).alias("low"),
+            (
+                (F.col("h") > F.col("h_m2"))
+                & (F.col("h") > F.col("h_m1"))
+                & (F.col("h") > F.col("h_p1"))
+                & (F.col("h") > F.col("h_p2"))
+            ).alias("fractal_high"),
+            (
+                (F.col("l") < F.col("l_m2"))
+                & (F.col("l") < F.col("l_m1"))
+                & (F.col("l") < F.col("l_p1"))
+                & (F.col("l") < F.col("l_p2"))
+            ).alias("fractal_low"),
+        )
+        .orderBy("event_type", "day")
+    )

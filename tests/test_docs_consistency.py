@@ -288,6 +288,11 @@ _R8_QUERIES = frozenset(
         "window_heikin_ashi_candles",
         "streaming_misra_gries_heavy_hitters",
         "iot_generated_readings_fixedpoint",
+        "text_bpe_fertility_by_lang",
+        "stats_bland_altman_agreement",
+        "stats_process_capability_cpk",
+        "window_fractal_swing_points",
+        "dq_calendar_completeness_by_source",
     }
 )
 

@@ -786,6 +786,10 @@ _BNLJ_BOUNDED_OK = {
     # r8: the generator's device x tick axis cross (same bounded spec
     # tables as iot_generated_readings)
     "iot_generated_readings_fixedpoint",
+    # r8: one-row limits broadcast back over the 30-day diff table, and
+    # the |types| x calendar-day grid cross (both metadata-scale)
+    "stats_bland_altman_agreement",
+    "dq_calendar_completeness_by_source",
 }
 
 
