@@ -7991,3 +7991,300 @@ def stats_process_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "least((100.0 - mu) / (3.0 * sigma), (mu - 0.0) / (3.0 * sigma))"
         ).alias("cpk"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18, continuation batch): Poisson
+# dispersion, capture-recapture population size, and TOST equivalence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_poisson_dispersion_index",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(sx AS BIGINT) AS n_events,
+               CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST((n - 1) * n * sx AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(n AS VARCHAR) AS DOUBLE) AS dispersion_index,
+               CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sx AS VARCHAR) AS DOUBLE) AS chi2_stat,
+               n * sxx - sx * sx > (n - 1) * sx AS overdispersed
+        FROM s
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST87: Poisson dispersion (variance-to-mean) index of the "
+        "daily arrival counts per event type — D = s^2 / x_bar, the "
+        "first-line test for whether arrivals are Poisson (D = 1), "
+        "bursty/clumped (D > 1, the usual web reality), or "
+        "under-dispersed (rate-limited producers). Multiply-through "
+        "form D = n * (n*Sxx - Sx^2) / ((n-1) * n * Sx): every term "
+        "an exact DECIMAL(38,0) integer from one day-grain aggregate; "
+        "the chi-square statistic (n-1)*D shares the same pieces and "
+        "the over-dispersion verdict is an EXACT integer comparison "
+        "(n*Sxx - Sx^2 > (n-1)*Sx), immune to float rounding at the "
+        "D = 1 boundary. Two cascading hash aggregates, both "
+        "map-side combinable; calendar-bounded day grain."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_poisson_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))").alias(
+            "sxx"
+        ),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("sx").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST(n * sxx - sx * sx AS DOUBLE)"
+            " / CAST((n - 1) * n * sx AS DOUBLE) * CAST(n AS DOUBLE)"
+        ).alias("dispersion_index"),
+        F.expr(
+            "CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)"
+        ).alias("chi2_stat"),
+        F.expr("n * sxx - sx * sx > (n - 1) * sx").alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_lincoln_petersen_recapture",
+    oracle="""
+        WITH flags AS (
+            SELECT user_id,
+                   MAX(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                            THEN 1 ELSE 0 END) AS in_a,
+                   MAX(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                            THEN 1 ELSE 0 END) AS in_b
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+                   CAST(SUM(in_b) AS BIGINT) AS n2,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS true_pop
+            FROM flags
+        )
+        SELECT n1, n2, m, true_pop,
+               CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0
+                 AS chapman_estimate,
+               (CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0
+                - CAST(true_pop AS DOUBLE)) / CAST(true_pop AS DOUBLE)
+                 AS rel_err
+        FROM s
+    """,
+    doc=(
+        "ST88: Lincoln-Petersen capture-recapture population estimate "
+        "with the Chapman bias correction — treat the first and second "
+        "calendar halves as two capture occasions of the user "
+        "population and estimate total population from the overlap: "
+        "N_hat = (n1+1)(n2+1)/(m+1) - 1. The ecology estimator is "
+        "exactly the dedup/coverage question a crawl pipeline asks "
+        "('how many documents exist, given two partial snapshots and "
+        "their overlap'). One user-grain aggregate (two conditional "
+        "MAX flags), then a one-row fold; n1/n2/m/true_pop are exact "
+        "BIGINTs, the estimate and its relative error are shared "
+        "closed-form doubles over exact integers. The true population "
+        "ships alongside so the oracle pins estimator accuracy, not "
+        "just arithmetic."
+    ),
+    tags=("stats", "llm"),
+)
+def stats_lincoln_petersen_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    flags = t.events.groupBy("user_id").agg(
+        F.expr(
+            "MAX(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END)"
+        ).alias("in_a"),
+        F.expr(
+            "MAX(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END)"
+        ).alias("in_b"),
+    )
+    s = flags.agg(
+        F.expr("CAST(SUM(in_a) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(in_b) AS BIGINT)").alias("n2"),
+        F.expr("CAST(SUM(in_a * in_b) AS BIGINT)").alias("m"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("true_pop"),
+    )
+    est = "CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0"
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        "true_pop",
+        F.expr(est).alias("chapman_estimate"),
+        F.expr(
+            f"({est} - CAST(true_pop AS DOUBLE)) / CAST(true_pop AS DOUBLE)"
+        ).alias("rel_err"),
+    )
+
+
+@register(
+    "stats_tost_equivalence",
+    oracle="""
+        WITH s AS (
+            SELECT
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n2,
+              CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 10000) AS BIGINT) END)
+                   AS DECIMAL(38,0)) AS s11,
+              CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 10000) AS BIGINT) END)
+                   AS DECIMAL(38,0)) AS s12,
+              CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(CAST(round(value * 10000) AS BIGINT)
+                                 AS DECIMAL(38,0))
+                            * CAST(round(value * 10000) AS BIGINT) END)
+                   AS DECIMAL(38,0)) AS s21,
+              CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(CAST(round(value * 10000) AS BIGINT)
+                                 AS DECIMAL(38,0))
+                            * CAST(round(value * 10000) AS BIGINT) END)
+                   AS DECIMAL(38,0)) AS s22
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ),
+        m AS (
+            SELECT n1, n2,
+                   CAST(CAST(s11 AS VARCHAR) AS DOUBLE)
+                     / CAST(n1 AS DOUBLE) / 10000.0 AS mu1,
+                   CAST(CAST(s12 AS VARCHAR) AS DOUBLE)
+                     / CAST(n2 AS DOUBLE) / 10000.0 AS mu2,
+                   (CAST(n1 AS DOUBLE) * CAST(CAST(s21 AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(s11 AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(s11 AS VARCHAR) AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+                     / 100000000.0 AS v1,
+                   (CAST(n2 AS DOUBLE) * CAST(CAST(s22 AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(s12 AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(s12 AS VARCHAR) AS DOUBLE))
+                     / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))
+                     / 100000000.0 AS v2
+            FROM s
+        ),
+        f AS (
+            SELECT n1, n2, mu1 - mu2 AS mean_diff,
+                   sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS se
+            FROM m
+        )
+        SELECT n1, n2, mean_diff, se,
+               (mean_diff + 2.0) / se AS t_lower,
+               (mean_diff - 2.0) / se AS t_upper,
+               (mean_diff + 2.0) / se > 1.6448536269514722
+                 AND (mean_diff - 2.0) / se < -1.6448536269514722
+                 AS equivalent_90
+        FROM f
+    """,
+    doc=(
+        "ST89: TOST (two one-sided tests) equivalence between the "
+        "click and view value means at margin +/-2.0 — the test that "
+        "answers the question a plain t-test cannot: 'are these two "
+        "pipelines the SAME to within delta' (non-significance is not "
+        "equivalence; TOST is the standard fix, 90% CI inside the "
+        "margin). Welch machinery reused: per-arm 1e-4 fixed-point "
+        "power sums in one conditional one-row aggregate (exact "
+        "DECIMAL integers, VARCHAR-hopped to DOUBLE on the oracle "
+        "side), then shared closed-form doubles for the two t "
+        "statistics against the z_0.95 critical value (large-n normal "
+        "approximation, documented). The verdict column is the same "
+        "boolean expression on both engines over identical doubles."
+    ),
+    tags=("stats", "ab"),
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fixed = "CAST(round(value * 10000) AS BIGINT)"
+    s = (
+        t.events.filter(
+            F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n1"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n2"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN event_type = 'click' THEN {fixed} END)"
+                " AS DECIMAL(38,0))"
+            ).alias("s11"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN event_type = 'view' THEN {fixed} END)"
+                " AS DECIMAL(38,0))"
+            ).alias("s12"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click'"
+                f" THEN CAST({fixed} AS DECIMAL(38,0)) * {fixed} END)"
+                " AS DECIMAL(38,0))"
+            ).alias("s21"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'view'"
+                f" THEN CAST({fixed} AS DECIMAL(38,0)) * {fixed} END)"
+                " AS DECIMAL(38,0))"
+            ).alias("s22"),
+        )
+    )
+    m = s.select(
+        "n1",
+        "n2",
+        F.expr("CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0").alias("mu1"),
+        F.expr("CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0").alias("mu2"),
+        F.expr(
+            "(CAST(n1 AS DOUBLE) * CAST(s21 AS DOUBLE)"
+            " - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE))"
+            " / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) / 100000000.0"
+        ).alias("v1"),
+        F.expr(
+            "(CAST(n2 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+            " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+            " / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) / 100000000.0"
+        ).alias("v2"),
+    )
+    f = m.select(
+        "n1",
+        "n2",
+        F.expr("mu1 - mu2").alias("mean_diff"),
+        F.expr(
+            "sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))"
+        ).alias("se"),
+    )
+    return f.select(
+        "n1",
+        "n2",
+        "mean_diff",
+        "se",
+        F.expr("(mean_diff + 2.0) / se").alias("t_lower"),
+        F.expr("(mean_diff - 2.0) / se").alias("t_upper"),
+        F.expr(
+            "(mean_diff + 2.0) / se > 1.6448536269514722"
+            " AND (mean_diff - 2.0) / se < -1.6448536269514722"
+        ).alias("equivalent_90"),
+    )

@@ -2864,3 +2864,87 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition (SURVEY §2.18 X4af): Chao1 vocabulary-richness
+# estimate — the "how many words exist that we have NOT crawled yet"
+# companion of the Good-Turing spectrum and Heaps'-law tiers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chao1_vocab_richness",
+    oracle="""
+        WITH wc AS (
+            SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY lang, w
+        ),
+        s AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS s_obs,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+            FROM wc GROUP BY lang
+        )
+        SELECT lang, s_obs, n_tokens, f1, f2,
+               CAST(s_obs AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                   / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1_richness,
+               CAST(f1 AS DOUBLE) / CAST(s_obs AS DOUBLE) AS hapax_type_share,
+               1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS turing_coverage
+        FROM s
+        ORDER BY lang
+    """,
+    doc=(
+        "X4af: Chao1 species-richness estimate of the per-language "
+        "vocabulary — S_chao1 = S_obs + f1*(f1-1) / (2*(f2+1)) from "
+        "the singleton/doubleton counts (bias-corrected form, defined "
+        "even at f2 = 0), plus the hapax type share and the Good-"
+        "Turing sample coverage 1 - f1/N. This is the crawl-planning "
+        "number: how much vocabulary the corpus is still MISSING per "
+        "language, and how much probability mass the unseen tail "
+        "holds — the same f1/f2 statistics the Good-Turing spectrum "
+        "and Kneser-Ney tiers consume, rolled to a per-language "
+        "verdict. Two cascading hash aggregates (corpus -> (lang, "
+        "word) -> lang), all counts exact BIGINTs, three shared "
+        "closed-form doubles."
+    ),
+    tags=("text", "llm"),
+)
+def text_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wc = (
+        t.documents.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("f1"),
+        F.expr("CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)").alias("f2"),
+    )
+    return s.select(
+        "lang",
+        "s_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.expr(
+            "CAST(s_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)"
+            " / (2.0 * CAST(f2 + 1 AS DOUBLE))"
+        ).alias("chao1_richness"),
+        F.expr("CAST(f1 AS DOUBLE) / CAST(s_obs AS DOUBLE)").alias(
+            "hapax_type_share"
+        ),
+        F.expr(
+            "1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+        ).alias("turing_coverage"),
+    ).orderBy("lang")

@@ -293,6 +293,10 @@ _R8_QUERIES = frozenset(
         "stats_process_capability_cpk",
         "window_fractal_swing_points",
         "dq_calendar_completeness_by_source",
+        "stats_poisson_dispersion_index",
+        "stats_lincoln_petersen_recapture",
+        "stats_tost_equivalence",
+        "text_chao1_vocab_richness",
     }
 )
 

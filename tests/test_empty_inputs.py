@@ -267,6 +267,11 @@ REPRESENTATIVE = [
     "dedup_cluster_size_spectrum",
     "sampling_source_cap_enforce",
     "text_length_profile_by_lang",
+    # r8 continuation batch
+    "stats_poisson_dispersion_index",
+    "stats_lincoln_petersen_recapture",
+    "stats_tost_equivalence",
+    "text_chao1_vocab_richness",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -321,6 +326,9 @@ _ALLOW_ONE_ROW = {
     "stats_mantel_haenszel_pooled_or",
     "sketch_bloom_membership_audit",
     "stats_goodman_kruskal_gamma",
+    # r8: global aggregates that keep their one NULL-field row on empty
+    "stats_lincoln_petersen_recapture",
+    "stats_tost_equivalence",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
