@@ -2358,3 +2358,130 @@ def dq_calendar_completeness_by_source(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition (SURVEY §2.18 GEO3): grid-density DBSCAN — the scale
+# path for spatial clustering (cell rollup -> density threshold ->
+# connected components over the bounded cell lattice), composed from
+# the spatial tier's shared cells (operators/stats.py) and the dedup
+# tier's min-label component machinery (operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def _geo_dbscan_oracle() -> str:
+    from .stats import _GEO_CELLS_SQL
+
+    return f"""
+        WITH RECURSIVE {_GEO_CELLS_SQL},
+        tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s FROM cells),
+        ids AS (
+            SELECT (cell_lat + 9) * 100 + (cell_lon + 18) AS cid, x,
+                   648 * x > (SELECT s FROM tot) AS is_core
+            FROM cells
+        ),
+        core AS (SELECT cid, x FROM ids WHERE is_core),
+        e AS (
+            SELECT a.cid AS src, b.cid AS dst
+            FROM core a
+            JOIN (VALUES (100), (-100), (1), (-1)) o(doff) ON TRUE
+            JOIN core b ON b.cid = a.cid + o.doff
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        ),
+        comp AS (
+            SELECT c.cid,
+                   COALESCE(LEAST(c.cid, m.mn), c.cid) AS cluster_id,
+                   c.x
+            FROM core c
+            LEFT JOIN (SELECT src, MIN(dst) AS mn FROM reach GROUP BY src) m
+                   ON m.src = c.cid
+        ),
+        clusters AS (
+            SELECT cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(x) AS BIGINT) AS n_events
+            FROM comp GROUP BY cluster_id
+        ),
+        noise AS (
+            SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(COALESCE(SUM(x), 0) AS BIGINT) AS n_events
+            FROM ids WHERE NOT is_core
+        )
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n_cells, n_events
+        FROM clusters
+        UNION ALL
+        SELECT cluster_id, n_cells, n_events FROM noise
+        ORDER BY cluster_id
+    """
+
+
+@register(
+    "geo_dbscan_grid_clusters",
+    oracle=_geo_dbscan_oracle(),
+    doc=(
+        "GEO3: grid-density DBSCAN over the 10-degree lattice — core "
+        "cells are those whose event count exceeds the full-lattice "
+        "mean (an EXACT integer threshold: 648*x > total, no float at "
+        "the density boundary), clusters are rook-connected components "
+        "of core cells, and everything else rolls into one noise row "
+        "(cluster_id = -1). This is how DBSCAN actually scales: the "
+        "event-grain table collapses to a <= 648-row cell rollup FIRST "
+        "(one shuffle), then neighborhood tests become cell-key "
+        "equi-joins and the component loop runs on the bounded "
+        "lattice — epsilon-ball cross joins never exist at any corpus "
+        "size. Components via the dedup tier's shared min-label "
+        "propagation (operators/dedup.py:min_label_components, "
+        "bounded-diameter iteration, metadata-scale convergence "
+        "check), proven against the oracle's recursive-CTE reachable-"
+        "set fold; cluster_id is the component's minimum cell id, so "
+        "labels are deterministic on both engines."
+    ),
+    tags=("geo", "dashboard", "graph"),
+)
+def geo_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import min_label_components
+    from .stats import _geo_cells
+
+    t = Tables(spark, sf_dir)
+    cells = _geo_cells(t)
+    tot = cells.agg(F.sum("x").cast("bigint").alias("s"))
+    ids = cells.crossJoin(F.broadcast(tot)).select(
+        F.expr("(cell_lat + 9) * 100 + (cell_lon + 18)").alias("cid"),
+        "x",
+        F.expr("648 * x > s").alias("is_core"),
+    )
+    core = ids.filter("is_core").select("cid", "x")
+    nbrs = core.select(
+        "cid", F.explode(F.expr("array(100, -100, 1, -1)")).alias("doff")
+    )
+    other = core.select(F.col("cid").alias("dst"))
+    edges = nbrs.join(
+        other, F.col("dst") == F.col("cid") + F.col("doff")
+    ).select(F.col("cid").alias("src"), "dst")
+    comps = min_label_components(edges).withColumnRenamed("doc_id", "cid2")
+    labeled = core.join(
+        comps, core["cid"] == comps["cid2"], "left"
+    ).select(
+        "cid",
+        "x",
+        F.coalesce(F.least("cid", "component"), F.col("cid")).alias("cluster_id"),
+    )
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("x").cast("bigint").alias("n_events"),
+    )
+    noise = ids.filter(~F.col("is_core")).agg(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+    return (
+        clusters.select(F.col("cluster_id").cast("bigint"), "n_cells", "n_events")
+        .unionAll(noise)
+        .orderBy("cluster_id")
+    )

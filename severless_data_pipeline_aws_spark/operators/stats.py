@@ -8288,3 +8288,257 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND (mean_diff - 2.0) / se < -1.6448536269514722"
         ).alias("equivalent_90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18): the spatial-statistics tier over the
+# deterministic coordinate model shared with geo_grid_hotspots
+# (dashboard.py) — 10-degree grid cells, rook/queen adjacency by
+# cell-key equi-join (never a distance cross join).
+# ---------------------------------------------------------------------------
+
+#: shared with dashboard.py::geo_grid_hotspots (the reference's
+#: station-plus-jitter coordinate model re-derived from (user_id,
+#: event_id) in centidegrees; iot-data-stream.py:139-257)
+_GEO_LAT = "((user_id * 7919) % 18000 + (event_id % 21)) % 18000 - 9000"
+_GEO_LON = "((user_id * 104729) % 36000 + (event_id % 17)) % 36000 - 18000"
+
+#: 10-degree cells: 18 x 36 possible, every SF occupies most of them —
+#: a dense lattice where rook adjacency is meaningful
+_GEO_CELLS_SQL = f"""
+        coords AS (
+            SELECT CAST(floor(({_GEO_LAT}) / 1000.0) AS BIGINT) AS cell_lat,
+                   CAST(floor(({_GEO_LON}) / 1000.0) AS BIGINT) AS cell_lon
+            FROM events
+        ),
+        cells AS (
+            SELECT cell_lat, cell_lon, CAST(COUNT(*) AS BIGINT) AS x
+            FROM coords GROUP BY cell_lat, cell_lon
+        )
+"""
+
+
+def _geo_cells(t: Tables) -> DataFrame:
+    coords = t.events.select(
+        F.expr(f"CAST(floor(({_GEO_LAT}) / 1000.0) AS BIGINT)").alias("cell_lat"),
+        F.expr(f"CAST(floor(({_GEO_LON}) / 1000.0) AS BIGINT)").alias("cell_lon"),
+    )
+    return coords.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+
+
+@register(
+    "stats_moran_i_spatial",
+    oracle=f"""
+        WITH {_GEO_CELLS_SQL},
+        s AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx
+            FROM cells
+        ),
+        dev AS (
+            SELECT cell_lat, cell_lon,
+                   CAST(s.n * c.x - s.sx AS DECIMAL(38,0)) AS d
+            FROM cells c CROSS JOIN s
+        ),
+        pairs AS (
+            SELECT a.d AS da, b.d AS db
+            FROM dev a
+            JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dl, dn) ON TRUE
+            JOIN dev b ON b.cell_lat = a.cell_lat + o.dl
+                      AND b.cell_lon = a.cell_lon + o.dn
+        ),
+        agg AS (
+            SELECT (SELECT CAST(n AS BIGINT) FROM s) AS n_cells,
+                   CAST(COUNT(*) AS BIGINT) AS w_pairs,
+                   CAST(SUM(CAST(da AS DECIMAL(38,0)) * db) AS DECIMAL(38,0)) AS num,
+                   (SELECT CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))
+                    FROM dev) AS den
+            FROM pairs
+        )
+        SELECT n_cells, w_pairs,
+               CAST(n_cells AS DOUBLE) * CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                 / (CAST(w_pairs AS DOUBLE) * CAST(CAST(den AS VARCHAR) AS DOUBLE))
+                 AS morans_i,
+               -1.0 / CAST(n_cells - 1 AS DOUBLE) AS expected_i,
+               CAST(n_cells AS DECIMAL(38,0)) * (n_cells - 1) * num
+                 > -(CAST(w_pairs AS DECIMAL(38,0)) * den) AS clustered
+        FROM agg
+    """,
+    doc=(
+        "ST90: Moran's I global spatial autocorrelation of event "
+        "density over the 10-degree grid (rook adjacency, binary "
+        "weights, observed-cell universe) — THE first statistic of "
+        "any spatial analysis: is density clustered (I > E[I]), "
+        "random, or dispersed. Multiply-through basis d_i = n*x_i - S "
+        "makes numerator Sum_pairs(d_i * d_j) and denominator "
+        "Sum(d_i^2) exact DECIMAL integers whose shared n^2 scale "
+        "cancels in I = n * num / (W * den) — one shared division, "
+        "VARCHAR-hopped on the oracle side; the clustered verdict is "
+        "an EXACT integer comparison against E[I] = -1/(n-1), immune "
+        "to rounding at the boundary. Adjacency is a 4-offset "
+        "cell-key EQUI-join on the bounded cell table (648 possible "
+        "cells at any corpus size) — the spatial join never touches "
+        "event grain and no distance cross join exists."
+    ),
+    tags=("stats", "geo"),
+)
+def stats_moran_i_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cells = _geo_cells(t)
+    s = cells.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0))").alias("sx"),
+    )
+    dev = cells.crossJoin(F.broadcast(s)).select(
+        "cell_lat",
+        "cell_lon",
+        F.expr("CAST(n * x - sx AS DECIMAL(38,0))").alias("d"),
+    )
+    offsets = F.expr(
+        "explode(array(struct(1 AS dl, 0 AS dn), struct(-1 AS dl, 0 AS dn),"
+        " struct(0 AS dl, 1 AS dn), struct(0 AS dl, -1 AS dn)))"
+    )
+    a = dev.select("cell_lat", "cell_lon", F.col("d").alias("da"), offsets.alias("o"))
+    b = dev.select(
+        F.col("cell_lat").alias("blat"),
+        F.col("cell_lon").alias("blon"),
+        F.col("d").alias("db"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blat") == F.col("cell_lat") + F.col("o.dl"))
+        & (F.col("blon") == F.col("cell_lon") + F.col("o.dn")),
+    )
+    den = dev.agg(
+        F.expr("CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))").alias(
+            "den"
+        )
+    )
+    n_cells = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    agg = (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("w_pairs"),
+            F.expr(
+                "CAST(SUM(CAST(da AS DECIMAL(38,0)) * db) AS DECIMAL(38,0))"
+            ).alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(n_cells))
+    )
+    return agg.select(
+        "n_cells",
+        "w_pairs",
+        F.expr(
+            "CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE)"
+            " / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE))"
+        ).alias("morans_i"),
+        F.expr("-1.0 / CAST(n_cells - 1 AS DOUBLE)").alias("expected_i"),
+        F.expr(
+            "CAST(n_cells AS DECIMAL(38,0)) * (n_cells - 1) * num"
+            " > -(CAST(w_pairs AS DECIMAL(38,0)) * den)"
+        ).alias("clustered"),
+    )
+
+
+@register(
+    "stats_getis_ord_gi_hotspots",
+    oracle=f"""
+        WITH {_GEO_CELLS_SQL},
+        s AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+            FROM cells
+        ),
+        nbr AS (
+            SELECT a.cell_lat, a.cell_lon,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(b.x) AS BIGINT) AS sum_x
+            FROM cells a
+            JOIN (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1),
+                         (1,-1), (1,0), (1,1)) o(dl, dn) ON TRUE
+            JOIN cells b ON b.cell_lat = a.cell_lat + o.dl
+                        AND b.cell_lon = a.cell_lon + o.dn
+            GROUP BY a.cell_lat, a.cell_lon
+        )
+        SELECT cell_lat, cell_lon, k, sum_x,
+               CAST(CAST(s.n * nbr.sum_x - s.sx * nbr.k AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST((s.n * s.sxx - s.sx * s.sx)
+                                  * (s.n * nbr.k - nbr.k * nbr.k)
+                             AS VARCHAR) AS DOUBLE)
+                        / CAST(s.n - 1 AS DOUBLE)) AS gi_star_z
+        FROM nbr CROSS JOIN s
+        ORDER BY gi_star_z DESC, cell_lat, cell_lon
+        LIMIT 10
+    """,
+    doc=(
+        "ST91: Getis-Ord Gi* hot-spot detection over the 10-degree "
+        "grid — per cell, the z-score of its queen-neighborhood "
+        "(3x3, self-inclusive) density sum against the global field: "
+        "the LOCAL companion of Moran's I (Moran says 'clustering "
+        "exists'; Gi* says WHERE), and the statistic behind every "
+        "'emerging hot spot' map. Multiply-through z: numerator "
+        "n*sum_i - S*k_i and the radicand (n*Sxx - S^2)(n*k_i - "
+        "k_i^2) are exact DECIMAL integers (VARCHAR-hopped on the "
+        "oracle side), one shared sqrt + division per cell. "
+        "Neighborhoods come from a 9-offset cell-key equi-join on "
+        "the bounded (<= 648-row) cell table; top-10 is "
+        "TakeOrderedAndProject with deterministic (z, lat, lon) "
+        "tie-break — no global sort, no window."
+    ),
+    tags=("stats", "geo", "topk"),
+)
+def stats_getis_ord_gi_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cells = _geo_cells(t)
+    s = cells.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))").alias(
+            "sxx"
+        ),
+    )
+    offsets = F.expr(
+        "explode(array("
+        "struct(-1 AS dl, -1 AS dn), struct(-1 AS dl, 0 AS dn),"
+        " struct(-1 AS dl, 1 AS dn), struct(0 AS dl, -1 AS dn),"
+        " struct(0 AS dl, 0 AS dn), struct(0 AS dl, 1 AS dn),"
+        " struct(1 AS dl, -1 AS dn), struct(1 AS dl, 0 AS dn),"
+        " struct(1 AS dl, 1 AS dn)))"
+    )
+    a = cells.select("cell_lat", "cell_lon", offsets.alias("o"))
+    b = cells.select(
+        F.col("cell_lat").alias("blat"),
+        F.col("cell_lon").alias("blon"),
+        F.col("x").alias("bx"),
+    )
+    nbr = (
+        a.join(
+            b,
+            (F.col("blat") == F.col("cell_lat") + F.col("o.dl"))
+            & (F.col("blon") == F.col("cell_lon") + F.col("o.dn")),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("bx").cast("bigint").alias("sum_x"),
+        )
+    )
+    return (
+        nbr.crossJoin(F.broadcast(s))
+        .select(
+            "cell_lat",
+            "cell_lon",
+            "k",
+            "sum_x",
+            F.expr(
+                "CAST(n * sum_x - sx * k AS DOUBLE)"
+                " / sqrt(CAST((n * sxx - sx * sx) * (n * k - k * k) AS DOUBLE)"
+                " / CAST(n - 1 AS DOUBLE))"
+            ).alias("gi_star_z"),
+        )
+        .orderBy(F.desc("gi_star_z"), "cell_lat", "cell_lon")
+        .limit(10)
+    )

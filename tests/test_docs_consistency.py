@@ -297,6 +297,9 @@ _R8_QUERIES = frozenset(
         "stats_lincoln_petersen_recapture",
         "stats_tost_equivalence",
         "text_chao1_vocab_richness",
+        "stats_moran_i_spatial",
+        "stats_getis_ord_gi_hotspots",
+        "geo_dbscan_grid_clusters",
     }
 )
 

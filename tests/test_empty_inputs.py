@@ -272,6 +272,9 @@ REPRESENTATIVE = [
     "stats_lincoln_petersen_recapture",
     "stats_tost_equivalence",
     "text_chao1_vocab_richness",
+    "stats_moran_i_spatial",
+    "stats_getis_ord_gi_hotspots",
+    "geo_dbscan_grid_clusters",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -329,6 +332,9 @@ _ALLOW_ONE_ROW = {
     # r8: global aggregates that keep their one NULL-field row on empty
     "stats_lincoln_petersen_recapture",
     "stats_tost_equivalence",
+    "stats_moran_i_spatial",
+    # r8: the all-noise summary row survives an empty lattice
+    "geo_dbscan_grid_clusters",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

@@ -790,6 +790,11 @@ _BNLJ_BOUNDED_OK = {
     # the |types| x calendar-day grid cross (both metadata-scale)
     "stats_bland_altman_agreement",
     "dq_calendar_completeness_by_source",
+    # r8 spatial tier: one-row field-stat broadcasts (n, S, Sxx / total
+    # events) into the bounded <=648-row cell lattice
+    "stats_moran_i_spatial",
+    "stats_getis_ord_gi_hotspots",
+    "geo_dbscan_grid_clusters",
 }
 
 
