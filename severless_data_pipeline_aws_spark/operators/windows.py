@@ -3626,3 +3626,233 @@ def window_fractal_swing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18): Hull moving average and a
+# quarter-scale Ichimoku cloud — both EXACT (integer window sums until
+# one shared final division; no recurrence, so no applyInPandas).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_hull_moving_average",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        seq AS (
+            SELECT event_type, day, c,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS rn
+            FROM bars
+        ),
+        wma AS (
+            SELECT event_type, day, c, rn,
+                   SUM(c * rn) OVER w4 - (rn - 4) * SUM(c) OVER w4 AS a4,
+                   SUM(c * rn) OVER w9 - (rn - 9) * SUM(c) OVER w9 AS b9,
+                   COUNT(*) OVER w9 AS n9
+            FROM seq
+            WINDOW w4 AS (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                   w9 AS (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+        ),
+        d AS (
+            SELECT event_type, day, c, rn,
+                   9 * a4 - b9 AS dnum
+            FROM wma WHERE n9 = 9
+        ),
+        h AS (
+            SELECT event_type, day, c,
+                   SUM(dnum * rn) OVER w3 - (rn - 3) * SUM(dnum) OVER w3
+                       AS enum,
+                   COUNT(*) OVER w3 AS n3
+            FROM d
+            WINDOW w3 AS (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(enum AS DOUBLE) / 2700000.0 AS hma
+        FROM h WHERE n3 = 3
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W45: Hull moving average HMA(9) = WMA_3(2*WMA_4 - WMA_9) over "
+        "the per-type daily closes — the low-lag smoother (the 2x-half "
+        "minus full-length trick cancels first-order lag). Normally "
+        "HMA is float soup; here every stage stays an exact integer: "
+        "a position-weighted window sum is SUM(c*rn) - (rn-k)*SUM(c) "
+        "over the row_number basis, the stage combination 2*A/10 - "
+        "B/45 = (9A - B)/45 clears to one integer numerator, and the "
+        "final WMA_3 leaves hma = E / (45 * 6 * 10000) — ONE shared "
+        "division after three integer window folds. Only full windows "
+        "emit (the RSI contract). Calendar-bounded per-type day "
+        "table; the three windows share the per-type partitioning."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_hull_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    seq = _bars(t).select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("rn"),
+    )
+    w4 = W.partitionBy("event_type").orderBy("rn").rowsBetween(-3, W.currentRow)
+    w9 = W.partitionBy("event_type").orderBy("rn").rowsBetween(-8, W.currentRow)
+    wma = seq.select(
+        "event_type",
+        "day",
+        "c",
+        "rn",
+        (
+            F.sum(F.col("c") * F.col("rn")).over(w4)
+            - (F.col("rn") - 4) * F.sum("c").over(w4)
+        ).alias("a4"),
+        (
+            F.sum(F.col("c") * F.col("rn")).over(w9)
+            - (F.col("rn") - 9) * F.sum("c").over(w9)
+        ).alias("b9"),
+        F.count(F.lit(1)).over(w9).alias("n9"),
+    )
+    d = wma.filter(F.col("n9") == 9).select(
+        "event_type", "day", "c", "rn", (9 * F.col("a4") - F.col("b9")).alias("dnum")
+    )
+    w3 = W.partitionBy("event_type").orderBy("rn").rowsBetween(-2, W.currentRow)
+    h = d.select(
+        "event_type",
+        "day",
+        "c",
+        (
+            F.sum(F.col("dnum") * F.col("rn")).over(w3)
+            - (F.col("rn") - 3) * F.sum("dnum").over(w3)
+        ).alias("enum"),
+        F.count(F.lit(1)).over(w3).alias("n3"),
+    )
+    return (
+        h.filter(F.col("n3") == 3)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+            F.expr("CAST(enum AS DOUBLE) / 2700000.0").alias("hma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_ichimoku_cloud",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        seq AS (
+            SELECT event_type, day, h, l, c,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS rn
+            FROM bars
+        ),
+        lines AS (
+            SELECT event_type, day, c, rn,
+                   MAX(h) OVER w3 + MIN(l) OVER w3 AS tenkan_x2,
+                   MAX(h) OVER w6 + MIN(l) OVER w6 AS kijun_x2,
+                   MAX(h) OVER w12 + MIN(l) OVER w12 AS spanb_x2
+            FROM seq
+            WINDOW w3 AS (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   w6 AS (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                   w12 AS (PARTITION BY event_type ORDER BY rn
+                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+        ),
+        shifted AS (
+            SELECT event_type, day, c, rn, tenkan_x2, kijun_x2,
+                   lag(tenkan_x2 + kijun_x2, 6)
+                       OVER (PARTITION BY event_type ORDER BY rn) AS spana_x4,
+                   lag(spanb_x2, 6)
+                       OVER (PARTITION BY event_type ORDER BY rn) AS spanb_lag_x2,
+                   lead(c, 6)
+                       OVER (PARTITION BY event_type ORDER BY rn) AS chikou_c
+            FROM lines
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(tenkan_x2 AS DOUBLE) / 20000.0 AS tenkan,
+               CAST(kijun_x2 AS DOUBLE) / 20000.0 AS kijun,
+               CAST(spana_x4 AS DOUBLE) / 40000.0 AS senkou_a,
+               CAST(spanb_lag_x2 AS DOUBLE) / 20000.0 AS senkou_b,
+               CAST(chikou_c AS DOUBLE) / 10000.0 AS chikou,
+               4 * c > GREATEST(spana_x4, 2 * spanb_lag_x2) AS above_cloud,
+               tenkan_x2 > kijun_x2 AS bullish_tk
+        FROM shifted WHERE rn >= 18
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W46: Ichimoku cloud at quarter scale (tenkan 3, kijun 6, "
+        "senkou B 12, displacement 6 — the classical 9/26/52/26 "
+        "shrunk 1:3 so a 30-day calendar still emits full windows; "
+        "the construction is scale-free). Every line is (max + min) "
+        "of fixed-point integers kept DOUBLED (x2; senkou A x4), so "
+        "halving never rounds: tenkan = tenkan_x2/2 exactly, and the "
+        "above-cloud / TK-cross verdicts are EXACT integer "
+        "comparisons (4c vs max(spanA_x4, 2*spanB_x2)) — no float at "
+        "any decision boundary. Senkou spans are lag-6 projections, "
+        "chikou is the lead-6 close (NULL on the last 6 days, as "
+        "charted). Rows emit once the lagged senkou B window is full "
+        "(rn >= 18). One day-grain reduction, four frames over one "
+        "per-type partitioning."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_ichimoku_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    seq = _bars(t).select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        "c",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("rn"),
+    )
+    w3 = W.partitionBy("event_type").orderBy("rn").rowsBetween(-2, W.currentRow)
+    w6 = W.partitionBy("event_type").orderBy("rn").rowsBetween(-5, W.currentRow)
+    w12 = W.partitionBy("event_type").orderBy("rn").rowsBetween(-11, W.currentRow)
+    lines = seq.select(
+        "event_type",
+        "day",
+        "c",
+        "rn",
+        (F.max("h").over(w3) + F.min("l").over(w3)).alias("tenkan_x2"),
+        (F.max("h").over(w6) + F.min("l").over(w6)).alias("kijun_x2"),
+        (F.max("h").over(w12) + F.min("l").over(w12)).alias("spanb_x2"),
+    )
+    wo = W.partitionBy("event_type").orderBy("rn")
+    shifted = lines.select(
+        "event_type",
+        "day",
+        "c",
+        "rn",
+        "tenkan_x2",
+        "kijun_x2",
+        F.lag(F.col("tenkan_x2") + F.col("kijun_x2"), 6).over(wo).alias("spana_x4"),
+        F.lag("spanb_x2", 6).over(wo).alias("spanb_lag_x2"),
+        F.lead("c", 6).over(wo).alias("chikou_c"),
+    )
+    return (
+        shifted.filter(F.col("rn") >= 18)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+            F.expr("CAST(tenkan_x2 AS DOUBLE) / 20000.0").alias("tenkan"),
+            F.expr("CAST(kijun_x2 AS DOUBLE) / 20000.0").alias("kijun"),
+            F.expr("CAST(spana_x4 AS DOUBLE) / 40000.0").alias("senkou_a"),
+            F.expr("CAST(spanb_lag_x2 AS DOUBLE) / 20000.0").alias("senkou_b"),
+            F.expr("CAST(chikou_c AS DOUBLE) / 10000.0").alias("chikou"),
+            F.expr("4 * c > GREATEST(spana_x4, 2 * spanb_lag_x2)").alias(
+                "above_cloud"
+            ),
+            F.expr("tenkan_x2 > kijun_x2").alias("bullish_tk"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -300,6 +300,8 @@ _R8_QUERIES = frozenset(
         "stats_moran_i_spatial",
         "stats_getis_ord_gi_hotspots",
         "geo_dbscan_grid_clusters",
+        "window_hull_moving_average",
+        "window_ichimoku_cloud",
     }
 )
 

@@ -275,6 +275,8 @@ REPRESENTATIVE = [
     "stats_moran_i_spatial",
     "stats_getis_ord_gi_hotspots",
     "geo_dbscan_grid_clusters",
+    "window_hull_moving_average",
+    "window_ichimoku_cloud",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
