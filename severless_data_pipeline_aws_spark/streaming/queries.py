@@ -872,3 +872,221 @@ def streaming_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("event_type")
     )
+
+
+def _streaming_kmv_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    hashed = hash_long_chain_subquery(
+        "(SELECT DISTINCT event_type, user_id FROM events)",
+        ["event_type"],
+        ["user_id"],
+        out="h",
+    )
+    est = (
+        "CASE WHEN k < 64 THEN CAST(k AS DOUBLE)"
+        " ELSE (CAST(k - 1 AS DOUBLE) * 18446744073709551616.0)"
+        " / CAST(kth_hash AS DOUBLE) END"
+    )
+    return f"""
+        WITH u64 AS (
+            SELECT event_type,
+                   CAST(h AS HUGEINT)
+                   + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT
+                          ELSE 0::HUGEINT END AS u
+            FROM {hashed}
+        ),
+        ranked AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+            FROM u64
+        ),
+        kmin AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MAX(u) AS VARCHAR) AS kth_hash
+            FROM ranked WHERE rn <= 64
+            GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT kmin.event_type, k, kth_hash,
+               {est} AS est_distinct,
+               exact_distinct,
+               ({est} - CAST(exact_distinct AS DOUBLE))
+                   / CAST(exact_distinct AS DOUBLE) AS rel_err
+        FROM kmin JOIN ex ON ex.event_type = kmin.event_type
+        ORDER BY kmin.event_type
+    """
+
+
+@register(
+    "streaming_kmv_distinct_per_type",
+    oracle=_streaming_kmv_oracle(),
+    doc=(
+        "Eleventh custom stateful operator: streaming KMV distinct "
+        "sketch per event_type via applyInPandasWithState — at most "
+        "64 longs of state per key however much data streams through, "
+        "the streaming counterpart of the batch KMV tier (X6g). "
+        "Keep-k-smallest is a SEMILATTICE merge (order- and batching-"
+        "independent), so the final per-key snapshot provably equals "
+        "the batch sketch over everything seen — no recurrence "
+        "rounding exists, and the oracle replays estimate, kth hash "
+        "(as exact decimal digits), and relative error bit-for-bit "
+        "through the pure-SQL XXH64 twin. Under 64 distinct keys the "
+        "sketch IS the exact count (est = k, both engines take the "
+        "same CASE branch on the same integer); the kth-estimate "
+        "branch engages as the population outgrows k across SFs. "
+        "Snapshots fold to the final state by max_by(_, snap) — the "
+        "MG pattern. stream == imperative replay in "
+        "tests/test_streaming.py."
+    ),
+    tags=("streaming", "stateful", "sketch", "llm"),
+)
+def streaming_kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).select(
+        "event_type", F.xxhash64("user_id").alias("h")
+    )
+    snaps = _run_to_memory(stateful.kmv_walk(stream), "append")
+    final = snaps.groupBy("event_type").agg(
+        F.expr("max_by(k, snap)").cast("bigint").alias("k"),
+        F.expr("max_by(kth_u, snap)").alias("kth_hash"),
+    )
+    exact = (
+        spark.read.parquet(table_path(sf_dir, "events"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    est = (
+        "CASE WHEN k < 64 THEN CAST(k AS DOUBLE)"
+        " ELSE (CAST(k - 1 AS DOUBLE) * 18446744073709551616.0)"
+        " / CAST(kth_hash AS DOUBLE) END"
+    )
+    return (
+        final.join(exact, "event_type")
+        .select(
+            "event_type",
+            "k",
+            "kth_hash",
+            F.expr(est).alias("est_distinct"),
+            "exact_distinct",
+            F.expr(
+                f"({est} - CAST(exact_distinct AS DOUBLE))"
+                " / CAST(exact_distinct AS DOUBLE)"
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _streaming_cm_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    hashed = hash_long_chain_subquery(
+        "(SELECT event_type, user_id, c, d FROM"
+        " (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c"
+        "  FROM events GROUP BY event_type, user_id)"
+        " CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),"
+        " (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT))) g(d))",
+        ["event_type", "user_id", "c", "d"],
+        ["user_id", "d"],
+        out="h",
+    )
+    return f"""
+        WITH bucketed AS (
+            SELECT event_type, user_id, c, d,
+                   ((h % 32) + 32) % 32 AS bucket
+            FROM {hashed}
+        ),
+        cells AS (
+            SELECT event_type, d, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM bucketed GROUP BY event_type, d, bucket
+        ),
+        probes AS (
+            SELECT event_type, user_id, c, d, bucket
+            FROM bucketed WHERE user_id BETWEEN 1 AND 5
+        )
+        SELECT p.event_type, p.user_id AS probe_user,
+               CAST(MAX(p.c) AS BIGINT) AS exact_cnt,
+               CAST(MIN(cells.cnt) AS BIGINT) AS cm_est,
+               CAST(MIN(cells.cnt) - MAX(p.c) AS BIGINT) AS overcount,
+               MIN(cells.cnt) >= MAX(p.c) AS never_undercounts
+        FROM probes p
+        JOIN cells ON cells.event_type = p.event_type
+                  AND cells.d = p.d AND cells.bucket = p.bucket
+        GROUP BY p.event_type, p.user_id
+        ORDER BY p.event_type, p.user_id
+    """
+
+
+@register(
+    "streaming_countmin_point_queries",
+    oracle=_streaming_cm_oracle(),
+    doc=(
+        "Twelfth custom stateful operator: streaming Count-Min sketch "
+        "per event_type via applyInPandasWithState — a 4 x 32 counter "
+        "matrix of state per key (the frequency-estimation workhorse "
+        "wherever per-item counters cannot fit: trending items, DDoS "
+        "keys, token frequencies at 100 TB/day). Counter sums COMMUTE "
+        "across rows and batches, so the final streamed matrix equals "
+        "the batch sketch exactly; bucket columns are precomputed by "
+        "the same Spark exprs (pmod(xxhash64(user_id, d), 32)) the "
+        "batch path uses, and the oracle replays the ENTIRE matrix "
+        "plus the min-over-rows point estimates for probe users 1-5 "
+        "hash-exactly through the pure-SQL XXH64 twin — including the "
+        "CM guarantee (est >= true), asserted as an exact integer "
+        "comparison, never a probabilistic bound. Snapshot cells are "
+        "monotone; MAX(cnt) per cell folds the final matrix (the MG "
+        "pattern). stream == imperative replay in "
+        "tests/test_streaming.py."
+    ),
+    tags=("streaming", "stateful", "sketch", "llm"),
+)
+def streaming_countmin_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_exprs = [
+        F.expr(
+            f"CAST(pmod(xxhash64(user_id, CAST({d} AS BIGINT)), 32) AS BIGINT)"
+        ).alias(f"b{d}")
+        for d in range(1, 5)
+    ]
+    stream = _replay_events_stream(spark, sf_dir).select("event_type", *bucket_exprs)
+    snaps = _run_to_memory(stateful.cm_walk(stream), "append")
+    cells = snaps.groupBy("event_type", "d", "bucket").agg(
+        F.max("cnt").cast("bigint").alias("cnt")
+    )
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    probes = (
+        events.filter(F.col("user_id").between(1, 5))
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "event_type",
+            "user_id",
+            "c",
+            F.explode(
+                F.expr(
+                    "array(" + ", ".join(
+                        f"struct(CAST({d} AS BIGINT) AS d,"
+                        f" CAST(pmod(xxhash64(user_id, CAST({d} AS BIGINT)), 32)"
+                        f" AS BIGINT) AS bucket)"
+                        for d in range(1, 5)
+                    ) + ")"
+                )
+            ).alias("pb"),
+        )
+        .select("event_type", "user_id", "c", "pb.d", "pb.bucket")
+    )
+    return (
+        probes.join(cells, ["event_type", "d", "bucket"])
+        .groupBy("event_type", F.col("user_id").alias("probe_user"))
+        .agg(
+            F.max("c").cast("bigint").alias("exact_cnt"),
+            F.min("cnt").cast("bigint").alias("cm_est"),
+            (F.min("cnt") - F.max("c")).cast("bigint").alias("overcount"),
+            (F.min("cnt") >= F.max("c")).alias("never_undercounts"),
+        )
+        .orderBy("event_type", "probe_user")
+    )

@@ -1050,3 +1050,170 @@ def mg_batch_replay(events_pdf: pd.DataFrame, k: int = MG_CAPACITY) -> pd.DataFr
         out, _ = mg_steps(None, grp, k=k)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18): two ORDER-INDEPENDENT sketch states —
+# KMV distinct (state = k smallest hashes; merge-only, so the final
+# state equals the batch sketch exactly) and Count-Min (state = a d x w
+# counter matrix; sums commute, same property). Both therefore carry
+# hash-exact batch oracles via the pure-SQL XXH64 twin, with NO
+# recurrence rounding to pin.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("snap", LongType()),
+        StructField("k", LongType()),
+        StructField("kth_u", StringType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = StructType([StructField("state_json", StringType())])
+
+_U64 = (1 << 64) - 1
+
+
+def kmv_steps(
+    state_json: str | None, pdf: pd.DataFrame, k: int = KMV_K
+) -> tuple[pd.DataFrame, str]:
+    """Pure per-key KMV fold shared by the streaming state function and
+    the batch replay oracle: merge the batch's signed xxhash64 values
+    into the k smallest BY UNSIGNED ORDER. Emits one snapshot row per
+    batch; because keep-k-smallest is a semilattice merge, the final
+    snapshot equals the batch KMV over everything seen."""
+    import json
+
+    st = json.loads(state_json) if state_json else {"snap": 0, "hashes": []}
+    merged = set(st["hashes"]) | {int(x) for x in pdf["h"]}
+    keep = sorted(merged, key=lambda v: v & _U64)[:k]
+    snap = st["snap"] + 1
+    et = str(pdf["event_type"].iloc[0]) if len(pdf) else ""
+    out = pd.DataFrame(
+        {
+            "event_type": [et],
+            "snap": [snap],
+            "k": [len(keep)],
+            "kth_u": [str(keep[-1] & _U64) if keep else None],
+        }
+    )
+    return out, json.dumps({"snap": snap, "hashes": keep})
+
+
+def _apply_kmv(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        out, st = kmv_steps(st, pdf)
+        yield out
+    state.update((st,))
+
+
+def kmv_walk(events: DataFrame) -> DataFrame:
+    """Streaming KMV distinct sketch per event_type
+    (applyInPandasWithState): at most KMV_K longs of state per key.
+    Batch twin: ``kmv_batch_replay``."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_kmv,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_batch_replay(events_pdf: pd.DataFrame, k: int = KMV_K) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle (one
+    batch per event_type; snapshot = final sketch)."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = kmv_steps(None, grp, k=k)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)
+
+
+CM_D, CM_W = 4, 32
+
+CM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("snap", LongType()),
+        StructField("d", LongType()),
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+CM_STATE_SCHEMA = StructType([StructField("state_json", StringType())])
+
+
+def cm_steps(
+    state_json: str | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, str]:
+    """Pure per-key Count-Min fold: state is the d x w counter matrix
+    (sums — fully order- and batching-independent). The bucket columns
+    b1..b4 arrive precomputed by the SAME Spark exprs the batch twin
+    uses (pmod(xxhash64(user_id, d), w)), so the state function only
+    counts. Emits the nonzero matrix cells with a snapshot index;
+    counters are monotone, so MAX(cnt) per cell is the final matrix."""
+    import json
+
+    st = json.loads(state_json) if state_json else {"snap": 0, "m": {}}
+    m = st["m"]
+    for d in range(1, CM_D + 1):
+        for b in pdf[f"b{d}"]:
+            key = f"{d}:{int(b)}"
+            m[key] = m.get(key, 0) + 1
+    snap = st["snap"] + 1
+    et = str(pdf["event_type"].iloc[0]) if len(pdf) else ""
+    items = sorted(m.items())
+    out = pd.DataFrame(
+        {
+            "event_type": [et] * len(items),
+            "snap": [snap] * len(items),
+            "d": [int(k.split(":")[0]) for k, _ in items],
+            "bucket": [int(k.split(":")[1]) for k, _ in items],
+            "cnt": [c for _, c in items],
+        }
+    )
+    return out, json.dumps({"snap": snap, "m": m})
+
+
+def _apply_cm(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        out, st = cm_steps(st, pdf)
+        yield out
+    state.update((st,))
+
+
+def cm_walk(events: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch per event_type
+    (applyInPandasWithState): CM_D x CM_W counters of state per key.
+    Batch twin: ``cm_batch_replay``."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_cm,
+        outputStructType=CM_OUT_SCHEMA,
+        stateStructType=CM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cm_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = cm_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

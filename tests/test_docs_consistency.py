@@ -302,6 +302,8 @@ _R8_QUERIES = frozenset(
         "geo_dbscan_grid_clusters",
         "window_hull_moving_average",
         "window_ichimoku_cloud",
+        "streaming_kmv_distinct_per_type",
+        "streaming_countmin_point_queries",
     }
 )
 

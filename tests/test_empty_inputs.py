@@ -277,6 +277,7 @@ REPRESENTATIVE = [
     "geo_dbscan_grid_clusters",
     "window_hull_moving_average",
     "window_ichimoku_cloud",
+    "streaming_kmv_distinct_per_type",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row

@@ -1121,3 +1121,89 @@ def test_misra_gries_decrement_path_and_bound():
         sorted(zip(out2["event_type"], out2["cnt"]))
         == sorted(zip(out["event_type"], out["cnt"]))
     )
+
+
+def test_streaming_kmv_equals_batch_replay(spark, sf_dir):
+    """The streamed KMV sketch must equal the single-process replay —
+    keep-k-smallest is a semilattice merge, so the final snapshot is
+    independent of batching; this test pins that the Arrow/JSON state
+    round-trip preserves it (k, kth hash, and therefore the estimate)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        kmv_batch_replay,
+    )
+
+    got = {
+        r["event_type"]: (r["k"], r["kth_hash"])
+        for r in load_all()["streaming_kmv_distinct_per_type"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.select("event_type", F.xxhash64("user_id").alias("h"))
+        .toPandas()
+    )
+    want_pdf = kmv_batch_replay(events_pdf)
+    want = {
+        r.event_type: (int(r.k), r.kth_u)
+        for r in want_pdf.itertuples(index=False)
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_streaming_countmin_equals_batch_replay(spark, sf_dir):
+    """The streamed Count-Min matrix must equal the single-process
+    replay cell-for-cell — counter sums commute across batches, and the
+    final matrix must also equal a plain Spark GROUP BY over the same
+    bucket exprs (the sketch IS exact per cell)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all  # noqa: F401
+    from severless_data_pipeline_aws_spark.streaming import stateful
+    from severless_data_pipeline_aws_spark.streaming.queries import (
+        _replay_events_stream,
+        _run_to_memory,
+    )
+
+    bucket_exprs = [
+        F.expr(
+            f"CAST(pmod(xxhash64(user_id, CAST({d} AS BIGINT)), 32) AS BIGINT)"
+        ).alias(f"b{d}")
+        for d in range(1, 5)
+    ]
+    stream = _replay_events_stream(spark, sf_dir).select("event_type", *bucket_exprs)
+    snaps = _run_to_memory(stateful.cm_walk(stream), "append")
+    got = {
+        (r["event_type"], r["d"], r["bucket"]): r["cnt"]
+        for r in snaps.groupBy("event_type", "d", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir).events.select("event_type", *bucket_exprs).toPandas()
+    )
+    want_pdf = stateful.cm_batch_replay(events_pdf)
+    final = (
+        want_pdf.groupby(["event_type", "d", "bucket"])["cnt"].max().to_dict()
+    )
+    assert len(got) == len(final) > 0
+    assert got == {k: int(v) for k, v in final.items()}
+    # cell exactness: the sketch matrix equals a plain GROUP BY count
+    plain = {
+        (r["event_type"], r["d"], r["bucket"]): r["cnt"]
+        for d in range(1, 5)
+        for r in Tables(spark, sf_dir)
+        .events.select(
+            "event_type",
+            F.lit(d).cast("bigint").alias("d"),
+            F.expr(
+                f"CAST(pmod(xxhash64(user_id, CAST({d} AS BIGINT)), 32) AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert got == plain
