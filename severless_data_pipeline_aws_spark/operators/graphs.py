@@ -1866,3 +1866,200 @@ def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
     return sup.orderBy(F.desc("support"), "u", "v").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18): preferential-attachment link
+# prediction (completing the CN / Jaccard / resource-allocation family)
+# and harmonic centrality + eccentricity on the bounded co-trade BFS.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_preferential_attachment_scores",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+            FROM lineitem
+        ),
+        deg AS (
+            SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY supp
+        ),
+        cand AS (
+            SELECT a.supp AS supp_a, b.supp AS supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS common_parts
+            FROM edges a JOIN edges b
+              ON a.part = b.part AND a.supp < b.supp
+            GROUP BY a.supp, b.supp
+        )
+        SELECT c.supp_a, c.supp_b, c.common_parts,
+               da.d AS deg_a, db.d AS deg_b,
+               CAST(da.d * db.d AS BIGINT) AS pa_score
+        FROM cand c
+        JOIN deg da ON da.supp = c.supp_a
+        JOIN deg db ON db.supp = c.supp_b
+        ORDER BY pa_score DESC, c.supp_a, c.supp_b
+        LIMIT {_LINK_TOP}
+    """,
+    doc=(
+        "G23: preferential-attachment link prediction — score supplier "
+        "pairs by deg(a) * deg(b), the rich-get-richer baseline every "
+        "other link predictor is benchmarked against (and the only one "
+        "needing NO neighborhood intersection, so it is the cheapest "
+        "at scale). Candidates still come from the inverted part index "
+        "(>= 1 shared part), keeping the pair space equi-join-bounded; "
+        "the score itself is an exact BIGINT product of broadcast "
+        "degrees, so ranking has no float anywhere — completing the "
+        "common-neighbors / Jaccard / resource-allocation prediction "
+        "family with its degree-only member. Top-25 TakeOrdered with "
+        "deterministic tie-break."
+    ),
+    tags=("graph", "similarity", "topk"),
+)
+def graph_preferential_attachment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = t.lineitem.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    deg = edges.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    b = edges.select(F.col("supp").alias("supp_b"), "part")
+    cand = (
+        a.join(b, ["part"])
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_parts"))
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("d").alias("deg_b"))
+    return (
+        cand.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_parts",
+            "deg_a",
+            "deg_b",
+            (F.col("deg_a") * F.col("deg_b")).cast("bigint").alias("pa_score"),
+        )
+        .orderBy(F.desc("pa_score"), "supp_a", "supp_b")
+        .limit(_LINK_TOP)
+    )
+
+
+@register(
+    "graph_harmonic_centrality_bounded",
+    oracle=f"""
+        WITH RECURSIVE co AS (
+            SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000 AND c.c_nationkey <> s.s_nationkey
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst FROM co
+            UNION
+            SELECT b AS src, a AS dst FROM co
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        walk(root, node, hop) AS (
+            SELECT node, node, 0 FROM nodes
+            UNION
+            SELECT walk.root, sym.dst, walk.hop + 1
+            FROM walk JOIN sym ON sym.src = walk.node
+            WHERE walk.hop < {_CLOSENESS_ROUNDS}
+        ),
+        dists AS (
+            SELECT root, node, MIN(hop) AS dist FROM walk GROUP BY root, node
+        ),
+        agg AS (
+            SELECT root,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable,
+                   CAST(SUM(CASE WHEN dist > 0 THEN 60 // dist ELSE 0 END)
+                        AS BIGINT) AS harmonic_x60,
+                   CAST(MAX(dist) AS BIGINT) AS eccentricity,
+                   CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes
+            FROM dists GROUP BY root
+        )
+        SELECT CAST(root AS BIGINT) AS nationkey, n_reachable, eccentricity,
+               CAST(harmonic_x60 AS DOUBLE) / 60.0 AS harmonic,
+               CAST(harmonic_x60 AS DOUBLE)
+                   / (60.0 * CAST(n_nodes - 1 AS DOUBLE))
+                   AS harmonic_normalized
+        FROM agg ORDER BY nationkey
+    """,
+    doc=(
+        "G24: harmonic centrality + eccentricity of every nation in "
+        "the bounded co-trade graph — harmonic = Sum(1/d) over "
+        "reachable peers, the centrality that stays well-defined on "
+        "DISCONNECTED graphs (where classic closeness needs the "
+        "Wasserman-Faust patch the G11 op applies); eccentricity = "
+        "max hop, whose maximum over roots is the graph diameter. "
+        "Because the BFS is hop-bounded at 6, every distance divides "
+        "60, so Sum(1/d) is kept as the EXACT integer Sum(60/d) "
+        "(integer division, remainder provably zero) until one shared "
+        "final division — no float accumulation across peers in any "
+        "order. Same multi-source Pregel BFS as closeness "
+        "(frontier join + distinct + anti-join, <= 25-node metadata "
+        "state); oracle replays it as the recursive-CTE walk."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_harmonic_centrality_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    sym = (
+        co.selectExpr("a AS src", "b AS dst")
+        .union(co.selectExpr("b AS src", "a AS dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()  # bounded metadata (<=25), a query parameter
+
+    visited = nodes.select(
+        F.col("node").alias("root"), "node", F.lit(0).cast("bigint").alias("dist")
+    ).persist()
+    frontier = visited
+    for hop in range(1, _CLOSENESS_ROUNDS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("bigint"))
+            .persist()
+        )
+        visited = visited.union(nxt).persist()
+        frontier = nxt
+    agg = visited.groupBy("root").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reachable"),
+        F.expr(
+            "CAST(SUM(CASE WHEN dist > 0 THEN 60 DIV dist ELSE 0 END) AS BIGINT)"
+        ).alias("harmonic_x60"),
+        F.max("dist").cast("bigint").alias("eccentricity"),
+    )
+    return (
+        agg.select(
+            F.col("root").cast("bigint").alias("nationkey"),
+            "n_reachable",
+            "eccentricity",
+            F.expr("CAST(harmonic_x60 AS DOUBLE) / 60.0").alias("harmonic"),
+            F.expr(
+                f"CAST(harmonic_x60 AS DOUBLE) / (60.0 * CAST({n_nodes} - 1 AS DOUBLE))"
+            ).alias("harmonic_normalized"),
+        )
+        .orderBy("nationkey")
+    )

@@ -851,3 +851,108 @@ def join_interval_blackout_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_asof_forward_next_error",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CAST(NULL AS BIGINT) AS e_id, CAST(NULL AS TIMESTAMP) AS e_ts,
+                   0 AS tag
+            FROM events WHERE user_id <= 30 AND event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, event_id, event_id, ts, 1
+            FROM events WHERE user_id <= 30 AND event_type = 'error'
+        ),
+        carried AS (
+            SELECT user_id, ts, event_id, tag,
+                   first_value(e_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, tag, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_error_id,
+                   first_value(e_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, tag, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_error_ts
+            FROM tagged
+        )
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+               next_error_id, next_error_ts,
+               CAST(datediff('second', ts, next_error_ts) AS BIGINT)
+                   AS gap_s,
+               COALESCE(datediff('second', ts, next_error_ts) <= 172800, FALSE)
+                   AS error_within_48h
+        FROM carried WHERE tag = 0
+    """,
+    doc=(
+        "As-of join (FORWARD): for each purchase, the user's first "
+        "error at-or-after it — the direction the backward op cannot "
+        "express, and the shape of every 'time-to-next-incident' / "
+        "SLA-breach query (pandas merge_asof direction='forward'). "
+        "Same SCALABLE union + carry pattern as the backward op, "
+        "mirrored: first_value(IGNORE NULLS) over CURRENT ROW .. "
+        "UNBOUNDED FOLLOWING — one shuffle on the key, no pairwise "
+        "explosion on skewed users. Purchases sort before equal-"
+        "timestamp errors (tag asc), so a same-instant error counts "
+        "as 'after', mirroring the backward op's inclusive boundary. "
+        "Gap seconds via the unix_timestamp/datediff('second') floor "
+        "pairing (the repo's pinned cross-engine second-diff "
+        "convention); the 48-hour SLA verdict is an exact integer "
+        "comparison, FALSE when no error ever follows."
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 30)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("bigint").alias("e_id"),
+        F.lit(None).cast("timestamp").alias("e_ts"),
+        F.lit(0).alias("tag"),
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        left.unionByName(right)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "tag",
+            F.first("e_id", ignorenulls=True).over(w).alias("next_error_id"),
+            F.first("e_ts", ignorenulls=True).over(w).alias("next_error_ts"),
+        )
+        .filter(F.col("tag") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_error_id",
+            "next_error_ts",
+            F.expr(
+                "CAST(unix_timestamp(next_error_ts) - unix_timestamp(ts)"
+                " AS BIGINT)"
+            ).alias("gap_s"),
+            F.expr(
+                "COALESCE(unix_timestamp(next_error_ts) - unix_timestamp(ts)"
+                " <= 172800, FALSE)"
+            ).alias("error_within_48h"),
+        )
+    )

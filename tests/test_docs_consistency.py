@@ -304,6 +304,9 @@ _R8_QUERIES = frozenset(
         "window_ichimoku_cloud",
         "streaming_kmv_distinct_per_type",
         "streaming_countmin_point_queries",
+        "graph_preferential_attachment_scores",
+        "graph_harmonic_centrality_bounded",
+        "join_asof_forward_next_error",
     }
 )
 

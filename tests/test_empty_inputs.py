@@ -278,6 +278,9 @@ REPRESENTATIVE = [
     "window_hull_moving_average",
     "window_ichimoku_cloud",
     "streaming_kmv_distinct_per_type",
+    "graph_preferential_attachment_scores",
+    "graph_harmonic_centrality_bounded",
+    "join_asof_forward_next_error",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
