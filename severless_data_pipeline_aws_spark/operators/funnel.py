@@ -2329,3 +2329,95 @@ def pipeline_length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("pad_to")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition (SURVEY §2.18 X7o): WARC record plumbing — the wire
+# format 100 TB text pipelines actually ingest (Common Crawl). Records
+# are synthesized from the documents table as byte-faithful
+# header+payload blocks, then genuinely re-parsed; the oracle predicts
+# every field from the synthesis arithmetic, so a mis-parse (wrong
+# boundary, off-by-one on CRLF, broken Content-Length) breaks the hash.
+# ---------------------------------------------------------------------------
+
+#: CRLF via chr() on both engines — string-literal escape semantics
+#: differ between Spark and DuckDB, chr(13)||chr(10) does not
+_CRLF = "(chr(13) || chr(10))"
+
+
+def _warc_record_sql() -> str:
+    c = _CRLF
+    return f"""concat(
+        'WARC/1.0', {c},
+        'WARC-Type: ', CASE WHEN doc_id % 3 = 0 THEN 'response'
+                            WHEN doc_id % 3 = 1 THEN 'request'
+                            ELSE 'metadata' END, {c},
+        'WARC-Record-ID: <urn:uuid:', md5(text), '>', {c},
+        'WARC-Target-URI: https://example.com/', source, '/',
+        CAST(doc_id AS STRING), {c},
+        'Content-Length: ', CAST(length(text) AS STRING), {c},
+        {c},
+        text, {c}, {c})"""
+
+
+@register(
+    "pipeline_warc_record_extract",
+    oracle=f"""
+        SELECT doc_id,
+               'WARC/1.0' AS warc_version,
+               CASE WHEN doc_id % 3 = 0 THEN 'response'
+                    WHEN doc_id % 3 = 1 THEN 'request'
+                    ELSE 'metadata' END AS warc_type,
+               'urn:uuid:' || md5(text) AS record_id,
+               'https://example.com/' || source || '/'
+                   || CAST(doc_id AS VARCHAR) AS target_uri,
+               CAST(length(text) AS BIGINT) AS content_length,
+               TRUE AS length_ok,
+               TRUE AS payload_md5_ok
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X7o: WARC record round-trip — build byte-faithful WARC/1.0 "
+        "records (version line, WARC-Type, Record-ID, Target-URI, "
+        "Content-Length, CRLF-CRLF boundary, payload, trailing "
+        "CRLF-CRLF) from the documents table, then RE-PARSE them the "
+        "way a Common Crawl ingest stage does: header fields via "
+        "regexp_extract, the payload by locating the first blank line, "
+        "and two integrity verdicts — the re-read Content-Length must "
+        "equal the extracted payload's length, and the Record-ID's "
+        "uuid must equal the md5 of the extracted payload (so a "
+        "boundary off-by-one fails BOTH engines' hash, not just "
+        "eyeballs). CRLFs are chr(13)||chr(10) on both engines "
+        "(string-escape semantics differ); multibyte (zh) payloads "
+        "keep character semantics through length(). Map-only "
+        "row-local string work, zero shuffles, codegen end-to-end."
+    ),
+    tags=("pipeline", "text", "llm"),
+)
+def pipeline_warc_record_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = _CRLF
+    rec = t.documents.selectExpr("doc_id", f"{_warc_record_sql()} AS rec")
+    blank = f"({c} || {c})"
+    parsed = rec.selectExpr(
+        "doc_id",
+        "regexp_extract(rec, '^(WARC/[0-9.]+)', 1) AS warc_version",
+        "regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1) AS warc_type",
+        "regexp_extract(rec, 'WARC-Record-ID: <([^>]+)>', 1) AS record_id",
+        "regexp_extract(rec, 'WARC-Target-URI: ([^\\r]+)', 1) AS target_uri",
+        "CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+        " AS content_length",
+        f"substring(rec, instr(rec, {blank}) + 4,"
+        f" length(rec) - instr(rec, {blank}) - 7) AS payload",
+    )
+    return parsed.selectExpr(
+        "doc_id",
+        "warc_version",
+        "warc_type",
+        "record_id",
+        "target_uri",
+        "content_length",
+        "length(payload) = content_length AS length_ok",
+        "'urn:uuid:' || md5(payload) = record_id AS payload_md5_ok",
+    ).orderBy("doc_id")

@@ -1604,3 +1604,185 @@ def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id", "w")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18): FLAC STREAMINFO bit-unpacking tier
+# (X5q) and the gradient dHash perceptual signature (X5r).
+# ---------------------------------------------------------------------------
+
+_FLAC_LIMIT = 200
+
+
+def synthesize_flac_media(spark: SparkSession, sf_dir: str, limit: int = _FLAC_LIMIT) -> DataFrame:
+    """(doc_id, payload): 'fLaC' + a last-block STREAMINFO header (0x80,
+    len 34) + the 34-byte STREAMINFO — block sizes, frame sizes, the
+    bit-packed (rate 20 | channels 3 | bps 5 | total 36) group, and the
+    md5 of the (stand-in) audio payload. 42 bytes, all big-endian."""
+    t = Tables(spark, sf_dir)
+    packed = (
+        "(CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) * 17592186044416"  # << 44
+        " + CAST(doc_id % 2 AS BIGINT) * 2199023255552"  # << 41
+        " + CAST(15 AS BIGINT) * 68719476736"  # << 36
+        " + CAST(64 + n_chars % 100000 AS BIGINT))"
+    )
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        "text",
+        f"""unhex(concat(
+                '664C6143', '80', '000022',
+                '1000', '1000',
+                lpad(hex(1000 + doc_id % 100), 6, '0'),
+                lpad(hex(8000 + n_chars % 1000), 6, '0'),
+                lpad(hex({packed}), 16, '0'),
+                md5(text))) AS payload""",
+    )
+
+
+@register(
+    "multimodal_flac_streaminfo_parse",
+    oracle=f"""
+        SELECT doc_id,
+               TRUE AS magic_ok,
+               TRUE AS is_last_block,
+               CAST(0 AS BIGINT) AS block_type,
+               CAST(34 AS BIGINT) AS block_len,
+               CAST(4096 AS BIGINT) AS min_blocksize,
+               CAST(4096 AS BIGINT) AS max_blocksize,
+               CAST(1000 + doc_id % 100 AS BIGINT) AS min_framesize,
+               CAST(8000 + n_chars % 1000 AS BIGINT) AS max_framesize,
+               CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(16 AS BIGINT) AS bits_per_sample,
+               CAST(64 + n_chars % 100000 AS BIGINT) AS total_samples,
+               md5(text) = md5(text) AS md5_present,
+               CAST(42 AS BIGINT) AS total_len
+        FROM documents WHERE doc_id < {_FLAC_LIMIT}
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5q: FLAC STREAMINFO parse — the seventh container tier (BMP, "
+        "WAV, GIF, PNG, MP4, JPEG, now FLAC) and the first with "
+        "SUB-BYTE fields: sample rate (20 bits), channel count (3 "
+        "bits), bit depth (5 bits) and total samples (36 bits) share "
+        "one 8-byte group, unpacked with exact integer div/mod off a "
+        "single conv() read — precisely what an audio ingest stage "
+        "needs to budget decode memory and duration (samples/rate) "
+        "before touching frames. Magic, last-block flag (bit 7 of the "
+        "header byte), block type/length and the frame-size bounds are "
+        "all genuinely re-read from payload bytes; the oracle predicts "
+        "every field from the synthesis arithmetic, so one mis-shifted "
+        "bit breaks the hash. Map-only; payloads never shuffle."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_flac_streaminfo_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_flac_media(spark, sf_dir)
+    be = lambda pos, n: f"CAST(conv(hex(substring(payload, {pos}, {n})), 16, 10) AS BIGINT)"  # noqa: E731
+    p64 = be(19, 8)
+    return media.selectExpr(
+        "doc_id",
+        "hex(substring(payload, 1, 4)) = '664C6143' AS magic_ok",
+        f"{be(5, 1)} DIV 128 = 1 AS is_last_block",
+        f"{be(5, 1)} % 128 AS block_type",
+        f"{be(6, 3)} AS block_len",
+        f"{be(9, 2)} AS min_blocksize",
+        f"{be(11, 2)} AS max_blocksize",
+        f"{be(13, 3)} AS min_framesize",
+        f"{be(16, 3)} AS max_framesize",
+        f"{p64} DIV 17592186044416 AS sample_rate",
+        f"({p64} DIV 2199023255552) % 8 + 1 AS channels",
+        f"({p64} DIV 68719476736) % 32 + 1 AS bits_per_sample",
+        f"{p64} % 68719476736 AS total_samples",
+        "lower(hex(substring(payload, 27, 16))) = md5(text) AS md5_present",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+    ).orderBy("doc_id")
+
+
+def _dhash_bits_sql() -> tuple[str, str]:
+    """(lo_expr, hi_expr) over pixel columns p0..p71 (8 rows x 9 cols):
+    bit r*8+c set iff p[r*9+c] > p[r*9+c+1] — the gradient hash."""
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            bits.append((r * 8 + c, r * 9 + c))
+    lo = " + ".join(
+        f"(CASE WHEN p{p} > p{p + 1} THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+        for k, p in bits
+        if k < 32
+    )
+    hi = " + ".join(
+        f"(CASE WHEN p{p} > p{p + 1} THEN CAST({1 << (k - 32)} AS BIGINT) ELSE 0 END)"
+        for k, p in bits
+        if k >= 32
+    )
+    return lo, hi
+
+
+def _dhash_oracle() -> str:
+    lo, hi = _dhash_bits_sql()
+    pix = ",\n                   ".join(f"{_px_duck(i)} AS p{i}" for i in range(72))
+    return f"""
+        WITH digests AS (
+            SELECT doc_id, md5(text) AS h1, md5(text || '|2') AS h2,
+                   md5(text || '|3') AS h3, md5(text || '|4') AS h4,
+                   md5(text || '|5') AS h5
+            FROM documents
+        ),
+        pixels AS (
+            SELECT doc_id, {pix} FROM digests
+        ),
+        sigs AS (
+            SELECT doc_id, {lo} AS dhash_lo, {hi} AS dhash_hi FROM pixels
+        )
+        SELECT doc_id, dhash_lo, dhash_hi,
+               CAST(bit_count(dhash_lo) + bit_count(dhash_hi) AS BIGINT)
+                   AS n_rising_gradients
+        FROM sigs ORDER BY doc_id
+    """
+
+
+@register(
+    "multimodal_dhash_gradient",
+    oracle=_dhash_oracle(),
+    doc=(
+        "X5r: difference hash (dHash) — the gradient companion of the "
+        "aHash tier: an 8x9 pixel field reduces to 64 bits, each set "
+        "when a pixel exceeds its right neighbor. Unlike aHash "
+        "(mean-threshold), dHash is invariant to uniform brightness "
+        "shifts BY CONSTRUCTION (adding a constant preserves every "
+        "strict inequality), which is why production near-dup "
+        "pipelines run both and intersect. Same deterministic "
+        "digest-derived pixel field as the aHash op (a real pipeline "
+        "swaps the first CTE for decoded thumbnails and keeps "
+        "everything downstream); signature packed as two exact BIGINT "
+        "words plus the rising-gradient count (a texture measure). "
+        "Engine-portable column arithmetic end-to-end in whole-stage "
+        "codegen — zero Python, zero shuffles (map-only)."
+    ),
+    tags=("multimodal", "dedup", "llm"),
+)
+def multimodal_dhash_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    digests = t.documents.selectExpr(
+        "doc_id",
+        "md5(text) AS h1",
+        "md5(text || '|2') AS h2",
+        "md5(text || '|3') AS h3",
+        "md5(text || '|4') AS h4",
+        "md5(text || '|5') AS h5",
+    )
+    pixels = digests.selectExpr(
+        "doc_id", *[f"{_px_spark(i)} AS p{i}" for i in range(72)]
+    )
+    lo, hi = _dhash_bits_sql()
+    sigs = pixels.selectExpr(
+        "doc_id", f"{lo} AS dhash_lo", f"{hi} AS dhash_hi"
+    )
+    return sigs.selectExpr(
+        "doc_id",
+        "dhash_lo",
+        "dhash_hi",
+        "CAST(bit_count(dhash_lo) + bit_count(dhash_hi) AS BIGINT)"
+        " AS n_rising_gradients",
+    ).orderBy("doc_id")

@@ -281,6 +281,9 @@ REPRESENTATIVE = [
     "graph_preferential_attachment_scores",
     "graph_harmonic_centrality_bounded",
     "join_asof_forward_next_error",
+    "multimodal_flac_streaminfo_parse",
+    "multimodal_dhash_gradient",
+    "pipeline_warc_record_extract",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
