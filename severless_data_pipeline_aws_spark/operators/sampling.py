@@ -1611,3 +1611,93 @@ def pipeline_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition (SURVEY §2.18 X7p): group k-fold assignment — CV
+# splits that keep each user's events in exactly one fold.
+# ---------------------------------------------------------------------------
+
+_KFOLD_SPARK = _H_SPARK.format(key="user_id") + " % 5"
+_KFOLD_DUCK = _H_DUCK.format(key="user_id") + " % 5"
+
+
+@register(
+    "sampling_group_kfold_assign",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT user_id, {_KFOLD_DUCK} AS fold, event_type
+            FROM events
+        ),
+        per_fold AS (
+            SELECT fold,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchases
+            FROM assigned GROUP BY fold
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+        leak AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky FROM (
+                SELECT user_id FROM assigned
+                GROUP BY user_id HAVING COUNT(DISTINCT fold) > 1
+            )
+        )
+        SELECT CAST(fold AS BIGINT) AS fold, n_users, n_events, n_purchases,
+               CAST(n_events AS DOUBLE) / CAST(tot.n AS DOUBLE) AS event_share,
+               leak.n_leaky = 0 AS no_group_leakage
+        FROM per_fold CROSS JOIN tot CROSS JOIN leak
+        ORDER BY fold
+    """,
+    doc=(
+        "X7p: group k-fold cross-validation assignment (k = 5, groups "
+        "= users) — the CV split that prevents the classic leakage "
+        "failure where one user's events land in both train and "
+        "validation folds and the model 'learns the user'. Fold is a "
+        "pure function of user_id (the repo's md5 split hash mod 5), "
+        "so assignment is stable across runs, partitionings, and "
+        "engines, and group integrity holds BY CONSTRUCTION — the "
+        "no_group_leakage verdict re-proves it from the data (count "
+        "of users spanning > 1 fold must be zero) rather than "
+        "trusting the construction. One scan + a fold-grain "
+        "aggregate; the leakage audit is a user-grain aggregate with "
+        "a one-row broadcast back."
+    ),
+    tags=("sampling", "llm", "ab"),
+)
+def sampling_group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    assigned = t.events.select(
+        "user_id", F.expr(_KFOLD_SPARK).alias("fold"), "event_type"
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_purchases"),
+    )
+    tot = t.events.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky"))
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_users",
+            "n_events",
+            "n_purchases",
+            F.expr("CAST(n_events AS DOUBLE) / CAST(n AS DOUBLE)").alias(
+                "event_share"
+            ),
+            F.expr("n_leaky = 0").alias("no_group_leakage"),
+        )
+        .orderBy("fold")
+    )

@@ -8542,3 +8542,469 @@ def stats_getis_ord_gi_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gi_star_z"), "cell_lat", "cell_lon")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (SURVEY §2.18): Holm step-down over the BH test
+# family, the Passing-Bablok method-comparison regression, and the
+# Hurst rescaled-range table.
+# ---------------------------------------------------------------------------
+
+_HOLM_ALPHA = "0.1"  # FWER level; identical literal text on both engines
+
+_HOLM_TAIL = """
+    stats AS (
+        SELECT event_type, n_a, n_b,
+               (s_a / nd_a - s_b / nd_b) AS mdiff,
+               ((q_a - s_a * s_a / nd_a) / (nd_a - 1)) / nd_a
+                 + ((q_b - s_b * s_b / nd_b) / (nd_b - 1)) / nd_b AS se2
+        FROM {src}
+    ),
+    tests AS (
+        SELECT event_type, n_a, n_b,
+               CASE WHEN se2 = 0 THEN 0.0
+                    ELSE (mdiff * mdiff) / se2 END AS z2,
+               CASE WHEN mdiff * mdiff = 0 THEN 1.0
+                    WHEN se2 = 0 THEN 0.0
+                    ELSE LEAST(1.0, se2 / (mdiff * mdiff)) END AS p_chebyshev
+        FROM stats
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_chebyshev, event_type) AS BIGINT)
+                   AS p_rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM tests
+    ),
+    adj AS (
+        SELECT *,
+               MAX(CAST(m - p_rank + 1 AS DOUBLE) * p_chebyshev)
+                   OVER (ORDER BY p_rank
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS holm_raw
+        FROM ranked
+    )
+    SELECT event_type, n_a, n_b, z2, p_chebyshev, p_rank,
+           LEAST(1.0, holm_raw) AS holm_adjusted_p,
+           CAST(CASE WHEN holm_raw <= {alpha} THEN 1 ELSE 0 END AS INT) AS reject
+    FROM adj
+    ORDER BY p_rank
+"""
+
+_HOLM_FROM = "holm_type_half_sums"
+
+
+@register(
+    "stats_holm_bonferroni_adjust",
+    oracle=f"""
+        WITH halves AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) % 2 AS half,
+                   value
+            FROM events
+        ),
+        {_HOLM_FROM} AS (
+            SELECT event_type,
+                   CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_a,
+                   CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_b,
+                   CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS DOUBLE) AS nd_a,
+                   CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS DOUBLE) AS nd_b,
+                   CAST(CAST(SUM(CASE WHEN half = 0
+                                 THEN CAST(value AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS s_a,
+                   CAST(CAST(SUM(CASE WHEN half = 1
+                                 THEN CAST(value AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS s_b,
+                   CAST(CAST(SUM(CASE WHEN half = 0
+                                 THEN CAST(value AS DECIMAL(38,8)) * value END)
+                        AS VARCHAR) AS DOUBLE) AS q_a,
+                   CAST(CAST(SUM(CASE WHEN half = 1
+                                 THEN CAST(value AS DECIMAL(38,8)) * value END)
+                        AS VARCHAR) AS DOUBLE) AS q_b
+            FROM halves GROUP BY event_type
+        ),
+        {_HOLM_TAIL.format(src=_HOLM_FROM, alpha=_HOLM_ALPHA)}
+    """,
+    doc=(
+        "ST94: Holm-Bonferroni step-down adjustment over the same "
+        "per-event-type drift family as the BH op — the FWER-"
+        "controlling counterpart (BH controls FDR; Holm controls the "
+        "chance of ANY false alarm, the right gate when a single "
+        "false page costs more than a few missed drifts). Adjusted "
+        "p_i = running MAX of (m - rank + 1) * p over the p-ordered "
+        "prefix, capped at 1; the rejection verdict uses the UNCAPPED "
+        "cummax against alpha, so the step-down 'stop at first "
+        "failure' semantics are exact. Same exact DECIMAL power sums "
+        "and ln-free Chebyshev p-values as BH; the cummax window runs "
+        "over the |event types|-row test table — metadata, never "
+        "fact grain."
+    ),
+    tags=("stats", "ab", "quality"),
+)
+def stats_holm_bonferroni_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    halves = t.events.select(
+        "event_type",
+        (F.expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')") % 2).alias("half"),
+        "value",
+    )
+    sums = halves.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT)").alias("n_b"),
+        F.expr("CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS DOUBLE)").alias("nd_a"),
+        F.expr("CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS DOUBLE)").alias("nd_b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 0 THEN CAST(value AS DECIMAL(38,8)) END)"
+            " AS DOUBLE)"
+        ).alias("s_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 1 THEN CAST(value AS DECIMAL(38,8)) END)"
+            " AS DOUBLE)"
+        ).alias("s_b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 0 THEN CAST(value AS DECIMAL(38,8)) * value END)"
+            " AS DOUBLE)"
+        ).alias("q_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 1 THEN CAST(value AS DECIMAL(38,8)) * value END)"
+            " AS DOUBLE)"
+        ).alias("q_b"),
+    )
+    sums.createOrReplaceTempView(_HOLM_FROM)
+    return spark.sql(
+        "WITH " + _HOLM_TAIL.format(src=_HOLM_FROM, alpha=_HOLM_ALPHA)
+    )
+
+
+@register(
+    "stats_passing_bablok_regression",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        slopes AS (
+            SELECT a.d AS da, b.d AS db,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+            FROM daily a JOIN daily b ON b.d > a.d AND b.x <> a.x
+            WHERE CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) <> -1.0
+        ),
+        ranked AS (
+            SELECT slope,
+                   row_number() OVER (ORDER BY slope, da, db) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN slope < -1.0 THEN 1 ELSE 0 END) OVER ()
+                        AS BIGINT) AS k
+            FROM slopes
+        ),
+        sel AS (
+            SELECT MAX(n) AS n_slopes, MAX(k) AS k_offset,
+                   MAX(CASE WHEN rn = (n + 1) // 2 + k THEN slope END) AS s_odd,
+                   MAX(CASE WHEN rn = n // 2 + k THEN slope END) AS s_lo,
+                   MAX(CASE WHEN rn = n // 2 + 1 + k THEN slope END) AS s_hi
+            FROM ranked
+        ),
+        best AS (
+            SELECT n_slopes, k_offset,
+                   CASE WHEN n_slopes % 2 = 1 THEN s_odd
+                        ELSE (s_lo + s_hi) / 2.0 END AS b_slope
+            FROM sel
+        ),
+        resid AS (
+            SELECT daily.d, CAST(daily.y AS DOUBLE)
+                       - best.b_slope * CAST(daily.x AS DOUBLE) AS r,
+                   best.n_slopes, best.k_offset, best.b_slope
+            FROM daily CROSS JOIN best
+        ),
+        rranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY r, d) AS rr,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM resid
+        ),
+        rsel AS (
+            SELECT MAX(m) AS n_days, MAX(n_slopes) AS n_slopes,
+                   MAX(k_offset) AS k_offset, MAX(b_slope) AS pb_slope,
+                   MAX(CASE WHEN rr = (m + 1) // 2 THEN r END) AS r_odd,
+                   MAX(CASE WHEN rr = m // 2 THEN r END) AS r_lo,
+                   MAX(CASE WHEN rr = m // 2 + 1 THEN r END) AS r_hi
+            FROM rranked
+        )
+        SELECT n_days, n_slopes, k_offset, pb_slope,
+               CASE WHEN n_days % 2 = 1 THEN r_odd
+                    ELSE (r_lo + r_hi) / 2.0 END AS pb_intercept
+        FROM rsel
+    """,
+    doc=(
+        "ST92: Passing-Bablok method-comparison regression between "
+        "daily click and view counts — the non-parametric structural "
+        "line (shifted median of pairwise slopes, K-offset for slopes "
+        "below -1; intercept = median residual) that, unlike OLS, "
+        "assumes NO error-free axis and resists outlier days: with "
+        "CCC (agreement strength) and Bland-Altman (agreement band), "
+        "this completes the method-comparison trio by giving the "
+        "correction EQUATION. Slopes are exact-integer-ratio doubles "
+        "over the calendar-bounded day-pair space (the Theil-Sen "
+        "contract: pairs bound by calendar, never by volume); ranks "
+        "run as the bucket-offset construction (bucket = "
+        "floor(slope*8)), so a long horizon never single-partitions "
+        "the pair table; the median selections and the even-n "
+        "half-sum are shared IEEE expressions, tie-broken "
+        "deterministically by (slope, da, db)."
+    ),
+    tags=("stats", "robust", "timeseries"),
+)
+def stats_passing_bablok_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_row_number
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("y"),
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    slopes = (
+        a.crossJoin(b)
+        .filter((F.col("db") > F.col("da")) & (F.col("xb") != F.col("xa")))
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "CAST(yb - ya AS DOUBLE) / CAST(nullif(xb - xa, 0) AS DOUBLE)"
+            ).alias("slope"),
+        )
+        .filter(F.col("slope") != -1.0)
+    )
+    ranked = bucketed_row_number(
+        slopes, F.floor(F.col("slope") * 8).cast("long"), ["slope", "da", "db"],
+        out="rn",
+    )
+    tot = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN slope < -1.0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("k"),
+    )
+    best = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n_slopes"),
+            F.max("k").alias("k_offset"),
+            F.expr(
+                "MAX(CASE WHEN rn = (n + 1) DIV 2 + k THEN slope END)"
+            ).alias("s_odd"),
+            F.expr("MAX(CASE WHEN rn = n DIV 2 + k THEN slope END)").alias("s_lo"),
+            F.expr(
+                "MAX(CASE WHEN rn = n DIV 2 + 1 + k THEN slope END)"
+            ).alias("s_hi"),
+        )
+        .select(
+            "n_slopes",
+            "k_offset",
+            F.expr(
+                "CASE WHEN n_slopes % 2 = 1 THEN s_odd"
+                " ELSE (s_lo + s_hi) / 2.0 END"
+            ).alias("b_slope"),
+        )
+    )
+    resid = daily.crossJoin(F.broadcast(best)).select(
+        "d",
+        F.expr("CAST(y AS DOUBLE) - b_slope * CAST(x AS DOUBLE)").alias("r"),
+        "n_slopes",
+        "k_offset",
+        "b_slope",
+    )
+    rranked = bucketed_row_number(
+        resid, F.floor(F.col("r") / 8).cast("long"), ["r", "d"], out="rr"
+    )
+    m = resid.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    return (
+        rranked.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("m").alias("n_days"),
+            F.max("n_slopes").alias("n_slopes"),
+            F.max("k_offset").alias("k_offset"),
+            F.max("b_slope").alias("pb_slope"),
+            F.expr("MAX(CASE WHEN rr = (m + 1) DIV 2 THEN r END)").alias("r_odd"),
+            F.expr("MAX(CASE WHEN rr = m DIV 2 THEN r END)").alias("r_lo"),
+            F.expr("MAX(CASE WHEN rr = m DIV 2 + 1 THEN r END)").alias("r_hi"),
+        )
+        .select(
+            "n_days",
+            "n_slopes",
+            "k_offset",
+            "pb_slope",
+            F.expr(
+                "CASE WHEN n_days % 2 = 1 THEN r_odd"
+                " ELSE (r_lo + r_hi) / 2.0 END"
+            ).alias("pb_intercept"),
+        )
+    )
+
+
+def _hurst_branch_sql(m: int) -> str:
+    """One rescaled-range block size over the shared hourly grid:
+    (event_type, m, block, rs) with every term an exact integer until
+    the one shared sqrt+division."""
+    return f"""
+            SELECT event_type, CAST({m} AS BIGINT) AS m, block,
+                   CAST(MAX(d) - MIN(d) AS DOUBLE)
+                     / sqrt(CAST(nullif({m} * MAX(syy) - MAX(sx) * MAX(sx), 0)
+                            AS DOUBLE)) AS rs
+            FROM (
+                SELECT event_type, (rn - 1) // {m} AS block,
+                       {m} * SUM(y) OVER (PARTITION BY event_type,
+                                          (rn - 1) // {m}
+                                          ORDER BY rn
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                         - ((rn - 1) % {m} + 1)
+                           * SUM(y) OVER (PARTITION BY event_type,
+                                          (rn - 1) // {m}) AS d,
+                       SUM(y) OVER (PARTITION BY event_type,
+                                    (rn - 1) // {m}) AS sx,
+                       SUM(y * y) OVER (PARTITION BY event_type,
+                                        (rn - 1) // {m}) AS syy
+                FROM hours
+            )
+            GROUP BY event_type, block
+    """
+
+
+@register(
+    "stats_hurst_rescaled_range",
+    oracle=f"""
+        WITH grid AS (
+            SELECT t.event_type, d.day, h.hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                                DATE '2024-01-30', INTERVAL 1 DAY))::DATE
+                            AS day) d
+            CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) h
+        ),
+        counts AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2, 3
+        ),
+        hours AS (
+            SELECT g.event_type,
+                   CAST(datediff('day', DATE '2024-01-01', g.day) * 24
+                        + g.hour + 1 AS BIGINT) AS rn,
+                   CAST(COALESCE(c.y, 0) AS BIGINT) AS y
+            FROM grid g
+            LEFT JOIN counts c ON c.event_type = g.event_type
+                              AND c.day = g.day AND c.hour = g.hour
+        ),
+        rs AS (
+            {_hurst_branch_sql(8)}
+            UNION ALL
+            {_hurst_branch_sql(16)}
+        )
+        SELECT event_type, m, block, rs FROM rs
+        ORDER BY event_type, m, block
+    """,
+    doc=(
+        "ST93: Hurst rescaled-range (R/S) table of the hourly arrival "
+        "series per event type — per block of m in (8, 16) hours, "
+        "R/S = (range of cumulative mean deviations) / (population "
+        "sd): the long-memory diagnostic whose log-log slope is the "
+        "Hurst exponent (0.5 = memoryless, > 0.5 = persistent/bursty "
+        "— the traffic property that decides batch-size headroom). "
+        "Everything is EXACT integers in the m-scaled basis: "
+        "D_j = m*cumsum - j*S never leaves BIGINT, R = max(D)-min(D), "
+        "and S folds into the shared denominator "
+        "sqrt(m*Syy - S^2) — one sqrt + one division per block, NULL "
+        "on constant blocks via nullif. The series sits on the "
+        "explicit 720-slot hour grid (zeros included, as R/S "
+        "requires); all windows partition by (type, block) — bounded, "
+        "never fact-grain. The slope fit is left to the reader "
+        "deliberately: ln is engine-divergent (the r5 ln-free "
+        "contract), while the R/S table itself is hash-exact."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grid = (
+        t.events.select("event_type")
+        .distinct()
+        .crossJoin(
+            t.events.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "sequence(DATE '2024-01-01', DATE '2024-01-30',"
+                        " INTERVAL 1 DAY)"
+                    )
+                ).alias("day")
+            )
+            .crossJoin(
+                t.events.sparkSession.range(1).select(
+                    F.explode(F.expr("sequence(0, 23)")).alias("hour")
+                )
+            )
+        )
+    )
+    counts = t.events.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    hours = grid.join(counts, ["event_type", "day", "hour"], "left").select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(day, DATE '2024-01-01') * 24 + hour + 1 AS BIGINT)"
+        ).alias("rn"),
+        F.expr("CAST(COALESCE(y, 0) AS BIGINT)").alias("y"),
+    )
+
+    def branch(m: int) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        wp = W.partitionBy("event_type", F.expr(f"(rn - 1) DIV {m}"))
+        wc = wp.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+        inner = hours.select(
+            "event_type",
+            F.expr(f"(rn - 1) DIV {m}").alias("block"),
+            (
+                m * F.sum("y").over(wc)
+                - F.expr(f"(rn - 1) % {m} + 1") * F.sum("y").over(wp)
+            ).alias("d"),
+            F.sum("y").over(wp).alias("sx"),
+            F.sum(F.col("y") * F.col("y")).over(wp).alias("syy"),
+        )
+        return inner.groupBy("event_type", "block").agg(
+            F.lit(m).cast("bigint").alias("m"),
+            F.expr(
+                f"CAST(MAX(d) - MIN(d) AS DOUBLE)"
+                f" / sqrt(CAST(nullif({m} * MAX(syy) - MAX(sx) * MAX(sx), 0)"
+                f" AS DOUBLE))"
+            ).alias("rs"),
+        )
+
+    return (
+        branch(8)
+        .unionByName(branch(16))
+        .select("event_type", "m", "block", "rs")
+        .orderBy("event_type", "m", "block")
+    )

@@ -310,6 +310,10 @@ _R8_QUERIES = frozenset(
         "multimodal_flac_streaminfo_parse",
         "multimodal_dhash_gradient",
         "pipeline_warc_record_extract",
+        "stats_passing_bablok_regression",
+        "stats_hurst_rescaled_range",
+        "stats_holm_bonferroni_adjust",
+        "sampling_group_kfold_assign",
     }
 )
 

@@ -284,6 +284,10 @@ REPRESENTATIVE = [
     "multimodal_flac_streaminfo_parse",
     "multimodal_dhash_gradient",
     "pipeline_warc_record_extract",
+    "stats_passing_bablok_regression",
+    "stats_hurst_rescaled_range",
+    "stats_holm_bonferroni_adjust",
+    "sampling_group_kfold_assign",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -344,6 +348,8 @@ _ALLOW_ONE_ROW = {
     "stats_moran_i_spatial",
     # r8: the all-noise summary row survives an empty lattice
     "geo_dbscan_grid_clusters",
+    # r8: one-row median-selection fold survives empty pair tables
+    "stats_passing_bablok_regression",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —

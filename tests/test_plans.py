@@ -626,6 +626,12 @@ _SCALABLE_WINDOW_CAPS = {
     # r7: Lorenz — bucket-offset NTILE prefix pass + the 10-row
     # cum/total windows (bounded grid, like pareto's)
     "agg_lorenz_curve_deciles": 3,
+    # r8: Passing-Bablok — two bucket-offset prefix passes (slope rank,
+    # residual rank) + the one-row selection fold
+    "stats_passing_bablok_regression": 3,
+    # r8: Holm — rank/cummax over the |event types|-row test table
+    # (metadata-scale, the BH contract; no bucket pass)
+    "stats_holm_bonferroni_adjust": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -638,6 +644,7 @@ _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "stats_kpss_stationarity",  # calendar-day prefix, no bucket pass
     "text_frequency_spectrum_good_turing",  # 11-row grid, no bucket pass
     "agg_weekday_hour_heatmap",  # 168-cell grid, no bucket pass
+    "stats_holm_bonferroni_adjust",  # |types|-row test table, no bucket pass
 }
 
 
@@ -795,6 +802,13 @@ _BNLJ_BOUNDED_OK = {
     "stats_moran_i_spatial",
     "stats_getis_ord_gi_hotspots",
     "geo_dbscan_grid_clusters",
+    # r8: calendar-bounded day-pair theta join + one-row selection
+    # scalars (the Theil-Sen/somers_d contract)
+    "stats_passing_bablok_regression",
+    # r8: the types x 720-slot literal hour grid (bounded at any SF)
+    "stats_hurst_rescaled_range",
+    # r8: one-row total + one-row leakage-audit broadcasts
+    "sampling_group_kfold_assign",
 }
 
 
