@@ -1786,3 +1786,103 @@ def multimodal_dhash_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(bit_count(dhash_lo) + bit_count(dhash_hi) AS BIGINT)"
         " AS n_rising_gradients",
     ).orderBy("doc_id")
+
+
+_ZIP_LIMIT = 200
+
+
+def synthesize_zip_media(spark: SparkSession, sf_dir: str, limit: int = _ZIP_LIMIT) -> DataFrame:
+    """(doc_id, payload): a byte-valid one-entry STORED zip — local
+    header + 12-char name + 16-byte payload (md5 digest bytes of the
+    text), central directory, EOCD. 138 bytes; all multi-byte fields
+    LITTLE-endian per the zip spec; CRC-32 computed with Spark's
+    crc32() over the real payload bytes."""
+    t = Tables(spark, sf_dir)
+    le16 = lambda v: (  # noqa: E731
+        f"concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        f" substr(lpad(hex({v}), 4, '0'), 1, 2))"
+    )
+    le32 = lambda v: (  # noqa: E731
+        f"concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        f" substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        f" substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        f" substr(lpad(hex({v}), 8, '0'), 1, 2))"
+    )
+    crc = "crc32(unhex(md5(text)))"
+    name_hex = "hex(CAST(concat(lpad(CAST(doc_id AS STRING), 8, '0'), '.txt') AS BINARY))"
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        f"""unhex(concat(
+            '504B0304', '1400', '0000', '0000', '0000', '0000',
+            {le32(crc)}, {le32('16')}, {le32('16')}, '0C00', '0000',
+            {name_hex},
+            md5(text),
+            '504B0102', '1400', '1400', '0000', '0000', '0000', '0000',
+            {le32(crc)}, {le32('16')}, {le32('16')}, '0C00', '0000', '0000',
+            '0000', '0000', '00000000', {le32('0')},
+            {name_hex},
+            '504B0506', '0000', '0000', '0100', '0100',
+            {le32('58')}, {le32('58')}, '0000')) AS payload""",
+    )
+
+
+@register(
+    "multimodal_zip_eocd_parse",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(138 AS BIGINT) AS total_len,
+               TRUE AS eocd_sig_ok,
+               CAST(1 AS BIGINT) AS n_entries,
+               CAST(58 AS BIGINT) AS cd_size,
+               CAST(58 AS BIGINT) AS cd_offset,
+               TRUE AS cd_sig_ok,
+               CAST(0 AS BIGINT) AS method,
+               CAST(16 AS BIGINT) AS compressed_size,
+               CAST(16 AS BIGINT) AS uncompressed_size,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS filename,
+               TRUE AS local_sig_ok,
+               TRUE AS crc_ok
+        FROM documents WHERE doc_id < {_ZIP_LIMIT}
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5s: ZIP EOCD + central-directory parse — the eighth "
+        "container tier and the first LITTLE-endian one (every prior "
+        "tier reads big-endian; zip's reversed byte order is exactly "
+        "the off-by-one trap this oracle would catch). The walk is the "
+        "real unzip algorithm: locate the EOCD record, read entry "
+        "count / directory size / directory offset, jump to the "
+        "central directory, re-read method, sizes, name and the local-"
+        "header offset, then verify the LOCAL header signature at that "
+        "offset and recompute CRC-32 over the actual payload bytes "
+        "against the embedded field (Spark's crc32() — a genuine "
+        "checksum pass, not a structural echo). LE reads are "
+        "byte-weighted sums of conv() single bytes; the oracle "
+        "predicts every field from the synthesis arithmetic. Map-only."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_zip_eocd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_zip_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+    le16 = lambda pos: f"({b(pos)} + 256 * {b(pos + 1)})"  # noqa: E731
+    le32 = lambda pos: (  # noqa: E731
+        f"({b(pos)} + 256 * {b(pos + 1)} + 65536 * {b(pos + 2)}"
+        f" + 16777216 * {b(pos + 3)})"
+    )
+    return media.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+        "hex(substring(payload, 117, 4)) = '504B0506' AS eocd_sig_ok",
+        f"{le16(127)} AS n_entries",
+        f"{le32(129)} AS cd_size",
+        f"{le32(133)} AS cd_offset",
+        f"hex(substring(payload, {le32(133)} + 1, 4)) = '504B0102' AS cd_sig_ok",
+        f"{le16(69)} AS method",
+        f"{le32(79)} AS compressed_size",
+        f"{le32(83)} AS uncompressed_size",
+        "CAST(substring(payload, 105, 12) AS STRING) AS filename",
+        f"hex(substring(payload, {le32(101)} + 1, 4)) = '504B0304'"
+        " AS local_sig_ok",
+        f"crc32(substring(payload, 43, {le32(83)})) = {le32(75)} AS crc_ok",
+    ).orderBy("doc_id")

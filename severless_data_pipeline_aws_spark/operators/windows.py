@@ -3856,3 +3856,139 @@ def window_ichimoku_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+#: KAMA smoothing-constant template — identical IEEE text on both
+#: engines and in the pandas fold: t = er*(2/3 - 2/31) + 2/31, sc = t*t
+_KAMA_T = "({er} * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0)"
+
+
+@register(
+    "window_kaufman_kama",
+    oracle=f"""
+        WITH RECURSIVE {_BARS_SQL},
+        seq AS (
+            SELECT event_type, day, c,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS rn
+            FROM bars
+        ),
+        er AS MATERIALIZED (
+            SELECT event_type, day, c, rn,
+                   CASE WHEN SUM(ad) OVER w10 = 0 OR COUNT(*) OVER w10 < 10
+                        THEN 0.0
+                        ELSE CAST(abs(c - lag(c, 10) OVER wo) AS DOUBLE)
+                             / CAST(SUM(ad) OVER w10 AS DOUBLE) END AS er
+            FROM (
+                SELECT event_type, day, c, rn,
+                       abs(c - lag(c) OVER (PARTITION BY event_type
+                                            ORDER BY rn)) AS ad
+                FROM seq
+            )
+            WINDOW wo AS (PARTITION BY event_type ORDER BY rn),
+                   w10 AS (PARTITION BY event_type ORDER BY rn
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ),
+        r AS (
+            SELECT event_type, day, rn, c, er, CAST(c AS DOUBLE) AS kama
+            FROM er WHERE rn = 11
+            UNION ALL
+            SELECT b.event_type, b.day, b.rn, b.c, b.er,
+                   r.kama + {_KAMA_T.format(er="b.er")}
+                          * {_KAMA_T.format(er="b.er")}
+                          * (CAST(b.c AS DOUBLE) - r.kama) AS kama
+            FROM er b JOIN r ON b.event_type = r.event_type
+                            AND b.rn = r.rn + 1
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               er AS efficiency_ratio,
+               kama / 10000.0 AS kama
+        FROM r
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W47: Kaufman's adaptive moving average (KAMA 10/2/30) per "
+        "event type — the smoother that speeds up when the market is "
+        "DIRECTED and flattens when it chops, governed by the "
+        "efficiency ratio ER = |c_t - c_{t-10}| / Sum|dc| (an exact "
+        "integer ratio, window-computed on both engines; 0 on flat or "
+        "short windows). The adaptive recurrence kama += sc*(c - "
+        "kama), sc = (ER*(2/3 - 2/31) + 2/31)^2, is order-sequential "
+        "— the applyInPandas recurrence tier (serial within the "
+        "calendar-bounded day series, parallel across types, like "
+        "Holt/Kalman/Heikin-Ashi); the recursive-CTE oracle replays "
+        "the identical IEEE op sequence via the templated _KAMA_T "
+        "smoothing constant, seeded kama = close at the first full-ER "
+        "row (rn = 11). The heavy part (ER) stays window-exact "
+        "integers; Python only folds three floats per type."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def window_kaufman_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    wo = W.partitionBy("event_type").orderBy("rn")
+    w10 = wo.rowsBetween(-9, W.currentRow)
+    seq = _bars(t).select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("rn"),
+    )
+    ad = seq.select(
+        "event_type",
+        "day",
+        "c",
+        "rn",
+        F.abs(F.col("c") - F.lag("c").over(wo)).alias("ad"),
+    )
+    er = ad.select(
+        "event_type",
+        "day",
+        "c",
+        "rn",
+        F.expr(
+            "CASE WHEN SUM(ad) OVER (PARTITION BY event_type ORDER BY rn"
+            " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) = 0"
+            " OR COUNT(*) OVER (PARTITION BY event_type ORDER BY rn"
+            " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) < 10"
+            " THEN 0.0"
+            " ELSE CAST(abs(c - lag(c, 10) OVER (PARTITION BY event_type"
+            " ORDER BY rn)) AS DOUBLE)"
+            " / CAST(SUM(ad) OVER (PARTITION BY event_type ORDER BY rn"
+            " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) END"
+        ).alias("er"),
+    ).filter(F.col("rn") >= 11)
+
+    schema = (
+        "event_type string, day date, close double,"
+        " efficiency_ratio double, kama double"
+    )
+
+    def _kama(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("rn", kind="mergesort")
+        out = []
+        kama = None
+        for _, row in pdf.iterrows():
+            c = float(row["c"])
+            e = float(row["er"])
+            if kama is None:
+                kama = c
+            else:
+                sc_t = e * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0
+                kama = kama + sc_t * sc_t * (c - kama)
+            out.append(
+                (row["event_type"], row["day"], c / 10000.0, e, kama / 10000.0)
+            )
+        return pd.DataFrame(
+            out,
+            columns=["event_type", "day", "close", "efficiency_ratio", "kama"],
+        )
+
+    return (
+        er.groupBy("event_type")
+        .applyInPandas(_kama, schema=schema)
+        .orderBy("event_type", "day")
+    )

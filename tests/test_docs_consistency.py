@@ -314,6 +314,8 @@ _R8_QUERIES = frozenset(
         "stats_hurst_rescaled_range",
         "stats_holm_bonferroni_adjust",
         "sampling_group_kfold_assign",
+        "window_kaufman_kama",
+        "multimodal_zip_eocd_parse",
     }
 )
 

@@ -288,6 +288,8 @@ REPRESENTATIVE = [
     "stats_hurst_rescaled_range",
     "stats_holm_bonferroni_adjust",
     "sampling_group_kfold_assign",
+    "window_kaufman_kama",
+    "multimodal_zip_eocd_parse",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
