@@ -1129,3 +1129,101 @@ def scalar_codec_digest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "scalar_ipv4_parse_battery",
+    oracle="""
+        WITH ips AS (
+            SELECT user_id,
+                   (user_id * 2654435761) % 4294967296 AS ip_int
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        rendered AS (
+            SELECT user_id, ip_int,
+                   CAST(ip_int // 16777216 AS VARCHAR) || '.'
+                   || CAST((ip_int // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((ip_int // 256) % 256 AS VARCHAR) || '.'
+                   || CAST(ip_int % 256 AS VARCHAR) AS ip_str
+            FROM ips
+        ),
+        parsed AS (
+            SELECT user_id, ip_int, ip_str,
+                   CAST(string_split(ip_str, '.')[1] AS BIGINT) AS o1,
+                   CAST(string_split(ip_str, '.')[2] AS BIGINT) AS o2,
+                   CAST(string_split(ip_str, '.')[3] AS BIGINT) AS o3,
+                   CAST(string_split(ip_str, '.')[4] AS BIGINT) AS o4
+            FROM rendered
+        )
+        SELECT o1 AS octet1,
+               CAST(COUNT(*) AS BIGINT) AS n_ips,
+               CAST(SUM(CASE WHEN o1 = 10
+                             OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                             OR (o1 = 192 AND o2 = 168)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_private,
+               bool_and(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 = ip_int)
+                   AS roundtrip_ok,
+               CAST(COUNT(DISTINCT o1 * 256 + o2) AS BIGINT) AS n_slash16
+        FROM parsed
+        GROUP BY o1
+        ORDER BY o1
+    """,
+    doc=(
+        "F27: IPv4 parse/render battery — the address plumbing every "
+        "log pipeline needs: render a 32-bit address to dotted-quad, "
+        "re-PARSE the string back to octets (a genuine string split + "
+        "cast, not an echo), verify the integer round-trip per row "
+        "(bool_and — one wrong octet order fails the whole group), "
+        "classify RFC-1918 private ranges with exact integer "
+        "comparisons, and roll up to /8 groups with distinct-/16 "
+        "counts (the subnet cardinality a rate-limiter keys on). "
+        "Addresses derive deterministically from user_id (Knuth "
+        "multiplicative hash mod 2^32), so both engines see the same "
+        "field; the rollup output is <= 256 rows."
+    ),
+    tags=("scalar", "dq"),
+)
+def scalar_ipv4_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ips = (
+        t.events.select("user_id")
+        .distinct()
+        .selectExpr(
+            "user_id",
+            "(user_id * 2654435761) % 4294967296 AS ip_int",
+        )
+    )
+    rendered = ips.selectExpr(
+        "user_id",
+        "ip_int",
+        "concat(CAST(ip_int DIV 16777216 AS STRING), '.',"
+        " CAST((ip_int DIV 65536) % 256 AS STRING), '.',"
+        " CAST((ip_int DIV 256) % 256 AS STRING), '.',"
+        " CAST(ip_int % 256 AS STRING)) AS ip_str",
+    )
+    parsed = rendered.selectExpr(
+        "user_id",
+        "ip_int",
+        "CAST(element_at(split(ip_str, '\\\\.'), 1) AS BIGINT) AS o1",
+        "CAST(element_at(split(ip_str, '\\\\.'), 2) AS BIGINT) AS o2",
+        "CAST(element_at(split(ip_str, '\\\\.'), 3) AS BIGINT) AS o3",
+        "CAST(element_at(split(ip_str, '\\\\.'), 4) AS BIGINT) AS o4",
+    )
+    return (
+        parsed.groupBy(F.col("o1").alias("octet1"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ips"),
+            F.expr(
+                "CAST(SUM(CASE WHEN o1 = 10"
+                " OR (o1 = 172 AND o2 BETWEEN 16 AND 31)"
+                " OR (o1 = 192 AND o2 = 168) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_private"),
+            F.expr(
+                "bool_and(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 = ip_int)"
+            ).alias("roundtrip_ok"),
+            F.expr("CAST(COUNT(DISTINCT o1 * 256 + o2) AS BIGINT)").alias(
+                "n_slash16"
+            ),
+        )
+        .orderBy("octet1")
+    )

@@ -1886,3 +1886,120 @@ def multimodal_zip_eocd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS local_sig_ok",
         f"crc32(substring(payload, 43, {le32(83)})) = {le32(75)} AS crc_ok",
     ).orderBy("doc_id")
+
+
+_SRT_LIMIT = 300
+
+
+def synthesize_srt_media(spark: SparkSession, sf_dir: str, limit: int = _SRT_LIMIT) -> DataFrame:
+    """(doc_id, rec): a two-cue SRT block — index, 'HH:MM:SS,mmm -->
+    HH:MM:SS,mmm' timing line, one text line (digest-derived ASCII),
+    blank-line separator. Cue times derive from (doc_id, n_chars)."""
+    t = Tables(spark, sf_dir)
+    fmt = (
+        lambda ms: f"concat(lpad(CAST({ms} DIV 3600000 AS STRING), 2, '0'), ':',"  # noqa: E731
+        f" lpad(CAST(({ms} DIV 60000) % 60 AS STRING), 2, '0'), ':',"
+        f" lpad(CAST(({ms} DIV 1000) % 60 AS STRING), 2, '0'), ',',"
+        f" lpad(CAST({ms} % 1000 AS STRING), 3, '0'))"
+    )
+    s1 = "((doc_id % 50) * 700)"
+    e1 = f"({s1} + 1500 + n_chars % 800)"
+    s2 = f"({e1} + 200)"
+    e2 = f"({s2} + 2000)"
+    nl = "chr(10)"
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        f"""concat('1', {nl},
+               {fmt(s1)}, ' --> ', {fmt(e1)}, {nl},
+               substr(md5(text), 1, 16), {nl}, {nl},
+               '2', {nl},
+               {fmt(s2)}, ' --> ', {fmt(e2)}, {nl},
+               substr(md5(text), 17, 16), {nl}) AS rec""",
+    )
+
+
+@register(
+    "multimodal_srt_cue_parse",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   ((doc_id % 50) * 700) AS s1,
+                   ((doc_id % 50) * 700) + 1500 + n_chars % 800 AS e1
+            FROM documents WHERE doc_id < {_SRT_LIMIT}
+        )
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_cues,
+               CAST(s1 AS BIGINT) AS start1_ms,
+               CAST(e1 AS BIGINT) AS end1_ms,
+               CAST(e1 + 200 AS BIGINT) AS start2_ms,
+               CAST(e1 + 2200 AS BIGINT) AS end2_ms,
+               CAST(e1 - s1 AS BIGINT) AS dur1_ms,
+               CAST(200 AS BIGINT) AS gap_ms,
+               TRUE AS no_overlap,
+               CAST(e1 + 2200 - s1 AS BIGINT) AS total_span_ms
+        FROM base
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5t: SRT subtitle cue parse — the timed-text sidecar format "
+        "of every video-text training pair. Records are synthesized "
+        "as byte-faithful two-cue SRT blocks, then genuinely "
+        "re-parsed: the block splits at the blank-line cue boundary, "
+        "each timing line's HH:MM:SS,mmm fields are regexp-extracted "
+        "and recomposed to milliseconds by explicit arithmetic "
+        "(h*3600000 + m*60000 + s*1000 + ms — an off-by-one in any "
+        "field or a swapped start/end breaks the hash), and the "
+        "audits a subtitle aligner needs fall out: per-cue duration, "
+        "inter-cue gap, a no-overlap verdict (end1 <= start2, exact "
+        "integer), and the total span. The oracle predicts every "
+        "number from the synthesis arithmetic. Map-only row-local "
+        "string work; codegen end-to-end."
+    ),
+    tags=("multimodal", "text", "llm"),
+)
+def multimodal_srt_cue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_srt_media(spark, sf_dir)
+    ts = "([0-9]{2}):([0-9]{2}):([0-9]{2}),([0-9]{3})"
+    pat_start = f"'^{ts}'"
+    pat_end = f"'--> {ts}'"
+
+    def ms(src: str, pat: str) -> str:
+        return (
+            f"(CAST(regexp_extract({src}, {pat}, 1) AS BIGINT) * 3600000"
+            f" + CAST(regexp_extract({src}, {pat}, 2) AS BIGINT) * 60000"
+            f" + CAST(regexp_extract({src}, {pat}, 3) AS BIGINT) * 1000"
+            f" + CAST(regexp_extract({src}, {pat}, 4) AS BIGINT))"
+        )
+
+    nl2 = "(chr(10) || chr(10))"
+    parts = media.selectExpr(
+        "doc_id",
+        "CAST((length(rec) - length(replace(rec, ' --> ', ''))) DIV 5"
+        " AS BIGINT) AS n_cues",
+        # timing line of cue 1 is line 2; of cue 2, line 2 of the part
+        # after the blank separator
+        f"element_at(split(element_at(split(rec, {nl2}), 1), chr(10)), 2)"
+        " AS tline1",
+        f"element_at(split(element_at(split(rec, {nl2}), 2), chr(10)), 2)"
+        " AS tline2",
+    )
+    parsed = parts.selectExpr(
+        "doc_id",
+        "n_cues",
+        f"{ms('tline1', pat_start)} AS start1_ms",
+        f"{ms('tline1', pat_end)} AS end1_ms",
+        f"{ms('tline2', pat_start)} AS start2_ms",
+        f"{ms('tline2', pat_end)} AS end2_ms",
+    )
+    return parsed.selectExpr(
+        "doc_id",
+        "n_cues",
+        "start1_ms",
+        "end1_ms",
+        "start2_ms",
+        "end2_ms",
+        "end1_ms - start1_ms AS dur1_ms",
+        "start2_ms - end1_ms AS gap_ms",
+        "end1_ms <= start2_ms AS no_overlap",
+        "end2_ms - start1_ms AS total_span_ms",
+    ).orderBy("doc_id")

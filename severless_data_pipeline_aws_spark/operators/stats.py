@@ -9008,3 +9008,134 @@ def stats_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "m", "block", "rs")
         .orderBy("event_type", "m", "block")
     )
+
+
+@register(
+    "stats_sample_entropy_counts",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        seq AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY d)
+                       AS rn,
+                   lead(y) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+                   lead(y, 2) OVER (PARTITION BY event_type ORDER BY d) AS y2
+            FROM daily
+        ),
+        tol AS (
+            SELECT event_type,
+                   CAST(SUM(y) / (5 * COUNT(*)) AS BIGINT) AS r
+            FROM seq GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN greatest(abs(a.y - b.y), abs(a.y1 - b.y1)) <= t.r
+                        THEN 1 ELSE 0 END AS m2,
+                   CASE WHEN a.y2 IS NOT NULL AND b.y2 IS NOT NULL
+                         AND greatest(abs(a.y - b.y), abs(a.y1 - b.y1),
+                                      abs(a.y2 - b.y2)) <= t.r
+                        THEN 1 ELSE 0 END AS m3
+            FROM seq a
+            JOIN seq b ON b.event_type = a.event_type AND b.rn > a.rn
+                      AND a.y1 IS NOT NULL AND b.y1 IS NOT NULL
+            JOIN tol t ON t.event_type = a.event_type
+        )
+        SELECT event_type,
+               CAST(SUM(m2) AS BIGINT) AS n_template_matches_m2,
+               CAST(SUM(m3) AS BIGINT) AS n_template_matches_m3,
+               CAST(SUM(m3) AS DOUBLE) / CAST(nullif(SUM(m2), 0) AS DOUBLE)
+                   AS conditional_match_ratio
+        FROM pairs
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST95: sample-entropy template counts of the daily arrival "
+        "series per event type — A (length-3 template matches within "
+        "Chebyshev tolerance r) over B (length-2 matches), the "
+        "regularity statistic whose -ln is SampEn(2, r). The ratio "
+        "A/B is emitted instead of its log (the r5 ln-free contract: "
+        "ln is engine-divergent; the ratio carries identical "
+        "information and is one shared division of exact integer "
+        "counts). Tolerance r self-scales as the integer mean/5 of "
+        "the series (exact BIGINT division), so the statistic is "
+        "meaningful at every SF. Template pairs live on the "
+        "calendar-bounded day-pair space (<= 435 pairs/month per "
+        "type — the somers_d contract, a per-type equi-join), with "
+        "lead() windows building the templates in one per-type pass."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_sample_entropy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wo = W.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wo).alias("rn"),
+        F.lead("y").over(wo).alias("y1"),
+        F.lead("y", 2).over(wo).alias("y2"),
+    )
+    tol = seq.groupBy("event_type").agg(
+        F.expr("CAST(SUM(y) DIV (5 * COUNT(*)) AS BIGINT)").alias("r")
+    )
+    a = seq.select(
+        F.col("event_type").alias("et"),
+        F.col("y").alias("ya"),
+        F.col("y1").alias("ya1"),
+        F.col("y2").alias("ya2"),
+        F.col("rn").alias("ra"),
+    )
+    b = seq.select(
+        F.col("event_type").alias("et"),
+        F.col("y").alias("yb"),
+        F.col("y1").alias("yb1"),
+        F.col("y2").alias("yb2"),
+        F.col("rn").alias("rb"),
+    )
+    pairs = (
+        a.join(b, "et")
+        .filter(
+            (F.col("rb") > F.col("ra"))
+            & F.col("ya1").isNotNull()
+            & F.col("yb1").isNotNull()
+        )
+        .join(tol.withColumnRenamed("event_type", "et"), "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.expr(
+                "CASE WHEN greatest(abs(ya - yb), abs(ya1 - yb1)) <= r"
+                " THEN 1 ELSE 0 END"
+            ).alias("m2"),
+            F.expr(
+                "CASE WHEN ya2 IS NOT NULL AND yb2 IS NOT NULL"
+                " AND greatest(abs(ya - yb), abs(ya1 - yb1), abs(ya2 - yb2)) <= r"
+                " THEN 1 ELSE 0 END"
+            ).alias("m3"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.sum("m2").cast("bigint").alias("n_template_matches_m2"),
+            F.sum("m3").cast("bigint").alias("n_template_matches_m3"),
+            F.expr(
+                "CAST(SUM(m3) AS DOUBLE) / CAST(nullif(SUM(m2), 0) AS DOUBLE)"
+            ).alias("conditional_match_ratio"),
+        )
+        .orderBy("event_type")
+    )

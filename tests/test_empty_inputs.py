@@ -290,6 +290,9 @@ REPRESENTATIVE = [
     "sampling_group_kfold_assign",
     "window_kaufman_kama",
     "multimodal_zip_eocd_parse",
+    "stats_sample_entropy_counts",
+    "scalar_ipv4_parse_battery",
+    "multimodal_srt_cue_parse",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
