@@ -2434,17 +2434,20 @@ def _geo_dbscan_oracle() -> str:
         "(one shuffle), then neighborhood tests become cell-key "
         "equi-joins and the component loop runs on the bounded "
         "lattice — epsilon-ball cross joins never exist at any corpus "
-        "size. Components via the dedup tier's shared min-label "
-        "propagation (operators/dedup.py:min_label_components, "
-        "bounded-diameter iteration, metadata-scale convergence "
-        "check), proven against the oracle's recursive-CTE reachable-"
-        "set fold; cluster_id is the component's minimum cell id, so "
+        "size. Components via the dedup tier's shared large-star/"
+        "small-star contraction (operators/dedup.py:star_components — "
+        "O(log n) rounds, NO diameter dependence: the r8 sf0.1 spot "
+        "check caught min-label propagation failing to converge on "
+        "this lattice's long snaking components within its 20-round "
+        "bound, exactly the failure mode star contraction removes), "
+        "proven against the oracle's recursive-CTE reachable-set "
+        "fold; cluster_id is the component's minimum cell id, so "
         "labels are deterministic on both engines."
     ),
     tags=("geo", "dashboard", "graph"),
 )
 def geo_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import min_label_components
+    from .dedup import star_components
     from .stats import _geo_cells
 
     t = Tables(spark, sf_dir)
@@ -2463,7 +2466,7 @@ def geo_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = nbrs.join(
         other, F.col("dst") == F.col("cid") + F.col("doff")
     ).select(F.col("cid").alias("src"), "dst")
-    comps = min_label_components(edges).withColumnRenamed("doc_id", "cid2")
+    comps = star_components(edges).withColumnRenamed("doc_id", "cid2")
     labeled = core.join(
         comps, core["cid"] == comps["cid2"], "left"
     ).select(

@@ -135,3 +135,27 @@ def test_quantile_rank_interval_rejects_bad_estimate(spark, tmp_path):
     n, lt, le = 10000, 4999, 5000  # rank set of value 5000.0
     q, lo, hi = 0.99, (0.99 - 0.01) * 10000, (0.99 + 0.01) * 10000 + 1
     assert not ((lt + 1 <= hi) and (le >= lo))
+
+
+def test_star_components_converge_past_min_label_round_bound(spark):
+    """The r8 sf0.1 spot check caught grid-DBSCAN's components drifting
+    from the oracle: min-label propagation is capped at 20 rounds, and
+    the dense sf0.1 lattice has snaking core components with diameter
+    far beyond that, so two extra (unmerged) clusters appeared. The op
+    now uses star_components (O(log n) rounds, diameter-free). Pin the
+    failure mode directly: a 300-node path graph — diameter 299 —
+    must collapse to ONE component labeled by its minimum node."""
+    from pyspark.sql import functions as F
+
+    from severless_data_pipeline_aws_spark.operators.dedup import (
+        star_components,
+    )
+
+    n = 300
+    path = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    sym = path.union(path.select(F.col("dst").alias("src"), F.col("src")))
+    comps = star_components(sym).collect()
+    assert len(comps) == n
+    assert {r["component"] for r in comps} == {0}
