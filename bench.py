@@ -334,6 +334,17 @@ _NOTE_CANDIDATES = {
         "is this host's +-50% shared-CPU variance on a 3-9s query, not a "
         "plan defect. Watch closed with numbers."
     ),
+    "text_lexical_diversity_ttr": (
+        "r8 flagged 0.325->0.578s (1.78x) by the FIXED full-prior ratchet "
+        "on an unchanged plan (query untouched since r6; text.py diffs this "
+        "round are appended operators only). r8 isolated min-of-5 at sf0.1: "
+        "[0.892, 0.761, 0.716, 0.598, 0.567] -> 0.567s — the move is real "
+        "at today's host state but tracks the WHOLE headline set (+10% "
+        "total same-day, 73.3->80.7s across two r8 runs), i.e. shared-CPU "
+        "load, not this query's plan. Kept on watch: if r9 still reads "
+        ">=0.55s while the headline total returns to its band, re-explain "
+        "the plan before closing."
+    ),
     "tpch_q21_sole_returned_supplier": (
         "r7 moved 0.84->1.61s (1.93x) unseen by the then-truncated "
         "ratchet prior (r7 verdict wrong#1); r8 isolated min-of-5 at "
