@@ -9139,3 +9139,140 @@ def stats_sample_entropy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _bd_tail() -> str:
+    """Shared (verbatim on both engines) layered-CTE tail from the
+    pivoted one-row strata to the Breslow-Day statistic: margins ->
+    quadratic coefficients -> root selection -> tilded variance ->
+    written-order component sum. Pure +,-,*,/,sqrt,CASE — dialect-free."""
+    k = len(_MH_STRATA)
+    pivot = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN o_orderpriority = '{s}' THEN {c} END) AS BIGINT)"
+        f" AS {c}_{i}"
+        for i, s in enumerate(_MH_STRATA)
+        for c in _MH_COLS
+    )
+    m = ",\n               ".join(
+        f"CAST(a_{i} + b_{i} AS DOUBLE) AS r1_{i},"
+        f" CAST(c_{i} + d_{i} AS DOUBLE) AS r2_{i},"
+        f" CAST(a_{i} + c_{i} AS DOUBLE) AS c1_{i}"
+        for i in range(k)
+    )
+    q = ",\n               ".join(
+        f"psi - 1.0 AS qa_{i},"
+        f" -((r2_{i} - c1_{i}) + psi * (r1_{i} + c1_{i})) AS qb_{i},"
+        f" psi * r1_{i} * c1_{i} AS qc_{i}"
+        for i in range(k)
+    )
+    roots = ",\n               ".join(
+        f"(-qb_{i} + sqrt(qb_{i} * qb_{i} - 4.0 * qa_{i} * qc_{i}))"
+        f" / (2.0 * qa_{i}) AS x1_{i},"
+        f" (-qb_{i} - sqrt(qb_{i} * qb_{i} - 4.0 * qa_{i} * qc_{i}))"
+        f" / (2.0 * qa_{i}) AS x2_{i}"
+        for i in range(k)
+    )
+    xe = ",\n               ".join(
+        f"CASE WHEN abs(qa_{i}) < 1e-12 THEN -qc_{i} / qb_{i}"
+        f" WHEN x1_{i} >= CASE WHEN c1_{i} - r2_{i} > 0.0"
+        f" THEN c1_{i} - r2_{i} ELSE 0.0 END - 1e-9"
+        f" AND x1_{i} <= CASE WHEN r1_{i} < c1_{i} THEN r1_{i}"
+        f" ELSE c1_{i} END + 1e-9"
+        f" THEN x1_{i} ELSE x2_{i} END AS xe_{i}"
+        for i in range(k)
+    )
+    comp = ",\n               ".join(
+        f"(CAST(a_{i} AS DOUBLE) - xe_{i}) * (CAST(a_{i} AS DOUBLE) - xe_{i})"
+        f" * (1.0 / xe_{i} + 1.0 / (r1_{i} - xe_{i}) + 1.0 / (c1_{i} - xe_{i})"
+        f" + 1.0 / (r2_{i} - c1_{i} + xe_{i})) AS comp_{i}"
+        for i in range(k)
+    )
+    total = " + ".join(f"comp_{i}" for i in range(k))
+    n_tot = " + ".join(f"n_{i}" for i in range(k))
+    return f"""
+        piv AS (SELECT {pivot} FROM {{src}}),
+        withpsi AS (SELECT piv.*, {_mh_or_expr()} AS psi FROM piv),
+        margins AS (SELECT withpsi.*, {m} FROM withpsi),
+        quads AS (SELECT margins.*, {q} FROM margins),
+        roots AS (SELECT quads.*, {roots} FROM quads),
+        expected AS (SELECT roots.*, {xe} FROM roots),
+        comps AS (SELECT expected.*, {comp} FROM expected)
+        SELECT CAST({n_tot} AS BIGINT) AS n_total,
+               CAST({k} AS BIGINT) AS k_strata,
+               psi AS mh_odds_ratio,
+               {total} AS bd_chi2,
+               {total} <= 9.487729036781154 AS homogeneous_95
+        FROM comps
+    """
+
+
+_BD_FROM = "bd_priority_cells"
+
+_BD_CELLS_SQL = """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                                  AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                                  AND o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                                  AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                                  AND o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "stats_breslow_day_homogeneity",
+    oracle=f"""
+        WITH cells AS ({_BD_CELLS_SQL}),
+        {_bd_tail().format(src="cells")}
+    """,
+    doc=(
+        "ST96: Breslow-Day homogeneity test over the same stratified "
+        "2x2 family as the Mantel-Haenszel op — the check MH itself "
+        "cannot make: a pooled odds ratio is only meaningful if the "
+        "per-stratum ORs are HOMOGENEOUS; BD tests exactly that "
+        "(expected a-cells under the common OR via the quadratic "
+        "margin equation, X^2 = Sum (a - a_tilde)^2 / V_tilde vs "
+        "chi2(k-1)). The whole computation after the one conditional "
+        "fact aggregate is a SINGLE shared layered-CTE text evaluated "
+        "verbatim by both engines: quadratic coefficients, a "
+        "deterministic in-range root selection (both roots computed "
+        "from one shared sqrt; linear fallback when psi ~ 1), the "
+        "tilded harmonic variance, and a WRITTEN-order 5-term "
+        "component sum (the Brown-Forsythe determinism trick) — no "
+        "aggregation-order float hazard anywhere. The 95% verdict "
+        "compares against the precomputed chi2(4) quantile literal "
+        "(the power-analysis constant pattern)."
+    ),
+    tags=("stats", "ab"),
+)
+def stats_breslow_day_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cells = t.orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_totalprice > 150000"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_totalprice <= 150000"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_custkey % 2 <> 0 AND o_totalprice > 150000"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("c"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_custkey % 2 <> 0 AND o_totalprice <= 150000"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cells.createOrReplaceTempView(_BD_FROM)
+    return spark.sql("WITH " + _bd_tail().format(src=_BD_FROM))

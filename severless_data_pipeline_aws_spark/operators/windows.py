@@ -3992,3 +3992,166 @@ def window_kaufman_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_kama, schema=schema)
         .orderBy("event_type", "day")
     )
+
+
+def _psar_oracle() -> str:
+    """Recursive-CTE Parabolic SAR replay. The step is two nested
+    layers (clamped candidate, then the reversal branch set), every
+    CASE written in the exact order the pandas fold evaluates."""
+    sar_c = (
+        "CASE WHEN r.trend = 1"
+        " THEN LEAST(r.sar + r.af * (r.ep - r.sar), b.lp1, b.lp2)"
+        " ELSE GREATEST(r.sar + r.af * (r.ep - r.sar), b.hp1, b.hp2) END"
+    )
+    return f"""
+        WITH RECURSIVE {_BARS_SQL},
+        nb AS MATERIALIZED (
+            SELECT event_type, day,
+                   CAST(h AS DOUBLE) AS h, CAST(l AS DOUBLE) AS l,
+                   CAST(c AS DOUBLE) AS c,
+                   CAST(lag(h) OVER w AS DOUBLE) AS hp1,
+                   CAST(lag(h, 2) OVER w AS DOUBLE) AS hp2,
+                   CAST(lag(l) OVER w AS DOUBLE) AS lp1,
+                   CAST(lag(l, 2) OVER w AS DOUBLE) AS lp2,
+                   CAST(lag(c) OVER w AS DOUBLE) AS cp1,
+                   row_number() OVER w AS rn
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        r AS (
+            SELECT event_type, day, rn, c,
+                   CASE WHEN c >= cp1 THEN 1 ELSE -1 END AS trend,
+                   CASE WHEN c >= cp1 THEN lp1 ELSE hp1 END AS sar,
+                   CASE WHEN c >= cp1 THEN h ELSE l END AS ep,
+                   0.02 AS af
+            FROM nb WHERE rn = 2
+            UNION ALL
+            SELECT event_type, day, rn, c,
+                   CASE WHEN flip THEN -pt ELSE pt END AS trend,
+                   CASE WHEN flip THEN pep ELSE sar_c END AS sar,
+                   CASE WHEN flip AND pt = 1 THEN l
+                        WHEN flip THEN h
+                        WHEN pt = 1 THEN CASE WHEN h > pep THEN h ELSE pep END
+                        ELSE CASE WHEN l < pep THEN l ELSE pep END END AS ep,
+                   CASE WHEN flip THEN 0.02
+                        WHEN pt = 1 AND h > pep THEN
+                            CASE WHEN paf + 0.02 > 0.2 THEN 0.2
+                                 ELSE paf + 0.02 END
+                        WHEN pt = -1 AND l < pep THEN
+                            CASE WHEN paf + 0.02 > 0.2 THEN 0.2
+                                 ELSE paf + 0.02 END
+                        ELSE paf END AS af
+            FROM (
+                SELECT i.*,
+                       CASE WHEN i.pt = 1 AND i.l < i.sar_c THEN TRUE
+                            WHEN i.pt = -1 AND i.h > i.sar_c THEN TRUE
+                            ELSE FALSE END AS flip
+                FROM (
+                    SELECT b.event_type, b.day, b.rn, b.h, b.l, b.c,
+                           r.trend AS pt, r.ep AS pep, r.af AS paf,
+                           {sar_c} AS sar_c
+                    FROM nb b JOIN r ON b.event_type = r.event_type
+                                    AND b.rn = r.rn + 1
+                ) i
+            )
+        )
+        SELECT event_type, day,
+               c / 10000.0 AS close,
+               sar / 10000.0 AS psar,
+               CAST(trend AS BIGINT) AS trend,
+               ep / 10000.0 AS extreme_point,
+               af AS acceleration
+        FROM r
+        ORDER BY event_type, day
+    """
+
+
+@register(
+    "window_parabolic_sar",
+    oracle=_psar_oracle(),
+    doc=(
+        "W48: Wilder's Parabolic SAR per event type's daily bars — the "
+        "trailing stop-and-reverse system and the most state-laden "
+        "recurrence in the battery: FOUR carried values (trend "
+        "direction, SAR, extreme point, acceleration factor 0.02 -> "
+        "0.2 by 0.02) with a branch structure (accelerate / clamp to "
+        "the two prior bars' extremes / reverse on penetration) that "
+        "no window algebra expresses. applyInPandas per type (the "
+        "Holt/Kalman/KAMA serial-within-key bound); the recursive-CTE "
+        "oracle replays the IDENTICAL IEEE op and CASE evaluation "
+        "order — candidate SAR, two-bar clamp via LEAST/GREATEST, "
+        "penetration test, then the reversal branch set — so every "
+        "emitted SAR, EP and AF is hash-exact. Convention pinned by "
+        "the oracle itself: seed at bar 2 (trend = sign of the first "
+        "close change, SAR = prior bar's opposite extreme), clamp "
+        "before the penetration test, EP/AF update only on new "
+        "extremes. Bars are the shared day-grain reduction."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def window_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    bars = _bars(t).select("event_type", "day", "h", "l", "c")
+    schema = (
+        "event_type string, day date, close double, psar double,"
+        " trend bigint, extreme_point double, acceleration double"
+    )
+
+    def _psar(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day", kind="mergesort")
+        out = []
+        hs = [float(v) for v in pdf["h"]]
+        ls = [float(v) for v in pdf["l"]]
+        cs = [float(v) for v in pdf["c"]]
+        trend = sar = ep = af = None
+        for i in range(len(pdf)):
+            if i == 0:
+                continue
+            h, l, c = hs[i], ls[i], cs[i]
+            if i == 1:
+                trend = 1 if c >= cs[0] else -1
+                sar = ls[0] if trend == 1 else hs[0]
+                ep = h if trend == 1 else l
+                af = 0.02
+            else:
+                if trend == 1:
+                    sar_c = min(sar + af * (ep - sar), ls[i - 1], ls[i - 2])
+                else:
+                    sar_c = max(sar + af * (ep - sar), hs[i - 1], hs[i - 2])
+                flip = (trend == 1 and l < sar_c) or (
+                    trend == -1 and h > sar_c
+                )
+                if flip:
+                    sar = ep
+                    ep = l if trend == 1 else h
+                    trend = -trend
+                    af = 0.02
+                else:
+                    sar = sar_c
+                    if trend == 1 and h > ep:
+                        ep = h
+                        af = 0.2 if af + 0.02 > 0.2 else af + 0.02
+                    elif trend == -1 and l < ep:
+                        ep = l
+                        af = 0.2 if af + 0.02 > 0.2 else af + 0.02
+            out.append(
+                (
+                    pdf["event_type"].iloc[i], pdf["day"].iloc[i],
+                    c / 10000.0, sar / 10000.0, trend, ep / 10000.0, af,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "close", "psar",
+                "trend", "extreme_point", "acceleration",
+            ],
+        )
+
+    return (
+        bars.groupBy("event_type")
+        .applyInPandas(_psar, schema=schema)
+        .orderBy("event_type", "day")
+    )

@@ -319,6 +319,8 @@ _R8_QUERIES = frozenset(
         "stats_sample_entropy_counts",
         "scalar_ipv4_parse_battery",
         "multimodal_srt_cue_parse",
+        "stats_breslow_day_homogeneity",
+        "window_parabolic_sar",
     }
 )
 

@@ -293,6 +293,8 @@ REPRESENTATIVE = [
     "stats_sample_entropy_counts",
     "scalar_ipv4_parse_battery",
     "multimodal_srt_cue_parse",
+    "stats_breslow_day_homogeneity",
+    "window_parabolic_sar",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
@@ -355,6 +357,8 @@ _ALLOW_ONE_ROW = {
     "geo_dbscan_grid_clusters",
     # r8: one-row median-selection fold survives empty pair tables
     "stats_passing_bablok_regression",
+    # r8: the one-row pivot emits a NULL-field row on empty strata
+    "stats_breslow_day_homogeneity",
 }
 
 #: metadata-shaped outputs: one row per COLUMN of the profiled table —
