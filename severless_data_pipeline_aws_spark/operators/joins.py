@@ -956,3 +956,122 @@ def join_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("error_within_48h"),
         )
     )
+
+
+@register(
+    "join_interval_overlap_pairs",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   MIN(ts) AS s, MAX(ts) AS e
+            FROM events WHERE user_id <= 50
+            GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        pairs AS (
+            SELECT a.day,
+                   CAST(datediff('second',
+                        CASE WHEN a.s > b.s THEN a.s ELSE b.s END,
+                        CASE WHEN a.e < b.e THEN a.e ELSE b.e END)
+                        AS BIGINT) AS ov_s
+            FROM iv a JOIN iv b
+              ON a.day = b.day AND a.user_id < b.user_id
+             AND a.s <= b.e AND b.s <= a.e
+        )
+        SELECT iv.day,
+               CAST(COUNT(DISTINCT iv.user_id) AS BIGINT) AS n_intervals,
+               CAST((SELECT COUNT(*) FROM pairs p WHERE p.day = iv.day)
+                    AS BIGINT) AS n_overlapping_pairs,
+               CAST(COALESCE((SELECT SUM(ov_s) FROM pairs p
+                              WHERE p.day = iv.day), 0) AS BIGINT)
+                   AS total_overlap_seconds
+        FROM iv
+        GROUP BY iv.day
+        ORDER BY iv.day
+    """,
+    doc=(
+        "J9: interval-overlap PAIR join — which session intervals "
+        "overlap which (meeting-collision / co-presence / resource-"
+        "contention shape), the interval query the merge/concurrency "
+        "ops cannot answer because they collapse intervals instead of "
+        "pairing them. The classic trap is the per-day theta self-join "
+        "(quadratic in daily sessions); the scale path here explodes "
+        "each interval onto its covered HOUR slices and equi-joins on "
+        "(day, hour) — candidates are only interval pairs sharing a "
+        "slice (output-proportional on real workloads), then the exact "
+        "inclusive overlap test and the DISTINCT pair dedup run on "
+        "candidates alone. Overlap seconds use the pinned "
+        "unix_timestamp/datediff floor pairing; day-grain rollup "
+        "(intervals, overlapping pairs, total overlap seconds) keeps "
+        "the wire format scalar and exact. The oracle states the "
+        "SEMANTICS as the naive theta join — the hash match proves "
+        "the sliced plan equivalent (the merge_asof-twin pattern)."
+    ),
+    tags=("join", "timeseries"),
+)
+def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    iv = (
+        t.events.filter(F.col("user_id") <= 50)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    sliced = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.explode(F.expr("sequence(hour(s), hour(e))")).alias("hr"),
+    )
+    a = sliced.select(
+        F.col("user_id").alias("ua"),
+        "day",
+        "hr",
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = sliced.select(
+        F.col("user_id").alias("ub"),
+        "day",
+        "hr",
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(b, ["day", "hr"])
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("day", "ua", "ub", "sa", "ea", "sb", "eb")
+        .distinct()
+        .select(
+            "day",
+            F.expr(
+                "CAST(unix_timestamp(CASE WHEN ea < eb THEN ea ELSE eb END)"
+                " - unix_timestamp(CASE WHEN sa > sb THEN sa ELSE sb END)"
+                " AS BIGINT)"
+            ).alias("ov_s"),
+        )
+    )
+    per_day_pairs = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlapping_pairs"),
+        F.sum("ov_s").cast("bigint").alias("total_overlap_seconds"),
+    )
+    per_day_iv = iv.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_intervals")
+    )
+    return (
+        per_day_iv.join(per_day_pairs, "day", "left")
+        .select(
+            "day",
+            "n_intervals",
+            F.coalesce("n_overlapping_pairs", F.lit(0)).cast("bigint").alias(
+                "n_overlapping_pairs"
+            ),
+            F.coalesce("total_overlap_seconds", F.lit(0)).cast("bigint").alias(
+                "total_overlap_seconds"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -4155,3 +4155,160 @@ def window_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_psar, schema=schema)
         .orderBy("event_type", "day")
     )
+
+
+def _supertrend_oracle() -> str:
+    """Recursive-CTE SuperTrend replay in the x28 INTEGER basis:
+    mid*28 = 14*(h+l), band offset = 6*S14 (ATR14*28 = 2*S14), close
+    compares as 28*c — the whole recurrence (band ratchets + trend
+    flips) is exact integer arithmetic, no float anywhere."""
+    return f"""
+        WITH RECURSIVE {_BARS_SQL},
+        tr AS (
+            SELECT event_type, day, h, l, c,
+                   greatest(h - l, abs(h - lag(c) OVER w),
+                            abs(l - lag(c) OVER w)) AS tr
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        basis AS (
+            SELECT event_type, day, c,
+                   14 * (h + l) + 6 * SUM(tr) OVER wa AS bub,
+                   14 * (h + l) - 6 * SUM(tr) OVER wa AS blb,
+                   COUNT(tr) OVER wa AS nw
+            FROM tr
+            WINDOW wa AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ),
+        nb AS MATERIALIZED (
+            SELECT event_type, day, c, bub, blb,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM basis WHERE nw = 14
+        ),
+        r AS (
+            SELECT event_type, day, rn, c, bub AS fub, blb AS flb,
+                   CASE WHEN 28 * c >= (bub + blb) // 2
+                        THEN 1 ELSE -1 END AS trend
+            FROM nb WHERE rn = 1
+            UNION ALL
+            SELECT event_type, day, rn, c, fub, flb,
+                   CASE WHEN pt = 1 AND 28 * c < flb THEN -1
+                        WHEN pt = -1 AND 28 * c > fub THEN 1
+                        ELSE pt END AS trend
+            FROM (
+                SELECT b.event_type, b.day, b.rn, b.c, r.trend AS pt,
+                       CASE WHEN b.bub < r.fub OR 28 * r.c > r.fub
+                            THEN b.bub ELSE r.fub END AS fub,
+                       CASE WHEN b.blb > r.flb OR 28 * r.c < r.flb
+                            THEN b.blb ELSE r.flb END AS flb
+                FROM nb b JOIN r ON b.event_type = r.event_type
+                                AND b.rn = r.rn + 1
+            )
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(CASE WHEN trend = 1 THEN flb ELSE fub END AS DOUBLE)
+                   / 280000.0 AS supertrend,
+               CAST(trend AS BIGINT) AS trend,
+               CAST(fub AS DOUBLE) / 280000.0 AS final_upper,
+               CAST(flb AS DOUBLE) / 280000.0 AS final_lower
+        FROM r
+        ORDER BY event_type, day
+    """
+
+
+@register(
+    "window_supertrend",
+    oracle=_supertrend_oracle(),
+    doc=(
+        "W49: SuperTrend (ATR-14, multiplier 3) per event type's daily "
+        "bars — the band-ratchet trend follower: basic bands = mid +/- "
+        "3*ATR, final bands only RATCHET toward price until a close "
+        "crosses them, and the indicator rides the lower band in "
+        "up-trends / upper band in down-trends. The entire recurrence "
+        "runs in the x28 INTEGER basis (mid*28 = 14*(h+l); "
+        "ATR14*28 = 2*S14 where S14 is the exact 14-day TR sum; close "
+        "compares as 28c), so unlike every other recurrence-tier op "
+        "there is NO float anywhere in the state — band ratchets, "
+        "penetration tests and trend flips are exact BIGINT "
+        "comparisons, and the recursive-CTE oracle is trivially "
+        "bit-faithful. The one scale division happens at emit time. "
+        "applyInPandas per type (the Holt/Kalman serial-within-key "
+        "bound); seed trend = close above/below the basic midline at "
+        "the first full-ATR bar."
+    ),
+    tags=("window", "timeseries", "custom"),
+)
+def window_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    tr = _bars(t).select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        "c",
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.lag("c").over(wl)),
+            F.abs(F.col("l") - F.lag("c").over(wl)),
+        ).alias("tr"),
+    )
+    wa = wl.rowsBetween(-13, W.currentRow)
+    basis = (
+        tr.select(
+            "event_type",
+            "day",
+            "c",
+            (14 * (F.col("h") + F.col("l")) + 6 * F.sum("tr").over(wa)).alias("bub"),
+            (14 * (F.col("h") + F.col("l")) - 6 * F.sum("tr").over(wa)).alias("blb"),
+            F.count("tr").over(wa).alias("nw"),
+        )
+        .filter(F.col("nw") == 14)
+    )
+    schema = (
+        "event_type string, day date, close double, supertrend double,"
+        " trend bigint, final_upper double, final_lower double"
+    )
+
+    def _st(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day", kind="mergesort")
+        out = []
+        fub = flb = trend = pc = None
+        for _, row in pdf.iterrows():
+            c, bub, blb = int(row["c"]), int(row["bub"]), int(row["blb"])
+            if fub is None:
+                fub, flb = bub, blb
+                mid2 = (bub + blb) // 2  # exact: bub+blb = 28*(h+l) even
+                trend = 1 if 28 * c >= mid2 else -1
+            else:
+                fub = bub if (bub < fub or 28 * pc > fub) else fub
+                flb = blb if (blb > flb or 28 * pc < flb) else flb
+                if trend == 1 and 28 * c < flb:
+                    trend = -1
+                elif trend == -1 and 28 * c > fub:
+                    trend = 1
+            pc = c
+            out.append(
+                (
+                    row["event_type"], row["day"], c / 10000.0,
+                    (flb if trend == 1 else fub) / 280000.0,
+                    trend, fub / 280000.0, flb / 280000.0,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "close", "supertrend",
+                "trend", "final_upper", "final_lower",
+            ],
+        )
+
+    return (
+        basis.groupBy("event_type")
+        .applyInPandas(_st, schema=schema)
+        .orderBy("event_type", "day")
+    )

@@ -321,6 +321,8 @@ _R8_QUERIES = frozenset(
         "multimodal_srt_cue_parse",
         "stats_breslow_day_homogeneity",
         "window_parabolic_sar",
+        "window_supertrend",
+        "join_interval_overlap_pairs",
     }
 )
 

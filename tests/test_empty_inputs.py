@@ -295,6 +295,8 @@ REPRESENTATIVE = [
     "multimodal_srt_cue_parse",
     "stats_breslow_day_homogeneity",
     "window_parabolic_sar",
+    "window_supertrend",
+    "join_interval_overlap_pairs",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
