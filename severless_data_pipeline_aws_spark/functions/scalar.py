@@ -1227,3 +1227,124 @@ def scalar_ipv4_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("octet1")
     )
+
+
+#: synthesized UA templates (family derived from user_id % 5) — the
+#: version fields are arithmetic in user_id so the oracle can PREDICT
+#: what the parse must re-read
+_UA_SPARK = """
+    CASE user_id % 5
+      WHEN 0 THEN concat('Mozilla/5.0 (Windows NT 10.0; Win64; x64)',
+                         ' AppleWebKit/537.36 (KHTML, like Gecko) Chrome/',
+                         CAST(100 + user_id % 30 AS STRING),
+                         '.0.0.0 Safari/537.36')
+      WHEN 1 THEN concat('Mozilla/5.0 (X11; Linux x86_64; rv:',
+                         CAST(90 + user_id % 40 AS STRING),
+                         '.0) Gecko/20100101 Firefox/',
+                         CAST(90 + user_id % 40 AS STRING), '.0')
+      WHEN 2 THEN concat('Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)',
+                         ' AppleWebKit/605.1.15 (KHTML, like Gecko) Version/',
+                         CAST(14 + user_id % 4 AS STRING),
+                         '.0 Safari/605.1.15')
+      WHEN 3 THEN concat('Mozilla/5.0 (Windows NT 10.0; Win64; x64)',
+                         ' AppleWebKit/537.36 (KHTML, like Gecko) Chrome/',
+                         CAST(100 + user_id % 20 AS STRING),
+                         '.0.0.0 Safari/537.36 Edg/',
+                         CAST(100 + user_id % 20 AS STRING), '.0.0.0')
+      ELSE concat('curl/8.', CAST(user_id % 10 AS STRING), '.0')
+    END
+"""
+
+
+@register(
+    "scalar_user_agent_parse",
+    oracle="""
+        WITH ua AS (
+            SELECT user_id,
+                   CASE user_id % 5
+                     WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Firefox'
+                     WHEN 2 THEN 'Safari' WHEN 3 THEN 'Edge'
+                     ELSE 'curl' END AS family,
+                   CASE user_id % 5
+                     WHEN 0 THEN 'Windows' WHEN 1 THEN 'Linux'
+                     WHEN 2 THEN 'macOS' WHEN 3 THEN 'Windows'
+                     ELSE 'other' END AS os,
+                   CASE user_id % 5
+                     WHEN 0 THEN 100 + user_id % 30
+                     WHEN 1 THEN 90 + user_id % 40
+                     WHEN 2 THEN 14 + user_id % 4
+                     WHEN 3 THEN 100 + user_id % 20
+                     ELSE 8 END AS major,
+                   user_id % 5 = 4 AS is_tool
+            FROM events
+        )
+        SELECT family, os,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(MIN(major) AS BIGINT) AS min_major,
+               CAST(MAX(major) AS BIGINT) AS max_major,
+               bool_and(is_tool) AS all_tool_traffic
+        FROM ua
+        GROUP BY family, os
+        ORDER BY family, os
+    """,
+    doc=(
+        "F28: User-Agent parse battery — the log-enrichment string "
+        "work every web pipeline runs first. UA strings are "
+        "synthesized from versioned templates (family keyed on "
+        "user_id), then genuinely RE-PARSED with the precedence rules "
+        "that make UA parsing a classic trap: Edg/ must match before "
+        "Chrome/ (Edge embeds the Chrome token), Version/+Safari "
+        "identifies Safari (Chrome also carries a Safari token), and "
+        "a missing Mozilla/ prefix flags tool traffic. Family, major "
+        "version (regexp digit extract + cast) and OS (token "
+        "membership) roll up per (family, os) with distinct users and "
+        "version ranges — exact integers; the oracle predicts every "
+        "value from the synthesis arithmetic, so a precedence mistake "
+        "(Chrome swallowing Edge) breaks the hash. Map-only."
+    ),
+    tags=("scalar", "dq"),
+)
+def scalar_user_agent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ua = t.events.selectExpr("user_id", f"({_UA_SPARK}) AS ua")
+    parsed = ua.selectExpr(
+        "user_id",
+        """CASE
+             WHEN ua LIKE '%Edg/%' THEN 'Edge'
+             WHEN ua LIKE '%Chrome/%' THEN 'Chrome'
+             WHEN ua LIKE '%Firefox/%' THEN 'Firefox'
+             WHEN ua LIKE '%Version/%' AND ua LIKE '%Safari/%' THEN 'Safari'
+             WHEN ua NOT LIKE 'Mozilla/%' THEN 'curl'
+             ELSE 'other'
+           END AS family""",
+        """CASE
+             WHEN ua LIKE '%Windows NT%' THEN 'Windows'
+             WHEN ua LIKE '%Mac OS X%' THEN 'macOS'
+             WHEN ua LIKE '%X11; Linux%' THEN 'Linux'
+             ELSE 'other'
+           END AS os""",
+        """CAST(CASE
+             WHEN ua LIKE '%Edg/%'
+               THEN regexp_extract(ua, 'Edg/([0-9]+)', 1)
+             WHEN ua LIKE '%Chrome/%'
+               THEN regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+             WHEN ua LIKE '%Firefox/%'
+               THEN regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+             WHEN ua LIKE '%Version/%'
+               THEN regexp_extract(ua, 'Version/([0-9]+)', 1)
+             ELSE regexp_extract(ua, '^[a-z]+/([0-9]+)', 1)
+           END AS BIGINT) AS major""",
+        "ua NOT LIKE 'Mozilla/%' AS is_tool",
+    )
+    return (
+        parsed.groupBy("family", "os")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("major").cast("bigint").alias("min_major"),
+            F.max("major").cast("bigint").alias("max_major"),
+            F.expr("bool_and(is_tool)").alias("all_tool_traffic"),
+        )
+        .orderBy("family", "os")
+    )

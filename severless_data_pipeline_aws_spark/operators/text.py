@@ -2948,3 +2948,86 @@ def text_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
         ).alias("turing_coverage"),
     ).orderBy("lang")
+
+
+@register(
+    "text_readability_fk_grade",
+    oracle="""
+        WITH en AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(CASE WHEN length(text)
+                               - length(replace(replace(replace(text,
+                                   '.', ''), '!', ''), '?', '')) > 0
+                             THEN length(text)
+                               - length(replace(replace(replace(text,
+                                   '.', ''), '!', ''), '?', ''))
+                             ELSE 1 END AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        AS BIGINT) AS n_syllable_groups
+            FROM documents WHERE lang = 'en'
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllable_groups,
+               0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllable_groups AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                 - 15.59 AS fk_grade,
+               CASE WHEN 0.39 * (CAST(n_words AS DOUBLE)
+                                 / CAST(n_sentences AS DOUBLE))
+                         + 11.8 * (CAST(n_syllable_groups AS DOUBLE)
+                                   / CAST(n_words AS DOUBLE))
+                         - 15.59 < 9.0
+                    THEN 'accessible' ELSE 'advanced' END AS band
+        FROM en
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X4ag: Flesch-Kincaid grade-level readability over the English "
+        "slice — 0.39*(words/sentences) + 11.8*(syllables/words) - "
+        "15.59, the curriculum/quality signal that complements the "
+        "Gopher rules (they gate garbage; FK grades DIFFICULTY, which "
+        "curriculum-ordered training consumes directly). Syllables use "
+        "the standard vowel-group proxy (contiguous [aeiouy]+ runs — "
+        "a deterministic regexp count identical under RE2 and Java "
+        "regex), sentences the [.!?] terminator count with a floor of "
+        "one (the sentence-stats convention). Counts are exact "
+        "BIGINTs; the grade is one shared closed-form double, the "
+        "band an exact threshold on the same expression. Map-only "
+        "per-doc grain, language-gated at scan time."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_readability_fk_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    en = t.documents.filter(F.col("lang") == "en").select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "CAST(CASE WHEN length(text)"
+            " - length(replace(replace(replace(text, '.', ''), '!', ''),"
+            " '?', '')) > 0"
+            " THEN length(text)"
+            " - length(replace(replace(replace(text, '.', ''), '!', ''),"
+            " '?', ''))"
+            " ELSE 1 END AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))"
+            " AS BIGINT)"
+        ).alias("n_syllable_groups"),
+    )
+    grade = (
+        "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+        " + 11.8 * (CAST(n_syllable_groups AS DOUBLE) / CAST(n_words AS DOUBLE))"
+        " - 15.59"
+    )
+    return en.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllable_groups",
+        F.expr(grade).alias("fk_grade"),
+        F.expr(
+            f"CASE WHEN {grade} < 9.0 THEN 'accessible' ELSE 'advanced' END"
+        ).alias("band"),
+    ).orderBy("doc_id")

@@ -323,6 +323,8 @@ _R8_QUERIES = frozenset(
         "window_parabolic_sar",
         "window_supertrend",
         "join_interval_overlap_pairs",
+        "scalar_user_agent_parse",
+        "text_readability_fk_grade",
     }
 )
 

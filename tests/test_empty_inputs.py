@@ -297,6 +297,8 @@ REPRESENTATIVE = [
     "window_parabolic_sar",
     "window_supertrend",
     "join_interval_overlap_pairs",
+    "scalar_user_agent_parse",
+    "text_readability_fk_grade",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
