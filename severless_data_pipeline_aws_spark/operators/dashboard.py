@@ -2488,3 +2488,71 @@ def geo_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(noise)
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "dq_sequence_monotonicity_audit",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   CASE WHEN event_id < lag(event_id)
+                             OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id)
+                        THEN 1 ELSE 0 END AS inv,
+                   CASE WHEN lag(event_id)
+                             OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) IS NULL
+                        THEN 0 ELSE 1 END AS has_prev
+            FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(has_prev) AS BIGINT) AS n_steps,
+               CAST(SUM(inv) AS BIGINT) AS n_inversions,
+               CAST(SUM(inv) AS DOUBLE) / CAST(SUM(has_prev) AS DOUBLE)
+                   AS inversion_rate,
+               SUM(inv) = 0 AS monotone_ok
+        FROM seq
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "DQ17: sequence-ID monotonicity audit — per event type, count "
+        "the time-ordered steps where the event_id goes BACKWARD: the "
+        "health check for any 'id should grow with time' producer "
+        "contract (auto-increment keys, Kafka offsets, snowflake ids); "
+        "inversions mean clock skew, multi-writer races, or replayed "
+        "batches, and they silently corrupt every as-of join and "
+        "incremental watermark downstream. One lag() per type "
+        "partition (the inter-arrival-profile shape), exact integer "
+        "counts, one shared rate division, and an exact boolean "
+        "verdict per type. The r8 generator interleaves ids across "
+        "types, so non-zero inversion counts are expected and pin the "
+        "detector as non-vacuous."
+    ),
+    tags=("dq", "quality"),
+)
+def dq_sequence_monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN event_id < lag(event_id) OVER (PARTITION BY event_type"
+            " ORDER BY ts, event_id) THEN 1 ELSE 0 END"
+        ).alias("inv"),
+        F.when(F.lag("event_id").over(w).isNull(), 0).otherwise(1).alias("has_prev"),
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.sum("has_prev").cast("bigint").alias("n_steps"),
+            F.sum("inv").cast("bigint").alias("n_inversions"),
+            F.expr(
+                "CAST(SUM(inv) AS DOUBLE) / CAST(SUM(has_prev) AS DOUBLE)"
+            ).alias("inversion_rate"),
+            F.expr("SUM(inv) = 0").alias("monotone_ok"),
+        )
+        .orderBy("event_type")
+    )

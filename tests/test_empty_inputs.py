@@ -299,6 +299,8 @@ REPRESENTATIVE = [
     "join_interval_overlap_pairs",
     "scalar_user_agent_parse",
     "text_readability_fk_grade",
+    "dq_sequence_monotonicity_audit",
+    "stats_cvm_one_sample_uniform",
 ]
 
 #: global aggregates legitimately emit one (all-zero/null) summary row
