@@ -1090,3 +1090,160 @@ def streaming_countmin_point_queries(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type", "probe_user")
     )
+
+
+def _streaming_hll_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    hashed = hash_long_chain_subquery(
+        "(SELECT DISTINCT event_type, user_id FROM events)",
+        ["event_type"],
+        ["user_id"],
+        out="h",
+    )
+    return f"""
+        WITH u64 AS (
+            SELECT event_type,
+                   CAST(h AS HUGEINT)
+                   + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT
+                          ELSE 0::HUGEINT END AS u
+            FROM {hashed}
+        ),
+        br AS (
+            SELECT event_type,
+                   CAST(u // 288230376151711744 AS BIGINT) AS bucket,
+                   CAST(u % 288230376151711744 AS BIGINT) AS rest
+            FROM u64
+        ),
+        regs AS (
+            SELECT event_type, bucket,
+                   CAST(MAX(CASE WHEN rest = 0 THEN 59
+                                 ELSE 59 - length(bin(rest)) END)
+                        AS BIGINT) AS m
+            FROM br GROUP BY event_type, bucket
+        ),
+        grid AS (
+            SELECT t.event_type, g.bucket
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) g
+        ),
+        full_regs AS (
+            SELECT grid.event_type, grid.bucket,
+                   CAST(COALESCE(regs.m, 0) AS BIGINT) AS m0
+            FROM grid LEFT JOIN regs
+              ON regs.event_type = grid.event_type
+             AND regs.bucket = grid.bucket
+        ),
+        folded AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero_registers,
+                   CAST(SUM(m0) AS BIGINT) AS sum_registers,
+                   CAST(MAX(m0) AS BIGINT) AS max_register,
+                   list_reduce(
+                       list(1.0 / CAST((CAST(1 AS BIGINT) << m0) AS DOUBLE)
+                            ORDER BY bucket),
+                       (x, y) -> x + y) AS s
+            FROM full_regs GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT folded.event_type, n_zero_registers, sum_registers,
+               max_register,
+               0.709 * 4096.0 / s AS raw_estimate,
+               exact_distinct
+        FROM folded JOIN ex ON ex.event_type = folded.event_type
+        ORDER BY folded.event_type
+    """
+
+
+#: Spark-side bucket/rank from the signed xxhash64 value — top 6 bits
+#: via unsigned shift, low 58 bits via mask (sign-independent)
+_HLL_BUCKET = "CAST(shiftrightunsigned(xxhash64(user_id), 58) AS BIGINT)"
+_HLL_RHO = (
+    "CAST(CASE WHEN (xxhash64(user_id) & 288230376151711743) = 0 THEN 59"
+    " ELSE 59 - length(bin(xxhash64(user_id) & 288230376151711743)) END"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "streaming_hll_register_maxes",
+    oracle=_streaming_hll_oracle(),
+    doc=(
+        "Thirteenth custom stateful operator: streaming HyperLogLog "
+        "register maxima per event_type via applyInPandasWithState — "
+        "64 small integers of state per key, completing the streaming "
+        "sketch trio (KMV #11, Count-Min #12, HLL #13; all three "
+        "states are semilattice/commutative merges, so stream == "
+        "batch EXACTLY). Unlike the library-HLL ops (whose register "
+        "layout is implementation-defined, hence their verdict "
+        "oracles), these registers are fully specified — bucket = top "
+        "6 hash bits, rank = leading-zero count of the low 58 bits + "
+        "1, both computed as codegen column exprs and replayed "
+        "bit-for-bit through the pure-SQL XXH64 twin. The registered "
+        "query emits the register DIGEST (zero count, sum, max — all "
+        "exact integers) plus the raw harmonic estimate via an "
+        "ORDER-PINNED fold of exact dyadic terms (1/2^M by integer "
+        "shift, never libm pow) next to the exact distinct count; the "
+        "small-range linear-counting correction is deliberately "
+        "omitted (needs ln — the engine-divergent function the r5 "
+        "contract bans), so the claim is exact REGISTER replay, with "
+        "the estimate derived. Snapshots fold by MAX per cell (the "
+        "MG/CM pattern); stream == imperative replay in "
+        "tests/test_streaming.py."
+    ),
+    tags=("streaming", "stateful", "sketch", "llm"),
+)
+def streaming_hll_register_maxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).selectExpr(
+        "event_type", f"{_HLL_BUCKET} AS bucket", f"{_HLL_RHO} AS rho"
+    )
+    snaps = _run_to_memory(stateful.hll_walk(stream), "append")
+    regs = snaps.groupBy("event_type", "bucket").agg(
+        F.max("m").cast("bigint").alias("m")
+    )
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(64).select(F.col("id").cast("bigint").alias("bucket"))
+        )
+    )
+    full_regs = grid.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.expr("CAST(COALESCE(m, 0) AS BIGINT)").alias("m0"),
+    )
+    folded = full_regs.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_zero_registers"),
+        F.sum("m0").cast("bigint").alias("sum_registers"),
+        F.max("m0").cast("bigint").alias("max_register"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(bucket,"
+            " 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m0 AS INT))"
+            " AS DOUBLE) AS inv))), s -> s.inv), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("s"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        folded.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_zero_registers",
+            "sum_registers",
+            "max_register",
+            F.expr("0.709 * 4096.0 / s").alias("raw_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )

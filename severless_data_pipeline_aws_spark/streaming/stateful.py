@@ -1217,3 +1217,81 @@ def cm_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = cm_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+HLL_M = 64  # registers (b = 6 bucket bits); rank field = 58 bits
+
+HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("snap", LongType()),
+        StructField("bucket", LongType()),
+        StructField("m", LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = StructType([StructField("state_json", StringType())])
+
+
+def hll_steps(
+    state_json: str | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, str]:
+    """Pure per-key HLL register fold: state is the 64 register maxima
+    — MAX is a semilattice merge (order- and batching-independent),
+    the KMV/CM property, so the final streamed registers equal the
+    batch sketch bit-for-bit. Bucket and rank arrive precomputed by
+    the same Spark exprs the batch twin uses."""
+    import json
+
+    st = json.loads(state_json) if state_json else {"snap": 0, "m": {}}
+    m = st["m"]
+    for b, r in zip(pdf["bucket"], pdf["rho"]):
+        key = str(int(b))
+        if int(r) > m.get(key, 0):
+            m[key] = int(r)
+    snap = st["snap"] + 1
+    et = str(pdf["event_type"].iloc[0]) if len(pdf) else ""
+    items = sorted(m.items(), key=lambda kv: int(kv[0]))
+    out = pd.DataFrame(
+        {
+            "event_type": [et] * len(items),
+            "snap": [snap] * len(items),
+            "bucket": [int(k) for k, _ in items],
+            "m": [v for _, v in items],
+        }
+    )
+    return out, json.dumps({"snap": snap, "m": m})
+
+
+def _apply_hll(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        out, st = hll_steps(st, pdf)
+        yield out
+    state.update((st,))
+
+
+def hll_walk(events: DataFrame) -> DataFrame:
+    """Streaming HLL register maxima per event_type
+    (applyInPandasWithState): 64 small ints of state per key.
+    Batch twin: ``hll_batch_replay``."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_hll,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = hll_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

@@ -327,6 +327,7 @@ _R8_QUERIES = frozenset(
         "text_readability_fk_grade",
         "dq_sequence_monotonicity_audit",
         "stats_cvm_one_sample_uniform",
+        "streaming_hll_register_maxes",
     }
 )
 

@@ -1207,3 +1207,53 @@ def test_streaming_countmin_equals_batch_replay(spark, sf_dir):
         .collect()
     }
     assert got == plain
+
+
+def test_streaming_hll_equals_batch_replay(spark, sf_dir):
+    """The streamed HLL registers must equal the single-process replay
+    cell-for-cell (MAX is a semilattice merge), and the final matrix
+    must equal a plain Spark GROUP BY MAX over the same bucket/rank
+    exprs — register-level exactness, not an estimate bound."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.streaming import stateful
+    from severless_data_pipeline_aws_spark.streaming.queries import (
+        _HLL_BUCKET,
+        _HLL_RHO,
+        _replay_events_stream,
+        _run_to_memory,
+    )
+
+    stream = _replay_events_stream(spark, sf_dir).selectExpr(
+        "event_type", f"{_HLL_BUCKET} AS bucket", f"{_HLL_RHO} AS rho"
+    )
+    snaps = _run_to_memory(stateful.hll_walk(stream), "append")
+    got = {
+        (r["event_type"], r["bucket"]): r["m"]
+        for r in snaps.groupBy("event_type", "bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.selectExpr(
+            "event_type", f"{_HLL_BUCKET} AS bucket", f"{_HLL_RHO} AS rho"
+        )
+        .toPandas()
+    )
+    want_pdf = stateful.hll_batch_replay(events_pdf)
+    want = (
+        want_pdf.groupby(["event_type", "bucket"])["m"].max().to_dict()
+    )
+    assert len(got) == len(want) > 0
+    assert got == {k: int(v) for k, v in want.items()}
+    plain = {
+        (r["event_type"], r["bucket"]): r["m"]
+        for r in Tables(spark, sf_dir)
+        .events.selectExpr(
+            "event_type", f"{_HLL_BUCKET} AS bucket", f"{_HLL_RHO} AS rho"
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").cast("bigint").alias("m"))
+        .collect()
+    }
+    assert got == plain
