@@ -788,6 +788,8 @@ _BNLJ_BOUNDED_OK = {
     "stats_goodman_kruskal_gamma",
     # r8: two one-row per-user-moment broadcasts into the item fold
     "stats_cronbach_alpha_items",
+    # r8: the types x 64-register literal grid (HLL fold basis)
+    "streaming_hll_register_maxes",
     # r8: one-row exact-distinct scalar joined to the one-row KMV row
     "sketch_kmv_distinct_estimate",
     # r8: the generator's device x tick axis cross (same bounded spec
