@@ -1732,7 +1732,7 @@ def _minhash_estimate_audit_oracle() -> str:
     "dedup_minhash_estimate_audit",
     oracle=_minhash_estimate_audit_oracle(),
     doc=(
-        "X2h: MinHash ESTIMATOR quality audit — for every LSH candidate "
+        "X2k: MinHash ESTIMATOR quality audit — for every LSH candidate "
         "pair, compare the signature-based Jaccard estimate "
         "(matching positions / 32, an exact rational) against the true "
         "shingle Jaccard, and report the |error| histogram in 0.05 "

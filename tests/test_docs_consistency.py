@@ -520,22 +520,35 @@ def test_survey_s2_operator_ids_unique():
     """r7 verdict doc-nit: §2.10-§2.13 reused operator IDs across
     continuation blocks (ST12, A20-A22, W16, D6 each denoted two
     different operators), making the §2 operator count non-machine-
-    derivable. Renumbered in r8; pin uniqueness so a future block can't
-    re-introduce a collision. Scope: every single-token ID in the first
-    cell of a §2 table row (ranges like 'S1-S2' and suffixed families
-    are composite labels, not countable IDs)."""
+    derivable. The r8 pin only parsed up to '## 3.' — but §2.12-§2.18
+    are physically appended AFTER §7, so 8 duplicated X-family IDs
+    survived (r8 verdict, What's wrong #1). This version walks EVERY
+    `## 2.` / `### 2.x` header range wherever it sits in the file, so
+    continuation blocks appended at the end are in scope. Scope: every
+    single-token ID in the first cell of a §2 table row (ranges like
+    'S1-S2' and suffixed families are composite labels, not countable
+    IDs); multi-letter suffixes (X4aa..) count too."""
     from collections import Counter
 
     survey = os.path.join(os.path.dirname(_COVERAGE), "SURVEY.md")
-    sec2 = open(survey).read().split("## 3.")[0]
     ids = []
-    for line in sec2.splitlines():
+    in_sec2 = False
+    for line in open(survey).read().splitlines():
+        hdr = re.match(r"^(##|###) (\d+)\.", line)
+        if hdr:
+            in_sec2 = hdr.group(2) == "2"
+            continue
+        if not in_sec2:
+            continue
         m = re.match(r"^\|\s*([A-Za-z0-9✦†\-–, ]+?)\s*(?:✦|†)?\s*\|", line)
         if not m:
             continue
         for tok in re.split(r"[,\s]+", m.group(1).strip()):
-            if re.fullmatch(r"[A-Z]{1,3}[0-9]+[a-z]?", tok):
+            if re.fullmatch(r"[A-Z]{1,3}[0-9]+[a-z]{0,2}", tok):
                 ids.append(tok)
-    assert len(ids) > 150, "section-2 table parse broke"
+    assert len(ids) > 400, (
+        "section-2 table parse broke (or a §2 block moved out of scope): "
+        f"only {len(ids)} IDs found"
+    )
     dups = {k: v for k, v in Counter(ids).items() if v > 1}
     assert not dups, f"duplicate SURVEY §2 operator IDs: {dups}"
