@@ -1257,3 +1257,90 @@ def test_streaming_hll_equals_batch_replay(spark, sf_dir):
         .collect()
     }
     assert got == plain
+
+
+def test_streaming_dedup_equals_batch_replay(spark, sf_dir):
+    """The streamed keep-first dedup must equal both the imperative
+    single-process replay AND the batch keep-first window operator
+    (dedup_exact_keep_first) row-for-row — MIN-fold state is a
+    semilattice merge, so the survivor set cannot depend on batching."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.dedup import (
+        duplicated_corpus,
+    )
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        dedup_batch_replay,
+    )
+
+    specs = load_all()
+    got = {
+        r["doc_id"]
+        for r in specs["streaming_dedup_exact_keep_first"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in specs["dedup_exact_keep_first"].fn(spark, sf_dir).collect()
+    }
+    assert got == batch and len(got) > 0
+    corpus_pdf = (
+        duplicated_corpus(Tables(spark, sf_dir))
+        .selectExpr("sha2(text, 256) AS h", "doc_id")
+        .toPandas()
+    )
+    replay = dedup_batch_replay(corpus_pdf)
+    assert set(replay["min_doc_id"]) == got
+    # duplicate multiplicities must be preserved by the fold
+    assert replay["n_seen"].sum() == len(corpus_pdf)
+
+
+def test_dedup_steps_semilattice_order_invariance():
+    """The per-key fold must land on the same final state for ANY
+    batching and ANY within/between-batch order — the property that
+    makes the streamed survivor deterministic under shard races."""
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        dedup_steps,
+    )
+
+    ids = [42, 7, 99, 7, 13, 42, 5]
+    final_states = set()
+    splits = [
+        [ids],                      # one batch
+        [ids[:3], ids[3:]],         # two batches
+        [[i] for i in ids],         # one row per batch
+        [list(reversed(ids))],      # reversed order
+        [ids[4:], ids[:4]],         # batches swapped
+    ]
+    for batches in splits:
+        st = None
+        for b in batches:
+            _, st = dedup_steps(st, pd.DataFrame({"h": ["k"] * len(b), "doc_id": b}))
+        final_states.add((st[1], st[2]))  # (min_doc_id, n_seen)
+    assert final_states == {(5, len(ids))}
+
+
+def test_drop_duplicates_within_watermark_firstarrival(spark, sf_dir):
+    """Pin Spark's built-in dropDuplicatesWithinWatermark — the
+    TTL-state production variant of op #14 (state expires once the
+    watermark passes, bounding memory on unbounded streams). With a
+    delay wider than the replay's event-time span no state expires, so
+    the emitted count must equal the exact distinct key count; the
+    custom MIN-fold op remains the exact-survivor variant."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.streaming.queries import (
+        _replay_events_stream,
+        _run_to_memory,
+    )
+
+    stream = (
+        _replay_events_stream(spark, sf_dir)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    got = _run_to_memory(stream, "append").count()
+    want = Tables(spark, sf_dir).events.select("user_id").distinct().count()
+    assert got == want > 0
