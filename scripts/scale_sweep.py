@@ -41,6 +41,13 @@ _REF_DIR = "/root/testdata/sf0.1"
 #: super-linear work beyond agg/sort logarithms — investigate or justify
 _SUPERLINEAR = 1.15
 
+#: exponent-near-threshold queries whose output scaling is recorded on
+#: every sweep (r8 verdict #5): graph_jaccard hit 1.11 in r8 — its
+#: candidate space is the common-neighbor pair fan-out, which grows
+#: faster than rows under key-shifted replication, so the output ratio
+#: is the self-adjudicating context a bare time exponent lacks.
+_OUTPUT_WATCHLIST = frozenset({"graph_jaccard_link_prediction"})
+
 
 def _headline() -> list[str]:
     """The full bench headline set (r4 verdict #7: the sweep covered 29
@@ -138,6 +145,18 @@ def main() -> None:
         "superlinear_details": {
             name: _output_scaling(specs[name].fn, spark, data_dir)
             for name in superlinear
+        },
+        # near-threshold watchlist (r8 verdict #5): queries whose
+        # exponent sits just under the flag line get their output
+        # counts recorded EVERY sweep, so a future flag self-
+        # adjudicates against a history instead of a single point
+        "watchlist_details": {
+            name: dict(
+                _output_scaling(specs[name].fn, spark, data_dir),
+                exponent=exponents.get(name),
+            )
+            for name in _OUTPUT_WATCHLIST
+            if name in specs and name not in superlinear and name in exponents
         },
         "window_caps": caps_report,
         "caps_ok": not failures,
