@@ -3031,3 +3031,206 @@ def text_readability_fk_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {grade} < 9.0 THEN 'accessible' ELSE 'advanced' END"
         ).alias("band"),
     ).orderBy("doc_id")
+
+
+# --- X4ai: BPE round-trip decode + detokenizer fidelity audit (r9) ---------
+
+
+def _bpe_decode_oracle() -> str:
+    """DuckDB twin of the decode round trip: replay the identical
+    3-round train (shared CTE chain), assign dense token ids over the
+    bounded symbol vocabulary, encode every vocabulary word to ids,
+    decode the ids back through the vocabulary, and score corpus-level
+    reconstruction fidelity over the whitespace-mutated audit corpus."""
+    parts, _tops, final = _bpe_cte_parts()
+    return (
+        "WITH " + ",".join(parts) + f""",
+        vocab AS (
+            SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS id
+            FROM (SELECT DISTINCT unnest(sym) AS s FROM {final})
+        ),
+        wpos AS (
+            SELECT wid, sym, unnest(range(1, len(sym) + 1)) AS i FROM {final}
+        ),
+        wsym AS (SELECT wid, i, sym[i] AS s FROM wpos),
+        enc AS (
+            SELECT w.wid, w.i, v.id FROM wsym w JOIN vocab v ON v.s = w.s
+        ),
+        dec AS (
+            SELECT e.wid, e.i, v.s FROM enc e JOIN vocab v ON v.id = e.id
+        ),
+        wrec AS (
+            SELECT wid, string_agg(s, '' ORDER BY i) AS w_rec,
+                   CAST(COUNT(*) AS BIGINT) AS wtok
+            FROM dec GROUP BY wid
+        ),
+        vaudit AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+                   CAST(SUM(CASE WHEN w_rec = wid THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_vocab_words_exact,
+                   CAST(MAX(id) AS BIGINT) AS n_token_ids
+            FROM wrec CROSS JOIN (SELECT MAX(id) AS id FROM vocab)
+        ),
+        docs2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', '  ')
+                        ELSE text END AS text2
+            FROM documents
+        ),
+        dwp AS (
+            SELECT doc_id, text2, words,
+                   unnest(range(1, len(words) + 1)) AS wpos
+            FROM (SELECT doc_id, text2,
+                         regexp_extract_all(text2, '[^ ]+') AS words
+                  FROM docs2)
+        ),
+        dw AS (SELECT doc_id, text2, wpos, words[wpos] AS w FROM dwp),
+        drec AS (
+            SELECT dw.doc_id,
+                   ANY_VALUE(dw.text2) AS text2,
+                   string_agg(wr.w_rec, ' ' ORDER BY dw.wpos) AS rec,
+                   CAST(SUM(wr.wtok) AS BIGINT) AS n_tokens
+            FROM dw JOIN wrec wr ON wr.wid = dw.w
+            GROUP BY dw.doc_id
+        ),
+        daudit AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN rec = text2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_exact,
+                   CAST(SUM(CASE WHEN rec = trim(regexp_replace(text2, ' +', ' ', 'g'))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_ws_normalized,
+                   CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_mutated,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+            FROM drec
+        )
+        SELECT n_docs, n_docs_exact, n_docs_ws_normalized, n_docs_mutated,
+               n_tokens_total, n_vocab_words, n_vocab_words_exact, n_token_ids
+        FROM daudit CROSS JOIN vaudit"""
+    )
+
+
+@register(
+    "text_bpe_decode_roundtrip_audit",
+    oracle=_bpe_decode_oracle(),
+    doc=(
+        "X4ai: BPE DECODE round trip + detokenizer fidelity audit — "
+        "the inverse of text_bpe_encode_corpus, closing the tokenizer "
+        "loop (r8 verdict #6): train (shared 3-round chain), assign "
+        "dense token ids over the symbol vocabulary (row_number over a "
+        "BOUNDED grid — distinct characters + <=3 merged tokens, the "
+        "10-decile/31-day-grid contract), encode every vocabulary word "
+        "to id sequences, decode the ids back, and score "
+        "reconstruction at both grains: vocabulary (every word must "
+        "reconstruct byte-exactly from its ids — the id-table "
+        "integrity pin) and corpus (documents rebuilt word-by-word "
+        "and compared exact vs whitespace-normalized — the standard "
+        "detokenizer fidelity report). The audit corpus deliberately "
+        "injects irregular whitespace (doc_id % 7 == 0 gets every "
+        "space doubled), so the two fidelity counts genuinely differ: "
+        "split-on-whitespace tokenization is LOSSY for spacing, which "
+        "is exactly what this QA step exists to quantify before "
+        "anyone trains on detokenized text. All joins are "
+        "vocabulary-grain equi-joins; the corpus side is one "
+        "posexplode + equi-join on the word string, the same "
+        "co-partition shape as the encoder. Oracle replays the "
+        "identical train via the shared merge CTE chain — hash-exact."
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+def text_bpe_decode_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    words, _merges = _bpe_train_words(t)
+    # the vocab is a BOUNDED grid (distinct characters + <=3 merged
+    # tokens, ~30 rows at any corpus scale) referenced five times below
+    # (encode join, decode join, id ceiling); checkpoint it once so the
+    # plan reads it as a materialized scan instead of re-deriving the
+    # global row_number from the word table per reference
+    vocab = (
+        words.select(F.explode("sym").alias("s"))
+        .distinct()
+        .select(
+            "s",
+            F.row_number().over(W.orderBy("s")).cast("bigint").alias("id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wsym = words.select(
+        F.col("w").alias("wid"), F.posexplode("sym").alias("i", "s")
+    )
+    enc = wsym.join(vocab, "s").select("wid", "i", "id")
+    dec = enc.join(vocab.withColumnRenamed("s", "s_dec"), "id").select(
+        "wid", "i", "s_dec"
+    )
+    wrec = dec.groupBy("wid").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(i, s_dec))),"
+            " x -> x.s_dec), '')"
+        ).alias("w_rec"),
+        F.count(F.lit(1)).cast("bigint").alias("wtok"),
+    )
+    vaudit = wrec.crossJoin(vocab.agg(F.max("id").alias("max_id"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+        F.sum(F.when(F.col("w_rec") == F.col("wid"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vocab_words_exact"),
+        F.max("max_id").cast("bigint").alias("n_token_ids"),
+    )
+    docs2 = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.expr("replace(text, ' ', '  ')")
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    dw = docs2.select(
+        "doc_id",
+        "text2",
+        F.posexplode(F.expr("regexp_extract_all(text2, '[^ ]+', 0)")).alias(
+            "wpos", "w"
+        ),
+    )
+    drec = (
+        dw.join(wrec, dw["w"] == wrec["wid"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("text2").alias("text2"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(wpos, w_rec))),"
+                " x -> x.w_rec), ' ')"
+            ).alias("rec"),
+            F.sum("wtok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    daudit = drec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rec") == F.col("text2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_exact"),
+        F.sum(
+            F.when(
+                F.col("rec")
+                == F.expr("trim(regexp_replace(text2, ' +', ' '))"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_ws_normalized"),
+        F.sum(F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_mutated"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+    )
+    return daudit.crossJoin(vaudit).select(
+        "n_docs",
+        "n_docs_exact",
+        "n_docs_ws_normalized",
+        "n_docs_mutated",
+        "n_tokens_total",
+        "n_vocab_words",
+        "n_vocab_words_exact",
+        "n_token_ids",
+    )
