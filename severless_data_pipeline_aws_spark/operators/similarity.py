@@ -2944,3 +2944,110 @@ def similarity_hamming_prefilter_rerank(spark: SparkSession, sf_dir: str) -> Dat
         .filter(F.col("rank") <= _SIGN_K)
         .orderBy("query_id", "rank")
     )
+
+
+# --- X3o: int8 embedding quantization audit (r9) ----------------------------
+
+#: reconstruction-error histogram bucket width (squared-L2 units)
+_INT8_BUCKET = 0.00001
+
+
+@register(
+    "similarity_int8_quantization_audit",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, e -> abs(e))) / 127.0 AS s
+            FROM emb
+        ),
+        q AS (
+            SELECT vec_id, s,
+                   CAST(len(list_filter(v, e -> s > 0 AND
+                        (floor(e / s + 0.5) > 127 OR floor(e / s + 0.5) < -127)))
+                        AS BIGINT) AS n_clipped,
+                   CASE WHEN s = 0 THEN 0.0 ELSE
+                        list_reduce(list_prepend(0.0, list_transform(v, e ->
+                            (e - least(greatest(floor(e / s + 0.5), -127.0),
+                                       127.0) * s)
+                          * (e - least(greatest(floor(e / s + 0.5), -127.0),
+                                       127.0) * s))),
+                          (acc, x) -> acc + x) END AS err
+            FROM scaled
+        )
+        SELECT CAST(floor(err / {_INT8_BUCKET!r}) AS BIGINT) AS err_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(n_clipped) AS BIGINT) AS n_clipped_total
+        FROM q
+        GROUP BY 1
+        ORDER BY err_bucket
+    """,
+    doc=(
+        "X3o: int8 embedding quantization audit (r8 verdict optional "
+        "#8) — the storage-shrink QA step before serving a 100 TB "
+        "vector corpus at 4x compression: per vector, symmetric "
+        "absmax scaling (scale = max|x|/127, zero point 0), quantize "
+        "q_i = clip(floor(x_i/scale + 0.5), ±127), reconstruct "
+        "q_i*scale, and report the squared-L2 reconstruction-error "
+        "HISTOGRAM plus the clip count (structurally zero under "
+        "per-vector absmax — |x_i/scale| <= 127 by construction; the "
+        "audit PROVES the no-clipping property rather than assuming "
+        "it, and the counter is the tripwire for any future shared- "
+        "or per-corpus scale variant). Everything is row-local "
+        "higher-order array functions — map-only until one bounded "
+        "groupBy on the error bucket — and the output is all-integer: "
+        "the float math only decides bucket membership, and every op "
+        "in it (one division, floor, clip, multiply, an ORDER-PINNED "
+        "left-to-right error fold — aggregate in Spark, ordered "
+        "list_reduce in DuckDB, the X3d label-centroid contract) is "
+        "the identical IEEE expression tree in both engines, so the "
+        "histogram is hash-exact. floor(x+0.5) replaces round() "
+        "deliberately: Spark HALF_UPs, DuckDB banker's-rounds, and "
+        "this audit refuses to inherit that divergence."
+    ),
+    tags=("similarity", "llm", "quantization"),
+)
+def similarity_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = F.expr("transform(embedding, e -> CAST(e AS DOUBLE))")
+    scaled = t.embeddings.select(
+        "vec_id",
+        v.alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        (
+            F.expr("array_max(transform(v, e -> abs(e)))") / F.lit(127.0)
+        ).alias("s"),
+    )
+    qexpr = "least(greatest(floor(e / s + 0.5), -127.0D), 127.0D)"
+    q = scaled.select(
+        "vec_id",
+        F.expr(
+            "CAST(size(filter(v, e -> s > 0 AND"
+            " (floor(e / s + 0.5) > 127 OR floor(e / s + 0.5) < -127)))"
+            " AS BIGINT)"
+        ).alias("n_clipped"),
+        F.expr(
+            "CASE WHEN s = 0 THEN 0.0D ELSE"
+            f" aggregate(transform(v, e -> (e - {qexpr} * s)"
+            f" * (e - {qexpr} * s)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END"
+        ).alias("err"),
+    )
+    return (
+        q.groupBy(
+            F.expr(f"CAST(floor(err / {_INT8_BUCKET!r}) AS BIGINT)").alias(
+                "err_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("n_clipped").cast("bigint").alias("n_clipped_total"),
+        )
+        .orderBy("err_bucket")
+    )

@@ -3234,3 +3234,161 @@ def text_bpe_decode_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFra
         "n_vocab_words_exact",
         "n_token_ids",
     )
+
+
+# --- X4aj: trained-quality-classifier scoring pass (r9) ---------------------
+
+#: "trained" linear-model weights as a literal table — 64 hashed-unigram
+#: bucket weights (fixed-point 1e-6 units) plus numeric-feature
+#: coefficients over the Gopher-rule features. The values are a frozen
+#: deterministic artifact (what a fastText-style quality classifier
+#: exports after training); both the Spark query and the DuckDB oracle
+#: read the SAME literal, so the score replays exactly.
+_QC_BUCKETS = 64
+_QC_W = tuple(((j * 2654435761 + 40503) % 2000001) - 1000000 for j in range(_QC_BUCKETS))
+_QC_C_WORD = 1500        # per word, 1e-6 units
+_QC_C_STOP = 250000      # per stopword occurrence
+_QC_C_CHAR = -800        # per character of word text
+_QC_C_ALPHA = 120000     # per word containing an alphabetic char
+_QC_BIAS = -13_000_000
+_QC_SCALE = 1_000_000.0
+
+
+def _quality_classifier_oracle() -> str:
+    from ..functions.xxh64_sql import rec_hash_ctes
+
+    w_list = ", ".join(str(w) for w in _QC_W)
+    stop = tuple(_GOPHER_STOPWORDS)
+    return f"""
+        WITH RECURSIVE
+        dw AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wq AS (SELECT DISTINCT w FROM dw),
+        qc_src AS (SELECT w AS k, 0 AS tag, 42::HUGEINT AS seed, w AS s FROM wq),
+        {rec_hash_ctes('qc')},
+        wwt AS MATERIALIZED (
+            SELECT o.k AS w,
+                   ([{w_list}])[CAST(((o.hsig % {_QC_BUCKETS})
+                        + {_QC_BUCKETS}) % {_QC_BUCKETS} AS INT) + 1] AS wt
+            FROM qc_out o
+        ),
+        uni AS (
+            SELECT dw.doc_id, CAST(SUM(ww.wt) AS BIGINT) AS unigram_fp
+            FROM dw JOIN wwt ww ON ww.w = dw.w
+            GROUP BY dw.doc_id
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS BIGINT) AS n_chars_words,
+                   CAST(len(list_filter(words, x -> x IN {stop!r}))
+                        AS BIGINT) AS n_stopwords,
+                   CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                       AS n_alpha_words
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        )
+        SELECT f.doc_id,
+               f.n_words,
+               u.unigram_fp,
+               CAST({_QC_C_WORD} * f.n_words + {_QC_C_STOP} * f.n_stopwords
+                    + {_QC_C_CHAR} * f.n_chars_words
+                    + {_QC_C_ALPHA} * f.n_alpha_words
+                    + {_QC_BIAS} AS BIGINT) AS feature_fp,
+               CAST(u.unigram_fp + {_QC_C_WORD} * f.n_words
+                    + {_QC_C_STOP} * f.n_stopwords
+                    + {_QC_C_CHAR} * f.n_chars_words
+                    + {_QC_C_ALPHA} * f.n_alpha_words
+                    + {_QC_BIAS} AS DOUBLE) / {_QC_SCALE!r} AS score,
+               (u.unigram_fp + {_QC_C_WORD} * f.n_words
+                    + {_QC_C_STOP} * f.n_stopwords
+                    + {_QC_C_CHAR} * f.n_chars_words
+                    + {_QC_C_ALPHA} * f.n_alpha_words
+                    + {_QC_BIAS}) >= 0 AS keep
+        FROM feats f JOIN uni u ON u.doc_id = f.doc_id
+        ORDER BY f.doc_id
+    """
+
+
+@register(
+    "text_quality_classifier_score",
+    oracle=_quality_classifier_oracle(),
+    doc=(
+        "X4aj: trained-quality-classifier scoring pass (r8 verdict "
+        "optional #8) — the fastText-style linear scorer every "
+        "production curation stack runs AFTER the cheap Gopher rules: "
+        "score(doc) = sum of hashed-unigram bucket weights + "
+        "numeric-feature terms (word count, stopword count, character "
+        "mass, alphabetic-word count) + bias, with the weight table a "
+        "FROZEN LITERAL in 1e-6 fixed-point units, so the whole score "
+        "is one exact integer sum and the only float op is the final "
+        "shared division. Hashing is xxhash64(word) pmod 64 — the "
+        "feature-hashing trick at its classic 2^k bucket size — and "
+        "the weight lookup is element_at on a 64-element literal "
+        "array: pure whole-stage-codegen, NO join for the weights. "
+        "Plan shape at 100 TB: one explode to (doc, word), map-side "
+        "bucket+lookup, one partial-aggregated groupBy(doc) — the "
+        "same single-shuffle profile as word counting; the numeric "
+        "features are row-local array functions on the document scan. "
+        "Oracle replays the hash through the recursive-CTE XXH64 twin "
+        "over DISTINCT words and the same literal weight list — "
+        "hash-exact, keep verdict and all."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w_arr = "array(" + ", ".join(f"{w}L" for w in _QC_W) + ")"
+    uni = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"element_at({w_arr}, CAST(pmod(xxhash64(w), {_QC_BUCKETS})"
+                " AS INT) + 1)"
+            ).alias("wt"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("wt").cast("bigint").alias("unigram_fp"))
+    )
+    words = F.split(F.col("text"), " ")
+    feats = t.documents.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_chars_words"),
+        F.size(F.filter(words, lambda w: w.isin(*_GOPHER_STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+    )
+    feature_fp = (
+        F.lit(_QC_C_WORD) * F.col("n_words")
+        + F.lit(_QC_C_STOP) * F.col("n_stopwords")
+        + F.lit(_QC_C_CHAR) * F.col("n_chars_words")
+        + F.lit(_QC_C_ALPHA) * F.col("n_alpha_words")
+        + F.lit(_QC_BIAS)
+    ).cast("bigint")
+    total = F.col("unigram_fp") + F.col("feature_fp")
+    return (
+        feats.join(uni, "doc_id")
+        .withColumn("feature_fp", feature_fp)
+        .select(
+            "doc_id",
+            "n_words",
+            "unigram_fp",
+            "feature_fp",
+            (total.cast("double") / F.lit(_QC_SCALE)).alias("score"),
+            (total >= 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
