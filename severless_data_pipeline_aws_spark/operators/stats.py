@@ -9390,3 +9390,396 @@ def stats_cvm_one_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({w2}) / (1.0 + 0.5 / CAST(n AS DOUBLE)) <= 0.461"
         ).alias("uniform_ok_95"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (SURVEY §2.19): four more exact-integer classical
+# tests — Jonckheere-Terpstra ordered-alternative trend, Bartels' rank
+# von Neumann randomness ratio, the Cox-Stuart sign trend test, and the
+# turning-points randomness test. All at calendar-bounded day grain
+# (the Kruskal/Friedman/Page contract: day tables are metadata at any
+# SF), all integer sums until one pinned final expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_jonckheere_terpstra_trend",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                        AS BIGINT) AS cond,
+                   CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events
+            GROUP BY 1, 2, 3
+        ),
+        jt AS (
+            SELECT CAST(SUM(CASE WHEN a.y < b.y THEN 2
+                                 WHEN a.y = b.y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS jt2
+            FROM obs a JOIN obs b ON a.cond < b.cond
+        ),
+        sizes AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+                   CAST(SUM(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+            FROM (SELECT cond, CAST(COUNT(*) AS BIGINT) AS ng
+                  FROM obs GROUP BY cond)
+        )
+        SELECT s.n AS n_obs,
+               j.jt2 AS jt_x2,
+               s.n * s.n - s.sn2 AS e_jt_x4,
+               s.n * s.n * (2 * s.n + 3) - s.sn23 AS var_jt_x72,
+               (CAST(j.jt2 AS DOUBLE) / 2.0
+                - CAST(s.n * s.n - s.sn2 AS DOUBLE) / 4.0)
+               / sqrt(CAST(s.n * s.n * (2 * s.n + 3) - s.sn23 AS DOUBLE)
+                      / 72.0) AS z_jt
+        FROM jt j CROSS JOIN sizes s
+    """,
+    doc=(
+        "ST98: Jonckheere-Terpstra test for ordered alternatives — the "
+        "trend-aware upgrade of Kruskal-Wallis: do daily activity "
+        "counts shift upward across ORDERED conditions (epoch-weekday "
+        "0..6, the Page's-L ordering convention)? JT = sum over "
+        "condition pairs a<b of Mann-Whitney exceedances; emitted as "
+        "the integer jt_x2 = 2*#(x_a<x_b) + #(ties), with the exact "
+        "null moments as integers too (e_jt_x4, tie-free var_jt_x72) "
+        "and one pinned z expression over them. The pair join runs at "
+        "the (type, day) COUNT grain — a calendar-bounded metadata "
+        "table at any SF — never at fact grain. Ties credited 1/2 via "
+        "the doubling trick; no floats anywhere until z."
+    ),
+    tags=("stats",),
+)
+def stats_jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    obs = (
+        t.events.groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7 AS BIGINT)"
+            ).alias("cond"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = obs.select(F.col("cond").alias("ca"), F.col("y").alias("ya"))
+    b = obs.select(F.col("cond").alias("cb"), F.col("y").alias("yb"))
+    jt = a.join(b, F.col("ca") < F.col("cb")).agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), 2)
+            .when(F.col("ya") == F.col("yb"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("jt2")
+    )
+    sizes = (
+        obs.groupBy("cond")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.expr("ng")).cast("bigint").alias("n"),
+            F.sum(F.expr("ng * ng")).cast("bigint").alias("sn2"),
+            F.sum(F.expr("ng * ng * (2 * ng + 3)")).cast("bigint").alias("sn23"),
+        )
+    )
+    return jt.crossJoin(sizes).select(
+        F.col("n").alias("n_obs"),
+        F.col("jt2").alias("jt_x2"),
+        F.expr("n * n - sn2").alias("e_jt_x4"),
+        F.expr("n * n * (2 * n + 3) - sn23").alias("var_jt_x72"),
+        F.expr(
+            "(CAST(jt2 AS DOUBLE) / 2.0 - CAST(n * n - sn2 AS DOUBLE) / 4.0)"
+            " / sqrt(CAST(n * n * (2 * n + 3) - sn23 AS DOUBLE) / 72.0)"
+        ).alias("z_jt"),
+    )
+
+
+@register(
+    "stats_bartels_rank_von_neumann",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        ranked AS (
+            SELECT event_type, day, y,
+                   CAST(2 * (SELECT COUNT(*) FROM daily d2
+                             WHERE d2.event_type = d.event_type AND d2.y < d.y)
+                        + (SELECT COUNT(*) FROM daily d2
+                           WHERE d2.event_type = d.event_type AND d2.y = d.y)
+                        + 1 AS BIGINT) AS r2
+            FROM daily d
+        ),
+        seq AS (
+            SELECT event_type, day, r2,
+                   lead(r2) OVER (PARTITION BY event_type ORDER BY day) AS r2n
+            FROM ranked
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN r2n IS NOT NULL
+                                 THEN (r2 - r2n) * (r2 - r2n) ELSE 0 END)
+                        AS BIGINT) AS nd,
+                   CAST(SUM(r2 * r2) AS BIGINT) AS sr2
+            FROM seq GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days, nd AS num_x4,
+               sr2 - n * (n + 1) * (n + 1) AS den_x4,
+               CAST(nd AS DOUBLE)
+                   / CAST(sr2 - n * (n + 1) * (n + 1) AS DOUBLE) AS rvn,
+               CAST(nd AS DOUBLE)
+                   / CAST(sr2 - n * (n + 1) * (n + 1) AS DOUBLE) < 2.0
+                   AS positive_autocorr
+        FROM agg
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST99: Bartels' rank von Neumann ratio — the rank-based "
+        "randomness test against serial correlation in each type's "
+        "daily series: RVN = sum of squared successive rank "
+        "differences over the centered rank sum of squares (null mean "
+        "2; < 2 means positive autocorrelation). Ranks are DOUBLED "
+        "midranks (the Spearman trick), which scales numerator and "
+        "denominator by the same 4, so both are exact integers — the "
+        "centered denominator collapses to sum(R^2) - n(n+1)^2 "
+        "because doubled midranks always sum to n(n+1) even under "
+        "ties. One shared division; the verdict compares the same "
+        "double. Day-grain midranks via the correlated-count subquery "
+        "(the Page's-L pattern) — metadata-scale at any SF."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_bartels_rank_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    # doubled midrank = 2*(#less) + (#equal) + 1, with #less = RANK - 1
+    # — both windows partition by event_type (5 partitions at day grain)
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.expr(
+            "CAST(2 * (RANK() OVER (PARTITION BY event_type ORDER BY y) - 1)"
+            " + COUNT(*) OVER (PARTITION BY event_type, y) + 1 AS BIGINT)"
+        ).alias("r2"),
+    )
+    seq = ranked.select(
+        "event_type",
+        "r2",
+        F.lead("r2").over(W.partitionBy("event_type").orderBy("day")).alias("r2n"),
+        "day",
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("r2n").isNotNull(),
+                (F.col("r2") - F.col("r2n")) * (F.col("r2") - F.col("r2n")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("nd"),
+        F.sum(F.expr("r2 * r2")).cast("bigint").alias("sr2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("nd").alias("num_x4"),
+        F.expr("sr2 - n * (n + 1) * (n + 1)").alias("den_x4"),
+        F.expr(
+            "CAST(nd AS DOUBLE) / CAST(sr2 - n * (n + 1) * (n + 1) AS DOUBLE)"
+        ).alias("rvn"),
+        F.expr(
+            "CAST(nd AS DOUBLE) / CAST(sr2 - n * (n + 1) * (n + 1) AS DOUBLE)"
+            " < 2.0"
+        ).alias("positive_autocorr"),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_cox_stuart_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        paired AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS s_plus,
+                   CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS s_minus
+            FROM daily a
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.i = a.i + a.n // 2
+            WHERE a.i <= a.n // 2
+            GROUP BY a.event_type
+        )
+        SELECT event_type, s_plus, s_minus, s_plus + s_minus AS m_untied,
+               CASE WHEN s_plus > s_minus THEN 'increasing'
+                    WHEN s_plus < s_minus THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM paired
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST100: Cox-Stuart sign trend test — pair each day in the "
+        "first half of a type's series with the day n/2 later and "
+        "count sign(second - first): the distribution-free trend "
+        "detector that needs NO ranks and no variance estimate (under "
+        "no trend, S+ ~ Binomial(m, 1/2)). Emitted values are pure "
+        "integer counts plus the categorical verdict; ties drop per "
+        "the classical treatment. The pairing is a self-equi-join on "
+        "the day index at calendar-bounded day grain. Complements "
+        "Mann-Kendall (which weighs ALL pairs) with the half-offset "
+        "pairing that is immune to seasonal midpoints."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    wd = W.partitionBy("event_type").orderBy("day")
+    daily = (
+        t.events.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .select(
+            "event_type",
+            "y",
+            F.row_number().over(wd).alias("i"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+    )
+    a = daily.select(
+        F.col("event_type"), F.col("y").alias("ya"), "i", "n"
+    ).filter(F.col("i") <= F.expr("n DIV 2"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("y").alias("yb"),
+        F.col("i").alias("ib"),
+    )
+    paired = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("ib") == F.col("i") + F.expr("n DIV 2")),
+    ).groupBy("event_type").agg(
+        F.sum(F.when(F.col("yb") > F.col("ya"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_plus"),
+        F.sum(F.when(F.col("yb") < F.col("ya"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_minus"),
+    )
+    return paired.select(
+        "event_type",
+        "s_plus",
+        "s_minus",
+        (F.col("s_plus") + F.col("s_minus")).alias("m_untied"),
+        F.when(F.col("s_plus") > F.col("s_minus"), "increasing")
+        .when(F.col("s_plus") < F.col("s_minus"), "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_turning_points_test",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        seq AS (
+            SELECT event_type, day, y,
+                   lag(y) OVER (PARTITION BY event_type ORDER BY day) AS yp,
+                   lead(y) OVER (PARTITION BY event_type ORDER BY day) AS yn
+            FROM daily
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                                  AND ((y > yp AND y > yn)
+                                       OR (y < yp AND y < yn))
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS t_pts
+            FROM seq GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days, t_pts AS turning_points,
+               2 * (n - 2) AS e_t_x3,
+               16 * n - 29 AS var_t_x90,
+               (CAST(t_pts AS DOUBLE) - CAST(2 * (n - 2) AS DOUBLE) / 3.0)
+                   / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0) AS z_t
+        FROM agg
+        ORDER BY event_type
+    """,
+    doc=(
+        "ST101: turning-points randomness test — count interior days "
+        "that are strict local maxima or minima of the type's daily "
+        "series; under i.i.d. exchangeability E[T] = 2(n-2)/3 and "
+        "Var[T] = (16n-29)/90, both emitted as EXACT integers "
+        "(e_t_x3, var_t_x90) beside the count, with one pinned z "
+        "expression. Too few turning points means trend/persistence, "
+        "too many means alternation — the eyeball 'does this series "
+        "wiggle like noise' check as a statistic. Ties break "
+        "turning-point status (strict inequalities), matching the "
+        "classical treatment. Two lag/lead windows per type at "
+        "calendar-bounded day grain."
+    ),
+    tags=("stats", "timeseries"),
+)
+def stats_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    wd = W.partitionBy("event_type").orderBy("day")
+    daily = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    seq = daily.select(
+        "event_type",
+        "y",
+        F.lag("y").over(wd).alias("yp"),
+        F.lead("y").over(wd).alias("yn"),
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("yp").isNotNull()
+                & F.col("yn").isNotNull()
+                & (
+                    ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+                    | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("t_pts"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("t_pts").alias("turning_points"),
+        F.expr("2 * (n - 2)").alias("e_t_x3"),
+        F.expr("16 * n - 29").alias("var_t_x90"),
+        F.expr(
+            "(CAST(t_pts AS DOUBLE) - CAST(2 * (n - 2) AS DOUBLE) / 3.0)"
+            " / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0)"
+        ).alias("z_t"),
+    ).orderBy("event_type")

@@ -4312,3 +4312,350 @@ def window_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_st, schema=schema)
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (SURVEY §2.19): four more classical TA windows on the
+# shared day-bar reduction, all with INTEGER cores — the multi-horizon
+# Ultimate Oscillator, Elder Ray bull/bear power, the Chandelier exit
+# (SMA-ATR variant), and the slow stochastic %K/%D. Same posture as the
+# r6/r7 families: one reduction to calendar-bounded fixed-point day
+# bars, every window partitions by event_type, integer sums until the
+# pinned final division(s).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ultimate_oscillator",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        seq AS (
+            SELECT event_type, day, h, l, c,
+                   lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+            FROM bars
+        ),
+        bp AS (
+            SELECT event_type, day, c,
+                   c - least(l, pc) AS bpd,
+                   greatest(h, pc) - least(l, pc) AS trd
+            FROM seq WHERE pc IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day, c,
+                   SUM(bpd) OVER w7 AS bp7, SUM(trd) OVER w7 AS tr7,
+                   SUM(bpd) OVER w14 AS bp14, SUM(trd) OVER w14 AS tr14,
+                   SUM(bpd) OVER w28 AS bp28, SUM(trd) OVER w28 AS tr28,
+                   COUNT(*) OVER w28 AS nw
+            FROM bp
+            WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                   w14 AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+                   w28 AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CASE WHEN tr7 = 0 OR tr14 = 0 OR tr28 = 0 THEN 50.0
+                    ELSE 100.0 * (4.0 * (CAST(bp7 AS DOUBLE) / CAST(tr7 AS DOUBLE))
+                                  + 2.0 * (CAST(bp14 AS DOUBLE) / CAST(tr14 AS DOUBLE))
+                                  + (CAST(bp28 AS DOUBLE) / CAST(tr28 AS DOUBLE)))
+                         / 7.0 END AS ultimate_osc
+        FROM win WHERE nw = 28
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W50: Ultimate Oscillator (Williams 1976) per event type's "
+        "daily bars — buying pressure bp = close - min(low, prev "
+        "close) and true range tr = max(high, prev close) - min(low, "
+        "prev close) are exact fixed-point integer differences; three "
+        "horizon sums (7/14/28) stay integer, and the 4:2:1 blend is "
+        "ONE pinned double expression tree over the three integer "
+        "ratios (flat horizons define UO = 50). Only full 28-row "
+        "windows emit, which also excludes the lag-null first bar. "
+        "The multi-horizon momentum composite the single-window "
+        "RSI/stochastic family can't see. Calendar-bounded per-type "
+        "day table — no fact-grain window at any scale."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_ultimate_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    seq = _bars(t).select(
+        "event_type", "day", "h", "l", "c", F.lag("c").over(wl).alias("pc")
+    ).filter(F.col("pc").isNotNull())
+    bp = seq.select(
+        "event_type",
+        "day",
+        "c",
+        (F.col("c") - F.least("l", "pc")).alias("bpd"),
+        (F.greatest("h", "pc") - F.least("l", "pc")).alias("trd"),
+    )
+    w7 = wl.rowsBetween(-6, W.currentRow)
+    w14 = wl.rowsBetween(-13, W.currentRow)
+    w28 = wl.rowsBetween(-27, W.currentRow)
+    win = bp.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("bpd").over(w7).alias("bp7"),
+        F.sum("trd").over(w7).alias("tr7"),
+        F.sum("bpd").over(w14).alias("bp14"),
+        F.sum("trd").over(w14).alias("tr14"),
+        F.sum("bpd").over(w28).alias("bp28"),
+        F.sum("trd").over(w28).alias("tr28"),
+        F.count(F.lit(1)).over(w28).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 28)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+            F.expr(
+                "CASE WHEN tr7 = 0 OR tr14 = 0 OR tr28 = 0 THEN 50.0"
+                " ELSE 100.0 * (4.0 * (CAST(bp7 AS DOUBLE) / CAST(tr7 AS DOUBLE))"
+                " + 2.0 * (CAST(bp14 AS DOUBLE) / CAST(tr14 AS DOUBLE))"
+                " + (CAST(bp28 AS DOUBLE) / CAST(tr28 AS DOUBLE))) / 7.0 END"
+            ).alias("ultimate_osc"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_elder_ray_power",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        win AS (
+            SELECT event_type, day, h, l, c,
+                   SUM(c) OVER w AS sc13,
+                   COUNT(*) OVER w AS nw
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(sc13 AS DOUBLE) / 130000.0 AS sma13,
+               CAST(13 * h - sc13 AS DOUBLE) / 130000.0 AS bull_power,
+               CAST(13 * l - sc13 AS DOUBLE) / 130000.0 AS bear_power,
+               13 * h - sc13 > 0 AND 13 * l - sc13 > 0 AS strong_bull,
+               13 * h - sc13 < 0 AND 13 * l - sc13 < 0 AS strong_bear
+        FROM win WHERE nw = 13
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W51: Elder Ray bull/bear power per event type's daily bars — "
+        "bull = high - SMA13(close), bear = low - SMA13(close), the "
+        "classic decomposition of where the day's extremes sit against "
+        "trend. The SMA division never happens in isolation: bull is "
+        "computed as the INTEGER numerator 13*high - sum(close) over "
+        "one shared /130000 division, so both powers (and the "
+        "strong-bull/strong-bear verdicts, decided on the raw "
+        "integers) are exact. Only full 13-row windows emit. "
+        "Calendar-bounded per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_elder_ray_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-12, W.currentRow)
+    win = _bars(t).select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        F.sum("c").over(w).alias("sc13"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 13)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(sc13 AS DOUBLE) / 130000.0").alias("sma13"),
+            F.expr("CAST(13 * h - sc13 AS DOUBLE) / 130000.0").alias("bull_power"),
+            F.expr("CAST(13 * l - sc13 AS DOUBLE) / 130000.0").alias("bear_power"),
+            F.expr("13 * h - sc13 > 0 AND 13 * l - sc13 > 0").alias("strong_bull"),
+            F.expr("13 * h - sc13 < 0 AND 13 * l - sc13 < 0").alias("strong_bear"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "window_chandelier_exit",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        seq AS (
+            SELECT event_type, day, h, l, c,
+                   lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+            FROM bars
+        ),
+        tr AS (
+            SELECT event_type, day, h, l, c,
+                   greatest(h, pc) - least(l, pc) AS trd
+            FROM seq WHERE pc IS NOT NULL
+        ),
+        win AS (
+            SELECT event_type, day, c,
+                   MAX(h) OVER w AS h22,
+                   MIN(l) OVER w AS l22,
+                   SUM(trd) OVER w AS str22,
+                   COUNT(*) OVER w AS nw
+            FROM tr
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(c AS DOUBLE) / 10000.0 AS close,
+               CAST(22 * h22 - 3 * str22 AS DOUBLE) / 220000.0 AS chandelier_long,
+               CAST(22 * l22 + 3 * str22 AS DOUBLE) / 220000.0 AS chandelier_short,
+               22 * c < 22 * h22 - 3 * str22 AS long_stop_hit,
+               22 * c > 22 * l22 + 3 * str22 AS short_stop_hit
+        FROM win WHERE nw = 22
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W52: Chandelier exit (SMA-ATR variant) per event type's daily "
+        "bars — the trailing volatility stop: long exit = 22-day high "
+        "- 3*ATR22, short exit = 22-day low + 3*ATR22. The ATR "
+        "division is never taken alone: the stop is the INTEGER "
+        "numerator 22*h22 - 3*sum(TR) over one shared /220000 "
+        "division, and the stop-hit verdicts compare raw integers "
+        "(22*close vs the numerator), so every output is exact. TR "
+        "needs the previous close, so the lag-null first bar never "
+        "enters; only full 22-row windows emit. Calendar-bounded "
+        "per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    seq = _bars(t).select(
+        "event_type", "day", "h", "l", "c", F.lag("c").over(wl).alias("pc")
+    ).filter(F.col("pc").isNotNull())
+    tr = seq.select(
+        "event_type",
+        "day",
+        "h",
+        "l",
+        "c",
+        (F.greatest("h", "pc") - F.least("l", "pc")).alias("trd"),
+    )
+    w = wl.rowsBetween(-21, W.currentRow)
+    win = tr.select(
+        "event_type",
+        "day",
+        "c",
+        F.max("h").over(w).alias("h22"),
+        F.min("l").over(w).alias("l22"),
+        F.sum("trd").over(w).alias("str22"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    return (
+        win.filter(F.col("nw") == 22)
+        .select(
+            "event_type",
+            "day",
+            F.expr("CAST(c AS DOUBLE) / 10000.0").alias("close"),
+            F.expr(
+                "CAST(22 * h22 - 3 * str22 AS DOUBLE) / 220000.0"
+            ).alias("chandelier_long"),
+            F.expr(
+                "CAST(22 * l22 + 3 * str22 AS DOUBLE) / 220000.0"
+            ).alias("chandelier_short"),
+            F.expr("22 * c < 22 * h22 - 3 * str22").alias("long_stop_hit"),
+            F.expr("22 * c > 22 * l22 + 3 * str22").alias("short_stop_hit"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+#: slow-stochastic %K — shared double expression over exact integers
+_SLOW_K = (
+    "CASE WHEN h14 = l14 THEN 50.0"
+    " ELSE 100.0 * CAST(c - l14 AS DOUBLE) / CAST(h14 - l14 AS DOUBLE) END"
+)
+
+
+@register(
+    "window_stochastic_slow_kd",
+    oracle=f"""
+        WITH {_BARS_SQL},
+        win AS (
+            SELECT event_type, day, c,
+                   MIN(l) OVER w AS l14,
+                   MAX(h) OVER w AS h14,
+                   COUNT(*) OVER w AS nw
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ),
+        k AS (
+            SELECT event_type, day, {_SLOW_K} AS pct_k
+            FROM win WHERE nw = 14
+        ),
+        kd AS (
+            SELECT event_type, day, pct_k,
+                   lag(pct_k, 1) OVER wo AS k1,
+                   lag(pct_k, 2) OVER wo AS k2
+            FROM k
+            WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, pct_k,
+               ((pct_k + k1) + k2) / 3.0 AS pct_d,
+               pct_k > ((pct_k + k1) + k2) / 3.0 AS k_above_d
+        FROM kd WHERE k2 IS NOT NULL
+        ORDER BY event_type, day
+    """,
+    doc=(
+        "W53: slow stochastic %K/%D per event type's daily bars — %K "
+        "is the 14-day range position (the fast %K of W26, same "
+        "integer core, flat windows pinned at 50) and %D is its 3-day "
+        "simple smoothing. %D is deliberately NOT a float window sum "
+        "(those fold in engine-chosen order): it is the pinned "
+        "expression ((k + lag1(k)) + lag2(k)) / 3 — a fixed "
+        "left-associated tree over three identical doubles, so both "
+        "engines round identically. The %K>%D crossover verdict "
+        "compares the same two doubles. Emits only where both lags "
+        "exist inside the full-window region. Calendar-bounded "
+        "per-type day table."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_stochastic_slow_kd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-13, W.currentRow)
+    win = _bars(t).select(
+        "event_type",
+        "day",
+        "c",
+        F.min("l").over(w).alias("l14"),
+        F.max("h").over(w).alias("h14"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    k = win.filter(F.col("nw") == 14).select(
+        "event_type", "day", F.expr(_SLOW_K).alias("pct_k")
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    kd = k.select(
+        "event_type",
+        "day",
+        "pct_k",
+        F.lag("pct_k", 1).over(wo).alias("k1"),
+        F.lag("pct_k", 2).over(wo).alias("k2"),
+    )
+    return (
+        kd.filter(F.col("k2").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "pct_k",
+            F.expr("((pct_k + k1) + k2) / 3.0").alias("pct_d"),
+            F.expr("pct_k > ((pct_k + k1) + k2) / 3.0").alias("k_above_d"),
+        )
+        .orderBy("event_type", "day")
+    )
