@@ -2556,3 +2556,309 @@ def dq_sequence_monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (SURVEY §2.19): three more DQ audits — the
+# second-digit Benford screen, a declared functional-dependency audit,
+# and Tukey-fence outlier days on the exact integer-hinge path.
+# ---------------------------------------------------------------------------
+
+#: Benford second-significant-digit expectations P(d2) =
+#: sum over d1 of log10(1 + 1/(10*d1 + d2)) — Python-precomputed
+#: literals shared by both engines (the first-digit op's contract)
+_BENFORD2_P = {
+    0: "0.11967926859688073", 1: "0.1138901034075564",
+    2: "0.10882149900550823", 3: "0.10432956023095939",
+    4: "0.10030820226757937", 5: "0.09667723580232243",
+    6: "0.09337473578303615", 7: "0.09035198926960332",
+    8: "0.08757005357886138", 9: "0.08499735205769224",
+}
+#: e-notation pins the literal to DOUBLE in both engines (DuckDB parses
+#: a bare decimal literal as DECIMAL and double-rounds on the cast)
+_BENFORD2_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p}e0 AS DOUBLE)" for d, p in _BENFORD2_P.items()
+) + " END"
+
+
+@register(
+    "dq_benford_second_digit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 2, 1) AS INTEGER) AS digit
+            FROM orders
+            WHERE floor(o_totalprice) >= 10
+        ),
+        counts AS (
+            SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT SUM(n) AS total FROM counts)
+        SELECT digit,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_share,
+               {_BENFORD2_CASE} AS benford_share,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - {_BENFORD2_CASE}
+                 AS deviation
+        FROM counts, tot
+    """,
+    doc=(
+        "Benford's-law SECOND-digit audit of order values — the "
+        "forensic follow-up to the first-digit screen: second digits "
+        "are nearly flat (11.97% for 0 down to 8.50% for 9), so "
+        "round-number fabrication (trailing 0/5 padding) shows here "
+        "when the first-digit test passes. Digit extracted on the "
+        "integer path (floor -> BIGINT -> second char, values < 10 "
+        "excluded); the ten expectations are Python-precomputed "
+        "literals shared by both engines. One map-side-combined "
+        "aggregate + a broadcast 1-row total."
+    ),
+    tags=("dq",),
+)
+def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    digits = t.orders.filter(
+        F.expr("floor(o_totalprice) >= 10")
+    ).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+            " 2, 1) AS INT) AS digit"
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "observed_share"
+        ),
+        F.expr(_BENFORD2_CASE).alias("benford_share"),
+        (
+            F.col("n").cast("double") / F.col("total").cast("double")
+            - F.expr(_BENFORD2_CASE)
+        ).alias("deviation"),
+    )
+
+
+#: declared within-table functional dependencies to audit:
+#: (slug, table, determinant col, dependent col). The list deliberately
+#: mixes FDs that HOLD on TPC-H-shaped data (nation/region keys,
+#: lineitem FK-derived) with ones that do NOT (a nation does not pin a
+#: market segment), so the audit's verdict column is non-vacuous.
+_FD_RULES = (
+    ("nation_region", "nation", "n_nationkey", "n_regionkey"),
+    ("customer_nation_segment", "customer", "c_nationkey", "c_mktsegment"),
+    ("orders_cust_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem_order_shipdate", "lineitem", "l_orderkey", "l_shipdate"),
+    ("supplier_nation", "supplier", "s_suppkey", "s_nationkey"),
+)
+
+
+def _fd_audit_oracle() -> str:
+    parts = []
+    for slug, tbl, det, dep in _FD_RULES:
+        parts.append(f"""
+        SELECT '{slug}' AS fd_rule,
+               CAST(COUNT(*) AS BIGINT) AS n_determinants,
+               CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_determinants,
+               CAST(SUM(CASE WHEN n_dep > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS n_rows_in_violation,
+               SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (
+            SELECT {det},
+                   CAST(COUNT(DISTINCT {dep}) AS BIGINT) AS n_dep,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM {tbl} GROUP BY {det}
+        )""")
+    return " UNION ALL ".join(parts) + " ORDER BY fd_rule"
+
+
+@register(
+    "dq_functional_dependency_audit",
+    oracle=_fd_audit_oracle(),
+    doc=(
+        "Declared functional-dependency audit — for each rule "
+        "determinant -> dependent, count determinant values bound to "
+        "more than one distinct dependent (the FD violation), the "
+        "rows they cover, and the holds verdict. The rule list mixes "
+        "true FDs (key-determined columns: supplier_nation, "
+        "nation_region) with deliberately false ones "
+        "(customer_nation_segment: a nation does NOT pin a market "
+        "segment), so both verdict values appear. Each rule is one "
+        "two-level aggregation — groupBy(determinant) with a distinct "
+        "count, then one summary row — map-side combined, no joins; "
+        "the five rules union into a single report. The schema-"
+        "on-read world's answer to relational theory's normalization "
+        "check, and the audit that catches silent denormalization "
+        "drift in a 100 TB lake."
+    ),
+    tags=("dq",),
+)
+def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    out = None
+    for slug, tbl, det, dep in _FD_RULES:
+        per_det = (
+            getattr(t, tbl)
+            .groupBy(det)
+            .agg(
+                F.countDistinct(dep).cast("bigint").alias("n_dep"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+        summary = per_det.agg(
+            F.lit(slug).alias("fd_rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_determinants"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_determinants"),
+            F.sum(F.when(F.col("n_dep") > 1, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_in_violation"),
+            (
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)) == 0
+            ).alias("holds"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out.orderBy("fd_rule")
+
+
+@register(
+    "dq_tukey_fence_outlier_days",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority, o_orderdate AS day,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM orders GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT priority, day, rev_c,
+                   row_number() OVER (PARTITION BY priority ORDER BY rev_c, day)
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY priority) AS n
+            FROM daily
+        ),
+        hingepos AS (
+            SELECT priority, n,
+                   (n + 3) // 2 // 2 AS lo_i,
+                   ((n + 3) // 2 % 2) AS lo_frac,
+                   n + 1 - ((n + 3) // 2 // 2) - ((n + 3) // 2 % 2) AS hi_i
+            FROM (SELECT DISTINCT priority, n FROM ranked)
+        ),
+        hinges AS (
+            SELECT h.priority,
+                   CAST(MAX(CASE WHEN r.i = h.lo_i THEN r.rev_c END)
+                        + MAX(CASE WHEN r.i = h.lo_i + h.lo_frac
+                                   THEN r.rev_c END) AS BIGINT) AS h1_x2,
+                   CAST(MAX(CASE WHEN r.i = h.hi_i THEN r.rev_c END)
+                        + MAX(CASE WHEN r.i = h.hi_i + h.lo_frac
+                                   THEN r.rev_c END) AS BIGINT) AS h3_x2
+            FROM hingepos h JOIN ranked r ON r.priority = h.priority
+            GROUP BY h.priority
+        )
+        SELECT d.priority, d.day,
+               CAST(d.rev_c AS DOUBLE) / 100.0 AS daily_revenue,
+               CAST(h.h1_x2 AS DOUBLE) / 200.0 AS q1_hinge,
+               CAST(h.h3_x2 AS DOUBLE) / 200.0 AS q3_hinge,
+               4 * d.rev_c < 5 * h.h1_x2 - 3 * h.h3_x2 AS below_fence,
+               4 * d.rev_c > 5 * h.h3_x2 - 3 * h.h1_x2 AS above_fence
+        FROM daily d JOIN hinges h ON h.priority = d.priority
+        WHERE 4 * d.rev_c < 5 * h.h1_x2 - 3 * h.h3_x2
+           OR 4 * d.rev_c > 5 * h.h3_x2 - 3 * h.h1_x2
+        ORDER BY d.priority, d.day
+    """,
+    doc=(
+        "Tukey-fence outlier days — per order priority, flag days "
+        "whose revenue falls outside [H1 - 1.5*IQR, H3 + 1.5*IQR]. "
+        "Exactness comes from never materializing a quartile as a "
+        "float: Tukey HINGES at position (n+3)/2 / 2 are either a "
+        "data point or the average of two adjacent ones, so DOUBLED "
+        "hinges (h1_x2, h3_x2) are exact integer cents, and both "
+        "fences clear the remaining 1.5 factor by comparing "
+        "4*value against 5*h1_x2 - 3*h3_x2 — pure integer "
+        "comparisons; the only divisions are display columns. Daily "
+        "revenue per priority is calendar-bounded day grain, windows "
+        "partition by priority, and the hinge selection is two "
+        "conditional MAXes over the ranked day table — no percentile "
+        "function of either engine is trusted anywhere."
+    ),
+    tags=("dq", "stats"),
+)
+def dq_tukey_fence_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    wr = W.partitionBy("priority").orderBy("rev_c", "day")
+    ranked = daily.select(
+        "priority",
+        "day",
+        "rev_c",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("priority")).alias("n"),
+    )
+    hingepos = ranked.select("priority", "n").distinct().select(
+        "priority",
+        F.expr("(n + 3) DIV 2 DIV 2").alias("lo_i"),
+        F.expr("((n + 3) DIV 2) % 2").alias("lo_frac"),
+        F.expr("n + 1 - ((n + 3) DIV 2 DIV 2) - (((n + 3) DIV 2) % 2)").alias(
+            "hi_i"
+        ),
+    )
+    hinges = (
+        hingepos.join(ranked.select("priority", "i", "rev_c"), "priority")
+        .groupBy("priority")
+        .agg(
+            (
+                F.max(F.when(F.col("i") == F.col("lo_i"), F.col("rev_c")))
+                + F.max(
+                    F.when(
+                        F.col("i") == F.col("lo_i") + F.col("lo_frac"),
+                        F.col("rev_c"),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("h1_x2"),
+            (
+                F.max(F.when(F.col("i") == F.col("hi_i"), F.col("rev_c")))
+                + F.max(
+                    F.when(
+                        F.col("i") == F.col("hi_i") + F.col("lo_frac"),
+                        F.col("rev_c"),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("h3_x2"),
+        )
+    )
+    return (
+        daily.join(hinges, "priority")
+        .filter(
+            F.expr(
+                "4 * rev_c < 5 * h1_x2 - 3 * h3_x2"
+                " OR 4 * rev_c > 5 * h3_x2 - 3 * h1_x2"
+            )
+        )
+        .select(
+            "priority",
+            "day",
+            F.expr("CAST(rev_c AS DOUBLE) / 100.0").alias("daily_revenue"),
+            F.expr("CAST(h1_x2 AS DOUBLE) / 200.0").alias("q1_hinge"),
+            F.expr("CAST(h3_x2 AS DOUBLE) / 200.0").alias("q3_hinge"),
+            F.expr("4 * rev_c < 5 * h1_x2 - 3 * h3_x2").alias("below_fence"),
+            F.expr("4 * rev_c > 5 * h3_x2 - 3 * h1_x2").alias("above_fence"),
+        )
+        .orderBy("priority", "day")
+    )

@@ -2063,3 +2063,196 @@ def graph_harmonic_centrality_bounded(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (SURVEY §2.19): per-node local clustering and the
+# weighted average-neighbor-degree (knn) curve — the node-grain
+# companions to the global transitivity and assortativity ops.
+# ---------------------------------------------------------------------------
+
+#: shared SQL preamble: the high-value nation co-trade graph as an
+#: ordered distinct edge list (the triangle/katz/clustering contract)
+_CO_EDGE_SQL = """
+        co AS (
+            SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_totalprice > 400000
+        ),
+        e AS (
+            SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+            FROM co WHERE a <> b GROUP BY 1, 2
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        )
+"""
+
+
+def _co_edges(t: Tables):
+    """Spark twin of ``_CO_EDGE_SQL``: (ordered edge list, degree table)."""
+    co = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    e = (
+        co.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    return e, deg
+
+
+@register(
+    "graph_local_clustering_per_node",
+    oracle=f"""
+        WITH {_CO_EDGE_SQL},
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+        ),
+        tv AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.node, d.d AS degree,
+               CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.d < 2 THEN 0.0
+                    ELSE 2.0 * CAST(COALESCE(tv.n_tri, 0) AS DOUBLE)
+                         / CAST(d.d * (d.d - 1) AS DOUBLE) END AS c_local
+        FROM deg d LEFT JOIN tv ON tv.node = d.node
+        ORDER BY d.node
+    """,
+    doc=(
+        "G25: per-node LOCAL clustering coefficient of the nation "
+        "co-trade graph — c(v) = 2*tri(v) / (d(v)*(d(v)-1)), the "
+        "node-grain refinement of the global transitivity op: it "
+        "locates WHERE the graph is cliquish, which is what decides "
+        "whether a specific node's 2-hop neighborhood join explodes. "
+        "Each ordered triangle (x<y<z) from the 3-join credits all "
+        "three member nodes via one union-all + count; degree-<2 "
+        "nodes pin c = 0 per the classical convention. Integer "
+        "counts until one shared division. Everything after the "
+        "distinct edge list is metadata-scale."
+    ),
+    tags=("graph",),
+)
+def graph_local_clustering_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e, deg = _co_edges(t)
+    e = e.persist()
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tv = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.join(tv, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN d < 2 THEN 0.0"
+                " ELSE 2.0 * CAST(COALESCE(n_tri, 0) AS DOUBLE)"
+                " / CAST(d * (d - 1) AS DOUBLE) END"
+            ).alias("c_local"),
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_knn_degree_correlation",
+    oracle=f"""
+        WITH {_CO_EDGE_SQL},
+        se AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        nbr AS (
+            SELECT se.u AS node,
+                   CAST(SUM(dn.d) AS BIGINT) AS snd
+            FROM se JOIN deg dn ON dn.node = se.v
+            GROUP BY se.u
+        )
+        SELECT d.d AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(n.snd) AS BIGINT) AS sum_neighbor_degrees,
+               CAST(SUM(d.d) AS BIGINT) AS sum_degrees,
+               CAST(SUM(n.snd) AS DOUBLE) / CAST(SUM(d.d) AS DOUBLE)
+                   AS knn_weighted
+        FROM deg d JOIN nbr n ON n.node = d.node
+        GROUP BY d.d
+        ORDER BY degree
+    """,
+    doc=(
+        "G26: average-neighbor-degree curve knn(k) — for each degree "
+        "class, the edge-weighted mean degree of neighbors: rising "
+        "knn(k) = assortative (hubs prefer hubs), falling = "
+        "disassortative (hubs fan out to leaves) — the CURVE behind "
+        "the single assortativity coefficient, and the shape that "
+        "predicts hub-key skew in neighborhood joins. The weighted "
+        "form sum(neighbor degrees) / sum(degrees) per class is an "
+        "exact integer ratio (the unweighted mean-of-ratios would be "
+        "an order-dependent float sum and is deliberately avoided). "
+        "One symmetric edge expansion, one degree equi-join, two "
+        "integer aggregations, one shared division per class."
+    ),
+    tags=("graph",),
+)
+def graph_knn_degree_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e, deg = _co_edges(t)
+    se = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbr = (
+        se.join(deg.select(F.col("node").alias("v"), "d"), "v")
+        .groupBy("u")
+        .agg(F.sum("d").cast("bigint").alias("snd"))
+        .select(F.col("u").alias("node"), "snd")
+    )
+    return (
+        deg.join(nbr, "node")
+        .groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("snd").cast("bigint").alias("sum_neighbor_degrees"),
+            F.sum("d").cast("bigint").alias("sum_degrees"),
+        )
+        .select(
+            "degree",
+            "n_nodes",
+            "sum_neighbor_degrees",
+            "sum_degrees",
+            (
+                F.col("sum_neighbor_degrees").cast("double")
+                / F.col("sum_degrees").cast("double")
+            ).alias("knn_weighted"),
+        )
+        .orderBy("degree")
+    )
