@@ -2003,3 +2003,261 @@ def multimodal_srt_cue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end1_ms <= start2_ms AS no_overlap",
         "end2_ms - start1_ms AS total_span_ms",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 container tiers: TAR (ustar) with genuine checksum
+# verification, and a little-endian TIFF IFD walk.
+# ---------------------------------------------------------------------------
+
+_TAR_LIMIT = 300
+
+#: ascii sum of every FIXED header character (NULs contribute 0):
+#: name letters 'doc'+'.txt', mode '0000644', uid+gid '0000000' x2,
+#: size '00000000020', checksum-as-8-spaces, typeflag '0', 'ustar'+'00',
+#: uname+gname 'root' x2, devmajor+devminor '0000000' x2  == 4795
+_TAR_FIXED_SUM = 4795
+
+_ASCII_SUM = (
+    lambda s, n: f"aggregate(transform(sequence(1, {n}),"  # noqa: E731
+    f" i -> ascii(substr({s}, i, 1))), 0, (a, x) -> a + x)"
+)
+
+
+def synthesize_tar_media(spark: SparkSession, sf_dir: str, limit: int = _TAR_LIMIT) -> DataFrame:
+    """(doc_id, payload): one byte-valid POSIX ustar member — a
+    512-byte header (name docNNNNNNNN.txt, mode 0644, size 020 octal =
+    16 bytes, mtime 1500000000+doc_id in octal, REAL checksum: sum of
+    header bytes with the checksum field as 8 spaces, per the tar
+    spec) followed by one 512-byte data block whose first 16 bytes are
+    the raw md5 digest of the document text. 1024 bytes total."""
+    t = Tables(spark, sf_dir)
+    did = "lpad(CAST(doc_id AS STRING), 8, '0')"
+    mtime_oct = "lpad(conv(CAST(1500000000 + doc_id AS STRING), 10, 8), 11, '0')"
+    chksum = (
+        f"({_TAR_FIXED_SUM} + {_ASCII_SUM(did, 8)} + {_ASCII_SUM(mtime_oct, 11)})"
+    )
+    chksum_oct = f"lpad(conv(CAST({chksum} AS STRING), 10, 8), 6, '0')"
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        "text",
+        f"""unhex(concat(
+            rpad(hex(concat('doc', {did}, '.txt')), 200, '0'),
+            hex('0000644'), '00',
+            hex('0000000'), '00',
+            hex('0000000'), '00',
+            hex('00000000020'), '00',
+            hex({mtime_oct}), '00',
+            hex({chksum_oct}), '00', '20',
+            '30',
+            repeat('00', 100),
+            hex('ustar'), '00', '3030',
+            rpad(hex('root'), 64, '0'),
+            rpad(hex('root'), 64, '0'),
+            hex('0000000'), '00',
+            hex('0000000'), '00',
+            repeat('00', 167),
+            rpad(md5(text), 1024, '0'))) AS payload""",
+    )
+
+
+@register(
+    "multimodal_tar_ustar_parse",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(1024 AS BIGINT) AS total_len,
+               'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt'
+                   AS member_name,
+               CAST(420 AS BIGINT) AS mode_dec,
+               CAST(16 AS BIGINT) AS size_bytes,
+               CAST(1500000000 + doc_id AS BIGINT) AS mtime_epoch,
+               '0' AS typeflag,
+               TRUE AS magic_ok,
+               CAST({_TAR_FIXED_SUM}
+                    + list_sum(list_transform(range(1, 9), i ->
+                        ascii(substr(lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+                                     CAST(i AS INT), 1))))
+                    + list_sum(list_transform(range(1, 12), i ->
+                        ascii(substr(lpad(to_base(1500000000 + doc_id, 8), 11,
+                                          '0'), CAST(i AS INT), 1))))
+                    AS BIGINT) AS checksum_stored,
+               TRUE AS checksum_ok,
+               TRUE AS data_digest_ok
+        FROM documents WHERE doc_id < {_TAR_LIMIT}
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5u: TAR (POSIX ustar) member parse — the archive tier with "
+        "the format's famous twist: every numeric field is an OCTAL "
+        "ASCII string, and the header carries a real checksum (sum of "
+        "all 512 header bytes with the checksum field read as 8 "
+        "spaces). The parse is the genuine untar walk: read name up "
+        "to its NUL terminator, conv() the octal mode/size/mtime/"
+        "checksum fields to integers, verify magic 'ustar', then "
+        "RECOMPUTE the checksum by summing all 512 payload bytes, "
+        "subtracting the checksum field's own bytes and adding 8 "
+        "spaces — an independent arithmetic path from the synthesis "
+        "(which builds it from precomputed character sums), so "
+        "checksum_ok is a genuine cross-check, not an echo. The data "
+        "block's digest is re-verified against md5(text). All "
+        "byte-weighted sums and higher-order array folds — map-only, "
+        "whole-stage codegen, zero shuffle."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_tar_ustar_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_tar_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+    hdr_sum = (
+        "aggregate(transform(sequence(1, 512),"
+        f" i -> CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    chk_field_sum = (
+        "aggregate(transform(sequence(149, 156),"
+        f" i -> CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    stored = "CAST(conv(substr(CAST(substring(payload, 149, 6) AS STRING), 1, 6), 8, 10) AS BIGINT)"
+    return media.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+        "substring_index(CAST(substring(payload, 1, 100) AS STRING),"
+        " chr(0), 1) AS member_name",
+        "CAST(conv(CAST(substring(payload, 101, 7) AS STRING), 8, 10)"
+        " AS BIGINT) AS mode_dec",
+        "CAST(conv(CAST(substring(payload, 125, 11) AS STRING), 8, 10)"
+        " AS BIGINT) AS size_bytes",
+        "CAST(conv(CAST(substring(payload, 137, 11) AS STRING), 8, 10)"
+        " AS BIGINT) AS mtime_epoch",
+        "CAST(substring(payload, 157, 1) AS STRING) AS typeflag",
+        "CAST(substring(payload, 258, 5) AS STRING) = 'ustar' AND"
+        f" {b(263)} = 0 AS magic_ok",
+        f"{stored} AS checksum_stored",
+        f"{hdr_sum} - {chk_field_sum} + 8 * 32 = {stored} AS checksum_ok",
+        "lower(hex(substring(payload, 513, 16))) = md5(text)"
+        " AS data_digest_ok",
+    ).orderBy("doc_id")
+
+
+_TIFF_LIMIT = 300
+
+
+def synthesize_tiff_media(spark: SparkSession, sf_dir: str, limit: int = _TIFF_LIMIT) -> DataFrame:
+    """(doc_id, payload): a byte-valid little-endian TIFF header + one
+    IFD with four SHORT entries (ImageWidth 0x0100, ImageLength
+    0x0101, BitsPerSample 0x0102, PhotometricInterpretation 0x0106)
+    and a zero next-IFD pointer. 62 bytes; width/height derive from
+    (doc_id, n_chars)."""
+    t = Tables(spark, sf_dir)
+    le16 = lambda v: (  # noqa: E731
+        f"concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        f" substr(lpad(hex({v}), 4, '0'), 1, 2))"
+    )
+    le32 = lambda v: (  # noqa: E731
+        f"concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        f" substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        f" substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        f" substr(lpad(hex({v}), 8, '0'), 1, 2))"
+    )
+    entry = lambda tag, val: (  # noqa: E731
+        f"{le16(str(tag))}, {le16('3')}, {le32('1')}, {le32(val)}"
+    )
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        f"""unhex(concat(
+            '4949', '2A00', {le32('8')},
+            {le16('4')},
+            {entry(256, '16 + doc_id % 64')},
+            {entry(257, '8 + n_chars % 32')},
+            {entry(258, '8')},
+            {entry(262, '1')},
+            {le32('0')})) AS payload""",
+    )
+
+
+@register(
+    "multimodal_tiff_ifd_parse",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(62 AS BIGINT) AS total_len,
+               'II' AS byte_order,
+               TRUE AS magic42_ok,
+               CAST(8 AS BIGINT) AS ifd_offset,
+               CAST(4 AS BIGINT) AS n_entries,
+               CAST(16 + doc_id % 64 AS BIGINT) AS width,
+               CAST(8 + n_chars % 32 AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bits_per_sample,
+               CAST(1 AS BIGINT) AS photometric,
+               TRUE AS next_ifd_zero
+        FROM documents WHERE doc_id < {_TIFF_LIMIT}
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5v: TIFF IFD walk — the second little-endian container "
+        "tier, and the first with a directory of TAGGED entries "
+        "rather than fixed offsets: the parse reads byte order 'II', "
+        "verifies magic 42, follows the IFD pointer it READ (not a "
+        "hard-coded position), reads the entry count, then scans the "
+        "12-byte entries BY TAG — width is 'the value whose tag is "
+        "0x0100', located with a higher-order filter() over the "
+        "entry array, exactly how a real TIFF reader resolves tags "
+        "in any order — and confirms the next-IFD pointer is zero. "
+        "LE reads are byte-weighted conv() sums; the tag scan is "
+        "transform(sequence)+filter inside whole-stage codegen. "
+        "Map-only, zero shuffle; the oracle predicts every field "
+        "from the synthesis arithmetic."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_tiff_ifd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_tiff_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+    le16 = lambda pos: f"({b(pos)} + 256 * {b(pos + 1)})"  # noqa: E731
+    le32 = lambda pos: (  # noqa: E731
+        f"({b(pos)} + 256 * {b(pos + 1)} + 65536 * {b(pos + 2)}"
+        f" + 16777216 * {b(pos + 3)})"
+    )
+    # dynamic LE16 at a computed (string-expr) 1-based offset
+    ble = (
+        lambda off: "(CAST(conv(hex(substring(payload, "  # noqa: E731
+        + off
+        + ", 1)), 16, 10) AS BIGINT) + 256 * CAST(conv(hex(substring(payload, "
+        + off
+        + " + 1, 1)), 16, 10) AS BIGINT))"
+    )
+    ifd = le32(5)  # 0-based IFD offset read from the header
+    n = ble(f"{ifd} + 1")
+    # entry i (0-based): tag = LE16 at ifd+2+12*i, value = LE16 at +8
+    entries = (
+        f"transform(sequence(0, CAST({n} AS INT) - 1), i -> struct("
+        + ble(f"{ifd} + 3 + 12 * i")
+        + " AS tag, "
+        + ble(f"{ifd} + 3 + 12 * i + 8")
+        + " AS val))"
+    )
+    tagval = (
+        lambda tag: f"element_at(filter({entries}, e -> e.tag = {tag}), 1).val"  # noqa: E731
+    )
+    bs = (
+        lambda off: "CAST(conv(hex(substring(payload, "  # noqa: E731
+        + off
+        + ", 1)), 16, 10) AS BIGINT)"
+    )
+    ble32 = lambda off: (  # noqa: E731
+        f"({bs(off)} + 256 * {bs(off + ' + 1')}"
+        f" + 65536 * {bs(off + ' + 2')} + 16777216 * {bs(off + ' + 3')})"
+    )
+    return media.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+        "CAST(substring(payload, 1, 2) AS STRING) AS byte_order",
+        f"{le16(3)} = 42 AS magic42_ok",
+        f"{ifd} AS ifd_offset",
+        f"CAST({n} AS BIGINT) AS n_entries",
+        f"CAST({tagval(256)} AS BIGINT) AS width",
+        f"CAST({tagval(257)} AS BIGINT) AS height",
+        f"CAST({tagval(258)} AS BIGINT) AS bits_per_sample",
+        f"CAST({tagval(262)} AS BIGINT) AS photometric",
+        f"{ble32(f'({ifd} + 3 + 12 * {n})')} = 0 AS next_ifd_zero",
+    ).orderBy("doc_id")
