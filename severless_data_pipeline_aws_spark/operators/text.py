@@ -3392,3 +3392,131 @@ def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# --- X4ak: per-document LM quality score (KN perplexity proxy, r9) ----------
+
+_KN_DOC_THRESHOLD = "0.0345e0"  # mean-probability band edge, e0-pinned
+
+
+@register(
+    "text_kn_doc_quality_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bgp AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> struct_pack(pos := i, u := t[i], w := t[i + 1])))
+                       AS s
+            FROM toks
+        ),
+        inst AS (
+            SELECT doc_id, s.pos AS pos, s.u AS u, s.w AS w
+            FROM bgp WHERE s.w IS NOT NULL
+        ),
+        cuw AS (
+            SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cuw
+            FROM inst GROUP BY u, w
+        ),
+        cu AS (SELECT u, CAST(SUM(cuw) AS BIGINT) AS cu,
+                      CAST(COUNT(*) AS BIGINT) AS n1u
+               FROM cuw GROUP BY u),
+        cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM cuw GROUP BY w),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM cuw),
+        probs AS (
+            SELECT c.u, c.w, {_KN_P} AS p_kn
+            FROM cuw c JOIN cu USING (u) JOIN cw USING (w), tt
+        ),
+        scored AS (
+            SELECT i.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   list_reduce(list_prepend(0.0, list(p.p_kn ORDER BY i.pos)),
+                               (a, x) -> a + x) AS sum_p
+            FROM inst i JOIN probs p ON p.u = i.u AND p.w = i.w
+            GROUP BY i.doc_id
+        )
+        SELECT doc_id, n_bigrams, sum_p,
+               sum_p / CAST(n_bigrams AS DOUBLE) AS mean_p,
+               sum_p / CAST(n_bigrams AS DOUBLE)
+                   >= CAST({_KN_DOC_THRESHOLD} AS DOUBLE) AS fluent
+        FROM scored
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X4ak: per-document language-model quality score — the "
+        "perplexity-proxy filter every curation stack runs, expressed "
+        "WITHOUT ln/exp (the engine-divergent functions the oracle "
+        "contract bans): score(doc) = mean interpolated Kneser-Ney "
+        "bigram probability of the document under the corpus LM. Low "
+        "mean probability = improbable word sequences = the gibberish "
+        "/ boilerplate signal; the fluent verdict cuts at an e0-pinned "
+        "literal threshold. The probability table is the SAME "
+        "vocabulary-grain cascade as text_kneser_ney_bigram_lm (every "
+        "input an exact integer count, d = 0.75 dyadic); the corpus "
+        "side is one explode to positioned bigram instances and one "
+        "equi-join on the bigram type — the co-partition shape — and "
+        "the per-document sum folds in PINNED position order "
+        "(array_sort + aggregate in Spark, ordered list_reduce in "
+        "DuckDB), so every score is hash-exact. Only docs with at "
+        "least one bigram emit."
+    ),
+    tags=("text", "llm", "quality", "ngram"),
+)
+def text_kn_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    inst = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> named_struct('pos', i, 'u', split(text, ' ')[i - 1],"
+                " 'w', split(text, ' ')[i]))"
+                " ELSE array() END"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        F.col("s.u").alias("u"),
+        F.col("s.w").alias("w"),
+    )
+    cuw = inst.groupBy("u", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cuw")
+    )
+    cu = cuw.groupBy("u").agg(
+        F.sum("cuw").cast("bigint").alias("cu"),
+        F.count(F.lit(1)).cast("bigint").alias("n1u"),
+    )
+    cw = cuw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1w"))
+    tt = cuw.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    probs = (
+        cuw.join(cu, "u")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tt))
+        .select("u", "w", F.expr(_KN_P).alias("p_kn"))
+    )
+    scored = (
+        inst.join(probs, ["u", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(pos, p_kn))),"
+                " x -> x.p_kn), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("sum_p"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_p",
+        F.expr("sum_p / CAST(n_bigrams AS DOUBLE)").alias("mean_p"),
+        F.expr(
+            f"sum_p / CAST(n_bigrams AS DOUBLE)"
+            f" >= CAST({_KN_DOC_THRESHOLD} AS DOUBLE)"
+        ).alias("fluent"),
+    ).orderBy("doc_id")
