@@ -1305,3 +1305,124 @@ def streaming_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFr
     return corpus.join(survivors.select("doc_id"), "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def _streaming_bloom_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    h1 = hash_long_chain_subquery(
+        "(SELECT DISTINCT event_type, user_id FROM events)",
+        ["event_type"], ["user_id"], out="h",
+    )
+    h2 = hash_long_chain_subquery(
+        "(SELECT DISTINCT event_type, user_id FROM events)",
+        ["event_type"], ["user_id", "1"], out="h",
+    )
+    #: signed 64-bit mask built in HUGEINT (1 << 63 overflows BIGINT in
+    #: DuckDB), wrapped back to two's-complement BIGINT
+    mask = (
+        "CAST(CASE WHEN (1::HUGEINT << CAST(bit % 64 AS INT))"
+        " >= 9223372036854775808::HUGEINT"
+        " THEN (1::HUGEINT << CAST(bit % 64 AS INT))"
+        "      - 18446744073709551616::HUGEINT"
+        " ELSE (1::HUGEINT << CAST(bit % 64 AS INT)) END AS BIGINT)"
+    )
+    word = lambda j: (  # noqa: E731
+        f"bit_or(CASE WHEN bit // 64 = {j} THEN {mask} ELSE 0 END)"
+    )
+    return f"""
+        WITH bits AS (
+            SELECT event_type, ((h % 256) + 256) % 256 AS bit FROM {h1}
+            UNION ALL
+            SELECT event_type, ((h % 256) + 256) % 256 AS bit FROM {h2}
+        ),
+        filt AS (
+            SELECT event_type,
+                   CAST({word(0)} AS BIGINT) AS w0,
+                   CAST({word(1)} AS BIGINT) AS w1,
+                   CAST({word(2)} AS BIGINT) AS w2,
+                   CAST({word(3)} AS BIGINT) AS w3
+            FROM bits GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT f.event_type, f.w0, f.w1, f.w2, f.w3,
+               CAST(CAST(bit_count(f.w0) AS BIGINT)
+                    + CAST(bit_count(f.w1) AS BIGINT)
+                    + CAST(bit_count(f.w2) AS BIGINT)
+                    + CAST(bit_count(f.w3) AS BIGINT) AS BIGINT) AS n_set_bits,
+               CAST(CAST(bit_count(f.w0) AS BIGINT)
+                    + CAST(bit_count(f.w1) AS BIGINT)
+                    + CAST(bit_count(f.w2) AS BIGINT)
+                    + CAST(bit_count(f.w3) AS BIGINT)
+                    AS DOUBLE) / 256.0 AS fill_fraction,
+               e.exact_distinct
+        FROM filt f JOIN ex e ON e.event_type = f.event_type
+        ORDER BY f.event_type
+    """
+
+
+@register(
+    "streaming_bloom_filter_membership",
+    oracle=_streaming_bloom_oracle(),
+    doc=(
+        "Fifteenth custom stateful operator: a 256-bit Bloom "
+        "membership filter per event_type via applyInPandasWithState "
+        "— FOUR longs of state per key, k = 2 hashes (xxhash64(uid) "
+        "and the seed-chained xxhash64(uid, 1), both replayed by the "
+        "pure-SQL XXH64 twin). Bitwise OR is the canonical "
+        "semilattice merge, so the streamed filter equals the batch "
+        "bit_or aggregate BIT-FOR-BIT under any batching or shard "
+        "layout — the per-partition membership summary that lets a "
+        "100 TB ingest skip probing keys it has never seen. The "
+        "registered query emits the four filter words, the set-bit "
+        "count and fill fraction beside the exact distinct count; "
+        "every word is hash-exact (the DuckDB mask is built in "
+        "HUGEINT because 1<<63 overflows its BIGINT — the kind of "
+        "two's-complement edge the exact gate exists to catch). "
+        "Stream == imperative replay plus the plain-aggregate "
+        "equality are pinned in tests/test_streaming.py."
+    ),
+    tags=("streaming", "stateful", "sketch", "llm"),
+)
+def streaming_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).selectExpr(
+        "event_type",
+        "pmod(xxhash64(user_id), 256) AS bit1",
+        "pmod(xxhash64(user_id, CAST(1 AS BIGINT)), 256) AS bit2",
+    ).selectExpr(
+        "event_type",
+        "CAST(bit1 DIV 64 AS INT) AS wi1",
+        "shiftleft(CAST(1 AS BIGINT), CAST(bit1 % 64 AS INT)) AS m1",
+        "CAST(bit2 DIV 64 AS INT) AS wi2",
+        "shiftleft(CAST(1 AS BIGINT), CAST(bit2 % 64 AS INT)) AS m2",
+    )
+    snaps = _run_to_memory(stateful.bloom_walk(stream), "append")
+    final = snaps.groupBy("event_type").agg(
+        *[
+            F.expr(f"bit_or(w{j})").cast("bigint").alias(f"w{j}")
+            for j in range(4)
+        ]
+    )
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    nbits = "bit_count(w0) + bit_count(w1) + bit_count(w2) + bit_count(w3)"
+    return (
+        final.join(exact, "event_type")
+        .select(
+            "event_type",
+            "w0",
+            "w1",
+            "w2",
+            "w3",
+            F.expr(f"CAST({nbits} AS BIGINT)").alias("n_set_bits"),
+            F.expr(f"CAST({nbits} AS DOUBLE) / 256.0").alias("fill_fraction"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )

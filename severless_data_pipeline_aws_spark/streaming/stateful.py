@@ -1406,3 +1406,105 @@ def dedup_batch_replay(docs_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = dedup_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Fifteenth stateful operator: streaming Bloom filter membership state
+# ---------------------------------------------------------------------------
+#
+# A 256-bit Bloom filter per key as FOUR longs of state, k = 2 hash
+# functions (xxhash64(user_id) and xxhash64(user_id, 1) — the seed-
+# chained second hash the XXH64 SQL twin replays exactly). Bitwise OR
+# is the canonical semilattice merge — idempotent, commutative,
+# associative — so the streamed filter equals the batch filter
+# BIT-FOR-BIT under any batching, ordering, or shard layout: the
+# membership summary a 100 TB ingest keeps per partition to skip
+# probing cold keys. Bit positions arrive precomputed by Spark column
+# exprs; the state function only ORs masks into words.
+
+BLOOM_WORDS = 4  # 4 x 64 = 256 bits
+
+BLOOM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("snap", LongType()),
+        StructField("w0", LongType()),
+        StructField("w1", LongType()),
+        StructField("w2", LongType()),
+        StructField("w3", LongType()),
+    ]
+)
+
+BLOOM_STATE_SCHEMA = StructType(
+    [
+        StructField("snap", LongType()),
+        StructField("w0", LongType()),
+        StructField("w1", LongType()),
+        StructField("w2", LongType()),
+        StructField("w3", LongType()),
+    ]
+)
+
+_U64_MASK = (1 << 64) - 1
+
+
+def bloom_steps(
+    state: tuple | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple]:
+    """Pure per-key Bloom fold shared by the streaming state function
+    and the batch replay oracle: OR each row's two (word, mask) pairs
+    into the 4-word filter. Emits one snapshot per batch; OR is a
+    semilattice merge, so the final snapshot equals the batch filter."""
+    snap, *words = state if state is not None else (0, 0, 0, 0, 0)
+    words = [int(w) & _U64_MASK for w in words]
+    for wi, mi in ((int(a), int(b)) for cols in (("wi1", "m1"), ("wi2", "m2"))
+                   for a, b in zip(pdf[cols[0]], pdf[cols[1]])):
+        words[wi] |= mi & _U64_MASK
+    snap += 1
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    et = str(pdf["event_type"].iloc[0]) if len(pdf) else ""
+    out = pd.DataFrame(
+        {
+            "event_type": [et],
+            "snap": [snap],
+            "w0": [signed[0]],
+            "w1": [signed[1]],
+            "w2": [signed[2]],
+            "w3": [signed[3]],
+        }
+    )
+    return out, (snap, signed[0], signed[1], signed[2], signed[3])
+
+
+def _apply_bloom(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = bloom_steps(st, pdf)
+        yield out
+    state.update(st)
+
+
+def bloom_walk(events: DataFrame) -> DataFrame:
+    """Streaming 256-bit Bloom filter per event_type
+    (applyInPandasWithState): four longs of state per key. Batch twin:
+    ``bloom_batch_replay`` and the plain bit_or aggregate."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_bloom,
+        outputStructType=BLOOM_OUT_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def bloom_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = bloom_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

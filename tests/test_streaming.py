@@ -1344,3 +1344,96 @@ def test_drop_duplicates_within_watermark_firstarrival(spark, sf_dir):
     got = _run_to_memory(stream, "append").count()
     want = Tables(spark, sf_dir).events.select("user_id").distinct().count()
     assert got == want > 0
+
+
+def test_streaming_bloom_equals_batch_replay_and_plain_or(spark, sf_dir):
+    """The streamed 256-bit Bloom filter must equal both the
+    imperative replay and a plain Spark bit_or aggregate word-for-word
+    — OR-state is a semilattice merge, so batching cannot change it."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        bloom_batch_replay,
+    )
+
+    got = {
+        r["event_type"]: (r["w0"], r["w1"], r["w2"], r["w3"])
+        for r in load_all()["streaming_bloom_filter_membership"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    prep = Tables(spark, sf_dir).events.selectExpr(
+        "event_type",
+        "CAST(pmod(xxhash64(user_id), 256) DIV 64 AS INT) AS wi1",
+        "shiftleft(CAST(1 AS BIGINT),"
+        " CAST(pmod(xxhash64(user_id), 256) % 64 AS INT)) AS m1",
+        "CAST(pmod(xxhash64(user_id, CAST(1 AS BIGINT)), 256) DIV 64 AS INT)"
+        " AS wi2",
+        "shiftleft(CAST(1 AS BIGINT),"
+        " CAST(pmod(xxhash64(user_id, CAST(1 AS BIGINT)), 256) % 64 AS INT))"
+        " AS m2",
+    )
+    replay = bloom_batch_replay(prep.toPandas())
+    want = {
+        r.event_type: (int(r.w0), int(r.w1), int(r.w2), int(r.w3))
+        for r in replay.itertuples(index=False)
+    }
+    assert got == want and len(got) > 0
+    # word-level equality against a direct conditional bit_or aggregate
+    direct = {
+        r["event_type"]: (r["w0"], r["w1"], r["w2"], r["w3"])
+        for r in prep.selectExpr(
+            "event_type",
+            "stack(2, wi1, m1, wi2, m2) AS (wi, m)",
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(
+                    f"bit_or(CASE WHEN wi = {j} THEN m ELSE CAST(0 AS BIGINT)"
+                    " END)"
+                ).alias(f"w{j}")
+                for j in range(4)
+            ]
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_bloom_steps_semilattice_order_invariance():
+    """OR-fold state must land on the same final filter under any
+    batching and order — and must be idempotent under duplicates."""
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        bloom_steps,
+    )
+
+    rows = [(0, 1), (1, 1 << 62), (3, -9223372036854775808), (0, 6), (0, 1)]
+    def run(order, splits):
+        seq = [rows[i] for i in order]
+        st = None
+        chunks = [seq[a:b] for a, b in splits]
+        for ch in chunks:
+            if not ch:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "event_type": ["k"] * len(ch),
+                    "wi1": [c[0] for c in ch],
+                    "m1": [c[1] for c in ch],
+                    "wi2": [c[0] for c in ch],
+                    "m2": [c[1] for c in ch],
+                }
+            )
+            _, st = bloom_steps(st, pdf)
+        return st[1:]
+
+    base = run(range(5), [(0, 5)])
+    assert base == run([4, 3, 2, 1, 0], [(0, 2), (2, 5)])
+    assert base == run([0, 1, 2, 3, 4, 4, 3], [(0, 7)]) == run(
+        [2, 0, 1, 3, 4], [(0, 1), (1, 4), (4, 5)]
+    )
+    # the sign-bit word round-trips as two's complement
+    assert base[3] == -9223372036854775808
