@@ -1832,3 +1832,82 @@ def agg_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+        WITH words AS (
+            SELECT event_type, user_id // 64 AS bucket,
+                   bit_or(CAST(CASE WHEN (1::HUGEINT << CAST(user_id % 64 AS INT))
+                                     >= 9223372036854775808::HUGEINT
+                               THEN (1::HUGEINT << CAST(user_id % 64 AS INT))
+                                    - 18446744073709551616::HUGEINT
+                               ELSE (1::HUGEINT << CAST(user_id % 64 AS INT))
+                               END AS BIGINT)) AS w
+            FROM events GROUP BY event_type, user_id // 64
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(bit_count(w) AS BIGINT)) AS BIGINT)
+                       AS n_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM words GROUP BY event_type
+        ),
+        merged AS (
+            SELECT bucket, bit_or(w) AS w FROM words GROUP BY bucket
+        ),
+        total AS (
+            SELECT 'ALL' AS event_type,
+                   CAST(SUM(CAST(bit_count(w) AS BIGINT)) AS BIGINT)
+                       AS n_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM merged
+        )
+        SELECT * FROM per_type
+        UNION ALL SELECT * FROM total
+        ORDER BY event_type
+    """,
+    doc=(
+        "Bitmap-backed EXACT distinct rollup — the dense-id answer to "
+        "'approx_count_distinct or nothing': pack user ids into "
+        "64-bit bucket words (bucket = id DIV 64, one bit per id), "
+        "bit_or per (type, bucket), popcount-sum per type. The payoff "
+        "is the MERGE step the oracle also states: the ALL row "
+        "re-aggregates the per-type word tables with another bit_or — "
+        "distinct-across-overlapping-sets WITHOUT rescanning facts, "
+        "the thing plain COUNT DISTINCT per group cannot give you. "
+        "At 100 TB the word table is |id space|/64 longs per group — "
+        "the mergeable exact sketch for dense surrogate keys, vs HLL "
+        "when ids are sparse/wide. Verified against plain COUNT "
+        "DISTINCT at both grains; the DuckDB mask is HUGEINT-built "
+        "(1<<63 overflows its BIGINT) and bit_count's TINYINT return "
+        "is cast before summing — the Bloom op's two's-complement "
+        "lessons applied."
+    ),
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = t.events.groupBy(
+        "event_type", F.expr("user_id DIV 64").alias("bucket")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))"
+        ).alias("w")
+    )
+    per_type = words.groupBy("event_type").agg(
+        F.expr("CAST(SUM(CAST(bit_count(w) AS BIGINT)) AS BIGINT)").alias(
+            "n_distinct"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    merged = words.groupBy("bucket").agg(F.expr("bit_or(w)").alias("w"))
+    total = merged.agg(
+        F.lit("ALL").alias("event_type"),
+        F.expr("CAST(SUM(CAST(bit_count(w) AS BIGINT)) AS BIGINT)").alias(
+            "n_distinct"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    return per_type.unionByName(total).orderBy("event_type")

@@ -642,3 +642,55 @@ def sql_api_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, rn
         """
     )
+
+
+@register(
+    "sql_api_unpivot_stack",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_finished
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT priority, metric, value FROM (
+            SELECT priority, 'n_orders' AS metric, n_orders AS value FROM wide
+            UNION ALL
+            SELECT priority, 'n_customers', n_customers FROM wide
+            UNION ALL
+            SELECT priority, 'n_finished', n_finished FROM wide
+        )
+        ORDER BY priority, metric
+    """,
+    doc=(
+        "SQL-API surface: UNPIVOT via stack() — the inverse of the "
+        "pivot family: melt a wide per-priority metrics row into "
+        "(priority, metric, value) long form, the shape every "
+        "metrics store and chart library wants. Spark's stack(n, "
+        "label1, col1, ...) generator emits the n rows per input row "
+        "INSIDE whole-stage codegen — one projection, no join, no "
+        "explode of a constructed array — and the ANSI UNPIVOT "
+        "clause rewrites to exactly this. Oracle states the same "
+        "melt as the portable UNION ALL. The wide source is one "
+        "grouped aggregate; the unpivot adds zero shuffles."
+    ),
+    tags=("relational", "sql-api"),
+)
+def sql_api_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wide = t.orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_finished"),
+    )
+    return wide.selectExpr(
+        "priority",
+        "stack(3, 'n_orders', n_orders, 'n_customers', n_customers,"
+        " 'n_finished', n_finished) AS (metric, value)",
+    ).orderBy("priority", "metric")
