@@ -811,6 +811,15 @@ _BNLJ_BOUNDED_OK = {
     "stats_hurst_rescaled_range",
     # r8: one-row total + one-row leakage-audit broadcasts
     "sampling_group_kfold_assign",
+    # r9: one-row document-audit x one-row vocabulary-audit cross
+    "text_bpe_decode_roundtrip_audit",
+    # r9: day-grain cond<cond theta join (~150 obs rows, the
+    # somers_d/Theil-Sen calendar-bounded contract) + one-row moments
+    "stats_jonckheere_terpstra_trend",
+    # r9: one-row digit-total broadcast (the first-digit op's shape)
+    "dq_benford_second_digit",
+    # r9: one-row bigram-type-count broadcast (the KN LM op's shape)
+    "text_kn_doc_quality_score",
 }
 
 
