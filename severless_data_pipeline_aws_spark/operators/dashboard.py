@@ -2862,3 +2862,115 @@ def dq_tukey_fence_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "day")
     )
+
+
+#: geofence polygon in centidegrees — a NON-convex dart, so the
+#: even-odd rule is genuinely exercised (a convex fence never needs
+#: more than 2 crossings). Closed implicitly: each tuple is one edge.
+_FENCE_EDGES = (
+    (-4000, -3000, 0, 5000),
+    (0, 5000, 4000, -3000),
+    (4000, -3000, 0, -1000),
+    (0, -1000, -4000, -3000),
+)
+
+
+def _fence_edges_sql(dialect: str) -> str:
+    if dialect == "spark":
+        items = ", ".join(
+            f"named_struct('x1', {x1}L, 'y1', {y1}L, 'x2', {x2}L, 'y2', {y2}L)"
+            for x1, y1, x2, y2 in _FENCE_EDGES
+        )
+        return f"array({items})"
+    items = ", ".join(
+        "{" + f"x1: {x1}::BIGINT, y1: {y1}::BIGINT,"
+        f" x2: {x2}::BIGINT, y2: {y2}::BIGINT" + "}"
+        for x1, y1, x2, y2 in _FENCE_EDGES
+    )
+    return f"[{items}]"
+
+
+#: integer-only even-odd ray cast: edge crosses the rightward ray from
+#: (px, py) iff the edge straddles py (half-open, so shared vertices
+#: never double-count) and the signed area term t = (x2-x1)(py-y1) -
+#: (px-x1)(y2-y1) places the intersection right of px — the division-
+#: free cross-multiplied form, sign-corrected by the edge direction.
+_CROSSING = (
+    "(e.y1 > py) != (e.y2 > py) AND"
+    " (((e.x2 - e.x1) * (py - e.y1) - (px - e.x1) * (e.y2 - e.y1)) > 0)"
+    " = (e.y2 > e.y1)"
+)
+
+
+@register(
+    "geo_point_in_polygon_fence",
+    oracle=f"""
+        WITH coords AS (
+            SELECT event_type,
+                   ((user_id * 7919) % 18000
+                     + (event_id % 21)) % 18000 - 9000 AS py,
+                   ((user_id * 104729) % 36000
+                     + (event_id % 17)) % 36000 - 18000 AS px
+            FROM events
+        ),
+        hits AS (
+            SELECT event_type,
+                   len(list_filter({_fence_edges_sql('duckdb')},
+                       e -> {_CROSSING})) % 2 = 1 AS inside
+            FROM coords
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inside,
+               CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS inside_share
+        FROM hits GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "GEO4: point-in-polygon geofence classification — the even-odd "
+        "ray cast against a NON-convex literal fence (a dart: convex "
+        "fences never exercise >2 crossings), with the intersection "
+        "test in the DIVISION-FREE cross-multiplied integer form "
+        "t = (x2-x1)(py-y1) - (px-x1)(y2-y1), sign-corrected by edge "
+        "direction — no float ever touches a coordinate, so "
+        "inside/outside is exact in both engines including points "
+        "collinear with edges. The crossing count is a higher-order "
+        "filter over the 4-edge literal array: row-local, zero joins, "
+        "zero shuffles before the per-type rollup — the geofence "
+        "stage of a spatial pipeline at fact grain. Coordinates are "
+        "the established centidegree synthesis (geo_grid_hotspots)."
+    ),
+    tags=("dashboard", "geo"),
+)
+def geo_point_in_polygon_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hits = t.events.selectExpr(
+        "event_type",
+        "((user_id * 7919) % 18000 + (event_id % 21)) % 18000 - 9000 AS py",
+        "((user_id * 104729) % 36000 + (event_id % 17)) % 36000 - 18000 AS px",
+    ).selectExpr(
+        "event_type",
+        f"size(filter({_fence_edges_sql('spark')},"
+        f" e -> {_CROSSING})) % 2 = 1 AS inside",
+    )
+    return (
+        hits.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("inside"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_inside",
+            (
+                F.col("n_inside").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("inside_share"),
+        )
+        .orderBy("event_type")
+    )
