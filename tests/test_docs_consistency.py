@@ -346,6 +346,50 @@ def test_survey_218_pinned_to_registry():
     assert not ghosts, f"SURVEY §2.18 references unknown queries: {sorted(ghosts)}"
 
 
+_R9_QUERIES = frozenset(
+    {
+        "streaming_dedup_exact_keep_first",
+        "text_bpe_decode_roundtrip_audit",
+        "text_quality_classifier_score",
+        "similarity_int8_quantization_audit",
+        "window_ultimate_oscillator",
+        "window_elder_ray_power",
+        "window_chandelier_exit",
+        "window_stochastic_slow_kd",
+        "stats_jonckheere_terpstra_trend",
+        "stats_bartels_rank_von_neumann",
+        "stats_cox_stuart_trend",
+        "stats_turning_points_test",
+        "graph_local_clustering_per_node",
+        "graph_knn_degree_correlation",
+        "dq_benford_second_digit",
+        "dq_functional_dependency_audit",
+        "dq_tukey_fence_outlier_days",
+        "multimodal_tar_ustar_parse",
+        "multimodal_tiff_ifd_parse",
+        "text_kn_doc_quality_score",
+        "streaming_bloom_filter_membership",
+        "sql_api_unpivot_stack",
+        "agg_bitmap_distinct_rollup",
+        "geo_point_in_polygon_fence",
+    }
+)
+
+
+def test_survey_219_pinned_to_registry():
+    """SURVEY §2.19 must document every round-9 query, and only real
+    ones (the r5 #9 discipline: the inventory lands in the same commit
+    that registers the queries)."""
+    section = _survey_section(open(_SURVEY).read(), "### 2.19")
+    names = set(registry.load_all())
+    documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
+    assert _R9_QUERIES <= names, "r9 pin list drifted from registry"
+    missing = _R9_QUERIES - documented
+    assert not missing, f"r9 queries absent from SURVEY §2.19: {sorted(missing)}"
+    ghosts = documented - names
+    assert not ghosts, f"SURVEY §2.19 references unknown queries: {sorted(ghosts)}"
+
+
 def test_driver_sample_prefix_spans_every_module():
     """The driver's correctness gate checks the FIRST 50 registry
     entries; registry.load_all() interleaves round-robin across source
