@@ -105,11 +105,12 @@ def load_all() -> dict[str, QuerySpec]:
 #: kept first so the driver's smoke check always exercises it
 _FLAGSHIP = "flagship_revenue_by_status_year"
 
-#: entries the driver samples per module cycle before moving on —
-#: roughly sample_size / n_modules (50 / ~25); the per-round bucket
-#: rotation advances by this stride so consecutive rounds sample
-#: disjoint prefix entries from every large-enough module.
-_ROTATION_STRIDE = 2
+#: per-round advance of each module's fresh sub-list. The r9 global
+#: fresh-first wheel takes ~50/16 ≈ 3-4 entries per fresh module per
+#: round, so the stride must be >= that take for consecutive rounds to
+#: sample disjoint fresh prefixes (pools smaller than 2x stride are
+#: exempted by the rotation test as too small to rotate out of).
+_ROTATION_STRIDE = 4
 
 
 def _round_number(root: str | None = None) -> int:
@@ -182,21 +183,28 @@ def _rotated(lst: list, rot: int) -> list:
 
 def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Round-robin the registry across source modules, flagship first,
-    never-driver-sampled queries leading each module bucket, with a
-    per-round rotation inside each sub-list.
+    with ALL never-driver-sampled queries ahead of every ever-sampled
+    one (a global fresh-first wheel), and a per-round rotation inside
+    each module's sub-lists.
 
-    r6 verdict #3: blind striding re-sampled 13 of 50 names between
-    consecutive rounds while 320 of 461 queries had never been driver-
-    checked.  Each module bucket now orders its NEVER-SAMPLED queries
-    (absent from every committed CORRECTNESS_r*.json ledger) before the
-    ever-sampled ones, so the driver's first-50 prefix is almost all
-    fresh evidence; within each sub-list, round N rotates the start by
-    ``N * stride`` so re-runs of the same round stay deterministic and
-    consecutive rounds stay disjoint even before the new ledger lands.
-    Modules cycle in ``_QUERY_MODULES`` order (a query whose module is
-    not listed — impossible today — would sort after all listed ones).
-    Deterministic: depends only on module list, registration order, and
-    the committed CORRECTNESS ledgers — never on hashing or time.
+    r6 verdict #3 introduced fresh-first ordering per module bucket,
+    but the per-depth module cycle still backfilled the driver's
+    first-50 prefix with re-samples from modules whose fresh pool was
+    exhausted (r8 verdict #3: 12-name overlap while 336 queries had
+    never been driver-checked).  The wheel now runs in two phases:
+    phase one round-robins the NEVER-SAMPLED sub-lists of every module
+    (absent from every committed CORRECTNESS_r*.json ledger) until all
+    are drained — so the prefix is all fresh evidence while fresh
+    names exist anywhere — and phase two round-robins the ever-sampled
+    remainder.  Modules whose queries are all driver-green simply stop
+    occupying prefix slots: their cumulative evidence is already
+    complete, and re-sampling them starves the 300+ unchecked names.
+    Within each sub-list, round N rotates the start by ``N * stride``
+    so re-runs of the same round stay deterministic and consecutive
+    rounds stay disjoint even before the new ledger lands.  Modules
+    cycle in ``_QUERY_MODULES`` order.  Deterministic: depends only on
+    module list, registration order, and the committed CORRECTNESS
+    ledgers — never on hashing or time.
     """
     rot = _round_number() * _ROTATION_STRIDE
     sampled = _ever_sampled()
@@ -205,22 +213,23 @@ def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     for spec in reg.values():
         buckets.setdefault(spec.fn.__module__, []).append(spec)
     ordered_mods = sorted(buckets, key=lambda m: mod_rank.get(m, len(mod_rank)))
-    ordered_buckets: dict[str, list[QuerySpec]] = {}
+    fresh_b: dict[str, list[QuerySpec]] = {}
+    seen_b: dict[str, list[QuerySpec]] = {}
     for mod, bucket in buckets.items():
-        fresh = [s for s in bucket if s.name not in sampled]
-        seen = [s for s in bucket if s.name in sampled]
-        ordered_buckets[mod] = _rotated(fresh, rot) + _rotated(seen, rot)
+        fresh_b[mod] = _rotated([s for s in bucket if s.name not in sampled], rot)
+        seen_b[mod] = _rotated([s for s in bucket if s.name in sampled], rot)
     out: dict[str, QuerySpec] = {}
     if _FLAGSHIP in reg:
         out[_FLAGSHIP] = reg[_FLAGSHIP]
-    depth = max(len(b) for b in buckets.values()) if buckets else 0
-    for i in range(depth):
-        for mod in ordered_mods:
-            bucket = ordered_buckets[mod]
-            if i < len(bucket):
-                spec = bucket[i]
-                if spec.name not in out:
-                    out[spec.name] = spec
+    for phase in (fresh_b, seen_b):
+        depth = max((len(b) for b in phase.values()), default=0)
+        for i in range(depth):
+            for mod in ordered_mods:
+                bucket = phase[mod]
+                if i < len(bucket):
+                    spec = bucket[i]
+                    if spec.name not in out:
+                        out[spec.name] = spec
     assert len(out) == len(reg)
     return out
 

@@ -397,6 +397,7 @@ def test_driver_sample_prefix_spans_every_module():
     plain registration order starved windows/stats/dedup/similarity/
     text/graphs/multimodal of driver-green rows). Pin it — for every
     rotation, not just the current round's."""
+    sampled = registry._ever_sampled()
     for rot in (0, 1, 6, 7, 23):
         os.environ["SPARK_GRAFT_ROTATION"] = str(rot)
         try:
@@ -405,10 +406,18 @@ def test_driver_sample_prefix_spans_every_module():
             del os.environ["SPARK_GRAFT_ROTATION"]
         names = list(specs)
         assert names[0] == "flagship_revenue_by_status_year"
-        all_mods = {s.fn.__module__ for s in specs.values()}
+        # r9: the prefix must span every module that still has
+        # never-sampled queries (the families where new driver evidence
+        # is possible); fully driver-green modules no longer occupy
+        # prefix slots — their cumulative evidence is complete, and
+        # re-sampling them starved the unchecked names (r8 verdict #3)
+        fresh_mods = {
+            s.fn.__module__ for s in specs.values() if s.name not in sampled
+        }
         first50_mods = {specs[n].fn.__module__ for n in names[:50]}
-        assert first50_mods == all_mods, (
-            f"rot={rot}: driver sample misses modules: {sorted(all_mods - first50_mods)}"
+        assert fresh_mods <= first50_mods, (
+            f"rot={rot}: driver sample misses fresh modules: "
+            f"{sorted(fresh_mods - first50_mods)}"
         )
 
 
