@@ -154,6 +154,11 @@ def main() -> None:
             name: dict(
                 _output_scaling(specs[name].fn, spark, data_dir),
                 exponent=exponents.get(name),
+                verdict=(
+                    f"exponent {exponents.get(name)} below the "
+                    f"{_SUPERLINEAR} flag threshold; output counts "
+                    "recorded for future self-adjudication"
+                ),
             )
             for name in _OUTPUT_WATCHLIST
             if name in specs and name not in superlinear and name in exponents
