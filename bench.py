@@ -153,6 +153,20 @@ HEADLINE = [
     "sampling_lang_balanced_mixture",
     "funnel_top_paths_3step",
     "cdc_incremental_mv_refresh",
+    # round-8 rotation names, folded in (ledger pattern): the Python
+    # UDTF chunker, the 168-cell heatmap, MACD, EXCEPT, the lateral
+    # top-n decorrelation, TPC-H q6/q17, null ordering, exactly-k
+    # sampling, and the padding-waste range join
+    "udf_python_udtf_chunks",
+    "agg_weekday_hour_heatmap",
+    "timeseries_macd_crossover",
+    "setop_except",
+    "subquery_lateral_topn_per_key",
+    "tpch_q6_forecast_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "null_ordering_first_last",
+    "sampling_fixed_k_per_group",
+    "pipeline_length_bucket_padding_waste",
 ]
 
 
@@ -357,10 +371,41 @@ _NOTE_CANDIDATES = {
     "tpch_q21_sole_returned_supplier": (
         "r7 moved 0.84->1.61s (1.93x) unseen by the then-truncated "
         "ratchet prior (r7 verdict wrong#1); r8 isolated min-of-5 at "
-        "sf0.1: [1.85, 1.50, 1.25, 1.13, 1.06] -> 1.06s, back inside "
-        "the 0.80-1.17s band this query has held over six rounds on an "
-        "unchanged plan (tpch_suite.py untouched in r7/r8). Host "
-        "variance; watch closed with numbers."
+        "sf0.1: [1.85, 1.50, 1.25, 1.13, 1.06] -> 1.06s; r9 flagged "
+        "again in-suite (1.42-1.63s across degraded-window attempts) "
+        "and re-closed isolated min-of-5: [3.83, 1.60, 1.05, 1.07, "
+        "1.00] -> 1.00s — back inside the 0.80-1.17s band this query "
+        "has held over seven rounds on an unchanged plan. This 5-join "
+        "shape is the suite's most host-sensitive query; the isolated "
+        "floor, not the in-suite point, is its honest cost."
+    ),
+    "stats_ljung_box": (
+        "r9 flagged 0.579->0.92s (1.6x) in the committed best-of-11 "
+        "capture; isolated min-of-5 at sf0.1: [3.66, 1.19, 1.11, 0.96, "
+        "0.894] -> 0.894s. EVERY r9 capture ran 1.2-1.5x above the r8 "
+        "quiet window (81-query totals 74.1-103.7s across 11 attempts "
+        "vs 65.7s in r8, uniform across untouched plans) — the "
+        "isolated floor tracks that global host inflation on an "
+        "unchanged plan (five-lag 17-sum single window, untouched "
+        "since r5). Re-examine only if a sub-70s-total window still "
+        "reads above 0.9s."
+    ),
+    "window_anchored_vwap": (
+        "r9 flagged 0.795->1.198s (1.51x) in the committed best-of-11 "
+        "capture; isolated min-of-5 at sf0.1: [1.51, 1.00, 1.04, 1.13, "
+        "0.988] -> 0.988s, 1.24x the r8 prior — inside the day's "
+        "uniform 1.2-1.5x host inflation (see stats_ljung_box note). "
+        "DECIMAL cumulative-window plan untouched since r5. Watch "
+        "closed as host variance."
+    ),
+    "stats_permutation_test_means": (
+        "r9 flagged 1.34->2.12s (1.58x) in a degraded-window suite run "
+        "(same capture inflated dozens of untouched plans 1.5-2.2x); "
+        "isolated min-of-5 at sf0.1: [2.53, 1.68, 1.55, 1.66, 1.62] -> "
+        "1.55s, 1.15x the r8 prior — within this host's variance on a "
+        "32-conditional-aggregate single pass. Plan untouched since "
+        "r4. Watch closed; re-examine only if a future round exceeds "
+        "2.5s isolated."
     ),
     "text_chunk_sliding_windows": (
         "r7 moved 0.30->0.46s (1.55x) unseen by the then-truncated "
