@@ -3051,3 +3051,134 @@ def similarity_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("err_bucket")
     )
+
+
+# --- X3u: threshold range search + recall report (r9) -----------------------
+
+_RANGE_TAU = "0.25e0"   # cosine threshold, e0-pinned
+_RANGE_HAM = 26         # stage-1 Hamming radius over the 64-bit signs
+
+
+@register(
+    "similarity_range_search_recall",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   {_sign_word_duck(1, 32)} AS w_lo,
+                   {_sign_word_duck(33, 64)} AS w_hi
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, w_lo AS q_lo, w_hi AS q_hi
+              FROM sig WHERE vec_id < {_SIGN_Q}),
+        d AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   CAST(bit_count(xor(q_lo, w_lo))
+                        + bit_count(xor(q_hi, w_hi)) AS BIGINT) AS hamming,
+                   list_dot_product(qv, v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(v, v))) AS cosine
+            FROM q JOIN sig ON vec_id <> query_id
+        )
+        SELECT query_id,
+               CAST(SUM(CASE WHEN cosine >= CAST({_RANGE_TAU} AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN hamming <= {_RANGE_HAM} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN hamming <= {_RANGE_HAM}
+                              AND cosine >= CAST({_RANGE_TAU} AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retrieved,
+               CASE WHEN SUM(CASE WHEN cosine >= CAST({_RANGE_TAU} AS DOUBLE)
+                                  THEN 1 ELSE 0 END) = 0 THEN 1.0
+                    ELSE CAST(SUM(CASE WHEN hamming <= {_RANGE_HAM}
+                                        AND cosine >= CAST({_RANGE_TAU} AS DOUBLE)
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(CASE WHEN cosine >= CAST({_RANGE_TAU} AS DOUBLE)
+                                         THEN 1 ELSE 0 END) AS DOUBLE) END
+                   AS recall
+        FROM d
+        GROUP BY query_id
+        ORDER BY query_id
+    """,
+    doc=(
+        "X3u: threshold RANGE search with a recall report — the "
+        "'all neighbors above cosine tau' retrieval mode (dedup "
+        "candidate generation, near-duplicate fences) as opposed to "
+        "the top-k family: stage 1 keeps candidates within Hamming "
+        "radius 26 of the query's 64-bit sign signature (two XOR "
+        "popcounts on the 64x-compressed table), stage 2 verifies "
+        "exact cosine >= tau, and the report scores stage-1 recall "
+        "against the bounded exact truth per query — precision is 1 "
+        "by construction (every retrieved pair is exactly verified), "
+        "so the ONE number that matters is how much the radius "
+        "missed. At 100 TB the signature prefilter is the only "
+        "corpus-wide pass; the float vectors are touched for the "
+        "probed pool only; the exact-truth column is the bounded "
+        "query-block audit (the ANN recall-report contract). Cosine "
+        "folds match list_dot_product order (the exact-tier "
+        "contract); counts are integers, recall one shared division, "
+        "empty truth pinned to recall = 1."
+    ),
+    tags=("similarity", "llm", "approx"),
+)
+def similarity_range_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sig = t.embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).select(
+        "vec_id",
+        "v",
+        F.expr(_sign_word_spark(1, 32)).alias("w_lo"),
+        F.expr(_sign_word_spark(33, 64)).alias("w_hi"),
+    )
+    q = sig.filter(F.col("vec_id") < _SIGN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    d = sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        (
+            F.expr("bit_count(q_lo ^ w_lo)") + F.expr("bit_count(q_hi ^ w_hi)")
+        )
+        .cast("bigint")
+        .alias("hamming"),
+        (
+            _dot("qv", "v")
+            / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v")))
+        ).alias("cosine"),
+    )
+    tau = f"CAST({_RANGE_TAU} AS DOUBLE)"
+    return (
+        d.groupBy("query_id")
+        .agg(
+            F.sum(F.expr(f"CASE WHEN cosine >= {tau} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_true"),
+            F.sum(
+                F.expr(f"CASE WHEN hamming <= {_RANGE_HAM} THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_probed"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN hamming <= {_RANGE_HAM} AND cosine >= {tau}"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_retrieved"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_probed",
+            "n_retrieved",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 1.0 ELSE"
+                " CAST(n_retrieved AS DOUBLE) / CAST(n_true AS DOUBLE) END"
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -3520,3 +3520,129 @@ def text_kn_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" >= CAST({_KN_DOC_THRESHOLD} AS DOUBLE)"
         ).alias("fluent"),
     ).orderBy("doc_id")
+
+
+# --- X4al: trigram-profile language-ID vote (r9) ----------------------------
+
+_LANGID_TOPK = 100
+
+
+@register(
+    "text_langid_trigram_vote",
+    oracle=f"""
+        WITH tri AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+                                         i -> substr(text, i, 3))) AS g
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tri GROUP BY lang, g
+        ),
+        profile AS (
+            SELECT lang AS plang, g,
+                   CAST({_LANGID_TOPK} + 1 - row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, g) AS BIGINT) AS w
+            FROM counts
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, g)
+                <= {_LANGID_TOPK}
+        ),
+        dt AS (SELECT DISTINCT doc_id, lang, g FROM tri),
+        scores AS (
+            SELECT dt.doc_id, dt.lang, p.plang,
+                   CAST(SUM(p.w) AS BIGINT) AS score
+            FROM dt JOIN profile p ON p.g = dt.g
+            GROUP BY dt.doc_id, dt.lang, p.plang
+        ),
+        picked AS (
+            SELECT doc_id, lang, plang AS predicted_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, plang) AS rn
+            FROM scores
+        ),
+        verdicts AS (
+            SELECT d.doc_id, d.lang AS labeled_lang,
+                   COALESCE(p.predicted_lang, 'und') AS predicted_lang
+            FROM documents d
+            LEFT JOIN (SELECT * FROM picked WHERE rn = 1) p
+              ON p.doc_id = d.doc_id
+        )
+        SELECT labeled_lang, predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM verdicts
+        GROUP BY labeled_lang, predicted_lang
+        ORDER BY labeled_lang, predicted_lang
+    """,
+    doc=(
+        "X4al: trigram-profile language-ID vote — the production "
+        "upgrade the stopword-cascade op's own docstring points at "
+        "(Cavnar-Trenkle textcat): build the top-100 character-trigram "
+        "profile per language with rank weights 101-rank, score every "
+        "document's DISTINCT trigram types against every profile as "
+        "one integer sum, pick the arg-max language (score DESC, "
+        "language ASC — a deterministic tie-break, since synthetic "
+        "same-vocabulary corpora genuinely tie), and emit the "
+        "CONFUSION MATRIX between the labeled and predicted language "
+        "— the audit that tells you whether the heuristic is safe to "
+        "gate on before anyone filters a corpus with it. Plan shape: "
+        "the char explode collapses to (lang, gram) counts before the "
+        "shuffle (vocabulary-sized exchange), the 5x100 profile "
+        "broadcasts, and the per-doc vote is one groupBy + arg-max. "
+        "All-integer scoring — hash-exact."
+    ),
+    tags=("text", "llm", "langid", "ngram"),
+)
+def text_langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    tri = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    counts = tri.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wr = W.partitionBy("lang").orderBy(F.desc("n"), "g")
+    profile = (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _LANGID_TOPK)
+        .select(
+            F.col("lang").alias("plang"),
+            "g",
+            (F.lit(_LANGID_TOPK + 1) - F.col("rn")).cast("bigint").alias("w"),
+        )
+    )
+    dt = tri.select("doc_id", "lang", "g").distinct()
+    scores = (
+        dt.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+    )
+    picked = scores.groupBy("doc_id", "lang").agg(
+        F.expr("min_by(plang, struct(-score, plang))").alias("predicted_lang")
+    )
+    verdicts = (
+        t.documents.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(
+            picked.select("doc_id", "predicted_lang"), "doc_id", "left"
+        )
+        .select(
+            "labeled_lang",
+            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
+        )
+    )
+    return (
+        verdicts.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )

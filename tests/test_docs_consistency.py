@@ -372,6 +372,8 @@ _R9_QUERIES = frozenset(
         "sql_api_unpivot_stack",
         "agg_bitmap_distinct_rollup",
         "geo_point_in_polygon_fence",
+        "text_langid_trigram_vote",
+        "similarity_range_search_recall",
     }
 )
 
