@@ -820,6 +820,8 @@ _BNLJ_BOUNDED_OK = {
     "dq_benford_second_digit",
     # r9: one-row bigram-type-count broadcast (the KN LM op's shape)
     "text_kn_doc_quality_score",
+    # r9: the same 8-vector query-block broadcast as sign-Hamming
+    "similarity_range_search_recall",
 }
 
 
