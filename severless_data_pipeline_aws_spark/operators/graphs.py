@@ -2073,8 +2073,11 @@ def graph_harmonic_centrality_bounded(spark: SparkSession, sf_dir: str) -> DataF
 
 #: shared SQL preamble: the high-value nation co-trade graph as an
 #: ordered distinct edge list (the triangle/katz/clustering contract)
+#: MATERIALIZED: the edge list is referenced 3-6 times downstream
+#: (triangle 3-join, degree union, symmetric expansion) — without it
+#: DuckDB re-executes the 4-table co-occurrence join per reference
 _CO_EDGE_SQL = """
-        co AS (
+        co AS MATERIALIZED (
             SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2082,11 +2085,11 @@ _CO_EDGE_SQL = """
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             WHERE o.o_totalprice > 400000
         ),
-        e AS (
+        e AS MATERIALIZED (
             SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
             FROM co WHERE a <> b GROUP BY 1, 2
         ),
-        deg AS (
+        deg AS MATERIALIZED (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
                 SELECT u AS node FROM e UNION ALL SELECT v FROM e
             ) GROUP BY node
@@ -2109,6 +2112,14 @@ def _co_edges(t: Tables):
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
     )
+    # downstream shapes reference the edge list 3-6 times (degree
+    # union, symmetric expansion, the triangle 3-join). A lazy persist
+    # is NOT enough: within one action the parallel branches race the
+    # cache and each re-executes the 4-table co-occurrence join — the
+    # dominant cost at any scale. Eager localCheckpoint materializes
+    # once at build time; the edge list is nation-pair bounded (<= 625
+    # rows at ANY SF), so the checkpoint is metadata-sized.
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -2160,7 +2171,6 @@ def _co_edges(t: Tables):
 def graph_local_clustering_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     e, deg = _co_edges(t)
-    e = e.persist()
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
