@@ -2934,9 +2934,14 @@ _CROSSING = (
         "fences never exercise >2 crossings), with the intersection "
         "test in the DIVISION-FREE cross-multiplied integer form "
         "t = (x2-x1)(py-y1) - (px-x1)(y2-y1), sign-corrected by edge "
-        "direction — no float ever touches a coordinate, so "
-        "inside/outside is exact in both engines including points "
-        "collinear with edges. The crossing count is a higher-order "
+        "direction — no float ever touches a coordinate, so the "
+        "crossing arithmetic is exact in both engines. Points exactly "
+        "ON an edge (t = 0) are resolved deterministically by the "
+        "half-open sign convention (a boundary crossing counts only "
+        "for downward edges), NOT by geometric containment — the "
+        "standard even-odd tie-break, engine-consistent by "
+        "construction (r9 advice: doc reworded). The crossing count "
+        "is a higher-order "
         "filter over the 4-edge literal array: row-local, zero joins, "
         "zero shuffles before the per-type rollup — the geofence "
         "stage of a spatial pipeline at fact grain. Coordinates are "

@@ -9444,11 +9444,16 @@ def stats_cvm_one_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0..6, the Page's-L ordering convention)? JT = sum over "
         "condition pairs a<b of Mann-Whitney exceedances; emitted as "
         "the integer jt_x2 = 2*#(x_a<x_b) + #(ties), with the exact "
-        "null moments as integers too (e_jt_x4, tie-free var_jt_x72) "
-        "and one pinned z expression over them. The pair join runs at "
-        "the (type, day) COUNT grain — a calendar-bounded metadata "
-        "table at any SF — never at fact grain. Ties credited 1/2 via "
-        "the doubling trick; no floats anywhere until z."
+        "null moments as integers too (e_jt_x4, var_jt_x72) and one "
+        "pinned z expression over them. CAVEAT (r9 advice): "
+        "var_jt_x72 is the NO-TIES null variance — day-grain count "
+        "data is tie-rich (ties ARE half-credited in jt_x2 via the "
+        "doubling trick), so z_jt systematically overstates "
+        "significance; read it as a no-ties upper-bound screen, the "
+        "same stated approximation as stats_ansari_bradley's z. The "
+        "pair join runs at the (type, day) COUNT grain — a "
+        "calendar-bounded metadata table at any SF — never at fact "
+        "grain. No floats anywhere until z."
     ),
     tags=("stats",),
 )
@@ -9624,7 +9629,7 @@ def stats_bartels_rank_von_neumann(spark: SparkSession, sf_dir: str) -> DataFram
                        AS s_minus
             FROM daily a
             JOIN daily b ON b.event_type = a.event_type
-                        AND b.i = a.i + a.n // 2
+                        AND b.i = a.i + (a.n + 1) // 2
             WHERE a.i <= a.n // 2
             GROUP BY a.event_type
         )
@@ -9636,13 +9641,16 @@ def stats_bartels_rank_von_neumann(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY event_type
     """,
     doc=(
-        "ST100: Cox-Stuart sign trend test — pair each day in the "
-        "first half of a type's series with the day n/2 later and "
-        "count sign(second - first): the distribution-free trend "
-        "detector that needs NO ranks and no variance estimate (under "
-        "no trend, S+ ~ Binomial(m, 1/2)). Emitted values are pure "
-        "integer counts plus the categorical verdict; ties drop per "
-        "the classical treatment. The pairing is a self-equi-join on "
+        "ST100: Cox-Stuart sign trend test — pair day i (i <= n DIV 2) "
+        "with day i + ceil(n/2) and count sign(second - first): the "
+        "distribution-free trend detector that needs NO ranks and no "
+        "variance estimate (under no trend, S+ ~ Binomial(m, 1/2)). "
+        "The textbook pairing: offset ceil(n/2), so for odd n the "
+        "middle day is skipped entirely and every day is used at most "
+        "once (r9 advice fix — the floor-offset variant reused the "
+        "median day and never paired the last one). Emitted values "
+        "are pure integer counts plus the categorical verdict; ties "
+        "drop per the classical treatment. The pairing is a self-equi-join on "
         "the day index at calendar-bounded day grain. Complements "
         "Mann-Kendall (which weighs ALL pairs) with the half-offset "
         "pairing that is immune to seasonal midpoints."
@@ -9675,7 +9683,7 @@ def stats_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = a.join(
         b,
         (F.col("event_type") == F.col("et_b"))
-        & (F.col("ib") == F.col("i") + F.expr("n DIV 2")),
+        & (F.col("ib") == F.col("i") + F.expr("(n + 1) DIV 2")),
     ).groupBy("event_type").agg(
         F.sum(F.when(F.col("yb") > F.col("ya"), 1).otherwise(0))
         .cast("bigint")
