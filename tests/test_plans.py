@@ -822,6 +822,14 @@ _BNLJ_BOUNDED_OK = {
     "text_kn_doc_quality_score",
     # r9: the same 8-vector query-block broadcast as sign-Hamming
     "similarity_range_search_recall",
+    # r10 retrieval-quality eval harness: each query composes EVERY
+    # registered ANN cascade plus the exact tier, so it inherits their
+    # already-whitelisted bounded broadcasts (5-vector exact/LSH/PQ/
+    # two-stage query blocks, the 8-vector sign-Hamming block); the
+    # eval layer itself adds only |Q| x k equi-joins
+    "similarity_eval_precision_recall",
+    "similarity_eval_mrr",
+    "similarity_eval_ndcg",
 }
 
 
