@@ -1426,3 +1426,125 @@ def streaming_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("event_type")
     )
+
+
+#: shared pinned estimate expressions (identical text both engines)
+_AMS_SUMSQ = " + ".join(f"x{j} * x{j}" for j in range(8))
+_AMS_EST = "CAST(sum_xj_sq AS DOUBLE) / 8.0e0"
+_AMS_RATIO = (
+    "CAST(sum_xj_sq AS DOUBLE) / (8.0e0 * CAST(f2_exact AS DOUBLE))"
+)
+
+
+def _streaming_ams_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    arms = "\n            UNION ALL\n            ".join(
+        f"SELECT event_type, user_id, {j} AS j, h FROM "
+        + hash_long_chain_subquery(
+            "uids", ["event_type", "user_id"], ["user_id", str(j)], out="h"
+        )
+        for j in range(8)
+    )
+    wide = ", ".join(
+        f"CAST(MAX(CASE WHEN j = {j} THEN xj END) AS BIGINT) AS x{j}"
+        for j in range(8)
+    )
+    return f"""
+        WITH uids AS MATERIALIZED (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        counts AS (
+            SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS f
+            FROM events GROUP BY event_type, user_id
+        ),
+        allh AS (
+            {arms}
+        ),
+        x AS (
+            SELECT a.event_type, a.j,
+                   CAST(SUM(c.f * (((a.h % 2) + 2) % 2 * 2 - 1))
+                        AS BIGINT) AS xj
+            FROM allh a
+            JOIN counts c ON c.event_type = a.event_type
+                         AND c.user_id = a.user_id
+            GROUP BY a.event_type, a.j
+        ),
+        wide AS (SELECT event_type, {wide} FROM x GROUP BY event_type),
+        ex AS (
+            SELECT event_type, CAST(SUM(f * f) AS BIGINT) AS f2_exact
+            FROM counts GROUP BY event_type
+        ),
+        rep AS (
+            SELECT w.*, e.f2_exact,
+                   CAST({_AMS_SUMSQ} AS BIGINT) AS sum_xj_sq
+            FROM wide w JOIN ex e ON e.event_type = w.event_type
+        )
+        SELECT event_type, x0, x1, x2, x3, x4, x5, x6, x7,
+               sum_xj_sq, {_AMS_EST} AS f2_est, f2_exact,
+               {_AMS_RATIO} AS est_over_exact
+        FROM rep ORDER BY event_type
+    """
+
+
+@register(
+    "streaming_ams_f2_moment",
+    oracle=_streaming_ams_oracle(),
+    doc=(
+        "Sixteenth custom stateful operator: the AMS tug-of-war F2 "
+        "(second frequency moment) sketch per event_type via "
+        "applyInPandasWithState — EIGHT long counters of state per "
+        "key, counter j adding the ±1 parity of the seed-chained "
+        "xxhash64(user_id, j) per ROW (frequencies count: no distinct "
+        "anywhere). Integer addition is commutative, so the streamed "
+        "counters equal the batch per-sign sums EXACTLY under any "
+        "batching or shard layout, and cross-shard merge is vector "
+        "addition — completing the classical streaming-sketch set "
+        "(distinct: KMV/HLL; frequency: CM/MG; membership: Bloom; "
+        "moments: AMS). The registered query emits the eight exact "
+        "integer counters, their squared sum, the mean estimator "
+        "f2_est = sum(x_j^2)/8 beside the exact F2 = sum(f^2), and "
+        "the est/exact ratio — every counter hash-exact through the "
+        "pure-SQL XXH64 twin (8 chained-hash arms over the distinct "
+        "key table, signs re-derived by the same parity expression). "
+        "Stream == imperative replay plus the plain-SUM-aggregate "
+        "equality are pinned in tests/test_streaming.py."
+    ),
+    tags=("streaming", "stateful", "sketch", "llm"),
+)
+def streaming_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).selectExpr(
+        "event_type",
+        *[
+            f"CAST(pmod(xxhash64(user_id, CAST({j} AS BIGINT)), 2) * 2 - 1"
+            f" AS INT) AS s{j}"
+            for j in range(8)
+        ],
+    )
+    snaps = _run_to_memory(stateful.ams_walk(stream), "append")
+    final = snaps.groupBy("event_type").agg(
+        *[
+            F.expr(f"max_by(x{j}, snap)").cast("bigint").alias(f"x{j}")
+            for j in range(8)
+        ]
+    )
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    exact = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .groupBy("event_type")
+        .agg(F.expr("CAST(SUM(f * f) AS BIGINT)").alias("f2_exact"))
+    )
+    return (
+        final.join(exact, "event_type")
+        .withColumn("sum_xj_sq", F.expr(f"CAST({_AMS_SUMSQ} AS BIGINT)"))
+        .select(
+            "event_type",
+            *[f"x{j}" for j in range(8)],
+            "sum_xj_sq",
+            F.expr(_AMS_EST).alias("f2_est"),
+            "f2_exact",
+            F.expr(_AMS_RATIO).alias("est_over_exact"),
+        )
+        .orderBy("event_type")
+    )

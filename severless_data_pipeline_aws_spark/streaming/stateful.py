@@ -1508,3 +1508,90 @@ def bloom_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = bloom_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Sixteenth stateful operator: streaming AMS F2 (second-moment) sketch
+# ---------------------------------------------------------------------------
+#
+# The Alon-Matias-Szegedy tug-of-war sketch: C = 8 counters per key,
+# counter j accumulating sign_j(user_id) = ±1 per ROW (frequencies
+# count, so no distinct anywhere), with sign_j derived from the
+# seed-chained xxhash64(user_id, j) parity — the same chained-hash
+# family the Bloom op's SQL twin replays exactly. E[X_j^2] = F2, so
+# mean(X_j^2) estimates the second frequency moment (self-join size /
+# repeat-rate), completing the classical streaming-sketch set beside
+# distinct (KMV/HLL), frequency (CM/MG) and membership (Bloom).
+# Integer ADDITION is commutative and associative, so the streamed
+# counters equal the batch sums EXACTLY under any batching, ordering,
+# or shard layout (merge across shards = add counter vectors). State
+# is 8 longs + the snapshot counter; counters are bounded by the
+# per-key row count (BIGINT-safe up to ~3e9 rows/key/counter — beyond
+# that a 100 TB deployment shards the key space and merges, exactly
+# what the additive state permits).
+
+AMS_COUNTERS = 8
+
+AMS_OUT_SCHEMA = StructType(
+    [StructField("event_type", StringType()), StructField("snap", LongType())]
+    + [StructField(f"x{j}", LongType()) for j in range(AMS_COUNTERS)]
+)
+
+AMS_STATE_SCHEMA = StructType(
+    [StructField("snap", LongType())]
+    + [StructField(f"x{j}", LongType()) for j in range(AMS_COUNTERS)]
+)
+
+
+def ams_steps(
+    state: tuple | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple]:
+    """Pure per-key AMS fold shared by the streaming state function and
+    the batch replay oracle: add each row's 8 precomputed ±1 signs into
+    the counter vector. Addition is a commutative monoid merge, so the
+    final snapshot equals the batch per-key sign sums exactly."""
+    snap, *xs = state if state is not None else (0,) * (AMS_COUNTERS + 1)
+    xs = [int(x) for x in xs]
+    for j in range(AMS_COUNTERS):
+        xs[j] += int(pdf[f"s{j}"].sum())
+    snap += 1
+    et = str(pdf["event_type"].iloc[0]) if len(pdf) else ""
+    out = pd.DataFrame(
+        {"event_type": [et], "snap": [snap],
+         **{f"x{j}": [xs[j]] for j in range(AMS_COUNTERS)}}
+    )
+    return out, (snap, *xs)
+
+
+def _apply_ams(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = ams_steps(st, pdf)
+        yield out
+    state.update(st)
+
+
+def ams_walk(events: DataFrame) -> DataFrame:
+    """Streaming AMS F2 sketch per event_type (applyInPandasWithState):
+    eight long counters of state per key. Batch twin:
+    ``ams_batch_replay`` and the plain per-sign SUM aggregate."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_ams,
+        outputStructType=AMS_OUT_SCHEMA,
+        stateStructType=AMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ams_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = ams_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

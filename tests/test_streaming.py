@@ -1437,3 +1437,78 @@ def test_bloom_steps_semilattice_order_invariance():
     )
     # the sign-bit word round-trips as two's complement
     assert base[3] == -9223372036854775808
+
+
+def test_streaming_ams_equals_batch_replay_and_plain_sums(spark, sf_dir):
+    """The streamed AMS counters must equal both the imperative replay
+    and a plain Spark SUM of per-row signs counter-for-counter —
+    integer addition is a commutative merge, so batching cannot change
+    the sketch (op #16's contract)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        ams_batch_replay,
+    )
+
+    cols = [f"x{j}" for j in range(8)]
+    got = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in load_all()["streaming_ams_f2_moment"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    prep = Tables(spark, sf_dir).events.selectExpr(
+        "event_type",
+        *[
+            f"CAST(pmod(xxhash64(user_id, CAST({j} AS BIGINT)), 2) * 2 - 1"
+            f" AS INT) AS s{j}"
+            for j in range(8)
+        ],
+    )
+    replay = ams_batch_replay(prep.toPandas())
+    want = {
+        r.event_type: tuple(int(getattr(r, c)) for c in cols)
+        for r in replay.itertuples(index=False)
+    }
+    assert got == want and len(got) > 0
+    direct = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in prep.groupBy("event_type")
+        .agg(*[F.sum(f"s{j}").cast("bigint").alias(f"x{j}") for j in range(8)])
+        .collect()
+    }
+    assert got == direct
+
+
+def test_ams_steps_commutative_order_invariance():
+    """The per-key counter fold must land on the same final state for
+    ANY batching and ANY row order — additive state, the property that
+    makes cross-shard merge = vector addition."""
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        ams_steps,
+    )
+
+    rows = [
+        tuple(1 if (i * 7 + j) % 3 else -1 for j in range(8))
+        for i in range(9)
+    ]
+
+    def run(order, cuts):
+        st = None
+        seq = [rows[i] for i in order]
+        for lo, hi in cuts:
+            ch = seq[lo:hi]
+            if not ch:
+                continue
+            pdf = pd.DataFrame(
+                {"event_type": ["k"] * len(ch),
+                 **{f"s{j}": [r[j] for r in ch] for j in range(8)}}
+            )
+            _, st = ams_steps(st, pdf)
+        return st[1:]
+
+    base = run(range(9), [(0, 9)])
+    assert base == run(list(reversed(range(9))), [(0, 4), (4, 9)])
+    assert base == run([3, 1, 4, 0, 5, 2, 8, 6, 7], [(0, 1), (1, 6), (6, 9)])
