@@ -2261,3 +2261,176 @@ def multimodal_tiff_ifd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({tagval(262)} AS BIGINT) AS photometric",
         f"{ble32(f'({ifd} + 3 + 12 * {n})')} = 0 AS next_ifd_zero",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 container tier: PDF with a real xref table (X5w)
+# ---------------------------------------------------------------------------
+#
+# The most common real training-doc container after ZIP/TAR/TIFF et al.
+# A PDF's structural spine is BYTE-OFFSET arithmetic: the xref table
+# records the absolute offset of every object, and startxref records
+# the offset of the xref table itself. The synthesis computes those
+# offsets by length arithmetic (object 3's MediaBox digits vary per
+# document, shifting everything after it); the parse re-derives them
+# by STRING SEARCH over the payload (instr of the object headers and
+# of the xref keyword) — two independent paths, so objects_ok /
+# startxref_ok are genuine cross-checks, not echoes (the TAR-checksum
+# pattern, multimodal_tar_ustar_parse above).
+
+_PDF_LIMIT = 300
+_PDF_HEADER = "%PDF-1.4\n"
+_PDF_OBJ1 = "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+_PDF_OBJ2 = "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+_PDF_OBJ3_PRE = "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
+_PDF_OBJ3_POST = "] >>\nendobj\n"
+_PDF_OFF1 = len(_PDF_HEADER)
+_PDF_OFF2 = _PDF_OFF1 + len(_PDF_OBJ1)
+_PDF_OFF3 = _PDF_OFF2 + len(_PDF_OBJ2)
+#: obj3 length minus the W and H digit counts (the ' ' between them is
+#: the +1)
+_PDF_OBJ3_BASE = len(_PDF_OBJ3_PRE) + 1 + len(_PDF_OBJ3_POST)
+_PDF_XREF_HDR = "xref\n0 4\n"
+#: xref table: header + free entry + 3 object entries, 20 bytes each
+_PDF_XREF_LEN = len(_PDF_XREF_HDR) + 4 * 20
+_PDF_TRAILER_PRE = "trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n"
+_PDF_TAIL = "\n%%EOF\n"
+#: MediaBox width/height expressions (1-4 digit values so offsets move)
+_PDF_W = "16 + doc_id % 1000"
+_PDF_H = "8 + n_chars % 200"
+
+
+def _pdf_xref_entry(off: int) -> str:
+    return f"{off:010d} 00000 n \n"
+
+
+def synthesize_pdf_media(
+    spark: SparkSession, sf_dir: str, limit: int = _PDF_LIMIT
+) -> DataFrame:
+    """(doc_id, payload): one byte-valid minimal PDF — header, catalog,
+    page tree, a page object whose MediaBox varies per document, a
+    4-entry xref table whose offsets are REAL (length arithmetic over
+    the preceding bytes), the trailer, and startxref. Pure ASCII."""
+    t = Tables(spark, sf_dir)
+    prefix = _PDF_HEADER + _PDF_OBJ1 + _PDF_OBJ2
+    xref = (
+        _PDF_XREF_HDR
+        + "0000000000 65535 f \n"
+        + _pdf_xref_entry(_PDF_OFF1)
+        + _pdf_xref_entry(_PDF_OFF2)
+        + _pdf_xref_entry(_PDF_OFF3)
+    )
+    obj3 = F.concat(
+        F.lit(_PDF_OBJ3_PRE),
+        F.expr(f"CAST({_PDF_W} AS STRING)"),
+        F.lit(" "),
+        F.expr(f"CAST({_PDF_H} AS STRING)"),
+        F.lit(_PDF_OBJ3_POST),
+    )
+    startxref = (F.lit(_PDF_OFF3) + F.length(obj3)).cast("long")
+    return t.documents.filter(F.col("doc_id") < limit).select(
+        "doc_id",
+        F.concat(
+            F.lit(prefix),
+            obj3,
+            F.lit(xref),
+            F.lit(_PDF_TRAILER_PRE),
+            startxref.cast("string"),
+            F.lit(_PDF_TAIL),
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+
+
+@register(
+    "multimodal_pdf_xref_parse",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST({_PDF_W} AS BIGINT) AS w,
+                   CAST({_PDF_H} AS BIGINT) AS h
+            FROM documents WHERE doc_id < {_PDF_LIMIT}
+        ),
+        sx AS (
+            SELECT doc_id, w, h,
+                   CAST({_PDF_OFF3} + {_PDF_OBJ3_BASE}
+                        + length(CAST(w AS VARCHAR))
+                        + length(CAST(h AS VARCHAR)) AS BIGINT) AS startxref
+            FROM dims
+        )
+        SELECT doc_id,
+               CAST(startxref + {_PDF_XREF_LEN}
+                    + {len(_PDF_TRAILER_PRE)}
+                    + length(CAST(startxref AS VARCHAR))
+                    + {len(_PDF_TAIL)} AS BIGINT) AS total_len,
+               '1.4' AS version,
+               CAST(4 AS BIGINT) AS n_xref_entries,
+               CAST(4 AS BIGINT) AS size_trailer,
+               CAST(1 AS BIGINT) AS kids_count,
+               w AS width, h AS height,
+               CAST({_PDF_OFF1} AS BIGINT) AS off1,
+               CAST({_PDF_OFF2} AS BIGINT) AS off2,
+               CAST({_PDF_OFF3} AS BIGINT) AS off3,
+               TRUE AS objects_ok,
+               startxref AS startxref_val,
+               TRUE AS startxref_ok,
+               TRUE AS eof_ok
+        FROM sx ORDER BY doc_id
+    """,
+    doc=(
+        "X5w: PDF xref-table parse — the byte-offset container: the "
+        "xref records each object's absolute offset and startxref the "
+        "xref table's own. Parse path (payload bytes only): version "
+        "from the %PDF- header; /Size, /Count, MediaBox W/H by regex; "
+        "the three 10-digit xref offsets by POSITION relative to the "
+        "found xref keyword; objects_ok re-locates each 'N 0 obj' "
+        "header by string search and compares (offset+1 = 1-based "
+        "instr) — search vs the synthesis's length arithmetic, two "
+        "independent paths; startxref_ok likewise re-locates the xref "
+        "keyword. MediaBox digits vary 1-4 chars per document so the "
+        "offsets genuinely move. Map-only, zero shuffle; at 100 TB "
+        "the payload column never leaves its partition."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_pdf_xref_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_pdf_media(spark, sf_dir)
+    s = F.col("payload").cast("string")
+    xp = F.instr(s, "\nxref\n").cast("long")  # 0-based offset of 'xref'
+    ent = lambda i: F.substring(  # noqa: E731
+        s, xp + F.lit(1 + len(_PDF_XREF_HDR) + 20 * i), 10
+    ).cast("bigint")
+    off1, off2, off3 = ent(1), ent(2), ent(3)
+    sxv = F.regexp_extract(s, r"startxref\n([0-9]+)", 1).cast("bigint")
+    return media.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("total_len"),
+        F.substring(s, 6, 3).alias("version"),
+        F.regexp_extract(s, r"xref\n0 ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("n_xref_entries"),
+        F.regexp_extract(s, r"/Size ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("size_trailer"),
+        F.regexp_extract(s, r"/Count ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("kids_count"),
+        F.regexp_extract(s, r"MediaBox \[0 0 ([0-9]+) ([0-9]+)\]", 1)
+        .cast("bigint")
+        .alias("width"),
+        F.regexp_extract(s, r"MediaBox \[0 0 ([0-9]+) ([0-9]+)\]", 2)
+        .cast("bigint")
+        .alias("height"),
+        off1.alias("off1"),
+        off2.alias("off2"),
+        off3.alias("off3"),
+        (
+            (off1 + 1 == F.instr(s, "1 0 obj"))
+            & (off2 + 1 == F.instr(s, "2 0 obj"))
+            & (off3 + 1 == F.instr(s, "3 0 obj"))
+        ).alias("objects_ok"),
+        sxv.alias("startxref_val"),
+        (sxv == xp).alias("startxref_ok"),
+        F.endswith(s, F.lit(_PDF_TAIL)).alias("eof_ok"),
+    ).orderBy("doc_id")
