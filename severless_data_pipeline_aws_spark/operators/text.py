@@ -3646,3 +3646,201 @@ def text_langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: UTF-8 / mojibake encoding-corruption audit (X4am)
+# ---------------------------------------------------------------------------
+#
+# The Common-Crawl cleaning step before any text op: find documents
+# whose bytes carry encoding damage — U+FFFD replacement chars (a
+# decoder already gave up once), double-encoded UTF-8 (the 'Ã©'
+# signature: C3 83 C2 xx — UTF-8 bytes re-read as Latin-1 and
+# re-encoded), CP1252 smart-punctuation mojibake ('â€™': C3 A2 E2 82
+# AC ...), and OUTRIGHT invalid UTF-8 (lone continuation bytes,
+# overlong C0/C1 leads, F5-FF, truncated multi-byte sequences). The
+# audit corpus deterministically injects one damage class per
+# doc_id % 5 (class 0 stays clean) so every detector fires
+# non-vacuously; the detectors then work from PAYLOAD BYTES ONLY.
+#
+# Validity uses UTF-8's SELF-SYNCHRONIZING property: whether byte j is
+# an error is decided by a 4-byte window (itself + 3 predecessors) —
+# a continuation byte is claimed iff a valid lead of sufficient arity
+# sits 1..3 back with only continuations between; an ASCII/lead byte
+# errors iff a sequence was still pending. Per-position integer
+# predicates + one SUM: order-independent, no sequential fold.
+# (Deliberately NOT a list_reduce DFA: DuckDB 1.0.0's list_reduce
+# returns wrong values on multi-row vectors for this shape — verified
+# by running the identical expression on the full table vs a 4-row
+# slice — so the fold formulation is unusable as an oracle.)
+
+_ENC_LIMIT = 400
+
+#: injected damage per class (hex): 1 = U+FFFD, 2 = double-encoded é
+#: (C3 83 C2 A9), 3 = CP1252 smart-quote mojibake 'â€™', 4 = invalid
+#: (lone continuation 80, overlong C0 AF, truncated 4-byte lead F0 9F)
+_ENC_SUFFIX_CASE = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 'EFBFBD'"
+    " WHEN 2 THEN 'C383C2A9'"
+    " WHEN 3 THEN 'C3A2E282ACE284A2'"
+    " WHEN 4 THEN '80C0AFF09F' ELSE '' END"
+)
+
+#: byte-class predicate templates over a byte expression {e}
+_ENC_CONT = "({e} >= 128 AND {e} < 192)"
+_ENC_LEAD = "({e} >= 194 AND {e} <= 244)"        # any valid lead
+_ENC_LEAD3P = "({e} >= 224 AND {e} <= 244)"      # arity >= 2
+_ENC_LEAD4 = "({e} >= 240 AND {e} <= 244)"       # arity 3
+
+#: 3-byte signatures: (name, b0, b1, b2)
+_ENC_SIGS = (
+    ("n_replacement", 239, 191, 189),     # EF BF BD = U+FFFD
+    ("n_double_encoded", 195, 131, 194),  # C3 83 C2 = Ã + C2 lead
+    ("n_cp1252_mojibake", 195, 162, 226), # C3 A2 E2 = â + € lead
+)
+
+
+def _enc_pend(j: str, b1: str, b2: str, b3: str) -> str:
+    """Sequence-pending-at-{j} predicate: a valid lead 1..3 back with
+    only continuations between and arity not yet satisfied. Shared
+    TEXT for both engines; {b1}..{b3} are the byte expressions at
+    j-1..j-3 (clamped — the j-range guards mask junk values)."""
+    return (
+        f"(({j}) >= 2 AND {_ENC_LEAD.format(e=b1)})"
+        f" OR (({j}) >= 3 AND {_ENC_CONT.format(e=b1)}"
+        f" AND {_ENC_LEAD3P.format(e=b2)})"
+        f" OR (({j}) >= 4 AND {_ENC_CONT.format(e=b1)}"
+        f" AND {_ENC_CONT.format(e=b2)} AND {_ENC_LEAD4.format(e=b3)})"
+    )
+
+
+def _enc_err(b0: str, pend: str) -> str:
+    """Per-byte error indicator: always-invalid bytes; unclaimed
+    continuations; ASCII/lead bytes that interrupt a pending
+    sequence. Equivalent to the sequential UTF-8 DFA error count
+    (errors are local events under self-synchronization)."""
+    return (
+        f"CASE WHEN {b0} = 192 OR {b0} = 193 OR {b0} >= 245 THEN 1"
+        f" WHEN {b0} >= 128 AND {b0} < 192 THEN"
+        f" CASE WHEN {pend} THEN 0 ELSE 1 END"
+        f" ELSE CASE WHEN {pend} THEN 1 ELSE 0 END END"
+    )
+
+
+def _enc_oracle() -> str:
+    b = lambda k: (  # noqa: E731 — byte at 1-based clamped position k
+        f"CAST(('0x' || substr(hx, CAST(greatest(2*({k}) - 1, 1) AS INT), 2))"
+        " AS INT)"
+    )
+    err = _enc_err(b("j"), _enc_pend("j", b("j-1"), b("j-2"), b("j-3")))
+    nb = "CAST(length(hx) / 2 AS BIGINT)"
+    end_pend = _enc_pend(
+        f"{nb} + 1", b(f"{nb}"), b(f"{nb} - 1"), b(f"{nb} - 2")
+    )
+    sig = lambda b0, b1, b2: (  # noqa: E731
+        f"CAST(COALESCE(list_sum(list_transform(range(1, {nb} + 1),"
+        f" j -> CASE WHEN j + 2 <= {nb}"
+        f" AND {b('j')} = {b0} AND {b('j+1')} = {b1} AND {b('j+2')} = {b2}"
+        " THEN 1 ELSE 0 END)), 0) AS BIGINT)"
+    )
+    return f"""
+        WITH payloads AS (
+            SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS corruption_class,
+                   hex(encode(text) || unhex({_ENC_SUFFIX_CASE})) AS hx
+            FROM documents WHERE doc_id < {_ENC_LIMIT}
+        ),
+        scanned AS (
+            SELECT doc_id, corruption_class, {nb} AS n_bytes,
+                   {", ".join(
+                       sig(b0, b1, b2) + " AS " + name
+                       for name, b0, b1, b2 in _ENC_SIGS
+                   )},
+                   CAST(COALESCE(list_sum(list_transform(
+                            range(1, {nb} + 1), j -> {err})), 0)
+                        + CASE WHEN {end_pend} THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_invalid_utf8
+            FROM payloads
+        )
+        SELECT doc_id, corruption_class, n_bytes,
+               n_replacement, n_double_encoded, n_cp1252_mojibake,
+               n_invalid_utf8,
+               (n_replacement = 0 AND n_double_encoded = 0
+                AND n_cp1252_mojibake = 0 AND n_invalid_utf8 = 0)
+                   AS is_clean
+        FROM scanned ORDER BY doc_id
+    """
+
+
+@register(
+    "text_encoding_corruption_audit",
+    oracle=_enc_oracle(),
+    doc=(
+        "X4am: UTF-8 / mojibake encoding-corruption audit — the "
+        "Common-Crawl byte-hygiene gate: per document, counts of "
+        "U+FFFD replacement chars, double-encoded-UTF-8 signatures "
+        "(C3 83 C2), CP1252 smart-punctuation mojibake (C3 A2 E2), "
+        "and a REAL UTF-8 validity check: because UTF-8 is "
+        "self-synchronizing, each byte's validity is decided by a "
+        "4-byte window (a continuation is claimed iff a valid lead of "
+        "sufficient arity sits 1-3 back across continuations only; an "
+        "ASCII/lead byte errors iff a sequence was pending) — "
+        "per-position integer predicates + one SUM, order-independent "
+        "by construction, equivalent to the sequential DFA error "
+        "count. Catches lone continuations, overlong C0/C1, F5-FF, "
+        "and truncated multi-byte tails (incl. at end-of-string). The "
+        "audit corpus injects one damage class per doc_id % 5 so "
+        "every detector fires non-vacuously; detection reads payload "
+        "bytes only (hex-pair integer predicates — no decoder, no "
+        "UDF). Row-local map-only plan: at 100 TB the bytes never "
+        "cross a shuffle. Classes 1-3 are VALID UTF-8 that decodes to "
+        "garbage (the insidious kind); class 4 is structurally "
+        "invalid — the report separates them exactly."
+    ),
+    tags=("text", "llm", "quality", "dq"),
+)
+def text_encoding_corruption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.filter(F.col("doc_id") < _ENC_LIMIT).selectExpr(
+        "doc_id",
+        "CAST(doc_id % 5 AS BIGINT) AS corruption_class",
+        f"hex(concat(CAST(text AS BINARY), unhex({_ENC_SUFFIX_CASE}))) AS hx",
+    )
+    b = lambda k: (  # noqa: E731
+        f"CAST(conv(substr(hx, greatest(2*({k}) - 1, 1), 2), 16, 10) AS INT)"
+    )
+    err = _enc_err(b("j"), _enc_pend("j", b("j-1"), b("j-2"), b("j-3")))
+    nb = "CAST(length(hx) / 2 AS INT)"
+    end_pend = _enc_pend(
+        f"{nb} + 1", b(f"{nb}"), b(f"{nb} - 1"), b(f"{nb} - 2")
+    )
+    sig_counts = [
+        f"CAST(aggregate(transform(sequence(1, {nb}),"
+        f" j -> CASE WHEN j + 2 <= {nb}"
+        f" AND {b('j')} = {b0} AND {b('j+1')} = {b1} AND {b('j+2')} = {b2}"
+        f" THEN 1 ELSE 0 END), 0, (a, x) -> a + x) AS BIGINT) AS {name}"
+        for name, b0, b1, b2 in _ENC_SIGS
+    ]
+    invalid = (
+        f"CAST(aggregate(transform(sequence(1, {nb}), j -> {err}),"
+        f" 0, (a, x) -> a + x)"
+        f" + CASE WHEN {end_pend} THEN 1 ELSE 0 END AS BIGINT)"
+        " AS n_invalid_utf8"
+    )
+    scanned = payloads.selectExpr(
+        "doc_id",
+        "corruption_class",
+        f"{nb.replace('AS INT', 'AS BIGINT')} AS n_bytes",
+        *sig_counts,
+        invalid,
+    )
+    return scanned.selectExpr(
+        "doc_id",
+        "corruption_class",
+        "n_bytes",
+        "n_replacement",
+        "n_double_encoded",
+        "n_cp1252_mojibake",
+        "n_invalid_utf8",
+        "n_replacement = 0 AND n_double_encoded = 0"
+        " AND n_cp1252_mojibake = 0 AND n_invalid_utf8 = 0 AS is_clean",
+    ).orderBy("doc_id")

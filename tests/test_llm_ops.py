@@ -603,3 +603,94 @@ def test_hamming_prefilter_recall_vs_exact(spark, sf_dir):
         pairs.sort()
         cos = [c for _, c in pairs]
         assert all(a >= b for a, b in zip(cos, cos[1:])), (q, cos)
+
+
+def test_utf8_window_predicate_matches_sequential_dfa(spark):
+    """The encoding audit's window-4 per-byte error predicate must
+    equal the sequential UTF-8 DFA error count on adversarial byte
+    strings — truncations, interruptions, overlongs, cont-run tails —
+    and read 0 exactly when Python's own decoder accepts the bytes."""
+    from severless_data_pipeline_aws_spark.operators.text import (
+        _enc_err,
+        _enc_pend,
+    )
+
+    def dfa(bs: bytes) -> int:
+        expect = bad = 0
+        for x in bs:
+            if 128 <= x < 192:
+                if expect > 0:
+                    expect -= 1
+                else:
+                    bad += 1
+            elif x < 128:
+                if expect > 0:
+                    bad += 1
+                    expect = 0
+            elif x in (192, 193) or x >= 245:
+                bad += 1
+                expect = 0
+            elif x < 224:
+                bad += expect > 0
+                expect = 1
+            elif x < 240:
+                bad += expect > 0
+                expect = 2
+            else:
+                bad += expect > 0
+                expect = 3
+        return bad + (expect > 0)
+
+    cases = [
+        b"plain ascii",
+        "exact café € \U0001f600".encode(),
+        b"\x80",                      # lone continuation
+        b"\xc2",                      # truncated 2-byte at end
+        b"\xc2Ax",                    # interrupted 2-byte
+        b"\xe0\x80\x80",              # full 3-byte (structurally)
+        b"\xe0\x80",                  # truncated 3-byte
+        b"\xe0A\x80",                 # interrupted + orphan cont
+        b"\xf0\x9f\x98",              # truncated 4-byte at end
+        b"\xf0\x80\x80\x80\x80",      # 4-byte + extra cont
+        b"\xc0\xaf",                  # overlong lead + orphan
+        b"\xf5\x80",                  # F5 invalid + orphan
+        b"\xc2\xc2\x80",              # lead interrupts lead
+        b"\xe0\xc2\x80A",             # lead3 interrupted by lead2
+        b"A\x80\x80\x80\x80B",        # cont run, nothing claims
+        b"\x80\xc0\xaf\xf0\x9f",      # the class-4 injection
+        b"\xef\xbf\xbd ok \xc3\x83\xc2\xa9",  # valid mojibake bytes
+    ]
+    hx_col = ", ".join(f"('{bs.hex().upper()}')" for bs in cases)
+    b = lambda k: (  # noqa: E731
+        f"CAST(conv(substr(hx, greatest(2*({k}) - 1, 1), 2), 16, 10) AS INT)"
+    )
+    err = _enc_err(b("j"), _enc_pend("j", b("j-1"), b("j-2"), b("j-3")))
+    nb = "CAST(length(hx) / 2 AS INT)"
+    end_pend = _enc_pend(f"{nb} + 1", b(nb), b(f"{nb} - 1"), b(f"{nb} - 2"))
+    got = [
+        r.n
+        for r in spark.sql(
+            f"SELECT aggregate(transform(sequence(1, {nb}), j -> {err}),"
+            f" 0, (a, x) -> a + x)"
+            f" + CASE WHEN {end_pend} THEN 1 ELSE 0 END AS n"
+            f" FROM VALUES {hx_col} AS t(hx)"
+            " ORDER BY length(hx), hx"
+        ).collect()
+    ]
+    ordered = sorted(cases, key=lambda bs: (2 * len(bs), bs.hex().upper()))
+    want = [dfa(bs) for bs in ordered]
+    assert got == want
+    # structural validity: zero errors iff the real decoder accepts —
+    # except RANGE-level overlongs (e.g. E0 80 80): byte-structure
+    # checks accept those by design (only C0/C1/F5+ are caught at the
+    # byte level); the audit documents itself as structural
+    range_overlong = {b"\xe0\x80\x80", b"\xf0\x80\x80\x80\x80"}
+    for bs, n in zip(ordered, got):
+        if bs in range_overlong:
+            continue
+        decodes = True
+        try:
+            bs.decode("utf-8")
+        except UnicodeDecodeError:
+            decodes = False
+        assert (n == 0) == decodes, (bs, n, decodes)
