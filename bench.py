@@ -167,6 +167,21 @@ HEADLINE = [
     "null_ordering_first_last",
     "sampling_fixed_k_per_group",
     "pipeline_length_bucket_padding_waste",
+    # round-9 rotation names, folded in (ledger pattern): the Lorenz
+    # decile closed form, Pareto revenue concentration, iterative
+    # k-core peeling, the MP4 box walk, Neyman allocation, LSH ANN,
+    # the HLL audience-intersection audit, the trained quality
+    # classifier, TPC-H q15, and fractal swing points
+    "agg_lorenz_curve_deciles",
+    "funnel_pareto_revenue_concentration",
+    "graph_kcore_decomposition",
+    "multimodal_mp4_box_parse",
+    "sampling_neyman_allocation",
+    "similarity_ann_lsh",
+    "sketch_hll_intersection_estimate",
+    "text_quality_classifier_score",
+    "tpch_q15_top_supplier",
+    "window_fractal_swing_points",
 ]
 
 
