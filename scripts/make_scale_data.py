@@ -69,11 +69,17 @@ def main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "localdata", "sf1x"
     )
+    # optional table subset (r10: the dedup probe replicates ONLY the
+    # documents corpus 30x — replicating 18M lineitem rows for a
+    # documents-only probe would be wasted minutes per round)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark(app_name="make-scale-data")
     os.makedirs(out_dir, exist_ok=True)
 
     strides: dict[str, int] = {}
     for name in _OWN_KEYS:
+        if only is not None and name not in only:
+            continue
         df = load_table(spark, SRC, name)
         keys = _OWN_KEYS[name] or []
         mx = 0
@@ -82,6 +88,8 @@ def main() -> None:
         strides[name] = _stride(mx) if keys else 0
 
     for name in TABLES:
+        if only is not None and name not in only:
+            continue
         df = load_table(spark, SRC, name)
         if name in ("region", "nation"):
             out = df

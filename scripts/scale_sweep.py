@@ -166,6 +166,12 @@ def main() -> None:
         "window_caps": caps_report,
         "caps_ok": not failures,
         "failures": failures,
+        # r9 verdict #7: the candidate-growth curve of the three
+        # inverted-index dedup queries, one decade beyond the sweep's
+        # 10x step — candidates and outputs counted at sf0.1 / 10x /
+        # 30x-documents so the 100 TB claim rests on a measured curve,
+        # not an extrapolated point
+        "dedup_scale_probe": _dedup_scale_probe(spark, data_dir),
     }
     out = os.path.join(_HERE, f"SCALE_SWEEP_r{rnd}.json")
     with open(out, "w") as fh:
@@ -174,6 +180,89 @@ def main() -> None:
     spark.stop()
     if failures:
         raise SystemExit(f"scale sweep FAILED window caps: {failures}")
+
+
+#: the three inverted-index dedup queries whose candidate spaces grow
+#: super-linearly under replication (more true near-dups = more work by
+#: construction); the probe measures HOW the candidate and output
+#: counts grow across sf0.1 -> 10x -> 30x so the time exponents stay
+#: output-adjudicated one decade further out
+_DEDUP_PROBE_DIR_ENV = "SPARK_GRAFT_PROBE30_DIR"
+
+
+def _dedup_scale_probe(spark, dir10: str) -> dict:
+    """Candidate/output counts for the three inverted-index dedup
+    queries at sf0.1, the 10x dir, and (when present) the 30x
+    documents-only dir built by
+    ``make_scale_data.py 30 localdata/sf3x_docs documents``."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.dedup import (
+        _pair_docs,
+        minhash_lsh_candidates,
+        prefix_jaccard_candidates,
+    )
+    from severless_data_pipeline_aws_spark.operators.text import (
+        ngram_novelty_grams,
+    )
+
+    dir30 = os.environ.get(
+        _DEDUP_PROBE_DIR_ENV, os.path.join(_HERE, "localdata", "sf3x_docs")
+    )
+    scales = [("sf01", _REF_DIR), ("x10_docs", dir10)]
+    if os.path.isdir(os.path.join(dir30, "documents.parquet")):
+        scales.append(("x30_docs", dir30))
+    specs = registry.load_all()
+    report: dict = {
+        "scales": {label: d for label, d in scales},
+        "note": (
+            "candidates = pre-verification pair space (band-bucket "
+            "join for LSH, prefix-postings join with the PPJoin "
+            "length bound for AllPairs) or inverted-index rows "
+            "(novelty); outputs = final result rows. Growth ratios "
+            "are per data-scale step; sub-quadratic candidate growth "
+            "under K-fold replication (< K^2) is the claim being "
+            "measured."
+        ),
+    }
+    for name in (
+        "dedup_allpairs_prefix_jaccard",
+        "dedup_minhash_lsh",
+        "text_ngram_novelty_score",
+    ):
+        rows: dict = {}
+        for label, d in scales:
+            docs = _pair_docs(Tables(spark, d))
+            if name == "dedup_allpairs_prefix_jaccard":
+                cand, tok, _sizes = prefix_jaccard_candidates(docs)
+                n_cand = cand.count()
+                tok.unpersist()
+            elif name == "dedup_minhash_lsh":
+                n_cand = minhash_lsh_candidates(docs).count()
+            else:
+                n_cand = ngram_novelty_grams(
+                    Tables(spark, d).documents
+                ).count()
+            t0 = time.perf_counter()
+            n_out = specs[name].fn(spark, d).count()
+            rows[label] = {
+                "candidates": int(n_cand),
+                "out_rows": int(n_out),
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+            spark.catalog.clearCache()
+        first = rows[scales[0][0]]
+        last = rows[scales[-1][0]]
+        report[name] = dict(
+            rows,
+            candidate_growth=round(
+                last["candidates"] / max(first["candidates"], 1), 1
+            ),
+            output_growth=round(
+                last["out_rows"] / max(first["out_rows"], 1), 1
+            ),
+        )
+        print(f"  probe {name}: {report[name]}", file=sys.stderr)
+    return report
 
 
 def _output_scaling(fn, spark, data_dir: str) -> dict:

@@ -375,27 +375,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop("_shingles")
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_minhash_lsh_oracle(),
-    doc=(
-        "X2 (scale tier): MinHash-LSH near-dup pairs. shingle → 32 "
-        "minhashes → 8 banded signatures → bucket equi-join for candidates "
-        "→ exact-Jaccard verification of candidates only. Sub-quadratic: "
-        "the only joins are equi-joins on band hashes and shingles of "
-        "candidate pairs. Verified two ways: pytest recall against the "
-        "exact dedup_ngram_jaccard_pairs result, and (r4) an EXACT "
-        "DuckDB oracle that replays Spark's xxhash64 bit-for-bit in "
-        "pure SQL (functions/xxh64_sql.py), covering every minhash, "
-        "band bucket, candidate pair, and Jaccard value."
-    ),
-    tags=("dedup", "llm", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    docs = _pair_docs(t)
-    sig = minhash_signature(docs).select("doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)])
-
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """The LSH candidate stage alone: (doc_a, doc_b) pairs sharing at
+    least one band bucket — the pre-verification pair space. Exposed
+    (r10) so the scale sweep's dedup probe can record candidate counts
+    at 10x/30x without duplicating the banding logic."""
+    sig = minhash_signature(docs).select(
+        "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
+    )
     # band hash = xxhash64 of the band's signature slice
     bands = sig.select(
         "doc_id",
@@ -416,12 +403,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    candidates = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_lsh_oracle(),
+    doc=(
+        "X2 (scale tier): MinHash-LSH near-dup pairs. shingle → 32 "
+        "minhashes → 8 banded signatures → bucket equi-join for candidates "
+        "→ exact-Jaccard verification of candidates only. Sub-quadratic: "
+        "the only joins are equi-joins on band hashes and shingles of "
+        "candidate pairs. Verified two ways: pytest recall against the "
+        "exact dedup_ngram_jaccard_pairs result, and (r4) an EXACT "
+        "DuckDB oracle that replays Spark's xxhash64 bit-for-bit in "
+        "pure SQL (functions/xxh64_sql.py), covering every minhash, "
+        "band bucket, candidate pair, and Jaccard value."
+    ),
+    tags=("dedup", "llm", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = _pair_docs(t)
+    candidates = minhash_lsh_candidates(docs)
 
     # exact-Jaccard verification of the candidate pairs only
     sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle")).distinct()
@@ -1477,6 +1486,54 @@ def dedup_url_canonical_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
 _ALLPAIRS_TAU = 0.5  # Jaccard threshold (dyadic literal, identical text)
 
 
+def prefix_jaccard_candidates(docs: DataFrame):
+    """The AllPairs/PPJoin candidate stage alone: (cand, tok, sizes)
+    where ``cand`` is the prefix-postings join with the PPJoin length
+    bound applied, pre-verification. Exposed (r10) so the scale
+    sweep's dedup probe can record candidate counts at 10x/30x without
+    duplicating the prefix logic; the registered query verifies these
+    exact candidates."""
+    from pyspark.sql.window import Window as W
+
+    tok = docs.select(
+        "doc_id", F.explode(_shingles()).alias("token")
+    ).distinct().persist()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # prefix = first (n - ceil(tau*n) + 1) shingles in global (df, token)
+    # order; the rank window is PER DOC (bounded by shingles/doc)
+    ranked = (
+        tok.join(df, "token")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "token")),
+        )
+        .filter(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "token", "n")
+    )
+    # candidate join on prefix postings + the PPJoin length bound
+    # (tau*na <= nb <= na/tau follows from J >= tau) applied in-join
+    cand = (
+        ranked.select(F.col("doc_id").alias("doc_a"), "token", F.col("n").alias("na"))
+        .join(
+            ranked.select(F.col("doc_id").alias("doc_b"), "token", F.col("n").alias("nb")),
+            "token",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("nb")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return cand, tok, sizes
+
+
 @register(
     "dedup_allpairs_prefix_jaccard",
     oracle=f"""
@@ -1523,46 +1580,9 @@ _ALLPAIRS_TAU = 0.5  # Jaccard threshold (dyadic literal, identical text)
     tags=("dedup", "llm", "join", "topk"),
 )
 def dedup_allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     t = Tables(spark, sf_dir)
     docs = _pair_docs(t)
-    tok = docs.select(
-        "doc_id", F.explode(_shingles()).alias("token")
-    ).distinct().persist()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # prefix = first (n - ceil(tau*n) + 1) shingles in global (df, token)
-    # order; the rank window is PER DOC (bounded by shingles/doc)
-    ranked = (
-        tok.join(df, "token")
-        .join(F.broadcast(sizes), "doc_id")
-        .withColumn(
-            "rk",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "token")),
-        )
-        .filter(
-            F.col("rk")
-            <= F.col("n") - F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("n")) + 1
-        )
-        .select("doc_id", "token", "n")
-    )
-    # candidate join on prefix postings + the PPJoin length bound
-    # (tau*na <= nb <= na/tau follows from J >= tau) applied in-join
-    cand = (
-        ranked.select(F.col("doc_id").alias("doc_a"), "token", F.col("n").alias("na"))
-        .join(
-            ranked.select(F.col("doc_id").alias("doc_b"), "token", F.col("n").alias("nb")),
-            "token",
-        )
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("nb") >= F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("na")))
-            & (F.col("na") >= F.ceil(F.lit(_ALLPAIRS_TAU) * F.col("nb")))
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand, tok, sizes = prefix_jaccard_candidates(docs)
     # exact verify on candidates only: intersection via the full shingle
     # lists of the two sides
     inter = (

@@ -1651,6 +1651,28 @@ def text_langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty_grams(documents: DataFrame) -> DataFrame:
+    """The novelty op's inverted-index stage alone: distinct (doc_id,
+    gram) word-trigram rows. Exposed (r10) so the scale sweep's dedup
+    probe can record the index-row count at 10x/30x without duplicating
+    the gram expression; the registered query aggregates exactly this."""
+    return documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # sequence(1, 0) counts DOWN (the text_top_bigrams
+                # lesson), so docs under 3 words take the empty branch
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("gram"),
+    )
+
+
 @register(
     "text_ngram_novelty_score",
     oracle="""
@@ -1692,21 +1714,7 @@ def text_langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    grams = t.documents.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                # sequence(1, 0) counts DOWN (the text_top_bigrams
-                # lesson), so docs under 3 words take the empty branch
-                F.expr(
-                    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-                    "transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-                    " ELSE array() END"
-                )
-            )
-        ).alias("gram"),
-    )
+    grams = ngram_novelty_grams(t.documents)
     firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(firsts, "gram")
