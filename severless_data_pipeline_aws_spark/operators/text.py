@@ -3852,3 +3852,276 @@ def text_encoding_corruption_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "n_replacement = 0 AND n_double_encoded = 0"
         " AND n_cp1252_mojibake = 0 AND n_invalid_utf8 = 0 AS is_clean",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-10: SentencePiece-style unigram-LM tokenizer via Viterbi hard-EM
+# (X4an) — the subword-vocabulary alternative to BPE
+# ---------------------------------------------------------------------------
+#
+# SentencePiece's unigram model trains by EM over a candidate-piece
+# inventory; the exact-arithmetic variant implemented here is the
+# documented HARD-EM (Viterbi-EM) form: the E-step keeps only the best
+# segmentation per word, the M-step re-estimates piece scores from
+# Viterbi usage, and unused pieces prune away (single characters are
+# retained as the coverage fallback, per the SentencePiece contract).
+# Scores stay INTEGERS end to end: a segmentation's objective is
+# -(n_pieces << 40) + sum(piece scores) — fewest pieces first, then
+# highest total score, the ln-free dominance order — so both engines
+# agree bit-for-bit and no float ever folds. Words are bounded at 8
+# chars / pieces at 4 (asserted grid), so the Viterbi DP and the
+# backtrack unroll as FIXED layered columns (the k-means/BPE unrolled-
+# rounds pattern; no recursion, no list_reduce — see the encoding
+# audit's DuckDB vector-bug note). Everything after the one corpus
+# scan runs at vocabulary grain (31 distinct words in the fixture —
+# metadata at any SF, the same contract as the BPE trainer).
+
+_UNI_MAXLEN = 8        # max word length (fixture max; guarded by wl)
+_UNI_MAXPIECE = 4      # max piece length
+_UNI_PENALTY = -(1 << 40)   # per-piece cost: fewest-pieces dominates
+_UNI_UNAVAIL = -(1 << 60)   # candidate unusable at this (j, k)
+
+
+def _uni_sc_cols() -> str:
+    """The 32 pivoted (end-position j, piece-length k) score columns —
+    shared SQL text; NULL when the slot is empty or the piece scored
+    NULL this round."""
+    return ", ".join(
+        f"MAX(CASE WHEN j = {j} AND k = {k} THEN sc END) AS sc_{j}_{k}"
+        for j in range(1, _UNI_MAXLEN + 1)
+        for k in range(1, min(_UNI_MAXPIECE, j) + 1)
+    )
+
+
+def _uni_dp_layers() -> list[tuple[str, str]]:
+    """Viterbi DP + backtrack as layered column expressions (name,
+    expr) — IDENTICAL text applied by Spark selectExpr chaining and by
+    DuckDB nested subqueries. Requires columns: w, wl, sc_{j}_{k}."""
+    layers: list[tuple[str, str]] = [("b0", "CAST(0 AS BIGINT)")]
+    cand = lambda j, k: (  # noqa: E731
+        f"CASE WHEN sc_{j}_{k} IS NOT NULL"
+        f" THEN b{j - k} + CAST({_UNI_PENALTY} AS BIGINT) + sc_{j}_{k}"
+        f" ELSE CAST({_UNI_UNAVAIL} AS BIGINT) END"
+    )
+    for j in range(1, _UNI_MAXLEN + 1):
+        ks = range(1, min(_UNI_MAXPIECE, j) + 1)
+        cands = [cand(j, k) for k in ks]
+        best = f"GREATEST({', '.join(cands)})" if len(cands) > 1 else cands[0]
+        layers.append(
+            (f"b{j}", f"CASE WHEN {j} > wl THEN b{j - 1} ELSE {best} END")
+        )
+    for j in range(1, _UNI_MAXLEN + 1):
+        ks = range(1, min(_UNI_MAXPIECE, j) + 1)
+        arms = " ".join(
+            f"WHEN b{j} = ({cand(j, k)}) THEN {k}" for k in ks
+        )
+        layers.append(
+            (
+                f"f{j}",
+                f"CASE WHEN {j} > wl THEN NULL ELSE CASE {arms} END END",
+            )
+        )
+    layers.append(("pos0", "wl"))
+    karm = " ".join(
+        f"WHEN {j} THEN f{j}" for j in range(1, _UNI_MAXLEN + 1)
+    )
+    for t in range(1, _UNI_MAXLEN + 1):
+        layers += [
+            (
+                f"k{t}",
+                f"CASE WHEN pos{t - 1} > 0"
+                f" THEN CASE pos{t - 1} {karm} END END",
+            ),
+            (
+                f"p{t}",
+                f"CASE WHEN pos{t - 1} > 0"
+                f" THEN substr(w, pos{t - 1} - k{t} + 1, k{t}) END",
+            ),
+            (
+                f"pos{t}",
+                f"CASE WHEN pos{t - 1} > 0 THEN pos{t - 1} - k{t}"
+                " ELSE 0 END",
+            ),
+        ]
+    return layers
+
+
+def _uni_oracle() -> str:
+    layers = _uni_dp_layers()
+    piece_cols = ", ".join(f"p{t}" for t in range(1, _UNI_MAXLEN + 1))
+
+    def viterbi(scored: str, tag: str) -> str:
+        """CTE chain: pivot {scored} (w, wn, wl, j, k, sc) wide, run the
+        layered DP, explode Viterbi pieces -> usage{tag}."""
+        q = f"(SELECT w, wn, wl, {_uni_sc_cols()} FROM {scored}" \
+            " GROUP BY w, wn, wl)"
+        for name, expr in layers:
+            q = f"(SELECT *, {expr} AS {name} FROM {q})"
+        return (
+            f"seg{tag} AS (SELECT w, wn, {piece_cols} FROM {q}),\n"
+            f"        usage{tag} AS MATERIALIZED (\n"
+            f"            SELECT piece, CAST(SUM(wn) AS BIGINT) AS usage\n"
+            f"            FROM (SELECT wn, unnest(list_filter([{piece_cols}],"
+            " x -> x IS NOT NULL)) AS piece"
+            f" FROM seg{tag})\n"
+            "            GROUP BY piece)"
+        )
+
+    return f"""
+        WITH words AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wn,
+                   CAST(length(w) AS INT) AS wl
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+        ),
+        slots AS MATERIALIZED (
+            SELECT w, wn, wl, CAST(j AS INT) AS j, CAST(k AS INT) AS k,
+                   substr(w, CAST(j - k + 1 AS INT), CAST(k AS INT)) AS piece
+            FROM words, range(1, {_UNI_MAXLEN} + 1) r1(j),
+                 range(1, {_UNI_MAXPIECE} + 1) r2(k)
+            WHERE j <= wl AND k <= j
+        ),
+        counts AS MATERIALIZED (
+            SELECT piece, CAST(SUM(wn) AS BIGINT) AS substr_count
+            FROM slots GROUP BY piece
+        ),
+        sc0 AS (
+            SELECT s.w, s.wn, s.wl, s.j, s.k, c.substr_count AS sc
+            FROM slots s JOIN counts c ON c.piece = s.piece
+        ),
+        {viterbi("sc0", "1")},
+        sc1 AS (
+            SELECT s.w, s.wn, s.wl, s.j, s.k,
+                   CASE WHEN u.usage IS NOT NULL THEN u.usage
+                        WHEN s.k = 1 THEN CAST(0 AS BIGINT) END AS sc
+            FROM slots s LEFT JOIN usage1 u ON u.piece = s.piece
+        ),
+        {viterbi("sc1", "2")}
+        SELECT c.piece,
+               CAST(length(c.piece) AS BIGINT) AS piece_len,
+               c.substr_count,
+               CAST(COALESCE(u1.usage, 0) AS BIGINT) AS usage_r1,
+               CAST(COALESCE(u2.usage, 0) AS BIGINT) AS usage_r2,
+               COALESCE(u2.usage, 0) > 0 AS survived
+        FROM counts c
+        LEFT JOIN usage1 u1 ON u1.piece = c.piece
+        LEFT JOIN usage2 u2 ON u2.piece = c.piece
+        ORDER BY c.piece
+    """
+
+
+@register(
+    "text_unigram_lm_tokenizer",
+    oracle=_uni_oracle(),
+    doc=(
+        "X4an: SentencePiece-style unigram-LM subword tokenizer via "
+        "Viterbi hard-EM — the alternative vocabulary-induction family "
+        "to BPE (merge-based vs score-based). Candidate inventory = "
+        "every 1-4-char substring of the corpus word table with its "
+        "frequency-weighted substring count; E-step = per-word Viterbi "
+        "segmentation under the integer dominance objective "
+        "-(n_pieces << 40) + sum(scores) (fewest pieces, then highest "
+        "score — the ln-free order, ties broken by smallest piece at "
+        "each DP cell); M-step = piece usage re-estimation; round 2 "
+        "re-segments under usage scores with unused pieces pruned and "
+        "single chars retained at score 0 (the coverage fallback). "
+        "The 8-position DP and backtrack unroll as fixed layered "
+        "columns evaluated from ONE shared expression list in both "
+        "engines — no recursion, no floats, no list_reduce. Scale "
+        "shape: one corpus scan to the word-frequency table, then "
+        "everything runs at vocabulary grain (the BPE-trainer "
+        "contract); output is the piece inventory with per-round "
+        "usage and the survival verdict."
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+def text_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
+        .withColumn("wl", F.length("w").cast("int"))
+        .localCheckpoint(eager=True)  # one corpus scan for both rounds
+    )
+    slots = (
+        words.select(
+            "w",
+            "wn",
+            "wl",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, wl), j ->"
+                    f" transform(sequence(1, least({_UNI_MAXPIECE}, j)),"
+                    " k -> struct(j AS j, k AS k))))"
+                )
+            ).alias("jk"),
+        )
+        .selectExpr(
+            "w", "wn", "wl",
+            "CAST(jk.j AS INT) AS j", "CAST(jk.k AS INT) AS k",
+            "substr(w, jk.j - jk.k + 1, jk.k) AS piece",
+        )
+    )
+    counts = slots.groupBy("piece").agg(
+        F.sum("wn").cast("bigint").alias("substr_count")
+    )
+    layers = _uni_dp_layers()
+    piece_cols = [f"p{t_}" for t_ in range(1, _UNI_MAXLEN + 1)]
+
+    def viterbi(scored: DataFrame) -> DataFrame:
+        wide = scored.groupBy("w", "wn", "wl").agg(
+            *[
+                F.expr(e).alias(e.split(" AS ")[-1])
+                for e in _uni_sc_cols().split(", ")
+            ]
+        )
+        for name, expr in layers:
+            wide = wide.selectExpr("*", f"{expr} AS {name}")
+        seg = wide.select("w", "wn", *piece_cols)
+        return (
+            seg.select(
+                "wn",
+                F.explode(
+                    F.expr(
+                        f"filter(array({', '.join(piece_cols)}),"
+                        " x -> x IS NOT NULL)"
+                    )
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("wn").cast("bigint").alias("usage"))
+        )
+
+    sc0 = slots.join(counts, "piece").select(
+        "w", "wn", "wl", "j", "k", F.col("substr_count").alias("sc")
+    )
+    usage1 = viterbi(sc0).localCheckpoint(eager=True)
+    sc1 = slots.join(usage1, "piece", "left").select(
+        "w",
+        "wn",
+        "wl",
+        "j",
+        "k",
+        F.expr(
+            "CASE WHEN usage IS NOT NULL THEN usage"
+            " WHEN k = 1 THEN CAST(0 AS BIGINT) END"
+        ).alias("sc"),
+    )
+    usage2 = viterbi(sc1)
+    return (
+        counts.join(
+            usage1.withColumnRenamed("usage", "u1"), "piece", "left"
+        )
+        .join(usage2.withColumnRenamed("usage", "u2"), "piece", "left")
+        .select(
+            "piece",
+            F.length("piece").cast("bigint").alias("piece_len"),
+            "substr_count",
+            F.coalesce("u1", F.lit(0)).cast("bigint").alias("usage_r1"),
+            F.coalesce("u2", F.lit(0)).cast("bigint").alias("usage_r2"),
+            (F.coalesce("u2", F.lit(0)) > 0).alias("survived"),
+        )
+        .orderBy("piece")
+    )
