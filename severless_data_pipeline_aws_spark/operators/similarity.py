@@ -3597,3 +3597,123 @@ def similarity_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 0.0e0 END"
         ).alias("ndcg_at_10"),
     ).orderBy("system", "query_id")
+
+
+#: AP@10 numerator terms: rel_r * hits_at_r * (2520 / r) — every
+#: reciprocal-rank weight is an exact integer (2520 = lcm(1..10))
+_AP_NUM_EXPR = " + ".join(
+    f"r{i} * h{i} * {2520 // i}" for i in range(1, 11)
+)
+
+
+@register(
+    "similarity_eval_map",
+    oracle=f"""
+        WITH {_eval_ctes_sql()},
+        bits AS (
+            SELECT system, query_id,
+                   {", ".join(
+                       f"CAST(MAX(CASE WHEN rank = {i} THEN rel ELSE 0 END)"
+                       f" AS BIGINT) AS r{i}" for i in range(1, 11)
+                   )}
+            FROM labeled GROUP BY system, query_id
+        ),
+        padded AS (
+            SELECT s.system, s.query_id, n.n_rel,
+                   {", ".join(
+                       f"CAST(COALESCE(b.r{i}, 0) AS BIGINT) AS r{i}"
+                       for i in range(1, 11)
+                   )}
+            FROM scaffold s
+            JOIN nrel n ON n.query_id = s.query_id
+            LEFT JOIN bits b ON b.system = s.system
+                            AND b.query_id = s.query_id
+        ),
+        cum AS (
+            SELECT system, query_id, n_rel,
+                   {", ".join(
+                       "CAST(" + " + ".join(f"r{j}" for j in range(1, i + 1))
+                       + f" AS BIGINT) AS h{i}" for i in range(1, 11)
+                   )},
+                   {", ".join(f"r{i}" for i in range(1, 11))}
+            FROM padded
+        ),
+        per_q AS (
+            SELECT system, query_id, n_rel,
+                   CAST({_AP_NUM_EXPR} AS BIGINT) AS ap_num_x2520
+            FROM cum
+        )
+        SELECT system,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(ap_num_x2520) AS BIGINT) AS sum_ap_num_x2520,
+               CAST(SUM(ap_num_x2520) AS DOUBLE)
+                   / (2520.0e0 * 10.0e0 * CAST(COUNT(*) AS DOUBLE))
+                   AS map_at_10
+        FROM per_q GROUP BY system
+        ORDER BY system
+    """,
+    doc=(
+        "X3y: MAP@10 per ANN cascade against the exact-cosine qrels — "
+        "mean average precision, the rank-weighted completion of the "
+        "eval family (precision/recall: set overlap; MRR: first hit; "
+        "NDCG: graded discount; MAP: precision integrated over every "
+        "relevant position). AP@10 = (1/min(n_rel,10)) * sum over "
+        "relevant ranks r of precision@r; with ranks bounded at 10, "
+        "precision@r = hits@r / r makes every term an exact integer "
+        "multiple of 1/2520 (lcm 1..10) — the per-query numerator "
+        "ap_num_x2520 = sum(rel_r * hits@r * 2520/r) is a pure "
+        "integer, summed order-independently per system, with ONE "
+        "pinned float division at the end (n_rel = 10 for every "
+        "judged query, so the 1/min(n_rel,10) factor is the literal "
+        "10 in the divisor). Same bounded plan shape as the other "
+        "three eval ops."
+    ),
+    tags=("similarity", "llm", "ann", "quality", "eval"),
+)
+def similarity_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled, scaffold, nrel = _eval_tables(spark, sf_dir)
+    bits = labeled.groupBy("system", "query_id").agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col("rel")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r{i}")
+            for i in range(1, 11)
+        ]
+    )
+    padded = (
+        scaffold.join(nrel, "query_id")
+        .join(bits, ["system", "query_id"], "left")
+        .na.fill(0, [f"r{i}" for i in range(1, 11)])
+    )
+    cum = padded.selectExpr(
+        "system",
+        "query_id",
+        "n_rel",
+        *[f"r{i}" for i in range(1, 11)],
+        *[
+            "CAST(" + " + ".join(f"r{j}" for j in range(1, i + 1))
+            + f" AS BIGINT) AS h{i}"
+            for i in range(1, 11)
+        ],
+    )
+    per_q = cum.select(
+        "system",
+        F.expr(f"CAST({_AP_NUM_EXPR} AS BIGINT)").alias("ap_num_x2520"),
+    )
+    return (
+        per_q.groupBy("system")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("ap_num_x2520").cast("bigint").alias("sum_ap_num_x2520"),
+        )
+        .select(
+            "system",
+            "n_queries",
+            "sum_ap_num_x2520",
+            F.expr(
+                "CAST(sum_ap_num_x2520 AS DOUBLE)"
+                " / (2520.0e0 * 10.0e0 * CAST(n_queries AS DOUBLE))"
+            ).alias("map_at_10"),
+        )
+        .orderBy("system")
+    )

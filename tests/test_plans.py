@@ -830,6 +830,7 @@ _BNLJ_BOUNDED_OK = {
     "similarity_eval_precision_recall",
     "similarity_eval_mrr",
     "similarity_eval_ndcg",
+    "similarity_eval_map",
 }
 
 
