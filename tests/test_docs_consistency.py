@@ -392,6 +392,34 @@ def test_survey_219_pinned_to_registry():
     assert not ghosts, f"SURVEY §2.19 references unknown queries: {sorted(ghosts)}"
 
 
+_R10_QUERIES = frozenset(
+    {
+        "similarity_eval_precision_recall",
+        "similarity_eval_mrr",
+        "similarity_eval_ndcg",
+        "similarity_eval_map",
+        "streaming_ams_f2_moment",
+        "multimodal_pdf_xref_parse",
+        "text_encoding_corruption_audit",
+        "text_unigram_lm_tokenizer",
+    }
+)
+
+
+def test_survey_220_pinned_to_registry():
+    """SURVEY §2.20 must document every round-10 query, and only real
+    ones (the r5 #9 discipline: the inventory lands in the same commit
+    that registers the queries)."""
+    section = _survey_section(open(_SURVEY).read(), "### 2.20")
+    names = set(registry.load_all())
+    documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
+    assert _R10_QUERIES <= names, "r10 pin list drifted from registry"
+    missing = _R10_QUERIES - documented
+    assert not missing, f"r10 queries absent from SURVEY §2.20: {sorted(missing)}"
+    ghosts = documented - names
+    assert not ghosts, f"SURVEY §2.20 references unknown queries: {sorted(ghosts)}"
+
+
 def test_driver_sample_prefix_spans_every_module():
     """The driver's correctness gate checks the FIRST 50 registry
     entries; registry.load_all() interleaves round-robin across source
