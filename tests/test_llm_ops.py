@@ -694,3 +694,30 @@ def test_utf8_window_predicate_matches_sequential_dfa(spark):
         except UnicodeDecodeError:
             decodes = False
         assert (n == 0) == decodes, (bs, n, decodes)
+
+
+def test_unigram_tokenizer_covers_every_char_exactly_once(spark, sf_dir):
+    """Viterbi segmentation is a PARTITION of each word: summed over
+    the vocabulary, usage * piece_len must equal the corpus character
+    mass (word_count * word_len summed over words) in BOTH EM rounds,
+    and no piece can be used more often than it occurs as a substring."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    rows = (
+        load_all()["text_unigram_lm_tokenizer"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    chars = (
+        Tables(spark, sf_dir)
+        .documents.selectExpr("explode(split(text, ' ')) AS w")
+        .selectExpr("SUM(length(w)) AS c")
+        .collect()[0]["c"]
+    )
+    for col in ("usage_r1", "usage_r2"):
+        covered = sum(r[col] * r["piece_len"] for r in rows)
+        assert covered == chars, (col, covered, chars)
+    for r in rows:
+        assert r["usage_r1"] <= r["substr_count"], r
+        assert r["usage_r2"] <= r["substr_count"], r
+        assert r["survived"] == (r["usage_r2"] > 0)
