@@ -2434,3 +2434,334 @@ def multimodal_pdf_xref_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sxv == xp).alias("startxref_ok"),
         F.endswith(s, F.lit(_PDF_TAIL)).alias("eof_ok"),
     ).orderBy("doc_id")
+
+
+# --- X5x: gzip member (RFC 1952) with stored-deflate body ------------------
+
+_GZIP_LIMIT = 400
+
+#: CRC-32 (IEEE 802.3, reflected, poly 0xEDB88320) lookup table — the
+#: public algorithm every gzip implementation shares; generated here,
+#: embedded as a literal array in BOTH engines' fold expressions.
+_CRC32_TABLE: list[int] = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ (0xEDB88320 if _c & 1 else 0)
+    _CRC32_TABLE.append(_c)
+_CRC32_SPARK = "array(" + ",".join(f"{x}L" for x in _CRC32_TABLE) + ")"
+_CRC32_DUCK = "[" + ",".join(str(x) for x in _CRC32_TABLE) + "]"
+
+#: uncompressed length: 20..32 bytes, varies per doc so LEN/NLEN/CRC/
+#: ISIZE and every trailing offset genuinely move
+_GZIP_L = "20 + doc_id % 13"
+
+
+def _le_hex_spark(n_expr: str, width: int) -> str:
+    """hex string of ``n_expr`` as ``width`` little-endian bytes."""
+    return "concat(" + ", ".join(
+        f"lpad(hex((({n_expr}) div {256 ** i}) % 256), 2, '0')"
+        for i in range(width)
+    ) + ")"
+
+
+def _crc32_fold_spark(data: str, n: str) -> str:
+    """Table-driven CRC-32 over the first ``n`` bytes of string ``data``
+    — an arithmetic path independent of the builtin crc32() that the
+    synthesis stamps into the trailer."""
+    return (
+        f"aggregate(transform(sequence(1, CAST({n} AS INT)),"
+        f" i -> CAST(conv(hex(substring(CAST({data} AS BINARY), i, 1)), 16, 10) AS BIGINT)),"
+        " CAST(4294967295 AS BIGINT),"
+        f" (c, b) -> (c div 256) ^ element_at({_CRC32_SPARK}, CAST((c % 256) ^ b AS INT) + 1),"
+        " c -> c ^ CAST(4294967295 AS BIGINT))"
+    )
+
+
+def _crc32_fold_duck(data: str) -> str:
+    """DuckDB twin of the CRC-32 fold (list_reduce; xor() and >> are
+    DuckDB's integer bit ops) — a third independent implementation."""
+    return (
+        "xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),"
+        f" list_transform(range(1, length({data}) + 1),"
+        f" i -> CAST(ascii(substr({data}, CAST(i AS INT), 1)) AS BIGINT))),"
+        f" (c, b) -> xor(c >> 8, ({_CRC32_DUCK})[CAST(xor(c % 256, b) AS INT) + 1])),"
+        " CAST(4294967295 AS BIGINT))"
+    )
+
+
+def synthesize_gzip_media(
+    spark: SparkSession, sf_dir: str, limit: int = _GZIP_LIMIT
+) -> DataFrame:
+    """(doc_id, payload): one byte-valid gzip member — 10-byte header
+    (magic 1f 8b, CM=8, FLG=FNAME, MTIME little-endian, OS=3), the
+    NUL-terminated FNAME, ONE stored deflate block (BFINAL=1 BTYPE=00:
+    LEN, NLEN = LEN^0xFFFF, raw bytes — so gunzip would genuinely
+    decompress it), and the CRC32 + ISIZE trailer. The trailer CRC is
+    stamped with Spark's BUILTIN crc32(); the parse recomputes it with
+    the table fold — two independent implementations inside one plan.
+    Data bytes are md5-hex of the document text (pure ASCII), length
+    20-32 varying per doc so every trailing offset moves."""
+    t = Tables(spark, sf_dir)
+    data = f"substr(concat(md5(text), md5(concat(text, 'x'))), 1, CAST({_GZIP_L} AS INT))"
+    fname = "concat('doc', lpad(CAST(doc_id AS STRING), 8, '0'), '.txt')"
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        f"""unhex(concat(
+            '1f8b0808',
+            {_le_hex_spark('1700000000 + doc_id', 4)},
+            '0003',
+            hex({fname}), '00',
+            '01',
+            {_le_hex_spark(_GZIP_L, 2)},
+            {_le_hex_spark(f'({_GZIP_L}) ^ 65535', 2)},
+            hex({data}),
+            {_le_hex_spark(f'crc32(CAST({data} AS BINARY))', 4)},
+            {_le_hex_spark(_GZIP_L, 4)})) AS payload""",
+    )
+
+
+@register(
+    "multimodal_gzip_member_parse",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   20 + doc_id % 13 AS l,
+                   substr(md5(text) || md5(text || 'x'), 1,
+                          CAST(20 + doc_id % 13 AS INT)) AS data
+            FROM documents WHERE doc_id < {_GZIP_LIMIT}
+        ),
+        crc AS (
+            SELECT doc_id, l, {_crc32_fold_duck('data')} AS c FROM base
+        )
+        SELECT doc_id,
+               CAST(39 + l AS BIGINT) AS total_len,
+               TRUE AS magic_ok,
+               CAST(8 AS BIGINT) AS method,
+               CAST(8 AS BIGINT) AS flags,
+               CAST(1700000000 + doc_id AS BIGINT) AS mtime_epoch,
+               CAST(3 AS BIGINT) AS os_byte,
+               'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt'
+                   AS member_name,
+               TRUE AS deflate_stored_final,
+               CAST(l AS BIGINT) AS stored_len,
+               TRUE AS nlen_ok,
+               c AS crc32_stored,
+               c AS crc32_recomputed,
+               TRUE AS crc32_ok,
+               CAST(l AS BIGINT) AS isize_stored,
+               TRUE AS isize_ok
+        FROM crc ORDER BY doc_id
+    """,
+    doc=(
+        "X5x: gzip member parse (RFC 1952) — THE training-data "
+        "container (Common Crawl ships WARC.gz). The payload is a "
+        "byte-valid gzip file: stored-deflate body, so the bitstream "
+        "layer is real, not elided. Parse path (payload bytes only): "
+        "magic/CM/FLG checks, little-endian MTIME decode, FNAME "
+        "recovered by a genuine NUL-scan (array_min over the zero "
+        "positions — no length assumption), the stored block's "
+        "LEN/NLEN one's-complement cross-check, then the CRC32 of the "
+        "extracted data RECOMPUTED with the table-driven byte fold "
+        "and compared to the stored trailer (which the synthesis "
+        "stamped via the builtin crc32) — two independent CRC "
+        "implementations inside one plan, and the DuckDB oracle folds "
+        "a third. ISIZE re-checked against the stored length. "
+        "Map-only, whole-stage codegen, zero shuffle; the fold is "
+        "O(32) table lookups per row."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_gzip_member_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_gzip_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+
+    def le(pos: str, width: int) -> str:
+        return " + ".join(
+            f"{256 ** i} * {b(f'({pos}) + {i}')}" for i in range(width)
+        )
+
+    # genuine NUL-scan: first zero byte after the 10-byte header
+    nul = (
+        "array_min(filter(transform(sequence(11, 74), i -> "
+        "CASE WHEN conv(hex(substring(payload, i, 1)), 16, 10) = '0' "
+        "THEN i END), x -> x IS NOT NULL))"
+    )
+    parsed = media.selectExpr(
+        "doc_id",
+        "payload",
+        f"{nul} AS nul_pos",
+        f"{le('5', 4)} AS mtime_epoch",
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "mtime_epoch",
+        "nul_pos",
+        "CAST(substring(payload, 11, CAST(nul_pos - 11 AS INT)) AS STRING)"
+        " AS member_name",
+        f"{le('nul_pos + 2', 2)} AS stored_len",
+        f"{le('nul_pos + 4', 2)} AS nlen",
+        f"{b('nul_pos + 1')} AS bfinal_byte",
+        "CAST(substring(payload, CAST(nul_pos + 6 AS INT),"
+        " CAST(" + le("nul_pos + 2", 2) + " AS INT)) AS STRING) AS data",
+    )
+    return parsed.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+        f"{b('1')} = 31 AND {b('2')} = 139 AS magic_ok",
+        f"{b('3')} AS method",
+        f"{b('4')} AS flags",
+        "mtime_epoch",
+        f"{b('10')} AS os_byte",
+        "member_name",
+        "bfinal_byte = 1 AS deflate_stored_final",
+        "stored_len",
+        "(stored_len ^ nlen) = 65535 AS nlen_ok",
+        f"{le('nul_pos + 6 + stored_len', 4)} AS crc32_stored",
+        f"{_crc32_fold_spark('data', 'stored_len')} AS crc32_recomputed",
+        f"{le('nul_pos + 6 + stored_len', 4)} ="
+        f" {_crc32_fold_spark('data', 'stored_len')} AS crc32_ok",
+        f"{le('nul_pos + 10 + stored_len', 4)} AS isize_stored",
+        f"{le('nul_pos + 10 + stored_len', 4)} = stored_len AND"
+        " stored_len = length(data) AS isize_ok",
+    ).orderBy("doc_id")
+
+
+# --- X5y: ICO icon directory ------------------------------------------------
+
+_ICO_LIMIT = 400
+#: image dims vary per doc so entry bytes and offsets genuinely move
+_ICO_W1 = "16 + doc_id % 48"
+_ICO_W2 = "8 + doc_id % 8"
+#: per-image data: a real 40-byte BITMAPINFOHEADER + a 16-byte digest
+#: blob standing in for the pixel/AND-mask arrays (decode is stubbed
+#: repo-wide; the container structure is what this tier verifies)
+_ICO_RES_BYTES = 40 + 16
+_ICO_OFF1 = 6 + 2 * 16
+_ICO_OFF2 = _ICO_OFF1 + _ICO_RES_BYTES
+
+
+def _ico_infoheader_spark(w: str) -> str:
+    """hex of a BITMAPINFOHEADER for a w x w ICO image — biHeight is
+    DOUBLED (the ICO XOR+AND mask quirk every parser must know)."""
+    return (
+        f"concat('28000000', {_le_hex_spark(w, 4)},"
+        f" {_le_hex_spark(f'2 * ({w})', 4)},"
+        "'0100', '2000', repeat('00', 24))"
+    )
+
+
+def synthesize_ico_media(
+    spark: SparkSession, sf_dir: str, limit: int = _ICO_LIMIT
+) -> DataFrame:
+    """(doc_id, payload): a two-image ICO — ICONDIR (reserved 0, type
+    1, count 2), two 16-byte ICONDIRENTRYs whose bytesInRes/offsets are
+    real length arithmetic, each image a genuine BITMAPINFOHEADER
+    (biHeight doubled per the ICO mask rule) + a 16-byte md5 digest
+    blob in place of the pixel arrays."""
+    t = Tables(spark, sf_dir)
+
+    def entry(w: str, off: int) -> str:
+        return (
+            f"concat(lpad(hex(({w}) % 256), 2, '0'),"
+            f" lpad(hex(({w}) % 256), 2, '0'),"
+            " '0000', '0100', '2000',"
+            f" {_le_hex_spark(str(_ICO_RES_BYTES), 4)},"
+            f" {_le_hex_spark(str(off), 4)})"
+        )
+
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        "text",
+        f"""unhex(concat(
+            '0000', '0100', '0200',
+            {entry(_ICO_W1, _ICO_OFF1)},
+            {entry(_ICO_W2, _ICO_OFF2)},
+            {_ico_infoheader_spark(_ICO_W1)}, md5(text),
+            {_ico_infoheader_spark(_ICO_W2)}, md5(concat(text, 'x'))
+            )) AS payload""",
+    )
+
+
+@register(
+    "multimodal_ico_dir_parse",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_ICO_OFF2 + _ICO_RES_BYTES} AS BIGINT) AS total_len,
+               TRUE AS reserved_ok,
+               TRUE AS type_ok,
+               CAST(2 AS BIGINT) AS n_images,
+               CAST({_ICO_W1} AS BIGINT) AS width1,
+               CAST({_ICO_W2} AS BIGINT) AS width2,
+               CAST(32 AS BIGINT) AS bpp1,
+               CAST({_ICO_RES_BYTES} AS BIGINT) AS bytes1,
+               CAST({_ICO_OFF1} AS BIGINT) AS off1,
+               CAST({_ICO_OFF2} AS BIGINT) AS off2,
+               TRUE AS offsets_ok,
+               TRUE AS infoheader1_ok,
+               TRUE AS infoheader2_ok,
+               TRUE AS digest1_ok
+        FROM documents WHERE doc_id < {_ICO_LIMIT}
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5y: ICO icon-directory parse — the little-endian directory "
+        "container: ICONDIR sanity (reserved 0, type 1), per-entry "
+        "width/bpp/bytesInRes/imageOffset decodes, then the PDF-style "
+        "offset cross-check: FOLLOW each entry's imageOffset and "
+        "re-parse the BITMAPINFOHEADER found there (biSize must read "
+        "40, biWidth the entry's width, biHeight exactly DOUBLE the "
+        "height — the ICO XOR+AND mask quirk), and verify off2 = off1 "
+        "+ bytesInRes1 from the parsed values themselves. The digest "
+        "blob standing in for pixels re-checks against md5(text). "
+        "Map-only, zero shuffle."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_ico_dir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_ico_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+
+    def le(pos: str, width: int) -> str:
+        return " + ".join(
+            f"{256 ** i} * {b(f'({pos}) + {i}')}" for i in range(width)
+        )
+
+    # directory entries are at fixed positions; everything about the
+    # images is reached by FOLLOWING the parsed offsets
+    parsed = media.selectExpr(
+        "doc_id",
+        "text",
+        "payload",
+        f"{le('1', 2)} AS reserved_fld",
+        f"{le('3', 2)} AS type_fld",
+        f"{le('5', 2)} AS n_images",
+        f"{b('7')} AS width1",
+        f"{b('23')} AS width2",
+        f"{le('13', 2)} AS bpp1",
+        f"{le('15', 4)} AS bytes1",
+        f"{le('19', 4)} AS off1",
+        f"{le('35', 4)} AS off2",
+    )
+    # 1-based position of a followed 0-based offset is off + 1
+    ih = lambda off, fld: le(f"{off} + 1 + {fld}", 4)  # noqa: E731
+    return parsed.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+        "reserved_fld = 0 AS reserved_ok",
+        "type_fld = 1 AS type_ok",
+        "n_images",
+        "width1",
+        "width2",
+        "bpp1",
+        "bytes1",
+        "off1",
+        "off2",
+        "off2 = off1 + bytes1 AS offsets_ok",
+        f"{ih('off1', 0)} = 40 AND {ih('off1', 4)} = width1 AND"
+        f" {ih('off1', 8)} = 2 * width1 AS infoheader1_ok",
+        f"{ih('off2', 0)} = 40 AND {ih('off2', 4)} = width2 AND"
+        f" {ih('off2', 8)} = 2 * width2 AS infoheader2_ok",
+        "lower(hex(substring(payload, CAST(off1 + 41 AS INT), 16)))"
+        " = md5(text) AS digest1_ok",
+    ).orderBy("doc_id")
