@@ -4125,3 +4125,258 @@ def text_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("piece")
     )
+
+
+# ---------------------------------------------------------------------------
+#
+# X4ao/X4ap: generation-eval metrics. A post-training pipeline scores
+# model outputs against references at corpus scale; the two classical
+# lexical metrics are SQuAD token-F1 (bag-of-tokens overlap) and
+# ROUGE-L (LCS-based). No model runs here, so the "prediction" corpus
+# is a deterministic doc_id-keyed mutation of the reference (drop one
+# token in 17, corrupt one in 13) — every metric component is then
+# exactly predictable and non-vacuous in both directions (docs short
+# enough to escape both mutations score a perfect 1.0).
+
+#: shared mutation rule (Spark and DuckDB read the same integers):
+#: docs with doc_id % 11 = 7 form the CLEAN CONTROL GROUP (prediction
+#: == reference, the perfect-score class every eval harness needs to
+#: see); elsewhere position pos (0-based) of doc doc_id is DROPPED
+#: when (pos + doc_id) % 17 = 3, else CORRUPTED (suffix 'x') when
+#: (pos + doc_id) % 13 = 5.
+_EVAL_DROP = "((pos + doc_id) % 17 = 3 AND doc_id % 11 <> 7)"
+_EVAL_CORRUPT = "((pos + doc_id) % 13 = 5 AND doc_id % 11 <> 7)"
+
+
+@register(
+    "text_eval_token_f1",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   unnest(range(0, len(string_split(text, ' ')))) AS pos
+            FROM documents
+        ),
+        pred AS (
+            SELECT doc_id,
+                   CASE WHEN {_EVAL_CORRUPT} THEN w || 'x' ELSE w END AS w
+            FROM toks WHERE NOT ({_EVAL_DROP})
+        ),
+        rc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        pc AS (SELECT doc_id, w, COUNT(*) AS c FROM pred GROUP BY 1, 2),
+        ov AS (
+            SELECT rc.doc_id, SUM(LEAST(rc.c, pc.c)) AS ov
+            FROM rc JOIN pc ON rc.doc_id = pc.doc_id AND rc.w = pc.w
+            GROUP BY 1
+        ),
+        nr AS (SELECT doc_id, COUNT(*) AS n_ref FROM toks GROUP BY 1),
+        np AS (SELECT doc_id, COUNT(*) AS n_pred FROM pred GROUP BY 1)
+        SELECT nr.doc_id,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(COALESCE(ov, 0) AS BIGINT) AS overlap,
+               CAST(COALESCE(ov, 0) AS DOUBLE)
+                   / CAST(nullif(COALESCE(n_pred, 0), 0) AS DOUBLE)
+                   AS token_precision,
+               CAST(COALESCE(ov, 0) AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                   AS token_recall,
+               CAST(2 * COALESCE(ov, 0) AS DOUBLE)
+                   / CAST(n_ref + COALESCE(n_pred, 0) AS DOUBLE)
+                   AS token_f1,
+               COALESCE(ov, 0) = n_ref AND COALESCE(n_pred, 0) = n_ref
+                   AS bag_exact
+        FROM nr
+        LEFT JOIN np ON nr.doc_id = np.doc_id
+        LEFT JOIN ov ON nr.doc_id = ov.doc_id
+        ORDER BY nr.doc_id
+    """,
+    doc=(
+        "X4ao: SQuAD-style token F1 — THE lexical eval metric of "
+        "reading-comprehension and generation benchmarks: bag-of-"
+        "tokens multiset overlap (per token value, min of the two "
+        "occurrence counts), then precision = ov/|pred|, recall = "
+        "ov/|ref|, F1 = 2ov/(|ref|+|pred|). Every accumulator is an "
+        "integer COUNT/SUM; each output ratio is ONE double division "
+        "of exact integers — bit-identical in both engines (the "
+        "repo-wide single-division discipline). The prediction corpus "
+        "is the deterministic drop-1-in-17 / corrupt-1-in-13 mutation, "
+        "so short docs legitimately reach f1 = 1.0 and bag_exact = "
+        "TRUE while long docs spread over (0, 1) — both detector "
+        "directions non-vacuous. Plan: one posexplode, two (doc, "
+        "token) hash-aggs, one composite-key equi-join for the "
+        "overlap, then three doc-grain joins — every shuffle is an "
+        "equi-key, head-token skew bounded because the join key "
+        "includes doc_id (no corpus-wide hot token key). At 100 TB "
+        "this is the word-count plan shape with a second count beside "
+        "it."
+    ),
+    tags=("text", "llm", "eval"),
+)
+def text_eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    pred = toks.filter(f"NOT ({_EVAL_DROP})").selectExpr(
+        "doc_id",
+        f"CASE WHEN {_EVAL_CORRUPT} THEN concat(w, 'x') ELSE w END AS w",
+    )
+    rc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c_ref"))
+    pc = pred.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c_pred"))
+    ov = (
+        rc.join(pc, ["doc_id", "w"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("c_ref", "c_pred")).alias("ov"))
+    )
+    nr = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ref"))
+    np_ = pred.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pred"))
+    return (
+        nr.join(np_, "doc_id", "left")
+        .join(ov, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_ref AS BIGINT) AS n_ref",
+            "CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred",
+            "CAST(COALESCE(ov, 0) AS BIGINT) AS overlap",
+            "CAST(COALESCE(ov, 0) AS DOUBLE)"
+            " / CAST(nullif(COALESCE(n_pred, 0), 0) AS DOUBLE)"
+            " AS token_precision",
+            "CAST(COALESCE(ov, 0) AS DOUBLE) / CAST(n_ref AS DOUBLE)"
+            " AS token_recall",
+            "CAST(2 * COALESCE(ov, 0) AS DOUBLE)"
+            " / CAST(n_ref + COALESCE(n_pred, 0) AS DOUBLE) AS token_f1",
+            "COALESCE(ov, 0) = n_ref AND COALESCE(n_pred, 0) = n_ref"
+            " AS bag_exact",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: ROUGE-L prefix bound: LCS DP over the first 12 ref / 12 surviving
+#: pred tokens (the unigram tokenizer's bounded-grid contract — the DP
+#: unrolls as FIXED layered columns, no recursion, no list_reduce)
+_ROUGE_K = 12
+
+
+def _rouge_dp_layers() -> list[list[tuple[str, str]]]:
+    """LCS DP cells c_i_j (i = pred prefix, j = ref prefix), layered by
+    ANTI-DIAGONAL so no cell depends on its own layer: c_i_j reads
+    c_{i-1}_j and c_i_{j-1} (diagonal d-1) and c_{i-1}_{j-1} (d-2).
+    Pure SQL text shared verbatim by the Spark plan and the oracle."""
+    k = _ROUGE_K
+    layers = []
+    for d in range(2, 2 * k + 1):
+        cells = []
+        for i in range(1, k + 1):
+            j = d - i
+            if not 1 <= j <= k:
+                continue
+            above = f"c_{i - 1}_{j}" if i > 1 else "0"
+            left = f"c_{i}_{j - 1}" if j > 1 else "0"
+            diag = f"c_{i - 1}_{j - 1}" if i > 1 and j > 1 else "0"
+            match = f"CASE WHEN p_{i} = r_{j} THEN 1 ELSE 0 END"
+            cells.append(
+                (f"c_{i}_{j}", f"greatest({above}, {left}, {diag} + {match})")
+            )
+        layers.append(cells)
+    return layers
+
+
+def _rouge_out_cols() -> list[str]:
+    k = _ROUGE_K
+    return [
+        "doc_id",
+        "CAST(m AS BIGINT) AS ref_prefix_len",
+        "CAST(n AS BIGINT) AS pred_prefix_len",
+        f"CAST(c_{k}_{k} AS BIGINT) AS lcs_len",
+        f"CAST(c_{k}_{k} AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)"
+        " AS rouge_l_precision",
+        f"CAST(c_{k}_{k} AS DOUBLE) / CAST(m AS DOUBLE) AS rouge_l_recall",
+        f"CAST(2 * c_{k}_{k} AS DOUBLE) / CAST(m + n AS DOUBLE)"
+        " AS rouge_l_f1",
+    ]
+
+
+def _rouge_oracle() -> str:
+    k = _ROUGE_K
+    mut = (
+        "list_filter(list_transform(range(0, len(string_split(text, ' '))),"
+        " pos -> CASE WHEN (pos + doc_id) % 17 = 3 AND doc_id % 11 <> 7 THEN NULL"
+        " WHEN (pos + doc_id) % 13 = 5 AND doc_id % 11 <> 7"
+        " THEN string_split(text, ' ')[pos + 1] || 'x'"
+        " ELSE string_split(text, ' ')[pos + 1] END),"
+        " x -> x IS NOT NULL)"
+    )
+    base_cols = (
+        ["doc_id", "len(rl) AS m", "len(pl) AS n"]
+        + [f"rl[{j}] AS r_{j}" for j in range(1, k + 1)]
+        + [f"pl[{i}] AS p_{i}" for i in range(1, k + 1)]
+    )
+    ctes = [
+        "base AS (SELECT doc_id,"
+        f" string_split(text, ' ')[1:{k}] AS rl,"
+        f" ({mut})[1:{k}] AS pl FROM documents)",
+        "l0 AS (SELECT " + ", ".join(base_cols) + " FROM base)",
+    ]
+    prev = "l0"
+    for nlayer, cells in enumerate(_rouge_dp_layers(), start=1):
+        ctes.append(
+            f"l{nlayer} AS (SELECT *, "
+            + ", ".join(f"{sql} AS {name}" for name, sql in cells)
+            + f" FROM {prev})"
+        )
+        prev = f"l{nlayer}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT "
+        + ", ".join(_rouge_out_cols())
+        + f" FROM {prev} ORDER BY doc_id"
+    )
+
+
+@register(
+    "text_eval_rouge_l_prefix",
+    oracle=_rouge_oracle(),
+    doc=(
+        "X4ap: ROUGE-L over bounded prefixes — the LCS-based summary-"
+        "eval metric beside token-F1's bag overlap: order MATTERS "
+        "(a shuffled prediction keeps its F1 but loses ROUGE-L). The "
+        "12x12 LCS dynamic program unrolls as fixed layered columns "
+        "by ANTI-DIAGONAL (23 layers; no within-layer dependency, no "
+        "recursion, no list_reduce — the unigram-Viterbi bounded-grid "
+        "contract), with every cell expression's SQL text shared "
+        "verbatim between the Spark plan and the DuckDB oracle. NULL "
+        "padding past each sequence's true length can never match, so "
+        "c_12_12 is exactly LCS(ref prefix, pred prefix). Counters "
+        "are integers; the three ROUGE ratios are single divisions. "
+        "Prediction = the shared drop-1-in-17 / corrupt-1-in-13 "
+        "mutation. Map-only, zero shuffle, whole-stage codegen — at "
+        "100 TB the DP is 144 integer exprs per row, embarrassingly "
+        "parallel."
+    ),
+    tags=("text", "llm", "eval"),
+)
+def text_eval_rouge_l_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _ROUGE_K
+    t = Tables(spark, sf_dir)
+    mut = (
+        "filter(transform(split(text, ' '),"
+        " (w, pos) -> CASE WHEN (pos + doc_id) % 17 = 3 AND doc_id % 11 <> 7 THEN NULL"
+        " WHEN (pos + doc_id) % 13 = 5 AND doc_id % 11 <> 7 THEN concat(w, 'x')"
+        " ELSE w END), x -> x IS NOT NULL)"
+    )
+    df = t.documents.selectExpr(
+        "doc_id",
+        f"slice(split(text, ' '), 1, {k}) AS rl",
+        f"slice({mut}, 1, {k}) AS pl",
+    ).selectExpr(
+        "doc_id",
+        "size(rl) AS m",
+        "size(pl) AS n",
+        *[f"try_element_at(rl, {j}) AS r_{j}" for j in range(1, k + 1)],
+        *[f"try_element_at(pl, {i}) AS p_{i}" for i in range(1, k + 1)],
+    )
+    for cells in _rouge_dp_layers():
+        df = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in cells])
+    return df.selectExpr(*_rouge_out_cols()).orderBy("doc_id")
