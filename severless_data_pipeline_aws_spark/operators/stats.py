@@ -9791,3 +9791,238 @@ def stats_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0)"
         ).alias("z_t"),
     ).orderBy("event_type")
+
+
+#: Siegel-Tukey z: the ST ranks are a permutation of 1..N', so the
+#: Wilcoxon rank-sum moments apply verbatim (no-ties form — ties are
+#: resolved by the documented deterministic total order below).
+_ST_Z = (
+    "(wd - n1d * (nd + 1.0) / 2.0)"
+    " / sqrt(n1d * n2d * (nd + 1.0) / 12.0)"
+)
+
+
+@register(
+    "stats_siegel_tukey_dispersion",
+    oracle=f"""
+        WITH pooled AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+                   value
+            FROM events
+            WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT grp,
+                   row_number() OVER (ORDER BY value, grp, event_id) AS i,
+                   COUNT(*) OVER () AS n
+            FROM pooled
+        ),
+        scored AS (
+            SELECT grp, n,
+                   CASE WHEN 2 * i <= n THEN 2 * i - (i % 2)
+                        ELSE 2 * (n + 1 - i) - (1 - (n + 1 - i) % 2)
+                   END AS st
+            FROM ranked WHERE NOT (n % 2 = 1 AND 2 * i = n + 1)
+        ),
+        s AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_eff,
+                   CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1_eff,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS n1d,
+                   CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS n2d,
+                   CAST(SUM(CASE WHEN grp = 1 THEN st ELSE 0 END) AS BIGINT)
+                       AS w_st,
+                   CAST(SUM(CASE WHEN grp = 1 THEN st ELSE 0 END) AS DOUBLE)
+                       AS wd
+            FROM scored
+        )
+        SELECT n, n_eff, n1_eff, w_st, {_ST_Z} AS z_score FROM s
+    """,
+    doc=(
+        "ST102: Siegel-Tukey dispersion test (click vs error values) — "
+        "Ansari-Bradley's historical sibling with the OTHER rank "
+        "scheme: instead of folding ranks inward, ranks alternate from "
+        "the extremes (1 to the smallest; 2, 3 to the two largest; "
+        "4, 5 to the next two smallest; ...), which makes the sum of "
+        "group-1 ranks an ordinary Wilcoxon rank-sum statistic — small "
+        "W means group 1 holds the extremes, i.e. higher dispersion. "
+        "Position-to-rank is closed-form from the global sort position "
+        "(bottom j: 2j - (j odd); top k: 2k - (k even)); for odd N the "
+        "median observation is DROPPED per the classical procedure "
+        "(the r9-advice Cox-Stuart convention). Ties carry no natural "
+        "order, so the sort key is the documented deterministic total "
+        "order (value, grp, event_id) — engine-consistent, stated as "
+        "the no-ties approximation it is (the ansari_bradley "
+        "contract). The global position runs on the bucket-offset "
+        "machinery (bucket = floor(value)) — never a fact-grain "
+        "single-partition sort; W and all counts are exact integers; "
+        "z is one shared rational-arithmetic expression + IEEE sqrt."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_siegel_tukey_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalable import bucketed_row_number
+
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin("click", "error") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 2 END").alias("grp"),
+        "value",
+    )
+    n = pooled.count()  # one metadata-scale scalar (the ansari contract)
+    ranked = bucketed_row_number(
+        pooled, F.floor(F.col("value")).cast("long"), ["value", "grp", "event_id"], out="i"
+    )
+    scored = ranked.filter(
+        ~((F.lit(n % 2 == 1)) & (2 * F.col("i") == F.lit(n + 1)))
+    ).selectExpr(
+        "grp",
+        f"CASE WHEN 2 * i <= {n} THEN 2 * i - (i % 2)"
+        f" ELSE 2 * ({n} + 1 - i) - (1 - ({n} + 1 - i) % 2) END AS st",
+    )
+    s = scored.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eff"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1_eff"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE)").alias("n1d"),
+        F.expr("CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS DOUBLE)").alias("n2d"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN st ELSE 0 END) AS BIGINT)").alias("w_st"),
+        F.expr("CAST(SUM(CASE WHEN grp = 1 THEN st ELSE 0 END) AS DOUBLE)").alias("wd"),
+    )
+    return s.select("n", "n_eff", "n1_eff", "w_st", F.expr(_ST_Z).alias("z_score"))
+
+
+#: the five treatments (pins k = 5 so (k+1) is a literal)
+_QUADE_TYPES = ("click", "error", "purchase", "signup", "view")
+_QUADE_K = len(_QUADE_TYPES)
+
+
+@register(
+    "stats_quade_weighted_blocks",
+    oracle=f"""
+        WITH piv AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{ty}"
+                       for ty in _QUADE_TYPES)}
+            FROM events WHERE event_type IN {_QUADE_TYPES!r}
+            GROUP BY 1
+        ),
+        weighted AS (
+            SELECT *,
+                   greatest({", ".join(f"c_{ty}" for ty in _QUADE_TYPES)})
+                   - least({", ".join(f"c_{ty}" for ty in _QUADE_TYPES)}) AS rng
+            FROM piv
+        ),
+        q AS (
+            SELECT *,
+                   2 * rank() OVER (ORDER BY rng)
+                     + COUNT(*) OVER (PARTITION BY rng) - 1 AS q2
+            FROM weighted
+        ),
+        cells AS (
+            SELECT day, q2,
+                   unnest({list(_QUADE_TYPES)!r}) AS event_type,
+                   unnest([{", ".join(f"c_{ty}" for ty in _QUADE_TYPES)}]) AS cnt
+            FROM q
+        ),
+        r AS (
+            SELECT day, event_type, q2,
+                   2 * rank() OVER (PARTITION BY day ORDER BY cnt)
+                     + COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS r2
+            FROM cells
+        ),
+        bytreat AS (
+            SELECT event_type,
+                   COUNT(*) AS n_days,
+                   SUM(q2 * (r2 - {_QUADE_K + 1})) AS s4,
+                   SUM(q2 * (r2 - {_QUADE_K + 1})
+                       * q2 * (r2 - {_QUADE_K + 1})) AS ssq
+            FROM r GROUP BY 1
+        )
+        SELECT CAST(MAX(n_days) AS BIGINT) AS b_blocks,
+               CAST({_QUADE_K} AS BIGINT) AS k_treatments,
+               CAST(SUM(ssq) AS BIGINT) AS a16,
+               CAST(SUM(s4 * s4) AS BIGINT) AS b16b,
+               CAST((MAX(n_days) - 1) * SUM(s4 * s4) AS DOUBLE)
+                   / CAST(MAX(n_days) * SUM(ssq) - SUM(s4 * s4) AS DOUBLE)
+                   AS f_quade
+        FROM bytreat
+    """,
+    doc=(
+        "ST103: Quade test — the weighted Friedman: blocks (days) with "
+        "larger within-block RANGE get larger weights, so treatments "
+        "that separate most where separation is most visible dominate "
+        "the statistic (the k-sample paired test of choice when block "
+        "scales differ, k = 5 event types x b calendar days). Exact "
+        "integer core by double-doubling: within-block doubled "
+        "midranks r2 = 2r, block-weight doubled midranks q2 = 2Q, so "
+        "s4 = q2*(r2-(k+1)) = 4*Q*(r - (k+1)/2) = 4*S_ij exactly; A = "
+        "sum S^2 and B = (1/b) sum_j S_j^2 carry as the integers a16 = "
+        "16A and b16b = 16bB, and F = (b-1)B/(A-B) = (b-1)*b16b / "
+        "(b*a16 - b16b) is ONE double division of exact integers. The "
+        "dense (day x treatment) grid comes from five conditional "
+        "counts + unnest/stack — no cross join, no BNLJ; the only "
+        "single-partition window is the day-grain block-weight rank "
+        "(calendar-bounded metadata at any SF, the pettitt contract)."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_quade_weighted_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = _QUADE_K
+    piv = (
+        t.events.filter(F.col("event_type").isin(*_QUADE_TYPES))
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(
+            *[
+                F.expr(
+                    f"CAST(SUM(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias(f"c_{ty}")
+                for ty in _QUADE_TYPES
+            ]
+        )
+    )
+    cols = ", ".join(f"c_{ty}" for ty in _QUADE_TYPES)
+    weighted = piv.selectExpr("*", f"greatest({cols}) - least({cols}) AS rng")
+    q = weighted.selectExpr(
+        "*",
+        "2 * rank() OVER (ORDER BY rng)"
+        " + COUNT(*) OVER (PARTITION BY rng) - 1 AS q2",
+    )
+    stack_args = ", ".join(f"'{ty}', c_{ty}" for ty in _QUADE_TYPES)
+    cells = q.selectExpr(
+        "day", "q2", f"stack({k}, {stack_args}) AS (event_type, cnt)"
+    )
+    r = cells.selectExpr(
+        "day",
+        "event_type",
+        "q2",
+        "2 * rank() OVER (PARTITION BY day ORDER BY cnt)"
+        " + COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS r2",
+    )
+    bytreat = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(f"SUM(q2 * (r2 - {k + 1}))").alias("s4"),
+        F.expr(
+            f"SUM(q2 * (r2 - {k + 1}) * q2 * (r2 - {k + 1}))"
+        ).alias("ssq"),
+    )
+    return bytreat.agg(
+        F.expr("CAST(MAX(n_days) AS BIGINT)").alias("b_blocks"),
+        F.lit(k).cast("bigint").alias("k_treatments"),
+        F.expr("CAST(SUM(ssq) AS BIGINT)").alias("a16"),
+        F.expr("CAST(SUM(s4 * s4) AS BIGINT)").alias("b16b"),
+        F.expr(
+            "CAST((MAX(n_days) - 1) * SUM(s4 * s4) AS DOUBLE)"
+            " / CAST(MAX(n_days) * SUM(ssq) - SUM(s4 * s4) AS DOUBLE)"
+        ).alias("f_quade"),
+    )

@@ -632,6 +632,12 @@ _SCALABLE_WINDOW_CAPS = {
     # r8: Holm — rank/cummax over the |event types|-row test table
     # (metadata-scale, the BH contract; no bucket pass)
     "stats_holm_bonferroni_adjust": 1,
+    # r10 continuation: Siegel-Tukey — bucket-offset global position
+    # (bucket = floor(value)) + the offsets prefix pass
+    "stats_siegel_tukey_dispersion": 1,
+    # r10 continuation: Quade — day-grain block-weight rank
+    # (calendar-bounded, the pettitt contract; no bucket pass)
+    "stats_quade_weighted_blocks": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -645,6 +651,7 @@ _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "text_frequency_spectrum_good_turing",  # 11-row grid, no bucket pass
     "agg_weekday_hour_heatmap",  # 168-cell grid, no bucket pass
     "stats_holm_bonferroni_adjust",  # |types|-row test table, no bucket pass
+    "stats_quade_weighted_blocks",  # calendar-day weight rank, no bucket pass
 }
 
 
