@@ -1911,3 +1911,135 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )
     return per_type.unionByName(total).orderBy("event_type")
+
+
+#: matrix-profile window length (days) and the trivial-match exclusion
+#: zone (no partner within < _MP_M days — the standard MP convention)
+_MP_M = 7
+
+#: squared Euclidean distance between two _MP_M-day windows, as scalar
+#: column arithmetic (a0..a6 vs b0..b6) — exact integers, shared text
+_MP_DIST = " + ".join(f"(a{j} - b{j}) * (a{j} - b{j})" for j in range(_MP_M))
+
+
+@register(
+    "timeseries_matrix_profile_discord",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS dd,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(dd) AS lo, MAX(dd) AS hi FROM daily),
+        grid AS (
+            SELECT unnest(range((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds) + 1)) AS d
+        ),
+        dense AS (
+            SELECT d, COALESCE(y, 0) AS y
+            FROM grid LEFT JOIN daily ON d = dd
+        ),
+        win AS (
+            SELECT d,
+                   y AS w0,
+                   {", ".join(f"lead(y, {j}) OVER (ORDER BY d) AS w{j}" for j in range(1, _MP_M))}
+            FROM dense
+        ),
+        full_w AS (SELECT * FROM win WHERE w{_MP_M - 1} IS NOT NULL),
+        pairs AS (
+            SELECT a.d AS i, b.d AS j,
+                   {_MP_DIST.replace("a0", "a.w0").replace("b0", "b.w0")
+                            .replace("a1", "a.w1").replace("b1", "b.w1")
+                            .replace("a2", "a.w2").replace("b2", "b.w2")
+                            .replace("a3", "a.w3").replace("b3", "b.w3")
+                            .replace("a4", "a.w4").replace("b4", "b.w4")
+                            .replace("a5", "a.w5").replace("b5", "b.w5")
+                            .replace("a6", "a.w6").replace("b6", "b.w6")} AS dist
+            FROM full_w a JOIN full_w b ON b.d >= a.d + {_MP_M}
+        ),
+        sym AS (
+            SELECT i, j, dist FROM pairs
+            UNION ALL
+            SELECT j AS i, i AS j, dist FROM pairs
+        ),
+        mp AS (SELECT i, MIN(dist) AS mp_dist FROM sym GROUP BY i),
+        nn AS (
+            SELECT mp.i, mp.mp_dist, MIN(sym.j) AS nn_start
+            FROM mp JOIN sym ON sym.i = mp.i AND sym.dist = mp.mp_dist
+            GROUP BY 1, 2
+        )
+        SELECT i AS win_start,
+               mp_dist,
+               nn_start,
+               CAST(rank() OVER (ORDER BY mp_dist DESC, i) AS BIGINT)
+                   AS discord_rank
+        FROM nn ORDER BY win_start
+    """,
+    doc=(
+        "Matrix profile (UCR) over the daily purchase series — the "
+        "modern time-series primitive behind motif and discord "
+        "discovery: for every 7-day window, the distance to its "
+        "nearest NON-TRIVIAL neighbor (no overlap: partners >= 7 days "
+        "away). discord_rank 1 is the series' most anomalous week "
+        "(largest nearest-neighbor distance), the profile minimum its "
+        "strongest repeated motif. Exactness: windows are the "
+        "gap-filled integer count vectors (zero-filled calendar "
+        "grid), the distance is the exact integer squared-Euclidean "
+        "written as scalar column arithmetic (no arrays, no folds), "
+        "nearest neighbor resolved deterministically (MIN dist, then "
+        "MIN partner index). Scale: the pair space is DAY-GRAIN — "
+        "calendar-bounded like Theil-Sen's slope pairs (~66k pairs/"
+        "year at any corpus size), reached by one bounded broadcast "
+        "theta-join; the only single-partition windows are the "
+        "calendar-grain lead() frame and the final discord rank."
+    ),
+    tags=("timeseries", "window"),
+)
+def timeseries_matrix_profile_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = _MP_M
+    daily = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            ).alias("dd")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    grid = daily.agg(F.min("dd").alias("lo"), F.max("dd").alias("hi")).selectExpr(
+        "explode(sequence(lo, hi)) AS d"
+    )
+    dense = grid.join(daily, grid["d"] == daily["dd"], "left").selectExpr(
+        "d", "COALESCE(y, CAST(0 AS BIGINT)) AS y"
+    )
+    win = dense.selectExpr(
+        "d",
+        "y AS w0",
+        *[f"lead(y, {j}) OVER (ORDER BY d) AS w{j}" for j in range(1, m)],
+    ).filter(F.col(f"w{m - 1}").isNotNull())
+    a = win.selectExpr("d AS i", *[f"w{j} AS a{j}" for j in range(m)])
+    b = win.selectExpr("d AS j", *[f"w{j} AS b{j}" for j in range(m)])
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("j") >= F.col("i") + m)
+        .selectExpr("i", "j", f"{_MP_DIST} AS dist")
+    )
+    sym = pairs.select("i", "j", "dist").union(
+        pairs.selectExpr("j AS i", "i AS j", "dist")
+    )
+    mp = sym.groupBy("i").agg(F.min("dist").alias("mp_dist"))
+    nn = (
+        mp.join(sym, (sym["i"] == mp["i"]) & (sym["dist"] == mp["mp_dist"]))
+        .groupBy(mp["i"], "mp_dist")
+        .agg(F.min("j").alias("nn_start"))
+    )
+    return nn.selectExpr(
+        "i AS win_start",
+        "mp_dist",
+        "nn_start",
+        "CAST(rank() OVER (ORDER BY mp_dist DESC, i) AS BIGINT)"
+        " AS discord_rank",
+    ).orderBy("win_start")

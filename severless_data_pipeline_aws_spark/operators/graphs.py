@@ -2266,3 +2266,62 @@ def graph_knn_degree_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "graph_four_cycle_count",
+    oracle=f"""
+        WITH {_CO_EDGE_SQL},
+        sym AS (
+            SELECT u AS a, v AS x FROM e
+            UNION ALL
+            SELECT v AS a, u AS x FROM e
+        ),
+        cod AS (
+            SELECT s1.a AS p, s2.a AS q, COUNT(*) AS cn
+            FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.a < s2.a
+            GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_codegree_pairs,
+               CAST(MAX(cn) AS BIGINT) AS max_codegree,
+               CAST(SUM((cn * (cn - 1)) // 2) AS BIGINT) AS sum_c2,
+               CAST(SUM((cn * (cn - 1)) // 2) // 2 AS BIGINT) AS four_cycles
+        FROM cod
+    """,
+    doc=(
+        "G27: four-cycle (C4 / rectangle) count — the quadrilateral "
+        "companion of triangle counting, the motif behind bipartite-"
+        "style redundancy in co-occurrence graphs (two nodes sharing "
+        "two+ common neighbors). Identity: every C4 has exactly two "
+        "diagonal pairs, and each unordered pair (u, w) contributes "
+        "C(codeg(u,w), 2) cycles, so #C4 = (1/2) * sum over pairs of "
+        "C(codeg, 2) — all exact integers (the sum is even by "
+        "construction; both engines integer-divide). Codegrees come "
+        "from one equi-self-join of the symmetric adjacency on the "
+        "shared-neighbor key (the common-neighbors link-prediction "
+        "shape) over the localCheckpointed <=625-row co-trade edge "
+        "list — metadata-scale at any SF; on a real 100 TB graph the "
+        "same plan is the standard codegree shuffle, never an "
+        "all-pairs scan."
+    ),
+    tags=("graph",),
+)
+def graph_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e, _deg = _co_edges(t)
+    sym = e.selectExpr("u AS a", "v AS x").union(e.selectExpr("v AS a", "u AS x"))
+    s2 = sym.selectExpr("a AS b", "x")
+    cod = (
+        sym.join(s2, "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return cod.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codegree_pairs"),
+        F.max("cn").cast("bigint").alias("max_codegree"),
+        F.expr("CAST(SUM((cn * (cn - 1)) div 2) AS BIGINT)").alias("sum_c2"),
+        F.expr("CAST(SUM((cn * (cn - 1)) div 2) div 2 AS BIGINT)").alias(
+            "four_cycles"
+        ),
+    )

@@ -638,6 +638,9 @@ _SCALABLE_WINDOW_CAPS = {
     # r10 continuation: Quade — day-grain block-weight rank
     # (calendar-bounded, the pettitt contract; no bucket pass)
     "stats_quade_weighted_blocks": 1,
+    # r10 continuation: matrix profile — calendar-grain lead() frame
+    # + the final discord rank (both day-grain; no bucket pass)
+    "timeseries_matrix_profile_discord": 2,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix
@@ -652,6 +655,7 @@ _BUCKETED = set(_SCALABLE_WINDOW_CAPS) - {
     "agg_weekday_hour_heatmap",  # 168-cell grid, no bucket pass
     "stats_holm_bonferroni_adjust",  # |types|-row test table, no bucket pass
     "stats_quade_weighted_blocks",  # calendar-day weight rank, no bucket pass
+    "timeseries_matrix_profile_discord",  # calendar-day windows, no bucket pass
 }
 
 
@@ -829,6 +833,10 @@ _BNLJ_BOUNDED_OK = {
     "text_kn_doc_quality_score",
     # r9: the same 8-vector query-block broadcast as sign-Hamming
     "similarity_range_search_recall",
+    # r10 continuation: the day-grain 7-day-window pair theta join
+    # (calendar-bounded, the Theil-Sen/somers_d contract) reached via
+    # one bounded broadcast
+    "timeseries_matrix_profile_discord",
     # r10 retrieval-quality eval harness: each query composes EVERY
     # registered ANN cascade plus the exact tier, so it inherits their
     # already-whitelisted bounded broadcasts (5-vector exact/LSH/PQ/
