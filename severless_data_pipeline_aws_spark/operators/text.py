@@ -4380,3 +4380,230 @@ def text_eval_rouge_l_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cells in _rouge_dp_layers():
         df = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in cells])
     return df.selectExpr(*_rouge_out_cols()).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+#
+# X4aq: HTML boilerplate strip — the first real cleaning step of every
+# web-crawl pipeline (C4 / trafilatura territory): drop script blocks
+# and known boilerplate containers, strip tags, normalize whitespace.
+# The synthesis wraps each document in deterministic HTML (title +
+# body, a <script> on doc_id % 3 = 0, a nav <div> on doc_id % 4 = 1),
+# and BOTH engines run the full strip pipeline independently with
+# their own regex engines (Java regex vs RE2 — the patterns below are
+# chosen from the dialect-safe common subset: no \\s, no lazy
+# quantifiers, no backrefs). round_trip_ok then pins the pipeline's
+# exactness: the cleaned text must equal title + body verbatim.
+
+_HTML_SYNTH = (
+    "concat('<html><head><title>doc ', CAST(doc_id AS STRING), '</title>',"
+    " CASE WHEN doc_id % 3 = 0 THEN '<script>var a=1;var b=2;</script>'"
+    " ELSE '' END,"
+    " '</head><body><p><b>', text, '</b></p>',"
+    " CASE WHEN doc_id % 4 = 1 THEN '<div class=\"nav\">home | about</div>'"
+    " ELSE '' END,"
+    " '</body></html>')"
+)
+#: the strip pipeline (applied in order; shared dialect-safe patterns)
+_HTML_PAT_SCRIPT = "<script>[^<]*</script>"
+_HTML_PAT_NAV = '<div class="nav">[^<]*</div>'
+_HTML_PAT_TAG = "<[^>]*>"
+
+
+@register(
+    "text_html_boilerplate_strip",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, text,
+                   '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<script>var a=1;var b=2;</script>'
+                           ELSE '' END
+                   || '</head><body><p><b>' || text || '</b></p>'
+                   || CASE WHEN doc_id % 4 = 1
+                           THEN '<div class="nav">home | about</div>'
+                           ELSE '' END
+                   || '</body></html>' AS html
+            FROM documents
+        ),
+        stripped AS (
+            SELECT doc_id, text, html,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(html, '{_HTML_PAT_SCRIPT}', '', 'g'),
+                       '{_HTML_PAT_NAV.replace("'", "''")}', '', 'g'),
+                       '{_HTML_PAT_TAG}', ' ', 'g'),
+                       ' +', ' ', 'g')) AS clean
+            FROM raw
+        )
+        SELECT doc_id,
+               CAST(length(html) AS BIGINT) AS raw_len,
+               CAST(len(regexp_extract_all(html, '{_HTML_PAT_TAG}'))
+                    AS BIGINT) AS n_tags,
+               CAST(len(regexp_extract_all(html, '{_HTML_PAT_SCRIPT}'))
+                    AS BIGINT) AS n_scripts,
+               CAST(len(regexp_extract_all(html,
+                    '{_HTML_PAT_NAV.replace("'", "''")}'))
+                    AS BIGINT) AS n_nav_blocks,
+               CAST(length(clean) AS BIGINT) AS clean_len,
+               CAST(length(clean) AS DOUBLE) / CAST(length(html) AS DOUBLE)
+                   AS retained_ratio,
+               clean = 'doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                   AS round_trip_ok
+        FROM stripped ORDER BY doc_id
+    """,
+    doc=(
+        "X4aq: HTML boilerplate strip — the Common-Crawl-to-text "
+        "cleaning pass: remove <script> blocks and the known nav "
+        "boilerplate container FIRST (pattern-targeted removal, the "
+        "part tag-stripping alone cannot do), then strip all tags to "
+        "spaces and collapse runs. Both engines execute the whole "
+        "four-stage regex pipeline themselves (Java regex vs RE2; "
+        "patterns restricted to the dialect-safe common subset — "
+        "character classes and greedy +, no \\\\s, no lazy "
+        "quantifiers), and round_trip_ok pins byte-exactness: cleaned "
+        "output must equal 'doc N ' + the original body for every "
+        "row. Tag/script/nav counts are integer regexp counts; "
+        "retained_ratio is one double division. Map-only, zero "
+        "shuffle, whole-stage codegen."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    raw = t.documents.selectExpr("doc_id", "text", f"{_HTML_SYNTH} AS html")
+    nav_sq = _HTML_PAT_NAV.replace('"', '\\"')
+    stripped = raw.selectExpr(
+        "doc_id",
+        "text",
+        "html",
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace(html, '{_HTML_PAT_SCRIPT}', ''),"
+        f" \"{nav_sq}\", ''),"
+        f" '{_HTML_PAT_TAG}', ' '),"
+        " ' +', ' ')) AS clean",
+    )
+    return stripped.selectExpr(
+        "doc_id",
+        "CAST(length(html) AS BIGINT) AS raw_len",
+        f"CAST(size(regexp_extract_all(html, '{_HTML_PAT_TAG}', 0))"
+        " AS BIGINT) AS n_tags",
+        f"CAST(size(regexp_extract_all(html, '{_HTML_PAT_SCRIPT}', 0))"
+        " AS BIGINT) AS n_scripts",
+        f'CAST(size(regexp_extract_all(html, "{nav_sq}", 0))'
+        " AS BIGINT) AS n_nav_blocks",
+        "CAST(length(clean) AS BIGINT) AS clean_len",
+        "CAST(length(clean) AS DOUBLE) / CAST(length(html) AS DOUBLE)"
+        " AS retained_ratio",
+        "clean = concat('doc ', CAST(doc_id AS STRING), ' ', text)"
+        " AS round_trip_ok",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+#
+# X4ar: Soundex blocking-key robustness audit. Entity resolution at
+# scale never compares all pairs — it BLOCKS on a phonetic key and
+# compares within blocks, so the question that decides recall is:
+# which corruption classes does the key survive? American Soundex
+# (NARA variant, h/w rule included) is implemented as ONE shared
+# translate + regexp chain (no backreferences — RE2-safe run collapse
+# per digit), validated against the twelve classical test vectors
+# (Robert/Rupert R163, Ashcraft A261, Tymczak T522, Pfister P236,
+# Honeyman H555, Washington W252, ... in tests/test_llm_ops.py).
+
+_SDX_LETTERS = "ABCDEFGIJKLMNOPQRSTUVXYZ"  # H, W removed pre-coding
+_SDX_DIGITS = "012301202245501262301202"
+
+
+def soundex_sql(col: str, duck: bool = False) -> str:
+    """American Soundex of ``col`` as a SQL expression (both engines).
+
+    The h/w rule falls out of REMOVING h/w before coding (same codes
+    across h/w then collapse as a run); vowels code to 0 and survive
+    until after the collapse (breaking runs), exactly per NARA."""
+    g = ", 'g'" if duck else ""
+    cs = (
+        f"translate(regexp_replace(upper({col}), '[HW]', ''{g}),"
+        f" '{_SDX_LETTERS}', '{_SDX_DIGITS}')"
+    )
+    for d in "123456":
+        cs = f"regexp_replace({cs}, '{d}+', '{d}'{g})"
+    first = f"substr(upper({col}), 1, 1)"
+    tail = f"CASE WHEN {first} IN ('H','W') THEN {cs} ELSE substr({cs}, 2) END"
+    return f"concat({first}, substr(concat(replace({tail}, '0', ''), '000'), 1, 3))"
+
+
+#: corruption classes (deterministic; soundex-invariance varies by
+#: DESIGN: vowel_pad provably invariant, tail_cut partial, head_swap
+#: mostly fatal — the audit exists to measure exactly that)
+_SDX_VARIANTS = (
+    ("vowel_pad", "concat(w, 'e')"),
+    ("tail_cut", "substr(w, 1, CAST(greatest(length(w) - 2, 1) AS INT))"),
+    ("head_swap", "concat(substr(w, 2, 1), substr(w, 1, 1), substr(w, 3))"),
+)
+
+
+@register(
+    "text_soundex_blocking",
+    oracle=f"""
+        WITH words AS (
+            SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+        ),
+        pairs AS (
+            SELECT w,
+                   unnest({[c for c, _ in _SDX_VARIANTS]!r}) AS corruption,
+                   unnest([{", ".join(e for _, e in _SDX_VARIANTS)}]) AS v
+            FROM words
+        )
+        SELECT corruption,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN {soundex_sql("w", duck=True)}
+                              = {soundex_sql("v", duck=True)}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_same_block,
+               CAST(SUM(CASE WHEN {soundex_sql("w", duck=True)}
+                              = {soundex_sql("v", duck=True)}
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS blocking_recall
+        FROM pairs GROUP BY corruption ORDER BY corruption
+    """,
+    doc=(
+        "X4ar: Soundex blocking-key robustness audit — the question "
+        "that sizes an entity-resolution pipeline's recall: for each "
+        "deterministic corruption class (trailing vowel pad, 2-char "
+        "tail cut, leading transposition), what fraction of corrupted "
+        "names still lands in its clean name's phonetic block? NARA "
+        "American Soundex (h/w rule included) as one shared translate "
+        "+ per-digit regexp run-collapse chain — no backreferences, "
+        "so the same pattern set runs on Java regex and RE2; twelve "
+        "classical vectors pinned in tests. vowel_pad must read 1.0 "
+        "(soundex provably ignores trailing vowels), head_swap near 0 "
+        "(the first letter IS the key's weak point) — the audit's "
+        "value is making that operating envelope a measured number. "
+        "Word inventory is the bounded p_name color vocabulary; "
+        "everything after the one distinct-word agg is "
+        "vocabulary-grain. Integer counts, one division per class."
+    ),
+    tags=("text", "llm", "dedup"),
+)
+def text_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = (
+        t.part.select(F.explode(F.split("p_name", " ")).alias("w")).distinct()
+    )
+    stack_args = ", ".join(f"'{c}', {e}" for c, e in _SDX_VARIANTS)
+    pairs = words.selectExpr(
+        "w", f"stack({len(_SDX_VARIANTS)}, {stack_args}) AS (corruption, v)"
+    )
+    same = f"CASE WHEN {soundex_sql('w')} = {soundex_sql('v')} THEN 1 ELSE 0 END"
+    return (
+        pairs.groupBy("corruption")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.expr(f"CAST(SUM({same}) AS BIGINT)").alias("n_same_block"),
+            F.expr(
+                f"CAST(SUM({same}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+            ).alias("blocking_recall"),
+        )
+        .orderBy("corruption")
+    )

@@ -721,3 +721,32 @@ def test_unigram_tokenizer_covers_every_char_exactly_once(spark, sf_dir):
         assert r["usage_r1"] <= r["substr_count"], r
         assert r["usage_r2"] <= r["substr_count"], r
         assert r["survived"] == (r["usage_r2"] > 0)
+
+
+def test_soundex_classical_vectors(spark):
+    """The shared translate+regexp Soundex chain must reproduce the
+    twelve classical NARA test vectors in BOTH engines — including the
+    h/w-rule cases (Ashcraft A261, Tymczak T522, Pfister P236) and the
+    H/W-first-letter cases (White W300, Washington W252, Honeyman
+    H555) that naive vowel-drop implementations get wrong."""
+    import duckdb
+
+    from severless_data_pipeline_aws_spark.operators.text import soundex_sql
+
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "White": "W300", "Honeyman": "H555", "Jackson": "J250",
+        "Washington": "W252", "Lee": "L000", "Gutierrez": "G362",
+    }
+    rows = spark.createDataFrame(
+        [(w,) for w in vectors], "w string"
+    ).selectExpr("w", f"{soundex_sql('w')} AS code").collect()
+    for r in rows:
+        assert vectors[r.w] == r.code, (r.w, r.code)
+    con = duckdb.connect()
+    for w, want in vectors.items():
+        got = con.execute(
+            "SELECT " + soundex_sql("'" + w + "'", duck=True)
+        ).fetchone()[0]
+        assert got == want, (w, got)
