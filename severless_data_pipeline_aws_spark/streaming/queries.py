@@ -1548,3 +1548,147 @@ def streaming_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _streaming_minhash_oracle() -> str:
+    from ..functions.xxh64 import hash_str
+    from ..functions.xxh64_sql import rec_hash_ctes
+
+    k = stateful.MINHASH_SLOTS
+    seeds = ", ".join(
+        f"({j}, {hash_str(f's{j}') % (1 << 64)}::HUGEINT)" for j in range(k)
+    )
+    wide = ", ".join(
+        f"CAST(MIN(CASE WHEN tag = {j} THEN mh END) AS BIGINT) AS m{j}"
+        for j in range(k)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""
+        WITH RECURSIVE shs AS MATERIALIZED (
+            SELECT DISTINCT source,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingle
+            FROM documents
+        ),
+        uq AS (SELECT DISTINCT shingle FROM shs),
+        mh_src AS (
+            SELECT shingle AS k, sd.tag, sd.seed, shingle AS s
+            FROM uq CROSS JOIN (VALUES {seeds}) sd(tag, seed)
+        ),
+        {rec_hash_ctes('mh')},
+        sig0 AS (
+            SELECT m.source, o.tag, MIN(o.hsig) AS mh
+            FROM shs m JOIN mh_out o ON o.k = m.shingle
+            GROUP BY m.source, o.tag
+        ),
+        sig AS MATERIALIZED (SELECT source, {wide} FROM sig0 GROUP BY source),
+        sizes AS MATERIALIZED (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM shs GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS sa, b.source AS sb,
+                   CAST(COUNT(*) AS BIGINT) AS ni
+            FROM shs a
+            JOIN shs b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST({matches} AS BIGINT) AS n_slot_matches,
+               CAST({matches} AS DOUBLE) / {k}.0e0 AS est_jaccard,
+               za.n AS n_shingles_a,
+               zb.n AS n_shingles_b,
+               CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+               CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                   / CAST(za.n + zb.n - COALESCE(i.ni, 0) AS DOUBLE)
+                   AS exact_jaccard
+        FROM sig a
+        JOIN sig b ON a.source < b.source
+        JOIN sizes za ON za.source = a.source
+        JOIN sizes zb ON zb.source = b.source
+        LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+        ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "streaming_minhash_source_signature",
+    oracle=_streaming_minhash_oracle(),
+    doc=(
+        "Seventeenth custom stateful operator: a k = 8 MinHash "
+        "signature per document SOURCE via applyInPandasWithState — "
+        "the streaming twin of the batch near-dup tier, maintaining "
+        "the same xxhash64('s{j}', shingle) family dedup_minhash_lsh "
+        "signs with, so a live ingest estimates cross-source Jaccard "
+        "against offline corpus signatures directly. MIN is an "
+        "IDEMPOTENT commutative semilattice — stronger than the "
+        "additive AMS merge: the streamed signature is invariant to "
+        "batching, ordering, shard layout, AND duplicate delivery "
+        "(at-least-once suffices; pinned in tests). The registered "
+        "query emits, per source pair, the slot-match count, the "
+        "est_jaccard = matches/8 signature estimate, and the exact "
+        "shingle Jaccard beside it — every signature slot hash-exact "
+        "through the pure-SQL XXH64 twin (8 seeds over the distinct "
+        "shingle set). Scale: state is 8 longs x |sources|; the exact "
+        "side shuffles on the shingle key (the batch dedup shape); "
+        "the |sources|-row signature self-cross is the only BNLJ "
+        "(documented-bounded)."
+    ),
+    tags=("streaming", "stateful", "dedup", "llm"),
+)
+def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import Tables
+    from ..operators.dedup import _shingles
+
+    k = stateful.MINHASH_SLOTS
+    t = Tables(spark, sf_dir)
+    sh = t.documents.select("source", F.explode(_shingles("text")).alias("sh"))
+    hashed = sh.selectExpr(
+        "source", *[f"xxhash64('s{j}', sh) AS h{j}" for j in range(k)]
+    )
+    stream = _replay_events_stream(spark, sf_dir, df=hashed)
+    snaps = _run_to_memory(stateful.minhash_walk(stream), "append")
+    # per-slot minima are monotone non-increasing across snapshots, so
+    # MIN over snapshots == the final state == the corpus signature
+    sig = snaps.groupBy("source").agg(
+        *[F.min(f"m{j}").cast("bigint").alias(f"m{j}") for j in range(k)]
+    )
+    shm = sh.distinct()
+    sizes = shm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    inter = (
+        shm.selectExpr("source AS sa", "sh")
+        .join(shm.selectExpr("source AS sb", "sh"), "sh")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    a = sig.selectExpr("source AS sa", *[f"m{j} AS am{j}" for j in range(k)])
+    b = sig.selectExpr("source AS sb", *[f"m{j} AS bm{j}" for j in range(k)])
+    matches = " + ".join(
+        f"CASE WHEN am{j} = bm{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    return (
+        pairs.join(sizes.selectExpr("source AS sa", "n AS n_a"), "sa")
+        .join(sizes.selectExpr("source AS sb", "n AS n_b"), "sb")
+        .join(inter, ["sa", "sb"], "left")
+        .selectExpr(
+            "sa AS source_a",
+            "sb AS source_b",
+            f"CAST({matches} AS BIGINT) AS n_slot_matches",
+            f"CAST({matches} AS DOUBLE) / {k}.0e0 AS est_jaccard",
+            "n_a AS n_shingles_a",
+            "n_b AS n_shingles_b",
+            "CAST(COALESCE(ni, 0) AS BIGINT) AS n_inter",
+            "CAST(COALESCE(ni, 0) AS DOUBLE)"
+            " / CAST(n_a + n_b - COALESCE(ni, 0) AS DOUBLE) AS exact_jaccard",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1595,3 +1595,93 @@ def ams_batch_replay(events_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = ams_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Seventeenth stateful operator: streaming MinHash source signature
+# ---------------------------------------------------------------------------
+#
+# The streaming twin of the batch near-dup tier: a k = 8 MinHash
+# signature per document source, maintained as documents stream in.
+# Slot j holds min over the source's shingles of the seed-chained
+# xxhash64('s{j}', shingle) — the SAME hash family the batch
+# dedup_minhash_lsh signature uses, so a live ingest can estimate
+# cross-source Jaccard against an offline corpus signature directly.
+# MIN is an IDEMPOTENT commutative semilattice — stronger than the
+# AMS op's additive merge: the streamed signature is invariant not
+# just to batching, ordering, and shard layout but to DUPLICATE
+# delivery too (at-least-once is enough; no exactly-once machinery).
+# State is 8 longs + the snapshot counter; cross-shard merge is
+# element-wise MIN.
+
+MINHASH_SLOTS = 8
+_I64_MAX = (1 << 63) - 1  # MIN identity (never observable: every key
+#                           emits only after folding >= 1 shingle row)
+
+MINHASH_OUT_SCHEMA = StructType(
+    [StructField("source", StringType()), StructField("snap", LongType())]
+    + [StructField(f"m{j}", LongType()) for j in range(MINHASH_SLOTS)]
+)
+
+MINHASH_STATE_SCHEMA = StructType(
+    [StructField("snap", LongType())]
+    + [StructField(f"m{j}", LongType()) for j in range(MINHASH_SLOTS)]
+)
+
+
+def minhash_steps(
+    state: tuple | None, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, tuple]:
+    """Pure per-key MinHash fold shared by the streaming state function
+    and the batch replay oracle: element-wise MIN of the row hashes
+    into the signature vector. MIN is an idempotent semilattice merge,
+    so the final snapshot is independent of batching, order, AND
+    duplicate delivery."""
+    snap, *ms = (
+        state if state is not None else (0,) + (_I64_MAX,) * MINHASH_SLOTS
+    )
+    ms = [int(x) for x in ms]
+    if len(pdf):
+        for j in range(MINHASH_SLOTS):
+            ms[j] = min(ms[j], int(pdf[f"h{j}"].min()))
+    snap += 1
+    src = str(pdf["source"].iloc[0]) if len(pdf) else ""
+    out = pd.DataFrame(
+        {"source": [src], "snap": [snap],
+         **{f"m{j}": [ms[j]] for j in range(MINHASH_SLOTS)}}
+    )
+    return out, (snap, *ms)
+
+
+def _apply_minhash(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        out, st = minhash_steps(st, pdf)
+        yield out
+    state.update(st)
+
+
+def minhash_walk(shingles: DataFrame) -> DataFrame:
+    """Streaming MinHash signature per source (applyInPandasWithState):
+    eight long minima of state per key. Batch twin:
+    ``minhash_batch_replay`` and the plain per-slot MIN aggregate."""
+    return shingles.groupBy("source").applyInPandasWithState(
+        _apply_minhash,
+        outputStructType=MINHASH_OUT_SCHEMA,
+        stateStructType=MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def minhash_batch_replay(shingles_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle."""
+    outs = []
+    for _, grp in shingles_pdf.groupby("source", sort=False):
+        out, _ = minhash_steps(None, grp)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

@@ -833,6 +833,9 @@ _BNLJ_BOUNDED_OK = {
     "text_kn_doc_quality_score",
     # r9: the same 8-vector query-block broadcast as sign-Hamming
     "similarity_range_search_recall",
+    # r10 continuation: the |sources|-row signature self-cross
+    # (bounded like goodman_kruskal's contingency self-cross)
+    "streaming_minhash_source_signature",
     # r10 continuation: the day-grain 7-day-window pair theta join
     # (calendar-bounded, the Theil-Sen/somers_d contract) reached via
     # one bounded broadcast

@@ -1512,3 +1512,104 @@ def test_ams_steps_commutative_order_invariance():
     base = run(range(9), [(0, 9)])
     assert base == run(list(reversed(range(9))), [(0, 4), (4, 9)])
     assert base == run([3, 1, 4, 0, 5, 2, 8, 6, 7], [(0, 1), (1, 6), (6, 9)])
+
+
+def test_streaming_minhash_equals_batch_replay_and_plain_min(spark, sf_dir):
+    """The streamed MinHash signature must equal both the imperative
+    replay and a plain Spark per-slot MIN aggregate slot-for-slot —
+    MIN is a semilattice merge, so batching cannot change the
+    signature (op #17's contract)."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.dedup import _shingles
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        MINHASH_SLOTS,
+        minhash_batch_replay,
+    )
+
+    cols = [f"m{j}" for j in range(MINHASH_SLOTS)]
+    # the registered query emits pair-grain rows; recompute the
+    # per-source signature the same way it does (min over snapshots)
+    from severless_data_pipeline_aws_spark.streaming.queries import (
+        _replay_events_stream,
+        _run_to_memory,
+    )
+    from severless_data_pipeline_aws_spark.streaming import stateful
+
+    prep = (
+        Tables(spark, sf_dir)
+        .documents.select("source", F.explode(_shingles("text")).alias("sh"))
+        .selectExpr(
+            "source",
+            *[f"xxhash64('s{j}', sh) AS h{j}" for j in range(MINHASH_SLOTS)],
+        )
+    )
+    snaps = _run_to_memory(
+        stateful.minhash_walk(_replay_events_stream(spark, sf_dir, df=prep)),
+        "append",
+    )
+    got = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in snaps.groupBy("source")
+        .agg(*[F.min(c).alias(c) for c in cols])
+        .collect()
+    }
+    replay = minhash_batch_replay(prep.toPandas())
+    want = {
+        r.source: tuple(int(getattr(r, c)) for c in cols)
+        for r in replay.itertuples(index=False)
+    }
+    assert got == want and len(got) > 0
+    direct = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in prep.groupBy("source")
+        .agg(
+            *[
+                F.min(f"h{j}").cast("bigint").alias(f"m{j}")
+                for j in range(MINHASH_SLOTS)
+            ]
+        )
+        .collect()
+    }
+    assert got == direct
+    # and the registered pair query runs on these signatures
+    rows = load_all()["streaming_minhash_source_signature"].fn(spark, sf_dir).collect()
+    assert rows and all(0 <= r.n_slot_matches <= MINHASH_SLOTS for r in rows)
+
+
+def test_minhash_steps_idempotent_order_and_duplicate_invariance():
+    """MIN state is an IDEMPOTENT semilattice: any row order, any
+    batching, and any DUPLICATE delivery must land on the same final
+    signature — the property that makes at-least-once delivery
+    sufficient (stronger than the AMS additive contract, which
+    tolerates reordering but not duplicates)."""
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        MINHASH_SLOTS,
+        minhash_steps,
+    )
+
+    rows = [
+        tuple((i * 2654435761 + j * 40503) % 1000 - 500 for j in range(MINHASH_SLOTS))
+        for i in range(9)
+    ]
+
+    def run(seq, cuts):
+        st = None
+        for lo, hi in cuts:
+            ch = seq[lo:hi]
+            if not ch:
+                continue
+            pdf = pd.DataFrame(
+                {"source": ["s"] * len(ch),
+                 **{f"h{j}": [r[j] for r in ch] for j in range(MINHASH_SLOTS)}}
+            )
+            _, st = minhash_steps(st, pdf)
+        return st[1:]
+
+    base = run(rows, [(0, 9)])
+    assert run(rows[::-1], [(0, 3), (3, 9)]) == base
+    assert run(rows[4:] + rows[:4], [(0, 1), (1, 5), (5, 9)]) == base
+    # duplicate delivery: every row twice, interleaved
+    assert run(rows + rows, [(0, 6), (6, 18)]) == base
