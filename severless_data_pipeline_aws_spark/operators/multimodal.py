@@ -2765,3 +2765,178 @@ def multimodal_ico_dir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lower(hex(substring(payload, CAST(off1 + 41 AS INT), 16)))"
         " = md5(text) AS digest1_ok",
     ).orderBy("doc_id")
+
+
+# --- X5z: Ogg page ----------------------------------------------------------
+
+_OGG_LIMIT = 400
+
+#: Ogg's CRC-32 is the OTHER variant: polynomial 0x04C11DB7,
+#: NON-reflected, init 0, NO final xor — sharing zero table entries
+#: with gzip's reflected 0xEDB88320, so this tier exercises a second,
+#: incompatible CRC implementation end to end.
+_OGG_CRC_TABLE: list[int] = []
+for _i in range(256):
+    _c = _i << 24
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x04C11DB7 if _c & 0x80000000 else _c << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_c)
+_OGG_CRC_SPARK = "array(" + ",".join(f"{x}L" for x in _OGG_CRC_TABLE) + ")"
+_OGG_CRC_DUCK = "[" + ",".join(str(x) for x in _OGG_CRC_TABLE) + "]"
+
+_OGG_L = "20 + doc_id % 13"  # payload length (the gzip variability contract)
+
+
+def _ogg_crc_fold_spark(byte_expr_list: str, n: str) -> str:
+    """Non-reflected CRC-32 fold over a byte list expression: crc =
+    ((crc << 8) & 0xFFFFFFFF) ^ T[(crc >> 24) ^ byte], init 0."""
+    return (
+        f"aggregate({byte_expr_list}, CAST(0 AS BIGINT),"
+        " (c, b) -> ((c % 16777216) * 256)"
+        f" ^ element_at({_OGG_CRC_SPARK}, CAST((c div 16777216) ^ b AS INT) + 1))"
+    )
+
+
+def _ogg_crc_fold_duck(byte_list: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" {byte_list}),"
+        " (c, b) -> xor((c % 16777216) * 256,"
+        f" ({_OGG_CRC_DUCK})[CAST(xor(c >> 24, b) AS INT) + 1]))"
+    )
+
+
+def synthesize_ogg_media(
+    spark: SparkSession, sf_dir: str, limit: int = _OGG_LIMIT
+) -> DataFrame:
+    """(doc_id, payload): one byte-valid Ogg page — capture 'OggS',
+    version 0, header_type 0x06 (BOS|EOS: a single-page stream),
+    granule position 44100*(doc_id+1) little-endian, serial = doc_id,
+    page 0, the REAL page CRC (computed by the non-reflected fold over
+    the page with the CRC field zeroed, per the Ogg spec), 1 segment,
+    one lacing value, and an md5-hex payload of 20-32 bytes."""
+    t = Tables(spark, sf_dir)
+    data = f"substr(md5(text), 1, CAST({_OGG_L} AS INT))"
+    prehex = (
+        "concat("
+        " hex('OggS'), '00', '06',"
+        f" {_le_hex_spark('44100 * (doc_id + 1)', 8)},"
+        f" {_le_hex_spark('doc_id', 4)},"
+        f" {_le_hex_spark('0', 4)},"
+        " '00000000',"
+        " '01',"
+        f" lpad(hex({_OGG_L}), 2, '0'),"
+        f" hex({data}))"
+    )
+    bytes_of_prehex = (
+        "transform(sequence(1, CAST(length(ph) AS INT) div 2),"
+        " i -> CAST(conv(substr(ph, 2 * i - 1, 2), 16, 10) AS BIGINT))"
+    )
+    return (
+        t.documents.filter(F.col("doc_id") < limit)
+        .selectExpr("doc_id", "text", f"{prehex} AS ph")
+        .selectExpr(
+            "doc_id",
+            "text",
+            "unhex(concat(substr(ph, 1, 44),"
+            f" {_le_hex_spark(_ogg_crc_fold_spark(bytes_of_prehex, 'n'), 4)},"
+            " substr(ph, 53))) AS payload",
+        )
+    )
+
+
+@register(
+    "multimodal_ogg_page_parse",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   20 + doc_id % 13 AS l,
+                   substr(md5(text), 1, CAST(20 + doc_id % 13 AS INT)) AS data
+            FROM documents WHERE doc_id < {_OGG_LIMIT}
+        ),
+        pre AS (
+            SELECT doc_id, l,
+                   '4F676753' || '00' || '06'
+                   || {"||".join(f"lpad(hex((44100 * (doc_id + 1) // {256 ** i}) % 256), 2, '0')" for i in range(8))}
+                   || {"||".join(f"lpad(hex((doc_id // {256 ** i}) % 256), 2, '0')" for i in range(4))}
+                   || '00000000'
+                   || '00000000'
+                   || '01' || lpad(hex(l), 2, '0') || upper(hex(data)) AS ph
+            FROM base
+        ),
+        crc AS (
+            SELECT doc_id, l,
+                   {_ogg_crc_fold_duck(
+                       "list_transform(range(1, CAST(length(ph) AS INT) // 2 + 1),"
+                       " i -> CAST((strpos('0123456789ABCDEF',"
+                       " substr(upper(ph), CAST(2 * i - 1 AS INT), 1)) - 1) * 16"
+                       " + strpos('0123456789ABCDEF',"
+                       " substr(upper(ph), CAST(2 * i AS INT), 1)) - 1 AS BIGINT))"
+                   )} AS c
+            FROM pre
+        )
+        SELECT doc_id,
+               CAST(28 + l AS BIGINT) AS total_len,
+               TRUE AS capture_ok,
+               CAST(0 AS BIGINT) AS version,
+               FALSE AS is_continued,
+               TRUE AS is_bos,
+               TRUE AS is_eos,
+               CAST(44100 * (doc_id + 1) AS BIGINT) AS granule_position,
+               doc_id AS serial_no,
+               CAST(0 AS BIGINT) AS page_seq,
+               CAST(1 AS BIGINT) AS n_segments,
+               CAST(l AS BIGINT) AS payload_len,
+               c AS crc_stored,
+               c AS crc_recomputed,
+               TRUE AS crc_ok
+        FROM crc ORDER BY doc_id
+    """,
+    doc=(
+        "X5z: Ogg page parse — the audio-container tier with THE OTHER "
+        "CRC-32: polynomial 0x04C11DB7, non-reflected, init 0, no "
+        "final xor (zero table entries shared with gzip's reflected "
+        "IEEE variant — a genuinely incompatible second implementation "
+        "of the same idea, both now exercised end to end). Parse path "
+        "(payload bytes only): capture/version checks, the BOS/EOS/"
+        "continued flag bits, little-endian granule/serial/sequence "
+        "decodes, the segment-table walk to the payload length, and "
+        "the page CRC RECOMPUTED per the Ogg spec — fold over the "
+        "whole page with the four CRC bytes READ AS ZERO — against "
+        "the stored field the synthesis computed by its own fold over "
+        "the pre-splice hex (two independent byte sources, and the "
+        "DuckDB oracle folds a third). Map-only, zero shuffle."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_ogg_page_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_ogg_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+
+    def le(pos: str, width: int) -> str:
+        return " + ".join(
+            f"{256 ** i} * {b(f'({pos}) + {i}')}" for i in range(width)
+        )
+
+    zeroed = (
+        "transform(sequence(1, CAST(length(payload) AS INT)),"
+        " i -> CASE WHEN i BETWEEN 23 AND 26 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS BIGINT) END)"
+    )
+    return media.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+        "CAST(substring(payload, 1, 4) AS STRING) = 'OggS' AS capture_ok",
+        f"{b('5')} AS version",
+        f"({b('6')} % 2) = 1 AS is_continued",
+        f"(({b('6')} div 2) % 2) = 1 AS is_bos",
+        f"(({b('6')} div 4) % 2) = 1 AS is_eos",
+        f"{le('7', 8)} AS granule_position",
+        f"{le('15', 4)} AS serial_no",
+        f"{le('19', 4)} AS page_seq",
+        f"{b('27')} AS n_segments",
+        f"{b('28')} AS payload_len",
+        f"{le('23', 4)} AS crc_stored",
+        f"{_ogg_crc_fold_spark(zeroed, 'n')} AS crc_recomputed",
+        f"{le('23', 4)} = {_ogg_crc_fold_spark(zeroed, 'n')} AS crc_ok",
+    ).orderBy("doc_id")
