@@ -10026,3 +10026,150 @@ def stats_quade_weighted_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(MAX(n_days) * SUM(ssq) - SUM(s4 * s4) AS DOUBLE)"
         ).alias("f_quade"),
     )
+
+
+#: Fligner-Policello z over the six exact aggregates (each engine
+#: produces the *d doubles by correctly-rounded casts; this expression
+#: text is then shared verbatim): placements kept DOUBLED for integer
+#: tie handling (midplacement x2), hence the /2 and /4 scalings.
+_FP_Z = (
+    "((sp2d - sq2d) / 2.0e0)"
+    " / (2.0e0 * sqrt("
+    "   (sp2sqd / 4.0e0 - (sp2d / 2.0e0) * (sp2d / 2.0e0) / md)"
+    " + (sq2sqd / 4.0e0 - (sq2d / 2.0e0) * (sq2d / 2.0e0) / nd)"
+    " + (sp2d / (2.0e0 * md)) * (sq2d / (2.0e0 * nd))))"
+)
+
+
+@register(
+    "stats_fligner_policello",
+    oracle=f"""
+        WITH pooled AS (
+            SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+                   CAST(round(value * 10000) AS BIGINT) AS x
+            FROM events
+            WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+        ),
+        vg AS (
+            SELECT x,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                   CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+            FROM pooled GROUP BY x
+        ),
+        cum AS (
+            SELECT k1, k2,
+                   SUM(k1) OVER (ORDER BY x) AS c1,
+                   SUM(k2) OVER (ORDER BY x) AS c2
+            FROM vg
+        ),
+        pl AS (
+            SELECT k1, k2,
+                   2 * (c2 - k2) + k2 AS p2,
+                   2 * (c1 - k1) + k1 AS q2
+            FROM cum
+        ),
+        s AS (
+            SELECT CAST(SUM(k1) AS BIGINT) AS m,
+                   CAST(SUM(k2) AS BIGINT) AS n,
+                   CAST(SUM(k1) AS DOUBLE) AS md,
+                   CAST(SUM(k2) AS DOUBLE) AS nd,
+                   CAST(SUM(k1 * p2) AS BIGINT) AS sp2,
+                   CAST(SUM(k2 * q2) AS BIGINT) AS sq2,
+                   CAST(SUM(k1 * p2) AS DOUBLE) AS sp2d,
+                   CAST(SUM(k2 * q2) AS DOUBLE) AS sq2d,
+                   CAST(CAST(SUM(CAST(k1 * p2 AS HUGEINT) * p2) AS VARCHAR)
+                        AS DOUBLE) AS sp2sqd,
+                   CAST(CAST(SUM(CAST(k2 * q2 AS HUGEINT) * q2) AS VARCHAR)
+                        AS DOUBLE) AS sq2sqd
+            FROM pl
+        )
+        SELECT m, n, sp2 AS sum_placements_x2_a, sq2 AS sum_placements_x2_b,
+               {_FP_Z} AS z_fp
+        FROM s
+    """,
+    doc=(
+        "ST104: Fligner-Policello robust rank-order test (click vs "
+        "error values) — the nonparametric Behrens-Fisher answer: "
+        "unlike Mann-Whitney it does NOT assume equal shapes/"
+        "variances, because the variance is estimated from the "
+        "PLACEMENTS themselves (P_i = #{Y below X_i}, Q_j = #{X "
+        "below Y_j}). Ties take half-credit via doubled "
+        "midplacements (2*cnt_less_other + cnt_eq_other — integer, "
+        "the Jonckheere-Terpstra convention), on the shared "
+        "round(value*10000) integer grid both engines quantize "
+        "identically. Placements reduce at DISTINCT-VALUE grain from "
+        "the same bucket-offset ECDF prefix pass the exact-KS test "
+        "uses (never a row-grain global window); the squared-"
+        "placement sums accumulate in DECIMAL/HUGEINT (overflow-safe "
+        "past 2^63 at 100 TB scale) and every aggregate is exact "
+        "until the ONE shared z expression."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "error")
+    ).select(
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("i2"),
+    )
+    vg = pts.groupBy("x").agg(
+        F.sum("i1").cast("bigint").alias("k1"),
+        F.sum("i2").cast("bigint").alias("k2"),
+    )
+    # bucket-offset inclusive prefix sums at distinct-value grain (the
+    # exact-KS machinery; the only single-partition window is the
+    # metadata-scale bucket-offsets pass)
+    b = vg.withColumn("__bkt", F.expr("x DIV 65536"))
+    bt = b.groupBy("__bkt").agg(F.sum("k1").alias("b1"), F.sum("k2").alias("b2"))
+    wo = W.partitionBy().orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bt.select(
+        "__bkt",
+        F.coalesce(F.sum("b1").over(wo), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(wo), F.lit(0)).alias("o2"),
+    )
+    wl = W.partitionBy("__bkt").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    pl = (
+        b.join(F.broadcast(offs), "__bkt")
+        .select(
+            "k1",
+            "k2",
+            (F.col("o1") + F.sum("k1").over(wl)).cast("bigint").alias("c1"),
+            (F.col("o2") + F.sum("k2").over(wl)).cast("bigint").alias("c2"),
+        )
+        .selectExpr(
+            "k1",
+            "k2",
+            "2 * (c2 - k2) + k2 AS p2",
+            "2 * (c1 - k1) + k1 AS q2",
+        )
+    )
+    s = pl.agg(
+        F.expr("CAST(SUM(k1) AS BIGINT)").alias("m"),
+        F.expr("CAST(SUM(k2) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(k1) AS DOUBLE)").alias("md"),
+        F.expr("CAST(SUM(k2) AS DOUBLE)").alias("nd"),
+        F.expr("CAST(SUM(k1 * p2) AS BIGINT)").alias("sp2"),
+        F.expr("CAST(SUM(k2 * q2) AS BIGINT)").alias("sq2"),
+        F.expr("CAST(SUM(k1 * p2) AS DOUBLE)").alias("sp2d"),
+        F.expr("CAST(SUM(k2 * q2) AS DOUBLE)").alias("sq2d"),
+        F.expr(
+            "CAST(SUM(CAST(k1 * p2 AS DECIMAL(19,0)) * CAST(p2 AS DECIMAL(19,0)))"
+            " AS DOUBLE)"
+        ).alias("sp2sqd"),
+        F.expr(
+            "CAST(SUM(CAST(k2 * q2 AS DECIMAL(19,0)) * CAST(q2 AS DECIMAL(19,0)))"
+            " AS DOUBLE)"
+        ).alias("sq2sqd"),
+    )
+    return s.select(
+        "m",
+        "n",
+        F.col("sp2").alias("sum_placements_x2_a"),
+        F.col("sq2").alias("sum_placements_x2_b"),
+        F.expr(_FP_Z).alias("z_fp"),
+    )
