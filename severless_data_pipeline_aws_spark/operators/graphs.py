@@ -2325,3 +2325,82 @@ def graph_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "four_cycles"
         ),
     )
+
+
+_TRUSS_K = 10
+_TRUSS_ROUNDS = 3
+
+
+def _truss_round_sql(i: int) -> str:
+    """One peel round as DuckDB CTEs: per-edge triangle support within
+    the current edge set, then restriction to support >= k-2."""
+    k = _TRUSS_K
+    return f"""sym{i} AS (
+            SELECT u AS a, v AS x FROM g{i}
+            UNION ALL
+            SELECT v AS a, u AS x FROM g{i}
+        ),
+        sup{i} AS (
+            SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS sup
+            FROM g{i} e
+            JOIN sym{i} s1 ON s1.a = e.u
+            JOIN sym{i} s2 ON s2.a = e.v AND s2.x = s1.x
+            GROUP BY e.u, e.v
+        ),
+        g{i + 1} AS (SELECT u, v FROM sup{i} WHERE sup >= {k - 2})"""
+
+
+@register(
+    "graph_ktruss_decomposition",
+    oracle=f"""
+        WITH {_CO_EDGE_SQL},
+        g0 AS (SELECT u, v FROM e),
+        {_truss_round_sql(0)},
+        {_truss_round_sql(1)},
+        {_truss_round_sql(2)}
+        SELECT u, v, sup AS truss_support
+        FROM sup{_TRUSS_ROUNDS - 1} WHERE sup >= {_TRUSS_K - 2}
+        ORDER BY u, v
+    """,
+    doc=(
+        f"G28: k-truss decomposition (k={_TRUSS_K}) of the co-trade "
+        "graph — the EDGE-grain analog of the k-core: keep only edges "
+        f"participating in >= k-2 = {_TRUSS_K - 2} triangles within "
+        "the surviving subgraph, peeling iteratively. Trusses are the "
+        "standard community-core primitive (stricter than k-core: "
+        "every retained relationship is embedded in many closed "
+        f"triads). {_TRUSS_ROUNDS} peel rounds unroll IDENTICALLY in "
+        "both engines (each round: the ordered common-neighbor "
+        "3-join for per-edge support, then two-sided restriction); "
+        "the fixpoint-within-unroll property is asserted by pytest "
+        "at the test SFs (the k-core contract), so the unroll IS the "
+        "converged truss. Integer triangle counting end to end. Each "
+        "Spark round localCheckpoints the <=625-row edge set "
+        "(metadata-scale); on a real graph this is the standard "
+        "support-peel with edges bucketed by endpoint, round count "
+        "bounded by the truss peeling depth."
+    ),
+    tags=("graph", "join", "iterative"),
+)
+def graph_ktruss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    g, _deg = _co_edges(t)
+
+    def support(edges: DataFrame) -> DataFrame:
+        sym = edges.selectExpr("u AS a", "v AS x").union(
+            edges.selectExpr("v AS a", "u AS x")
+        )
+        tri = edges.join(sym.selectExpr("a AS u", "x"), "u").join(
+            sym.selectExpr("a AS v", "x"), ["v", "x"]
+        )
+        return tri.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("sup")
+        )
+
+    for _ in range(_TRUSS_ROUNDS - 1):
+        keep = support(g).filter(F.col("sup") >= _TRUSS_K - 2).select("u", "v")
+        g = g.join(keep, ["u", "v"]).localCheckpoint(eager=True)
+    final = support(g).filter(F.col("sup") >= _TRUSS_K - 2)
+    return final.select("u", "v", F.col("sup").alias("truss_support")).orderBy(
+        "u", "v"
+    )

@@ -334,3 +334,29 @@ def test_holt_winters_row_contract(spark, sf_dir):
     for d in days:
         expect = d["nd"] - _HW_M if d["nd"] >= 2 * _HW_M else 0
         assert got.get(d["event_type"], 0) == expect, d["event_type"]
+
+
+def test_ktruss_fixpoint_within_unroll(spark, sf_dir):
+    """The unrolled truss peel must CONVERGE at the test SF: every
+    output edge's support, recomputed on the OUTPUT edge set alone,
+    is still >= k-2 — one more peel round changes nothing, so the
+    fixed unroll is the true k-truss, not a truncation. (Support can
+    only DROP when edges are removed, so stability of the output set
+    under one recount is exactly the fixpoint property.)"""
+    from severless_data_pipeline_aws_spark.operators.graphs import (
+        _TRUSS_K,
+        graph_ktruss_decomposition,
+    )
+
+    rows = graph_ktruss_decomposition(spark, sf_dir).collect()
+    assert rows, "empty truss at test SF"
+    edges = {(r["u"], r["v"]) for r in rows}
+    recorded = {(r["u"], r["v"]): r["truss_support"] for r in rows}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for (u, v), sup in recorded.items():
+        induced = len(adj[u] & adj[v])
+        assert induced == sup, ((u, v), induced, sup)
+        assert induced >= _TRUSS_K - 2
