@@ -10041,10 +10041,11 @@ _FP_Z = (
 )
 
 
-@register(
-    "stats_fligner_policello",
-    oracle=f"""
-        WITH pooled AS (
+#: shared placement-aggregate CTE prefix (Fligner-Policello and
+#: Brunner-Munzel are two closed forms over the SAME six exact
+#: placement aggregates)
+_PLACEMENT_CTES = """
+        pooled AS (
             SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
                    CAST(round(value * 10000) AS BIGINT) AS x
             FROM events
@@ -10082,31 +10083,14 @@ _FP_Z = (
                    CAST(CAST(SUM(CAST(k2 * q2 AS HUGEINT) * q2) AS VARCHAR)
                         AS DOUBLE) AS sq2sqd
             FROM pl
-        )
-        SELECT m, n, sp2 AS sum_placements_x2_a, sq2 AS sum_placements_x2_b,
-               {_FP_Z} AS z_fp
-        FROM s
-    """,
-    doc=(
-        "ST104: Fligner-Policello robust rank-order test (click vs "
-        "error values) — the nonparametric Behrens-Fisher answer: "
-        "unlike Mann-Whitney it does NOT assume equal shapes/"
-        "variances, because the variance is estimated from the "
-        "PLACEMENTS themselves (P_i = #{Y below X_i}, Q_j = #{X "
-        "below Y_j}). Ties take half-credit via doubled "
-        "midplacements (2*cnt_less_other + cnt_eq_other — integer, "
-        "the Jonckheere-Terpstra convention), on the shared "
-        "round(value*10000) integer grid both engines quantize "
-        "identically. Placements reduce at DISTINCT-VALUE grain from "
-        "the same bucket-offset ECDF prefix pass the exact-KS test "
-        "uses (never a row-grain global window); the squared-"
-        "placement sums accumulate in DECIMAL/HUGEINT (overflow-safe "
-        "past 2^63 at 100 TB scale) and every aggregate is exact "
-        "until the ONE shared z expression."
-    ),
-    tags=("stats", "ab", "window"),
-)
-def stats_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
+        )"""
+
+
+def _placement_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six exact placement aggregates (click vs error) both robust
+    rank tests consume: m, n, doubled placement sums and squared sums
+    per group (integer; squared sums DECIMAL-exact), plus their
+    correctly-rounded double twins."""
     from pyspark.sql import Window as W
 
     t = Tables(spark, sf_dir)
@@ -10166,10 +10150,99 @@ def stats_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE)"
         ).alias("sq2sqd"),
     )
-    return s.select(
+    return s
+
+
+@register(
+    "stats_fligner_policello",
+    oracle=f"""
+        WITH {_PLACEMENT_CTES}
+        SELECT m, n, sp2 AS sum_placements_x2_a, sq2 AS sum_placements_x2_b,
+               {_FP_Z} AS z_fp
+        FROM s
+    """,
+    doc=(
+        "ST104: Fligner-Policello robust rank-order test (click vs "
+        "error values) — the nonparametric Behrens-Fisher answer: "
+        "unlike Mann-Whitney it does NOT assume equal shapes/"
+        "variances, because the variance is estimated from the "
+        "PLACEMENTS themselves (P_i = #{Y below X_i}, Q_j = #{X "
+        "below Y_j}). Ties take half-credit via doubled "
+        "midplacements (2*cnt_less_other + cnt_eq_other — integer, "
+        "the Jonckheere-Terpstra convention), on the shared "
+        "round(value*10000) integer grid both engines quantize "
+        "identically. Placements reduce at DISTINCT-VALUE grain from "
+        "the same bucket-offset ECDF prefix pass the exact-KS test "
+        "uses (never a row-grain global window); the squared-"
+        "placement sums accumulate in DECIMAL/HUGEINT (overflow-safe "
+        "past 2^63 at 100 TB scale) and every aggregate is exact "
+        "until the ONE shared z expression."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _placement_sums(spark, sf_dir).select(
         "m",
         "n",
         F.col("sp2").alias("sum_placements_x2_a"),
         F.col("sq2").alias("sum_placements_x2_b"),
         F.expr(_FP_Z).alias("z_fp"),
+    )
+
+
+#: Brunner-Munzel closed forms over the shared placement aggregates.
+#: Derivation (verified against the published lawstat example — W
+#: 3.13747, p-hat 0.788961, df 17.6828 — in tests): with doubled
+#: placements p2, the rank-difference variance collapses to
+#: V = (n*Sum(p2^2) - Sum(p2)^2) / (4n(n-1)), the mean-rank gap to
+#: (Sq/n2 - Sp/n1 + n2 - n1)/2, and p-hat to Sq/(2*n1*n2).
+_BM_V1 = "((md * sp2sqd - sp2d * sp2d) / (4.0e0 * md * (md - 1.0e0)))"
+_BM_V2 = "((nd * sq2sqd - sq2d * sq2d) / (4.0e0 * nd * (nd - 1.0e0)))"
+_BM_W = (
+    f"(md * nd * ((sq2d / nd - sp2d / md + nd - md) / 2.0e0))"
+    f" / ((md + nd) * sqrt(md * {_BM_V1} + nd * {_BM_V2}))"
+)
+_BM_PHAT = "sq2d / (2.0e0 * md * nd)"
+_BM_DF = (
+    f"((md * {_BM_V1} + nd * {_BM_V2}) * (md * {_BM_V1} + nd * {_BM_V2}))"
+    f" / ((md * {_BM_V1}) * (md * {_BM_V1}) / (md - 1.0e0)"
+    f" + (nd * {_BM_V2}) * (nd * {_BM_V2}) / (nd - 1.0e0))"
+)
+
+
+@register(
+    "stats_brunner_munzel",
+    oracle=f"""
+        WITH {_PLACEMENT_CTES}
+        SELECT m, n,
+               {_BM_PHAT} AS p_hat,
+               {_BM_W} AS w_bm,
+               {_BM_DF} AS df_welch
+        FROM s
+    """,
+    doc=(
+        "ST105: Brunner-Munzel test (click vs error values) — the "
+        "modern default for two-sample stochastic-superiority "
+        "inference: like Fligner-Policello it drops the equal-"
+        "variance assumption, and additionally supplies the Welch-"
+        "style df for small-sample t-approximation; p_hat = "
+        "P(X<Y) + P(X=Y)/2 is the effect estimate itself. Implemented "
+        "as closed forms over the SAME six exact placement aggregates "
+        "as stats_fligner_policello (one shared distinct-value-grain "
+        "plan: doubled midplacements, DECIMAL squared sums): the "
+        "rank-difference variance collapses algebraically to "
+        "(n*Spp - Sp^2)/(4n(n-1)) — derivation pinned against the "
+        "published lawstat reference example (W 3.13747, p_hat "
+        "0.788961, df 17.6828) in tests/test_r4_invariants.py. Every "
+        "aggregate exact; three shared final expressions."
+    ),
+    tags=("stats", "ab", "window"),
+)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _placement_sums(spark, sf_dir).select(
+        "m",
+        "n",
+        F.expr(_BM_PHAT).alias("p_hat"),
+        F.expr(_BM_W).alias("w_bm"),
+        F.expr(_BM_DF).alias("df_welch"),
     )

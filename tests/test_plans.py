@@ -641,9 +641,10 @@ _SCALABLE_WINDOW_CAPS = {
     # r10 continuation: matrix profile — calendar-grain lead() frame
     # + the final discord rank (both day-grain; no bucket pass)
     "timeseries_matrix_profile_discord": 2,
-    # r10 continuation: Fligner-Policello — the exact-KS bucket-offset
-    # ECDF prefix pass (distinct-value grain)
+    # r10 continuation: Fligner-Policello / Brunner-Munzel — the
+    # exact-KS bucket-offset ECDF prefix pass (distinct-value grain)
     "stats_fligner_policello": 1,
+    "stats_brunner_munzel": 1,
 }
 
 # queries whose every single-partition window is a bucket-offset prefix

@@ -360,3 +360,41 @@ def test_ktruss_fixpoint_within_unroll(spark, sf_dir):
         induced = len(adj[u] & adj[v])
         assert induced == sup, ((u, v), induced, sup)
         assert induced >= _TRUSS_K - 2
+
+
+def test_brunner_munzel_matches_published_example(spark):
+    """The BM closed forms over doubled-placement aggregates must
+    reproduce the published lawstat reference example (W = 3.137467,
+    p_hat = 0.788961, df = 17.68284) — pinning the algebraic
+    derivation (variance collapse to (n*Spp - Sp^2)/(4n(n-1)))
+    against the classical rank formulation."""
+    from severless_data_pipeline_aws_spark.operators.stats import (
+        _BM_DF,
+        _BM_PHAT,
+        _BM_W,
+    )
+
+    X = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+    Y = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+
+    def p2s(A, B):
+        return [
+            2 * sum(1 for b in B if b < a) + sum(1 for b in B if b == a)
+            for a in A
+        ]
+
+    px, py = p2s(X, Y), p2s(Y, X)
+    row = spark.createDataFrame(
+        [(
+            float(len(X)), float(len(Y)),
+            float(sum(px)), float(sum(py)),
+            float(sum(p * p for p in px)), float(sum(p * p for p in py)),
+        )],
+        "md double, nd double, sp2d double, sq2d double,"
+        " sp2sqd double, sq2sqd double",
+    ).selectExpr(
+        f"{_BM_PHAT} AS p_hat", f"{_BM_W} AS w_bm", f"{_BM_DF} AS df_welch"
+    ).collect()[0]
+    assert abs(row.p_hat - 0.788961038961039) < 1e-12
+    assert abs(row.w_bm - 3.13746748230295) < 1e-10
+    assert abs(row.df_welch - 17.682841979481548) < 1e-9
