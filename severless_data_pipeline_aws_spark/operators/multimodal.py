@@ -2940,3 +2940,165 @@ def multimodal_ogg_page_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ogg_crc_fold_spark(zeroed, 'n')} AS crc_recomputed",
         f"{le('23', 4)} = {_ogg_crc_fold_spark(zeroed, 'n')} AS crc_ok",
     ).orderBy("doc_id")
+
+
+# --- X5aa: multi-member gzip chain (the WARC.gz layout) ---------------------
+
+_GZC_LIMIT = 300
+_GZC_MEMBERS = 3
+
+
+def _gzc_len(i: int) -> str:
+    """member i's stored-data length, 18..28, moving per (doc, member)"""
+    return f"18 + (doc_id + {7 * i}) % 11"
+
+
+def _gzc_member_hex(i: int) -> str:
+    """hex of member i: FNAME 'recNNNNNNNN-i.warc' (18 chars + NUL),
+    stored-deflate body of md5(text||i) prefix, CRC32+ISIZE trailer."""
+    ln = _gzc_len(i)
+    data = f"substr(md5(concat(text, '{i}')), 1, CAST({ln} AS INT))"
+    fname = (
+        f"concat('rec', lpad(CAST(doc_id AS STRING), 8, '0'), '-{i}.warc')"
+    )
+    return (
+        "concat('1f8b0808',"
+        f" {_le_hex_spark(f'1700000000 + doc_id + {i}', 4)},"
+        " '0003',"
+        f" hex({fname}), '00',"
+        " '01',"
+        f" {_le_hex_spark(ln, 2)},"
+        f" {_le_hex_spark(f'({ln}) ^ 65535', 2)},"
+        f" hex({data}),"
+        f" {_le_hex_spark(f'crc32(CAST({data} AS BINARY))', 4)},"
+        f" {_le_hex_spark(ln, 4)})"
+    )
+
+
+@register(
+    "multimodal_gzip_multi_member_chain",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {", ".join(f"18 + (doc_id + {7 * i}) % 11 AS l{i}" for i in range(_GZC_MEMBERS))},
+                   substr(md5(text || '2'), 1,
+                          CAST(18 + (doc_id + 14) % 11 AS INT)) AS data2
+            FROM documents WHERE doc_id < {_GZC_LIMIT}
+        ),
+        crc AS (
+            SELECT doc_id, l0, l1, l2,
+                   {_crc32_fold_duck('data2')} AS c2
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(126 + l0 + l1 + l2 AS BIGINT) AS total_len,
+               CAST(3 AS BIGINT) AS n_members,
+               'rec' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-0.warc'
+                   AS member1_name,
+               CAST(l0 AS BIGINT) AS member1_len,
+               CAST(43 + l0 AS BIGINT) AS off2,
+               TRUE AS magic2_ok,
+               CAST(l1 AS BIGINT) AS member2_len,
+               CAST(85 + l0 + l1 AS BIGINT) AS off3,
+               TRUE AS magic3_ok,
+               'rec' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-2.warc'
+                   AS member3_name,
+               CAST(l2 AS BIGINT) AS member3_len,
+               TRUE AS chain_len_ok,
+               c2 AS member3_crc_stored,
+               c2 AS member3_crc_recomputed,
+               TRUE AS member3_crc_ok
+        FROM crc ORDER BY doc_id
+    """,
+    doc=(
+        "X5aa: multi-member gzip chain walk — the ACTUAL WARC.gz "
+        "layout (Common Crawl stores one gzip member per record, "
+        "concatenated, so readers can seek to a record and inflate "
+        "just it). The parse is the genuine chain walk: at each "
+        "derived offset, re-check the 1f8b magic, NUL-scan the FNAME, "
+        "read the stored block's LEN, and derive the NEXT member's "
+        "offset as 10 + (fname+1) + 5 + LEN + 8 from parsed values "
+        "only — three members unrolled, each offset feeding the next "
+        "(the PDF/ICO offset-cross-check pattern at chain depth 3); "
+        "chain_len_ok pins that the walk lands exactly on end-of-"
+        "payload. The LAST member's CRC32 is recomputed via the "
+        "table fold against its trailer. Per-member lengths move "
+        "independently per (doc, member) so every offset is "
+        "exercised. Map-only, zero shuffle."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_gzip_multi_member_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    media = t.documents.filter(F.col("doc_id") < _GZC_LIMIT).selectExpr(
+        "doc_id",
+        "unhex(concat("
+        + ", ".join(_gzc_member_hex(i) for i in range(_GZC_MEMBERS))
+        + ")) AS payload",
+    )
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+
+    def le(pos: str, width: int) -> str:
+        return " + ".join(
+            f"{256 ** i} * {b(f'({pos}) + {i}')}" for i in range(width)
+        )
+
+    def nul_after(off: str) -> str:
+        """1-based position of the first NUL at or after ``off`` + 10
+        (the FNAME scan window, 64 bytes)."""
+        return (
+            f"array_min(filter(transform(sequence(CAST({off} AS INT) + 10,"
+            f" CAST({off} AS INT) + 73), i -> CASE WHEN"
+            " conv(hex(substring(payload, i, 1)), 16, 10) = '0'"
+            " THEN i END, x -> x IS NOT NULL))"
+        )
+
+    # unrolled chain walk: each layer derives the next member offset
+    df = media.selectExpr("doc_id", "payload", "CAST(1 AS BIGINT) AS o1")
+    for m in range(1, _GZC_MEMBERS + 1):
+        nul = (
+            f"array_min(filter(transform(sequence(CAST(o{m} AS INT) + 10,"
+            f" CAST(o{m} AS INT) + 73), i -> CASE WHEN"
+            " conv(hex(substring(payload, i, 1)), 16, 10) = '0'"
+            " THEN i END), x -> x IS NOT NULL))"
+        )
+        df = df.selectExpr(
+            "*", f"{nul} AS nul{m}"
+        ).selectExpr(
+            "*",
+            f"CAST(substring(payload, CAST(o{m} AS INT) + 10,"
+            f" CAST(nul{m} - o{m} - 10 AS INT)) AS STRING) AS name{m}",
+            f"{le(f'nul{m} + 2', 2)} AS len{m}",
+            f"{b(f'o{m}')} = 31 AND {b(f'o{m} + 1')} = 139 AS magic{m}_ok",
+        ).selectExpr(
+            "*",
+            # next offset: header(10) + fname(nul-o-10+1) + block hdr(5)
+            # + data + trailer(8), all from PARSED values
+            f"nul{m} + 1 + 5 + len{m} + 8 AS o{m + 1}",
+        )
+    last = _GZC_MEMBERS
+    crc_pos = f"nul{last} + 6 + len{last}"
+    data_last = (
+        f"CAST(substring(payload, CAST(nul{last} + 6 AS INT),"
+        f" CAST(len{last} AS INT)) AS STRING)"
+    )
+    return df.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS total_len",
+        f"CAST(CASE WHEN magic1_ok AND magic2_ok AND magic3_ok"
+        f" THEN 3 ELSE -1 END AS BIGINT) AS n_members",
+        "name1 AS member1_name",
+        "len1 AS member1_len",
+        "o2 AS off2",
+        "magic2_ok",
+        "len2 AS member2_len",
+        "o3 AS off3",
+        "magic3_ok",
+        "name3 AS member3_name",
+        "len3 AS member3_len",
+        f"o{last + 1} - 1 = CAST(length(payload) AS BIGINT) AS chain_len_ok",
+        f"{le(crc_pos, 4)} AS member3_crc_stored",
+        f"{_crc32_fold_spark(data_last, f'len{last}')} AS member3_crc_recomputed",
+        f"{le(crc_pos, 4)} = {_crc32_fold_spark(data_last, f'len{last}')}"
+        " AS member3_crc_ok",
+    ).orderBy("doc_id")

@@ -750,3 +750,48 @@ def test_soundex_classical_vectors(spark):
             "SELECT " + soundex_sql("'" + w + "'", duck=True)
         ).fetchone()[0]
         assert got == want, (w, got)
+
+
+def test_gzip_payloads_decompress_with_real_gunzip(spark, sf_dir):
+    """The gzip container tiers claim BYTE-VALID members (stored-
+    deflate blocks, real CRC32/ISIZE trailers). Prove it with the real
+    decompressor: Python's gzip must inflate both the single-member
+    payload and the 3-member WARC.gz-style chain, and the chain's
+    concatenated plaintext must equal the member datas exactly."""
+    import gzip
+    import hashlib
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        _GZC_MEMBERS,
+        _gzc_member_hex,
+        synthesize_gzip_media,
+    )
+
+    t = Tables(spark, sf_dir)
+    texts = {
+        r.doc_id: r.text
+        for r in t.documents.filter("doc_id < 5").select("doc_id", "text").collect()
+    }
+    for r in synthesize_gzip_media(spark, sf_dir, limit=5).collect():
+        txt = texts[r.doc_id]
+        want = (
+            hashlib.md5(txt.encode()).hexdigest()
+            + hashlib.md5((txt + "x").encode()).hexdigest()
+        )[: 20 + r.doc_id % 13]
+        assert gzip.decompress(bytes(r.payload)) == want.encode()
+    media = t.documents.filter("doc_id < 5").selectExpr(
+        "doc_id",
+        "text",
+        "unhex(concat("
+        + ", ".join(_gzc_member_hex(i) for i in range(_GZC_MEMBERS))
+        + ")) AS payload",
+    )
+    for r in media.collect():
+        want = b"".join(
+            hashlib.md5((r.text + str(i)).encode())
+            .hexdigest()[: 18 + (r.doc_id + 7 * i) % 11]
+            .encode()
+            for i in range(_GZC_MEMBERS)
+        )
+        assert gzip.decompress(bytes(r.payload)) == want
