@@ -1348,3 +1348,112 @@ def scalar_user_agent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family", "os")
     )
+
+
+# --- RFC 4648 base32 (the content-address alphabet) ------------------------
+
+_B32_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+_B32_LIMIT = 400
+
+
+def _b32_encode_char(i: int, nib: "callable", idiv: str = "div") -> str:
+    """base32 char i (0-based) of a 16-byte digest given a nibble
+    emitter: 5-bit group [5i, 5i+5) read from a 12-bit window of three
+    nibbles — all indices LITERAL (unrolled, no lambdas). ``idiv`` is
+    the engine's integer-division token (Spark div, DuckDB //)."""
+    b = 5 * i
+    n0, r = b // 4, b % 4
+    v = " + ".join(
+        f"{16 ** (2 - k)} * ({nib(n0 + k)})" if n0 + k < 32 else "0"
+        for k in range(3)
+    )
+    return f"substr('{_B32_ALPHA}', CAST((({v}) {idiv} {1 << (7 - r)}) % 32 AS INT) + 1, 1)"
+
+
+def _b32_decode_byte(k: int, cval: "callable", idiv: str = "div") -> str:
+    """decoded byte k (0..15) from the 26 base32 chars: 8-bit group
+    [8k, 8k+8) read from a 15-bit window of three char values."""
+    b = 8 * k
+    c0, r = b // 5, b % 5
+    v = " + ".join(
+        f"{32 ** (2 - j)} * ({cval(c0 + j)})" if c0 + j < 26 else "0"
+        for j in range(3)
+    )
+    return f"(({v}) {idiv} {1 << (7 - r)}) % 256"
+
+
+@register(
+    "scalar_base32_rfc4648",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, md5(text) AS dig FROM documents
+            WHERE doc_id < {_B32_LIMIT}
+        ),
+        enc AS (
+            SELECT doc_id, dig,
+                   {" || ".join(
+                       _b32_encode_char(i, lambda n: f"strpos('0123456789abcdef', substr(dig, {n} + 1, 1)) - 1", idiv="//")
+                       for i in range(26))}
+                   AS b32core
+            FROM d
+        )
+        SELECT doc_id, dig AS digest_hex,
+               b32core || '======' AS b32,
+               CAST(length(b32core || '======') AS BIGINT) AS b32_len,
+               TRUE AS pad_ok,
+               {" || ".join(
+                   "lpad(lower(hex(" + _b32_decode_byte(
+                       k, lambda c: f"strpos('{_B32_ALPHA}', substr(b32core, {c} + 1, 1)) - 1", idiv="//")
+                   + ")), 2, '0')" for k in range(16))}
+                   = dig AS decode_roundtrip_ok
+        FROM enc ORDER BY doc_id
+    """,
+    doc=(
+        "RFC 4648 base32 codec over the 16-byte md5 digest — the "
+        "content-address alphabet (A-Z2-7) used by casket/CID-style "
+        "object names, onion addresses, and TOTP secrets. Both the "
+        "ENCODE (26 five-bit groups read from literal-index 12-bit "
+        "nibble windows) and a genuine DECODE round-trip (16 bytes "
+        "re-extracted from literal-index 15-bit character windows, "
+        "compared to the original digest) run as fully unrolled "
+        "scalar integer arithmetic — no lambdas, no UDFs, identical "
+        "semantics in both engines by construction; the encoder is "
+        "additionally pinned against Python's base64.b32encode in "
+        "tests. The 16 mod 5 = 1 tail takes the RFC's six-char '=' "
+        "padding. Map-only, zero shuffle."
+    ),
+    tags=("scalar", "codec"),
+)
+def scalar_base32_rfc4648(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("doc_id") < _B32_LIMIT).selectExpr(
+        "doc_id", "md5(text) AS dig"
+    )
+    enc = d.selectExpr(
+        "doc_id",
+        "dig",
+        "concat("
+        + ", ".join(
+            _b32_encode_char(
+                i, lambda n: f"conv(substr(dig, {n} + 1, 1), 16, 10)"
+            )
+            for i in range(26)
+        )
+        + ") AS b32core",
+    )
+    dec = ", ".join(
+        "lpad(lower(hex("
+        + _b32_decode_byte(
+            k, lambda c: f"instr('{_B32_ALPHA}', substr(b32core, {c} + 1, 1)) - 1"
+        )
+        + ")), 2, '0')"
+        for k in range(16)
+    )
+    return enc.selectExpr(
+        "doc_id",
+        "dig AS digest_hex",
+        "concat(b32core, '======') AS b32",
+        "CAST(length(concat(b32core, '======')) AS BIGINT) AS b32_len",
+        "endswith(concat(b32core, '======'), '======') AS pad_ok",
+        f"concat({dec}) = dig AS decode_roundtrip_ok",
+    ).orderBy("doc_id")

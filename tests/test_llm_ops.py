@@ -795,3 +795,27 @@ def test_gzip_payloads_decompress_with_real_gunzip(spark, sf_dir):
             for i in range(_GZC_MEMBERS)
         )
         assert gzip.decompress(bytes(r.payload)) == want
+
+
+def test_base32_matches_python_reference(spark, sf_dir):
+    """The unrolled RFC 4648 base32 encoder must agree with Python's
+    base64.b32encode byte-for-byte (padding included), and the op's
+    own decode round-trip flag must hold on every row."""
+    import base64
+    import hashlib
+
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+
+    rows = load_all()["scalar_base32_rfc4648"].fn(spark, sf_dir).collect()
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in Tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+    for r in rows[:50]:
+        want = base64.b32encode(
+            hashlib.md5(texts[r.doc_id].encode()).digest()
+        ).decode()
+        assert r.b32 == want, (r.doc_id, r.b32, want)
+    assert all(r.decode_roundtrip_ok for r in rows)
