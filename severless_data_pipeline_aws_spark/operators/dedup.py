@@ -1988,3 +1988,312 @@ def dedup_lsh_band_candidate_curve(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("n_bands")
     )
+
+
+# --- X2r: exact-substring duplicate spans (Lee et al. 2022) -----------------
+
+_ESS_K = 5  # words per gram (the rolling-hash unit)
+_ESS_MIN_GRAMS = 5  # islands shorter than this are noise, not duplication
+#: minimum shared span, in words, that the report surfaces
+_ESS_MIN_WORDS = _ESS_MIN_GRAMS + _ESS_K - 1
+
+
+def exact_substring_spans(
+    docs: DataFrame, k: int = _ESS_K, min_grams: int = _ESS_MIN_GRAMS
+) -> DataFrame:
+    """Maximal exact shared word spans between document pairs.
+
+    The Lee-et-al "Deduplicating Training Data Makes Language Models
+    Better" (2022) exact-substring finder, re-expressed as relational
+    algebra instead of a suffix array: every k-word gram of every doc
+    (position-tagged) -> inverted-index equi-join on the gram -> merge
+    runs of adjacent matches into maximal shared spans via
+    gaps-and-islands on the (p2 - p1) diagonal. A span of g consecutive
+    matching grams is an exact shared substring of g + k - 1 words.
+
+    ``docs`` needs (doc_id, text). Returns one row per maximal span of
+    >= min_grams grams: (d1, d2, start1, start2, span_words, n_grams).
+    """
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(words) - {k - 1}, 0)), "
+                f"i -> struct(CAST(i AS BIGINT) AS p, "
+                f"concat_ws(' ', slice(words, i, {k})) AS gram))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", "pg.p", "pg.gram")
+    m = (
+        g.alias("a")
+        .join(g.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+        )
+    )
+    diag = (F.col("p2") - F.col("p1")).alias("diag")
+    isl = m.select("d1", "d2", "p1", "p2", diag).withColumn(
+        "isl",
+        F.col("p1")
+        - F.row_number().over(
+            W.partitionBy("d1", "d2", "diag").orderBy("p1")
+        ),
+    )
+    return (
+        isl.groupBy("d1", "d2", "diag", "isl")
+        .agg(
+            F.min("p1").alias("start1"),
+            F.min("p2").alias("start2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_grams)
+        .select(
+            "d1",
+            "d2",
+            "start1",
+            "start2",
+            (F.col("n_grams") + k - 1).cast("bigint").alias("span_words"),
+            "n_grams",
+        )
+    )
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL},
+        w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+        ),
+        pos AS (
+            SELECT doc_id, words,
+                   unnest(range(1, len(words) - {_ESS_K} + 2)) AS p
+            FROM w WHERE len(words) >= {_ESS_K}
+        ),
+        g AS (
+            SELECT doc_id, CAST(p AS BIGINT) AS p,
+                   array_to_string(words[p : p + {_ESS_K} - 1], ' ') AS gram
+            FROM pos
+        ),
+        m AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1, b.p AS p2
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ),
+        isl AS (
+            SELECT d1, d2, p1, p2, p2 - p1 AS diag,
+                   p1 - ROW_NUMBER() OVER (
+                       PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS isl
+            FROM m
+        ),
+        sp AS (
+            SELECT d1, d2, MIN(p1) AS start1, MIN(p2) AS start2,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM isl GROUP BY d1, d2, diag, isl
+            HAVING COUNT(*) >= {_ESS_MIN_GRAMS}
+        )
+        SELECT sp.d1, sp.d2, sp.start1, sp.start2,
+               CAST(sp.n_grams + {_ESS_K} - 1 AS BIGINT) AS span_words,
+               sp.n_grams,
+               array_to_string(
+                   w.words[sp.start1 : sp.start1 + sp.n_grams + {_ESS_K} - 2],
+                   ' ') AS span_text
+        FROM sp JOIN w ON w.doc_id = sp.d1
+        ORDER BY span_words DESC, d1, d2, start1, start2
+        LIMIT 100
+    """,
+    doc=(
+        "X2r: exact-substring duplicate spans — the Lee et al. 2022 "
+        "(arXiv:2107.06499) 50-token exact-substring family used to "
+        "clean C4/GPT-training corpora, the one LLM-dedup family the "
+        "engine lacked (r10 verdict missing#4). Suffix-array semantics "
+        f"re-expressed Spark-first: {_ESS_K}-word position-tagged grams "
+        "-> inverted-index equi-join on the gram (never all-pairs; the "
+        "corpus' hottest gram appears 4x, so the join is ~|grams| "
+        "rows) -> gaps-and-islands on the (p2 - p1) diagonal merges "
+        "adjacent matches into MAXIMAL shared spans "
+        f"(>= {_ESS_MIN_GRAMS} grams = >= {_ESS_MIN_WORDS} words), "
+        "exactly the maximal repeated substrings a suffix array would "
+        "report at this gram resolution. Integer positions end to end; "
+        "span text recovered by one slice join back to the words "
+        "array. At 100 TB: join on xxhash64(gram) instead of the gram "
+        "text (identical plan, cheaper shuffle key) and cap hot grams "
+        "(boilerplate) by frequency — the per-pair window is keyed by "
+        "(d1, d2, diagonal), never global. The pytest pin plants a "
+        "known shared substring and recovers its exact span."
+    ),
+    tags=("dedup", "llm", "ngram"),
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    corpus = duplicated_corpus(t)
+    spans = exact_substring_spans(corpus)
+    words = corpus.select("doc_id", F.split("text", " ").alias("words"))
+    return (
+        spans.join(words.withColumnRenamed("doc_id", "d1"), "d1")
+        .select(
+            "d1",
+            "d2",
+            "start1",
+            "start2",
+            "span_words",
+            "n_grams",
+            F.expr(
+                "concat_ws(' ', slice(words, CAST(start1 AS INT), "
+                "CAST(n_grams AS INT) + "
+                f"{_ESS_K - 1}))"
+            ).alias("span_text"),
+        )
+        .orderBy(F.desc("span_words"), "d1", "d2", "start1", "start2")
+        .limit(100)
+    )
+
+
+# --- X2s: robots.txt URL-pattern filter battery (r11, verdict #7) -----------
+
+#: synthesized request path + query (documents carries no URL column;
+#: same convention as _URL_RAW): every rule below fires on some residue
+#: class of doc_id, so the battery is fully exercised at any SF.
+_ROBOTS_PATH = (
+    "'/path/' || CAST(doc_id % 7 AS {s})"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0"
+    "         THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS {s})"
+    "         ELSE '?id=' || CAST(doc_id % 5 AS {s}) END"
+)
+
+#: (rule_id, verdict, pattern) — the robots.txt wildcard dialect:
+#: anchored at the path start, '*' matches any run, a trailing '$'
+#: anchors the end, everything else is literal (RE2-safe subset).
+_ROBOTS_RULES = (
+    (1, "disallow", "/path/0"),
+    (2, "allow", "/path/0/"),
+    (3, "disallow", "/*?utm_"),
+    (4, "disallow", "/path/3?id=4$"),
+    (5, "allow", "/path/*?id="),
+)
+
+
+def _robots_regex(pattern: str) -> tuple[str, int]:
+    """Translate a robots.txt path pattern to an anchored RE2/Java-safe
+    regex (identical semantics in Spark and DuckDB), plus the pattern's
+    specificity = its character length excluding a trailing '$' (the
+    Google longest-match tiebreak)."""
+    anchor_end = pattern.endswith("$")
+    body = pattern[:-1] if anchor_end else pattern
+    esc = body.replace(".", r"\.").replace("?", r"\?").replace("*", ".*")
+    return "^" + esc + ("$" if anchor_end else ""), len(body)
+
+
+@register(
+    "dedup_robots_url_filter",
+    oracle=f"""
+        WITH urls AS (
+            SELECT doc_id, {_ROBOTS_PATH.format(s="VARCHAR")} AS path
+            FROM documents
+        ),
+        rules(rule_id, verdict, pattern, regex, pat_len) AS (VALUES
+            {", ".join(
+                "(%d, '%s', '%s', '%s', %d)" % (
+                    rid, verdict, pat, _robots_regex(pat)[0],
+                    _robots_regex(pat)[1])
+                for rid, verdict, pat in _ROBOTS_RULES)}
+        ),
+        matched AS (
+            SELECT u.doc_id, r.rule_id, r.verdict, r.pattern, r.pat_len
+            FROM urls u JOIN rules r ON regexp_matches(u.path, r.regex)
+        ),
+        best AS (
+            SELECT doc_id, rule_id, verdict, pattern
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY pat_len DESC,
+                             CASE WHEN verdict = 'allow' THEN 0 ELSE 1 END,
+                             rule_id) AS rk
+                FROM matched
+            ) WHERE rk = 1
+        ),
+        verdicts AS (
+            SELECT u.doc_id,
+                   COALESCE(b.rule_id, -1) AS rule_id,
+                   COALESCE(b.verdict, 'allow') AS verdict,
+                   COALESCE(b.pattern, 'DEFAULT') AS pattern
+            FROM urls u LEFT JOIN best b ON b.doc_id = u.doc_id
+        )
+        SELECT CAST(rule_id AS BIGINT) AS rule_id, pattern, verdict,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+        FROM verdicts
+        GROUP BY rule_id, pattern, verdict
+        ORDER BY rule_id
+    """,
+    doc=(
+        "X2s: robots.txt URL-pattern corpus filter — the crawl-side "
+        "sibling of the Gopher quality rules (r10 verdict #7): decide "
+        "allow/disallow per URL under the robots.txt wildcard dialect "
+        "with GOOGLE's resolution semantics — every rule whose pattern "
+        "matches competes, the most specific (longest) pattern wins, "
+        "and allow beats disallow on equal length. Patterns ('*' run "
+        "wildcard, trailing '$' end anchor, else literal) translate "
+        "once, in the driver, to an anchored RE2/Java-safe regex "
+        "subset evaluated IDENTICALLY by Spark's regexp_like and "
+        "DuckDB's regexp_matches — no UDF, no engine-dialect drift. "
+        "The 5-row rule table broadcasts (bounded parameter table, "
+        "whitelisted); resolution is one keyed window over matches "
+        "(longest-match rank per URL), never a global sort; unmatched "
+        "URLs default-allow via LEFT JOIN. Output: per-rule match "
+        "census with the winning-rule attribution. At 100 TB the same "
+        "plan holds: |rules| is crawl-config-bounded (robots files "
+        "are small), so the match stage stays a broadcast map-side "
+        "scan and the only shuffle is the final rule-grain census."
+    ),
+    tags=("dedup", "llm", "url", "filter"),
+)
+def dedup_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    urls = t.documents.select(
+        "doc_id", F.expr(_ROBOTS_PATH.format(s="STRING")).alias("path")
+    )
+    rules = spark.createDataFrame(
+        [
+            (rid, verdict, pat, *_robots_regex(pat))
+            for rid, verdict, pat in _ROBOTS_RULES
+        ],
+        "rule_id long, verdict string, pattern string, regex string, pat_len long",
+    )
+    matched = urls.join(
+        F.broadcast(rules), F.expr("regexp_like(path, regex)")
+    )
+    best = (
+        matched.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.desc("pat_len"),
+                    F.when(F.col("verdict") == "allow", 0).otherwise(1),
+                    "rule_id",
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "rule_id", "verdict", "pattern")
+    )
+    verdicts = urls.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("rule_id", F.lit(-1)).cast("bigint").alias("rule_id"),
+        F.coalesce("verdict", F.lit("allow")).alias("verdict"),
+        F.coalesce("pattern", F.lit("DEFAULT")).alias("pattern"),
+    )
+    return (
+        verdicts.groupBy("rule_id", "pattern", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .orderBy("rule_id")
+    )

@@ -2357,9 +2357,15 @@ def _truss_round_sql(i: int) -> str:
         g0 AS (SELECT u, v FROM e),
         {_truss_round_sql(0)},
         {_truss_round_sql(1)},
-        {_truss_round_sql(2)}
-        SELECT u, v, sup AS truss_support
-        FROM sup{_TRUSS_ROUNDS - 1} WHERE sup >= {_TRUSS_K - 2}
+        {_truss_round_sql(2)},
+        fin AS (
+            SELECT u, v, sup FROM sup{_TRUSS_ROUNDS - 1}
+            WHERE sup >= {_TRUSS_K - 2}
+        )
+        SELECT u, v, sup AS truss_support,
+               (SELECT COUNT(*) FROM g{_TRUSS_ROUNDS - 1})
+                 = (SELECT COUNT(*) FROM fin) AS converged
+        FROM fin
         ORDER BY u, v
     """,
     doc=(
@@ -2373,8 +2379,11 @@ def _truss_round_sql(i: int) -> str:
         "both engines (each round: the ordered common-neighbor "
         "3-join for per-edge support, then two-sided restriction); "
         "the fixpoint-within-unroll property is asserted by pytest "
-        "at the test SFs (the k-core contract), so the unroll IS the "
-        "converged truss. Integer triangle counting end to end. Each "
+        "at the test SFs (the k-core contract), AND every output row "
+        "carries a converged flag (last-round edge count == final "
+        "filtered count) so a non-converged truncation on some other "
+        "corpus is visible in the output itself, not only in a test "
+        "(r10 advice). Integer triangle counting end to end. Each "
         "Spark round localCheckpoints the <=625-row edge set "
         "(metadata-scale); on a real graph this is the standard "
         "support-peel with edges bucketed by endpoint, round count "
@@ -2400,7 +2409,19 @@ def graph_ktruss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_TRUSS_ROUNDS - 1):
         keep = support(g).filter(F.col("sup") >= _TRUSS_K - 2).select("u", "v")
         g = g.join(keep, ["u", "v"]).localCheckpoint(eager=True)
-    final = support(g).filter(F.col("sup") >= _TRUSS_K - 2)
-    return final.select("u", "v", F.col("sup").alias("truss_support")).orderBy(
-        "u", "v"
+    final = support(g).filter(F.col("sup") >= _TRUSS_K - 2).localCheckpoint(
+        eager=True
+    )
+    # convergence is visible in the output (r10 advice): the unroll is a
+    # true truss iff the final filter removed nothing from the last
+    # round's edge set. One-row broadcast scalar, the whitelisted shape.
+    flag = F.broadcast(
+        g.agg(F.count(F.lit(1)).alias("n_before")).crossJoin(
+            final.agg(F.count(F.lit(1)).alias("n_after"))
+        ).select((F.col("n_before") == F.col("n_after")).alias("converged"))
+    )
+    return (
+        final.select("u", "v", F.col("sup").alias("truss_support"))
+        .crossJoin(flag)
+        .orderBy("u", "v")
     )

@@ -3206,7 +3206,242 @@ def similarity_range_search_recall(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 #: (system label, registered run) — every ANN cascade in the registry
+# --- X3z: HNSW-lite graph ANN — bounded beam search (r11, verdict #6) ------
+
+_BEAM_M = 8  # out-degree of the neighbor graph
+_BEAM_B = 12  # beam width per query
+_BEAM_H = 3  # unrolled hops
+_BEAM_ENTRY_STRIDE = 50  # entry points: every 50th corpus node
+
+
+def _beam_graph_edges(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The navigable neighbor graph: top-M cosine out-edges per corpus
+    node, candidates from the LSH bucket join (sub-quadratic — the
+    NN-descent stand-in; a full exact k-NN graph build would be the
+    all-pairs scan this cascade exists to avoid)."""
+    from pyspark.sql import Window as W
+
+    buckets = lsh_buckets(spark, emb)
+    corpus_b = buckets.filter(F.col("vec_id") >= _N_QUERIES)
+    cand = (
+        corpus_b.selectExpr("vec_id AS src", "table_id", "bucket")
+        .join(
+            corpus_b.selectExpr("vec_id AS dst", "table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    cv = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    scored = (
+        cand.join(cv.selectExpr("vec_id AS src", "v AS sv", "norm AS sn"), "src")
+        .join(cv.selectExpr("vec_id AS dst", "v AS dv", "norm AS dn"), "dst")
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn"))).alias(
+                "w"
+            ),
+        )
+    )
+    wsrc = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wsrc))
+        .filter(F.col("rk") <= _BEAM_M)
+        .select("src", "dst")
+    )
+
+
+def _beam_oracle() -> str:
+    """Exact DuckDB twin of ``similarity_ann_beam_graph``: the seed-42
+    plane constants, the LSH-candidate neighbor graph, and every beam
+    hop unrolled as its own CTE pair (visited_i / beam_i)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((_LSH_TABLES, _LSH_PLANES, 64))
+    rows = ", ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}]::DOUBLE[])"
+        for t in range(_LSH_TABLES)
+        for p in range(_LSH_PLANES)
+    )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    hops = []
+    for h in range(1, _BEAM_H + 1):
+        hops.append(f"""
+        front{h} AS (
+            SELECT DISTINCT b.query_id, e.dst AS node
+            FROM beam{h - 1} b JOIN edges e ON e.src = b.node
+        ),
+        fs{h} AS (
+            SELECT f.query_id, f.node,
+                   {dot('qv.q', 'cv.c')} / (qv.qnorm * cv.cnorm) AS cosine
+            FROM front{h} f
+            JOIN qv ON qv.query_id = f.query_id
+            JOIN cv ON cv.node = f.node
+        ),
+        visited{h} AS (
+            SELECT DISTINCT * FROM (
+                SELECT * FROM visited{h - 1}
+                UNION ALL SELECT * FROM fs{h})
+        ),
+        beam{h} AS (
+            SELECT query_id, node, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, node ASC) AS rk
+                FROM visited{h})
+            WHERE rk <= {_BEAM_B}
+        )""")
+    return f"""
+        WITH planes(table_id, plane_id, plane) AS (VALUES {rows}),
+        emb AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT vec_id, table_id,
+                   CASE WHEN {dot('v', 'plane')} > 0
+                        THEN (1::BIGINT << plane_id) ELSE 0 END AS bit
+            FROM emb CROSS JOIN planes
+        ),
+        buckets AS MATERIALIZED (
+            SELECT vec_id, table_id, SUM(bit) AS bucket
+            FROM dots GROUP BY vec_id, table_id
+        ),
+        nn_cand AS (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+            FROM buckets a JOIN buckets b
+              ON a.table_id = b.table_id AND a.bucket = b.bucket
+            WHERE a.vec_id >= {_N_QUERIES} AND b.vec_id >= {_N_QUERIES}
+              AND a.vec_id <> b.vec_id
+        ),
+        cv AS MATERIALIZED (
+            SELECT vec_id AS node, v AS c, sqrt({dot('v', 'v')}) AS cnorm
+            FROM emb WHERE vec_id >= {_N_QUERIES}
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT n.src, n.dst,
+                       row_number() OVER (PARTITION BY n.src ORDER BY
+                           ({dot('sv.c', 'dv.c')} / (sv.cnorm * dv.cnorm)) DESC,
+                           n.dst ASC) AS rk
+                FROM nn_cand n
+                JOIN cv sv ON sv.node = n.src
+                JOIN cv dv ON dv.node = n.dst)
+            WHERE rk <= {_BEAM_M}
+        ),
+        qv AS MATERIALIZED (
+            SELECT vec_id AS query_id, v AS q, sqrt({dot('v', 'v')}) AS qnorm
+            FROM emb WHERE vec_id < {_N_QUERIES}
+        ),
+        visited0 AS (
+            SELECT qv.query_id, cv.node,
+                   {dot('qv.q', 'cv.c')} / (qv.qnorm * cv.cnorm) AS cosine
+            FROM qv CROSS JOIN cv
+            WHERE cv.node % {_BEAM_ENTRY_STRIDE} = 0
+        ),
+        beam0 AS (
+            SELECT query_id, node, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, node ASC) AS rk
+                FROM visited0)
+            WHERE rk <= {_BEAM_B}
+        ),{",".join(hops)}
+        SELECT query_id, node AS neighbor_id, cosine, CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, node ASC) AS rk
+            FROM visited{_BEAM_H})
+        WHERE rk <= {_TOP_K}
+    """
+
+
+@register(
+    "similarity_ann_beam_graph",
+    oracle=_beam_oracle(),
+    doc=(
+        "X3z: HNSW-lite graph ANN (r10 verdict #6) — bounded beam "
+        "search over a precomputed navigable neighbor graph, the "
+        "graph-traversal cascade family (HNSW/NSG) re-expressed as "
+        f"{_BEAM_H} unrolled relational hops. The graph: top-{_BEAM_M} "
+        "cosine out-edges per corpus node with candidates from the "
+        "seed-42 LSH bucket join (the NN-descent stand-in — building "
+        "the graph exactly would be the all-pairs scan this cascade "
+        "avoids; at 100 TB the same bucket join builds the graph "
+        "sub-quadratically). Search: score the every-"
+        f"{_BEAM_ENTRY_STRIDE}th-node entry points (HNSW's upper "
+        f"layer), keep a beam of {_BEAM_B}, then each hop expands the "
+        "beam through the edge list (equi-join on the node key), "
+        "scores only NEW frontier nodes against the broadcast query "
+        "block, and re-selects the beam from all visited nodes — "
+        "eval cost per query is O(entries + H*B*M) scores, "
+        "independent of corpus size. Deterministic end to end (fixed "
+        "planes, fixed tie-breaks), so the DuckDB twin replays every "
+        "hop bit-for-bit. Sixth cascade row in the retrieval-eval "
+        "harness; recall vs the exact tier asserted in pytest."
+    ),
+    tags=("similarity", "llm", "ann", "graph"),
+)
+def similarity_ann_beam_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    edges = _beam_graph_edges(spark, emb).localCheckpoint(eager=True)
+    cv = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("node"), _as_double("embedding").alias("c")
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("c"), F.col("c"))))
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q")
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("q"), F.col("q"))))
+    score_cols = [
+        "query_id",
+        "node",
+        (_dot(F.col("q"), F.col("c")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+            "cosine"
+        ),
+    ]
+    visited = (
+        cv.filter(F.col("node") % _BEAM_ENTRY_STRIDE == 0)
+        .crossJoin(F.broadcast(qv))
+        .select(*score_cols)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
+    for _ in range(_BEAM_H):
+        beam = (
+            visited.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _BEAM_B)
+            .select("query_id", "node")
+        )
+        frontier = (
+            beam.join(edges, beam.node == edges.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            frontier.join(cv, "node")
+            .join(F.broadcast(qv), "query_id")
+            .select(*score_cols)
+        )
+        visited = visited.unionByName(fresh).distinct()
+    return (
+        visited.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 _EVAL_SYSTEMS = (
+    ("beam_graph", "similarity_ann_beam_graph"),
     ("hamming_rerank", "similarity_hamming_prefilter_rerank"),
     ("lsh", "similarity_ann_lsh"),
     ("pq_adc", "similarity_pq_adc_topk"),
@@ -3302,6 +3537,7 @@ def _eval_tables(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as W
 
     fns = {
+        "beam_graph": similarity_ann_beam_graph,
         "hamming_rerank": similarity_hamming_prefilter_rerank,
         "lsh": similarity_ann_lsh,
         "pq_adc": similarity_pq_adc_topk,

@@ -1692,3 +1692,62 @@ def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "streaming_spacesaving_topk",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id % 16) AS BIGINT) AS n_shards,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(0 AS BIGINT) AS max_err
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Eighteenth custom stateful operator (r11 verdict #5): "
+        "SpaceSaving top-k via applyInPandasWithState — the Misra-"
+        "Gries sibling that never decrements: a full sketch evicts the "
+        "minimum-count slot and the newcomer inherits its count, "
+        "recording the inherited count as the slot's overestimation "
+        "error (Metwally et al. 2005). Per-slot certificate "
+        "cnt - err <= true <= cnt rides IN the output as the err "
+        "column. Events shard by pmod(user_id, 16); capacity 16 > "
+        "|event types| = the EXACT regime — no eviction fires, every "
+        "err is 0 (the oracle asserts max_err = 0 hash-exactly), "
+        "per-batch snapshots are monotone, MAX per (shard, type) is "
+        "the final counter, and the shard-sum equals plain GROUP BY "
+        "counts. Eviction is deterministic (min count, then lexico-"
+        "graphically smallest item), so stream == replay bit-for-bit; "
+        "the eviction path + overestimation certificate are pinned by "
+        "a k=2 unit test, stream == imperative replay in "
+        "tests/test_streaming.py. At stream scale the sketch is "
+        "mergeable by the standard SpaceSaving combine (sum matched "
+        "slots, inherit minima) with state bounded at k slots/key."
+    ),
+    tags=("streaming", "stateful", "sketch"),
+)
+def streaming_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        _replay_events_stream(spark, sf_dir)
+        .select(
+            F.pmod(F.col("user_id"), F.lit(16)).cast("long").alias("shard"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+    )
+    snaps = _run_to_memory(stateful.ss_walk(stream), "append")
+    final = snaps.groupBy("shard", "event_type").agg(
+        F.max("cnt").alias("cnt"), F.max("err").alias("err")
+    )
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.max("err").cast("bigint").alias("max_err"),
+        )
+        .orderBy("event_type")
+    )

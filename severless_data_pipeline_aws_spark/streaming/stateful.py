@@ -1685,3 +1685,109 @@ def minhash_batch_replay(shingles_pdf: pd.DataFrame) -> pd.DataFrame:
         out, _ = minhash_steps(None, grp)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 18 (r11, verdict #5): SpaceSaving top-k —
+# the Misra-Gries sibling (Metwally et al. 2005, "Efficient computation
+# of frequent and top-k elements in data streams") that never decrements:
+# when the k slots are full, the MINIMUM-count slot is evicted and the
+# newcomer INHERITS its count (+1), recording the inherited count as the
+# slot's overestimation error. Guarantees per slot:
+#     true_count <= cnt  and  cnt - err <= true_count
+# and every item with true frequency > n/k is tracked. Unlike MG's
+# all-decrement (which undercounts), SpaceSaving overcounts with a
+# per-slot certificate — the err column IS the bound, visible in the
+# output, not only in a test.
+# ---------------------------------------------------------------------------
+
+SS_CAPACITY = 16  # > |event_type| at every SF => the exact regime (err = 0)
+
+SS_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("event_type", StringType()),
+        StructField("cnt", LongType()),
+        StructField("err", LongType()),
+    ]
+)
+
+SS_STATE_SCHEMA = StructType([StructField("counters_json", StringType())])
+
+
+def ss_steps(
+    state_json: str | None, pdf: pd.DataFrame, k: int = SS_CAPACITY
+) -> tuple[pd.DataFrame, str]:
+    """Pure per-shard SpaceSaving fold, shared by the streaming state
+    function and the batch replay oracle.
+
+    Eviction is deterministic: among min-count slots the
+    lexicographically smallest item is evicted (ties broken on the
+    item, never on dict order), so stream == replay bit-for-bit. With
+    k >= |distinct keys| no eviction ever fires, every err is 0 and the
+    counters are EXACT — the regime the registered query runs in; the
+    eviction path and the overestimation certificate are pinned by a
+    k=2 unit test. Emits the post-batch (item, cnt, err) snapshot."""
+    import json
+
+    counters: dict[str, list[int]] = (
+        json.loads(state_json) if state_json else {}
+    )
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    for t in pdf["event_type"]:
+        t = str(t)
+        if t in counters:
+            counters[t][0] += 1
+        elif len(counters) < k:
+            counters[t] = [1, 0]
+        else:
+            evict = min(counters, key=lambda key: (counters[key][0], key))
+            m = counters.pop(evict)[0]
+            counters[t] = [m + 1, m]
+    shard = int(pdf["shard"].iloc[0]) if len(pdf) else -1
+    items = sorted(counters.items())
+    out = pd.DataFrame(
+        {
+            "shard": [shard] * len(items),
+            "event_type": [t for t, _ in items],
+            "cnt": [ce[0] for _, ce in items],
+            "err": [ce[1] for _, ce in items],
+        }
+    )
+    return out, json.dumps(counters, sort_keys=True)
+
+
+def _apply_ss(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        out, st = ss_steps(st, pdf)
+        yield out
+    state.update((st,))
+
+
+def ss_walk(events: DataFrame) -> DataFrame:
+    """Streaming SpaceSaving top-k per shard (applyInPandasWithState):
+    at most SS_CAPACITY (item, cnt, err) slots of state per key no
+    matter how much data streams through. Batch twin:
+    ``ss_batch_replay``."""
+    return events.groupBy("shard").applyInPandasWithState(
+        _apply_ss,
+        outputStructType=SS_OUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ss_batch_replay(events_pdf: pd.DataFrame, k: int = SS_CAPACITY) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle
+    (one batch per shard; snapshot = final counters)."""
+    outs = []
+    for _, grp in events_pdf.groupby("shard", sort=False):
+        out, _ = ss_steps(None, grp, k=k)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

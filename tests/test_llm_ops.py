@@ -819,3 +819,94 @@ def test_base32_matches_python_reference(spark, sf_dir):
         ).decode()
         assert r.b32 == want, (r.doc_id, r.b32, want)
     assert all(r.decode_roundtrip_ok for r in rows)
+
+
+def test_exact_substring_span_recovers_planted_substring(spark):
+    """The r11 pin (verdict #4): plant a known 12-word shared substring
+    inside two otherwise-disjoint documents and require the finder to
+    report EXACTLY that span — both positions, the length, and the
+    island's maximality (nothing shorter, nothing longer)."""
+    from severless_data_pipeline_aws_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog every single day"
+    doc_a = "alpha beta gamma " + shared + " omega psi"
+    doc_b = "one two three four five " + shared + " six seven"
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "totally unrelated filler words here")],
+        "doc_id long, text string",
+    )
+    rows = exact_substring_spans(docs).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    # doc_a: 3 leading words -> span starts at word 4 (1-based);
+    # doc_b: 5 leading words -> span starts at word 6
+    assert (r.d1, r.d2) == (1, 2)
+    assert (r.start1, r.start2) == (4, 6)
+    assert r.span_words == 12  # the planted substring, maximal
+    assert r.n_grams == 12 - 5 + 1
+    words_a = doc_a.split(" ")
+    assert " ".join(words_a[r.start1 - 1 : r.start1 - 1 + r.span_words]) == shared
+
+
+def test_exact_substring_spans_merge_is_maximal(spark):
+    """Two disjoint shared runs in the same pair stay two islands; a
+    single contiguous run never splits."""
+    from severless_data_pipeline_aws_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    run1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    run2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    docs = spark.createDataFrame(
+        [
+            (1, run1 + " xfiller " + run2),
+            (2, run2 + " ydivider zpad " + run1),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        exact_substring_spans(docs).collect(), key=lambda r: r.start1
+    )
+    assert [(r.start1, r.span_words) for r in rows] == [(1, 9), (11, 10)]
+    # positions inside doc 2: run1 after run2(10) + 2 divider words
+    assert rows[0].start2 == 13 and rows[1].start2 == 1
+
+
+def test_ann_beam_graph_recall_vs_exact_topk(spark, sf_dir):
+    """The HNSW-lite beam search must recover a reasonable share of the
+    true top-10 (r11 done-criterion: >= the sign-Hamming tier, which
+    sits at ~0.26 on this corpus; the beam measures ~0.60)."""
+    exact = SPECS["similarity_topk_cosine_exact"].fn(spark, sf_dir).collect()
+    beam = SPECS["similarity_ann_beam_graph"].fn(spark, sf_dir).collect()
+    true_sets = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    for r in beam:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.4, f"beam recall@10 = {hits}/{total}"
+
+
+def test_beam_graph_edges_bounded_degree(spark, sf_dir):
+    """The navigable graph keeps at most M out-edges per node, no
+    self-loops, and every endpoint is a corpus (non-query) node."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.operators.similarity import (
+        _BEAM_M,
+        _N_QUERIES,
+        _beam_graph_edges,
+    )
+
+    edges = _beam_graph_edges(
+        spark, Tables(spark, sf_dir).embeddings
+    ).collect()
+    deg = {}
+    for e in edges:
+        assert e.src != e.dst
+        assert e.src >= _N_QUERIES and e.dst >= _N_QUERIES
+        deg[e.src] = deg.get(e.src, 0) + 1
+    assert deg and max(deg.values()) <= _BEAM_M

@@ -173,3 +173,54 @@ def test_png_payloads_are_byte_valid_with_independent_crc(spark, sf_dir):
         stored = struct.unpack(">I", p[29:33])[0]
         assert zlib.crc32(chunk) & 0xFFFFFFFF == stored
         assert p[33:] == b"\x00\x00\x00\x00IEND\xaeB`\x82"
+
+
+def test_crc_family_check_vectors_and_table_disjointness():
+    """The catalogue check vectors (RevEng CRC catalogue, public):
+    CRC-32/ISO-HDLC('123456789') = 0xCBF43926 and
+    CRC-32C/Castagnoli('123456789') = 0xE3069283 — pinned against a
+    pure-Python replay of the SAME literal tables the Spark/DuckDB
+    folds embed; plus zlib's independent implementation for the gzip
+    family, and pairwise table disjointness beyond the shared [0]=0."""
+    import zlib
+
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        _CRC32_TABLE,
+        _CRC32C_TABLE,
+        _OGG_CRC_TABLE,
+    )
+
+    def fold_reflected(table, data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for b in data:
+            c = (c >> 8) ^ table[(c ^ b) & 0xFF]
+        return c ^ 0xFFFFFFFF
+
+    data = b"123456789"
+    assert fold_reflected(_CRC32_TABLE, data) == 0xCBF43926
+    assert fold_reflected(_CRC32_TABLE, data) == zlib.crc32(data)
+    assert fold_reflected(_CRC32C_TABLE, data) == 0xE3069283
+
+    # the three 256-entry tables agree ONLY at index 0 (= 0): truly
+    # distinct polynomial families, not re-parameterizations
+    for ta, tb in [
+        (_CRC32_TABLE, _CRC32C_TABLE),
+        (_CRC32_TABLE, _OGG_CRC_TABLE),
+        (_CRC32C_TABLE, _OGG_CRC_TABLE),
+    ]:
+        same = [i for i in range(256) if ta[i] == tb[i]]
+        assert same == [0], same
+
+
+def test_crc_masked_matches_snappy_reference():
+    """The Snappy framing mask ((c >>> 15 | c << 17) + 0xa282ead8 mod
+    2^32) — Python replay vs the SQL integer form used in the plan."""
+    def mask_ref(c: int) -> int:
+        return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+    def mask_sql(c: int) -> int:
+        return ((c // 32768) + ((c * 131072) % 4294967296)
+                + 0xA282EAD8) % 4294967296
+
+    for c in [0, 1, 0xE3069283, 0xFFFFFFFF, 0x12345678, 0xDEADBEEF]:
+        assert mask_sql(c) == mask_ref(c), hex(c)

@@ -853,6 +853,14 @@ _BNLJ_BOUNDED_OK = {
     "similarity_eval_mrr",
     "similarity_eval_ndcg",
     "similarity_eval_map",
+    # r11 (r10 advice): one-row converged-flag broadcast (edge-count
+    # before == after the final truss filter) over the checkpointed
+    # <=625-row final edge set
+    "graph_ktruss_decomposition",
+    # r11: the 5-row robots.txt rule literal broadcast into the
+    # regexp-match scan (bounded parameter table — robots files are
+    # crawl-config-bounded at any corpus scale)
+    "dedup_robots_url_filter",
 }
 
 

@@ -1613,3 +1613,108 @@ def test_minhash_steps_idempotent_order_and_duplicate_invariance():
     assert run(rows[4:] + rows[:4], [(0, 1), (1, 5), (5, 9)]) == base
     # duplicate delivery: every row twice, interleaved
     assert run(rows + rows, [(0, 6), (6, 18)]) == base
+
+
+def test_streaming_spacesaving_equals_batch_replay(spark, sf_dir):
+    """The streamed SpaceSaving counters must equal the single-process
+    replay exactly — same pure fold, same per-shard order, JSON state
+    carried across Arrow chunks without loss. In the registered
+    capacity-16 regime the final snapshot is also the exact count with
+    zero error on every slot."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        ss_batch_replay,
+    )
+
+    got = {
+        (r["event_type"]): (r["n_shards"], r["n"], r["max_err"])
+        for r in load_all()["streaming_spacesaving_topk"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.selectExpr(
+            "pmod(user_id, 16) AS shard", "event_type", "ts", "event_id"
+        )
+        .toPandas()
+    )
+    want_pdf = ss_batch_replay(events_pdf)
+    assert int(want_pdf["err"].max()) == 0  # exact regime
+    want = (
+        want_pdf.groupby("event_type")
+        .agg(n_shards=("shard", "nunique"), n=("cnt", "sum"))
+        .to_dict("index")
+    )
+    assert len(got) == len(want) > 0
+    for t, row in want.items():
+        assert got[t] == (row["n_shards"], row["n"], 0), (t, got[t], row)
+
+
+def test_spacesaving_eviction_path_and_certificate():
+    """Capacity 2 over 3 keys forces the eviction branch: counts must
+    OVERestimate (never under), the per-slot certificate
+    cnt - err <= true <= cnt must hold for every tracked item, any item
+    with true frequency > n/k must be tracked, and the fold must be
+    deterministic under input reshuffle (ts/event_id re-sort)."""
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import ss_steps
+
+    seq = (["a"] * 7) + (["b"] * 5) + (["c"] * 3) + (["a"] * 2)
+    pdf = pd.DataFrame(
+        {
+            "shard": [0] * len(seq),
+            "event_type": seq,
+            "ts": range(len(seq)),
+            "event_id": range(len(seq)),
+        }
+    )
+    out, state_json = ss_steps(None, pdf, k=2)
+    true = {"a": 9, "b": 5, "c": 3}
+    n, k = len(seq), 2
+    assert len(out) == 2  # the sketch is full
+    for t, c, e in zip(out["event_type"], out["cnt"], out["err"]):
+        assert c >= true[t], (t, c)  # SpaceSaving overestimates
+        assert c - e <= true[t] <= c, (t, c, e)  # the certificate
+        assert e <= n / k
+    # every item above the n/k frequency threshold is tracked
+    tracked = set(out["event_type"])
+    for t, f in true.items():
+        if f > n / k:
+            assert t in tracked, (t, f)
+    # determinism: same multiset re-shuffled -> same snapshot and state
+    out2, state2 = ss_steps(None, pdf.sample(frac=1.0, random_state=7), k=2)
+    assert state2 == state_json
+    assert sorted(zip(out2["event_type"], out2["cnt"], out2["err"])) == sorted(
+        zip(out["event_type"], out["cnt"], out["err"])
+    )
+
+
+def test_spacesaving_exact_regime_matches_misra_gries():
+    """With capacity >= |distinct keys| neither sketch ever takes its
+    lossy branch, so SpaceSaving counts == Misra-Gries counts == exact
+    frequencies, with every SpaceSaving err = 0."""
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        mg_steps,
+        ss_steps,
+    )
+
+    seq = ["x", "y", "x", "z", "x", "y"]
+    pdf = pd.DataFrame(
+        {
+            "shard": [0] * len(seq),
+            "event_type": seq,
+            "ts": range(len(seq)),
+            "event_id": range(len(seq)),
+        }
+    )
+    ss_out, _ = ss_steps(None, pdf, k=8)
+    mg_out, _ = mg_steps(None, pdf, k=8)
+    assert list(ss_out["err"]) == [0, 0, 0]
+    assert sorted(zip(ss_out["event_type"], ss_out["cnt"])) == sorted(
+        zip(mg_out["event_type"], mg_out["cnt"])
+    ) == [("x", 3), ("y", 2), ("z", 1)]
