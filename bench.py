@@ -182,6 +182,46 @@ HEADLINE = [
     "text_quality_classifier_score",
     "tpch_q15_top_supplier",
     "window_fractal_swing_points",
+    # round-10 rotation names, folded in (ledger pattern): the clean
+    # 9b53a18 rotation (Misra-Gries, hard negatives, quality score,
+    # BMP resize, degree distribution, DAU stickiness, chandelier,
+    # TPC-H q8, preference pairs, WARC extract) ...
+    "streaming_misra_gries_heavy_hitters",
+    "similarity_hard_negative_mining",
+    "text_quality_score",
+    "multimodal_bmp_resize_box",
+    "graph_degree_distribution",
+    "agg_dau_wau_mau_stickiness",
+    "window_chandelier_exit",
+    "tpch_q8_market_share",
+    "pipeline_preference_pairs",
+    "pipeline_warc_record_extract",
+    # ... plus the r10-continuation rotation (re-recorded clean in the
+    # r11 snapshot repair — see BENCH_FULL_r10.json repair note)
+    "dashboard_rate_volume_decomposition",
+    "dedup_connected_components",
+    "funnel_window_funnel_levels",
+    "scalar_date_arithmetic",
+    "stats_gumbel_block_maxima",
+    "streaming_page_hinkley",
+    "text_html_boilerplate_strip",
+    "tpch_q7_volume_shipping",
+    "window_elder_ray_power",
+    # round-11 driver-capture rotation names, folded in (ledger
+    # pattern): dynamic pivot, sliding median, temperature mixture,
+    # audience overlap, Dixon Q, VARIANT JSON, date-sequence DQ, the
+    # MinHash streaming signature, the banding-curve audit, and the
+    # retrieval-eval precision/recall harness
+    "agg_pivot_dynamic",
+    "window_median_sliding",
+    "sampling_temperature_mixture",
+    "funnel_audience_overlap_jaccard",
+    "stats_dixon_q_outlier",
+    "scalar_variant_json",
+    "dq_date_sequence_violations",
+    "streaming_minhash_source_signature",
+    "dedup_minhash_estimate_audit",
+    "similarity_eval_precision_recall",
 ]
 
 
@@ -309,6 +349,22 @@ def main() -> None:
         "r7_ratchet_gap_note": _R7_RATCHET_GAP_NOTE,
         "scale_sweep": _scale_sweep_summary(),
     }
+    # --- clean-window guard (r10 verdict wrong#1, machine-enforced) ----
+    # The degraded-host signature is UNIFORM inflation across untouched
+    # plans: a capture whose median per-query ratio vs the prior clean
+    # snapshot exceeds 1.15 is a degraded window, and must never become
+    # the round's artifact of record (r10's 112s capture overwrote the
+    # clean 77.2s record exactly this way). The one-line stdout contract
+    # and the scratch BENCH_FULL.json still happen — only the per-round
+    # BENCH_FULL_r{N}.json snapshot write is refused, so the ratchet
+    # prior can never be poisoned again. tests/test_docs_consistency.py
+    # asserts the committed snapshots honor this bound.
+    doc["median_ratio_vs_prior"] = _median_ratio(timings, prior)
+    degraded = (
+        doc["median_ratio_vs_prior"] is not None
+        and doc["median_ratio_vs_prior"] > _CLEAN_WINDOW_MEDIAN_MAX
+    )
+    doc["degraded_window"] = degraded
     # The driver captures stdout with a length limit that truncated the
     # round-4 artifact (BENCH_r04.json parsed:null, ~19 timings lost —
     # round-4 verdict wrong#1). Persist the complete document to a
@@ -321,14 +377,24 @@ def main() -> None:
     # per-round complete snapshot — the regression ratchet's prior
     # source (r7 verdict wrong#1). Overwriting within a round is fine
     # (last run is the round's record); _prior_timings excludes the
-    # current round's own snapshot.
-    try:
-        snap = "BENCH_FULL_r%02d.json" % registry._round_number(here)
-        with open(os.path.join(here, snap), "w") as fh:
-            json.dump(doc, fh, indent=1)
-            fh.write("\n")
-    except Exception:
-        pass
+    # current round's own snapshot. A degraded-window capture is NOT
+    # allowed to become the record (r10 verdict wrong#1).
+    if degraded:
+        print(
+            "bench: degraded window (median ratio %.3f > %.2f) — "
+            "BENCH_FULL_r{N}.json snapshot NOT written; re-run in a "
+            "quiet window to record the round"
+            % (doc["median_ratio_vs_prior"], _CLEAN_WINDOW_MEDIAN_MAX),
+            file=sys.stderr,
+        )
+    else:
+        try:
+            snap = "BENCH_FULL_r%02d.json" % registry._round_number(here)
+            with open(os.path.join(here, snap), "w") as fh:
+                json.dump(doc, fh, indent=1)
+                fh.write("\n")
+        except Exception:
+            pass
     print(json.dumps(doc))
     spark.stop()
 
@@ -368,23 +434,26 @@ _NOTE_CANDIDATES = {
         "variance (r5 verdict #7)."
     ),
     "dedup_allpairs_prefix_jaccard": (
-        "r6 flagged 2.89->4.42s (1.53x) with no closure note (r6 verdict "
-        "#4); r7 isolated min-of-5 at sf0.1: [14.06, 5.17, 5.09, 3.94, "
-        "3.88] -> 3.88s. dedup.py untouched since the query landed (plan "
-        "identical, prefix-filtered candidate equi-join), and the ~sf1 "
-        "sweep measured scaling exponent 0.998 (sub-linear) — the delta "
-        "is this host's +-50% shared-CPU variance on a 3-9s query, not a "
-        "plan defect. Watch closed with numbers."
+        "r11 (vs the CLEAN restored r10 prior 3.94s — the degraded "
+        "overwrite is adjudicated in BENCH_FULL_r10.json's repair "
+        "note): driver capture read 6.21s (1.58x); r11 isolated "
+        "min-of-5 x2 at sf0.1: [22.9, 23.0, 19.9, 14.2, 10.4] and "
+        "[24.0, 8.7, 5.6, 6.8, 6.2] -> 5.57s floor, 1.42x the r10 "
+        "clean in-suite value and inside the 1.4x band of the r7 "
+        "isolated floor (3.88s) given this round's uniformly elevated "
+        "host (the whole r11 driver capture read median 1.137x the "
+        "clean prior). dedup.py r11 diffs are appended operators only; "
+        "plan unchanged, sf1 sweep exponent sub-linear. Host variance; "
+        "re-examine only if a quiet-window suite run exceeds 6.5s."
     ),
     "setop_except_all": (
-        "r8: flagged 1.51x in one of four same-day bench attempts during "
-        "a degraded host window (the 81-query total swung 65.7->82.7s "
-        "across those runs with ZERO plan changes between them; other "
-        "attempts flagged unrelated sub-second queries up to 9.4x). "
-        "Isolated min-of-5 at sf0.1: [0.670, 0.513, 0.503, 0.446, 0.387] "
-        "-> 0.387s. The committed r8 record is the quiet-window run "
-        "(65.7s, zero flags) per the min-is-honest discipline; this note "
-        "stays as the contemporaneous evidence. On watch for r9."
+        "r11: driver capture flagged 0.243->0.367s (1.51x vs the clean "
+        "restored r10 prior) during the same uniformly elevated window "
+        "(capture median 1.137x). Isolated min-of-5 x2 at sf0.1: "
+        "[6.04, 0.97, 0.83, 0.65, 0.56] and [5.71, 0.76, 0.70, 0.56, "
+        "0.46] -> 0.461s floor vs the r8 isolated floor 0.387s (1.19x "
+        "— inside host variance). Two-scan EXCEPT ALL plan untouched "
+        "since r4. Sub-second absolute, host variance; watch closed."
     ),
     "text_lexical_diversity_ttr": (
         "r8 flagged 0.325->0.578s (1.78x) by the FIXED full-prior ratchet "
@@ -408,15 +477,13 @@ _NOTE_CANDIDATES = {
         "floor, not the in-suite point, is its honest cost."
     ),
     "stats_ljung_box": (
-        "r9 flagged 0.579->0.92s (1.6x) in the committed best-of-11 "
-        "capture; isolated min-of-5 at sf0.1: [3.66, 1.19, 1.11, 0.96, "
-        "0.894] -> 0.894s. EVERY r9 capture ran 1.2-1.5x above the r8 "
-        "quiet window (81-query totals 74.1-103.7s across 11 attempts "
-        "vs 65.7s in r8, uniform across untouched plans) — the "
-        "isolated floor tracks that global host inflation on an "
-        "unchanged plan (five-lag 17-sum single window, untouched "
-        "since r5). Re-examine only if a sub-70s-total window still "
-        "reads above 0.9s."
+        "r11: driver capture flagged 0.644->1.004s (1.56x vs the clean "
+        "restored r10 prior; capture median 1.137x — the uniform host "
+        "signature). Isolated min-of-5 x2 at sf0.1: [11.8, 1.46, 1.08, "
+        "1.27, 1.05] and [7.9, 1.29, 1.53, 0.96, 0.86] -> 0.859s floor "
+        "— BELOW the r9 isolated floor (0.894s) on the same unchanged "
+        "plan (five-lag 17-sum single window, untouched since r5). "
+        "Host variance; watch closed with numbers."
     ),
     "window_anchored_vwap": (
         "r9 flagged 0.795->1.198s (1.51x) in the committed best-of-11 "
@@ -427,13 +494,15 @@ _NOTE_CANDIDATES = {
         "closed as host variance."
     ),
     "stats_permutation_test_means": (
-        "r9 flagged 1.34->2.12s (1.58x) in a degraded-window suite run "
-        "(same capture inflated dozens of untouched plans 1.5-2.2x); "
-        "isolated min-of-5 at sf0.1: [2.53, 1.68, 1.55, 1.66, 1.62] -> "
-        "1.55s, 1.15x the r8 prior — within this host's variance on a "
-        "32-conditional-aggregate single pass. Plan untouched since "
-        "r4. Watch closed; re-examine only if a future round exceeds "
-        "2.5s isolated."
+        "r11: driver capture flagged 1.44->3.27s (2.27x vs the clean "
+        "restored r10 prior — the round's largest mover after "
+        "join_bloom). Isolated min-of-5 x2 at sf0.1: [11.2, 2.49, "
+        "2.02, 2.71, 1.92] and [10.2, 2.51, 2.15, 1.96, 2.30] -> "
+        "1.925s floor, 1.24x the r9 isolated floor (1.55s) on an "
+        "unchanged 32-conditional-aggregate single pass (untouched "
+        "since r4) — inside the round's uniform 1.14-1.3x host "
+        "elevation. Watch continues: re-examine if a quiet-window "
+        "round exceeds 2.5s isolated."
     ),
     "text_chunk_sliding_windows": (
         "r7 moved 0.30->0.46s (1.55x) unseen by the then-truncated "
@@ -452,12 +521,16 @@ _NOTE_CANDIDATES = {
         "re-examine only if a future round exceeds 0.9s isolated."
     ),
     "timeseries_holt_winters_additive": (
-        "r8's now-complete ratchet flagged 0.281->0.43s (1.52x); "
-        "isolated min-of-5: [0.47, 0.46, 0.44, 0.49, 0.52] -> 0.44s, "
-        "exactly the r4 level (history 0.42, 0.39, 0.34, 0.28 across "
-        "r4-r7 — monotone-down priors make any reversion look like a "
-        "regression). Arrow applyInPandas plan untouched in r8. Host "
-        "variance within the historical envelope; watch closed."
+        "r11: driver capture flagged 0.293->0.562s (1.91x vs the clean "
+        "restored r10 prior). Isolated min-of-5 x2 at sf0.1: [8.9, "
+        "1.01, 0.84, 0.66, 0.68] and [10.3, 1.30, 1.27, 1.00, 1.01] "
+        "-> 0.658s floor vs the r8 isolated floor 0.44s (1.5x) — but "
+        "the r10 prior 0.293 is this query's all-time in-suite floor "
+        "(history 0.42/0.39/0.34/0.28/0.35/0.30/0.29 across r4-r10), "
+        "so the ratio is measured from the envelope floor during a "
+        "uniformly elevated window. Arrow applyInPandas recurrence "
+        "untouched since r4. Host variance; re-examine only if a "
+        "quiet-window round exceeds 0.9s isolated."
     ),
     "dq_referential_integrity_audit": (
         "r8's now-complete ratchet flagged 1.11->1.71s (1.54x); "
@@ -503,13 +576,33 @@ _NOTE_CANDIDATES = {
         "watch closed."
     ),
     "sampling_train_val_test_exact": (
-        "degraded-window capture flagged 0.337->0.514s (1.53x); r9 "
-        "isolated min-of-5 at sf0.1: [0.860, 0.510, 0.475, 0.473, "
-        "0.401] -> 0.401s vs the r7-r8 band 0.330-0.337s — within "
-        "this host's shared-CPU variance on a sub-second query, and "
-        "the move tracked the whole degraded-window set. Splitter plan "
-        "untouched in r8/r9. Watch closed; re-examine only if a future "
-        "round exceeds 0.6s isolated."
+        "r11: driver capture flagged 0.374->0.728s (1.95x vs the clean "
+        "restored r10 prior). Isolated min-of-5 x2 at sf0.1: [7.4, "
+        "1.35, 1.07, 0.87, 0.84] and [11.6, 2.07, 1.56, 1.74, 1.91] "
+        "-> 0.836s floor vs the r9 isolated floor 0.401s — 2.1x, the "
+        "round's one isolated floor clearly above its own history, on "
+        "a bucket-offset splitter plan untouched since r7. The move "
+        "tracked the whole uniformly elevated capture (median 1.137x) "
+        "and the second isolated run disagreed with the first by 1.9x "
+        "on the same plan — shared-CPU contention, not a plan defect. "
+        "ON WATCH for r12: if a quiet-window isolated floor still "
+        "exceeds 0.6s, read the plan before believing the host story."
+    ),
+    "join_bloom_prefilter_semireduction": (
+        "r11: driver capture flagged 0.402->1.313s (3.26x vs the clean "
+        "restored r10 prior — the round's largest mover). Isolated "
+        "min-of-5 x2 at sf0.1: [8.1, 1.75, 1.26, 0.96, 0.82] and "
+        "[7.1, 1.32, 1.05, 0.91, 0.83] -> 0.819s floor, 2.0x the "
+        "r7-r10 in-suite band (0.34-0.41s). The plan is unchanged "
+        "(bloom build + pre-shuffle fact filter, untouched since r4) "
+        "and the move tracked the whole uniformly elevated window "
+        "(capture median 1.137x; both isolated runs agree within 2%, "
+        "so the floor is real for THIS host state). A bloom-filter "
+        "build is pure CPU under memory-bandwidth pressure — the "
+        "first victim of a noisy neighbor. ON WATCH for r12: if a "
+        "quiet-window isolated floor still exceeds 0.6s, re-read the "
+        "plan (has the bloom expected-item count drifted with "
+        "registry growth?) before closing as host variance."
     ),
     "graph_resource_allocation_link_prediction": (
         "degraded-window capture flagged 1.974->3.343s (1.69x); r9 "
@@ -569,6 +662,30 @@ _R7_RATCHET_GAP_NOTE = (
     "both r7 missed movers re-benched min-of-5 and closed as host "
     "variance (tpch_q21 1.06s, text_chunk_sliding_windows 0.36s)."
 )
+
+
+#: a suite capture whose MEDIAN per-query ratio vs the prior clean
+#: snapshot exceeds this is a degraded host window (uniform inflation),
+#: not a set of real regressions — r9's windows read 1.2-1.5x, r10's
+#: overwrite read 1.335; clean round-over-round medians sit at 0.95-1.1.
+_CLEAN_WINDOW_MEDIAN_MAX = 1.15
+
+
+def _median_ratio(
+    timings: dict[str, float], prior: dict[str, float]
+) -> float | None:
+    """Median of per-query now/prior over the shared query set; None
+    when fewer than 20 shared timings (first rounds, tiny runs)."""
+    import statistics
+
+    ratios = [
+        now / prior[n]
+        for n, now in timings.items()
+        if prior.get(n) and prior[n] > 0
+    ]
+    if len(ratios) < 20:
+        return None
+    return round(statistics.median(ratios), 4)
 
 
 def _current_notes(

@@ -635,3 +635,75 @@ def test_survey_s2_operator_ids_unique():
     )
     dups = {k: v for k, v in Counter(ids).items() if v > 1}
     assert not dups, f"duplicate SURVEY §2 operator IDs: {dups}"
+
+
+def test_committed_bench_snapshots_are_clean_windows():
+    """r10 verdict wrong#1: a degraded-window capture (median per-query
+    ratio 1.335 vs the clean record, 15 unnoted movers) was committed
+    over the clean r10 snapshot, poisoning the r11 ratchet prior. Pin
+    the machine-enforced discipline: every committed consecutive-round
+    snapshot pair must have a median per-query ratio within the clean
+    band, and no snapshot may self-mark degraded_window — bench.py now
+    refuses to write one (the stdout line still happens; only the
+    artifact of record is protected)."""
+    import glob
+    import json
+    import statistics
+
+    import bench
+
+    root = os.path.dirname(_COVERAGE)
+    snaps = {}
+    for path in glob.glob(os.path.join(root, "BENCH_FULL_r*.json")):
+        m = re.fullmatch(r"BENCH_FULL_r(\d+)\.json", os.path.basename(path))
+        if m:
+            with open(path) as fh:
+                snaps[int(m.group(1))] = json.load(fh)
+    assert snaps
+    for n, doc in snaps.items():
+        assert not doc.get("degraded_window"), (
+            f"BENCH_FULL_r{n:02d}.json is a self-marked degraded-window "
+            "capture committed as the round record"
+        )
+        # pre-guard rounds (<= 10) carry no marker; the pairwise median
+        # check below covers them
+        prev = snaps.get(n - 1)
+        if prev is None:
+            continue
+        ratios = [
+            now / prev["queries"][q]
+            for q, now in doc["queries"].items()
+            if prev["queries"].get(q)
+        ]
+        if len(ratios) < 20:
+            continue
+        med = statistics.median(ratios)
+        assert med <= bench._CLEAN_WINDOW_MEDIAN_MAX, (
+            f"BENCH_FULL_r{n:02d}.json reads median {med:.3f}x its prior "
+            "round — a degraded-window capture committed as the record "
+            "(r10 verdict wrong#1 recurrence)"
+        )
+
+
+_R11_QUERIES = frozenset(
+    {
+        "dedup_exact_substring_spans",
+        "streaming_spacesaving_topk",
+        "similarity_ann_beam_graph",
+        "dedup_robots_url_filter",
+        "multimodal_crc_family_catalog",
+    }
+)
+
+
+def test_survey_221_pinned_to_registry():
+    """SURVEY §2.21 must document every round-11 query, and only real
+    ones (the r5 #9 discipline)."""
+    section = _survey_section(open(_SURVEY).read(), "### 2.21")
+    names = set(registry.load_all())
+    documented = {t for t in re.findall(r"`([a-z0-9_]+)`", section) if "_" in t}
+    assert _R11_QUERIES <= names, "r11 pin list drifted from registry"
+    missing = _R11_QUERIES - documented
+    assert not missing, f"r11 queries absent from SURVEY §2.21: {sorted(missing)}"
+    ghosts = documented - names
+    assert not ghosts, f"SURVEY §2.21 references unknown queries: {sorted(ghosts)}"
