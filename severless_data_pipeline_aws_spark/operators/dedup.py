@@ -2297,3 +2297,167 @@ def dedup_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule_id")
     )
+
+
+# --- X2t: exact-substring removal report (the Lee et al. "remove" step) ----
+
+@register(
+    "dedup_exact_substring_removal_report",
+    oracle=f"""
+        WITH {_DUP_CORPUS_SQL},
+        w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+        ),
+        pos AS (
+            SELECT doc_id, words,
+                   unnest(range(1, len(words) - {_ESS_K} + 2)) AS p
+            FROM w WHERE len(words) >= {_ESS_K}
+        ),
+        g AS (
+            SELECT doc_id, CAST(p AS BIGINT) AS p,
+                   array_to_string(words[p : p + {_ESS_K} - 1], ' ') AS gram
+            FROM pos
+        ),
+        m AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1, b.p AS p2
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ),
+        isl AS (
+            SELECT d1, d2, p1, p2, p2 - p1 AS diag,
+                   p1 - ROW_NUMBER() OVER (
+                       PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS isl
+            FROM m
+        ),
+        sp AS (
+            SELECT d1, d2, MIN(p2) AS s,
+                   MIN(p2) + COUNT(*) + {_ESS_K} - 2 AS e
+            FROM isl GROUP BY d1, d2, diag, isl
+            HAVING COUNT(*) >= {_ESS_MIN_GRAMS}
+        ),
+        stats AS (
+            SELECT d2 AS doc_id,
+                   CAST(COUNT(DISTINCT d1) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM sp GROUP BY d2
+        ),
+        iv AS (SELECT DISTINCT d2 AS doc_id, s, e FROM sp),
+        flagged AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1) THEN 1 ELSE 0 END AS new_isl
+            FROM iv
+        ),
+        islands AS (
+            SELECT doc_id, s, e,
+                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS isl
+            FROM flagged
+        ),
+        merged AS (
+            SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+            FROM islands GROUP BY doc_id, isl
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_merged_spans,
+                   CAST(SUM(me - ms + 1) AS BIGINT) AS removable_words
+            FROM merged GROUP BY doc_id
+        )
+        SELECT p.doc_id, st.n_pairs, st.n_spans, p.n_merged_spans,
+               p.removable_words,
+               CAST(len(w.words) AS BIGINT) AS doc_words,
+               CAST(p.removable_words AS DOUBLE)
+                   / CAST(len(w.words) AS DOUBLE) AS removable_frac
+        FROM per_doc p
+        JOIN stats st ON st.doc_id = p.doc_id
+        JOIN w ON w.doc_id = p.doc_id
+        ORDER BY p.removable_words DESC, p.doc_id
+        LIMIT 100
+    """,
+    doc=(
+        "X2t: exact-substring REMOVAL report — the second half of the "
+        "Lee et al. 2022 procedure (find, then cut the shared spans "
+        "from the lower-priority copy). Keep-first policy: every span "
+        "is charged to the HIGHER doc_id (d2) of its pair; a doc duped "
+        "against several partners gets all its spans pooled, "
+        "overlapping spans are merged by interval-union gaps-and-"
+        "islands (running-max-end window per doc — the same machinery "
+        "as window_streaks_gaps_islands, keyed per doc, never "
+        "global), and the report states exactly how many words "
+        "removal would cut: n_pairs / raw spans / merged spans / "
+        "removable words / fraction of the doc. Integer interval "
+        "arithmetic end to end, one final division. Shares the gram "
+        "inverted-index + diagonal-islands plan with "
+        "dedup_exact_substring_spans; the added cost is two keyed "
+        "windows and two doc-grain aggregates. At 100 TB: same plan "
+        "on xxhash64(gram) keys; the removal cut itself is then one "
+        "slice-and-reassemble map over (doc, merged spans)."
+    ),
+    tags=("dedup", "llm", "ngram"),
+)
+def dedup_exact_substring_removal_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    corpus = duplicated_corpus(t)
+    sp = exact_substring_spans(corpus).select(
+        "d1",
+        F.col("d2").alias("doc_id"),
+        F.col("start2").alias("s"),
+        (F.col("start2") + F.col("span_words") - 1).alias("e"),
+    )
+    stats = sp.groupBy("doc_id").agg(
+        F.countDistinct("d1").cast("bigint").alias("n_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    iv = sp.select("doc_id", "s", "e").distinct()
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cum = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = iv.withColumn(
+        "new_isl",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_run), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("isl", F.sum("new_isl").over(w_cum))
+    per_doc = (
+        islands.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_merged_spans"),
+            F.sum(F.col("me") - F.col("ms") + 1)
+            .cast("bigint")
+            .alias("removable_words"),
+        )
+    )
+    words = corpus.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("doc_words")
+    )
+    return (
+        per_doc.join(stats, "doc_id")
+        .join(words, "doc_id")
+        .select(
+            "doc_id",
+            "n_pairs",
+            "n_spans",
+            "n_merged_spans",
+            "removable_words",
+            "doc_words",
+            (
+                F.col("removable_words").cast("double")
+                / F.col("doc_words").cast("double")
+            ).alias("removable_frac"),
+        )
+        .orderBy(F.desc("removable_words"), "doc_id")
+        .limit(100)
+    )

@@ -3238,3 +3238,140 @@ def multimodal_crc_family_catalog(spark: SparkSession, sf_dir: str) -> DataFrame
         "crc32_gzip = crc32_builtin AS gzip_builtin_ok",
         "crc32_gzip <> crc32c AS families_disjoint",
     ).orderBy("doc_id")
+
+
+# --- X5ac: Snappy framing format (the masked-CRC-32C container) ------------
+
+_SNAPPY_LIMIT = 400
+#: two uncompressed-chunk payload lengths, varying per doc so every
+#: derived offset moves (the gzip-tier variability contract)
+_SNF_L1 = "10 + doc_id % 7"
+_SNF_L2 = "8 + doc_id % 5"
+
+
+def synthesize_snappy_media(
+    spark: SparkSession, sf_dir: str, limit: int = _SNAPPY_LIMIT
+) -> DataFrame:
+    """(doc_id, payload): one byte-valid Snappy framing format stream
+    (the public framing_format.txt spec): the stream identifier chunk
+    (type 0xff, length 6, magic 'sNaPpY') followed by TWO uncompressed
+    chunks (type 0x01 — spec-legal carriers of raw bytes, so no
+    compressor is needed for byte validity), each with its 3-byte
+    little-endian chunk length (4 + data length) and the 4-byte
+    little-endian MASKED CRC-32C of its data per the spec's
+    rotate-right-15 + 0xa282ead8 mask."""
+    t = Tables(spark, sf_dir)
+    d1 = f"substr(md5(text), 1, CAST({_SNF_L1} AS INT))"
+    d2 = f"substr(md5(concat(text, 'x')), 1, CAST({_SNF_L2} AS INT))"
+
+    def chunk(data: str, ln: str) -> str:
+        crc = _crc_mask_expr(_crc32c_fold_spark(data, f"length({data})"))
+        return (
+            f"'01', {_le_hex_spark(f'4 + ({ln})', 3)},"
+            f" {_le_hex_spark(crc, 4)}, hex({data})"
+        )
+
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        f"""unhex(concat(
+            'ff', '060000', hex('sNaPpY'),
+            {chunk(d1, _SNF_L1)},
+            {chunk(d2, _SNF_L2)})) AS payload""",
+    )
+
+
+@register(
+    "multimodal_snappy_frame_parse",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   substr(md5(text), 1, CAST({_SNF_L1} AS INT)) AS d1,
+                   substr(md5(text || 'x'), 1, CAST({_SNF_L2} AS INT)) AS d2,
+                   CAST({_SNF_L1} AS BIGINT) AS l1,
+                   CAST({_SNF_L2} AS BIGINT) AS l2
+            FROM documents WHERE doc_id < {_SNAPPY_LIMIT}
+        )
+        SELECT doc_id,
+               TRUE AS magic_ok,
+               CAST(11 AS BIGINT) AS off1,
+               l1 + 4 AS chunk1_len,
+               CAST({_crc_mask_expr(_crc32c_fold_duck('d1'), '//')}
+                    AS BIGINT) AS crc1_stored,
+               TRUE AS crc1_ok,
+               11 + 8 + l1 AS off2,
+               l2 + 4 AS chunk2_len,
+               CAST({_crc_mask_expr(_crc32c_fold_duck('d2'), '//')}
+                    AS BIGINT) AS crc2_stored,
+               TRUE AS crc2_ok,
+               TRUE AS end_ok
+        FROM base
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5ac: Snappy framing format parse — the container that "
+        "carries the masked CRC-32C the checksum catalog (X5ab) "
+        "introduced: stream identifier chunk ('sNaPpY' magic) + two "
+        "spec-legal UNCOMPRESSED chunks, each with a 3-byte LE length "
+        "and the 4-byte LE masked CRC-32C of its data. The parse "
+        "walks the chunk chain GENUINELY: chunk 2's offset is derived "
+        "from chunk 1's parsed length field, each stored masked CRC "
+        "is re-extracted from the payload bytes and compared against "
+        "a full table-fold recompute + mask of the extracted data, "
+        "and end_ok pins the walk landing exactly on end-of-payload. "
+        "The oracle recomputes each masked CRC independently and "
+        "emits TRUE for every _ok flag — the hash compare fails "
+        "unless Spark's byte-level extraction agrees with its own "
+        "fold AND both engines' folds agree. Map-only, zero shuffles "
+        "before the final orderBy — the 100 TB shape for real "
+        ".sz files."
+    ),
+    tags=("multimodal", "binary", "checksum"),
+)
+def multimodal_snappy_frame_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_snappy_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+
+    def le(pos: str, width: int) -> str:
+        return " + ".join(
+            f"{256 ** i} * {b(f'({pos}) + {i}')}" for i in range(width)
+        )
+
+    df = media.selectExpr(
+        "doc_id",
+        "payload",
+        f"{b('1')} = 255 AND {le('2', 3)} = 6"
+        " AND CAST(substring(payload, 5, 6) AS STRING) = 'sNaPpY' AS magic_ok",
+        "CAST(11 AS BIGINT) AS off1",
+    ).selectExpr(
+        "*",
+        f"{le('off1 + 1', 3)} AS chunk1_len",
+        f"{le('off1 + 4', 4)} AS crc1_stored",
+        "CAST(substring(payload, CAST(off1 AS INT) + 8,"
+        f" CAST({le('off1 + 1', 3)} - 4 AS INT)) AS STRING) AS data1",
+    ).selectExpr(
+        "*",
+        "off1 + 4 + chunk1_len AS off2",
+        f"{_crc_mask_expr(_crc32c_fold_spark('data1', 'length(data1)'))}"
+        " = crc1_stored AS crc1_ok",
+    ).selectExpr(
+        "*",
+        f"{le('off2 + 1', 3)} AS chunk2_len",
+        f"{le('off2 + 4', 4)} AS crc2_stored",
+        "CAST(substring(payload, CAST(off2 AS INT) + 8,"
+        f" CAST({le('off2 + 1', 3)} - 4 AS INT)) AS STRING) AS data2",
+    ).selectExpr(
+        "doc_id",
+        "magic_ok",
+        "off1",
+        "chunk1_len",
+        "crc1_stored",
+        "crc1_ok",
+        "off2",
+        "chunk2_len",
+        "crc2_stored",
+        f"{_crc_mask_expr(_crc32c_fold_spark('data2', 'length(data2)'))}"
+        " = crc2_stored AS crc2_ok",
+        "off2 + 4 + chunk2_len - 1 = CAST(length(payload) AS BIGINT)"
+        " AS end_ok",
+    )
+    return df.orderBy("doc_id")

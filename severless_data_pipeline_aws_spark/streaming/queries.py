@@ -1751,3 +1751,75 @@ def streaming_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _streaming_rsv_oracle() -> str:
+    from ..functions.xxh64_sql import hash_long_chain_subquery
+
+    hashed = hash_long_chain_subquery(
+        "events", ["event_type", "event_id"], ["event_id"], out="h"
+    )
+    return f"""
+        WITH u64 AS (
+            SELECT event_type, event_id,
+                   CAST(h AS HUGEINT)
+                   + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT
+                          ELSE 0::HUGEINT END AS u
+            FROM {hashed}
+        ),
+        ranked AS (
+            SELECT event_type, event_id, u,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY u, event_id) AS rn
+            FROM u64
+        )
+        SELECT event_type,
+               CAST(rn AS BIGINT) AS sample_rank,
+               event_id,
+               CAST(u AS VARCHAR) AS priority_u
+        FROM ranked WHERE rn <= 8
+        ORDER BY event_type, sample_rank
+    """
+
+
+@register(
+    "streaming_reservoir_bottomk_sample",
+    oracle=_streaming_rsv_oracle(),
+    doc=(
+        "Nineteenth custom stateful operator (r11): bottom-k hash "
+        "reservoir sample per event_type via applyInPandasWithState — "
+        "a deterministic, replayable uniform sample: keep the k=8 "
+        "rows whose xxhash64(event_id) is smallest in unsigned order "
+        "(priority sampling / A-Res with the random key replaced by "
+        "the hash). Keep-k-smallest over a SET of (hash, id) pairs is "
+        "an IDEMPOTENT semilattice merge — invariant to reordering, "
+        "rebatching, resharding AND duplicate delivery (the stateful-"
+        "#17 contract, pinned in tests), so at-least-once transport "
+        "suffices and the final snapshot provably equals the batch "
+        "bottom-k over everything seen. Snapshots fold to the final "
+        "state by max(snap) per key (the MG/KMV pattern); the oracle "
+        "replays the SAMPLE MEMBERSHIP ITSELF — ranks, event_ids, and "
+        "exact unsigned priorities as decimal digits — through the "
+        "pure-SQL XXH64 twin, bit-for-bit. At stream scale: 8 "
+        "(long, long) pairs of state per key, one shuffle on the key; "
+        "the same sample is mergeable across shards by the identical "
+        "bottom-k combine."
+    ),
+    tags=("streaming", "stateful", "sampling", "llm"),
+)
+def streaming_reservoir_bottomk_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = _replay_events_stream(spark, sf_dir).select(
+        "event_type", "event_id", F.xxhash64("event_id").alias("h")
+    )
+    snaps = _run_to_memory(stateful.rsv_walk(stream), "append")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type")
+    return (
+        snaps.withColumn("max_snap", F.max("snap").over(w))
+        .filter(F.col("snap") == F.col("max_snap"))
+        .select("event_type", "sample_rank", "event_id", "priority_u")
+        .orderBy("event_type", "sample_rank")
+    )

@@ -1791,3 +1791,94 @@ def ss_batch_replay(events_pdf: pd.DataFrame, k: int = SS_CAPACITY) -> pd.DataFr
         out, _ = ss_steps(None, grp, k=k)
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator 19 (r11): bottom-k hash reservoir sample —
+# a deterministic uniform sample per key: keep the k rows whose
+# xxhash64(event_id) is smallest in UNSIGNED order (the A-Res /
+# priority-sampling idea with the random key replaced by the hash, so
+# the sample is replayable and exactly oracle-able). Keep-k-smallest
+# over a SET of (hash, event_id) pairs is an IDEMPOTENT semilattice
+# merge — invariant to reordering, rebatching, resharding AND duplicate
+# delivery (the #17 contract), so at-least-once transport suffices and
+# the final state provably equals the batch bottom-k over everything
+# seen.
+# ---------------------------------------------------------------------------
+
+RSV_K = 8
+
+RSV_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("snap", LongType()),
+        StructField("sample_rank", LongType()),
+        StructField("event_id", LongType()),
+        StructField("priority_u", StringType()),
+    ]
+)
+
+RSV_STATE_SCHEMA = StructType([StructField("state_json", StringType())])
+
+
+def rsv_steps(
+    state_json: str | None, pdf: pd.DataFrame, k: int = RSV_K
+) -> tuple[pd.DataFrame, str]:
+    """Pure per-key bottom-k fold shared by the streaming state
+    function and the batch replay oracle: merge the batch's
+    (signed-hash, event_id) pairs into the k smallest by (unsigned
+    hash, event_id) order. Emits the post-batch sample snapshot, one
+    row per slot."""
+    import json
+
+    st = json.loads(state_json) if state_json else {"snap": 0, "items": []}
+    merged = {(int(h), int(e)) for h, e in st["items"]}
+    merged |= {(int(h), int(e)) for h, e in zip(pdf["h"], pdf["event_id"])}
+    keep = sorted(merged, key=lambda he: (he[0] & _U64, he[1]))[:k]
+    snap = st["snap"] + 1
+    et = str(pdf["event_type"].iloc[0]) if len(pdf) else ""
+    out = pd.DataFrame(
+        {
+            "event_type": [et] * len(keep),
+            "snap": [snap] * len(keep),
+            "sample_rank": list(range(1, len(keep) + 1)),
+            "event_id": [e for _, e in keep],
+            "priority_u": [str(h & _U64) for h, _ in keep],
+        }
+    )
+    return out, json.dumps({"snap": snap, "items": [list(p) for p in keep]})
+
+
+def _apply_rsv(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    st = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        out, st = rsv_steps(st, pdf)
+        yield out
+    state.update((st,))
+
+
+def rsv_walk(events: DataFrame) -> DataFrame:
+    """Streaming bottom-k hash reservoir per event_type
+    (applyInPandasWithState): at most RSV_K (hash, id) pairs of state
+    per key. Batch twin: ``rsv_batch_replay``."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _apply_rsv,
+        outputStructType=RSV_OUT_SCHEMA,
+        stateStructType=RSV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rsv_batch_replay(events_pdf: pd.DataFrame, k: int = RSV_K) -> pd.DataFrame:
+    """Imperative single-process replay — the equivalence oracle (one
+    batch per event_type; snapshot = final sample)."""
+    outs = []
+    for _, grp in events_pdf.groupby("event_type", sort=False):
+        out, _ = rsv_steps(None, grp, k=k)
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)

@@ -692,6 +692,9 @@ _R11_QUERIES = frozenset(
         "similarity_ann_beam_graph",
         "dedup_robots_url_filter",
         "multimodal_crc_family_catalog",
+        "dedup_exact_substring_removal_report",
+        "streaming_reservoir_bottomk_sample",
+        "multimodal_snappy_frame_parse",
     }
 )
 

@@ -224,3 +224,52 @@ def test_crc_masked_matches_snappy_reference():
 
     for c in [0, 1, 0xE3069283, 0xFFFFFFFF, 0x12345678, 0xDEADBEEF]:
         assert mask_sql(c) == mask_ref(c), hex(c)
+
+
+def test_snappy_frame_bytes_match_python_construction(spark, sf_dir):
+    """The synthesized Snappy framing stream must be byte-identical to
+    an independent pure-Python construction of the spec layout (stream
+    id chunk + two uncompressed chunks with masked CRC-32C) — the
+    genuine-bytes pin for X5ac."""
+    import hashlib
+    import struct
+
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        _CRC32C_TABLE,
+        synthesize_snappy_media,
+    )
+
+    def crc32c(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for byte in data:
+            c = (c >> 8) ^ _CRC32C_TABLE[(c ^ byte) & 0xFF]
+        return c ^ 0xFFFFFFFF
+
+    def mask(c: int) -> int:
+        return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+    rows = (
+        synthesize_snappy_media(spark, sf_dir, limit=8)
+        .join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        md5 = hashlib.md5(r.text.encode()).hexdigest()
+        md5x = hashlib.md5((r.text + "x").encode()).hexdigest()
+        d1 = md5[: 10 + r.doc_id % 7].encode()
+        d2 = md5x[: 8 + r.doc_id % 5].encode()
+        want = b"\xff\x06\x00\x00sNaPpY"
+        for d in (d1, d2):
+            want += (
+                b"\x01"
+                + struct.pack("<I", 4 + len(d))[:3]
+                + struct.pack("<I", mask(crc32c(d)))
+                + d
+            )
+        assert bytes(r.payload) == want, r.doc_id

@@ -1718,3 +1718,79 @@ def test_spacesaving_exact_regime_matches_misra_gries():
     assert sorted(zip(ss_out["event_type"], ss_out["cnt"])) == sorted(
         zip(mg_out["event_type"], mg_out["cnt"])
     ) == [("x", 3), ("y", 2), ("z", 1)]
+
+
+def test_streaming_reservoir_equals_batch_replay(spark, sf_dir):
+    """The streamed bottom-k reservoir must equal the single-process
+    replay exactly — ranks, event_ids, and unsigned priorities."""
+    from severless_data_pipeline_aws_spark.io import Tables
+    from severless_data_pipeline_aws_spark.registry import load_all
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        rsv_batch_replay,
+    )
+
+    got = {
+        (r["event_type"], r["sample_rank"]): (r["event_id"], r["priority_u"])
+        for r in load_all()["streaming_reservoir_bottomk_sample"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    events_pdf = (
+        Tables(spark, sf_dir)
+        .events.selectExpr(
+            "event_type", "event_id", "xxhash64(event_id) AS h"
+        )
+        .toPandas()
+    )
+    want_pdf = rsv_batch_replay(events_pdf)
+    want = {
+        (r.event_type, r.sample_rank): (r.event_id, r.priority_u)
+        for r in want_pdf.itertuples()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_reservoir_steps_semilattice_order_and_duplicate_invariance():
+    """The #17 contract for op #19: the bottom-k fold must be invariant
+    to input order, rebatching, AND duplicate delivery — and the final
+    sample must equal the direct bottom-k of the full multiset."""
+    import json
+
+    import pandas as pd
+
+    from severless_data_pipeline_aws_spark.streaming.stateful import (
+        _U64,
+        rsv_steps,
+    )
+
+    rng_ids = [101, 7, 55, 23, 999, 42, 8, 311, 64, 5, 77, 13]
+    hashes = [((i * 2654435761) % (1 << 63)) - (1 << 62) for i in rng_ids]
+
+    def pdf_of(pairs):
+        return pd.DataFrame(
+            {
+                "event_type": ["t"] * len(pairs),
+                "event_id": [e for e, _ in pairs],
+                "h": [h for _, h in pairs],
+            }
+        )
+
+    pairs = list(zip(rng_ids, hashes))
+    _, s_all = rsv_steps(None, pdf_of(pairs), k=4)
+
+    # rebatched in two chunks, reversed order
+    _, s1 = rsv_steps(None, pdf_of(list(reversed(pairs[6:]))), k=4)
+    _, s2 = rsv_steps(s1, pdf_of(list(reversed(pairs[:6]))), k=4)
+    assert s2 == s_all
+
+    # duplicate delivery: every row twice, plus the first chunk again
+    _, s3 = rsv_steps(None, pdf_of(pairs + pairs), k=4)
+    _, s4 = rsv_steps(s3, pdf_of(pairs[:6]), k=4)
+    assert s4 == s_all
+
+    # the state IS the direct bottom-4 of the multiset
+    want = sorted(
+        {(h, e) for e, h in pairs}, key=lambda he: (he[0] & _U64, he[1])
+    )[:4]
+    assert json.loads(s_all)["items"] == [list(p) for p in want]
