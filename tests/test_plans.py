@@ -861,6 +861,10 @@ _BNLJ_BOUNDED_OK = {
     # regexp-match scan (bounded parameter table — robots files are
     # crawl-config-bounded at any corpus scale)
     "dedup_robots_url_filter",
+    # r11: the 5-vector query-block broadcast onto the |corpus|/50
+    # entry points (the exact-topk contract); all hop joins are
+    # equi-joins on node keys
+    "similarity_ann_beam_graph",
 }
 
 
