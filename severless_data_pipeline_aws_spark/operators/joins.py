@@ -1075,3 +1075,157 @@ def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- J10: Allen's interval algebra census (r11) -----------------------------
+
+#: shared classifier for NON-disjoint proper-interval pairs, evaluated
+#: in mutual-exclusion order (meets checked first: touching endpoints;
+#: a meets pair cannot be equals/starts/finishes/during because the
+#: intervals are proper). Identical text in Spark and DuckDB.
+_ALLEN_CLASS = (
+    "CASE WHEN ea = sb OR eb = sa THEN 'meets' "
+    "WHEN sa = sb AND ea = eb THEN 'equals' "
+    "WHEN sa = sb THEN 'starts' "
+    "WHEN ea = eb THEN 'finishes' "
+    "WHEN (sb < sa AND ea < eb) OR (sa < sb AND eb < ea) THEN 'during' "
+    "ELSE 'overlaps' END"
+)
+
+
+@register(
+    "join_interval_allen_census",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   MIN(ts) AS s, MAX(ts) AS e
+            FROM events WHERE user_id <= 50
+            GROUP BY user_id, CAST(ts AS DATE)
+            HAVING MIN(ts) < MAX(ts)
+        ),
+        pairs AS (
+            SELECT a.day,
+                   CASE WHEN a.e < b.s OR b.e < a.s THEN 'precedes'
+                        ELSE {_ALLEN_CLASS.replace('sa', 'a.s').replace('ea', 'a.e').replace('sb', 'b.s').replace('eb', 'b.e')}
+                   END AS rel
+            FROM iv a JOIN iv b
+              ON a.day = b.day AND a.user_id < b.user_id
+        )
+        SELECT iv.day,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs,
+               CAST(COALESCE((SELECT COUNT(*) FROM pairs p
+                    WHERE p.day = iv.day AND rel = 'precedes'), 0) AS BIGINT)
+                   AS n_precedes,
+               CAST(COALESCE((SELECT COUNT(*) FROM pairs p
+                    WHERE p.day = iv.day AND rel = 'meets'), 0) AS BIGINT)
+                   AS n_meets,
+               CAST(COALESCE((SELECT COUNT(*) FROM pairs p
+                    WHERE p.day = iv.day AND rel = 'overlaps'), 0) AS BIGINT)
+                   AS n_overlaps,
+               CAST(COALESCE((SELECT COUNT(*) FROM pairs p
+                    WHERE p.day = iv.day AND rel = 'starts'), 0) AS BIGINT)
+                   AS n_starts,
+               CAST(COALESCE((SELECT COUNT(*) FROM pairs p
+                    WHERE p.day = iv.day AND rel = 'during'), 0) AS BIGINT)
+                   AS n_during,
+               CAST(COALESCE((SELECT COUNT(*) FROM pairs p
+                    WHERE p.day = iv.day AND rel = 'finishes'), 0) AS BIGINT)
+                   AS n_finishes,
+               CAST(COALESCE((SELECT COUNT(*) FROM pairs p
+                    WHERE p.day = iv.day AND rel = 'equals'), 0) AS BIGINT)
+                   AS n_equals
+        FROM iv
+        GROUP BY iv.day
+        ORDER BY iv.day
+    """,
+    doc=(
+        "J10: Allen's interval-algebra census — every same-day pair of "
+        "proper session intervals classified into the seven relation "
+        "classes (each merged with its inverse): precedes / meets / "
+        "overlaps / starts / during / finishes / equals — the "
+        "temporal-reasoning vocabulary behind scheduling, co-presence, "
+        "and provenance queries. Scale design: the only pairs that "
+        "need pairwise inspection are the NON-disjoint ones, and every "
+        "non-disjoint (touching included) pair shares an hour slice — "
+        "so candidates come from the J9 hour-slice equi-join, the "
+        "classifier CASE runs on candidates alone, and the disjoint "
+        "'precedes' count is derived per day by complement arithmetic "
+        "n_pairs - classified (never enumerated). The oracle states "
+        "the semantics as the naive per-day theta join classifying "
+        "EVERY pair directly, precedes included — the hash match "
+        "PROVES the complement arithmetic + sliced candidates "
+        "equivalent to direct enumeration (the J9/merge_asof-twin "
+        "pattern). Proper intervals only (s < e), so the 13 relations "
+        "are mutually exclusive and the CASE order is total."
+    ),
+    tags=("join", "interval", "timeseries"),
+)
+def join_interval_allen_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    iv = (
+        t.events.filter(F.col("user_id") <= 50)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .filter(F.col("s") < F.col("e"))
+    )
+    sliced = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.explode(F.expr("sequence(hour(s), hour(e))")).alias("hr"),
+    )
+    a = sliced.select(
+        F.col("user_id").alias("ua"), "day", "hr",
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = sliced.select(
+        F.col("user_id").alias("ub"), "day", "hr",
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    classified = (
+        a.join(b, ["day", "hr"])
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("day", "ua", "ub", "sa", "ea", "sb", "eb")
+        .distinct()
+        .selectExpr("day", f"{_ALLEN_CLASS} AS rel")
+        .groupBy("day")
+        .agg(
+            *[
+                F.sum(F.when(F.col("rel") == r, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{r}")
+                for r in ("meets", "overlaps", "starts", "during",
+                          "finishes", "equals")
+            ]
+        )
+    )
+    per_day = iv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals")
+    )
+    classes = ["n_meets", "n_overlaps", "n_starts", "n_during",
+               "n_finishes", "n_equals"]
+    return (
+        per_day.join(classified, "day", "left")
+        .na.fill(0, classes)
+        .selectExpr(
+            "day",
+            "n_intervals",
+            "CAST(n_intervals * (n_intervals - 1) div 2 AS BIGINT) AS n_pairs",
+            "CAST(n_intervals * (n_intervals - 1) div 2 - ("
+            + " + ".join(classes)
+            + ") AS BIGINT) AS n_precedes",
+            "n_meets",
+            "n_overlaps",
+            "n_starts",
+            "n_during",
+            "n_finishes",
+            "n_equals",
+        )
+        .orderBy("day")
+    )

@@ -3375,3 +3375,140 @@ def multimodal_snappy_frame_parse(spark: SparkSession, sf_dir: str) -> DataFrame
         " AS end_ok",
     )
     return df.orderBy("doc_id")
+
+
+# --- X5ad: zstd frame header + skippable frame (RFC 8878) ------------------
+
+_ZSTD_LIMIT = 400
+_ZSTD_L = "15 + doc_id % 11"  # raw-block content length, varies per doc
+_ZSTD_S = "4 + doc_id % 9"  # skippable-frame payload length
+
+
+def synthesize_zstd_media(
+    spark: SparkSession, sf_dir: str, limit: int = _ZSTD_LIMIT
+) -> DataFrame:
+    """(doc_id, payload): one byte-valid zstd FRAME (RFC 8878) carrying
+    a single RAW block, followed by one SKIPPABLE frame — the layout
+    real .zst archives with metadata trailers use. Data frame: magic
+    28 B5 2F FD (LE), Frame_Header_Descriptor 0x21 (single-segment, no
+    checksum, 1-byte dictionary ID), the dictionary ID, the 1-byte
+    Frame_Content_Size, then the 3-byte LE block header
+    (last_block=1, type=Raw, size) and the raw content — a compliant
+    decoder decompresses it to exactly the content bytes. Skippable
+    frame: magic 0x184D2A5? (low nibble = doc_id % 16), 4-byte LE
+    size, payload."""
+    t = Tables(spark, sf_dir)
+    data = f"substr(md5(text), 1, CAST({_ZSTD_L} AS INT))"
+    skip = f"substr(md5(concat(text, 'y')), 1, CAST({_ZSTD_S} AS INT))"
+    return t.documents.filter(F.col("doc_id") < limit).selectExpr(
+        "doc_id",
+        f"""unhex(concat(
+            '28b52ffd',
+            '21',
+            lpad(hex(1 + doc_id % 250), 2, '0'),
+            lpad(hex({_ZSTD_L}), 2, '0'),
+            {_le_hex_spark(f'1 + 8 * ({_ZSTD_L})', 3)},
+            hex({data}),
+            lpad(hex(80 + doc_id % 16), 2, '0'), '2a4d18',
+            {_le_hex_spark(_ZSTD_S, 4)},
+            hex({skip}))) AS payload""",
+    )
+
+
+@register(
+    "multimodal_zstd_frame_parse",
+    oracle=f"""
+        SELECT doc_id,
+               TRUE AS magic_ok,
+               TRUE AS single_segment,
+               FALSE AS content_checksum,
+               CAST(1 AS BIGINT) AS dict_id_flag,
+               CAST(1 + doc_id % 250 AS BIGINT) AS dict_id,
+               CAST(15 + doc_id % 11 AS BIGINT) AS content_size,
+               TRUE AS block_last,
+               CAST(0 AS BIGINT) AS block_type,
+               CAST(15 + doc_id % 11 AS BIGINT) AS block_size,
+               TRUE AS block_matches_fcs,
+               CAST(11 + 15 + doc_id % 11 AS BIGINT) AS skip_off,
+               TRUE AS skip_magic_ok,
+               CAST(doc_id % 16 AS BIGINT) AS skip_nibble,
+               CAST(4 + doc_id % 9 AS BIGINT) AS skip_size,
+               TRUE AS end_ok
+        FROM documents WHERE doc_id < {_ZSTD_LIMIT}
+        ORDER BY doc_id
+    """,
+    doc=(
+        "X5ad: zstd frame parse (RFC 8878) — the modern compression "
+        "container: magic check, Frame_Header_Descriptor SUB-BYTE "
+        "decode (Frame_Content_Size flag bits 7:6, Single_Segment bit "
+        "5, Content_Checksum bit 2, Dictionary_ID flag bits 1:0 — the "
+        "FLAC-tier sub-byte unpacking pattern via integer div/mod), "
+        "dictionary ID and 1-byte FCS extraction, then the 3-byte LE "
+        "block header decomposed into last_block / block_type / "
+        "block_size (bit 0 / bits 1-2 / bits 3+) with "
+        "block_matches_fcs pinning size consistency, and the "
+        "SKIPPABLE frame (magic 0x184D2A5?, the metadata-trailer "
+        "mechanism) located at an offset DERIVED from the parsed "
+        "content size — magic family matched on the high nibble, low "
+        "nibble and LE size extracted, end_ok pins the walk landing "
+        "exactly on end-of-payload. The oracle recomputes every field "
+        "from the synthesis arithmetic and emits TRUE for each _ok "
+        "flag, so the hash compare fails unless Spark's byte-level "
+        "re-extraction agrees. Map-only, zero shuffles before the "
+        "final orderBy."
+    ),
+    tags=("multimodal", "binary"),
+)
+def multimodal_zstd_frame_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_zstd_media(spark, sf_dir)
+    b = lambda pos: f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"  # noqa: E731
+
+    def le(pos: str, width: int) -> str:
+        return " + ".join(
+            f"{256 ** i} * {b(f'({pos}) + {i}')}" for i in range(width)
+        )
+
+    return media.selectExpr(
+        "doc_id",
+        "payload",
+        f"{le('1', 4)} = 4247762216 AS magic_ok",  # 0xFD2FB528 as LE u32
+        f"({b('5')} div 32) % 2 = 1 AS single_segment",
+        f"({b('5')} div 4) % 2 = 1 AS content_checksum_bit",
+        f"{b('5')} % 4 AS dict_id_flag",
+        f"{b('6')} AS dict_id",
+        f"{b('7')} AS content_size",
+        f"{le('8', 3)} AS bh",
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "magic_ok",
+        "single_segment",
+        "content_checksum_bit AS content_checksum",
+        "dict_id_flag",
+        "dict_id",
+        "content_size",
+        "bh % 2 = 1 AS block_last",
+        "(bh div 2) % 4 AS block_type",
+        "bh div 8 AS block_size",
+        "bh div 8 = content_size AS block_matches_fcs",
+        "10 + content_size + 1 AS skip_off",
+    ).selectExpr(
+        "doc_id",
+        "magic_ok",
+        "single_segment",
+        "content_checksum",
+        "dict_id_flag",
+        "dict_id",
+        "content_size",
+        "block_last",
+        "block_type",
+        "block_size",
+        "block_matches_fcs",
+        "skip_off",
+        f"{b('skip_off')} div 16 = 5"
+        f" AND {le('skip_off + 1', 3)} = 1592618 AS skip_magic_ok",
+        f"{b('skip_off')} % 16 AS skip_nibble",
+        f"{le('skip_off + 4', 4)} AS skip_size",
+        f"skip_off + 8 + {le('skip_off + 4', 4)} - 1"
+        " = CAST(length(payload) AS BIGINT) AS end_ok",
+    ).orderBy("doc_id")

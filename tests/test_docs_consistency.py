@@ -695,6 +695,8 @@ _R11_QUERIES = frozenset(
         "dedup_exact_substring_removal_report",
         "streaming_reservoir_bottomk_sample",
         "multimodal_snappy_frame_parse",
+        "join_interval_allen_census",
+        "multimodal_zstd_frame_parse",
     }
 )
 

@@ -273,3 +273,70 @@ def test_snappy_frame_bytes_match_python_construction(spark, sf_dir):
                 + d
             )
         assert bytes(r.payload) == want, r.doc_id
+
+
+def test_zstd_frame_bytes_match_python_construction(spark, sf_dir):
+    """The synthesized zstd frame + skippable frame must be
+    byte-identical to an independent pure-Python construction of the
+    RFC 8878 layout — the genuine-bytes pin for X5ad."""
+    import hashlib
+    import struct
+
+    from severless_data_pipeline_aws_spark.operators.multimodal import (
+        synthesize_zstd_media,
+    )
+
+    rows = (
+        synthesize_zstd_media(spark, sf_dir, limit=8)
+        .join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        ln = 15 + r.doc_id % 11
+        sk = 4 + r.doc_id % 9
+        data = hashlib.md5(r.text.encode()).hexdigest()[:ln].encode()
+        skip = hashlib.md5((r.text + "y").encode()).hexdigest()[:sk].encode()
+        want = (
+            b"\x28\xb5\x2f\xfd"
+            + bytes([0x21, 1 + r.doc_id % 250, ln])
+            + struct.pack("<I", 1 | (ln << 3))[:3]
+            + data
+            + bytes([0x50 + r.doc_id % 16])
+            + b"\x2a\x4d\x18"
+            + struct.pack("<I", sk)
+            + skip
+        )
+        assert bytes(r.payload) == want, r.doc_id
+
+
+def test_allen_classifier_covers_all_seven_relations(spark):
+    """The shared Allen CASE must classify each of the seven relation
+    classes correctly on hand-built proper intervals (the synthetic
+    corpus may not exercise equals/starts/finishes — this test keeps
+    the classifier non-vacuous)."""
+    from severless_data_pipeline_aws_spark.operators.joins import (
+        _ALLEN_CLASS,
+    )
+
+    cases = [
+        (0, 10, 10, 20, "meets"),  # touch at one endpoint
+        (0, 10, 0, 10, "equals"),
+        (0, 5, 0, 10, "starts"),
+        (3, 10, 0, 10, "finishes"),
+        (2, 8, 0, 10, "during"),
+        (0, 10, 2, 8, "during"),  # contains = during's inverse bucket
+        (0, 6, 4, 10, "overlaps"),
+    ]
+    df = spark.createDataFrame(
+        [(sa, ea, sb, eb, want) for sa, ea, sb, eb, want in cases],
+        "sa long, ea long, sb long, eb long, want string",
+    )
+    got = df.selectExpr("want", f"{_ALLEN_CLASS} AS rel").collect()
+    for r in got:
+        assert r.rel == r.want, (r.want, r.rel)
