@@ -1670,8 +1670,13 @@ def _km_steps_sql(day_diff) -> str:
         FROM times GROUP BY 1
     ),
     at_risk AS (
+        -- r11: SUM(..) OVER () instead of a scalar subquery — the
+        -- subquery re-ran the whole events->users->times->per_day
+        -- pipeline a second time (second fact scan + two exchanges);
+        -- the unpartitioned window reads the same day-grain rows once
+        -- (bounded by the calendar span). Same total, same rows.
         SELECT t_days, d, c,
-               CAST((SELECT SUM(d + c) FROM per_day) AS BIGINT)
+               CAST(SUM(d + c) OVER () AS BIGINT)
                  - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t_days
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS n_at_risk
@@ -1714,11 +1719,21 @@ def funnel_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFram
     from ..io import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        "WITH RECURSIVE "
+    # r11: materialize the step table BEFORE the recursion. Spark inlines
+    # CTEs into the recursive loop body, so every UnionLoop iteration
+    # re-ran the whole events scan + window prelude; km_steps is death-
+    # day-grain (bounded by the calendar span), so localCheckpoint makes
+    # each of the |death days| iterations a metadata-scale join instead
+    # of a fact-table recomputation. _KM_CORE (the shared recursive text
+    # that proves oracle equivalence) is unchanged — its km_steps name
+    # now resolves to the checkpointed temp view.
+    steps = spark.sql(
+        "WITH "
         + _km_steps_sql(lambda a, b: f"datediff({b}, {a})")
-        + ",\n" + _KM_CORE
-    )
+        + " SELECT rn, t_days, n_at_risk, d, c FROM km_steps"
+    ).localCheckpoint(eager=True)
+    steps.createOrReplaceTempView("km_steps")
+    return spark.sql("WITH RECURSIVE " + _KM_CORE)
 
 
 _LR_SC = "10000000000"  # 1e10 exactness scale for the log-rank folds
@@ -1755,12 +1770,16 @@ def _logrank_steps_sql(day_diff) -> str:
         FROM times GROUP BY 1
     ),
     at_risk AS (
+        -- r11: SUM(..) OVER () replaces the two scalar subqueries that
+        -- each re-ran the events->users->times->per_day pipeline (two
+        -- extra fact scans); the unpartitioned windows read the same
+        -- day-grain rows once. Same totals, same rows.
         SELECT t_days, d, d_a,
-               CAST((SELECT SUM(d + c) FROM per_day) AS BIGINT)
+               CAST(SUM(d + c) OVER () AS BIGINT)
                  - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t_days
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS n,
-               CAST((SELECT SUM(d_a + c_a) FROM per_day) AS BIGINT)
+               CAST(SUM(d_a + c_a) OVER () AS BIGINT)
                  - CAST(COALESCE(SUM(d_a + c_a) OVER (ORDER BY t_days
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS n_a

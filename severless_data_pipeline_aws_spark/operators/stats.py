@@ -2891,38 +2891,48 @@ _PH_DUCK = "CAST(('0x' || " + _PH16.format(st="VARCHAR") + ") AS BIGINT)"
     tags=("stats", "agg", "sampling"),
 )
 def stats_permutation_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization (guide §1.2 per-task work): the original evaluated
+    # CAST(conv(substr(h, pos, 4), 16, 10) AS BIGINT) < 32768 TWICE per
+    # replicate per row (once in the count branch, once in the sum
+    # branch — 64 conv+substr calls/row in the plan). The draw predicate
+    # only asks whether a 16-bit hex slice is < 0x8000, which is exactly
+    # "first hex digit in 0..7": md5() emits lowercase hex, and '0'..'7'
+    # < '8' < '9' < 'a'..'f' in ASCII, so substr(h, pos, 1) < '8' is the
+    # same Bernoulli draw with no radix conversion. The booleans and the
+    # DECIMAL cast are projected ONCE per row; the 36 aggregates consume
+    # plain column references. Same bits, same counts, same sums.
     t = Tables(spark, sf_dir)
-
-    def h_expr(b: int) -> str:
-        half = "ha" if b <= 8 else "hb"
-        pos = ((b - 1) % 8) * 4 + 1
-        return f"CAST(conv(substr({half}, {pos}, 4), 16, 10) AS BIGINT)"
 
     base = t.orders.selectExpr(
         "o_totalprice",
         "o_orderpriority = '1-URGENT' AS is_urg",
         "md5(CAST(o_orderkey AS STRING) || ':p:' || 'a') AS ha",
         "md5(CAST(o_orderkey AS STRING) || ':p:' || 'b') AS hb",
+    ).selectExpr(
+        "CAST(o_totalprice AS DECIMAL(38,8)) AS price_dec",
+        "is_urg",
+        *[
+            f"substr({'ha' if b <= 8 else 'hb'}, {((b - 1) % 8) * 4 + 1}, 1)"
+            f" < '8' AS draw{b}"
+            for b in range(1, _PERM_B + 1)
+        ],
     )
     aggs = [
         F.expr("COUNT(*)").alias("n_tot"),
-        F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,8)))").alias("s_tot"),
+        F.expr("SUM(price_dec)").alias("s_tot"),
         F.expr("SUM(CASE WHEN is_urg THEN 1 ELSE 0 END)").alias("n_urg"),
         F.expr(
-            "coalesce(SUM(CASE WHEN is_urg THEN"
-            " CAST(o_totalprice AS DECIMAL(38,8)) END),"
+            "coalesce(SUM(CASE WHEN is_urg THEN price_dec END),"
             " CAST(0 AS DECIMAL(38,8)))"
         ).alias("s_urg"),
     ]
     for b in range(1, _PERM_B + 1):
-        h = h_expr(b)
         aggs.append(
-            F.expr(f"SUM(CASE WHEN ({h}) < 32768 THEN 1 ELSE 0 END)").alias(f"na{b}")
+            F.expr(f"SUM(CASE WHEN draw{b} THEN 1 ELSE 0 END)").alias(f"na{b}")
         )
         aggs.append(
             F.expr(
-                f"coalesce(SUM(CASE WHEN ({h}) < 32768 THEN"
-                " CAST(o_totalprice AS DECIMAL(38,8)) END),"
+                f"coalesce(SUM(CASE WHEN draw{b} THEN price_dec END),"
                 " CAST(0 AS DECIMAL(38,8)))"
             ).alias(f"sa{b}")
         )

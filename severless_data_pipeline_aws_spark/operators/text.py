@@ -1713,17 +1713,33 @@ def ngram_novelty_grams(documents: DataFrame) -> DataFrame:
     tags=("text", "llm", "ngram", "dedup"),
 )
 def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization (guide §2.3/§2.4): the original joined the full
+    # gram explode against a broadcast (gram -> first_doc) dictionary —
+    # a corpus-sized broadcast plus a |grams|-row join carrying every
+    # gram row into the doc aggregate. But the join is redundant: a
+    # gram g is novel for doc d iff (g, min_doc(g)) == (g, d), and that
+    # pair is exactly one row of the firsts aggregate. So n_novel per
+    # doc is just COUNT(*) of firsts grouped by first_doc, and n_grams
+    # per doc is COUNT(*) of the explode grouped by doc_id — two
+    # map-side-combined aggregates joined at DOC grain (bounded rows),
+    # no gram-grain join, no corpus-sized broadcast at any scale.
     t = Tables(spark, sf_dir)
     grams = ngram_novelty_grams(t.documents)
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
     return (
-        grams.join(firsts, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.expr("CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END"))
-            .cast("bigint")
-            .alias("n_novel"),
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .select(
             "doc_id",
