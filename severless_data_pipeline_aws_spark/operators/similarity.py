@@ -46,6 +46,15 @@ def _dot(a, b):
     )
 
 
+#: r11 optimization note (measured, REJECTED): rewriting _dot as an
+#: unrolled 64-term GetArrayItem/Add expression chain — same IEEE fold
+#: order, nominally codegen-friendly — measured ~2x SLOWER than the
+#: zip_with/aggregate HOF on the 0.8M-pair beam-graph scoring stage
+#: (isolated min-of-5 at sf0.1: beam 5.9s HOF vs 14.7s unrolled, LSH
+#: 1.4s vs 2.5s, adjacent windows): 64-term trees per expression blow
+#: past JIT-friendly generated-method sizes. Keep the HOF fold.
+
+
 def _as_double(col):
     return F.col(col).cast("array<double>")
 
@@ -159,7 +168,10 @@ def lsh_buckets(spark: SparkSession, emb: DataFrame, dim: int = 64) -> DataFrame
         signs.select(
             "vec_id",
             "table_id",
-            F.when(_dot(F.col("v"), F.col("plane")) > 0, F.expr("shiftleft(1L, plane_id)"))
+            F.when(
+                _dot(F.col("v"), F.col("plane")) > 0,
+                F.expr("shiftleft(1L, plane_id)"),
+            )
             .otherwise(F.lit(0).cast("long"))
             .alias("bit"),
         )
@@ -3223,28 +3235,43 @@ def _beam_graph_edges(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
     buckets = lsh_buckets(spark, emb)
     corpus_b = buckets.filter(F.col("vec_id") >= _N_QUERIES)
+    # r11 optimization (guide §1.2): cosine is symmetric — elementwise
+    # products commute and the fold order over indices is identical —
+    # so score each UNORDERED candidate pair once (src < dst halves the
+    # bucket join output and the distinct) and mirror the scored rows
+    # to recover both directed edges. Same w bit-for-bit per direction.
     cand = (
         corpus_b.selectExpr("vec_id AS src", "table_id", "bucket")
         .join(
             corpus_b.selectExpr("vec_id AS dst", "table_id", "bucket"),
             ["table_id", "bucket"],
         )
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
     cv = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         "vec_id", _as_double("embedding").alias("v")
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    scored = (
+    scored_u = (
         cand.join(cv.selectExpr("vec_id AS src", "v AS sv", "norm AS sn"), "src")
         .join(cv.selectExpr("vec_id AS dst", "v AS dv", "norm AS dn"), "dst")
         .select(
             "src",
             "dst",
-            (_dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn"))).alias(
-                "w"
-            ),
+            (
+                _dot(F.col("sv"), F.col("dv"))
+                / (F.col("sn") * F.col("dn"))
+            ).alias("w"),
+        )
+    )
+    # materialize the half-pair scores once — a plain union would plan
+    # (and execute) the scoring subtree in BOTH branches, undoing the
+    # halving; the caller's edge checkpoint then reads the mirror free
+    scored_u = scored_u.localCheckpoint(eager=True)
+    scored = scored_u.unionByName(
+        scored_u.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
     wsrc = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
@@ -3544,8 +3571,18 @@ def _eval_tables(spark: SparkSession, sf_dir: str):
         "sign_hamming": similarity_sign_hamming_topk,
         "two_stage": similarity_two_stage_rerank,
     }
-    gt = similarity_topk_cosine_exact(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # r11 optimization (guide §3.3/§7.3): gt feeds THREE consumers
+    # (labels join, scaffold, nrel) and runs composes every cascade's
+    # full plan — without materialization the exact tier executed three
+    # times and the eval plan weighed ~3,900 formatted lines (132
+    # exchanges), with Catalyst planning itself a visible cost. Both
+    # tables are |Q| x k grain (tens of rows at any corpus size), so
+    # localCheckpoint computes each cascade exactly once and truncates
+    # the composite plan; every downstream eval join is metadata-scale.
+    gt = (
+        similarity_topk_cosine_exact(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     runs = None
     for label, _ in _EVAL_SYSTEMS:
@@ -3556,6 +3593,7 @@ def _eval_tables(spark: SparkSession, sf_dir: str):
             F.col("rank").cast("bigint").alias("rank0"),
         )
         runs = r if runs is None else runs.unionByName(r)
+    runs = runs.localCheckpoint(eager=True)
     wq = W.partitionBy("system", "query_id").orderBy("rank0")
     filtered = (
         runs.filter(

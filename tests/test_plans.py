@@ -844,15 +844,11 @@ _BNLJ_BOUNDED_OK = {
     # (calendar-bounded, the Theil-Sen/somers_d contract) reached via
     # one bounded broadcast
     "timeseries_matrix_profile_discord",
-    # r10 retrieval-quality eval harness: each query composes EVERY
-    # registered ANN cascade plus the exact tier, so it inherits their
-    # already-whitelisted bounded broadcasts (5-vector exact/LSH/PQ/
-    # two-stage query blocks, the 8-vector sign-Hamming block); the
-    # eval layer itself adds only |Q| x k equi-joins
-    "similarity_eval_precision_recall",
-    "similarity_eval_mrr",
-    "similarity_eval_ndcg",
-    "similarity_eval_map",
+    # (r11 optimization round: the four similarity_eval_* queries left
+    # this whitelist — _eval_tables now materializes gt and the cascade
+    # runs via localCheckpoint, so the final eval plan is |Q| x k
+    # equi-joins only; the cascades' own BNLJs are still gated through
+    # their own registered plans, which remain listed here)
     # r11 (r10 advice): one-row converged-flag broadcast (edge-count
     # before == after the final truss filter) over the checkpointed
     # <=625-row final edge set
