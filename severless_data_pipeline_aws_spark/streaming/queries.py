@@ -14,6 +14,7 @@ streaming engine itself part of the correctness gate:
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -277,16 +278,38 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str, df=None) -> DataFram
     return stream
 
 
+#: state/shuffle partition count for the bounded replay streams (r11,
+#: guide §2.2): a streaming query freezes spark.sql.shuffle.partitions
+#: into its state layout at start, so every micro-batch commits that
+#: many state stores and spins that many Python state workers — pure
+#: per-batch overhead once the partition count exceeds the key space.
+#: These registered ops key on bounded spaces (sources, devices, 16
+#: user shards, event types), so the local default is small; production
+#: streams with unbounded keys (e.g. per-event dedup) size this to the
+#: cluster via the env knob instead of inheriting core count.
+_STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+)
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS)
     )
-    q.awaitTermination(300)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return stream_df.sparkSession.table(name)
 
 
@@ -1651,14 +1674,29 @@ def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> Data
     hashed = sh.selectExpr(
         "source", *[f"xxhash64('s{j}', sh) AS h{j}" for j in range(k)]
     )
-    stream = _replay_events_stream(spark, sf_dir, df=hashed)
+    # r11 optimization (guide §2.3 "aggregate before you shuffle"): MIN
+    # is the op's own idempotent-semilattice merge, so partial per-source
+    # minima are a valid combiner — fold them BEFORE staging instead of
+    # writing ~|shingles| hashed rows to the replay directory and
+    # shuffling them all through the Python state store. The stateful
+    # walk sees |sources| pre-folded rows and lands on the IDENTICAL
+    # final signature (batching/order/duplicate invariance is exactly
+    # what the operator's tests pin); the shingle-grain fold cost moves
+    # into this batch aggregate, map-side combined.
+    combined = hashed.groupBy("source").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(k)]
+    )
+    stream = _replay_events_stream(spark, sf_dir, df=combined)
     snaps = _run_to_memory(stateful.minhash_walk(stream), "append")
     # per-slot minima are monotone non-increasing across snapshots, so
     # MIN over snapshots == the final state == the corpus signature
     sig = snaps.groupBy("source").agg(
         *[F.min(f"m{j}").cast("bigint").alias(f"m{j}") for j in range(k)]
     )
-    shm = sh.distinct()
+    # r11: the distinct (source, shingle) set feeds THREE consumers
+    # (sizes, both sides of the intersection self-join); materialize it
+    # once instead of re-running the explode+distinct per consumer
+    shm = sh.distinct().localCheckpoint(eager=True)
     sizes = shm.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
