@@ -680,23 +680,24 @@ def min_label_components(edges: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # r11 (guide §2.4): compute the convergence flag IN the update
+        # join — min-label propagation is monotone non-increasing, so
+        # "changed" is exactly new < old; the old extra updated-vs-comps
+        # join (one more shuffle + join job per round) is redundant
+        new_comp = F.least("component", F.coalesce("nbr_min", "component"))
         updated = (
             comps.join(msgs, comps["doc_id"] == msgs["src"], "left")
             .select(
                 "doc_id",
-                F.least("component", F.coalesce("nbr_min", "component")).alias(
-                    "component"
-                ),
+                new_comp.alias("new_component"),
+                (new_comp < F.col("component")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(comps.alias("c"), "doc_id")
-            .filter(F.col("u.component") != F.col("c.component"))
-            .count()
+        changed = updated.filter("chg").count()
+        comps = updated.select(
+            "doc_id", F.col("new_component").alias("component")
         )
-        comps = updated
         if changed == 0:
             break
     return comps

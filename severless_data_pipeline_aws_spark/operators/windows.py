@@ -773,17 +773,24 @@ def session_window_gap_and_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _sessionize(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # r11 (guide §4.2): the recurrence is inherently sequential, but
+        # iterating pandas Timestamps built a Timestamp + timedelta
+        # object pair per event (.total_seconds() each); the same exact
+        # comparisons run on raw int64 epoch-nanos (timestamps carry
+        # micro precision, so ns-integer vs ns-threshold compares are
+        # bit-equivalent to the float total_seconds() > seconds form).
+        import numpy as np
+
+        ts_ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        order = np.lexsort((pdf["event_id"].to_numpy(), ts_ns))
+        gap_ns = _SESS_GAP_S * 1_000_000_000
+        cap_ns = _SESS_CAP_S * 1_000_000_000
         out = []
         idx = -1
-        start = end = None
+        start = end = 0
         n = 0
-        for ts in pdf["ts"]:
-            if (
-                idx < 0
-                or (ts - end).total_seconds() > _SESS_GAP_S
-                or (ts - start).total_seconds() > _SESS_CAP_S
-            ):
+        for ts in ts_ns[order].tolist():
+            if idx < 0 or ts - end > gap_ns or ts - start > cap_ns:
                 if idx >= 0:
                     out.append((idx, start, end, n))
                 idx += 1
@@ -792,9 +799,16 @@ def session_window_gap_and_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += 1
         if idx >= 0:
             out.append((idx, start, end, n))
-        res = pd.DataFrame(out, columns=["session_idx", "session_start", "session_end", "n_events"])
-        res.insert(0, "user_id", pdf["user_id"].iloc[0])
-        return res
+        cols = np.array(out, dtype="int64").reshape(-1, 4)
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(out), pdf["user_id"].iloc[0], dtype="int64"),
+                "session_idx": cols[:, 0].astype("int32"),
+                "session_start": cols[:, 1].astype("datetime64[ns]"),
+                "session_end": cols[:, 2].astype("datetime64[ns]"),
+                "n_events": cols[:, 3],
+            }
+        )
 
     return ev.groupBy("user_id").applyInPandas(_sessionize, schema=schema)
 
