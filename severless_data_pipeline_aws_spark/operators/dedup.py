@@ -380,6 +380,11 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     least one band bucket — the pre-verification pair space. Exposed
     (r10) so the scale sweep's dedup probe can record candidate counts
     at 10x/30x without duplicating the banding logic."""
+    # r11 note: checkpointing this two-consumer signature was measured
+    # a wash-to-loss at bench SF (3.65 -> 4.01s) — with only the band
+    # self-join downstream, parallel recomputation across cores beats a
+    # serialized materialization; the >=4-consumer sites (estimate
+    # audit, band curve) keep their checkpoints, which measured ahead.
     sig = minhash_signature(docs).select(
         "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
     )
@@ -1771,9 +1776,14 @@ def _minhash_estimate_audit_oracle() -> str:
 def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = _pair_docs(t)
+    # r11 (guide §2.4): the signature table feeds FOUR consumers (both
+    # sides of the band self-join, siga, sigb) and costs 32 xxhash64
+    # passes over every shingle per computation — the before plan showed
+    # ~10 document scans with zero exchange reuse. One doc-grain
+    # checkpoint (|docs| x 33 longs) computes the hash family once.
     sig = minhash_signature(docs).select(
         "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
-    )
+    ).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1909,9 +1919,12 @@ def _lsh_band_curve_oracle() -> str:
 def dedup_lsh_band_candidate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = _pair_docs(t)
+    # r11 (guide §2.4): SIX consumers (both sides of three band joins)
+    # descend from the signature table; checkpoint computes the 32-pass
+    # hash family once
     sig = minhash_signature(docs).select(
         "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
-    )
+    ).localCheckpoint(eager=True)
     curves = []
     for n_bands, rows in _BAND_CURVE:
         bands = sig.select(

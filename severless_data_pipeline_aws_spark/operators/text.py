@@ -2082,7 +2082,15 @@ def text_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select(F.col("s.u").alias("u"), F.col("s.w").alias("w"))
-    cuw = pairs.groupBy("u", "w").agg(F.count(F.lit(1)).cast("bigint").alias("cuw"))
+    # r11 (guide §2.4): the bigram count table feeds FOUR consumers
+    # (the final join's left side, cu, cw, tt) — the before plan showed
+    # four scans each re-running the explode + (u, w) shuffle. One
+    # checkpointed type-count table computes the bigram space once.
+    cuw = (
+        pairs.groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cuw"))
+        .localCheckpoint(eager=True)
+    )
     cu = cuw.groupBy("u").agg(
         F.sum("cuw").cast("bigint").alias("cu"),
         F.count(F.lit(1)).cast("bigint").alias("n1u"),
