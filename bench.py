@@ -313,6 +313,12 @@ def main() -> None:
         # timed under another query's memory pressure (a steady-state
         # cluster would not carry a stranger's cache either)
         spark.catalog.clearCache()
+        # r11: clearCache only empties the CacheManager — localCheckpoint
+        # blocks (the iterative/eval queries' materialized intermediates)
+        # stay in the block manager for the session and were taxing every
+        # later query's memory; drop those too, same isolation policy
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     r01_set = HEADLINE[:5]  # the round-1 headline set, for like-for-like deltas
