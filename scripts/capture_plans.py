@@ -1,4 +1,4 @@
-"""Capture ``explain("formatted")`` for named queries into plans/r11/.
+"""Capture ``explain("formatted")`` for named queries into plans/r12/ (override via SPARK_GRAFT_PLANS_DIR).
 
 Usage:
     python scripts/capture_plans.py before q1 q2 ...
@@ -26,7 +26,7 @@ def main() -> None:
     if tag not in ("before", "after") or not names:
         raise SystemExit("usage: capture_plans.py before|after query ...")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r11")
+    out_dir = os.path.join(HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
     specs = registry.load_all()

@@ -3579,21 +3579,46 @@ def _eval_tables(spark: SparkSession, sf_dir: str):
     # tables are |Q| x k grain (tens of rows at any corpus size), so
     # localCheckpoint computes each cascade exactly once and truncates
     # the composite plan; every downstream eval join is metadata-scale.
-    gt = (
-        similarity_topk_cosine_exact(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    runs = None
-    for label, _ in _EVAL_SYSTEMS:
-        r = fns[label](spark, sf_dir).select(
-            F.lit(label).alias("system"),
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("bigint").alias("rank0"),
+    #
+    # r12 optimization (guide §2.6 "overlap independent jobs"): the
+    # exact tier and the six cascades are INDEPENDENT queries — r11
+    # materialized them one after another, so each run's straggler tail
+    # left the other 31 cores idle (~7 small jobs in strict sequence).
+    # Building + checkpointing them from a small thread pool lets later
+    # cascades back-fill executors freed by earlier ones; each result
+    # is byte-identical (same per-cascade plan, same checkpoint), only
+    # the wall-clock overlaps. None of the cascade builders touches
+    # session-global state (no temp views, no conf writes), which is
+    # the precondition for this.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ckpt_gt():
+        return (
+            similarity_topk_cosine_exact(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
         )
-        runs = r if runs is None else runs.unionByName(r)
-    runs = runs.localCheckpoint(eager=True)
+
+    def _ckpt_run(label: str):
+        return (
+            fns[label](spark, sf_dir)
+            .select(
+                F.lit(label).alias("system"),
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("bigint").alias("rank0"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        gt_fut = pool.submit(_ckpt_gt)
+        run_futs = [(label, pool.submit(_ckpt_run, label)) for label, _ in _EVAL_SYSTEMS]
+        gt = gt_fut.result()
+        runs = None
+        for _label, fut in run_futs:
+            r = fut.result()
+            runs = r if runs is None else runs.unionByName(r)
     wq = W.partitionBy("system", "query_id").orderBy("rank0")
     filtered = (
         runs.filter(
