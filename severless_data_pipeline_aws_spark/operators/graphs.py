@@ -1170,7 +1170,13 @@ def graph_resource_allocation_link_prediction(
         F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
     ).distinct()
     pdeg = edges.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    # The pair join explodes ~15x (sum of C(deg,2) over parts), but AQE
+    # coalesces the small distinct-edges exchange to 1-2 partitions and
+    # would run the explosion nearly serial; pin the probe side to one
+    # partition per core (scale-adaptive, not a constant).
+    a = edges.select(F.col("supp").alias("supp_a"), "part").repartition(
+        spark.sparkContext.defaultParallelism, "part"
+    )
     b = edges.select(F.col("supp").alias("supp_b"), "part")
     return (
         a.join(b, ["part"])
@@ -1410,7 +1416,11 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
     ).distinct()
     sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    # Same AQE-coalescing guard as the RA variant: the pair explosion
+    # needs parallelism sized to its output, not its ~10MB input.
+    a = edges.select(F.col("supp").alias("supp_a"), "part").repartition(
+        spark.sparkContext.defaultParallelism, "part"
+    )
     b = edges.select(F.col("supp").alias("supp_b"), "part")
     pairs = (
         a.join(b, ["part"])
