@@ -1671,7 +1671,13 @@ def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> Data
     k = stateful.MINHASH_SLOTS
     t = Tables(spark, sf_dir)
     sh = t.documents.select("source", F.explode(_shingles("text")).alias("sh"))
-    hashed = sh.selectExpr(
+    # r12: hash the DISTINCT (source, shingle) set instead of every
+    # occurrence — MIN per source over the multiset equals MIN over the
+    # distinct set, and the distinct set (shm, below) is already
+    # materialized for three other consumers; this removes one whole
+    # explode pass over documents and ~20% of the 32-way xxhash64 work.
+    shm = sh.distinct().localCheckpoint(eager=True)
+    hashed = shm.selectExpr(
         "source", *[f"xxhash64('s{j}', sh) AS h{j}" for j in range(k)]
     )
     # r11 optimization (guide §2.3 "aggregate before you shuffle"): MIN
@@ -1693,10 +1699,9 @@ def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> Data
     sig = snaps.groupBy("source").agg(
         *[F.min(f"m{j}").cast("bigint").alias(f"m{j}") for j in range(k)]
     )
-    # r11: the distinct (source, shingle) set feeds THREE consumers
-    # (sizes, both sides of the intersection self-join); materialize it
-    # once instead of re-running the explode+distinct per consumer
-    shm = sh.distinct().localCheckpoint(eager=True)
+    # r11: the distinct (source, shingle) set feeds the consumers below
+    # plus the signature hash above (4 total); materialized once up top
+    # instead of re-running the explode+distinct per consumer
     sizes = shm.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
