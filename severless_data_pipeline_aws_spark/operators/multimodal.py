@@ -710,18 +710,35 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(array(struct(0 AS bi, b0 AS bv), struct(1 AS bi, b1 AS bv),"
         " struct(2 AS bi, b2 AS bv), struct(3 AS bi, b3 AS bv))) AS band",
     ).select("doc_id", "lo", "hi", "band.bi", "band.bv")
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"),
-        F.col("hi").alias("hi_a"), "bi", "bv",
-    )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"),
-        F.col("hi").alias("hi_b"), "bi", "bv",
+    # r12 (guide §2.4, same move as minhash_lsh_candidates): the band
+    # self-join computed the fingerprint (4x md5 + 64 pixel convs per
+    # row) on BOTH join sides. Group each bucket's members and explode
+    # i<j pairs instead — one fingerprint pass; the object aggregate
+    # sees only |docs|*4 rows and near-dup buckets hold a handful of
+    # docs. sort_array orders by doc_id (first struct field), so x<y by
+    # position reproduces the doc_a < doc_b filter exactly.
+    grp = (
+        exploded.groupBy("bi", "bv")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "lo", "hi"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
     )
     cand = (
-        a.join(b, ["bi", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    " x.lo AS lo_a, x.hi AS hi_a,"
+                    " y.lo AS lo_b, y.hi AS hi_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.lo_a", "p.hi_a", "p.lo_b", "p.hi_b")
         .distinct()
     )
     ham = "bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"
