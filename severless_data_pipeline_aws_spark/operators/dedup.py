@@ -673,15 +673,33 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
 
-    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
-    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    # r12 (guide §2.4, same move as minhash_lsh_candidates): the band
+    # self-join computed the simhash fingerprint (word explode + 63 bit
+    # votes) on both sides; bucket-group + i<j explode runs it once.
+    grp = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "ds"
+            )
+        )
+        .filter(F.size("ds") >= 2)
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    " x.simhash AS sh_a, y.simhash AS sh_b))))"
+                )
+            ).alias("p")
+        )
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"),
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.expr("p.sh_a ^ p.sh_b")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= 6)
