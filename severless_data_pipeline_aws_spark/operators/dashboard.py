@@ -1690,25 +1690,58 @@ def _fk_oracle() -> str:
 )
 def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    out = None
+    # r12 (guide §2.4/§6.2): one scan per CHILD table instead of one per
+    # edge — lineitem carries three FK edges and was scanned (and
+    # aggregated) three times. Chaining the parent left joins preserves
+    # the child row count exactly (each parent side is a DISTINCT
+    # primary key), so every per-edge SUM(pk IS NULL) is unchanged; one
+    # single-row aggregate per child emits all of its edges, exploded
+    # back to edge grain. _FK_EDGES lists each child's edges
+    # contiguously, so the union order is byte-identical to before.
+    groups: list[tuple[str, list[tuple[str, str, str, str]]]] = []
     for label, child, ck, parent, pk in _FK_EDGES:
-        par = getattr(t, parent).select(pk).distinct()
-        if parent in _FK_BROADCAST_PARENTS:
-            par = F.broadcast(par)
-        joined = getattr(t, child).select(ck).join(
-            par, on=F.col(ck) == F.col(pk), how="left"
-        )
-        agg = joined.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_child"),
-            F.expr(
-                f"CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-            ).alias("n_orphans"),
-            F.expr(
-                f"CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
-                " / CAST(COUNT(*) AS DOUBLE)"
-            ).alias("orphan_rate"),
-        ).select(F.lit(label).alias("fk_edge"), "n_child", "n_orphans", "orphan_rate")
-        out = agg if out is None else out.unionAll(agg)
+        if not groups or groups[-1][0] != child:
+            groups.append((child, []))
+        groups[-1][1].append((label, ck, parent, pk))
+    out = None
+    for child, edges in groups:
+        joined = getattr(t, child).select(*[ck for _, ck, _, _ in edges])
+        for _, ck, parent, pk in edges:
+            par = getattr(t, parent).select(pk).distinct()
+            if parent in _FK_BROADCAST_PARENTS:
+                par = F.broadcast(par)
+            joined = joined.join(par, on=F.col(ck) == F.col(pk), how="left")
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_child")]
+        for i, (_, ck, parent, pk) in enumerate(edges):
+            aggs.append(
+                F.expr(
+                    f"CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END)"
+                    " AS BIGINT)"
+                ).alias(f"n_orphans_{i}")
+            )
+            aggs.append(
+                F.expr(
+                    f"CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END)"
+                    " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+                ).alias(f"orphan_rate_{i}")
+            )
+        one = getattr(joined, "agg")(*aggs)
+        rows = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(label).alias("fk_edge"),
+                            F.col("n_child"),
+                            F.col(f"n_orphans_{i}").alias("n_orphans"),
+                            F.col(f"orphan_rate_{i}").alias("orphan_rate"),
+                        )
+                        for i, (label, _, _, _) in enumerate(edges)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.fk_edge", "r.n_child", "r.n_orphans", "r.orphan_rate")
+        out = rows if out is None else out.unionAll(rows)
     return out
 
 
