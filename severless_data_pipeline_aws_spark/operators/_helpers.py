@@ -19,10 +19,27 @@ The source doubles here carry <=4 true decimal digits, so
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEC = "DECIMAL(38,8)"
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Layout-adaptive parallelism guard for explode-heavy pipelines
+    (r12, guide §2.2): when the upstream scan yields fewer input splits
+    than cores (each local test parquet is ONE row group, so a scan is
+    ONE task and everything map-side after it — explodes, per-row hash
+    batteries — runs serial until the first exchange), repartition to
+    one partition per core. On a production layout with many files/row
+    groups the partition count already exceeds the core count and this
+    is a no-op, so it is not a local-mode constant: the condition is
+    the measured split count, the target is ``defaultParallelism``."""
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
 
 
 def dsum(expr_sql: str) -> Column:

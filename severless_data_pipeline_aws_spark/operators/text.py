@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
+from ._helpers import spread
 
 #: tiny stopword list used by quality scoring + language ID (the
 #: documents fixture is synthetic word soup, so this is an operator
@@ -970,7 +971,10 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = Tables(spark, sf_dir)
-    tri = t.documents.select(
+    # r12: spread() before the char-grain explode — the single-row-group
+    # local scan otherwise runs the whole explode+partial-agg serial
+    # (2.22 -> 0.98s same-session A/B, output identical)
+    tri = spread(t.documents.select("lang", "text")).select(
         "lang",
         F.explode(
             F.expr(
