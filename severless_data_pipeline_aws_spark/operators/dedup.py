@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
+from ._helpers import spread
 
 #: documents subset used by the quadratic-adjacent verification queries —
 #: candidate joins stay bounded while still covering many near-dup pairs.
@@ -44,9 +45,15 @@ _PAIR_BOUND_SQL = f"GREATEST({_PAIR_SUBSET}, (SELECT COUNT(*) FROM documents) //
 
 
 def _pair_docs(t: Tables):
-    """The pair-tier document subset (Spark twin of _PAIR_BOUND_SQL)."""
+    """The pair-tier document subset (Spark twin of _PAIR_BOUND_SQL).
+
+    r12: spread() so the shingle/signature explodes downstream of every
+    pair-tier query parallelize even on the single-row-group local
+    layout (no-op on well-split production layouts)."""
     n = t.documents.count()  # scalar query parameter (metadata-scale)
-    return t.documents.filter(F.col("doc_id") <= max(_PAIR_SUBSET, n // 2))
+    return spread(
+        t.documents.filter(F.col("doc_id") <= max(_PAIR_SUBSET, n // 2))
+    )
 
 #: DuckDB twin of ``_shingles()`` over the ``_PAIR_SUBSET`` docs — the
 #: ONE place the oracle-side 3-gram definition lives (interpolated into
