@@ -946,7 +946,8 @@ _DECON_N = 4  # words per decontamination n-gram
 )
 def dedup_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    grams = t.documents.select(
+    # r12: spread() before the gram explode (single-row-group layout)
+    grams = spread(t.documents.select("doc_id", "text")).select(
         "doc_id", F.explode(_shingles("text", _DECON_N)).alias("gram")
     )
     ev = (
@@ -982,7 +983,8 @@ def dedup_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def dedup_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    grams = t.documents.select(
+    # r12: spread() before the gram explode (single-row-group layout)
+    grams = spread(t.documents.select("doc_id", "text")).select(
         "doc_id",
         F.explode(_shingles("text", _DECON_N)).alias("gram_s"),
     ).select("doc_id", F.xxhash64("gram_s").alias("gram"))

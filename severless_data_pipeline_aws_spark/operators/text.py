@@ -1728,7 +1728,8 @@ def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side-combined aggregates joined at DOC grain (bounded rows),
     # no gram-grain join, no corpus-sized broadcast at any scale.
     t = Tables(spark, sf_dir)
-    grams = ngram_novelty_grams(t.documents)
+    # r12: spread() before the gram explode (single-row-group layout)
+    grams = ngram_novelty_grams(spread(t.documents.select("doc_id", "text")))
     per_doc = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )
@@ -2082,7 +2083,9 @@ _KN_P = (
 )
 def text_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    pairs = t.documents.select(
+    # r12: spread() so the bigram explode parallelizes on the
+    # single-row-group local layout (no-op on well-split layouts)
+    pairs = spread(t.documents.select("text")).select(
         F.explode(
             F.expr(
                 "CASE WHEN size(split(text, ' ')) >= 2 THEN "

@@ -1670,7 +1670,12 @@ def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> Data
 
     k = stateful.MINHASH_SLOTS
     t = Tables(spark, sf_dir)
-    sh = t.documents.select("source", F.explode(_shingles("text")).alias("sh"))
+    from ..operators._helpers import spread
+
+    # r12: spread() before the shingle explode (single-row-group layout)
+    sh = spread(t.documents.select("source", "text")).select(
+        "source", F.explode(_shingles("text")).alias("sh")
+    )
     # r12: hash the DISTINCT (source, shingle) set instead of every
     # occurrence — MIN per source over the multiset equals MIN over the
     # distinct set, and the distinct set (shm, below) is already
