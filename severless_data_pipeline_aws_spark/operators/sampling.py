@@ -25,6 +25,7 @@ from pyspark.sql.window import Window as W
 
 from ..io import Tables
 from ..registry import register
+from ._helpers import spread
 
 #: Spark-side stable bucket in [0, 100): md5 of the key's decimal string,
 #: first 14 hex digits (56 bits — exact in BIGINT), mod 100.
@@ -380,7 +381,9 @@ def sampling_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return f"CASE {branches} ELSE {len(_POIS_T16)} END"
 
-    base = t.orders.selectExpr(
+    # r12: spread() before the per-row hash battery — the one-row-group
+    # local scan otherwise runs all 2xmd5 + 32 conditional sums serial
+    base = spread(t.orders.select("o_orderkey", "o_totalprice")).selectExpr(
         "o_totalprice",
         "md5(CAST(o_orderkey AS STRING) || ':' || 'a') AS ha",
         "md5(CAST(o_orderkey AS STRING) || ':' || 'b') AS hb",
