@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import ddbl, ddbl_sql, dsum_double, dsum_double_sql
+from ._helpers import ddbl, ddbl_sql, dsum_double, dsum_double_sql, spread
 
 _CALC = """
         SELECT {key}, n, corr_xy,
@@ -2903,7 +2903,10 @@ def stats_permutation_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain column references. Same bits, same counts, same sums.
     t = Tables(spark, sf_dir)
 
-    base = t.orders.selectExpr(
+    # r12: spread() before the hash battery (single-row-group layout)
+    base = spread(
+        t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    ).selectExpr(
         "o_totalprice",
         "o_orderpriority = '1-URGENT' AS is_urg",
         "md5(CAST(o_orderkey AS STRING) || ':p:' || 'a') AS ha",
