@@ -25,6 +25,33 @@ from pyspark.sql import functions as F
 DEC = "DECIMAL(38,8)"
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a multi-consumer intermediate (r12 policy,
+    r11 VERDICT #9).
+
+    Default (``local``): ``localCheckpoint(eager=True)`` — fastest on a
+    single host, but it stores UNREPLICATED executor blocks and
+    truncates lineage, so on a real cluster an executor loss kills the
+    query. Corpus-grain tables (bigram type counts, minhash signature
+    tables, phrase-instance tables — anything not provably bounded at
+    100 TB) route through this helper so one deployment knob governs
+    them: ``SPARK_GRAFT_MATERIALIZE=persist`` switches to
+    ``persist(DISK_ONLY)`` + an eager count, which KEEPS lineage (a
+    lost block recomputes instead of failing) at the cost of a disk
+    write. Bounded-grain tables (|Q|x k eval scaffolds, <=25-node
+    graph frames) may stay on plain localCheckpoint unconditionally.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE", "local") == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()
+        return out
+    return df.localCheckpoint(eager=True)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Layout-adaptive parallelism guard for explode-heavy pipelines
     (r12, guide §2.2): when the upstream scan yields fewer input splits

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import spread
+from ._helpers import materialize, spread
 
 #: documents subset used by the quadratic-adjacent verification queries —
 #: candidate joins stay bounded while still covering many near-dup pairs.
@@ -1862,9 +1862,11 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes over every shingle per computation — the before plan showed
     # ~10 document scans with zero exchange reuse. One doc-grain
     # checkpoint (|docs| x 33 longs) computes the hash family once.
-    sig = minhash_signature(docs).select(
-        "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
-    ).localCheckpoint(eager=True)
+    sig = materialize(
+        minhash_signature(docs).select(
+            "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
+        )
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -2003,9 +2005,11 @@ def dedup_lsh_band_candidate_curve(spark: SparkSession, sf_dir: str) -> DataFram
     # r11 (guide §2.4): SIX consumers (both sides of three band joins)
     # descend from the signature table; checkpoint computes the 32-pass
     # hash family once
-    sig = minhash_signature(docs).select(
-        "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
-    ).localCheckpoint(eager=True)
+    sig = materialize(
+        minhash_signature(docs).select(
+            "doc_id", *[f"mh_{s}" for s in range(_MINHASH_K)]
+        )
+    )
     curves = []
     for n_bands, rows in _BAND_CURVE:
         bands = sig.select(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..registry import register
-from ._helpers import spread
+from ._helpers import materialize, spread
 
 #: tiny stopword list used by quality scoring + language ID (the
 #: documents fixture is synthetic word soup, so this is an operator
@@ -1873,9 +1873,13 @@ def text_rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes it once: 2.43 -> 1.70s same-session A/B, output proven
     # identical. Checkpointing phrases too was measured slower (the
     # ObjectHashAggregate recompute is cheaper than its serialization).
-    grp = content.withColumn(
-        "g", F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
-    ).localCheckpoint(eager=True)
+    grp = materialize(
+        content.withColumn(
+            "g",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
     phrases = grp.groupBy("doc_id", "g").agg(
         F.array_join(
             F.transform(
@@ -2100,10 +2104,10 @@ def text_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the final join's left side, cu, cw, tt) — the before plan showed
     # four scans each re-running the explode + (u, w) shuffle. One
     # checkpointed type-count table computes the bigram space once.
-    cuw = (
-        pairs.groupBy("u", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cuw"))
-        .localCheckpoint(eager=True)
+    cuw = materialize(
+        pairs.groupBy("u", "w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cuw")
+        )
     )
     cu = cuw.groupBy("u").agg(
         F.sum("cuw").cast("bigint").alias("cu"),

@@ -1670,7 +1670,7 @@ def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> Data
 
     k = stateful.MINHASH_SLOTS
     t = Tables(spark, sf_dir)
-    from ..operators._helpers import spread
+    from ..operators._helpers import materialize, spread
 
     # r12: spread() before the shingle explode (single-row-group layout)
     sh = spread(t.documents.select("source", "text")).select(
@@ -1681,7 +1681,7 @@ def streaming_minhash_source_signature(spark: SparkSession, sf_dir: str) -> Data
     # distinct set, and the distinct set (shm, below) is already
     # materialized for three other consumers; this removes one whole
     # explode pass over documents and ~20% of the 32-way xxhash64 work.
-    shm = sh.distinct().localCheckpoint(eager=True)
+    shm = materialize(sh.distinct())
     hashed = shm.selectExpr(
         "source", *[f"xxhash64('s{j}', sh) AS h{j}" for j in range(k)]
     )
