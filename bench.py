@@ -319,6 +319,14 @@ def main() -> None:
         # later query's memory; drop those too, same isolation policy
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+        # r12 (advice): the unpersist above strands any temp view whose
+        # backing blocks it just dropped (localCheckpoint truncates
+        # lineage, so a stale view would be unrecoverable, not merely
+        # recomputable). No query may read a view another query created;
+        # drop them so the invariant is enforced, not assumed.
+        for view in spark.catalog.listTables():
+            if view.isTemporary:
+                spark.catalog.dropTempView(view.name)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     r01_set = HEADLINE[:5]  # the round-1 headline set, for like-for-like deltas

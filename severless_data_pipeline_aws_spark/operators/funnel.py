@@ -1732,8 +1732,15 @@ def funnel_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFram
         + _km_steps_sql(lambda a, b: f"datediff({b}, {a})")
         + " SELECT rn, t_days, n_at_risk, d, c FROM km_steps"
     ).localCheckpoint(eager=True)
-    steps.createOrReplaceTempView("km_steps")
-    return spark.sql("WITH RECURSIVE " + _KM_CORE)
+    # r12 (advice): the session-global temp view takes the repo's
+    # reserved double-underscore namespace; a one-line wrapper CTE binds
+    # it to the km_steps identifier so the shared _KM_CORE text stays
+    # byte-identical to the oracle's.
+    steps.createOrReplaceTempView("__km_steps")
+    return spark.sql(
+        "WITH RECURSIVE km_steps AS "
+        "(SELECT rn, t_days, n_at_risk, d, c FROM __km_steps)," + _KM_CORE
+    )
 
 
 _LR_SC = "10000000000"  # 1e10 exactness scale for the log-rank folds

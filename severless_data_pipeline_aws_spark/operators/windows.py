@@ -782,6 +782,12 @@ def session_window_gap_and_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         ts_ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        # r12 (advice): NaT becomes INT64_MIN here and would sort FIRST
+        # (the pandas path sorted NaT last with always-False gap
+        # compares) — events.ts is contractually non-null, so enforce
+        # the contract rather than let the two code paths diverge.
+        if len(ts_ns) and ts_ns.min() == -(2**63):
+            raise ValueError("session_window_gap_and_cap: null ts in events")
         order = np.lexsort((pdf["event_id"].to_numpy(), ts_ns))
         gap_ns = _SESS_GAP_S * 1_000_000_000
         cap_ns = _SESS_CAP_S * 1_000_000_000

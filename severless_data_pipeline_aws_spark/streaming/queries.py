@@ -293,6 +293,11 @@ _STREAM_SHUFFLE_PARTITIONS = int(
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    # NOTE (r12 advice): the set/restore below mutates the SESSION-global
+    # shuffle-partition conf for the stream's lifetime, so no other query
+    # may be PLANNED on this session while a replay drains — it would
+    # silently inherit the clamp. Single-threaded use is the contract
+    # here (bench and oracle harness run queries sequentially).
     name = f"mem_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -307,7 +312,14 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # r12 (advice): awaitTermination returns False on timeout with
+        # the stream still running — reading the memory table then would
+        # silently return a partial replay. Fail loudly instead.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"availableNow replay {name} did not drain within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return stream_df.sparkSession.table(name)
